@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table catalog over the harness fixture directory.
+  *
+  * Analog of the reference's table-dict loader
+  * (`code_base/transform_to_bq.py:77-83`): lazy Parquet scans, schema from
+  * footers, data does not move until an action fires. Column pruning and
+  * predicate pushdown reach the scan because nothing here forces
+  * materialization.
+  *
+  * Scale note: at 100 TB each `load` is a partitioned multi-file scan; the
+  * single-`.parquet`-file fixture layout is just the harness shape. Nothing
+  * in this object assumes single-file or single-partition input.
+  */
+object Tables {
+  /** TPC-H-ish star schema tables. */
+  val star: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+  /** LLM-pipeline tier tables. */
+  val northStar: Seq[String] = Seq("events", "documents", "embeddings")
+
+  val all: Seq[String] = star ++ northStar
+
+  def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(path(sfDir, name))
+
+  def region(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "region")
+  def nation(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "nation")
+  def customer(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame       = load(spark, sfDir, "part")
+  def orders(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "orders")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "lineitem")
+  def events(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "events")
+  def documents(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+}

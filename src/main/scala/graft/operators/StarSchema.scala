@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Deterministic
+
+/** Reference-parity star-schema queries, retargeted onto the TPC-H-ish
+  * fixture tables (mapping per SURVEY.md §7).
+  *
+  * Semantics source: `/root/reference/code_base/transform_to_bq.py:102-167`
+  * — 4 dimension queries + 2 fact queries, all declarative compositions of
+  * projection / filter / inner-equi-join / distinct / groupBy-sum. Rebuilt
+  * here Spark-first on `org.apache.spark.sql`: lazy DataFrames, Catalyst
+  * does pushdown/pruning/join-selection, AQE picks physical join strategies.
+  *
+  * Scale notes (100 TB design):
+  *  - `nation` (25 rows) and `region` (5 rows) have fixed cardinality at any
+  *    scale factor → explicit `broadcast()` hint, no shuffle ever.
+  *  - `customer`/`orders` grow with SF → no forced broadcast; AQE decides
+  *    (broadcast at harness scale, shuffled hash/sort-merge at cluster
+  *    scale). The fact⋈orders join shuffles on the join key only.
+  *  - Aggregations are partial+final hash aggregates (map-side combine),
+  *    so the shuffle carries one row per (group × partition), not raw rows.
+  *  - The final `orderBy` on each query exists for deterministic
+  *    verification dumps; outputs are dimension/aggregate sized (small), so
+  *    the range-partitioned sort is not a scale hazard.
+  */
+object StarSchema {
+
+  /** dim_customer analog: null-reject filter → inner equi-join → rename.
+    * Reference: customer ⋈ person with `personid IS NOT NULL` pre-filter
+    * (`transform_to_bq.py:102-110`). Fixture: customer ⋈ nation.
+    * The manual isNotNull mirrors the reference; Catalyst would infer it
+    * from the inner join anyway (`InferFiltersFromConstraints`).
+    */
+  def dimCustomer(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).alias("c")
+    val n = Tables.nation(spark, sfDir).alias("n")
+    c.filter(col("c.c_nationkey").isNotNull)
+      .join(broadcast(n), col("c.c_nationkey") === col("n.n_nationkey"), "inner")
+      .select(
+        col("c.c_custkey").alias("customer_key"),
+        col("c.c_name").alias("customer_name"),
+        col("c.c_mktsegment").alias("market_segment"),
+        col("n.n_name").alias("nation_name"),
+        col("c.c_acctbal").alias("account_balance"))
+      .orderBy("customer_key")
+  }
+
+  /** dim_product analog: 3-way inner equi-join chain → rename.
+    * Reference: product ⋈ productsubcategory ⋈ productcategory, where the
+    * inner joins intentionally drop rows with a null mid-level key
+    * (`transform_to_bq.py:112-123`). Fixture chain with the same shape:
+    * supplier ⋈ nation ⋈ region. Both lookup sides are broadcast —
+    * fixed-cardinality dims.
+    */
+  def dimProduct(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.supplier(spark, sfDir).alias("s")
+    val n = Tables.nation(spark, sfDir).alias("n")
+    val r = Tables.region(spark, sfDir).alias("r")
+    s.join(broadcast(n), col("s.s_nationkey") === col("n.n_nationkey"), "inner")
+      .join(broadcast(r), col("n.n_regionkey") === col("r.r_regionkey"), "inner")
+      .select(
+        col("s.s_suppkey").alias("product_key"),
+        col("s.s_name").alias("product_name"),
+        col("n.n_name").alias("subcategory_name"),
+        col("r.r_name").alias("category_name"),
+        col("s.s_acctbal").alias("list_price"))
+      .orderBy("product_key")
+  }
+
+  /** dim_territory analog: pure projection/rename, no joins.
+    * Reference: salesterritory rename (`transform_to_bq.py:125-131`).
+    * Fixture: region.
+    */
+  def dimTerritory(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.region(spark, sfDir)
+      .select(
+        col("r_regionkey").alias("territory_key"),
+        col("r_name").alias("territory_name"))
+      .orderBy("territory_key")
+
+  /** dim_date analog: to_date → distinct → calendar attributes.
+    * Reference: `transform_to_bq.py:133-141`. Note Spark's `dayofweek` is
+    * 1=Sunday..7=Saturday — the oracle SQL pins the same convention
+    * (DuckDB `dayofweek` is 0=Sunday..6, hence the +1 there).
+    */
+  def dimDate(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(to_date(col("o_orderdate")).alias("date"))
+      .distinct()
+      .select(
+        col("date"),
+        date_format(col("date"), "yyyyMMdd").cast("int").alias("date_key"),
+        year(col("date")).alias("year"),
+        month(col("date")).alias("month"),
+        dayofmonth(col("date")).alias("day_of_month"),
+        dayofweek(col("date")).alias("day_of_week"))
+      .orderBy("date")
+
+  /** fact_sales_detail analog (the flagship): fact ⋈ header with derived
+    * surrogate `date_key` and per-line `line_total`.
+    * Reference: salesorderdetail ⋈ salesorderheader on salesorderid with
+    * `line_total = orderqty * unitprice` (`transform_to_bq.py:143-158`).
+    * Fixture: lineitem ⋈ orders on l_orderkey = o_orderkey,
+    * `line_total = l_extendedprice * (1 - l_discount)` (per-row IEEE double
+    * arithmetic — deterministic, no cross-engine drift).
+    *
+    * This is the only join where both sides scale with SF — left to
+    * Catalyst/AQE (sort-merge or shuffled-hash on the shuffled key); no
+    * broadcast hint on purpose.
+    */
+  def factSalesDetail(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir).alias("l")
+    val o = Tables.orders(spark, sfDir).alias("o")
+    l.join(o, col("l.l_orderkey") === col("o.o_orderkey"), "inner")
+      .select(
+        col("l.l_orderkey").alias("order_key"),
+        col("l.l_linenumber").alias("line_number"),
+        col("l.l_partkey").alias("product_key"),
+        col("l.l_suppkey").alias("supplier_key"),
+        col("o.o_custkey").alias("customer_key"),
+        date_format(to_date(col("o.o_orderdate")), "yyyyMMdd").cast("int").alias("date_key"),
+        col("l.l_quantity").alias("order_quantity"),
+        col("l.l_extendedprice").alias("unit_price"),
+        col("l.l_discount").alias("discount"),
+        (col("l.l_extendedprice") * (lit(1.0) - col("l.l_discount"))).alias("line_total"))
+      .orderBy("order_key", "line_number")
+  }
+
+  /** fact_sales_agg_daily_product analog: groupBy(date_key, product_key) →
+    * sums. Reference recomputes the un-cached detail lineage
+    * (`transform_to_bq.py:160-167`) — kept here for parity; Catalyst still
+    * collapses it into one job with partial+final hash aggregation.
+    * Sums use [[Deterministic.exactSum]] (integer-quantized, order-independent).
+    */
+  def factSalesAggDailyProduct(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir).alias("l")
+    val o = Tables.orders(spark, sfDir).alias("o")
+    l.join(o, col("l.l_orderkey") === col("o.o_orderkey"), "inner")
+      .select(
+        date_format(to_date(col("o.o_orderdate")), "yyyyMMdd").cast("int").alias("date_key"),
+        col("l.l_partkey").alias("product_key"),
+        col("l.l_quantity").alias("order_quantity"),
+        (col("l.l_extendedprice") * (lit(1.0) - col("l.l_discount"))).alias("line_total"))
+      .groupBy(col("date_key"), col("product_key"))
+      .agg(
+        Deterministic.exactSum(col("order_quantity"), 2).alias("total_quantity_sold"),
+        Deterministic.exactSum(col("line_total"), 4).alias("total_revenue"),
+        count(lit(1)).alias("n_lines"))
+      .orderBy("date_key", "product_key")
+  }
+
+  /** Oracle SQL (DuckDB dialect) for each query above — same table names,
+    * same column aliases, same deterministic ordering.
+    */
+  val oracles: Map[String, String] = Map(
+    "dim_customer" ->
+      """SELECT c_custkey AS customer_key, c_name AS customer_name,
+        |       c_mktsegment AS market_segment, n_name AS nation_name,
+        |       c_acctbal AS account_balance
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_nationkey IS NOT NULL
+        |ORDER BY customer_key""".stripMargin,
+    "dim_product" ->
+      """SELECT s_suppkey AS product_key, s_name AS product_name,
+        |       n_name AS subcategory_name, r_name AS category_name,
+        |       s_acctbal AS list_price
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |              JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY product_key""".stripMargin,
+    "dim_territory" ->
+      """SELECT r_regionkey AS territory_key, r_name AS territory_name
+        |FROM region ORDER BY territory_key""".stripMargin,
+    "dim_date" ->
+      """SELECT date,
+        |       CAST(strftime(date, '%Y%m%d') AS INT) AS date_key,
+        |       CAST(year(date) AS INT) AS year,
+        |       CAST(month(date) AS INT) AS month,
+        |       CAST(dayofmonth(date) AS INT) AS day_of_month,
+        |       CAST(dayofweek(date) + 1 AS INT) AS day_of_week
+        |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS date FROM orders)
+        |ORDER BY date""".stripMargin,
+    "fact_sales_detail" ->
+      """SELECT l_orderkey AS order_key, l_linenumber AS line_number,
+        |       l_partkey AS product_key, l_suppkey AS supplier_key,
+        |       o_custkey AS customer_key,
+        |       CAST(strftime(CAST(o_orderdate AS DATE), '%Y%m%d') AS INT) AS date_key,
+        |       l_quantity AS order_quantity, l_extendedprice AS unit_price,
+        |       l_discount AS discount,
+        |       l_extendedprice * (1.0 - l_discount) AS line_total
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY order_key, line_number""".stripMargin,
+    "fact_sales_agg_daily_product" ->
+      s"""SELECT CAST(strftime(CAST(o_orderdate AS DATE), '%Y%m%d') AS INT) AS date_key,
+         |       l_partkey AS product_key,
+         |       ${Deterministic.exactSumSql("l_quantity", 2)} AS total_quantity_sold,
+         |       ${Deterministic.exactSumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS total_revenue,
+         |       CAST(count(*) AS BIGINT) AS n_lines
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1, 2
+         |ORDER BY date_key, product_key""".stripMargin,
+  )
+
+  /** Query registry fragment for SparkEntry. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dim_customer"                 -> dimCustomer _,
+    "dim_product"                  -> dimProduct _,
+    "dim_territory"                -> dimTerritory _,
+    "dim_date"                     -> dimDate _,
+    "fact_sales_detail"            -> factSalesDetail _,
+    "fact_sales_agg_daily_product" -> factSalesAggDailyProduct _,
+  )
+}
