@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Deterministic
+
+/** Relational operators beyond the reference's inner-equi-join/sum surface
+  * (SURVEY.md §2c): outer/semi/anti joins, rollup/cube, window ranking,
+  * top-k, and set operations. The reference has none of these
+  * (`/root/reference/code_base/` uses only inner joins + one groupBy-sum),
+  * so these are the north-star relational tier, built entirely on Catalyst
+  * built-ins.
+  *
+  * Scale notes:
+  *  - Semi/anti joins ship only the join key of the probe side through the
+  *    shuffle — cheaper than inner-join-plus-distinct at 100 TB.
+  *  - Top-k uses `orderBy(...).limit(k)` which Spark plans as
+  *    `TakeOrderedAndProject`: per-partition heap of k rows, no global sort.
+  *  - Window ranking shuffles once on the partition key; the rank filter is
+  *    applied before anything else consumes the result.
+  *  - Rollup/cube expand grouping sets map-side; partial aggregation still
+  *    applies per grouping set.
+  */
+object Relational {
+
+  private def revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** Top-k with deterministic tiebreak → TakeOrderedAndProject (heap-based,
+    * no global sort; scale-safe for any input size).
+    */
+  def topCustomersByRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    o.groupBy(col("o_custkey"))
+      .agg(Deterministic.exactSum(col("o_totalprice"), 2).alias("total_revenue"),
+        count(lit(1)).alias("n_orders"))
+      .join(c, col("o_custkey") === col("c_custkey"), "inner")
+      .select(col("c_custkey").alias("customer_key"), col("c_name").alias("customer_name"),
+        col("total_revenue"), col("n_orders"))
+      .orderBy(col("total_revenue").desc, col("customer_key").asc)
+      .limit(10)
+  }
+
+  /** Left-anti join: customers with no order above 450k (NOT EXISTS over a
+    * filtered build side). The filter lands before the join, so the anti
+    * probe only sees qualifying orders.
+    */
+  def customersWithoutBigOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 450000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey").alias("customer_key"), col("c_name").alias("customer_name"))
+      .orderBy("customer_key")
+  }
+
+  /** Left-semi join: customers with at least one order (EXISTS) — dedup-free
+    * existence check, probe side never widens.
+    */
+  def customersWithOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey").alias("customer_key"), col("c_name").alias("customer_name"))
+      .orderBy("customer_key")
+  }
+
+  /** Left-outer join + count: order count per customer including zeros
+    * (count over the nullable right-side key).
+    */
+  def customerOrderCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(c("c_custkey").alias("customer_key"))
+      .agg(count(o("o_orderkey")).alias("n_orders"))
+      .orderBy("customer_key")
+  }
+
+  /** ROLLUP over (year, month): subtotal rows carry NULL group keys.
+    * Ordering pins NULLS FIRST explicitly — Spark's asc default — and the
+    * oracle does the same.
+    */
+  def salesRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(year(to_date(col("o_orderdate"))).alias("year"),
+        month(to_date(col("o_orderdate"))).alias("month"),
+        col("o_totalprice"))
+      .rollup(col("year"), col("month"))
+      .agg(Deterministic.exactSum(col("o_totalprice"), 2).alias("total_revenue"),
+        count(lit(1)).alias("n_orders"))
+      .orderBy(col("year").asc_nulls_first, col("month").asc_nulls_first)
+
+  /** CUBE over (year, order status): all 4 grouping sets. */
+  def salesCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(year(to_date(col("o_orderdate"))).alias("year"),
+        col("o_orderstatus").alias("order_status"), col("o_totalprice"))
+      .cube(col("year"), col("order_status"))
+      .agg(Deterministic.exactSum(col("o_totalprice"), 2).alias("total_revenue"))
+      .orderBy(col("year").asc_nulls_first, col("order_status").asc_nulls_first)
+
+  /** Window ranking: top-3 parts by revenue within each brand.
+    * One shuffle on the partition key; rank filter immediately after.
+    */
+  def windowRankParts(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+    val p = Tables.part(spark, sfDir)
+    val perPart = l.join(p, l("l_partkey") === p("p_partkey"), "inner")
+      .groupBy(col("p_brand").alias("brand"), col("p_partkey").alias("part_key"))
+      .agg(Deterministic.exactSum(revenue, 4).alias("part_revenue"))
+    val w = Window.partitionBy(col("brand"))
+      .orderBy(col("part_revenue").desc, col("part_key").asc)
+    perPart.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .orderBy("brand", "rank")
+  }
+
+  /** Set ops: parts shipped in 1995 but not in 1996 (EXCEPT) — Spark plans
+    * EXCEPT as a left-anti join under the hood.
+    */
+  def partsShippedExcept(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+    def partsIn(yr: Int): DataFrame =
+      l.filter(year(to_date(col("l_shipdate"))) === yr)
+        .select(col("l_partkey").alias("part_key")).distinct()
+    partsIn(1995).except(partsIn(1996)).orderBy("part_key")
+  }
+
+  /** INTERSECT: nations that have both customers and suppliers. */
+  def nationsIntersect(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).select(col("c_nationkey").alias("nation_key"))
+    val s = Tables.supplier(spark, sfDir).select(col("s_nationkey").alias("nation_key"))
+    c.intersect(s).orderBy("nation_key")
+  }
+
+  /** UNION (distinct): all nation keys appearing on either side. */
+  def nationsUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).select(col("c_nationkey").alias("nation_key"))
+    val s = Tables.supplier(spark, sfDir).select(col("s_nationkey").alias("nation_key"))
+    c.union(s).distinct().orderBy("nation_key")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "top_customers_by_revenue" ->
+      s"""SELECT c_custkey AS customer_key, c_name AS customer_name,
+         |       ${Deterministic.exactSumSql("o_totalprice", 2)} AS total_revenue,
+         |       CAST(count(*) AS BIGINT) AS n_orders
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1, 2
+         |ORDER BY total_revenue DESC, customer_key ASC
+         |LIMIT 10""".stripMargin,
+    "customers_without_big_orders" ->
+      """SELECT c_custkey AS customer_key, c_name AS customer_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+        |ORDER BY customer_key""".stripMargin,
+    "customers_with_orders" ->
+      """SELECT c_custkey AS customer_key, c_name AS customer_name
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY customer_key""".stripMargin,
+    "customer_order_counts" ->
+      """SELECT c_custkey AS customer_key,
+        |       CAST(count(o_orderkey) AS BIGINT) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY customer_key""".stripMargin,
+    "sales_rollup" ->
+      s"""SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS year,
+         |       CAST(month(CAST(o_orderdate AS DATE)) AS INT) AS month,
+         |       ${Deterministic.exactSumSql("o_totalprice", 2)} AS total_revenue,
+         |       CAST(count(*) AS BIGINT) AS n_orders
+         |FROM orders
+         |GROUP BY ROLLUP(1, 2)
+         |ORDER BY year ASC NULLS FIRST, month ASC NULLS FIRST""".stripMargin,
+    "sales_cube" ->
+      s"""SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS year,
+         |       o_orderstatus AS order_status,
+         |       ${Deterministic.exactSumSql("o_totalprice", 2)} AS total_revenue
+         |FROM orders
+         |GROUP BY CUBE(1, 2)
+         |ORDER BY year ASC NULLS FIRST, order_status ASC NULLS FIRST""".stripMargin,
+    "window_rank_parts" ->
+      s"""WITH per_part AS (
+         |  SELECT p_brand AS brand, p_partkey AS part_key,
+         |         ${Deterministic.exactSumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS part_revenue
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  GROUP BY 1, 2)
+         |SELECT brand, part_key, part_revenue,
+         |       CAST(row_number() OVER (PARTITION BY brand ORDER BY part_revenue DESC, part_key ASC) AS INT) AS rank
+         |FROM per_part
+         |QUALIFY rank <= 3
+         |ORDER BY brand, rank""".stripMargin,
+    "parts_shipped_except" ->
+      """SELECT DISTINCT l_partkey AS part_key FROM lineitem
+        |WHERE year(CAST(l_shipdate AS DATE)) = 1995
+        |EXCEPT
+        |SELECT DISTINCT l_partkey AS part_key FROM lineitem
+        |WHERE year(CAST(l_shipdate AS DATE)) = 1996
+        |ORDER BY part_key""".stripMargin,
+    "nations_intersect" ->
+      """SELECT c_nationkey AS nation_key FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nation_key FROM supplier
+        |ORDER BY nation_key""".stripMargin,
+    "nations_union" ->
+      """SELECT DISTINCT nation_key FROM (
+        |  SELECT c_nationkey AS nation_key FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nation_key FROM supplier)
+        |ORDER BY nation_key""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "top_customers_by_revenue" -> topCustomersByRevenue _,
+    "customers_without_big_orders" -> customersWithoutBigOrders _,
+    "customers_with_orders"    -> customersWithOrders _,
+    "customer_order_counts"    -> customerOrderCounts _,
+    "sales_rollup"             -> salesRollup _,
+    "sales_cube"               -> salesCube _,
+    "window_rank_parts"        -> windowRankParts _,
+    "parts_shipped_except"     -> partsShippedExcept _,
+    "nations_intersect"        -> nationsIntersect _,
+    "nations_union"            -> nationsUnion _,
+  )
+}
