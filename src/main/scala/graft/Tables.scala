@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.types._
 
 /** Table catalog over the harness fixture directory.
   *
@@ -36,7 +38,21 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame       = load(spark, sfDir, "part")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "lineitem")
-  def events(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "events")
+  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
+    * Parquet reader rejects by default (no TimestampNTZ-nanos type). Read
+    * it with an explicit LongType schema (physical INT64 passes through),
+    * then floor-divide to micros — the same truncation DuckDB applies when
+    * it scans a nanos column as TIMESTAMP, so oracle comparisons agree.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.read.schema(rawSchema).parquet(path(sfDir, "events"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 }

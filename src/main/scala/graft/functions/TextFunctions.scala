@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text/hash building blocks shared by the dedup, fingerprint, and
+  * text-analysis operators.
+  *
+  * Two hash families on purpose:
+  *  - `xxhash64(...)` — Spark's codegen'd 64-bit hash; the production path
+  *    (fast, whole-stage-codegen friendly). Used where no cross-engine
+  *    oracle needs to reproduce the value.
+  *  - md5-derived 60-bit integers — slower but reproducible in any engine
+  *    with an md5 function (the DuckDB oracle parses the same hex
+  *    substring). Used by oracle-checked queries.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer (single-space convention of the fixtures). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** 60-bit integer hash from the md5 hex tail — cross-engine reproducible:
+    * DuckDB equivalent `CAST('0x' || substr(md5(x), 18, 15) AS BIGINT)`.
+    * 15 hex chars = 60 bits, always non-negative, fits in a long.
+    */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 18, 15), 16, 10).cast(LongType)
+
+  /** SQL fragment (DuckDB) matching [[md5Hash60]] — keep in sync. */
+  def md5Hash60Sql(expr: String): String =
+    s"CAST('0x' || substr(md5($expr), 18, 15) AS BIGINT)"
+
+  /** Production-path 64-bit hash (not oracle-reproducible). */
+  def fastHash(cols: Column*): Column = xxhash64(cols: _*)
+
+  /** Rolling polynomial fingerprint over a token array:
+    * fold(acc = 0; acc = (acc * 31 + md5Hash60(token)) % 1000003).
+    * Order-sensitive by construction (a permuted document fingerprints
+    * differently), overflow-free (acc < 2^20, hash < 2^60 → sum < 2^62).
+    * Runs inside Catalyst's higher-order `aggregate` — no UDF, no shuffle.
+    */
+  def rollingFingerprint(toks: Column): Column =
+    aggregate(
+      transform(toks, t => md5Hash60(t)),
+      lit(0L),
+      (acc, h) => (acc * lit(31L) + h) % lit(1000003L))
+
+  /** SQL fragment (DuckDB) matching [[rollingFingerprint]]. */
+  def rollingFingerprintSql(toksExpr: String): String =
+    s"""list_reduce(
+       |  list_prepend(CAST(0 AS BIGINT),
+       |    list_transform($toksExpr, t -> ${md5Hash60Sql("t")})),
+       |  (acc, h) -> (acc * 31 + h) % 1000003)""".stripMargin
+}

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Deterministic
+
+/** Event-stream operators over the `events` table: JSON property
+  * extraction, tumbling event-time windows, gap-based sessionization, and
+  * latest-per-key dedup (north-star spec; the reference has no event/JSON
+  * surface at all).
+  *
+  * Batch forms here; `graft.streaming.EventStream` carries the Structured
+  * Streaming forms of the same pipelines (same `window()` semantics — the
+  * function is shared between batch and streaming in Spark).
+  *
+  * Scale notes:
+  *  - JSON extraction (`get_json_object`) is a per-row codegen'd path — at
+  *    100 TB prefer `from_json` with an explicit schema once per pipeline
+  *    (schema below in [[propsSchema]]) so Catalyst prunes unused fields.
+  *  - The tumbling window is `window(ts, "1 hour")` — group key is derived
+  *    per-row, so the aggregation shuffles once on (window, type).
+  *  - Sessionization shuffles once on `user_id` for the window functions;
+  *    the session rollup reuses that partitioning (no second shuffle of raw
+  *    rows thanks to partial aggregation).
+  */
+object Events {
+
+  import org.apache.spark.sql.types._
+
+  /** Schema of the `props` JSON column — for the `from_json` fast path. */
+  val propsSchema: StructType = StructType(Seq(StructField("k", LongType)))
+
+  /** Per-type rollup with a JSON-extracted measure. Demonstrates both JSON
+    * paths: `get_json_object` (ad-hoc) feeding the aggregate, with
+    * `from_json` available via [[propsSchema]].
+    */
+  def jsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").alias("k"),
+        col("value"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).alias("n_events"),
+        sum(col("k")).alias("sum_k"),
+        Deterministic.exactSum(col("value"), 2).alias("sum_value"))
+      .orderBy("event_type")
+
+  /** Tumbling 1-hour event-time window (epoch-aligned, UTC session TZ). */
+  def hourlyWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).alias("n_events"),
+        Deterministic.exactSum(col("value"), 2).alias("sum_value"))
+      .select(col("window.start").alias("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("hour_start", "event_type")
+
+  /** Gap-based sessionization (30-minute inactivity gap): lag → boundary
+    * flag → running sum = session id → per-session rollup. Batch analog of
+    * `flatMapGroupsWithState` sessionization; microsecond arithmetic so
+    * both engines compare exact integers.
+    */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        unix_micros(col("ts")).alias("ts_us"))
+      .withColumn("new_session",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) > gapUs || lag(col("ts_us"), 1).over(byUser).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).alias("n_events"),
+        min(col("ts")).alias("session_start"),
+        max(col("ts")).alias("session_end"),
+        Deterministic.exactSum(col("value"), 2).alias("session_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Latest event per user — the canonical CDC/dedup-by-key pattern:
+    * row_number over (key, recency) then rank=1.
+    */
+  def latestPerUser(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+      .orderBy("user_id")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "events_json_extract" ->
+      s"""SELECT event_type,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+         |       ${Deterministic.exactSumSql("value", 2)} AS sum_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_hourly" ->
+      s"""SELECT date_trunc('hour', ts) AS hour_start, event_type,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       ${Deterministic.exactSumSql("value", 2)} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "events_sessionize" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, event_id, ts, value,
+         |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+         |              OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sessions AS (
+         |  SELECT user_id, event_id, ts, value,
+         |         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM flagged)
+         |SELECT user_id, session_id,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       min(ts) AS session_start,
+         |       max(ts) AS session_end,
+         |       ${Deterministic.exactSumSql("value", 2)} AS session_value
+         |FROM sessions GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+    "events_latest_per_user" ->
+      """SELECT user_id, event_id, ts, event_type, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_json_extract"    -> jsonExtract _,
+    "events_hourly"          -> hourlyWindow _,
+    "events_sessionize"      -> sessionize _,
+    "events_latest_per_user" -> latestPerUser _,
+  )
+}

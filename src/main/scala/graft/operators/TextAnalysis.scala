@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Text-analysis operators over the `documents` table — the language-ID /
+  * quality-scoring / token-counting / fingerprinting tier a training-data
+  * pipeline needs (north-star spec; no reference analog — the reference's
+  * only string work is column renames).
+  *
+  * All operators are per-row narrow transformations (split / filter /
+  * aggregate higher-order functions — codegen'd Catalyst expressions, no
+  * UDFs) followed by at most one hash aggregation. At 100 TB: the per-row
+  * tier is embarrassingly parallel; the only shuffle is the final
+  * per-language rollup whose cardinality is tiny (#languages).
+  */
+object TextAnalysis {
+
+  private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val stopEs = Seq("el", "la", "los", "de", "que", "y")
+  private val stopDe = Seq("der", "die", "das", "und", "ist")
+  private val stopFr = Seq("le", "les", "des", "et", "est")
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  private def sqlCountIn(toksExpr: String, words: Seq[String]): String = {
+    val list = words.map(w => s"'$w'").mkString(", ")
+    s"CAST(len(list_filter($toksExpr, t -> t IN ($list))) AS INT)"
+  }
+
+  /** Per-language corpus statistics in ONE pass over exploded tokens:
+    * doc count, token count, exact vocabulary size, avg tokens/doc.
+    * Scale note: explode widens rows but the aggregate is partial+final;
+    * vocabulary uses exact distinct here because the oracle needs
+    * determinism — `text_vocab_approx` (no oracle) is the HLL-based scale
+    * path for 100 TB.
+    */
+  def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).alias("token"))
+      .groupBy(col("lang"))
+      .agg(
+        countDistinct(col("doc_id")).alias("n_docs"),
+        count(lit(1)).alias("n_tokens"),
+        countDistinct(col("token")).alias("vocab"),
+        (count(lit(1)) / countDistinct(col("doc_id"))).alias("avg_tokens_per_doc"))
+      .orderBy("lang")
+
+  /** Approximate vocabulary via HyperLogLog — the 100 TB path for distinct
+    * counting (no oracle: HLL estimates are engine-specific).
+    */
+  def vocabApprox(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(TextFunctions.tokens(col("text"))).alias("token"))
+      .groupBy(col("lang"))
+      .agg(approx_count_distinct(col("token")).alias("vocab_approx"))
+      .orderBy("lang")
+
+  /** Per-document quality scoring: char/token counts, mean token length,
+    * stopword ratio, and a boolean quality gate. Pure narrow
+    * transformations — no shuffle at all (the sort is verification-only).
+    */
+  def quality(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        length(col("text")).alias("n_chars"),
+        size(toks).alias("n_tokens"),
+        countIn(toks, stopEn).alias("n_stopwords"))
+      .select(
+        col("doc_id"), col("n_chars"), col("n_tokens"), col("n_stopwords"),
+        ((col("n_chars") - col("n_tokens") + lit(1)) / col("n_tokens")).alias("avg_token_len"),
+        (col("n_stopwords") / col("n_tokens")).alias("stopword_ratio"),
+        (col("n_tokens") >= 20 && (col("n_stopwords") / col("n_tokens")) < 0.5)
+          .alias("is_quality"))
+      .orderBy("doc_id")
+  }
+
+  /** N-gram-free language-ID heuristic: per-language stopword hit counts,
+    * argmax with a fixed priority tiebreak. Degenerate on the synthetic
+    * corpus (scores near zero) but exercises the real machinery: token
+    * filters + CASE argmax, all codegen'd.
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val scored = Tables.documents(spark, sfDir).select(
+      col("doc_id"), col("lang").alias("actual_lang"),
+      countIn(toks, stopEn).alias("s_en"),
+      countIn(toks, stopEs).alias("s_es"),
+      countIn(toks, stopDe).alias("s_de"),
+      countIn(toks, stopFr).alias("s_fr"))
+    val best = greatest(col("s_en"), col("s_es"), col("s_de"), col("s_fr"))
+    scored.select(
+      col("doc_id"), col("actual_lang"),
+      col("s_en"), col("s_es"), col("s_de"), col("s_fr"),
+      when(best === 0, lit("und"))
+        .when(col("s_en") === best, lit("en"))
+        .when(col("s_es") === best, lit("es"))
+        .when(col("s_de") === best, lit("de"))
+        .otherwise(lit("fr")).alias("predicted_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Order-sensitive rolling-hash document fingerprint + full-text md5 —
+    * the compact dedup/fingerprint keys a 100 TB pipeline carries instead
+    * of raw text.
+    */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        md5(col("text")).alias("text_md5"),
+        TextFunctions.rollingFingerprint(TextFunctions.tokens(col("text")))
+          .alias("rolling_fp"))
+      .orderBy("doc_id")
+
+  private val toksSql = "string_split(text, ' ')"
+
+  val oracles: Map[String, String] = Map(
+    "text_token_stats" ->
+      """SELECT lang,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(count(DISTINCT token) AS BIGINT) AS vocab,
+        |       count(*) / count(DISTINCT doc_id) AS avg_tokens_per_doc
+        |FROM (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS token
+        |      FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_quality" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |         CAST(length(text) AS INT) AS n_chars,
+         |         CAST(len($toksSql) AS INT) AS n_tokens,
+         |         ${sqlCountIn(toksSql, stopEn)} AS n_stopwords
+         |  FROM documents)
+         |SELECT doc_id, n_chars, n_tokens, n_stopwords,
+         |       (n_chars - n_tokens + 1) / n_tokens AS avg_token_len,
+         |       n_stopwords / n_tokens AS stopword_ratio,
+         |       (n_tokens >= 20 AND n_stopwords / n_tokens < 0.5) AS is_quality
+         |FROM base ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang AS actual_lang,
+         |         ${sqlCountIn(toksSql, stopEn)} AS s_en,
+         |         ${sqlCountIn(toksSql, stopEs)} AS s_es,
+         |         ${sqlCountIn(toksSql, stopDe)} AS s_de,
+         |         ${sqlCountIn(toksSql, stopFr)} AS s_fr
+         |  FROM documents)
+         |SELECT doc_id, actual_lang, s_en, s_es, s_de, s_fr,
+         |       CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+         |            WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+         |            WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+         |            WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+         |            ELSE 'fr' END AS predicted_lang
+         |FROM scored ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      s"""SELECT doc_id, md5(text) AS text_md5,
+         |       ${TextFunctions.rollingFingerprintSql(toksSql)} AS rolling_fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_stats"  -> tokenStats _,
+    "text_vocab_approx" -> vocabApprox _,
+    "text_quality"      -> quality _,
+    "text_langid"       -> langId _,
+    "text_fingerprint"  -> fingerprint _,
+  )
+}
