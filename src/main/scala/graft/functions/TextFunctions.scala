@@ -52,4 +52,25 @@ object TextFunctions {
        |  list_prepend(CAST(0 AS BIGINT),
        |    list_transform($toksExpr, t -> ${md5Hash60Sql("t")})),
        |  (acc, h) -> (acc * 31 + h) % 1000003)""".stripMargin
+
+  /** Distinct word-level n-gram shingles of a token array (1-based
+    * `element_at`). Documents shorter than n shingle to an empty array.
+    */
+  def shingles(toks: Column, n: Int): Column = {
+    val joined = transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*))
+    array_distinct(joined)
+  }
+
+  /** SQL fragment (DuckDB) matching [[shingles]] — `toksCol` must be a bare
+    * column/CTE identifier holding the token list (it is referenced n+1
+    * times). Keep in sync with [[shingles]].
+    */
+  def shinglesSql(toksCol: String, n: Int): String = {
+    val parts = (0 until n)
+      .map(k => if (k == 0) s"$toksCol[i]" else s"$toksCol[i+$k]")
+      .mkString(" || ' ' || ")
+    s"list_distinct(list_transform(generate_series(1, greatest(len($toksCol) - ${n - 1}, 0)), i -> $parts))"
+  }
 }

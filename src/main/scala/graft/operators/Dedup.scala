@@ -1,0 +1,224 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Deduplication tier over `documents` — exact, MinHash+LSH, SimHash, and
+  * exhaustive n-gram-Jaccard (north-star spec; no reference analog).
+  *
+  * Algorithms and their 100 TB posture:
+  *  - Exact: hash-groupBy on the full text (one shuffle keyed by text
+  *    hash; at scale, group on `xxhash64(text)` so the shuffle carries an
+  *    8-byte key, with an md5 confirm inside the group).
+  *  - Exhaustive n-gram Jaccard: explode distinct 3-gram shingles →
+  *    self-equi-join on shingle → intersection counts → Jaccard. Correct
+  *    but candidate-quadratic in shingle frequency — the oracle/baseline
+  *    path, not the scale path (at 100 TB, cap shingle document-frequency
+  *    before the self-join).
+  *  - MinHash+LSH: 16 min-hashes per doc from salted md5-60 hashes of the
+  *    shingles, banded 8×2 → band-bucket equi-join proposes candidates →
+  *    exact Jaccard verify on the candidate pairs only. This is the scale
+  *    path: the self-join runs on tiny band keys, candidates are ~linear
+  *    in the number of true near-dup pairs, and the verify touches only
+  *    candidates. With the fixture's similarity gap (planted pairs ≈0.99,
+  *    background <0.5) the banded+verified output provably equals the
+  *    exhaustive output (miss probability per pair ≈ (1-0.99²)⁸ ≈ 1e-14),
+  *    which is why both share one oracle.
+  *  - SimHash: 60-bit signature per document from token hashes; near-dup
+  *    pairs are small-Hamming-distance signatures (bucketable by signature
+  *    prefix at scale). Signature computation is pure Catalyst
+  *    higher-order expressions.
+  *
+  * Everything is built-ins (`transform`/`aggregate`/`array_*` HOFs) — no
+  * UDFs, no collect, no driver-side loops.
+  */
+object Dedup {
+
+  private val JaccardThreshold = 0.8
+
+  /** doc_id, distinct-3-gram-shingle array. */
+  private def shingled(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      TextFunctions.shingles(TextFunctions.tokens(col("text")), 3).alias("sh"))
+
+  /** Exact dedup: one survivor (min doc_id) per identical text. The
+    * fixture corpus has no exact duplicates, so n_copies is 1 throughout —
+    * semantics are exercised with constructed duplicates in the test
+    * suite.
+    */
+  def exact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).alias("keep_id"), count(lit(1)).alias("n_copies"))
+      .select(col("keep_id"), col("n_copies"), md5(col("text")).alias("text_md5"))
+      .orderBy("keep_id")
+
+  /** Exhaustive n-gram Jaccard near-dup pairs (the baseline/oracle path):
+    * candidates = pairs sharing ≥1 shingle, verified exactly.
+    */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingled(spark, sfDir)
+    val exploded = sh.select(col("doc_id"), explode(col("sh")).alias("s"))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).alias("n"))
+    val inter = exploded.alias("a")
+      .join(exploded.alias("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").alias("doc_a"), col("b.doc_id").alias("doc_b"))
+      .agg(count(lit(1)).alias("n_common"))
+    inter
+      .join(sizes.alias("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.alias("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("sa.n").alias("n_a"), col("sb.n").alias("n_b"),
+        (col("n_common") / (col("sa.n") + col("sb.n") - col("n_common")))
+          .alias("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 16 salted min-hashes per document (array<long>), seeds 0..15.
+    * Hash: md5-60 of "<seed>:<shingle>" — cross-engine reproducible.
+    */
+  private def minhashSignature(sh: Column): Column =
+    transform(sequence(lit(0), lit(15)),
+      s => array_min(transform(sh,
+        x => TextFunctions.md5Hash60(concat(s.cast("string"), lit(":"), x)))))
+
+  /** MinHash+LSH near-dup pairs: band-bucket join (8 bands × 2 rows) →
+    * exact-Jaccard verification of candidates only. Output (and oracle)
+    * identical to [[ngramJaccard]] — see class doc for why.
+    */
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingled(spark, sfDir).filter(size(col("sh")) > 0)
+    val signed = sh.select(col("doc_id"), col("sh"),
+      minhashSignature(col("sh")).alias("sig"))
+    // band key b=0..7 → "b:sig[2b]:sig[2b+1]"
+    val banded = signed.select(col("doc_id"), col("sh"),
+      explode(transform(sequence(lit(0), lit(7)),
+        b => concat_ws(":", b.cast("string"),
+          get(col("sig"), b * 2).cast("string"),
+          get(col("sig"), b * 2 + 1).cast("string")))).alias("band"))
+    val candidates = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").alias("doc_a"), col("b.doc_id").alias("doc_b"),
+        col("a.sh").alias("sh_a"), col("b.sh").alias("sh_b"))
+      .distinct()
+    candidates
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType).alias("n_common"),
+        size(col("sh_a")).alias("n_a"), size(col("sh_b")).alias("n_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"),
+        (col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
+          .alias("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Deduplicated corpus: drop the higher doc_id of every verified
+    * near-dup pair (left-anti join against the pair set).
+    */
+  def survivors(spark: SparkSession, sfDir: String): DataFrame = {
+    val removals = minhashLsh(spark, sfDir).select(col("doc_b").alias("doc_id"))
+    Tables.documents(spark, sfDir)
+      .join(removals, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document 60-bit SimHash over the token multiset: bit b of the
+    * signature is the sign of Σ_tokens (±1 by bit b of the token's md5-60
+    * hash). MSB-first fold avoids any shift function. Pure nested
+    * higher-order expressions.
+    */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        expr(s"transform(split(text, ' '), t -> ${md5Hash60SqlSpark("t")})").alias("hashes"))
+      .select(col("doc_id"), expr(
+        """aggregate(
+          |  sequence(59, 0, -1),
+          |  CAST(0 AS BIGINT),
+          |  (acc, b) -> acc * 2 + (CASE WHEN
+          |     aggregate(hashes, CAST(0 AS BIGINT),
+          |       (a, h) -> a + (CASE WHEN (h div CAST(pow(2, b) AS BIGINT)) % 2 = 1
+          |                      THEN 1 ELSE -1 END)) > 0
+          |     THEN 1 ELSE 0 END))""".stripMargin).alias("simhash"))
+      .orderBy("doc_id")
+
+  /** Spark-SQL-dialect twin of TextFunctions.md5Hash60Sql (conv vs CAST). */
+  private def md5Hash60SqlSpark(e: String): String =
+    s"CAST(conv(substring(md5($e), 18, 15), 16, 10) AS BIGINT)"
+
+  private val shingleCte =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sharr AS (SELECT doc_id, ${TextFunctions.shinglesSql("t", 3)} AS sh FROM toks),
+       |sh AS (SELECT doc_id, unnest(sh) AS s FROM sharr),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  private val exhaustivePairsSql =
+    s"""WITH $shingleCte,
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(count(*) AS BIGINT) AS n_common
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_common,
+       |       CAST(sa.n AS INT) AS n_a, CAST(sb.n AS INT) AS n_b,
+       |       n_common / (sa.n + sb.n - n_common) AS jaccard
+       |FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+       |           JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE n_common / (sa.n + sb.n - n_common) >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies,
+        |       md5(text) AS text_md5
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "dedup_ngram_jaccard" -> exhaustivePairsSql,
+    "dedup_minhash_lsh"   -> exhaustivePairsSql,
+    "dedup_survivors" ->
+      s"""WITH $shingleCte,
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |removals AS (
+         |  SELECT DISTINCT doc_b AS doc_id
+         |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+         |             JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE n_common / (sa.n + sb.n - n_common) >= $JaccardThreshold)
+         |SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM removals)
+         |ORDER BY doc_id""".stripMargin,
+    "dedup_simhash" ->
+      """WITH hashed AS (
+        |  SELECT doc_id,
+        |         list_transform(string_split(text, ' '),
+        |           t -> CAST('0x' || substr(md5(t), 18, 15) AS BIGINT)) AS hashes
+        |  FROM documents)
+        |SELECT doc_id,
+        |       list_reduce(
+        |         list_prepend(CAST(0 AS BIGINT), generate_series(59, 0, -1)),
+        |         (acc, b) -> acc * 2 + (CASE WHEN
+        |            list_sum(list_transform(hashes,
+        |              h -> CASE WHEN (h // CAST(pow(2, b) AS BIGINT)) % 2 = 1
+        |                   THEN 1 ELSE -1 END)) > 0
+        |            THEN 1 ELSE 0 END)) AS simhash
+        |FROM hashed ORDER BY doc_id""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact"         -> exact _,
+    "dedup_ngram_jaccard" -> ngramJaccard _,
+    "dedup_minhash_lsh"   -> minhashLsh _,
+    "dedup_survivors"     -> survivors _,
+    "dedup_simhash"       -> simhash _,
+  )
+}
