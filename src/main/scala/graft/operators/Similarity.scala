@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{VectorFunctions => V}
+
+/** Similarity search over the `embeddings` table (64-dim `array<float>` +
+  * int label): brute-force cosine top-k as the exact baseline, a
+  * sign-random-projection LSH bucketed variant as the scale path,
+  * threshold near-dup pairs, and per-label windowed top-k (north-star
+  * spec; no reference analog).
+  *
+  * All scoring uses the quantized-integer cosine (see
+  * [[graft.functions.VectorFunctions]]) so results are deterministic and
+  * oracle-checkable; the double-precision path is exposed in
+  * VectorFunctions for production use.
+  *
+  * 100 TB posture:
+  *  - Brute-force top-k: broadcast the (small) query set against the
+  *    streamed corpus — a broadcast-nested-loop the size of |Q|·N scores,
+  *    then one shuffle on query_id for the rank window. Correct baseline;
+  *    cost linear in corpus size per query.
+  *  - LSH: 6 deterministic hyperplanes whose weights derive from md5-60
+  *    (no stored model, reproducible anywhere) → 64 sign buckets →
+  *    candidates are bucket-mates only. At 100 TB the corpus shuffles
+  *    once on the int bucket key; skewed buckets fall to AQE skew joins.
+  *    More planes = more precision, fewer candidates.
+  *  - All-pairs variants (near-dup, per-label) restrict the self-join
+  *    before it materializes: the label variant shuffles on label and
+  *    never builds the global cross product; the threshold variant is the
+  *    exhaustive baseline whose scale path is the LSH bucketing above.
+  */
+object Similarity {
+
+  private val Dim = 64
+
+  /** Quantized embeddings with integer squared norms. */
+  private def quantized(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir).select(
+      col("vec_id"), col("label"),
+      V.quantize1000(col("embedding")).alias("v"))
+      .withColumn("n2", V.qnorm2(col("v")))
+
+  private val quantizedSql =
+    s"""q AS (SELECT vec_id, label, ${V.quantize1000Sql("embedding")} AS v
+       |      FROM embeddings),
+       |qn AS (SELECT vec_id, label, v, ${V.qnorm2Sql("v", Dim)} AS n2 FROM q)""".stripMargin
+
+  /** Exact top-5 cosine neighbors for each query vector (vec_id < 10),
+    * self-pairs excluded, ties broken by neighbor id.
+    */
+  def knnBrute(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = quantized(spark, sfDir)
+    val queryVecs = quantized(spark, sfDir).filter(col("vec_id") < 10)
+      .select(col("vec_id").alias("query_id"), col("v").alias("qv"), col("n2").alias("qn2"))
+    val scored = corpus.join(broadcast(queryVecs), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").alias("neighbor_id"),
+        V.qcosineFrom(V.qdot(col("qv"), col("v")), col("qn2"), col("n2")).alias("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Deterministic sign-random-projection bucket id (6 planes → 0..63).
+    * Plane weights w(h,d) = md5_60("h:d") % 2001 - 1000 — derived, not
+    * stored, so any engine reproduces them. Spark-SQL dialect expression
+    * (0-based array indexing).
+    */
+  private val bucketExprSpark =
+    """aggregate(sequence(0, 5), CAST(0 AS BIGINT),
+      |  (acc, h) -> acc * 2 + (CASE WHEN
+      |    aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+      |      (a, d) -> a + v[d] *
+      |        (CAST(conv(substring(md5(concat(CAST(h AS STRING), ':', CAST(d AS STRING))), 18, 15), 16, 10) AS BIGINT) % 2001 - 1000)
+      |    ) >= 0 THEN 1 ELSE 0 END))""".stripMargin
+
+  /** DuckDB twin of [[bucketExprSpark]] (1-based list indexing). */
+  private val bucketExprDuck =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT), generate_series(0, 5)),
+      |  (acc, h) -> acc * 2 + (CASE WHEN
+      |    list_sum(list_transform(generate_series(0, 63),
+      |      d -> v[d+1] *
+      |        (CAST('0x' || substr(md5(h || ':' || d), 18, 15) AS BIGINT) % 2001 - 1000)
+      |    )) >= 0 THEN 1 ELSE 0 END))""".stripMargin
+
+  /** Approximate top-5 neighbors per query via LSH sign buckets: only
+    * bucket-mates are scored. Same output schema as [[knnBrute]] plus the
+    * bucket id; recall is approximate by design — the oracle replicates
+    * the algorithm, not brute force.
+    */
+  def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucketed = quantized(spark, sfDir).withColumn("bucket", expr(bucketExprSpark))
+    val queryVecs = bucketed.filter(col("vec_id") < 10)
+      .select(col("vec_id").alias("query_id"), col("v").alias("qv"),
+        col("n2").alias("qn2"), col("bucket").alias("qbucket"))
+    val scored = bucketed.join(broadcast(queryVecs),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").alias("neighbor_id"), col("bucket"),
+        V.qcosineFrom(V.qdot(col("qv"), col("v")), col("qn2"), col("n2")).alias("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (threshold 0.4 — the fixture
+    * corpus has no planted near-identical vectors; the threshold catches
+    * the top tail so the check is non-trivial at every SF).
+    */
+  def nearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = quantized(spark, sfDir).select(
+      col("vec_id").alias("vec_a"), col("v").alias("va"), col("n2").alias("na"))
+    val b = quantized(spark, sfDir).select(
+      col("vec_id").alias("vec_b"), col("v").alias("vb"), col("n2").alias("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        V.qcosineFrom(V.qdot(col("va"), col("vb")), col("na"), col("nb")).alias("cos_sim"))
+      .filter(col("cos_sim") >= 0.4)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Top-5 most-similar same-label pairs per label: the self-join is
+    * label-restricted (shuffles on label, no global cross product), then
+    * one rank window per label.
+    */
+  def pairsPerLabel(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = quantized(spark, sfDir)
+    val a = base.select(col("label"), col("vec_id").alias("vec_a"),
+      col("v").alias("va"), col("n2").alias("na"))
+    val b = base.select(col("label").alias("label_b"), col("vec_id").alias("vec_b"),
+      col("v").alias("vb"), col("n2").alias("nb"))
+    val scored = a.join(b, col("label") === col("label_b") && (col("vec_a") < col("vec_b")))
+      .select(col("label"), col("vec_a"), col("vec_b"),
+        V.qcosineFrom(V.qdot(col("va"), col("vb")), col("na"), col("nb")).alias("cos_sim"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("cos_sim").desc, col("vec_a").asc, col("vec_b").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .orderBy("label", "rank")
+  }
+
+  private def qdotAB = V.qdotSql("a.v", "b.v", Dim)
+
+  val oracles: Map[String, String] = Map(
+    "knn_brute_cosine" ->
+      s"""WITH $quantizedSql,
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         $qdotAB / (sqrt(a.n2) * sqrt(b.n2)) AS cos_sim
+         |  FROM qn a JOIN qn b ON a.vec_id < 10 AND b.vec_id != a.vec_id)
+         |SELECT query_id, neighbor_id, cos_sim,
+         |       CAST(row_number() OVER (PARTITION BY query_id
+         |         ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+         |FROM scored QUALIFY rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+    "ann_lsh_cosine" ->
+      s"""WITH $quantizedSql,
+         |bucketed AS (
+         |  SELECT vec_id, v, n2, $bucketExprDuck AS bucket FROM qn)
+         |, scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.bucket AS bucket,
+         |         $qdotAB / (sqrt(a.n2) * sqrt(b.n2)) AS cos_sim
+         |  FROM bucketed a JOIN bucketed b
+         |    ON a.vec_id < 10 AND a.bucket = b.bucket AND b.vec_id != a.vec_id)
+         |SELECT query_id, neighbor_id, bucket, cos_sim,
+         |       CAST(row_number() OVER (PARTITION BY query_id
+         |         ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+         |FROM scored QUALIFY rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+    "embedding_near_dup" ->
+      s"""WITH $quantizedSql
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       $qdotAB / (sqrt(a.n2) * sqrt(b.n2)) AS cos_sim
+         |FROM qn a JOIN qn b ON a.vec_id < b.vec_id
+         |WHERE $qdotAB / (sqrt(a.n2) * sqrt(b.n2)) >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "similar_pairs_per_label" ->
+      s"""WITH $quantizedSql,
+         |scored AS (
+         |  SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         $qdotAB / (sqrt(a.n2) * sqrt(b.n2)) AS cos_sim
+         |  FROM qn a JOIN qn b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT label, vec_a, vec_b, cos_sim,
+         |       CAST(row_number() OVER (PARTITION BY label
+         |         ORDER BY cos_sim DESC, vec_a ASC, vec_b ASC) AS INT) AS rank
+         |FROM scored QUALIFY rank <= 5
+         |ORDER BY label, rank""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_brute_cosine"        -> knnBrute _,
+    "ann_lsh_cosine"          -> annLsh _,
+    "embedding_near_dup"      -> nearDupPairs _,
+    "similar_pairs_per_label" -> pairsPerLabel _,
+  )
+}
