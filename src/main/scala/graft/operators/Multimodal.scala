@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal (binary-column) plumbing: images/audio/video ride through
+  * the engine as opaque `binary` columns with typed metadata, and the
+  * decode / feature-extract / frame-sample stages run as per-partition
+  * batch transforms (north-star spec).
+  *
+  * The actual codec work is STUBBED — this container has no image/audio
+  * libraries — with a deterministic fake ([[MediaCodecStub]]); what is
+  * real and tested is everything Spark-side: the schema contract, the
+  * `Dataset[T]` + `mapPartitions` batch shape (the Scala analog of
+  * `mapInPandas`: one iterator per partition, so a real decoder would
+  * amortize model/codec init per partition, not per row), and the
+  * partitioning behavior.
+  *
+  * 100 TB posture: binary payloads dominate row size, so operators keep
+  * them opaque until the last moment (metadata-only predicates prune
+  * partitions before any decode), `maxRecordsPerFile`-style sizing keeps
+  * tasks balanced, and decode stages are narrow (no shuffle of raw bytes).
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata. */
+  final case class MediaRow(
+      media_id: Long, kind: String, payload: Array[Byte],
+      width: Int, height: Int, sample_rate: Int)
+
+  /** Extracted features (fixed-shape, shuffle-friendly — no raw bytes). */
+  final case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Long, n_frames: Int,
+      checksum: Long, mean_byte: Double)
+
+  /** Deterministic stand-in for a real decoder: derives "frames" and a
+    * byte histogram mean from the payload alone. A production build swaps
+    * this object for one backed by a codec library — the call sites and
+    * batch shape don't change.
+    */
+  object MediaCodecStub {
+    val FrameBytes = 256
+
+    def features(r: MediaRow): MediaFeatures = {
+      val bytes = r.payload
+      var sum = 0L
+      var checksum = 17L
+      var i = 0
+      while (i < bytes.length) {
+        sum += bytes(i) & 0xff
+        checksum = checksum * 31 + (bytes(i) & 0xff)
+        i += 1
+      }
+      MediaFeatures(
+        media_id = r.media_id, kind = r.kind, n_bytes = bytes.length.toLong,
+        n_frames = (bytes.length + FrameBytes - 1) / FrameBytes,
+        checksum = checksum,
+        mean_byte = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length)
+    }
+  }
+
+  /** Per-partition batched decode+featurize — the `mapInPandas` analog:
+    * the function receives one iterator per partition and may hold
+    * per-partition state (codec handles, model weights). Narrow: no
+    * shuffle, binary never leaves the partition.
+    */
+  def decodeAndFeaturize(ds: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      // per-partition init would go here (codec/model handles)
+      rows.map(MediaCodecStub.features)
+    }
+  }
+
+  /** Frame sampling: every k-th fixed-size chunk of the payload, exploded
+    * to one row per sampled frame — `binary` stays opaque, slicing uses
+    * the built-in binary `substring` inside a `transform` HOF (narrow, no
+    * shuffle).
+    */
+  def sampleFrames(df: DataFrame, everyK: Int): DataFrame = {
+    val fb = MediaCodecStub.FrameBytes
+    df.select(col("media_id"),
+      posexplode(expr(
+        s"""transform(
+           |  sequence(0, greatest(CAST((length(payload) + ${fb - 1}) div $fb AS INT) - 1, 0), $everyK),
+           |  i -> substring(payload, i * $fb + 1, $fb))""".stripMargin)))
+      .withColumnRenamed("pos", "sample_idx")
+      .withColumnRenamed("col", "frame_bytes")
+  }
+
+  /** Oracle-checked query entry: treats `documents.text` as a binary
+    * payload (UTF-8 encode) and runs the metadata/feature plumbing with
+    * engine built-ins only — byte length, frame count (integer ceil-div),
+    * and an md5 content hash.
+    */
+  def features(spark: SparkSession, sfDir: String): DataFrame = {
+    val fb = MediaCodecStub.FrameBytes
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id").alias("media_id"),
+        col("text").cast("binary").alias("payload"))
+      .select(
+        col("media_id"),
+        length(col("payload")).cast("long").alias("n_bytes"),
+        md5(col("payload")).alias("content_md5"))
+      .withColumn("n_frames", expr(s"CAST((n_bytes + ${fb - 1}) div $fb AS INT)"))
+      .orderBy("media_id")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "multimodal_features" ->
+      s"""SELECT doc_id AS media_id,
+         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |       md5(text) AS content_md5,
+         |       CAST((octet_length(encode(text)) + ${MediaCodecStub.FrameBytes - 1})
+         |            // ${MediaCodecStub.FrameBytes} AS INT) AS n_frames
+         |FROM documents ORDER BY media_id""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_features" -> features _,
+  )
+}

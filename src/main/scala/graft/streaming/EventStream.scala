@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.functions.Deterministic
+
+/** Structured Streaming forms of the event pipelines. Batch twins live in
+  * `graft.operators.Events` — Spark shares the `window()` semantics
+  * between modes, so the transformation bodies are the same; what differs
+  * is the source (`readStream`), the watermark, and the sink contract
+  * (north-star spec; the reference has no streaming surface).
+  *
+  * At scale: the stateful aggregation keys on (window, event_type) —
+  * state store size is bounded by watermark eviction; shuffle partitions
+  * size the state store parallelism. File sources at 100 TB become Kafka
+  * sources with the same plan shape.
+  */
+object EventStream {
+
+  /** events.parquet physical schema (`ts` INT64-nanos read as long —
+    * see graft.Tables.events for the rationale).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-based streaming source over an events directory. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour windowed counts/sums with a 2-hour watermark —
+    * identical aggregation body to the batch `events_hourly` query.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).alias("n_events"),
+        Deterministic.exactSum(col("value"), 2).alias("sum_value"))
+      .select(col("window.start").alias("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Drive a streaming aggregation to a named in-memory table and process
+    * everything currently available (synchronous smoke harness — the
+    * pattern the test suite uses).
+    */
+  def runToMemory(agg: DataFrame, name: String): StreamingQuery = {
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  test("exact dedup collapses constructed duplicates to min doc_id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "delta epsilon"), (4L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val out = docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).alias("keep_id"), count(lit(1)).alias("n_copies"))
+    val rows = out.collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((1L, 3L), (3L, 1L)))
+  }
+
+  test("minhash LSH pairs equal exhaustive jaccard pairs (planted near-dups)") {
+    val lsh = q("dedup_minhash_lsh").select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exhaustive = q("dedup_ngram_jaccard").select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exhaustive)
+    assert(lsh.nonEmpty) // the corpus plants near-dup pairs
+  }
+
+  test("all verified pairs sit above the threshold; jaccard within [0,1]") {
+    val bad = q("dedup_minhash_lsh")
+      .filter(col("jaccard") < 0.8 || col("jaccard") > 1.0).count()
+    assert(bad == 0)
+  }
+
+  test("simhash: planted near-dup pairs have small hamming distance") {
+    val sims = q("dedup_simhash")
+    val pairs = q("dedup_minhash_lsh").select("doc_a", "doc_b")
+    val joined = pairs
+      .join(sims.withColumnRenamed("simhash", "ha"), col("doc_a") === col("doc_id"))
+      .drop("doc_id")
+      .join(sims.withColumnRenamed("simhash", "hb"), col("doc_b") === col("doc_id"))
+      .select(bit_count(expr("ha ^ hb")).alias("hamming"))
+    val maxH = joined.agg(max(col("hamming"))).collect()(0).getInt(0)
+    // near-identical token multisets → signatures within a few bits of 60
+    assert(maxH <= 10, s"max hamming distance $maxH")
+  }
+
+  test("survivors = documents minus higher ids of near-dup pairs") {
+    val nDocs = Tables.documents(spark, sf).count()
+    val nRemoved = q("dedup_minhash_lsh").select("doc_b").distinct().count()
+    assert(q("dedup_survivors").count() == nDocs - nRemoved)
+  }
+}

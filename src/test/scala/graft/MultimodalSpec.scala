@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.{MediaFeatures, MediaRow}
+
+class MultimodalSpec extends SparkSpec {
+
+  private def mediaDs = {
+    import spark.implicits._
+    Seq(
+      MediaRow(1L, "image", Array.fill[Byte](1000)(7), 100, 10, 0),
+      MediaRow(2L, "audio", Array.fill[Byte](300)(-1), 0, 0, 16000),
+      MediaRow(3L, "image", Array.empty[Byte], 0, 0, 0))
+      .toDS().repartition(2)
+  }
+
+  test("decodeAndFeaturize: per-partition batch path produces exact features") {
+    val feats = Multimodal.decodeAndFeaturize(mediaDs).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(1L).n_bytes == 1000 && feats(1L).n_frames == 4)
+    assert(feats(1L).mean_byte == 7.0)
+    assert(feats(2L).n_bytes == 300 && feats(2L).n_frames == 2)
+    assert(feats(2L).mean_byte == 255.0) // -1 byte = 0xff unsigned
+    assert(feats(3L).n_bytes == 0 && feats(3L).n_frames == 0 && feats(3L).mean_byte == 0.0)
+  }
+
+  test("decode is deterministic across partitionings (narrow, state-free)") {
+    val one = Multimodal.decodeAndFeaturize(mediaDs.repartition(1)).collect().sortBy(_.media_id)
+    val two = Multimodal.decodeAndFeaturize(mediaDs.repartition(3)).collect().sortBy(_.media_id)
+    assert(one.map(_.checksum).sameElements(two.map(_.checksum)))
+  }
+
+  test("sampleFrames: every-2nd 256-byte chunk with correct sizes") {
+    val df = Multimodal.sampleFrames(mediaDs.toDF(), everyK = 2)
+      .filter(col("media_id") === 1L)
+      .select(col("sample_idx"), length(col("frame_bytes")).alias("len"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    // 1000 bytes → frames 0..3; sampled frames 0 and 2 → 256 bytes each
+    assert(df.toSet == Set((0, 256), (1, 256)))
+  }
+
+  test("multimodal_features query: n_bytes equals document n_chars (ascii corpus)") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id").alias("media_id"),
+      col("n_chars").alias("expected"))
+    val bad = q("multimodal_features").join(docs, "media_id")
+      .filter(col("n_bytes") =!= col("expected")).count()
+    assert(bad == 0)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources._
+
+class SourcesSpec extends SparkSpec {
+
+  test("JdbcSource builds the reference option surface plus range partitioning") {
+    val src = JdbcSource(
+      url = "jdbc:postgresql://127.0.0.1:5432/adventureworks",
+      table = "sales.salesorderheader",
+      user = "u", password = "p",
+      partitioning = Some(JdbcRangePartitioning("salesorderid", 1L, 100000L, 16)))
+    val o = src.options
+    assert(o("url").startsWith("jdbc:postgresql"))
+    assert(o("dbtable") == "sales.salesorderheader")
+    assert(o("driver") == "org.postgresql.Driver")
+    assert(o("partitionColumn") == "salesorderid" && o("numPartitions") == "16")
+    // lazy: configuring a reader must not open a connection
+    val reader = src.reader(spark)
+    assert(reader != null)
+  }
+
+  test("JdbcSource predicate partitioning keeps one predicate per slice") {
+    val preds = (0 until 8).map(i => s"mod(hash(id), 8) = $i")
+    val src = JdbcSource("jdbc:postgresql://h/db", "t", "u", "p",
+      partitioning = Some(JdbcPredicatePartitioning(preds)))
+    src.partitioning.get match {
+      case JdbcPredicatePartitioning(ps) => assert(ps.size == 8)
+      case other => fail(s"unexpected $other")
+    }
+  }
+
+  test("ParquetSink round-trips and writeWithSchema reorders columns") {
+    val dir = Files.createTempDirectory("graft-sink").toString
+    val df = Tables.region(spark, sf)
+    val outSchema = StructType(Seq(
+      StructField("r_name", StringType), StructField("r_regionkey", IntegerType)))
+    ParquetSink(s"$dir/region").writeWithSchema(df, outSchema)
+    val back = spark.read.parquet(s"$dir/region")
+    assert(back.schema.fieldNames.toSeq == Seq("r_name", "r_regionkey"))
+    assert(back.count() == df.count())
+  }
+
+  test("CsvSink + JsonSink write readable data") {
+    val dir = Files.createTempDirectory("graft-sink2").toString
+    val df = Tables.region(spark, sf)
+    CsvSink(s"$dir/csv").write(df)
+    JsonSink(s"$dir/json").write(df)
+    assert(spark.read.option("header", "true").csv(s"$dir/csv").count() == 5)
+    assert(spark.read.json(s"$dir/json").count() == 5)
+  }
+
+  test("ParquetSink partitionBy produces hive-style directories") {
+    val dir = Files.createTempDirectory("graft-sink3").toString
+    ParquetSink(s"$dir/nation", partitionByCols = Seq("n_regionkey"))
+      .write(Tables.nation(spark, sf))
+    val back = spark.read.parquet(s"$dir/nation")
+    assert(back.count() == 25)
+    assert(new java.io.File(s"$dir/nation").list().exists(_.startsWith("n_regionkey=")))
+  }
+
+  test("BigQuerySink exposes the reference writer options") {
+    val s = BigQuerySink("dataset.dim_customer", "staging-bucket")
+    assert(s.writerOptions == Map(
+      "table" -> "dataset.dim_customer", "temporaryGcsBucket" -> "staging-bucket"))
+  }
+}

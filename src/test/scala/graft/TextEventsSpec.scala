@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class TextEventsSpec extends SparkSpec {
+
+  test("text_quality: n_chars matches the documents table's own column") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("n_chars").alias("expected"))
+    val bad = q("text_quality").join(docs, "doc_id")
+      .filter(col("n_chars") =!= col("expected")).count()
+    assert(bad == 0)
+  }
+
+  test("text_token_stats: one row per language, totals positive") {
+    val rows = q("text_token_stats").collect()
+    assert(rows.length == 5)
+    assert(rows.forall(r => r.getAs[Long]("n_tokens") > 0 && r.getAs[Long]("vocab") > 0))
+  }
+
+  test("text_langid: predicted language is always one of the known codes") {
+    val langs = q("text_langid").select("predicted_lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "es", "de", "fr", "und")))
+  }
+
+  test("text_fingerprint: permutation-sensitive (rolling, not bag-of-words)") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val two = Seq("alpha beta gamma", "gamma beta alpha").toDF("text")
+      .select(TextFunctions.rollingFingerprint(TextFunctions.tokens(col("text"))).alias("fp"))
+      .collect().map(_.getLong(0))
+    assert(two(0) != two(1))
+  }
+
+  test("events_sessionize: events sum to total and session times ordered") {
+    val sess = q("events_sessionize")
+    val totalEvents = sess.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(totalEvents == Tables.events(spark, sf).count())
+    assert(sess.filter(col("session_end") < col("session_start")).count() == 0)
+  }
+
+  test("events_latest_per_user: one row per user at the max timestamp") {
+    val latest = q("events_latest_per_user")
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(latest.count() == users)
+    val maxTs = Tables.events(spark, sf).groupBy("user_id").agg(max("ts").alias("mx"))
+    val bad = latest.join(maxTs, "user_id").filter(col("ts") =!= col("mx")).count()
+    assert(bad == 0)
+  }
+
+  test("events_hourly: window starts are hour-aligned") {
+    val bad = q("events_hourly")
+      .filter(minute(col("hour_start")) =!= 0 || second(col("hour_start")) =!= 0)
+      .count()
+    assert(bad == 0)
+  }
+}
