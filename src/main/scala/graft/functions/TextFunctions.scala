@@ -55,6 +55,12 @@ object TextFunctions {
 
   /** Distinct word-level n-gram shingles of a token array (1-based
     * `element_at`). Documents shorter than n shingle to an empty array.
+    *
+    * PERFORMANCE CONTRACT: pass a *materialized column* (an attribute from
+    * a previous projection), not an inline `split(...)` expression — the
+    * token array is referenced inside the per-element lambda, so an inline
+    * expression would be re-evaluated for every shingle (measured 50×
+    * slowdown on the dedup path: the full text re-split 3× per shingle).
     */
   def shingles(toks: Column, n: Int): Column = {
     val joined = transform(

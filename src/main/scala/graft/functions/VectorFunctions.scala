@@ -37,8 +37,17 @@ object VectorFunctions {
   def quantize1000(a: Column): Column =
     transform(a, x => round(x.cast("double") * lit(1000.0)).cast(LongType))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — delegates to the
+    * codegen'd [[graft.plans.LongArrayDot]] expression (the HOF
+    * formulation [[qdotHof]] is ~100× slower per element at scan scale).
+    */
   def qdot(a: Column, b: Column): Column =
+    graft.plans.GraftFunctions.longDot(a, b)
+
+  /** Reference HOF formulation of [[qdot]] — kept for differential tests
+    * against the custom expression.
+    */
+  def qdotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** Exact integer squared norm. */

@@ -40,11 +40,14 @@ object Dedup {
 
   private val JaccardThreshold = 0.8
 
-  /** doc_id, distinct-3-gram-shingle array. */
+  /** doc_id, distinct-3-gram-shingle array. Tokens are materialized in
+    * their own projection first — see the performance contract on
+    * [[TextFunctions.shingles]].
+    */
   private def shingled(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir).select(
-      col("doc_id"),
-      TextFunctions.shingles(TextFunctions.tokens(col("text")), 3).alias("sh"))
+    Tables.loadSpread(spark, sfDir, "documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).alias("t"))
+      .select(col("doc_id"), TextFunctions.shingles(col("t"), 3).alias("sh"))
 
   /** Exact dedup: one survivor (min doc_id) per identical text. The
     * fixture corpus has no exact duplicates, so n_copies is 1 throughout —
@@ -63,11 +66,16 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingled(spark, sfDir)
-    val exploded = sh.select(col("doc_id"), explode(col("sh")).alias("s"))
+    // join on an 8-byte hash of the shingle, not the ~20-byte string —
+    // less shuffle I/O; 60-bit hashes make collisions (which would inflate
+    // a count) vanishingly unlikely at any realistic corpus size.
+    val exploded = sh.select(col("doc_id"),
+      explode(col("sh")).alias("s"))
+      .select(col("doc_id"), TextFunctions.md5Hash60(col("s")).alias("hs"))
     val sizes = sh.select(col("doc_id"), size(col("sh")).alias("n"))
     val inter = exploded.alias("a")
       .join(exploded.alias("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").alias("doc_a"), col("b.doc_id").alias("doc_b"))
       .agg(count(lit(1)).alias("n_common"))
     inter
@@ -81,13 +89,22 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 16 salted min-hashes per document (array<long>), seeds 0..15.
-    * Hash: md5-60 of "<seed>:<shingle>" — cross-engine reproducible.
+  /** 16 min-hashes per document (array<long>) from ONE md5 per shingle:
+    * base hash h = md5_60(shingle) mod p (p = 2³¹-1), permuted through 16
+    * affine maps h ↦ (a_i·h + b_i) mod p (a_i odd < p → full-period).
+    * A single `aggregate` fold updates all 16 minima per shingle, so the
+    * md5 — the expensive part — is evaluated exactly once per shingle
+    * (the earlier one-md5-per-(seed,shingle) form cost 16× more and
+    * dominated the sf0.1 bench).
     */
+  private val MinhashP = 2147483647L
+
   private def minhashSignature(sh: Column): Column =
-    transform(sequence(lit(0), lit(15)),
-      s => array_min(transform(sh,
-        x => TextFunctions.md5Hash60(concat(s.cast("string"), lit(":"), x)))))
+    aggregate(
+      transform(sh, x => TextFunctions.md5Hash60(x) % lit(MinhashP)),
+      array_repeat(lit(Long.MaxValue), 16),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(15)),
+        (m, i) => least(m, (h * (i * 2 + 1) + i * 12345 + 7) % lit(MinhashP))))
 
   /** MinHash+LSH near-dup pairs: band-bucket join (8 bands × 2 rows) →
     * exact-Jaccard verification of candidates only. Output (and oracle)
@@ -97,8 +114,10 @@ object Dedup {
     val sh = shingled(spark, sfDir).filter(size(col("sh")) > 0)
     val signed = sh.select(col("doc_id"), col("sh"),
       minhashSignature(col("sh")).alias("sig"))
-    // band key b=0..7 → "b:sig[2b]:sig[2b+1]"
-    val banded = signed.select(col("doc_id"), col("sh"),
+    // band key b=0..7 → "b:sig[2b]:sig[2b+1]"; the band join and the
+    // candidate distinct carry ONLY (band, doc_id) — shingle arrays are
+    // re-attached afterwards so no array ever rides through a shuffle key.
+    val banded = signed.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(7)),
         b => concat_ws(":", b.cast("string"),
           get(col("sig"), b * 2).cast("string"),
@@ -106,10 +125,12 @@ object Dedup {
     val candidates = banded.alias("a")
       .join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").alias("doc_a"), col("b.doc_id").alias("doc_b"),
-        col("a.sh").alias("sh_a"), col("b.sh").alias("sh_b"))
+      .select(col("a.doc_id").alias("doc_a"), col("b.doc_id").alias("doc_b"))
       .distinct()
     candidates
+      .join(sh.select(col("doc_id"), col("sh").alias("sh_a")), col("doc_a") === col("doc_id"))
+      .drop("doc_id")
+      .join(sh.select(col("doc_id"), col("sh").alias("sh_b")), col("doc_b") === col("doc_id"))
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType).alias("n_common"),
         size(col("sh_a")).alias("n_a"), size(col("sh_b")).alias("n_b"))
@@ -137,7 +158,7 @@ object Dedup {
     * higher-order expressions.
     */
   def simhash(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    Tables.loadSpread(spark, sfDir, "documents")
       .select(col("doc_id"),
         expr(s"transform(split(text, ' '), t -> ${md5Hash60SqlSpark("t")})").alias("hashes"))
       .select(col("doc_id"), expr(

@@ -39,7 +39,7 @@ object Similarity {
 
   /** Quantized embeddings with integer squared norms. */
   private def quantized(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.embeddings(spark, sfDir).select(
+    Tables.loadSpread(spark, sfDir, "embeddings").select(
       col("vec_id"), col("label"),
       V.quantize1000(col("embedding")).alias("v"))
       .withColumn("n2", V.qnorm2(col("v")))
@@ -66,18 +66,29 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Deterministic sign-random-projection bucket id (6 planes → 0..63).
-    * Plane weights w(h,d) = md5_60("h:d") % 2001 - 1000 — derived, not
-    * stored, so any engine reproduces them. Spark-SQL dialect expression
-    * (0-based array indexing).
+  /** Deterministic sign-random-projection plane weights (6 planes → 64
+    * buckets): w(h,d) = md5_60("h:d") % 2001 - 1000 — derived, not stored,
+    * so any engine reproduces them. Spark evaluates the md5s ONCE here at
+    * plan-build time and embeds the 6×64 weights as literal arrays; the
+    * per-row work is then 6 codegen'd integer dot products instead of 384
+    * md5 calls per vector (the md5-per-element form dominated the sf0.1
+    * bench). The DuckDB oracle derives the identical weights in SQL.
     */
-  private val bucketExprSpark =
-    """aggregate(sequence(0, 5), CAST(0 AS BIGINT),
-      |  (acc, h) -> acc * 2 + (CASE WHEN
-      |    aggregate(sequence(0, 63), CAST(0 AS BIGINT),
-      |      (a, d) -> a + v[d] *
-      |        (CAST(conv(substring(md5(concat(CAST(h AS STRING), ':', CAST(d AS STRING))), 18, 15), 16, 10) AS BIGINT) % 2001 - 1000)
-      |    ) >= 0 THEN 1 ELSE 0 END))""".stripMargin
+  private lazy val planeWeights: IndexedSeq[IndexedSeq[Long]] =
+    (0 until 6).map { h =>
+      (0 until 64).map { d =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"$h:$d".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        java.lang.Long.parseLong(hex.substring(17, 32), 16) % 2001 - 1000
+      }
+    }
+
+  /** Bucket id: MSB-first sign bits of the 6 plane projections. */
+  private def bucketCol(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 6).map { h =>
+      (V.qdot(v, typedlit(planeWeights(h))) >= 0).cast("long") * lit(1L << (5 - h))
+    }.reduce(_ + _)
 
   /** DuckDB twin of [[bucketExprSpark]] (1-based list indexing). */
   private val bucketExprDuck =
@@ -94,7 +105,7 @@ object Similarity {
     * the algorithm, not brute force.
     */
   def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val bucketed = quantized(spark, sfDir).withColumn("bucket", expr(bucketExprSpark))
+    val bucketed = quantized(spark, sfDir).withColumn("bucket", bucketCol(col("v")))
     val queryVecs = bucketed.filter(col("vec_id") < 10)
       .select(col("vec_id").alias("query_id"), col("v").alias("qv"),
         col("n2").alias("qn2"), col("bucket").alias("qbucket"))

@@ -1,0 +1,68 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Codegen'd integer-array dot product: `array<long> × array<long> → long`.
+  *
+  * The higher-order-function formulation (`aggregate(zip_with(a, b, *))`)
+  * is semantically identical but evaluates interpreted, allocating an
+  * intermediate array and evaluating a lambda per element — measured ~20s
+  * for 2 M 64-dim pairs at sf0.1. This expression compiles to a tight
+  * primitive loop inside whole-stage codegen (~100× less per-element
+  * overhead), which is what a 100 TB similarity scan needs.
+  *
+  * Null contract: returns null if either array is null; elements are
+  * assumed non-null (quantized vectors never contain null elements).
+  */
+case class LongArrayDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $s;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API and SQL-registry exposure for graft's custom expressions. */
+object GraftFunctions {
+
+  /** `long_dot(a, b)` as a Column — usable without any registration. */
+  def longDot(a: Column, b: Column): Column =
+    GraftSqlBridge.column(LongArrayDot(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Register `graft_long_dot` for SQL-text callers. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_long_dot", exprs => LongArrayDot(exprs.head, exprs(1)), "built-in")
+}
