@@ -43,6 +43,10 @@ object Similarity {
       col("vec_id"), col("label"),
       V.quantize1000(col("embedding")).alias("v"))
       .withColumn("n2", V.qnorm2(col("v")))
+      // Shared by both sides of every similarity self-join and across the
+      // four similarity queries — one quantization pass per session
+      // (cache-manager plan dedup), not one per branch.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private val quantizedSql =
     s"""q AS (SELECT vec_id, label, ${V.quantize1000Sql("embedding")} AS v
