@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Events, Multimodal, Relational, Similarity, StarSchema, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Events, Multimodal, Relational, Similarity, StarSchema, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,12 +19,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     StarSchema.queries ++ Relational.queries ++ TextAnalysis.queries ++
-      Events.queries ++ Dedup.queries ++ Similarity.queries ++ Multimodal.queries
+      Events.queries ++ Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
+      AsOfJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     StarSchema.oracles ++ Relational.oracles ++ TextAnalysis.oracles ++
-      Events.oracles ++ Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles
+      Events.oracles ++ Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
+      AsOfJoin.oracles
 }

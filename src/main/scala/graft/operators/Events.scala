@@ -98,7 +98,31 @@ object Events {
       .orderBy("user_id")
   }
 
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Pivot: per-user event counts spread across one column per type.
+    * Explicit pivot values avoid the extra distinct-collection pass the
+    * value-less form needs (a full scan at 100 TB); absent combinations
+    * coalesce to 0 so the shape is dense.
+    */
+  def pivotByType(spark: SparkSession, sfDir: String): DataFrame = {
+    val pivoted = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .count()
+    pivoted.select(
+      col("user_id") +: EventTypes.map(t => coalesce(col(t), lit(0L)).alias(t)): _*)
+      .orderBy("user_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "events_pivot_by_type" -> {
+      val counts = EventTypes.map(t =>
+        s"CAST(count(*) FILTER (WHERE event_type = '$t') AS BIGINT) AS $t").mkString(",\n       ")
+      s"""SELECT user_id,
+         |       $counts
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
     "events_json_extract" ->
       s"""SELECT event_type,
          |       CAST(count(*) AS BIGINT) AS n_events,
@@ -136,6 +160,7 @@ object Events {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_pivot_by_type"   -> pivotByType _,
     "events_json_extract"    -> jsonExtract _,
     "events_hourly"          -> hourlyWindow _,
     "events_sessionize"      -> sessionize _,

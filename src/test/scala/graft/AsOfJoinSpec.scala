@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+
+  test("asOf picks the latest right row at-or-before each left time, per key") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, 10L), (2L, 100L, 25L), (3L, 100L, 5L), (4L, 200L, 50L))
+      .toDF("lid", "k", "lt")
+    val right = Seq(
+      (7L, 100L, 10L), (8L, 100L, 20L), (9L, 300L, 1L))
+      .toDF("rid", "rk", "rt")
+    val out = AsOfJoin.asOf(left, right,
+        leftKey = "k", rightKey = "rk",
+        leftTimeUs = col("lt"), rightTimeUs = col("rt"),
+        carries = Seq("rid"), rightTiebreak = "rid")
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // lid 1 at t=10 → rid 7 (inclusive match); lid 2 at t=25 → rid 8;
+    // lid 3 at t=5 → no earlier right row → dropped (inner semantics);
+    // lid 4 key 200 → no right rows → dropped.
+    assert(out == Map(1L -> 7L, 2L -> 8L))
+  }
+
+  test("events_asof_order: attached order is at-or-before the event and rows are unique") {
+    val df = q("events_asof_order")
+    assert(df.count() > 0)
+    assert(df.select("event_id").distinct().count() == df.count())
+    val violations = df.join(
+        Tables.events(spark, sf).select(col("event_id"), col("ts")), "event_id")
+      .filter(unix_micros(col("asof_order_ts")) > unix_micros(col("ts"))).count()
+    assert(violations == 0)
+  }
+}
