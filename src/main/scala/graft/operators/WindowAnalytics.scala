@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Windowed analytics and exact distribution statistics beyond the basic
+  * rank window (SURVEY.md §2c "window functions: none in reference").
+  *
+  * Determinism notes: running sums over a rows-frame accumulate in the
+  * window's sort order — identical sequence in any engine, so doubles
+  * compare exactly; percent_rank/cume_dist are integer-ratio divisions;
+  * stddev is computed from exact integer power sums with an identical
+  * final double formula on both sides (never from an engine's own
+  * streaming variance, whose accumulation order is unspecified).
+  */
+object WindowAnalytics {
+
+  /** Per-customer order timeline: row_number, running spend (rows frame),
+    * previous-order gap in days (lag + datediff), quartile (ntile),
+    * percent_rank and cume_dist by price within the customer.
+    */
+  def customerOrderTimeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val byDate = Window.partitionBy(col("customer_key"))
+      .orderBy(col("order_date").asc, col("order_key").asc)
+    val byPrice = Window.partitionBy(col("customer_key"))
+      .orderBy(col("total_price").asc, col("order_key").asc)
+    Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey").alias("order_key"),
+        col("o_custkey").alias("customer_key"),
+        to_date(col("o_orderdate")).alias("order_date"),
+        col("o_totalprice").alias("total_price"))
+      .filter(col("customer_key") <= 50) // bounded output for the dump
+      .select(
+        col("order_key"), col("customer_key"), col("order_date"), col("total_price"),
+        row_number().over(byDate).alias("order_seq"),
+        // cumulative sum over exact cents: a double-typed running total is
+        // NOT portable (engines may accumulate tree-wise, not row-wise)
+        (sum(round(col("total_price") * 100).cast("long"))
+          .over(byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          / lit(100.0)).cast("double").alias("running_spend"),
+        datediff(col("order_date"), lag(col("order_date"), 1).over(byDate))
+          .alias("days_since_prev"),
+        ntile(4).over(byPrice).alias("price_quartile"),
+        percent_rank().over(byPrice).alias("price_pct_rank"),
+        cume_dist().over(byPrice).alias("price_cume_dist"))
+      .orderBy("customer_key", "order_seq")
+  }
+
+  /** Exact distribution stats per order status from integer power sums:
+    * s1 = Σ round(price), s2 = Σ round(price)² (both exact BIGINTs —
+    * round-to-dollars keeps s2 < 2⁶³ at any realistic SF), then
+    * mean/stddev as one identical double formula per engine.
+    */
+  def orderPriceStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = round(col("o_totalprice")).cast("long")
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderstatus").alias("order_status"))
+      .agg(
+        count(lit(1)).alias("n"),
+        min(col("o_totalprice")).alias("min_price"),
+        max(col("o_totalprice")).alias("max_price"),
+        sum(q).alias("s1"),
+        sum(q * q).alias("s2"))
+      .select(
+        col("order_status"), col("n"), col("min_price"), col("max_price"),
+        (col("s1").cast("double") / col("n")).alias("mean_price"),
+        sqrt((col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("n"))
+          / (col("n") - lit(1))).alias("stddev_price"))
+      .orderBy("order_status")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "customer_order_timeline" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS order_key, o_custkey AS customer_key,
+        |         CAST(o_orderdate AS DATE) AS order_date,
+        |         o_totalprice AS total_price
+        |  FROM orders WHERE o_custkey <= 50)
+        |SELECT order_key, customer_key, order_date, total_price,
+        |       CAST(row_number() OVER wd AS INT) AS order_seq,
+        |       CAST(CAST(sum(CAST(round(total_price * 100) AS BIGINT)) OVER (
+        |         PARTITION BY customer_key
+        |         ORDER BY order_date ASC, order_key ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         / 100.0 AS DOUBLE) AS running_spend,
+        |       CAST(date_diff('day', lag(order_date, 1) OVER wd, order_date) AS INT)
+        |         AS days_since_prev,
+        |       CAST(ntile(4) OVER wp AS INT) AS price_quartile,
+        |       percent_rank() OVER wp AS price_pct_rank,
+        |       cume_dist() OVER wp AS price_cume_dist
+        |FROM o
+        |WINDOW wd AS (PARTITION BY customer_key ORDER BY order_date ASC, order_key ASC),
+        |       wp AS (PARTITION BY customer_key ORDER BY total_price ASC, order_key ASC)
+        |ORDER BY customer_key, order_seq""".stripMargin,
+    "order_price_stats" ->
+      """WITH base AS (
+        |  SELECT o_orderstatus AS order_status,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         min(o_totalprice) AS min_price,
+        |         max(o_totalprice) AS max_price,
+        |         CAST(SUM(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS s1,
+        |         CAST(SUM(CAST(round(o_totalprice) AS BIGINT)
+        |                  * CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS s2
+        |  FROM orders GROUP BY 1)
+        |SELECT order_status, n, min_price, max_price,
+        |       CAST(s1 AS DOUBLE) / n AS mean_price,
+        |       sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))
+        |         AS stddev_price
+        |FROM base ORDER BY order_status""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "customer_order_timeline" -> customerOrderTimeline _,
+    "order_price_stats"       -> orderPriceStats _,
+  )
+}

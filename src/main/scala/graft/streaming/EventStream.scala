@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 import graft.functions.Deterministic
@@ -47,13 +47,50 @@ object EventStream {
       .select(col("window.start").alias("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Input row for the stateful pipelines (micros timestamp for exact
+    * state arithmetic).
+    */
+  final case class EventLite(user_id: Long, event_id: Long, ts_us: Long)
+
+  /** Per-user running state surfaced by [[statefulLatestPerUser]]. */
+  final case class UserLatest(
+      user_id: Long, n_events: Long, last_event_id: Long, last_ts_us: Long)
+
+  /** Arbitrary stateful processing via `mapGroupsWithState`: a per-user
+    * running (count, latest-event) state updated each micro-batch — the
+    * streaming twin of the batch `events_latest_per_user` query. State is
+    * O(#users); at 100 TB the state store shards with shuffle
+    * partitions and would add a timeout policy for idle keys.
+    */
+  def statefulLatestPerUser(events: DataFrame): Dataset[UserLatest] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).alias("ts_us"))
+      .as[EventLite]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Long, Long), UserLatest](
+        GroupStateTimeout.NoTimeout) { (uid, it, state) =>
+        var (n, lid, lts) = state.getOption.getOrElse((0L, -1L, Long.MinValue))
+        it.foreach { e =>
+          n += 1
+          if (e.ts_us > lts || (e.ts_us == lts && e.event_id > lid)) {
+            lts = e.ts_us; lid = e.event_id
+          }
+        }
+        state.update((n, lid, lts))
+        UserLatest(uid, n, lid, lts)
+      }
+  }
+
   /** Drive a streaming aggregation to a named in-memory table and process
     * everything currently available (synchronous smoke harness — the
     * pattern the test suite uses).
     */
-  def runToMemory(agg: DataFrame, name: String): StreamingQuery = {
+  def runToMemory(agg: DataFrame, name: String,
+      outputMode: String = "complete"): StreamingQuery = {
     val q = agg.writeStream
-      .outputMode("complete")
+      .outputMode(outputMode)
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Skew
+import graft.plans.GraftFunctions
+
+class SkewExtensionsSpec extends SparkSpec {
+
+  test("saltedJoin returns exactly the rows of the unsalted join") {
+    val li = Tables.lineitem(spark, sf)
+    val p = Tables.part(spark, sf)
+    val plain = li.join(p, li("l_partkey") === p("p_partkey"), "inner")
+      .select(col("l_orderkey"), col("l_linenumber"), col("p_partkey"))
+    val salted = Skew.saltedJoin(li, p,
+        probeKey = "l_partkey", buildKey = "p_partkey",
+        scatterOn = col("l_linenumber"), saltBuckets = 8)
+      .select(col("l_orderkey"), col("l_linenumber"), col("p_partkey"))
+    assert(plain.count() == salted.count())
+    assert(plain.exceptAll(salted).count() == 0)
+    assert(salted.exceptAll(plain).count() == 0)
+  }
+
+  test("graft_long_dot is callable from SQL text after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_long_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
+      .collect()(0).getLong(0)
+    assert(r == 32L)
+  }
+
+  test("GraftExtensions wires the same function at session-extension level") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(ext) // must register cleanly
+  }
+
+  test("custom dot expression agrees with the HOF formulation") {
+    import graft.functions.{VectorFunctions => V}
+    val e = Tables.embeddings(spark, sf).limit(100)
+      .select(V.quantize1000(col("embedding")).alias("v"))
+    val bad = e.select(
+        V.qdot(col("v"), col("v")).alias("fast"),
+        V.qdotHof(col("v"), col("v")).alias("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(bad == 0)
+  }
+}

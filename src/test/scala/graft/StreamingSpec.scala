@@ -29,4 +29,27 @@ class StreamingSpec extends SparkSpec {
       assert(mismatches.count() == 0)
     } finally query.stop()
   }
+
+  test("stateful mapGroupsWithState latest-per-user equals the batch query") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream2")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = EventStream.readEvents(spark, dir.toString)
+    val query = EventStream.runToMemory(
+      EventStream.statefulLatestPerUser(stream).toDF(), "stateful_smoke", "update")
+    try {
+      // single input file → single micro-batch → one state row per user
+      val streamed = spark.table("stateful_smoke")
+        .select(col("user_id"), col("last_event_id"), col("n_events"))
+      val batch = q("events_latest_per_user")
+        .select(col("user_id"), col("event_id").alias("last_event_id"))
+      val counts = Tables.events(spark, sf).groupBy("user_id")
+        .agg(count(lit(1)).alias("n_expected"))
+      val joined = streamed.join(batch, Seq("user_id", "last_event_id"), "inner")
+        .join(counts, "user_id")
+      assert(joined.count() == batch.count())
+      assert(joined.filter(col("n_events") =!= col("n_expected")).count() == 0)
+    } finally query.stop()
+  }
 }
