@@ -73,7 +73,27 @@ object WindowAnalytics {
       .orderBy("order_status")
   }
 
+  /** Exact interpolated quantiles per status (`percentile`, not the
+    * t-digest `approx_percentile` — at 100 TB the approx form is the
+    * scale path, but its estimate is engine-specific; the exact form is
+    * the verifiable one).
+    */
+  def orderPriceQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderstatus").alias("order_status"))
+      .agg(
+        percentile(col("o_totalprice"), lit(0.25)).alias("p25"),
+        percentile(col("o_totalprice"), lit(0.5)).alias("p50"),
+        percentile(col("o_totalprice"), lit(0.75)).alias("p75"))
+      .orderBy("order_status")
+
   val oracles: Map[String, String] = Map(
+    "order_price_quantiles" ->
+      """SELECT o_orderstatus AS order_status,
+        |       quantile_cont(o_totalprice, 0.25) AS p25,
+        |       quantile_cont(o_totalprice, 0.5) AS p50,
+        |       quantile_cont(o_totalprice, 0.75) AS p75
+        |FROM orders GROUP BY 1 ORDER BY order_status""".stripMargin,
     "customer_order_timeline" ->
       """WITH o AS (
         |  SELECT o_orderkey AS order_key, o_custkey AS customer_key,
@@ -116,5 +136,6 @@ object WindowAnalytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "customer_order_timeline" -> customerOrderTimeline _,
     "order_price_stats"       -> orderPriceStats _,
+    "order_price_quantiles"   -> orderPriceQuantiles _,
   )
 }

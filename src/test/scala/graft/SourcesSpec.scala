@@ -64,6 +64,16 @@ class SourcesSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/nation").list().exists(_.startsWith("n_regionkey=")))
   }
 
+  test("partition-keyed reads prune partitions (filter reaches PartitionFilters)") {
+    val dir = Files.createTempDirectory("graft-prune").toString
+    ParquetSink(s"$dir/nation", partitionByCols = Seq("n_regionkey"))
+      .write(Tables.nation(spark, sf))
+    val filtered = spark.read.parquet(s"$dir/nation").filter(col("n_regionkey") === 1)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("n_regionkey"), plan.take(500))
+    assert(filtered.count() == Tables.nation(spark, sf).filter(col("n_regionkey") === 1).count())
+  }
+
   test("BigQuerySink exposes the reference writer options") {
     val s = BigQuerySink("dataset.dim_customer", "staging-bucket")
     assert(s.writerOptions == Map(
