@@ -52,21 +52,30 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame       = load(spark, sfDir, "part")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "lineitem")
-  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-    * Parquet reader rejects by default (no TimestampNTZ-nanos type). Read
-    * it with an explicit LongType schema (physical INT64 passes through),
-    * then floor-divide to micros — the same truncation DuckDB applies when
-    * it scans a nanos column as TIMESTAMP, so oracle comparisons agree.
+  /** Physical schema of `events.parquet`: `ts` is INT64 TIMESTAMP(NANOS),
+    * which Spark's Parquet reader rejects by default (no nanos timestamp
+    * type) — it is read as a plain long and converted via
+    * [[nanosToMicros]]. Shared by the batch reader below and the
+    * streaming reader (`graft.streaming.EventStream`), so the contract
+    * lives in exactly one place.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.read.schema(rawSchema).parquet(path(sfDir, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  val eventsPhysicalSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Nanos-long `ts` → TimestampType(micros), flooring like DuckDB's
+    * TIMESTAMP_NS→TIMESTAMP cast does (−0.5µs → −1µs; a bare `div`
+    * truncates toward zero and would disagree for pre-epoch instants).
+    * Integral `div` keeps the arithmetic exact — a double division would
+    * lose precision above 2^53 nanos (~1970+104 days).
+    */
+  val eventsTsMicrosExpr: String =
+    "timestamp_micros((ts - pmod(ts, 1000)) div 1000)"
+
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.schema(eventsPhysicalSchema).parquet(path(sfDir, "events"))
+      .withColumn("ts", expr(eventsTsMicrosExpr))
   def documents(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 }

@@ -31,6 +31,15 @@ object Skew {
       scatterOn: Column, saltBuckets: Int,
       joinType: String = "inner"): DataFrame = {
 
+    // Build-side rows are replicated saltBuckets times, so any join type
+    // that emits UNMATCHED build rows (right/full outer) would emit one
+    // null-extended row per replica — not row-identical to the unsalted
+    // join. Probe-side-preserving types are safe.
+    val allowed = Set("inner", "left", "leftouter", "leftsemi", "semi",
+      "leftanti", "anti", "cross")
+    require(allowed.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin does not support build-side-preserving join type '$joinType'")
+
     val salted = probe.withColumn("__salt_p",
       pmod(xxhash64(scatterOn), lit(saltBuckets.toLong)))
     val replicated = build.withColumn("__salt_b",

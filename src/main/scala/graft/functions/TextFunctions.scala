@@ -64,9 +64,13 @@ object TextFunctions {
     */
   def shingles(toks: Column, n: Int): Column = {
     val joined = transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      sequence(lit(1), size(toks) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*))
-    array_distinct(joined)
+    // guard BEFORE building the sequence: sequence(1, 0) descends in Spark
+    // (yielding [1, 0] and out-of-range element_at), it is not empty like
+    // DuckDB's generate_series(1, 0)
+    when(size(toks) >= n, array_distinct(joined))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** SQL fragment (DuckDB) matching [[shingles]] — `toksCol` must be a bare

@@ -37,29 +37,40 @@ object AsOfJoin {
       leftTimeUs: Column, rightTimeUs: Column,
       carries: Seq[String], rightTiebreak: String): DataFrame = {
 
+    // The carried right-side values travel as ONE struct so a match is
+    // all-or-nothing: carrying each column independently with
+    // last(ignoreNulls) would stitch values from DIFFERENT right rows
+    // whenever a carry column is null (and a null carry value would be
+    // indistinguishable from "no match at all").
     val leftCols = left.columns.toSeq
+    val carryStruct = struct(carries.map(col): _*)
+    val carryType = {
+      import org.apache.spark.sql.types.StructType
+      StructType(carries.map(c => right.schema(c)))
+    }
     val tagged = left.select(
-      (Seq(col(leftKey).alias("__k"), leftTimeUs.alias("__t"), lit(1).alias("__side")) ++
-        leftCols.map(col) ++
-        carries.map(c => lit(null).cast(right.schema(c).dataType).alias(c)) ++
-        Seq(lit(null).cast(right.schema(rightTiebreak).dataType).alias("__tie"))): _*)
+      (Seq(col(leftKey).alias("__k"), leftTimeUs.alias("__t"), lit(1).alias("__side"),
+        lit(null).cast(carryType).alias("__carry"),
+        lit(null).cast(right.schema(rightTiebreak).dataType).alias("__tie")) ++
+        leftCols.map(col)): _*)
     val taggedRight = right.select(
-      (Seq(col(rightKey).alias("__k"), rightTimeUs.alias("__t"), lit(0).alias("__side")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).alias(c)) ++
-        carries.map(col) ++
-        Seq(col(rightTiebreak).alias("__tie"))): _*)
+      (Seq(col(rightKey).alias("__k"), rightTimeUs.alias("__t"), lit(0).alias("__side"),
+        carryStruct.alias("__carry"),
+        col(rightTiebreak).alias("__tie")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).alias(c))): _*)
 
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = tagged.unionByName(taggedRight)
-      .select((Seq(col("__side")) ++ leftCols.map(col) ++
-        carries.map(c => last(col(c), ignoreNulls = true).over(w).alias(c))): _*)
+      .select((Seq(col("__side"),
+        last(col("__carry"), ignoreNulls = true).over(w).alias("__carry")) ++
+        leftCols.map(col)): _*)
 
-    carried.filter(col("__side") === 1)
-      .filter(carries.map(c => col(c).isNotNull).reduce(_ && _))
-      .drop("__side")
+    carried.filter(col("__side") === 1 && col("__carry").isNotNull)
+      .select((leftCols.map(col) ++
+        carries.map(c => col(s"__carry.$c").alias(c))): _*)
   }
 
   /** Query: for each event, the user's most recent order at or before the

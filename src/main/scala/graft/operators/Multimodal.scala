@@ -81,11 +81,15 @@ object Multimodal {
     */
   def sampleFrames(df: DataFrame, everyK: Int): DataFrame = {
     val fb = MediaCodecStub.FrameBytes
+    // empty payloads have zero frames — the guard matters because
+    // sequence(0, 0) is [0], which would fabricate one empty frame
     df.select(col("media_id"),
       posexplode(expr(
-        s"""transform(
-           |  sequence(0, greatest(CAST((length(payload) + ${fb - 1}) div $fb AS INT) - 1, 0), $everyK),
-           |  i -> substring(payload, i * $fb + 1, $fb))""".stripMargin)))
+        s"""CASE WHEN length(payload) > 0 THEN
+           |  transform(
+           |    sequence(0, CAST((length(payload) + ${fb - 1}) div $fb AS INT) - 1, $everyK),
+           |    i -> substring(payload, i * $fb + 1, $fb))
+           |ELSE CAST(array() AS array<binary>) END""".stripMargin)))
       .withColumnRenamed("pos", "sample_idx")
       .withColumnRenamed("col", "frame_bytes")
   }

@@ -39,7 +39,7 @@ object WindowAnalytics {
         row_number().over(byDate).alias("order_seq"),
         // cumulative sum over exact cents: a double-typed running total is
         // NOT portable (engines may accumulate tree-wise, not row-wise)
-        (sum(round(col("total_price") * 100).cast("long"))
+        (sum(graft.functions.Deterministic.quantize(col("total_price"), 2))
           .over(byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           / lit(100.0)).cast("double").alias("running_spend"),
         datediff(col("order_date"), lag(col("order_date"), 1).over(byDate))
@@ -56,7 +56,7 @@ object WindowAnalytics {
     * mean/stddev as one identical double formula per engine.
     */
   def orderPriceStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val q = round(col("o_totalprice")).cast("long")
+    val q = graft.functions.Deterministic.quantize(col("o_totalprice"), 0)
     Tables.orders(spark, sfDir)
       .groupBy(col("o_orderstatus").alias("order_status"))
       .agg(

@@ -22,6 +22,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("graft_long_dot"),
       new ExpressionInfo(classOf[LongArrayDot].getName, "graft_long_dot"),
-      (exprs: Seq[Expression]) => LongArrayDot(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => GraftFunctions.build(exprs)))
   }
 }

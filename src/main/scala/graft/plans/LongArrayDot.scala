@@ -18,8 +18,13 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * Null contract: returns null if either array is null; elements are
   * assumed non-null (quantized vectors never contain null elements).
   */
+// LongArrayInputTypes: array<int>/array<float> arguments are cast up at
+// analysis rather than silently misread through ArrayData.getLong (wrong
+// words on packed UnsafeArrayData) — wrong types become an analysis
+// error, not garbage.
 case class LongArrayDot(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression
+    with org.apache.spark.sql.LongArrayInputTypes {
 
   override def dataType: DataType = LongType
 
@@ -64,5 +69,11 @@ object GraftFunctions {
   /** Register `graft_long_dot` for SQL-text callers. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_long_dot", exprs => LongArrayDot(exprs.head, exprs(1)), "built-in")
+      "graft_long_dot", build, "built-in")
+
+  private[plans] def build(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"graft_long_dot expects 2 arguments, got ${exprs.length}")
+    LongArrayDot(exprs.head, exprs(1))
+  }
 }

@@ -52,10 +52,21 @@ final case class JdbcSource(
 
   def load(spark: SparkSession): DataFrame = partitioning match {
     case Some(JdbcPredicatePartitioning(predicates)) =>
-      // DataFrameReader.jdbc(predicates) — one task per predicate.
+      // DataFrameReader.jdbc(predicates) — one task per predicate. This
+      // API has no user-schema slot, so the declared schema is enforced
+      // post-resolution: a catalog drift fails loudly here instead of
+      // flowing through silently.
       val props = new java.util.Properties()
       options.foreach { case (k, v) => props.setProperty(k, v) }
-      spark.read.jdbc(url, table, predicates.toArray, props)
+      val df = spark.read.jdbc(url, table, predicates.toArray, props)
+      schema.foreach { s =>
+        val got = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+        val want = s.fields.map(f => (f.name, f.dataType)).toSeq
+        require(got == want,
+          s"declared schema for $table does not match the source catalog: " +
+            s"declared=$want resolved=$got")
+      }
+      df
     case _ => reader(spark).load()
   }
 }

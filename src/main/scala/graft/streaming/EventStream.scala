@@ -20,20 +20,13 @@ import graft.functions.Deterministic
   */
 object EventStream {
 
-  /** events.parquet physical schema (`ts` INT64-nanos read as long —
-    * see graft.Tables.events for the rationale).
+  /** File-based streaming source over an events directory — same physical
+    * schema and nanos→micros conversion as the batch reader (both defined
+    * once on [[graft.Tables]]).
     */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  /** File-based streaming source over an events directory. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(graft.Tables.eventsPhysicalSchema).parquet(dir)
+      .withColumn("ts", expr(graft.Tables.eventsTsMicrosExpr))
 
   /** Tumbling 1-hour windowed counts/sums with a 2-hour watermark —
     * identical aggregation body to the batch `events_hourly` query.

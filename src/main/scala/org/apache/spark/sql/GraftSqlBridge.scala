@@ -11,3 +11,13 @@ object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Mix-in declaring `(array<long>, array<long>)` input types with
+  * implicit up-casts. Lives here because `AbstractDataType` (the
+  * `inputTypes` signature) is `private[sql]`.
+  */
+trait LongArrayInputTypes
+    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[types.AbstractDataType] =
+    Seq(types.ArrayType(types.LongType), types.ArrayType(types.LongType))
+}

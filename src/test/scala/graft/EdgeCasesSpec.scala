@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{AsOfJoin, Multimodal}
+import graft.operators.Multimodal.MediaRow
+
+/** Regression specs for review findings: short-document shingling, as-of
+  * joins with nullable carry columns, empty-payload frame sampling, and
+  * type safety of the custom dot-product expression.
+  */
+class EdgeCasesSpec extends SparkSpec {
+
+  test("shingles of documents shorter than n are empty, not an error") {
+    import spark.implicits._
+    val out = Seq("one", "one two", "one two three", "a b c d")
+      .toDF("text")
+      .select(TextFunctions.tokens(col("text")).alias("t"))
+      .select(size(TextFunctions.shingles(col("t"), 3)).alias("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(out == Seq(0, 0, 1, 2))
+  }
+
+  test("asOf with a null value in a carry column does not stitch rows or drop the match") {
+    import spark.implicits._
+    val left = Seq((10L, 1L, 30L)).toDF("lid", "k", "lt")
+    val right = Seq(
+      (1L, 10L, Some(5L), Option.empty[Long]),   // t=10: a=5, b=null
+      (1L, 20L, Option.empty[Long], Some(7L)))   // t=20: a=null, b=7
+      .toDF("rk", "rt", "a", "b")
+    val out = AsOfJoin.asOf(left, right,
+        leftKey = "k", rightKey = "rk",
+        leftTimeUs = col("lt"), rightTimeUs = col("rt"),
+        carries = Seq("a", "b"), rightTiebreak = "rt")
+      .select("lid", "a", "b").collect()
+    // the match is the t=20 row AS A WHOLE: (a=null, b=7) — not a=5 from
+    // the earlier row, and not dropped because one carry field is null
+    assert(out.length == 1)
+    assert(out(0).isNullAt(1) && out(0).getLong(2) == 7L)
+  }
+
+  test("sampleFrames of an empty payload emits zero rows") {
+    import spark.implicits._
+    val ds = Seq(MediaRow(3L, "image", Array.empty[Byte], 0, 0, 0)).toDS()
+    assert(Multimodal.sampleFrames(ds.toDF(), everyK = 1).count() == 0)
+  }
+
+  test("graft_long_dot casts int arrays up instead of misreading them") {
+    graft.plans.GraftFunctions.register(spark)
+    val r = spark.sql("SELECT graft_long_dot(array(1, 2, 3), array(4, 5, 6)) AS d")
+      .collect()(0).getLong(0)
+    assert(r == 32L)
+  }
+
+  test("graft_long_dot rejects wrong arity at registration-builder level") {
+    graft.plans.GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_long_dot(array(1L))").collect()
+    }
+    assert(e.getMessage.contains("2 arguments") || e.getMessage.contains("graft_long_dot"))
+  }
+
+  test("events nanos->micros conversion floors (DuckDB cast semantics)") {
+    import spark.implicits._
+    val out = Seq(1999L, -1500L, 1000L, -1000L).toDF("ts")
+      .selectExpr(s"unix_micros(${Tables.eventsTsMicrosExpr}) AS us")
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L, -2L, 1L, -1L))
+  }
+}
