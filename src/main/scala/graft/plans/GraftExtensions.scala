@@ -23,5 +23,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_long_dot"),
       new ExpressionInfo(classOf[LongArrayDot].getName, "graft_long_dot"),
       (exprs: Seq[Expression]) => GraftFunctions.build(exprs)))
+    e.injectOptimizerRule(_ => RewriteHofDotProduct)
   }
 }

@@ -1,0 +1,55 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, LongType}
+
+/** Optimizer rule: rewrites the portable higher-order-function dot
+  * product
+  *
+  * {{{ aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v) }}}
+  *
+  * into the codegen'd [[LongArrayDot]] expression (~100× less
+  * per-element overhead, see LongArrayDot's doc). Users keep writing the
+  * engine-neutral HOF form; sessions built with [[GraftExtensions]] get
+  * the fast path automatically.
+  *
+  * Conservative by design: fires only when both arrays are
+  * `array<long>` with non-nullable elements (LongArrayDot treats
+  * elements as primitive longs; a null element would change semantics —
+  * the HOF form yields null, the loop would read garbage), the zero is
+  * literal 0L, both lambdas are a bare multiply/add of their own
+  * variables, and the finish lambda is the identity.
+  */
+object RewriteHofDotProduct extends Rule[LogicalPlan] {
+
+  private def isLongArrayNoNulls(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, containsNull) => !containsNull
+    case _ => false
+  }
+
+  private def isVarPair(a: Expression, b: Expression,
+      v1: NamedLambdaVariable, v2: NamedLambdaVariable): Boolean =
+    (a, b) match {
+      case (x: NamedLambdaVariable, y: NamedLambdaVariable) =>
+        (x.exprId == v1.exprId && y.exprId == v2.exprId) ||
+        (x.exprId == v2.exprId && y.exprId == v1.exprId)
+      case _ => false
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case ArrayAggregate(
+            zw @ ZipWith(left, right,
+              LambdaFunction(mult: Multiply, Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
+            Literal(0L, LongType),
+            LambdaFunction(add: Add, Seq(acc: NamedLambdaVariable, el: NamedLambdaVariable), _),
+            LambdaFunction(body: NamedLambdaVariable, Seq(fin: NamedLambdaVariable), _))
+          if isLongArrayNoNulls(left) && isLongArrayNoNulls(right) &&
+            isVarPair(mult.left, mult.right, x, y) &&
+            isVarPair(add.left, add.right, acc, el) &&
+            body.exprId == fin.exprId =>
+        LongArrayDot(left, right)
+    }
+}

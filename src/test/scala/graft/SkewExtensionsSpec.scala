@@ -34,6 +34,19 @@ class SkewExtensionsSpec extends SparkSpec {
     new graft.plans.GraftExtensions().apply(ext) // must register cleanly
   }
 
+  test("RewriteHofDotProduct rewrites the HOF form and preserves the value") {
+    import graft.plans.{LongArrayDot, RewriteHofDotProduct}
+    val df = spark.range(1).select(
+      aggregate(
+        zip_with(typedlit(Seq(1L, 2L, 3L)), typedlit(Seq(4L, 5L, 6L)), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v).alias("d"))
+    val before = df.queryExecution.analyzed
+    val after = RewriteHofDotProduct(before)
+    val rewritten = after.expressions.exists(_.exists(_.isInstanceOf[LongArrayDot]))
+    assert(rewritten, s"rule did not fire:\n$after")
+    assert(df.collect()(0).getLong(0) == 32L) // HOF semantics unchanged
+  }
+
   test("custom dot expression agrees with the HOF formulation") {
     import graft.functions.{VectorFunctions => V}
     val e = Tables.embeddings(spark, sf).limit(100)
