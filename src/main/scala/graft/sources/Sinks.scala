@@ -56,6 +56,28 @@ final case class JsonSink(path: String, mode: SaveMode = SaveMode.Overwrite)
   def write(df: DataFrame): Unit = df.write.mode(mode).json(path)
 }
 
+/** Bucketed managed-table sink: pre-shuffles data into `buckets` files
+  * per partition keyed by `bucketCols` (optionally sorted within each
+  * bucket), so equi-joins and aggregations on the bucket key skip their
+  * shuffle entirely — the 100 TB answer to a fact⋈fact join that would
+  * otherwise move both tables every query. Requires a metastore-backed
+  * `saveAsTable` (bucketing metadata lives in the catalog, not the
+  * files).
+  */
+final case class BucketedTableSink(
+    table: String,
+    buckets: Int,
+    bucketCols: Seq[String],
+    sortCols: Seq[String] = Nil,
+    mode: SaveMode = SaveMode.Overwrite) extends Sink {
+  def write(df: DataFrame): Unit = {
+    var w = df.write.mode(mode)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.saveAsTable(table)
+  }
+}
+
 /** BigQuery indirect-write sink — the reference's exact option surface
   * (`transform_to_bq.py:87-91`): format "bigquery", target table,
   * temporary GCS staging bucket, overwrite mode. Requires the
