@@ -76,6 +76,16 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup by event id within the watermark horizon —
+    * the ingestion-side guard against at-least-once source duplicates.
+    * State holds one entry per id seen within the watermark; eviction is
+    * automatic past it.
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Drive a streaming aggregation to a named in-memory table and process
     * everything currently available (synchronous smoke harness — the
     * pattern the test suite uses).

@@ -30,6 +30,20 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup-within-watermark passes distinct events through") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream3")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val query = EventStream.runToMemory(
+      EventStream.dedupedEvents(EventStream.readEvents(spark, dir.toString)),
+      "dedup_smoke", "append")
+    try {
+      val n = spark.table("dedup_smoke").count()
+      assert(n == Tables.events(spark, sf).select("event_id").distinct().count())
+    } finally query.stop()
+  }
+
   test("stateful mapGroupsWithState latest-per-user equals the batch query") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream2")
     java.nio.file.Files.copy(
