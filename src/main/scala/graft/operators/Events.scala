@@ -33,6 +33,17 @@ object Events {
   /** Schema of the `props` JSON column — for the `from_json` fast path. */
   val propsSchema: StructType = StructType(Seq(StructField("k", LongType)))
 
+  /** Schema-first JSON parsing: `from_json` with [[propsSchema]] — the
+    * 100 TB path (one declared schema per pipeline; Catalyst prunes
+    * unread fields) versus the ad-hoc `get_json_object` below.
+    */
+  def fromJsonProps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        from_json(col("props"), propsSchema).alias("p"))
+      .select(col("event_id"), col("p.k").alias("k"))
+      .orderBy("event_id")
+
   /** Per-type rollup with a JSON-extracted measure. Demonstrates both JSON
     * paths: `get_json_object` (ad-hoc) feeding the aggregate, with
     * `from_json` available via [[propsSchema]].
@@ -116,6 +127,9 @@ object Events {
   }
 
   val oracles: Map[String, String] = Map(
+    "events_from_json" ->
+      """SELECT event_id, CAST(props->>'k' AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
     "events_pivot_by_type" -> {
       val counts = EventTypes.map(t =>
         s"CAST(count(*) FILTER (WHERE event_type = '$t') AS BIGINT) AS $t").mkString(",\n       ")
@@ -160,6 +174,7 @@ object Events {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_from_json"       -> fromJsonProps _,
     "events_pivot_by_type"   -> pivotByType _,
     "events_json_extract"    -> jsonExtract _,
     "events_hourly"          -> hourlyWindow _,

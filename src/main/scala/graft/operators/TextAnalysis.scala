@@ -120,9 +120,33 @@ object TextAnalysis {
           .alias("rolling_fp"))
       .orderBy("doc_id")
 
+  /** Normalization pipeline: lowercase → digits collapsed to '#' →
+    * whitespace squeezed → md5 of the canonical form. The string-function
+    * tier (lower / regexp_replace / trim) ahead of any dedup hash; the
+    * regex is deliberately portable (character classes only — no
+    * engine-specific syntax).
+    */
+  def normalizedFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        trim(regexp_replace(regexp_replace(lower(col("text")), "[0-9]+", "#"),
+          " +", " ")).alias("canonical"))
+      .select(col("doc_id"), length(col("canonical")).cast("int").alias("canonical_len"),
+        md5(col("canonical")).alias("canonical_md5"))
+      .orderBy("doc_id")
+
   private val toksSql = "string_split(text, ' ')"
 
   val oracles: Map[String, String] = Map(
+    "text_normalized_fingerprint" ->
+      """WITH canon AS (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '#', 'g'),
+        |              ' +', ' ', 'g')) AS canonical
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(canonical) AS INT) AS canonical_len,
+        |       md5(canonical) AS canonical_md5
+        |FROM canon ORDER BY doc_id""".stripMargin,
     "text_token_stats" ->
       """SELECT lang,
         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
@@ -166,6 +190,7 @@ object TextAnalysis {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_normalized_fingerprint" -> normalizedFingerprint _,
     "text_token_stats"  -> tokenStats _,
     "text_vocab_approx" -> vocabApprox _,
     "text_quality"      -> quality _,
