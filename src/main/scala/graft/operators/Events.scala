@@ -96,6 +96,28 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** Cohort retention: users grouped by first-activity day-bucket
+    * (7-day cohorts from the corpus epoch), counted by how many distinct
+    * users of each cohort are active in each subsequent bucket. The
+    * composite shape — per-key min, re-join to raw activity, double
+    * aggregation — is the standard engagement pipeline; all integer
+    * arithmetic, so the oracle is exact.
+    */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val epochDay = to_date(lit("2024-01-01"))
+    val withBucket = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        (datediff(to_date(col("ts")), epochDay) / 7).cast("int").alias("bucket"))
+    val cohorts = withBucket.groupBy(col("user_id"))
+      .agg(min(col("bucket")).alias("cohort"))
+    withBucket.join(cohorts, "user_id")
+      .groupBy(col("cohort"), col("bucket"))
+      .agg(countDistinct(col("user_id")).alias("active_users"))
+      .withColumn("weeks_since_cohort", col("bucket") - col("cohort"))
+      .select("cohort", "weeks_since_cohort", "active_users")
+      .orderBy("cohort", "weeks_since_cohort")
+  }
+
   /** Latest event per user — the canonical CDC/dedup-by-key pattern:
     * row_number over (key, recency) then rank=1.
     */
@@ -130,6 +152,20 @@ object Events {
     "events_from_json" ->
       """SELECT event_id, CAST(props->>'k' AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    "events_cohort_retention" ->
+      """WITH wb AS (
+        |  SELECT user_id,
+        |         CAST(floor(date_diff('day', DATE '2024-01-01',
+        |              CAST(ts AS DATE)) / 7.0) AS INT) AS bucket
+        |  FROM events),
+        |cohorts AS (
+        |  SELECT user_id, min(bucket) AS cohort FROM wb GROUP BY user_id)
+        |SELECT cohort,
+        |       CAST(bucket - cohort AS INT) AS weeks_since_cohort,
+        |       CAST(count(DISTINCT wb.user_id) AS BIGINT) AS active_users
+        |FROM wb JOIN cohorts ON wb.user_id = cohorts.user_id
+        |GROUP BY cohort, bucket
+        |ORDER BY cohort, weeks_since_cohort""".stripMargin,
     "events_pivot_by_type" -> {
       val counts = EventTypes.map(t =>
         s"CAST(count(*) FILTER (WHERE event_type = '$t') AS BIGINT) AS $t").mkString(",\n       ")
@@ -175,6 +211,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_from_json"       -> fromJsonProps _,
+    "events_cohort_retention" -> cohortRetention _,
     "events_pivot_by_type"   -> pivotByType _,
     "events_json_extract"    -> jsonExtract _,
     "events_hourly"          -> hourlyWindow _,
