@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.types._
 
 /** Table catalog over the harness fixture directory.
@@ -55,7 +55,7 @@ object Tables {
   /** Physical schema of `events.parquet`: `ts` is INT64 TIMESTAMP(NANOS),
     * which Spark's Parquet reader rejects by default (no nanos timestamp
     * type) — it is read as a plain long and converted via
-    * [[nanosToMicros]]. Shared by the batch reader below and the
+    * [[eventsTsMicrosExpr]]. Shared by the batch reader below and the
     * streaming reader (`graft.streaming.EventStream`), so the contract
     * lives in exactly one place.
     */

@@ -100,17 +100,20 @@ object Events {
     * (7-day cohorts from the corpus epoch), counted by how many distinct
     * users of each cohort are active in each subsequent bucket. The
     * composite shape — per-key min, re-join to raw activity, double
-    * aggregation — is the standard engagement pipeline; all integer
-    * arithmetic, so the oracle is exact.
+    * aggregation — is the standard engagement pipeline; bucketing uses
+    * floored integer day-arithmetic, so the oracle is exact.
     */
   def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
     val epochDay = to_date(lit("2024-01-01"))
+    // floor (not int-cast truncation): pre-epoch events have negative day
+    // diffs, where truncation would disagree with the oracle's floor
     val withBucket = Tables.events(spark, sfDir)
       .select(col("user_id"),
-        (datediff(to_date(col("ts")), epochDay) / 7).cast("int").alias("bucket"))
-    val cohorts = withBucket.groupBy(col("user_id"))
-      .agg(min(col("bucket")).alias("cohort"))
-    withBucket.join(cohorts, "user_id")
+        floor(datediff(to_date(col("ts")), epochDay) / 7).cast("int").alias("bucket"))
+    // min-per-key via a window: one shuffle on user_id, no re-join branch
+    val byUser = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    withBucket
+      .withColumn("cohort", min(col("bucket")).over(byUser))
       .groupBy(col("cohort"), col("bucket"))
       .agg(countDistinct(col("user_id")).alias("active_users"))
       .withColumn("weeks_since_cohort", col("bucket") - col("cohort"))

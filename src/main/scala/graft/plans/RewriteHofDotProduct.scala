@@ -20,7 +20,9 @@ import org.apache.spark.sql.types.{ArrayType, LongType}
   * elements as primitive longs; a null element would change semantics —
   * the HOF form yields null, the loop would read garbage), the zero is
   * literal 0L, both lambdas are a bare multiply/add of their own
-  * variables, and the finish lambda is the identity.
+  * variables, and the finish lambda is the identity. Length mismatch is
+  * covered by LongArrayDot itself: it returns null exactly where the HOF
+  * form does (zip_with null-pads → the fold nulls).
   */
 object RewriteHofDotProduct extends Rule[LogicalPlan] {
 
@@ -41,7 +43,7 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case ArrayAggregate(
-            zw @ ZipWith(left, right,
+            ZipWith(left, right,
               LambdaFunction(mult: Multiply, Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
             Literal(0L, LongType),
             LambdaFunction(add: Add, Seq(acc: NamedLambdaVariable, el: NamedLambdaVariable), _),

@@ -60,8 +60,11 @@ final case class JdbcSource(
       options.foreach { case (k, v) => props.setProperty(k, v) }
       val df = spark.read.jdbc(url, table, predicates.toArray, props)
       schema.foreach { s =>
-        val got = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
-        val want = s.fields.map(f => (f.name, f.dataType)).toSeq
+        // case-insensitive, order-insensitive — the same leniency Spark's
+        // own resolver applies on the .schema() path, so both load paths
+        // accept the same declarations
+        val got = df.schema.fields.map(f => (f.name.toLowerCase, f.dataType)).toMap
+        val want = s.fields.map(f => (f.name.toLowerCase, f.dataType)).toMap
         require(got == want,
           s"declared schema for $table does not match the source catalog: " +
             s"declared=$want resolved=$got")

@@ -9,11 +9,16 @@ import graft.sources.BucketedTableSink
   */
 class BucketingSpec extends SparkSpec {
 
-  test("join of two tables bucketed on the join key plans with no shuffle") {
+  /** Idempotent setup shared by both tests so each runs in isolation.
+    * The in-memory catalog resets per JVM but the warehouse directory
+    * persists — stale locations make CREATE TABLE AS fail, hence the
+    * directory cleanup before each (re)create.
+    */
+  private def ensureBucketedTables(): Unit = {
+    if (spark.catalog.tableExists("li_bucketed") &&
+      spark.catalog.tableExists("o_bucketed")) return
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS o_bucketed")
-    // the in-memory catalog resets per JVM but the warehouse directory
-    // persists — stale locations make CREATE TABLE AS fail
     for (t <- Seq("li_bucketed", "o_bucketed")) {
       val dir = new java.io.File(s"/tmp/graft-test-warehouse/$t")
       if (dir.exists()) {
@@ -27,7 +32,10 @@ class BucketingSpec extends SparkSpec {
     BucketedTableSink("o_bucketed", buckets = 4,
       bucketCols = Seq("o_orderkey"), sortCols = Seq("o_orderkey"))
       .write(Tables.orders(spark, sf))
+  }
 
+  test("join of two tables bucketed on the join key plans with no shuffle") {
+    ensureBucketedTables()
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       // disable broadcast so the bucket co-location (not a broadcast) is
@@ -42,6 +50,7 @@ class BucketingSpec extends SparkSpec {
   }
 
   test("groupBy on the bucket key also skips the shuffle") {
+    ensureBucketedTables()
     val agg = spark.table("li_bucketed").groupBy("l_orderkey")
       .agg(count(lit(1)).alias("n"))
     val plan = agg.queryExecution.executedPlan.toString

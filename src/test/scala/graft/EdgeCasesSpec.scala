@@ -53,12 +53,24 @@ class EdgeCasesSpec extends SparkSpec {
     assert(r == 32L)
   }
 
-  test("graft_long_dot rejects wrong arity at registration-builder level") {
+  test("graft_long_dot rejects wrong arity with a clear message") {
     graft.plans.GraftFunctions.register(spark)
     val e = intercept[Exception] {
       spark.sql("SELECT graft_long_dot(array(1L))").collect()
     }
-    assert(e.getMessage.contains("2 arguments") || e.getMessage.contains("graft_long_dot"))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("expects 2 arguments")),
+      s"expected the arity message, got: ${messages(e).mkString(" | ")}")
+  }
+
+  test("graft_long_dot yields null on unequal lengths (HOF parity)") {
+    graft.plans.GraftFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT graft_long_dot(array(1L,2L,3L), array(1L,2L)) AS fast,
+        |  aggregate(zip_with(array(1L,2L,3L), array(1L,2L), (x,y) -> x*y),
+        |            0L, (acc,v) -> acc + v) AS hof""".stripMargin).collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
   }
 
   test("events nanos->micros conversion floors (DuckDB cast semantics)") {
