@@ -140,6 +140,26 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Scale-path twin of [[nearDupPairs]]: candidate pairs come from LSH
+    * sign-bucket equality instead of the full cross product — the join is
+    * an equi-join on a small int key, linear-ish in bucket occupancy.
+    * Recall is bucket-bounded by construction (a cross-bucket near-dup is
+    * missed); the oracle replicates the bucketing, so the check is exact
+    * over the algorithm as specified.
+    */
+  def nearDupPairsLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucketed = quantized(spark, sfDir).withColumn("bucket", bucketCol(col("v")))
+    val a = bucketed.select(col("bucket").alias("bucket_a"),
+      col("vec_id").alias("vec_a"), col("v").alias("va"), col("n2").alias("na"))
+    val b = bucketed.select(col("bucket").alias("bucket_b"),
+      col("vec_id").alias("vec_b"), col("v").alias("vb"), col("n2").alias("nb"))
+    a.join(b, col("bucket_a") === col("bucket_b") && (col("vec_a") < col("vec_b")))
+      .select(col("vec_a"), col("vec_b"), col("bucket_a").alias("bucket"),
+        V.qcosineFrom(V.qdot(col("va"), col("vb")), col("na"), col("nb")).alias("cos_sim"))
+      .filter(col("cos_sim") >= 0.4)
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Top-5 most-similar same-label pairs per label: the self-join is
     * label-restricted (shuffles on label, no global cross product), then
     * one rank window per label.
@@ -188,6 +208,16 @@ object Similarity {
          |         ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
          |FROM scored QUALIFY rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+    "embedding_near_dup_lsh" ->
+      s"""WITH $quantizedSql,
+         |bucketed AS (
+         |  SELECT vec_id, v, n2, $bucketExprDuck AS bucket FROM qn)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+         |       $qdotAB / (sqrt(a.n2) * sqrt(b.n2)) AS cos_sim
+         |FROM bucketed a JOIN bucketed b
+         |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE $qdotAB / (sqrt(a.n2) * sqrt(b.n2)) >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
     "embedding_near_dup" ->
       s"""WITH $quantizedSql
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -212,6 +242,7 @@ object Similarity {
     "knn_brute_cosine"        -> knnBrute _,
     "ann_lsh_cosine"          -> annLsh _,
     "embedding_near_dup"      -> nearDupPairs _,
+    "embedding_near_dup_lsh"  -> nearDupPairsLsh _,
     "similar_pairs_per_label" -> pairsPerLabel _,
   )
 }
