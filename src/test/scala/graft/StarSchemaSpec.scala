@@ -41,6 +41,10 @@ class StarSchemaSpec extends SparkSpec {
     assert(df.schema("date_key").dataType == IntegerType)
   }
 
+  test("driver t1 contract: entry() returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("fact agg totals reconcile with detail totals") {
     val detail = q("fact_sales_detail")
       .agg(sum(round(col("order_quantity") * 100).cast("long")).alias("qty100"))
