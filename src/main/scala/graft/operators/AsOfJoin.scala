@@ -26,16 +26,33 @@ import graft.Tables
   */
 object AsOfJoin {
 
+  /** Internal tag columns; inputs must not use these names. */
+  private val ReservedNames = Seq("__k", "__t", "__side", "__carry", "__tie")
+
   /** Generic as-of join. `carries` are the right-side columns to attach
     * (they must exist in `right`). Inner semantics: left rows with no
     * matching earlier right row are dropped (matching DuckDB's ASOF JOIN).
-    * `rightTiebreak` orders simultaneous right rows (the last one wins).
+    * `rightTiebreak` orders simultaneous right rows (the last one wins) —
+    * it must be UNIQUE within each (key, time) group of `right`, or the
+    * carried row among exact time ties is engine-arbitrary; pre-reduce
+    * the right side (as [[eventsAsofOrder]] does with max-per-(key, ts))
+    * when the natural tiebreak isn't unique.
     */
   def asOf(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTimeUs: Column, rightTimeUs: Column,
       carries: Seq[String], rightTiebreak: String): DataFrame = {
+
+    val carryClash = carries.filter(left.columns.contains)
+    require(carryClash.isEmpty,
+      s"carry columns ${carryClash.mkString(", ")} collide with left columns; " +
+        "rename them on the right side before the as-of join")
+    val reservedClash =
+      (left.columns ++ right.columns).filter(ReservedNames.contains).distinct
+    require(reservedClash.isEmpty,
+      s"input columns ${reservedClash.mkString(", ")} collide with internal " +
+        s"as-of tags (${ReservedNames.mkString(", ")}); rename them first")
 
     // The carried right-side values travel as ONE struct so a match is
     // all-or-nothing: carrying each column independently with

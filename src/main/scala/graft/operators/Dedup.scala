@@ -100,7 +100,7 @@ object Dedup {
 
   /** 16 min-hashes per document (array<long>) from ONE md5 per shingle:
     * base hash h = md5_60(shingle) mod p (p = 2³¹-1), permuted through 16
-    * affine maps h ↦ (a_i·h + b_i) mod p (a_i odd < p → full-period).
+    * affine maps h ↦ (a_i·h + b_i) mod p.
     * A single `aggregate` fold updates all 16 minima per shingle, so the
     * md5 — the expensive part — is evaluated exactly once per shingle
     * (the earlier one-md5-per-(seed,shingle) form cost 16× more and
@@ -108,12 +108,36 @@ object Dedup {
     */
   private val MinhashP = 2147483647L
 
+  /** The 16 affine parameters (a_i, b_i), each derived from an md5 digest
+    * so the permutations are effectively independent draws — sequential
+    * seeds like (2i+1, 12345i+7) are strongly correlated across i (i=0 is
+    * an order-preserving shift), which would make the 8 LSH bands
+    * non-independent and void the (1-s²)⁸ miss bound. a_i ∈ [1, p-1],
+    * b_i ∈ [0, p-1], packed as a_i·2³¹ + b_i so the fold's lambda unpacks
+    * with a shift/mask instead of zipping two literal arrays.
+    */
+  private val MinhashParams: Seq[Long] = {
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.takeRight(8).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL)) &
+        ((1L << 60) - 1)
+    }
+    Seq.tabulate(16) { i =>
+      val a = h60(s"graft-minhash-a-$i") % (MinhashP - 1) + 1
+      val b = h60(s"graft-minhash-b-$i") % MinhashP
+      (a << 31) + b
+    }
+  }
+
+  // h < p < 2³¹ and a_i < p, so h·a_i < 2⁶² — no overflow before the mod.
   private def minhashSignature(sh: Column): Column =
     aggregate(
       transform(sh, x => TextFunctions.md5Hash60(x) % lit(MinhashP)),
       array_repeat(lit(Long.MaxValue), 16),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(15)),
-        (m, i) => least(m, (h * (i * 2 + 1) + i * 12345 + 7) % lit(MinhashP))))
+      (acc, h) => zip_with(acc, typedLit(MinhashParams),
+        (m, c) => least(m,
+          (h * shiftright(c, 31) + c.bitwiseAND(lit((1L << 31) - 1))) % lit(MinhashP))))
 
   /** MinHash+LSH near-dup pairs: band-bucket join (8 bands × 2 rows) →
     * exact-Jaccard verification of candidates only. Output (and oracle)

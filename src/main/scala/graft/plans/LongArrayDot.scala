@@ -15,8 +15,11 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * primitive loop inside whole-stage codegen (~100× less per-element
   * overhead), which is what a 100 TB similarity scan needs.
   *
-  * Null contract: returns null if either array is null; elements are
-  * assumed non-null (quantized vectors never contain null elements).
+  * Null contract: returns null if either array is null, the lengths
+  * differ, or ANY element is null — exactly the HOF spelling's semantics
+  * (a null element nulls the product, which nulls the fold), so the
+  * direct `qdot` path and the rewrite-rule path agree even on
+  * containsNull=true inputs such as `transform`-produced arrays.
   */
 // LongArrayInputTypes: array<int>/array<float> arguments are cast up at
 // analysis rather than silently misread through ArrayData.getLong (wrong
@@ -42,7 +45,11 @@ case class LongArrayDot(left: Expression, right: Expression)
     } else {
       var s = 0L
       var i = 0
-      while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        s += x.getLong(i) * y.getLong(i)
+        i += 1
+      }
       s
     }
   }
@@ -59,9 +66,15 @@ case class LongArrayDot(left: Expression, right: Expression)
          |} else {
          |  long $s = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |      break;
+         |    }
          |    $s += $a.getLong($i) * $b.getLong($i);
          |  }
-         |  ${ev.value} = $s;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $s;
+         |  }
          |}
          |""".stripMargin
     })

@@ -15,19 +15,19 @@ import org.apache.spark.sql.types.{ArrayType, LongType}
   * engine-neutral HOF form; sessions built with [[GraftExtensions]] get
   * the fast path automatically.
   *
-  * Conservative by design: fires only when both arrays are
-  * `array<long>` with non-nullable elements (LongArrayDot treats
-  * elements as primitive longs; a null element would change semantics —
-  * the HOF form yields null, the loop would read garbage), the zero is
-  * literal 0L, both lambdas are a bare multiply/add of their own
-  * variables, and the finish lambda is the identity. Length mismatch is
-  * covered by LongArrayDot itself: it returns null exactly where the HOF
-  * form does (zip_with null-pads → the fold nulls).
+  * Fires only when both arrays are `array<long>`, the zero is literal
+  * 0L, both lambdas are a bare multiply/add of their own variables, and
+  * the finish lambda is the identity. Null semantics need no guard:
+  * LongArrayDot returns null exactly where the HOF form does — null
+  * input array, length mismatch (zip_with null-pads → the fold nulls),
+  * and null elements (the product nulls → the fold nulls) — so
+  * `containsNull=true` arrays (every `transform` output) get the fast
+  * path too.
   */
 object RewriteHofDotProduct extends Rule[LogicalPlan] {
 
-  private def isLongArrayNoNulls(e: Expression): Boolean = e.dataType match {
-    case ArrayType(LongType, containsNull) => !containsNull
+  private def isLongArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, _) => true
     case _ => false
   }
 
@@ -48,7 +48,7 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
             Literal(0L, LongType),
             LambdaFunction(add: Add, Seq(acc: NamedLambdaVariable, el: NamedLambdaVariable), _),
             LambdaFunction(body: NamedLambdaVariable, Seq(fin: NamedLambdaVariable), _))
-          if isLongArrayNoNulls(left) && isLongArrayNoNulls(right) &&
+          if isLongArray(left) && isLongArray(right) &&
             isVarPair(mult.left, mult.right, x, y) &&
             isVarPair(add.left, add.right, acc, el) &&
             body.exprId == fin.exprId =>

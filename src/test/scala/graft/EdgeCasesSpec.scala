@@ -73,6 +73,51 @@ class EdgeCasesSpec extends SparkSpec {
     assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
   }
 
+  test("graft_long_dot yields null on a null element (HOF parity), interpreted and codegen") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    // via a real column (exercises the codegen path, not constant folding)
+    val rows = Seq(
+      (Seq(Some(1L), None, Some(3L)), Seq(Some(1L), Some(2L), Some(3L))),
+      (Seq(Some(1L), Some(2L)), Seq(Some(4L), Some(5L))))
+      .toDF("a", "b")
+      .selectExpr("graft_long_dot(a, b) AS fast",
+        "aggregate(zip_with(a, b, (x,y) -> x*y), 0L, (acc,v) -> acc + v) AS hof")
+      .collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    assert(rows(1).getLong(0) == 14L && rows(1).getLong(1) == 14L)
+  }
+
+  test("asOf rejects carry/internal name collisions up front") {
+    import spark.implicits._
+    val left = Seq((10L, 1L, 30L, 9L)).toDF("lid", "k", "lt", "a")
+    val right = Seq((1L, 10L, 5L)).toDF("rk", "rt", "a")
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left, right, leftKey = "k", rightKey = "rk",
+        leftTimeUs = col("lt"), rightTimeUs = col("rt"),
+        carries = Seq("a"), rightTiebreak = "rt")
+    }
+    assert(e1.getMessage.contains("collide with left columns"))
+    val badLeft = Seq((10L, 1L, 30L, 0L)).toDF("lid", "k", "lt", "__side")
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(badLeft, right, leftKey = "k", rightKey = "rk",
+        leftTimeUs = col("lt"), rightTimeUs = col("rt"),
+        carries = Seq("a"), rightTiebreak = "rt")
+    }
+    assert(e2.getMessage.contains("internal"))
+  }
+
+  test("events_asof_order right side has a unique tiebreak per (key, time)") {
+    // the max-per-(custkey, ts) reduction guarantees one row per group,
+    // which is the documented precondition for a deterministic carry
+    val dup = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).alias("k"))
+      .groupBy(col("o_custkey"), col("o_orderdate")).count()
+      .filter(col("count") > 1).count()
+    assert(dup == 0)
+  }
+
   test("events nanos->micros conversion floors (DuckDB cast semantics)") {
     import spark.implicits._
     val out = Seq(1999L, -1500L, 1000L, -1000L).toDF("ts")

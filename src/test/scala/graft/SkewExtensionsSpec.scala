@@ -47,6 +47,21 @@ class SkewExtensionsSpec extends SparkSpec {
     assert(df.collect()(0).getLong(0) == 32L) // HOF semantics unchanged
   }
 
+  test("RewriteHofDotProduct fires on containsNull arrays (transform output)") {
+    import graft.plans.{LongArrayDot, RewriteHofDotProduct}
+    val df = spark.range(3).select(
+      aggregate(
+        zip_with(transform(sequence(lit(1L), lit(3L)), x => x * col("id")),
+          transform(sequence(lit(1L), lit(3L)), x => x + col("id")),
+          (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v).alias("d"))
+    val after = RewriteHofDotProduct(df.queryExecution.analyzed)
+    assert(after.expressions.exists(_.exists(_.isInstanceOf[LongArrayDot])),
+      s"rule did not fire on containsNull input:\n$after")
+    // id=1: [1,2,3]·[2,3,4] = 20; id=2: [2,4,6]·[3,4,5] = 52
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 20L, 52L))
+  }
+
   test("custom dot expression agrees with the HOF formulation") {
     import graft.functions.{VectorFunctions => V}
     val e = Tables.embeddings(spark, sf).limit(100)
