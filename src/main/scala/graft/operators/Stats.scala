@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+import graft.Tables
+import graft.functions.{Deterministic, TextFunctions}
+
+/** Statistical / analytical operators beyond the reference's groupBy-sum
+  * surface (no analog in `/root/reference/code_base/transform_to_bq.py`,
+  * whose only aggregate is A1's sum, `transform_to_bq.py:160-165`):
+  * range join, deterministic mode, exact-integer correlation/covariance,
+  * explicit GROUPING SETS (SQL entry point), and deterministic
+  * hash-stratified sampling.
+  *
+  * Scale notes:
+  *  - The range join broadcasts the (tiny) band dimension; each probe row
+  *    tests 10 intervals inside whole-stage codegen — no shuffle of the
+  *    fact at all. Uniform-width bands could instead compute an equi-key
+  *    (`floor(x / width)`) which is the preferred shape when band count
+  *    grows; both forms are one pass over the fact.
+  *  - Mode is groupBy-count + one rank window — two shuffles on small
+  *    (group, value) cardinality, never on the raw fact.
+  *  - Correlation uses exact integer power sums (quantized inputs,
+  *    DECIMAL(38,0) accumulators): the sums are order-independent (safe
+  *    under any partitioning / AQE re-plan) and map-side combinable,
+  *    unlike a naive double `corr` which is neither deterministic nor
+  *    oracle-comparable bit-exactly.
+  *  - Stratified sampling is a stateless per-row hash test — embarrassingly
+  *    parallel, no shuffle, reproducible on any engine (md5-derived
+  *    threshold), which is what a 100 TB training-data sampling pass needs
+  *    (resumable, no RNG state, stable under retries).
+  */
+object Stats {
+
+  private val BandWidth = 50000.0
+
+  /** Range (interval) join: orders binned into 10 price bands via a
+    * broadcast nested-loop join on `lo <= price < hi`.
+    */
+  def rangeJoinPriceBand(spark: SparkSession, sfDir: String): DataFrame = {
+    val bands = spark.range(0, 10).select(
+      col("id").alias("band_id"),
+      (col("id") * BandWidth).cast("double").alias("lo"),
+      ((col("id") + 1) * BandWidth).cast("double").alias("hi"))
+    val o = Tables.orders(spark, sfDir)
+    o.join(broadcast(bands),
+        o("o_totalprice") >= bands("lo") && o("o_totalprice") < bands("hi"))
+      .groupBy(col("band_id"), col("lo"), col("hi"))
+      .agg(count(lit(1)).alias("n_orders"),
+        Deterministic.exactSum(col("o_totalprice"), 2).alias("total_revenue"))
+      .orderBy("band_id")
+  }
+
+  /** Deterministic mode: most frequent order priority per status
+    * (ties broken by priority string ascending).
+    */
+  def ordersModePriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderstatus").alias("order_status"),
+        col("o_orderpriority").alias("mode_priority"))
+      .agg(count(lit(1)).alias("n"))
+    val w = Window.partitionBy(col("order_status"))
+      .orderBy(col("n").desc, col("mode_priority").asc)
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+      .orderBy("order_status")
+  }
+
+  /** Pearson correlation + population covariance of (quantity,
+    * extendedprice) per return flag, from exact integer power sums.
+    *
+    * Inputs quantize exactly (quantity is integral, price has 2 decimals);
+    * the five sums accumulate in DECIMAL(38,0) (sum of qy² reaches ~7e19
+    * at sf0.1 — past both long and double-exact range). The closed forms
+    * are evaluated in the same operation order as the oracle: every
+    * intermediate is an exact integer until the single cast-to-double,
+    * so both engines round identically.
+    */
+  def lineitemCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val qx = Deterministic.quantize(col("l_quantity"), 0).cast(dec)
+    val qy = Deterministic.quantize(col("l_extendedprice"), 2).cast(dec)
+    val agg = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").alias("return_flag"), qx.alias("qx"), qy.alias("qy"))
+      .groupBy(col("return_flag"))
+      .agg(count(lit(1)).cast(dec).alias("n"),
+        sum(col("qx")).alias("sx"), sum(col("qy")).alias("sy"),
+        sum(col("qx") * col("qx")).alias("sxx"),
+        sum(col("qy") * col("qy")).alias("syy"),
+        sum(col("qx") * col("qy")).alias("sxy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val denx = sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+    val deny = sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
+    agg.select(col("return_flag"), col("n").cast(LongType).alias("n"),
+        (num / (denx * deny)).alias("corr_qty_price"),
+        // covariance of the QUANTIZED pair / 100 = covariance of the raw
+        // pair (qty × price·100); one more exact-integer-to-double divide
+        (num / (col("n") * col("n")).cast("double") / lit(100.0))
+          .alias("covar_pop_qty_price"))
+      .orderBy("return_flag")
+  }
+
+  /** Explicit GROUPING SETS through the SQL entry point (distinct from the
+    * rollup/cube DataFrame forms in [[Relational]]): per-year totals,
+    * per-status totals, and the grand total — no cross set.
+    */
+  def salesGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir)
+      .select(year(to_date(col("o_orderdate"))).alias("year"),
+        col("o_orderstatus").alias("order_status"), col("o_totalprice"))
+      .createOrReplaceTempView("graft_gs_orders")
+    spark.sql(
+      """SELECT year, order_status,
+        |       CAST(SUM(CAST(round(o_totalprice * 1e2) AS BIGINT)) / 1e2 AS DOUBLE)
+        |         AS total_revenue,
+        |       count(*) AS n_orders
+        |FROM graft_gs_orders
+        |GROUP BY GROUPING SETS ((year), (order_status), ())
+        |ORDER BY year ASC NULLS FIRST, order_status ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Per-language sampling rates (percent). English is downsampled hard —
+    * the usual shape when rebalancing a web corpus.
+    */
+  private val SampleRates: Seq[(String, Int)] =
+    Seq("de" -> 40, "en" -> 10, "es" -> 40, "fr" -> 40, "zh" -> 40)
+
+  /** Deterministic stratified sample of `documents`: keep a row iff
+    * md5₆₀(doc_id) mod 100 < rate(lang). The rate table rides a broadcast
+    * join; the test itself is a stateless per-row predicate.
+    */
+  def docsStratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val rates = spark.createDataFrame(SampleRates).toDF("r_lang", "rate_pct")
+    Tables.documents(spark, sfDir)
+      .join(broadcast(rates), col("lang") === col("r_lang"))
+      .filter(pmod(TextFunctions.md5Hash60(col("doc_id").cast("string")), lit(100L))
+        < col("rate_pct"))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "range_join_price_band" ->
+      s"""WITH bands AS (
+         |  SELECT i AS band_id, i * $BandWidth AS lo, (i + 1) * $BandWidth AS hi
+         |  FROM generate_series(0, 9) t(i))
+         |SELECT band_id, lo, hi, CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${Deterministic.exactSumSql("o_totalprice", 2)} AS total_revenue
+         |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+         |GROUP BY 1, 2, 3
+         |ORDER BY band_id""".stripMargin,
+    "orders_mode_priority" ->
+      """WITH counts AS (
+        |  SELECT o_orderstatus AS order_status, o_orderpriority AS mode_priority,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT order_status, mode_priority, n FROM counts
+        |QUALIFY row_number() OVER (PARTITION BY order_status
+        |                           ORDER BY n DESC, mode_priority ASC) = 1
+        |ORDER BY order_status""".stripMargin,
+    "lineitem_corr" ->
+      """WITH sums AS (
+        |  SELECT l_returnflag AS return_flag,
+        |         CAST(count(*) AS HUGEINT) AS n,
+        |         SUM(CAST(round(l_quantity) AS BIGINT)) AS sx,
+        |         SUM(CAST(round(l_extendedprice * 1e2) AS BIGINT)) AS sy,
+        |         SUM(CAST(round(l_quantity) AS BIGINT)
+        |           * CAST(round(l_quantity) AS BIGINT)) AS sxx,
+        |         SUM(CAST(round(l_extendedprice * 1e2) AS BIGINT)
+        |           * CAST(round(l_extendedprice * 1e2) AS BIGINT)) AS syy,
+        |         SUM(CAST(round(l_quantity) AS BIGINT)
+        |           * CAST(round(l_extendedprice * 1e2) AS BIGINT)) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT return_flag, CAST(n AS BIGINT) AS n,
+        |       CAST(n * sxy - sx * sy AS DOUBLE)
+        |         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price,
+        |       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * n AS DOUBLE) / 100.0
+        |         AS covar_pop_qty_price
+        |FROM sums ORDER BY return_flag""".stripMargin,
+    "sales_grouping_sets" ->
+      s"""SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS year,
+         |       o_orderstatus AS order_status,
+         |       ${Deterministic.exactSumSql("o_totalprice", 2)} AS total_revenue,
+         |       CAST(count(*) AS BIGINT) AS n_orders
+         |FROM orders
+         |GROUP BY GROUPING SETS ((1), (2), ())
+         |ORDER BY year ASC NULLS FIRST, order_status ASC NULLS FIRST""".stripMargin,
+    "docs_stratified_sample" -> {
+      val rateCase = SampleRates
+        .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${TextFunctions.md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 100
+         |      < (CASE lang $rateCase ELSE 0 END)
+         |ORDER BY doc_id""".stripMargin
+    },
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "range_join_price_band"  -> rangeJoinPriceBand _,
+    "orders_mode_priority"   -> ordersModePriority _,
+    "lineitem_corr"          -> lineitemCorr _,
+    "sales_grouping_sets"    -> salesGroupingSets _,
+    "docs_stratified_sample" -> docsStratifiedSample _,
+  )
+}
