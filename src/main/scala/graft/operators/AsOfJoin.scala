@@ -90,6 +90,21 @@ object AsOfJoin {
         carries.map(c => col(s"__carry.$c").alias(c))): _*)
   }
 
+  /** Forward as-of join: for each left row, attach the EARLIEST right row
+    * with the same key and `rightTime >= leftTime`. Implemented as the
+    * backward join on the negated time axis — same single-shuffle,
+    * no-candidate-blowup cost profile. Equal timestamps match (>= not >),
+    * mirroring DuckDB's `ASOF JOIN ... ON rt >= lt`.
+    */
+  def asOfForward(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTimeUs: Column, rightTimeUs: Column,
+      carries: Seq[String], rightTiebreak: String): DataFrame =
+    asOf(left, right, leftKey, rightKey,
+      leftTimeUs = -leftTimeUs, rightTimeUs = -rightTimeUs,
+      carries, rightTiebreak)
+
   /** Query: for each event, the user's most recent order at or before the
     * event timestamp (the canonical "state as of" point-in-time lookup —
     * e.g. attributing behavior to the order that preceded it). The right
@@ -121,7 +136,84 @@ object AsOfJoin {
       .orderBy("event_id")
   }
 
+  /** Query: forward as-of funnel — for each non-purchase event, the same
+    * user's next purchase at or after it ("did this behavior convert").
+    * The purchase side is pre-reduced to one row per (user, ts) — an
+    * as-of match among equal timestamps is engine-arbitrary otherwise;
+    * the max-id reduction pins it. Inner semantics: events after the
+    * user's last purchase drop. Oracle: DuckDB's native forward ASOF.
+    */
+  def eventsNextPurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = Tables.events(spark, sfDir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).alias("ts_us"))
+    val nonPurchase = all.filter(col("event_type") =!= "purchase")
+    val purchases = all.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").alias("p_user"),
+        col("ts_us").alias("next_purchase_ts_us"))
+      .agg(max(col("event_id")).alias("next_purchase_id"))
+
+    asOfForward(
+      left = nonPurchase, right = purchases,
+      leftKey = "user_id", rightKey = "p_user",
+      leftTimeUs = col("ts_us"),
+      rightTimeUs = col("next_purchase_ts_us"),
+      carries = Seq("next_purchase_id", "next_purchase_ts_us"),
+      rightTiebreak = "next_purchase_id")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("next_purchase_id"),
+        timestamp_micros(col("next_purchase_ts_us")).alias("next_purchase_ts"))
+      .orderBy("event_id")
+  }
+
+  /** Interval (temporal range) join: per purchase event, the same user's
+    * non-purchase activity in the preceding 30 minutes (the attribution
+    * window). The join is an equi-join on the user key with the time band
+    * as a residual predicate — it shuffles once on the key and never
+    * materializes pairs beyond each user's own (purchases × events);
+    * inner semantics (purchases with no in-window activity are absent).
+    */
+  def purchaseAttribution30m(spark: SparkSession, sfDir: String): DataFrame = {
+    val WindowUs = 30L * 60L * 1000000L
+    val all = Tables.events(spark, sfDir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).alias("ts_us"), col("value"))
+    val p = all.filter(col("event_type") === "purchase").select(
+      col("event_id").alias("purchase_id"), col("user_id").alias("p_user"),
+      col("ts_us").alias("p_us"))
+    val e = all.filter(col("event_type") =!= "purchase")
+    p.join(e, p("p_user") === e("user_id") &&
+        e("ts_us") < p("p_us") && e("ts_us") >= p("p_us") - WindowUs)
+      .groupBy(col("purchase_id"), col("p_user").alias("user_id"))
+      .agg(count(lit(1)).alias("n_prior_events"),
+        graft.functions.Deterministic.exactSum(col("value"), 2)
+          .alias("sum_prior_value"))
+      .orderBy("purchase_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "events_next_purchase" ->
+      """WITH p AS (
+        |  SELECT user_id AS p_user, ts AS pts, max(event_id) AS next_purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.event_type,
+        |       p.next_purchase_id, p.pts AS next_purchase_ts
+        |FROM events e ASOF JOIN p
+        |  ON e.user_id = p.p_user AND p.pts >= e.ts
+        |WHERE e.event_type != 'purchase'
+        |ORDER BY event_id""".stripMargin,
+    "purchase_attribution_30m" ->
+      s"""SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+         |       CAST(count(*) AS BIGINT) AS n_prior_events,
+         |       ${graft.functions.Deterministic.exactSumSql("e.value", 2)} AS sum_prior_value
+         |FROM events p JOIN events e
+         |  ON p.user_id = e.user_id
+         | AND epoch_us(CAST(e.ts AS TIMESTAMP)) < epoch_us(CAST(p.ts AS TIMESTAMP))
+         | AND epoch_us(CAST(e.ts AS TIMESTAMP))
+         |     >= epoch_us(CAST(p.ts AS TIMESTAMP)) - 1800000000
+         |WHERE p.event_type = 'purchase' AND e.event_type != 'purchase'
+         |GROUP BY 1, 2
+         |ORDER BY purchase_id""".stripMargin,
     "events_asof_order" ->
       """WITH op AS (
         |  SELECT o_custkey, o_orderdate AS ots, max(o_orderkey) AS asof_order_key
@@ -134,6 +226,8 @@ object AsOfJoin {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "events_asof_order" -> eventsAsofOrder _,
+    "events_asof_order"        -> eventsAsofOrder _,
+    "events_next_purchase"     -> eventsNextPurchase _,
+    "purchase_attribution_30m" -> purchaseAttribution30m _,
   )
 }

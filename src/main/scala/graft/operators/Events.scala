@@ -71,6 +71,24 @@ object Events {
         col("n_events"), col("sum_value"))
       .orderBy("hour_start", "event_type")
 
+  /** Sliding event-time window (1 hour long, sliding every 15 minutes):
+    * each event lands in 4 overlapping windows. Spark derives all window
+    * memberships per row map-side (`window(ts, len, slide)` explodes to
+    * len/slide rows), so the aggregation still shuffles once on
+    * (window, type) with partial aggregation — the 100 TB cost is the 4×
+    * pre-aggregation row expansion, not 4 passes over the input.
+    */
+  def slidingWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).alias("n_events"),
+        Deterministic.exactSum(col("value"), 2).alias("sum_value"))
+      .select(col("window.start").alias("window_start"),
+        col("window.end").alias("window_end"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
   /** Gap-based sessionization (30-minute inactivity gap): lag → boundary
     * flag → running sum = session id → per-session rollup. Batch analog of
     * `flatMapGroupsWithState` sessionization; microsecond arithmetic so
@@ -187,6 +205,24 @@ object Events {
          |       CAST(count(*) AS BIGINT) AS n_events,
          |       ${Deterministic.exactSumSql("value", 2)} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    // Window starts replicate Spark's epoch-aligned assignment: for slide
+    // s and length L, the k-th window of an event is
+    // floor_s(ts) - k·s for k = 0..L/s-1 — all µs-integer arithmetic.
+    "events_sliding_window" ->
+      s"""WITH e AS (
+         |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, value
+         |  FROM events),
+         |expanded AS (
+         |  SELECT ts_us - ts_us % 900000000 - k * 900000000 AS ws_us,
+         |         event_type, value
+         |  FROM e CROSS JOIN generate_series(0, 3) t(k))
+         |SELECT make_timestamp(ws_us) AS window_start,
+         |       make_timestamp(ws_us + 3600000000) AS window_end,
+         |       event_type,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       ${Deterministic.exactSumSql("value", 2)} AS sum_value
+         |FROM expanded GROUP BY 1, 2, 3
+         |ORDER BY window_start, event_type""".stripMargin,
     "events_sessionize" ->
       s"""WITH flagged AS (
          |  SELECT user_id, event_id, ts, value,
@@ -218,6 +254,7 @@ object Events {
     "events_pivot_by_type"   -> pivotByType _,
     "events_json_extract"    -> jsonExtract _,
     "events_hourly"          -> hourlyWindow _,
+    "events_sliding_window"  -> slidingWindow _,
     "events_sessionize"      -> sessionize _,
     "events_latest_per_user" -> latestPerUser _,
   )
