@@ -124,6 +124,43 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF (inverted-file) ANN: a second scale path beside the LSH buckets.
+    * Centroids are a deterministic corpus subsample (`vec_id % 97 == 0` —
+    * ~1% of the corpus, no trained model to store); every vector is
+    * assigned to its nearest centroid (one broadcast nested-loop over
+    * |C| centroids — the classic N·C assignment cost, map-side only);
+    * queries probe ONLY their own cell (nprobe=1). Recall is
+    * cell-bounded by construction; raising nprobe trades candidates for
+    * recall. The oracle replicates the algorithm, so the check is exact
+    * over the algorithm as specified.
+    */
+  def ivfAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = quantized(spark, sfDir)
+    val cents = base.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").alias("c_id"), col("v").alias("cv"), col("n2").alias("cn2"))
+    val w0 = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_score").desc, col("c_id").asc)
+    val cells = base.join(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("n2"), col("c_id"),
+        V.qcosineFrom(V.qdot(col("v"), col("cv")), col("n2"), col("cn2"))
+          .alias("c_score"))
+      .withColumn("rn", row_number().over(w0))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("n2"), col("c_id").alias("cell"))
+    val queryVecs = cells.filter(col("vec_id") < 10)
+      .select(col("vec_id").alias("query_id"), col("v").alias("qv"),
+        col("n2").alias("qn2"), col("cell").alias("qcell"))
+    val scored = cells.join(broadcast(queryVecs),
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").alias("neighbor_id"), col("cell"),
+        V.qcosineFrom(V.qdot(col("qv"), col("v")), col("qn2"), col("n2")).alias("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs (threshold 0.4 — the fixture
     * corpus has no planted near-identical vectors; the threshold catches
     * the top tail so the check is non-trivial at every SF).
@@ -208,6 +245,31 @@ object Similarity {
          |         ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
          |FROM scored QUALIFY rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+    "ivf_ann_cosine" ->
+      s"""WITH $quantizedSql,
+         |cents AS (
+         |  SELECT vec_id AS c_id, v AS cv, n2 AS cn2 FROM qn WHERE vec_id % 97 = 0),
+         |assign AS (
+         |  SELECT a.vec_id, a.v, a.n2, c.c_id,
+         |         row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |           ${V.qdotSql("a.v", "c.cv", Dim)} / (sqrt(a.n2) * sqrt(c.cn2)) DESC,
+         |           c.c_id ASC) AS rn
+         |  FROM qn a CROSS JOIN cents c),
+         |cells AS (
+         |  SELECT vec_id, v, n2, c_id AS cell FROM assign WHERE rn = 1),
+         |queries AS (
+         |  SELECT vec_id AS query_id, v AS qv, n2 AS qn2, cell AS qcell
+         |  FROM cells WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.query_id, b.vec_id AS neighbor_id, b.cell,
+         |         ${V.qdotSql("q.qv", "b.v", Dim)} / (sqrt(q.qn2) * sqrt(b.n2)) AS cos_sim
+         |  FROM cells b JOIN queries q
+         |    ON b.cell = q.qcell AND b.vec_id != q.query_id)
+         |SELECT query_id, neighbor_id, cell, cos_sim,
+         |       CAST(row_number() OVER (PARTITION BY query_id
+         |         ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+         |FROM scored QUALIFY rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
     "embedding_near_dup_lsh" ->
       s"""WITH $quantizedSql,
          |bucketed AS (
@@ -241,6 +303,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute_cosine"        -> knnBrute _,
     "ann_lsh_cosine"          -> annLsh _,
+    "ivf_ann_cosine"          -> ivfAnn _,
     "embedding_near_dup"      -> nearDupPairs _,
     "embedding_near_dup_lsh"  -> nearDupPairsLsh _,
     "similar_pairs_per_label" -> pairsPerLabel _,

@@ -51,6 +51,48 @@ object TextAnalysis {
         (count(lit(1)) / countDistinct(col("doc_id"))).alias("avg_tokens_per_doc"))
       .orderBy("lang")
 
+  /** BPE-ish greedy subword segmentation via one regex pass: maximal
+    * vowel runs and consonant runs (`[aeiou]+|[^aeiou ]+`) — the
+    * longest-match-wins behavior that makes byte-pair-style tokenizers
+    * regex-expressible. Pure per-row codegen'd work (`regexp_extract_all`),
+    * no shuffle until the trivial final sort — the right shape for
+    * token-counting 100 TB of text.
+    */
+  def bpeTokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        regexp_extract_all(col("text"), lit("[aeiou]+|[^aeiou ]+"), lit(0))
+          .alias("sub"))
+      .select(col("doc_id"),
+        size(col("sub")).alias("n_subtokens"),
+        size(array_distinct(col("sub"))).alias("n_unique_subtokens"))
+      .orderBy("doc_id")
+
+  /** Top-5 word bigrams per language, positional (every occurrence counts,
+    * unlike the distinct shingles of the dedup tier). The token array is
+    * materialized in its own projection BEFORE the index-walk — an inline
+    * `split` would re-evaluate per bigram (see
+    * [[TextFunctions.shingles]]'s performance contract).
+    */
+  def topBigramsPerLang(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"), TextFunctions.tokens(col("text")).alias("toks"))
+    val bigrams = toks.select(col("lang"),
+      explode(when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1))))
+        .otherwise(array().cast("array<string>"))).alias("bigram"))
+    val counts = bigrams.groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).alias("n"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("bigram").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .orderBy("lang", "rank")
+  }
+
   /** Approximate vocabulary via HyperLogLog — the 100 TB path for distinct
     * counting (no oracle: HLL estimates are engine-specific).
     */
@@ -147,6 +189,29 @@ object TextAnalysis {
         |SELECT doc_id, CAST(length(canonical) AS INT) AS canonical_len,
         |       md5(canonical) AS canonical_md5
         |FROM canon ORDER BY doc_id""".stripMargin,
+    "text_bpe_tokens" ->
+      """WITH seg AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[aeiou]+|[^aeiou ]+') AS sub
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(sub) AS INT) AS n_subtokens,
+        |       CAST(len(list_distinct(sub)) AS INT) AS n_unique_subtokens
+        |FROM seg ORDER BY doc_id""".stripMargin,
+    "top_bigrams_per_lang" ->
+      """WITH toks AS (
+        |  SELECT lang, doc_id, string_split(text, ' ') AS t FROM documents),
+        |bigrams AS (
+        |  SELECT lang, unnest(list_transform(
+        |    generate_series(1, greatest(len(t) - 1, 0)),
+        |    i -> t[i] || ' ' || t[i+1])) AS bigram
+        |  FROM toks),
+        |counts AS (
+        |  SELECT lang, bigram, CAST(count(*) AS BIGINT) AS n
+        |  FROM bigrams GROUP BY 1, 2)
+        |SELECT lang, bigram, n,
+        |       CAST(row_number() OVER (PARTITION BY lang
+        |         ORDER BY n DESC, bigram ASC) AS INT) AS rank
+        |FROM counts QUALIFY rank <= 5
+        |ORDER BY lang, rank""".stripMargin,
     "text_token_stats" ->
       """SELECT lang,
         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
@@ -192,6 +257,8 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_normalized_fingerprint" -> normalizedFingerprint _,
     "text_token_stats"  -> tokenStats _,
+    "text_bpe_tokens"   -> bpeTokens _,
+    "top_bigrams_per_lang" -> topBigramsPerLang _,
     "text_vocab_approx" -> vocabApprox _,
     "text_quality"      -> quality _,
     "text_langid"       -> langId _,
