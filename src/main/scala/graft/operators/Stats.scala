@@ -142,7 +142,36 @@ object Stats {
       .orderBy("doc_id")
   }
 
+  /** Skew-resilient fact-dim join: brand revenue through
+    * [[graft.functions.Skew.saltedJoin]] — the probe (lineitem) scatters
+    * each row across 8 salt buckets, the tiny build side (part)
+    * replicates to all of them, so a hot part key's rows land on 8
+    * reducers instead of one. Row-identical to the plain join by
+    * construction, which is exactly what the oracle asserts (the oracle
+    * is the UNSALTED join — any salting artifact fails the gate).
+    */
+  def skewJoinBrandRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+    val p = Tables.part(spark, sfDir)
+    graft.functions.Skew.saltedJoin(
+      probe = l, build = p,
+      probeKey = "l_partkey", buildKey = "p_partkey",
+      scatterOn = col("l_orderkey") * 8 + col("l_linenumber"),
+      saltBuckets = 8)
+      .groupBy(col("p_brand").alias("brand"))
+      .agg(count(lit(1)).alias("n_items"),
+        Deterministic.exactSum(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .alias("revenue"))
+      .orderBy("brand")
+  }
+
   val oracles: Map[String, String] = Map(
+    "skew_join_brand_revenue" ->
+      s"""SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n_items,
+         |       ${Deterministic.exactSumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1 ORDER BY brand""".stripMargin,
     "range_join_price_band" ->
       s"""WITH bands AS (
          |  SELECT i AS band_id, i * $BandWidth AS lo, (i + 1) * $BandWidth AS hi
@@ -205,5 +234,6 @@ object Stats {
     "lineitem_corr"          -> lineitemCorr _,
     "sales_grouping_sets"    -> salesGroupingSets _,
     "docs_stratified_sample" -> docsStratifiedSample _,
+    "skew_join_brand_revenue" -> skewJoinBrandRevenue _,
   )
 }

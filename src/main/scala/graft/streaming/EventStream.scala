@@ -76,6 +76,77 @@ object EventStream {
       }
   }
 
+  /** One gap-delimited session of [[sessionizeStateful]]. */
+  final case class Session(
+      user_id: Long, session_id: Long, n_events: Long,
+      session_start_us: Long, session_end_us: Long)
+
+  /** Per-user open-session continuation state. */
+  final case class SessionState(
+      next_id: Long, n: Long, start_us: Long, end_us: Long)
+
+  /** Gap-based sessionization (30-minute gap) via `flatMapGroupsWithState`
+    * — the streaming twin of the batch `events_sessionize` window
+    * pipeline. Each micro-batch sorts the user's new events (bounded:
+    * one user's batch slice), folds them into the open session carried in
+    * state, and emits every session touched this batch (update mode —
+    * a session spanning batches re-emits with its final extent). State is
+    * one open session per user; production would add an event-time
+    * timeout to flush idle users.
+    */
+  def sessionizeStateful(events: DataFrame): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val GapUs = 1800L * 1000000L
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).alias("ts_us"))
+      .as[EventLite]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        org.apache.spark.sql.streaming.OutputMode.Update,
+        GroupStateTimeout.NoTimeout) { (uid, it, state) =>
+        // micro-batch iterators carry no ordering guarantee — sort the
+        // user's slice (bounded by the batch) before folding
+        val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+        var st = state.getOption.getOrElse(SessionState(1L, 0L, 0L, Long.MinValue))
+        val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+        def emit(): Unit = if (st.n > 0)
+          out += Session(uid, st.next_id, st.n, st.start_us, st.end_us)
+        sorted.foreach { e =>
+          if (st.n > 0 && e.ts_us - st.end_us > GapUs) {
+            emit()
+            st = SessionState(st.next_id + 1, 0L, 0L, Long.MinValue)
+          }
+          st = st.copy(n = st.n + 1,
+            start_us = if (st.n == 0) e.ts_us else st.start_us,
+            end_us = math.max(st.end_us, e.ts_us))
+        }
+        emit()
+        state.update(st)
+        out.iterator
+      }
+  }
+
+  /** Stream-stream interval join: purchases joined to the same user's
+    * non-purchase events in the preceding 30 minutes — the streaming twin
+    * of the batch `purchase_attribution_30m` pair set. Both sides carry
+    * watermarks and the join condition bounds event time on both, so
+    * Spark can evict join state past `watermark + interval`.
+    */
+  def purchaseAttributionPairs(purchases: DataFrame, others: DataFrame): DataFrame = {
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("event_id").alias("purchase_id"), col("user_id").alias("p_user"),
+        col("ts").alias("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val e = others.filter(col("event_type") =!= "purchase")
+      .select(col("event_id").alias("prior_event_id"), col("user_id"), col("ts"))
+      .withWatermark("ts", "2 hours")
+    p.join(e,
+      col("p_user") === col("user_id") &&
+        col("ts") < col("p_ts") &&
+        col("ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+  }
+
   /** Streaming exact dedup by event id within the watermark horizon —
     * the ingestion-side guard against at-least-once source duplicates.
     * State holds one entry per id seen within the watermark; eviction is

@@ -44,6 +44,53 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("flatMapGroupsWithState sessionization equals the batch events_sessionize") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream4")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = EventStream.readEvents(spark, dir.toString)
+    val query = EventStream.runToMemory(
+      EventStream.sessionizeStateful(stream).toDF(), "session_smoke", "update")
+    try {
+      // single input file → one micro-batch → every session emitted once
+      val streamed = spark.table("session_smoke")
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("session_start_us"), col("session_end_us"))
+      val batch = q("events_sessionize").select(col("user_id"), col("session_id"),
+        col("n_events"),
+        unix_micros(col("session_start")).alias("session_start_us"),
+        unix_micros(col("session_end")).alias("session_end_us"))
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0)
+    } finally query.stop()
+  }
+
+  test("stream-stream interval join matches the batch attribution pair count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream5")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val joined = EventStream.purchaseAttributionPairs(
+      EventStream.readEvents(spark, dir.toString),
+      EventStream.readEvents(spark, dir.toString))
+    assert(joined.isStreaming)
+    val query = EventStream.runToMemory(joined, "attr_smoke", "append")
+    try {
+      val e = Tables.events(spark, sf)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").alias("purchase_id"), col("user_id").alias("p_user"),
+          col("ts").alias("p_ts"))
+      val o = e.filter(col("event_type") =!= "purchase")
+        .select(col("event_id").alias("prior_event_id"), col("user_id"), col("ts"))
+      val batchPairs = p.join(o,
+        col("p_user") === col("user_id") && col("ts") < col("p_ts") &&
+          col("ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES")).count()
+      assert(spark.table("attr_smoke").count() == batchPairs)
+      assert(batchPairs > 0)
+    } finally query.stop()
+  }
+
   test("stateful mapGroupsWithState latest-per-user equals the batch query") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream2")
     java.nio.file.Files.copy(
