@@ -10,6 +10,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warm-up at the smallest SF: JIT-compiles the parquet
+    // reader, whole-stage codegen, and shuffle paths once, so the timed
+    // numbers measure the queries rather than JVM warm-up (which
+    // otherwise lands arbitrarily on whichever query runs first).
+    val warmSf = "/root/testdata/sf0.001"
+    if (new java.io.File(warmSf).isDirectory) {
+      SparkEntry.queries.valuesIterator
+        .foreach(fn => try fn(spark, warmSf).count() catch { case _: Throwable => })
+      spark.catalog.clearCache()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
