@@ -98,6 +98,32 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Containment (overlap-coefficient) near-dup pairs:
+    * `|A∩B| / min(|A|,|B|)` ≥ 0.8 — the asymmetric-length complement to
+    * Jaccard: a short document embedded verbatim in a long one scores
+    * near 1.0 here but low on Jaccard (union-normalized), which is why
+    * training-data dedup runs both. Same candidate generation as
+    * [[ngramJaccard]] (shared shingle cache + hash-keyed self-join).
+    */
+  def containment(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingled(spark, sfDir)
+    val exploded = sh.select(col("doc_id"),
+      explode(col("sh")).alias("s"))
+      .select(col("doc_id"), TextFunctions.md5Hash60(col("s")).alias("hs"))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).alias("n"))
+    exploded.alias("a")
+      .join(exploded.alias("b"),
+        col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").alias("doc_a"), col("b.doc_id").alias("doc_b"))
+      .agg(count(lit(1)).alias("n_common"))
+      .join(sizes.alias("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.alias("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        (col("n_common") / least(col("sa.n"), col("sb.n"))).alias("containment"))
+      .filter(col("containment") >= 0.8)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** 16 min-hashes per document (array<long>) from ONE md5 per shingle:
     * base hash h = md5_60(shingle) mod p (p = 2³¹-1), permuted through 16
     * affine maps h ↦ (a_i·h + b_i) mod p.
@@ -237,6 +263,19 @@ object Dedup {
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "dedup_ngram_jaccard" -> exhaustivePairsSql,
     "dedup_minhash_lsh"   -> exhaustivePairsSql,
+    "dedup_containment" ->
+      s"""WITH $shingleCte,
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(count(*) AS BIGINT) AS n_common
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_common,
+         |       n_common / least(sa.n, sb.n) AS containment
+         |FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+         |           JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE n_common / least(sa.n, sb.n) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_survivors" ->
       s"""WITH $shingleCte,
          |inter AS (
@@ -271,6 +310,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> exact _,
     "dedup_ngram_jaccard" -> ngramJaccard _,
+    "dedup_containment"   -> containment _,
     "dedup_minhash_lsh"   -> minhashLsh _,
     "dedup_survivors"     -> survivors _,
     "dedup_simhash"       -> simhash _,

@@ -112,7 +112,51 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** Oracle-checked frame-sampling query: every 2nd 256-byte frame of the
+    * payload (documents text as the stand-in payload, like [[features]]),
+    * one output row per sampled frame with its content hash — the batch
+    * shape of video frame-sampling (explode AFTER the narrow slice; raw
+    * payload never shuffles, only the 256-byte frames do).
+    */
+  def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val fb = MediaCodecStub.FrameBytes
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id").alias("media_id"), col("text").alias("payload"),
+        expr(s"CAST((length(text) + ${fb - 1}) div $fb AS INT)").alias("n_frames"))
+      .select(col("media_id"),
+        // empty payload → 0 frames; guard because Spark's sequence(0, -1, 2)
+        // errors rather than returning empty like generate_series
+        explode(when(col("n_frames") >= 1,
+          sequence(lit(0), col("n_frames") - 1, lit(2)))
+          .otherwise(array().cast("array<int>"))).alias("frame_idx"),
+        col("payload"))
+      .select(col("media_id"), col("frame_idx"),
+        length(expr(s"substring(payload, frame_idx * $fb + 1, $fb)"))
+          .alias("frame_len"),
+        md5(expr(s"substring(payload, frame_idx * $fb + 1, $fb)").cast("binary"))
+          .alias("frame_md5"))
+      .orderBy("media_id", "frame_idx")
+  }
+
   val oracles: Map[String, String] = Map(
+    "multimodal_frame_sample" ->
+      s"""WITH base AS (
+         |  SELECT doc_id AS media_id, text AS payload,
+         |         CAST((length(text) + ${MediaCodecStub.FrameBytes - 1})
+         |              // ${MediaCodecStub.FrameBytes} AS INT) AS n_frames
+         |  FROM documents),
+         |sampled AS (
+         |  SELECT media_id,
+         |         unnest(generate_series(0, n_frames - 1, 2)) AS frame_idx,
+         |         payload
+         |  FROM base)
+         |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+         |       CAST(length(substring(payload, frame_idx * ${MediaCodecStub.FrameBytes} + 1,
+         |            ${MediaCodecStub.FrameBytes})) AS INT) AS frame_len,
+         |       md5(substring(payload, frame_idx * ${MediaCodecStub.FrameBytes} + 1,
+         |            ${MediaCodecStub.FrameBytes})) AS frame_md5
+         |FROM sampled
+         |ORDER BY media_id, frame_idx""".stripMargin,
     "multimodal_features" ->
       s"""SELECT doc_id AS media_id,
          |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -124,5 +168,6 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> features _,
+    "multimodal_frame_sample" -> frameSample _,
   )
 }

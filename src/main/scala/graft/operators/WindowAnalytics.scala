@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Deterministic
 
 /** Windowed analytics and exact distribution statistics beyond the basic
   * rank window (SURVEY.md §2c "window functions: none in reference").
@@ -87,7 +88,46 @@ object WindowAnalytics {
         percentile(col("o_totalprice"), lit(0.75)).alias("p75"))
       .orderBy("order_status")
 
+  /** RANGE-frame window: for each order, the same customer's order count
+    * and exact revenue over the TRAILING 30 DAYS (value-based frame, not
+    * row-based — simultaneous/drought periods change the frame width per
+    * row). Ordering key is the epoch-day integer, so the frame bound is
+    * an exact integer offset in both engines; the framed sum runs over
+    * quantized longs (tree-accumulation-safe) and divides once per row.
+    * One shuffle on the customer key, like every window here.
+    */
+  def customerOrders30d(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("customer_key"))
+      .orderBy(col("day_num"))
+      .rangeBetween(-30, 0)
+    Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey").alias("order_key"),
+        col("o_custkey").alias("customer_key"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+          .cast("long").alias("day_num"),
+        Deterministic.quantize(col("o_totalprice"), 2).alias("price_q"))
+      .select(col("order_key"), col("customer_key"), col("day_num"),
+        count(lit(1)).over(w).alias("n_orders_30d"),
+        (sum(col("price_q")).over(w) / lit(100.0)).cast("double")
+          .alias("revenue_30d"))
+      .orderBy("order_key")
+  }
+
   val oracles: Map[String, String] = Map(
+    "customer_orders_30d" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS order_key, o_custkey AS customer_key,
+        |         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_num,
+        |         CAST(round(o_totalprice * 1e2) AS BIGINT) AS price_q
+        |  FROM orders)
+        |SELECT order_key, customer_key, CAST(day_num AS BIGINT) AS day_num,
+        |       CAST(count(*) OVER w AS BIGINT) AS n_orders_30d,
+        |       CAST(CAST(sum(price_q) OVER w AS BIGINT) / 100.0 AS DOUBLE) AS revenue_30d
+        |FROM base
+        |WINDOW w AS (PARTITION BY customer_key ORDER BY day_num
+        |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY order_key""".stripMargin,
     "order_price_quantiles" ->
       """SELECT o_orderstatus AS order_status,
         |       quantile_cont(o_totalprice, 0.25) AS p25,
@@ -135,6 +175,7 @@ object WindowAnalytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "customer_order_timeline" -> customerOrderTimeline _,
+    "customer_orders_30d"     -> customerOrders30d _,
     "order_price_stats"       -> orderPriceStats _,
     "order_price_quantiles"   -> orderPriceQuantiles _,
   )
