@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, Stats}
+
+class StatsSpec extends SparkSpec {
+
+  test("range join covers every order exactly once (bands partition the domain)") {
+    val banded = q("range_join_price_band")
+    val total = banded.agg(sum("n_orders")).head.getLong(0)
+    assert(total == Tables.orders(spark, sf).count())
+    // band boundaries are half-open: lo <= price < hi, so no double count
+    assert(banded.select("band_id").distinct().count() == banded.count())
+  }
+
+  test("mode is the argmax of the per-group counts with the pinned tiebreak") {
+    val m = q("orders_mode_priority").collect()
+    val counts = Tables.orders(spark, sf)
+      .groupBy("o_orderstatus", "o_orderpriority").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    for (row <- m) {
+      val (status, mode, n) = (row.getString(0), row.getString(1), row.getLong(2))
+      val group = counts.filter(_._1 == status)
+      assert(n == group.map(_._3).max)
+      // tie → lexicographically smallest priority wins
+      assert(mode == group.filter(_._3 == n).map(_._2).min)
+    }
+  }
+
+  test("exact-power-sum correlation matches Spark's corr to double precision") {
+    val got = q("lineitem_corr").select("return_flag", "corr_qty_price").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val ref = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).alias("c")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // Spark's corr is a streaming-moment implementation; ours is exact
+    // integer sums — they agree to ~1e-9 relative, not bit-exactly
+    for ((k, v) <- got) assert(math.abs(v - ref(k)) < 1e-9, s"$k: $v vs ${ref(k)}")
+  }
+
+  test("grouping sets emits per-year, per-status, and grand-total rows only") {
+    val gs = q("sales_grouping_sets").collect()
+    val nYears = Tables.orders(spark, sf)
+      .select(year(to_date(col("o_orderdate")))).distinct().count()
+    val nStatus = Tables.orders(spark, sf)
+      .select("o_orderstatus").distinct().count()
+    assert(gs.length == nYears + nStatus + 1)
+    // no cross rows: year and status never both non-null
+    assert(!gs.exists(r => !r.isNullAt(0) && !r.isNullAt(1)))
+    val grand = gs.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1 &&
+      grand.head.getLong(3) == Tables.orders(spark, sf).count())
+  }
+
+  test("stratified sample is a deterministic subset with per-stratum thinning") {
+    val s1 = q("docs_stratified_sample").collect()
+    val s2 = q("docs_stratified_sample").collect()
+    assert(s1.toSeq == s2.toSeq) // same plan, same rows, same order
+    val byLang = s1.groupBy(_.getString(1)).map { case (l, rs) => l -> rs.length }
+    val totals = Tables.documents(spark, sf).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en is thinned to ~10%, others ~40% — allow wide hash variance at sf0.001
+    assert(byLang("en").toDouble / totals("en") < 0.25)
+    assert(byLang("de").toDouble / totals("de") > 0.2)
+  }
+
+  test("salted join result is row-identical to the plain join") {
+    val salted = q("skew_join_brand_revenue")
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").alias("brand"))
+      .agg(count(lit(1)).alias("n_items"))
+    assert(salted.select("brand", "n_items").exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted.select("brand", "n_items")).count() == 0)
+  }
+
+  test("asOfForward picks the earliest right row at-or-after each left time") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L), (2L, 100L, 21L), (3L, 100L, 99L))
+      .toDF("lid", "k", "lt")
+    val right = Seq((7L, 100L, 10L), (8L, 100L, 20L), (9L, 100L, 30L))
+      .toDF("rid", "rk", "rt")
+    val out = AsOfJoin.asOfForward(left, right,
+        leftKey = "k", rightKey = "rk",
+        leftTimeUs = col("lt"), rightTimeUs = col("rt"),
+        carries = Seq("rid"), rightTiebreak = "rid")
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // lid 1 at t=10 → rid 7 (inclusive); lid 2 at t=21 → rid 9 (next after);
+    // lid 3 at t=99 → nothing later → dropped (inner semantics)
+    assert(out == Map(1L -> 7L, 2L -> 9L))
+  }
+
+  test("sliding window emits each event into 4 windows") {
+    val sliding = q("events_sliding_window")
+    val total = sliding.agg(sum("n_events")).head.getLong(0)
+    assert(total == Tables.events(spark, sf).count() * 4)
+  }
+
+  test("containment dominates Jaccard on every candidate pair") {
+    val j = q("dedup_ngram_jaccard").select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val c = q("dedup_containment").select("doc_a", "doc_b", "containment").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // |A∩B|/min ≥ |A∩B|/union: every Jaccard pair ≥0.8 must appear here
+    for ((pair, jac) <- j) assert(c.contains(pair) && c(pair) >= jac - 1e-12)
+  }
+
+  test("frame sampling takes every 2nd frame with the tail frame short") {
+    val fs = q("multimodal_frame_sample").collect()
+    val byDoc = fs.groupBy(_.getLong(0))
+    val lens = Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).alias("len")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for ((id, rows) <- byDoc) {
+      val nFrames = (lens(id) + 255) / 256
+      assert(rows.length == (nFrames + 1) / 2) // indices 0,2,4,...
+      for (r <- rows) {
+        val idx = r.getInt(1)
+        val expected = math.min(256, lens(id) - idx * 256)
+        assert(r.getInt(2) == expected)
+      }
+    }
+  }
+}
