@@ -114,6 +114,62 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** Per-user ordered event-type path (first 20 events): list aggregation
+    * with a PINNED order — `collect_list` alone is partition-order-
+    * nondeterministic, so the elements carry their (ts, event_id) sort key
+    * into the array and `sort_array` orders them post-aggregation (struct
+    * ordering is field-by-field), making the result engine-reproducible.
+    * One shuffle on user_id; the path string never exceeds 20 segments.
+    */
+  def userEventPaths(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).alias("ts_us"),
+        col("event_id"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(collect_list(struct(col("ts_us"), col("event_id"), col("event_type")))
+        .alias("evs"))
+      .select(col("user_id"),
+        array_join(
+          slice(transform(sort_array(col("evs")), e => e.getField("event_type")),
+            1, 20), ">").alias("path"),
+        size(col("evs")).alias("n_events"))
+      .orderBy("user_id")
+
+  /** Multi-step funnel: of the users who signed up, how many clicked at
+    * or after their first signup, and of those how many purchased at or
+    * after that first click — per-user min-timestamps per stage, compared
+    * in sequence. One aggregation keyed on user (conditional mins), one
+    * tiny rollup; no self-joins, no row explosion — the 100 TB funnel
+    * shape.
+    */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).alias("ts_us"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts_us"))).alias("t_signup"))
+    // stage gates: click counts only at-or-after the first signup; the
+    // purchase only at-or-after that gated click — recompute the gated
+    // times from the raw table to keep min-per-condition exact
+    val gated = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).alias("ts_us"))
+      .join(perUser.select(col("user_id"), col("t_signup")), Seq("user_id"))
+      .filter(col("t_signup").isNotNull)
+      .groupBy(col("user_id"), col("t_signup"))
+      .agg(min(when(col("event_type") === "click" && col("ts_us") >= col("t_signup"),
+        col("ts_us"))).alias("t_click"))
+    val gated2 = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).alias("ts_us"))
+      .join(gated, Seq("user_id"))
+      .groupBy(col("user_id"), col("t_signup"), col("t_click"))
+      .agg(min(when(col("event_type") === "purchase" && col("ts_us") >= col("t_click"),
+        col("ts_us"))).alias("t_buy"))
+    gated2.agg(
+      count(lit(1)).alias("n_signup"),
+      count(col("t_click")).alias("n_click_after_signup"),
+      count(col("t_buy")).alias("n_purchase_after_click"))
+  }
+
   /** Cohort retention: users grouped by first-activity day-bucket
     * (7-day cohorts from the corpus epoch), counted by how many distinct
     * users of each cohort are active in each subsequent bucket. The
@@ -205,6 +261,38 @@ object Events {
          |       CAST(count(*) AS BIGINT) AS n_events,
          |       ${Deterministic.exactSumSql("value", 2)} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "user_event_paths" ->
+      """SELECT user_id,
+        |       array_to_string(list_slice(
+        |         list(event_type ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id),
+        |         1, 20), '>') AS path,
+        |       CAST(count(*) AS INT) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "events_funnel" ->
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'signup'
+        |             THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_signup
+        |  FROM events GROUP BY 1),
+        |gated AS (
+        |  SELECT e.user_id, p.t_signup,
+        |         min(CASE WHEN e.event_type = 'click'
+        |                  AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= p.t_signup
+        |             THEN epoch_us(CAST(e.ts AS TIMESTAMP)) END) AS t_click
+        |  FROM events e JOIN per_user p ON e.user_id = p.user_id
+        |  WHERE p.t_signup IS NOT NULL
+        |  GROUP BY 1, 2),
+        |gated2 AS (
+        |  SELECT e.user_id, g.t_signup, g.t_click,
+        |         min(CASE WHEN e.event_type = 'purchase'
+        |                  AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= g.t_click
+        |             THEN epoch_us(CAST(e.ts AS TIMESTAMP)) END) AS t_buy
+        |  FROM events e JOIN gated g ON e.user_id = g.user_id
+        |  GROUP BY 1, 2, 3)
+        |SELECT CAST(count(*) AS BIGINT) AS n_signup,
+        |       CAST(count(t_click) AS BIGINT) AS n_click_after_signup,
+        |       CAST(count(t_buy) AS BIGINT) AS n_purchase_after_click
+        |FROM gated2""".stripMargin,
     // Window starts replicate Spark's epoch-aligned assignment: for slide
     // s and length L, the k-th window of an event is
     // floor_s(ts) - k·s for k = 0..L/s-1 — all µs-integer arithmetic.
@@ -255,6 +343,8 @@ object Events {
     "events_json_extract"    -> jsonExtract _,
     "events_hourly"          -> hourlyWindow _,
     "events_sliding_window"  -> slidingWindow _,
+    "user_event_paths"       -> userEventPaths _,
+    "events_funnel"          -> funnel _,
     "events_sessionize"      -> sessionize _,
     "events_latest_per_user" -> latestPerUser _,
   )
