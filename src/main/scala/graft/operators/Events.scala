@@ -225,7 +225,31 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Unpivot (melt): the wide per-user type-count matrix of
+    * [[pivotByType]] back to long form — `Dataset.unpivot` plans as a
+    * single `Expand` (each input row emits one row per value column,
+    * map-side; no shuffle beyond the pivot's own). Zero counts are kept,
+    * so pivot→unpivot is lossless and the long form is
+    * (users × |EventTypes|) exactly.
+    */
+  def unpivotByType(spark: SparkSession, sfDir: String): DataFrame =
+    pivotByType(spark, sfDir)
+      .unpivot(Array(col("user_id")), EventTypes.map(col).toArray,
+        "event_type", "n_events")
+      .orderBy("user_id", "event_type")
+
   val oracles: Map[String, String] = Map(
+    "events_unpivot_by_type" ->
+      """WITH types AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),
+        |users AS (SELECT DISTINCT user_id FROM events),
+        |counts AS (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT u.user_id AS user_id, t.event_type AS event_type,
+        |       COALESCE(c.n, 0) AS n_events
+        |FROM users u CROSS JOIN types t
+        |LEFT JOIN counts c ON c.user_id = u.user_id AND c.event_type = t.event_type
+        |ORDER BY u.user_id, t.event_type""".stripMargin,
     "events_from_json" ->
       """SELECT event_id, CAST(props->>'k' AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
@@ -345,6 +369,7 @@ object Events {
     "events_sliding_window"  -> slidingWindow _,
     "user_event_paths"       -> userEventPaths _,
     "events_funnel"          -> funnel _,
+    "events_unpivot_by_type" -> unpivotByType _,
     "events_sessionize"      -> sessionize _,
     "events_latest_per_user" -> latestPerUser _,
   )
