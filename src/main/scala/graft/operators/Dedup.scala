@@ -216,7 +216,7 @@ object Dedup {
     * hash). MSB-first fold avoids any shift function. Pure nested
     * higher-order expressions.
     */
-  def simhash(spark: SparkSession, sfDir: String): DataFrame =
+  private def simhashSigs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.loadSpread(spark, sfDir, "documents")
       .select(col("doc_id"),
         expr(s"transform(split(text, ' '), t -> ${md5Hash60SqlSpark("t")})").alias("hashes"))
@@ -229,11 +229,62 @@ object Dedup {
           |       (a, h) -> a + (CASE WHEN (h div CAST(pow(2, b) AS BIGINT)) % 2 = 1
           |                      THEN 1 ELSE -1 END)) > 0
           |     THEN 1 ELSE 0 END))""".stripMargin).alias("simhash"))
-      .orderBy("doc_id")
+      // shared by the signature query and the banded pair join (both
+      // sides of the self-join) — one signature pass per session
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  def simhash(spark: SparkSession, sfDir: String): DataFrame =
+    simhashSigs(spark, sfDir).orderBy("doc_id")
+
+  /** SimHash near-dup pairs (Hamming ≤ 3) through a band-bucket join that
+    * is PROVABLY lossless here: the 60-bit signature splits into 4
+    * 15-bit bands, and ≤3 differing bits can touch at most 3 bands
+    * (pigeonhole), so every qualifying pair shares ≥1 exact band — the
+    * equi-join on (band index, band value) proposes a candidate superset
+    * and `bit_count(xor)` verifies exactly. The oracle is the exhaustive
+    * all-pairs scan; equality is structural, not probabilistic. At 100 TB
+    * the join shuffles on small int band keys — never the cross product.
+    */
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = simhashSigs(spark, sfDir)
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      explode(expr(
+        "transform(sequence(0, 3), b -> struct(b AS band, (simhash div CAST(pow(2, b * 15) AS BIGINT)) % 32768 AS v))"))
+        .alias("bv"))
+      .select(col("doc_id"), col("simhash"),
+        col("bv.band").alias("band"), col("bv.v").alias("v"))
+    banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").alias("doc_a"), col("b.doc_id").alias("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).alias("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct() // a pair can share several bands
+      .orderBy("doc_a", "doc_b")
+  }
 
   /** Spark-SQL-dialect twin of TextFunctions.md5Hash60Sql (conv vs CAST). */
   private def md5Hash60SqlSpark(e: String): String =
     s"CAST(conv(substring(md5($e), 18, 15), 16, 10) AS BIGINT)"
+
+  /** DuckDB twin of [[simhashSigs]] — keep in sync. */
+  private val simhashCteSql =
+    """hashed AS (
+      |  SELECT doc_id,
+      |         list_transform(string_split(text, ' '),
+      |           t -> CAST('0x' || substr(md5(t), 18, 15) AS BIGINT)) AS hashes
+      |  FROM documents),
+      |sims AS (
+      |  SELECT doc_id,
+      |       list_reduce(
+      |         list_prepend(CAST(0 AS BIGINT), generate_series(59, 0, -1)),
+      |         (acc, b) -> acc * 2 + (CASE WHEN
+      |            list_sum(list_transform(hashes,
+      |              h -> CASE WHEN (h // CAST(pow(2, b) AS BIGINT)) % 2 = 1
+      |                   THEN 1 ELSE -1 END)) > 0
+      |            THEN 1 ELSE 0 END)) AS simhash
+      |  FROM hashed)""".stripMargin
 
   private val shingleCte =
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -291,20 +342,17 @@ object Dedup {
          |WHERE doc_id NOT IN (SELECT doc_id FROM removals)
          |ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
-      """WITH hashed AS (
-        |  SELECT doc_id,
-        |         list_transform(string_split(text, ' '),
-        |           t -> CAST('0x' || substr(md5(t), 18, 15) AS BIGINT)) AS hashes
-        |  FROM documents)
-        |SELECT doc_id,
-        |       list_reduce(
-        |         list_prepend(CAST(0 AS BIGINT), generate_series(59, 0, -1)),
-        |         (acc, b) -> acc * 2 + (CASE WHEN
-        |            list_sum(list_transform(hashes,
-        |              h -> CASE WHEN (h // CAST(pow(2, b) AS BIGINT)) % 2 = 1
-        |                   THEN 1 ELSE -1 END)) > 0
-        |            THEN 1 ELSE 0 END)) AS simhash
-        |FROM hashed ORDER BY doc_id""".stripMargin,
+      s"""WITH $simhashCteSql
+         |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin,
+    // exhaustive all-pairs oracle — the banded Spark plan provably equals
+    // it (pigeonhole over 4 bands; see simhashPairs doc)
+    "dedup_simhash_pairs" ->
+      s"""WITH $simhashCteSql
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -314,5 +362,6 @@ object Dedup {
     "dedup_minhash_lsh"   -> minhashLsh _,
     "dedup_survivors"     -> survivors _,
     "dedup_simhash"       -> simhash _,
+    "dedup_simhash_pairs" -> simhashPairs _,
   )
 }
