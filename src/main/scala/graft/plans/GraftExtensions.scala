@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_long_dot"),
       new ExpressionInfo(classOf[LongArrayDot].getName, "graft_long_dot"),
       (exprs: Seq[Expression]) => GraftFunctions.build(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("graft_simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash60"),
+      (exprs: Seq[Expression]) => GraftFunctions.buildSimHash(exprs)))
     e.injectOptimizerRule(_ => RewriteHofDotProduct)
   }
 }

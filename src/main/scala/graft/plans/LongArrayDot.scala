@@ -92,14 +92,27 @@ object GraftFunctions {
     GraftSqlBridge.column(LongArrayDot(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
-  /** Register `graft_long_dot` for SQL-text callers. */
-  def register(spark: SparkSession): Unit =
+  /** `simhash60(hashes)` as a Column — usable without any registration. */
+  def simHash60(a: Column): Column =
+    GraftSqlBridge.column(SimHash60(GraftSqlBridge.expression(a)))
+
+  /** Register `graft_long_dot` + `graft_simhash60` for SQL-text callers. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_long_dot", build, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash60", buildSimHash, "built-in")
+  }
 
   private[plans] def build(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2,
       s"graft_long_dot expects 2 arguments, got ${exprs.length}")
     LongArrayDot(exprs.head, exprs(1))
+  }
+
+  private[plans] def buildSimHash(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1,
+      s"graft_simhash60 expects 1 argument, got ${exprs.length}")
+    SimHash60(exprs.head)
   }
 }

@@ -1,0 +1,83 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, LongArraySingleInputType}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Codegen'd 60-bit SimHash from an array of token hashes:
+  * bit b of the result is set iff more tokens have bit b set than clear
+  * (the classic sign-of-column-sum signature).
+  *
+  * Semantics are EXACTLY the higher-order-function spelling used by the
+  * DuckDB oracle (`aggregate(sequence(59,0,-1), ...)` over per-token ±1
+  * votes): a null token hash votes −1 on every bit (the SQL CASE's ELSE
+  * branch), a null array yields null. The HOF form walks the token array
+  * 60 times through interpreted lambdas (~O(60·T) closure calls per
+  * document — measured ~5 s for 5 000 docs at sf0.1); this expression is
+  * one compiled pass that counts all 60 bit positions per token
+  * (~50 ms for the same input), which is what a 100 TB signature scan
+  * needs.
+  */
+case class SimHash60(child: Expression)
+    extends UnaryExpression with LongArraySingleInputType {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val cnt = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) == 1L) cnt(b) += 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var acc = 0L
+    var b = 59
+    while (b >= 0) {
+      // vote sum = cnt - (n - cnt) > 0  ⟺  2·cnt > n
+      acc = (acc << 1) + (if (2 * cnt(b) > n) 1L else 0L)
+      b -= 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val cnt = ctx.freshName("cnt")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $cnt = new int[60];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    long $h = $a.getLong($i);
+         |    for (int $b = 0; $b < 60; $b++) {
+         |      if ((($h >>> $b) & 1L) == 1L) $cnt[$b]++;
+         |    }
+         |  }
+         |}
+         |long $acc = 0L;
+         |for (int $b = 59; $b >= 0; $b--) {
+         |  $acc = ($acc << 1) + ((2 * $cnt[$b] > $n) ? 1L : 0L);
+         |}
+         |${ev.value} = $acc;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

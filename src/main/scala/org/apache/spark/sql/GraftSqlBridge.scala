@@ -21,3 +21,10 @@ trait LongArrayInputTypes
   override def inputTypes: Seq[types.AbstractDataType] =
     Seq(types.ArrayType(types.LongType), types.ArrayType(types.LongType))
 }
+
+/** Single-argument variant of [[LongArrayInputTypes]]. */
+trait LongArraySingleInputType
+    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[types.AbstractDataType] =
+    Seq(types.ArrayType(types.LongType))
+}

@@ -29,6 +29,42 @@ class SkewExtensionsSpec extends SparkSpec {
     assert(r == 32L)
   }
 
+  test("SimHash60 equals the interpreted HOF spelling on the fixture corpus") {
+    val hofSig = expr(
+      """aggregate(
+        |  sequence(59, 0, -1),
+        |  CAST(0 AS BIGINT),
+        |  (acc, b) -> acc * 2 + (CASE WHEN
+        |     aggregate(hashes, CAST(0 AS BIGINT),
+        |       (a, h) -> a + (CASE WHEN (h div CAST(pow(2, b) AS BIGINT)) % 2 = 1
+        |                      THEN 1 ELSE -1 END)) > 0
+        |     THEN 1 ELSE 0 END))""".stripMargin)
+    val hashed = Tables.documents(spark, sf)
+      .select(col("doc_id"), expr(
+        "transform(split(text, ' '), t -> CAST(conv(substring(md5(t), 18, 15), 16, 10) AS BIGINT))")
+        .alias("hashes"))
+    val diff = hashed
+      .select(col("doc_id"), hofSig.alias("a"),
+        GraftFunctions.simHash60(col("hashes")).alias("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+  }
+
+  test("SimHash60 edge semantics: null votes -1 everywhere, empty array is zero, null array is null") {
+    GraftFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT graft_simhash60(array(CAST(NULL AS BIGINT), 7L)) AS with_null,
+        |       graft_simhash60(array(7L)) AS single,
+        |       graft_simhash60(CAST(array() AS array<bigint>)) AS empty,
+        |       graft_simhash60(CAST(NULL AS array<bigint>)) AS null_arr""".stripMargin)
+      .collect()(0)
+    // [null, 7]: each bit gets votes (-1, ±1) → sum ≤ 0 → no bit set
+    assert(rows.getLong(0) == 0L)
+    assert(rows.getLong(1) == 7L) // single element: its bits win
+    assert(rows.getLong(2) == 0L) // zero votes → sum 0 → not > 0
+    assert(rows.isNullAt(3))
+  }
+
   test("GraftExtensions wires the same function at session-extension level") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.plans.GraftExtensions().apply(ext) // must register cleanly
