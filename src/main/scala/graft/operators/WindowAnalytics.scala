@@ -114,6 +114,22 @@ object WindowAnalytics {
       .orderBy("order_key")
   }
 
+  /** Scale path of the exact quantiles: `approx_percentile` (a mergeable
+    * QuantileSummaries sketch — one pass, bounded memory, partial
+    * aggregation) versus the exact interpolated percentile which must
+    * sort each group. No oracle: sketch estimates are engine-specific,
+    * so the driver records a rows-only check (same treatment as
+    * `text_vocab_approx`).
+    */
+  def orderPriceQuantilesApprox(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderstatus").alias("order_status"))
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.25), lit(1000)).alias("p25"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).alias("p50"),
+        percentile_approx(col("o_totalprice"), lit(0.75), lit(1000)).alias("p75"))
+      .orderBy("order_status")
+
   val oracles: Map[String, String] = Map(
     "customer_orders_30d" ->
       """WITH base AS (
@@ -178,5 +194,6 @@ object WindowAnalytics {
     "customer_orders_30d"     -> customerOrders30d _,
     "order_price_stats"       -> orderPriceStats _,
     "order_price_quantiles"   -> orderPriceQuantiles _,
+    "order_price_quantiles_approx" -> orderPriceQuantilesApprox _,
   )
 }

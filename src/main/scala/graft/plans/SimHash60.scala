@@ -54,14 +54,17 @@ case class SimHash60(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val n = ctx.freshName("n")
-      val cnt = ctx.freshName("cnt")
+      // one counts buffer per operator instance, not per row (60 ints
+      // per processed row would be pure GC churn in a 100 TB scan)
+      val cnt = ctx.addMutableState("int[]", "simhashCnt",
+        v => s"$v = new int[60];")
       val i = ctx.freshName("i")
       val b = ctx.freshName("b")
       val h = ctx.freshName("h")
       val acc = ctx.freshName("acc")
       s"""
          |int $n = $a.numElements();
-         |int[] $cnt = new int[60];
+         |java.util.Arrays.fill($cnt, 0);
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$a.isNullAt($i)) {
          |    long $h = $a.getLong($i);
