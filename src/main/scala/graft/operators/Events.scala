@@ -121,19 +121,27 @@ object Events {
     * ordering is field-by-field), making the result engine-reproducible.
     * One shuffle on user_id; the path string never exceeds 20 segments.
     */
-  def userEventPaths(spark: SparkSession, sfDir: String): DataFrame =
+  def userEventPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
     Tables.events(spark, sfDir)
       .select(col("user_id"), unix_micros(col("ts")).alias("ts_us"),
         col("event_id"), col("event_type"))
+      // rank FIRST so the collected list is bounded (≤20 structs per key)
+      // — an unbounded per-key collect is the classic 100 TB state bomb;
+      // collect_list skips the nulls the rank filter leaves behind
+      .withColumn("rn", row_number().over(byTime))
       .groupBy(col("user_id"))
-      .agg(collect_list(struct(col("ts_us"), col("event_id"), col("event_type")))
-        .alias("evs"))
+      .agg(
+        collect_list(when(col("rn") <= 20,
+          struct(col("ts_us"), col("event_id"), col("event_type")))).alias("evs"),
+        count(lit(1)).cast("int").alias("n_events"))
       .select(col("user_id"),
-        array_join(
-          slice(transform(sort_array(col("evs")), e => e.getField("event_type")),
-            1, 20), ">").alias("path"),
-        size(col("evs")).alias("n_events"))
+        array_join(transform(sort_array(col("evs")), e => e.getField("event_type")),
+          ">").alias("path"),
+        col("n_events"))
       .orderBy("user_id")
+  }
 
   /** Multi-step funnel: of the users who signed up, how many clicked at
     * or after their first signup, and of those how many purchased at or
