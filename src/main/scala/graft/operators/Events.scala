@@ -114,6 +114,24 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** Gap-based sessions via the BUILT-IN `session_window` (Spark's
+    * SessionWindowing/MergingSessionsExec path — merge-on-overlap
+    * aggregation, usable identically in Structured Streaming), versus
+    * [[sessionize]] which builds the same sessions manually with
+    * lag + running-sum windows. Session end is exclusive:
+    * last event + gap, per `session_window` semantics.
+    */
+  def sessionWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).alias("n_events"),
+        Deterministic.exactSum(col("value"), 2).alias("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").alias("session_start"),
+        col("session_window.end").alias("session_end"),
+        col("n_events"), col("session_value"))
+      .orderBy("user_id", "session_start")
+
   /** Per-user ordered event-type path (first 20 events): list aggregation
     * with a PINNED order — `collect_list` alone is partition-order-
     * nondeterministic, so the elements carry their (ts, event_id) sort key
@@ -293,6 +311,29 @@ object Events {
          |       CAST(count(*) AS BIGINT) AS n_events,
          |       ${Deterministic.exactSumSql("value", 2)} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    // same gap-merge as the manual sessionize CTE; session_end is
+    // last event + the 30-minute gap (session_window's exclusive end)
+    "events_session_window" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, ts, value,
+         |         -- >= not >: session_window merges only on strict overlap
+         |         -- (an event exactly gap after the last starts a new session)
+         |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+         |              OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sessions AS (
+         |  SELECT user_id, ts, value,
+         |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM flagged)
+         |SELECT user_id,
+         |       min(ts) AS session_start,
+         |       max(ts) + INTERVAL 30 MINUTES AS session_end,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       ${Deterministic.exactSumSql("value", 2)} AS session_value
+         |FROM sessions GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin,
     "user_event_paths" ->
       """SELECT user_id,
         |       array_to_string(list_slice(
@@ -379,6 +420,7 @@ object Events {
     "events_funnel"          -> funnel _,
     "events_unpivot_by_type" -> unpivotByType _,
     "events_sessionize"      -> sessionize _,
+    "events_session_window"  -> sessionWindow _,
     "events_latest_per_user" -> latestPerUser _,
   )
 }
