@@ -40,6 +40,22 @@ object EventStream {
       .select(col("window.start").alias("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Gap-based sessions via the built-in `session_window` — the SAME
+    * aggregation body as the batch `events_session_window` query; in
+    * streaming mode Spark merges windows incrementally in the state
+    * store and emits a session once the watermark passes its end.
+    */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).alias("n_events"),
+        Deterministic.exactSum(col("value"), 2).alias("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").alias("session_start"),
+        col("session_window.end").alias("session_end"),
+        col("n_events"), col("session_value"))
+
   /** Input row for the stateful pipelines (micros timestamp for exact
     * state arithmetic).
     */

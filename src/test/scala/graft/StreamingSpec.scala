@@ -44,6 +44,22 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming session_window equals the batch events_session_window result") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream6")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val query = EventStream.runToMemory(
+      EventStream.sessionWindows(EventStream.readEvents(spark, dir.toString)),
+      "session_window_smoke")
+    try {
+      val streamed = spark.table("session_window_smoke")
+      val batch = q("events_session_window")
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0)
+    } finally query.stop()
+  }
+
   test("flatMapGroupsWithState sessionization equals the batch events_sessionize") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream4")
     java.nio.file.Files.copy(
