@@ -1,0 +1,45 @@
+package graft
+
+/** One safety net over the WHOLE query registry: physical-plan smells
+  * that would silently regress the 100 TB posture fail here, naming the
+  * query, before any bench run has to notice.
+  */
+class PlanHygieneSpec extends SparkSpec {
+
+  test("no registered query plans a cartesian product") {
+    for ((name, fn) <- SparkEntry.queries) {
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n${plan.take(800)}")
+    }
+  }
+
+  test("broadcast nested-loop joins appear only where a broadcast was asked for") {
+    // BNLJ is legitimate ONLY where a broadcast scan of every pair is
+    // the algorithm: the range-join band dim, IVF centroid assignment,
+    // and the brute-force kNN baseline (score all |Q|·N pairs by
+    // design); anywhere else it means an equi-key was lost and the
+    // join degenerated
+    // ...plus the exhaustive near-dup baseline, whose scale path is the
+    // LSH-bucketed twin
+    val allowed = Set("range_join_price_band", "ivf_ann_cosine",
+      "knn_brute_cosine", "embedding_near_dup")
+    for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name unexpectedly plans a BroadcastNestedLoopJoin:\n${plan.take(800)}")
+    }
+  }
+
+  test("star-schema scans prune to the referenced columns") {
+    // the flagship fact query must not drag unused lineitem columns
+    // through the join (ReadSchema is the pushed projection)
+    val plan = SparkEntry.queries("fact_sales_detail")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val lineitemScan = plan.linesIterator
+      .find(l => l.contains("lineitem.parquet") && l.contains("ReadSchema"))
+    assert(lineitemScan.isDefined)
+    assert(!lineitemScan.get.contains("l_comment") &&
+      !lineitemScan.get.contains("l_shipinstruct"))
+  }
+}
