@@ -19,6 +19,24 @@ class ScalePostureSpec extends SparkSpec {
     assert(bcast.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("time-range filters on raw nanos push down to the events parquet scan") {
+    // the converted `ts` column wraps the physical long in an expression,
+    // which parquet cannot skip on — a 100 TB time-slice scan must filter
+    // the RAW nanos first (same instant × 1000), then convert
+    val cutoffNs = 1704067200L * 1000000000L // 2024-01-01T00:00Z
+    val raw = spark.read.schema(Tables.eventsPhysicalSchema)
+      .parquet(s"$sf/events.parquet")
+      .filter(col("ts") >= cutoffNs)
+    val scan = raw.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("PushedFilters"))
+    assert(scan.isDefined && scan.get.contains("GreaterThanOrEqual(ts"),
+      scan.getOrElse("no scan line"))
+    // and the derived micros column agrees with filtering after conversion
+    val viaConverted = Tables.events(spark, sf)
+      .filter(unix_micros(col("ts")) >= cutoffNs / 1000).count()
+    assert(raw.count() == viaConverted)
+  }
+
   test("repartitionByRange + sortWithinPartitions writes range-clustered files") {
     val dir = java.nio.file.Files.createTempDirectory("graft-range").toString
     Tables.orders(spark, sf)
