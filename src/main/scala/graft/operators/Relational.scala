@@ -143,7 +143,75 @@ object Relational {
     c.union(s).distinct().orderBy("nation_key")
   }
 
+  /** Relational division: customers with an order in EVERY year the
+    * business was active — implemented as count-matching (distinct years
+    * per customer vs the global distinct-year count), the
+    * shuffle-friendly form: no nested NOT EXISTS per divisor element,
+    * one aggregation per side and a broadcast of the single divisor
+    * count.
+    */
+  def customersAllYears(spark: SparkSession, sfDir: String): DataFrame = {
+    val orderYears = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), year(to_date(col("o_orderdate"))).alias("yr"))
+    val yearCount = orderYears.agg(countDistinct(col("yr")).alias("n_years"))
+    val perCustomer = orderYears
+      .groupBy(col("o_custkey").alias("customer_key"))
+      .agg(countDistinct(col("yr")).alias("n_active_years"))
+    perCustomer.join(broadcast(yearCount),
+        col("n_active_years") === col("n_years"))
+      .join(Tables.customer(spark, sfDir), col("customer_key") === col("c_custkey"))
+      .select(col("customer_key"), col("c_name").alias("customer_name"),
+        col("n_active_years"))
+      .orderBy("customer_key")
+  }
+
+  /** Ratio-to-report: each return flag's share of total revenue. The
+    * naive spelling is a window `sum() OVER ()` — an unpartitioned window
+    * that funnels all rows through ONE task at 100 TB. This shape
+    * aggregates per group, then broadcast-joins the single-row total:
+    * two partial-aggregated passes, no global window. Shares divide
+    * exact quantized integers, so both engines emit identical bits.
+    */
+  def revenueShareByFlag(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = Deterministic.quantize(revenue, 4)
+    val perFlag = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").alias("return_flag"), q.alias("rq"))
+      .groupBy(col("return_flag"))
+      .agg(sum(col("rq")).alias("rq_sum"))
+    val total = perFlag.agg(sum(col("rq_sum")).alias("rq_total"))
+    perFlag.join(broadcast(total))
+      .select(col("return_flag"),
+        (col("rq_sum") / lit(1e4)).cast("double").alias("revenue"),
+        (col("rq_sum").cast("double") / col("rq_total").cast("double"))
+          .alias("revenue_share"))
+      .orderBy("return_flag")
+  }
+
   val oracles: Map[String, String] = Map(
+    "customers_all_years" ->
+      """WITH oy AS (
+        |  SELECT o_custkey, year(CAST(o_orderdate AS DATE)) AS yr FROM orders),
+        |yc AS (SELECT CAST(count(DISTINCT yr) AS BIGINT) AS n_years FROM oy),
+        |per_customer AS (
+        |  SELECT o_custkey AS customer_key,
+        |         CAST(count(DISTINCT yr) AS BIGINT) AS n_active_years
+        |  FROM oy GROUP BY 1)
+        |SELECT customer_key, c_name AS customer_name, n_active_years
+        |FROM per_customer JOIN yc ON n_active_years = n_years
+        |JOIN customer ON customer_key = c_custkey
+        |ORDER BY customer_key""".stripMargin,
+    "revenue_share_by_flag" ->
+      """WITH per_flag AS (
+        |  SELECT l_returnflag AS return_flag,
+        |         SUM(CAST(round((l_extendedprice * (1.0 - l_discount)) * 1e4) AS BIGINT)) AS rq_sum
+        |  FROM lineitem GROUP BY 1),
+        |total AS (SELECT SUM(rq_sum) AS rq_total FROM per_flag)
+        |SELECT return_flag,
+        |       CAST(CAST(rq_sum AS BIGINT) / 1e4 AS DOUBLE) AS revenue,
+        |       CAST(CAST(rq_sum AS BIGINT) AS DOUBLE)
+        |         / CAST(CAST(rq_total AS BIGINT) AS DOUBLE) AS revenue_share
+        |FROM per_flag CROSS JOIN total
+        |ORDER BY return_flag""".stripMargin,
     "top_customers_by_revenue" ->
       s"""SELECT c_custkey AS customer_key, c_name AS customer_name,
          |       ${Deterministic.exactSumSql("o_totalprice", 2)} AS total_revenue,
@@ -224,6 +292,8 @@ object Relational {
     "window_rank_parts"        -> windowRankParts _,
     "parts_shipped_except"     -> partsShippedExcept _,
     "nations_intersect"        -> nationsIntersect _,
+    "customers_all_years"      -> customersAllYears _,
+    "revenue_share_by_flag"    -> revenueShareByFlag _,
     "nations_union"            -> nationsUnion _,
   )
 }

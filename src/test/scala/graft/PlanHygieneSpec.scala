@@ -22,8 +22,12 @@ class PlanHygieneSpec extends SparkSpec {
     // join degenerated
     // ...plus the exhaustive near-dup baseline, whose scale path is the
     // LSH-bucketed twin
+    // ...and the single-row broadcast totals of ratio-to-report /
+    // division (broadcasting one aggregate row IS the scale-correct
+    // alternative to an unpartitioned window)
     val allowed = Set("range_join_price_band", "ivf_ann_cosine",
-      "knn_brute_cosine", "embedding_near_dup")
+      "knn_brute_cosine", "embedding_near_dup",
+      "revenue_share_by_flag", "customers_all_years")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
