@@ -56,6 +56,14 @@ final case class JsonSink(path: String, mode: SaveMode = SaveMode.Overwrite)
   def write(df: DataFrame): Unit = df.write.mode(mode).json(path)
 }
 
+/** ORC sink — the second columnar format the Spark distribution carries
+  * natively; same pushdown/pruning behavior as Parquet at the scan.
+  */
+final case class OrcSink(path: String, mode: SaveMode = SaveMode.Overwrite)
+  extends Sink {
+  def write(df: DataFrame): Unit = df.write.mode(mode).orc(path)
+}
+
 /** Bucketed managed-table sink: pre-shuffles data into `buckets` files
   * per partition keyed by `bucketCols` (optionally sorted within each
   * bucket), so equi-joins and aggregations on the bucket key skip their

@@ -46,6 +46,17 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == df.count())
   }
 
+  test("OrcSink round-trips with predicate pushdown at the scan") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    OrcSink(s"$dir/orders").write(Tables.orders(spark, sf))
+    val back = spark.read.orc(s"$dir/orders").filter(col("o_totalprice") > 300000.0)
+    val scan = back.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("PushedFilters"))
+    assert(scan.isDefined && scan.get.contains("GreaterThan(o_totalprice"))
+    assert(back.count() ==
+      Tables.orders(spark, sf).filter(col("o_totalprice") > 300000.0).count())
+  }
+
   test("CsvSink + JsonSink write readable data") {
     val dir = Files.createTempDirectory("graft-sink2").toString
     val df = Tables.region(spark, sf)
