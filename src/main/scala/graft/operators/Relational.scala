@@ -143,6 +143,23 @@ object Relational {
     c.union(s).distinct().orderBy("nation_key")
   }
 
+  /** Full-outer join: per-nation customer and supplier presence in one
+    * row set, preserving nations that have only one side (coalesced
+    * counts). Completes the join-type matrix (inner/left/semi/anti/
+    * full; right is the mirror of left).
+    */
+  def nationPresenceFullOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .groupBy(col("c_nationkey").alias("ck")).agg(count(lit(1)).alias("n_customers"))
+    val s = Tables.supplier(spark, sfDir)
+      .groupBy(col("s_nationkey").alias("sk")).agg(count(lit(1)).alias("n_suppliers"))
+    c.join(s, col("ck") === col("sk"), "full_outer")
+      .select(coalesce(col("ck"), col("sk")).alias("nation_key"),
+        coalesce(col("n_customers"), lit(0L)).alias("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).alias("n_suppliers"))
+      .orderBy("nation_key")
+  }
+
   /** Relational division: customers with an order in EVERY year the
     * business was active — implemented as count-matching (distinct years
     * per customer vs the global distinct-year count), the
@@ -188,6 +205,18 @@ object Relational {
   }
 
   val oracles: Map[String, String] = Map(
+    "nation_presence_full_outer" ->
+      """WITH c AS (
+        |  SELECT c_nationkey AS ck, CAST(count(*) AS BIGINT) AS n_customers
+        |  FROM customer GROUP BY 1),
+        |s AS (
+        |  SELECT s_nationkey AS sk, CAST(count(*) AS BIGINT) AS n_suppliers
+        |  FROM supplier GROUP BY 1)
+        |SELECT COALESCE(ck, sk) AS nation_key,
+        |       COALESCE(n_customers, 0) AS n_customers,
+        |       COALESCE(n_suppliers, 0) AS n_suppliers
+        |FROM c FULL OUTER JOIN s ON ck = sk
+        |ORDER BY nation_key""".stripMargin,
     "customers_all_years" ->
       """WITH oy AS (
         |  SELECT o_custkey, year(CAST(o_orderdate AS DATE)) AS yr FROM orders),
@@ -293,6 +322,7 @@ object Relational {
     "parts_shipped_except"     -> partsShippedExcept _,
     "nations_intersect"        -> nationsIntersect _,
     "customers_all_years"      -> customersAllYears _,
+    "nation_presence_full_outer" -> nationPresenceFullOuter _,
     "revenue_share_by_flag"    -> revenueShareByFlag _,
     "nations_union"            -> nationsUnion _,
   )

@@ -114,6 +114,25 @@ object WindowAnalytics {
       .orderBy("order_key")
   }
 
+  /** Forward-looking window: days until each customer's NEXT order
+    * (`lead` — the mirror of the timeline query's `lag`), null on the
+    * last order. Same single shuffle on the customer key.
+    */
+  def customerNextOrderGap(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("customer_key"))
+      .orderBy(col("day_num").asc, col("order_key").asc)
+    Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey").alias("order_key"),
+        col("o_custkey").alias("customer_key"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+          .cast("long").alias("day_num"))
+      .select(col("order_key"), col("customer_key"), col("day_num"),
+        (lead(col("day_num"), 1).over(w) - col("day_num"))
+          .alias("days_to_next_order"))
+      .orderBy("order_key")
+  }
+
   /** Scale path of the exact quantiles: `approx_percentile` (a mergeable
     * QuantileSummaries sketch — one pass, bounded memory, partial
     * aggregation) versus the exact interpolated percentile which must
@@ -131,6 +150,16 @@ object WindowAnalytics {
       .orderBy("order_status")
 
   val oracles: Map[String, String] = Map(
+    "customer_next_order_gap" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS order_key, o_custkey AS customer_key,
+        |         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_num
+        |  FROM orders)
+        |SELECT order_key, customer_key, CAST(day_num AS BIGINT) AS day_num,
+        |       CAST(lead(day_num, 1) OVER (PARTITION BY customer_key
+        |              ORDER BY day_num ASC, order_key ASC) - day_num AS BIGINT)
+        |         AS days_to_next_order
+        |FROM base ORDER BY order_key""".stripMargin,
     "customer_orders_30d" ->
       """WITH base AS (
         |  SELECT o_orderkey AS order_key, o_custkey AS customer_key,
@@ -192,6 +221,7 @@ object WindowAnalytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "customer_order_timeline" -> customerOrderTimeline _,
     "customer_orders_30d"     -> customerOrders30d _,
+    "customer_next_order_gap" -> customerNextOrderGap _,
     "order_price_stats"       -> orderPriceStats _,
     "order_price_quantiles"   -> orderPriceQuantiles _,
     "order_price_quantiles_approx" -> orderPriceQuantilesApprox _,
