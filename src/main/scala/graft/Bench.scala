@@ -10,15 +10,27 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warm-up at the smallest SF: JIT-compiles the parquet
-    // reader, whole-stage codegen, and shuffle paths once, so the timed
-    // numbers measure the queries rather than JVM warm-up (which
-    // otherwise lands arbitrarily on whichever query runs first).
-    val warmSf = "/root/testdata/sf0.001"
-    if (new java.io.File(warmSf).isDirectory) {
-      SparkEntry.queries.valuesIterator
-        .foreach(fn => try fn(spark, warmSf).count() catch { case _: Throwable => })
-      spark.catalog.clearCache()
+    // Untimed warm-up at the smallest SIBLING scale factor: JIT-compiles
+    // the parquet reader, whole-stage codegen, and shuffle paths once, so
+    // the timed numbers measure the queries rather than JVM warm-up
+    // (which otherwise lands arbitrarily on whichever query runs first).
+    // Never warms on the bench data itself — that would pre-populate the
+    // shared persisted intermediates and understate the timed total.
+    val warmSf = Option(new java.io.File(sfDir).getParentFile)
+      .toSeq
+      .flatMap(p => Option(p.listFiles).toSeq.flatten)
+      .filter(f => f.isDirectory && f.getName.startsWith("sf") &&
+        f.getAbsolutePath != new java.io.File(sfDir).getAbsolutePath)
+      .sortBy(_.getName)
+      .headOption
+    warmSf match {
+      case Some(dir) =>
+        SparkEntry.queries.valuesIterator.foreach(fn =>
+          try fn(spark, dir.toString).count() catch { case _: Throwable => })
+        spark.catalog.clearCache()
+      case None =>
+        System.err.println(s"[bench] no sibling sf* dir beside $sfDir — " +
+          "warm-up skipped; first-query timings include JVM warm-up")
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -73,39 +73,16 @@ object Dedup {
   /** Exhaustive n-gram Jaccard near-dup pairs (the baseline/oracle path):
     * candidates = pairs sharing ≥1 shingle, verified exactly.
     */
-  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingled(spark, sfDir)
-    // join on an 8-byte hash of the shingle, not the ~20-byte string —
-    // less shuffle I/O; 60-bit hashes make collisions (which would inflate
-    // a count) vanishingly unlikely at any realistic corpus size.
-    val exploded = sh.select(col("doc_id"),
-      explode(col("sh")).alias("s"))
-      .select(col("doc_id"), TextFunctions.md5Hash60(col("s")).alias("hs"))
-    val sizes = sh.select(col("doc_id"), size(col("sh")).alias("n"))
-    val inter = exploded.alias("a")
-      .join(exploded.alias("b"),
-        col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").alias("doc_a"), col("b.doc_id").alias("doc_b"))
-      .agg(count(lit(1)).alias("n_common"))
-    inter
-      .join(sizes.alias("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.alias("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"), col("n_common"),
-        col("sa.n").alias("n_a"), col("sb.n").alias("n_b"),
-        (col("n_common") / (col("sa.n") + col("sb.n") - col("n_common")))
-          .alias("jaccard"))
-      .filter(col("jaccard") >= JaccardThreshold)
-      .orderBy("doc_a", "doc_b")
-  }
-
-  /** Containment (overlap-coefficient) near-dup pairs:
-    * `|A∩B| / min(|A|,|B|)` ≥ 0.8 — the asymmetric-length complement to
-    * Jaccard: a short document embedded verbatim in a long one scores
-    * near 1.0 here but low on Jaccard (union-normalized), which is why
-    * training-data dedup runs both. Same candidate generation as
-    * [[ngramJaccard]] (shared shingle cache + hash-keyed self-join).
+  /** Shared candidate generation of the exhaustive near-dup paths:
+    * (doc_a, doc_b, n_common, n_a, n_b) for every pair sharing ≥1
+    * shingle. The self-join keys on an 8-byte hash of the shingle, not
+    * the ~20-byte string — less shuffle I/O; 60-bit hashes make
+    * collisions (which would inflate a count) vanishingly unlikely at
+    * any realistic corpus size. Consumers apply their own similarity
+    * measure (Jaccard, containment) — changing this pipeline (e.g. the
+    * 100 TB shingle document-frequency cap) changes all of them at once.
     */
-  def containment(spark: SparkSession, sfDir: String): DataFrame = {
+  private def shingleIntersections(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingled(spark, sfDir)
     val exploded = sh.select(col("doc_id"),
       explode(col("sh")).alias("s"))
@@ -119,10 +96,30 @@ object Dedup {
       .join(sizes.alias("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.alias("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("n_common"),
-        (col("n_common") / least(col("sa.n"), col("sb.n"))).alias("containment"))
+        col("sa.n").alias("n_a"), col("sb.n").alias("n_b"))
+  }
+
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    shingleIntersections(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"),
+        (col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
+          .alias("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy("doc_a", "doc_b")
+
+  /** Containment (overlap-coefficient) near-dup pairs:
+    * `|A∩B| / min(|A|,|B|)` ≥ 0.8 — the asymmetric-length complement to
+    * Jaccard: a short document embedded verbatim in a long one scores
+    * near 1.0 here but low on Jaccard (union-normalized), which is why
+    * training-data dedup runs both. Same candidate generation as
+    * [[ngramJaccard]] (shared shingle cache + hash-keyed self-join).
+    */
+  def containment(spark: SparkSession, sfDir: String): DataFrame =
+    shingleIntersections(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        (col("n_common") / least(col("n_a"), col("n_b"))).alias("containment"))
       .filter(col("containment") >= 0.8)
       .orderBy("doc_a", "doc_b")
-  }
 
   /** 16 min-hashes per document (array<long>) from ONE md5 per shingle:
     * base hash h = md5_60(shingle) mod p (p = 2³¹-1), permuted through 16

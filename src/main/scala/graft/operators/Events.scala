@@ -315,7 +315,7 @@ object Events {
     // last event + the 30-minute gap (session_window's exclusive end)
     "events_session_window" ->
       s"""WITH flagged AS (
-         |  SELECT user_id, ts, value,
+         |  SELECT user_id, event_id, ts, value,
          |         -- >= not >: session_window merges only on strict overlap
          |         -- (an event exactly gap after the last starts a new session)
          |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
@@ -324,7 +324,11 @@ object Events {
          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          |sessions AS (
          |  SELECT user_id, ts, value,
-         |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         |         -- the running sum MUST use the same (ts, event_id) order as
+         |         -- the lag window: with ts ties, an order-by-ts-only ROWS
+         |         -- frame could place a tied flag-0 row before its session's
+         |         -- flag-1 opener and misassign it to the previous session
+         |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
          |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
          |  FROM flagged)
          |SELECT user_id,

@@ -38,16 +38,19 @@ object Stats {
   private val BandWidth = 50000.0
 
   /** Range (interval) join: orders binned into 10 price bands via a
-    * broadcast nested-loop join on `lo <= price < hi`.
+    * broadcast nested-loop join on `lo <= price < hi`; the last band is
+    * open-ended (`hi` NULL) so the bands PARTITION the whole domain —
+    * no order can silently fall off the top at a bigger scale factor.
     */
   def rangeJoinPriceBand(spark: SparkSession, sfDir: String): DataFrame = {
     val bands = spark.range(0, 10).select(
       col("id").alias("band_id"),
       (col("id") * BandWidth).cast("double").alias("lo"),
-      ((col("id") + 1) * BandWidth).cast("double").alias("hi"))
+      when(col("id") < 9, (col("id") + 1) * BandWidth).cast("double").alias("hi"))
     val o = Tables.orders(spark, sfDir)
     o.join(broadcast(bands),
-        o("o_totalprice") >= bands("lo") && o("o_totalprice") < bands("hi"))
+        o("o_totalprice") >= bands("lo") &&
+          (bands("hi").isNull || o("o_totalprice") < bands("hi")))
       .groupBy(col("band_id"), col("lo"), col("hi"))
       .agg(count(lit(1)).alias("n_orders"),
         Deterministic.exactSum(col("o_totalprice"), 2).alias("total_revenue"))
@@ -174,11 +177,13 @@ object Stats {
          |GROUP BY 1 ORDER BY brand""".stripMargin,
     "range_join_price_band" ->
       s"""WITH bands AS (
-         |  SELECT i AS band_id, i * $BandWidth AS lo, (i + 1) * $BandWidth AS hi
+         |  SELECT i AS band_id, i * $BandWidth AS lo,
+         |         CASE WHEN i < 9 THEN (i + 1) * $BandWidth END AS hi
          |  FROM generate_series(0, 9) t(i))
          |SELECT band_id, lo, hi, CAST(count(*) AS BIGINT) AS n_orders,
          |       ${Deterministic.exactSumSql("o_totalprice", 2)} AS total_revenue
-         |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+         |FROM orders JOIN bands
+         |  ON o_totalprice >= lo AND (hi IS NULL OR o_totalprice < hi)
          |GROUP BY 1, 2, 3
          |ORDER BY band_id""".stripMargin,
     "orders_mode_priority" ->

@@ -10,8 +10,20 @@ class StatsSpec extends SparkSpec {
     val banded = q("range_join_price_band")
     val total = banded.agg(sum("n_orders")).head.getLong(0)
     assert(total == Tables.orders(spark, sf).count())
-    // band boundaries are half-open: lo <= price < hi, so no double count
-    assert(banded.select("band_id").distinct().count() == banded.count())
+    // row-level: every order matches EXACTLY one band (half-open bounds,
+    // open-ended last band) — an aggregate-level check could be fooled by
+    // a double count compensating a drop
+    val bands = spark.range(0, 10).select(
+      col("id").alias("band_id"),
+      (col("id") * 50000.0).alias("lo"),
+      when(col("id") < 9, (col("id") + 1) * 50000.0).alias("hi"))
+    val o = Tables.orders(spark, sf)
+    val matchesPerOrder = o.join(bands,
+        o("o_totalprice") >= bands("lo") &&
+          (bands("hi").isNull || o("o_totalprice") < bands("hi")))
+      .groupBy("o_orderkey").count()
+    assert(matchesPerOrder.filter(col("count") =!= 1).count() == 0)
+    assert(matchesPerOrder.count() == o.count())
   }
 
   test("mode is the argmax of the per-group counts with the pinned tiebreak") {
