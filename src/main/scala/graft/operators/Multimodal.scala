@@ -61,6 +61,32 @@ object Multimodal {
     }
   }
 
+  /** Deterministic stand-in for a resize/downsample codec pass: keeps
+    * every `factor`-th byte (a real build decodes, resizes with an image
+    * library, re-encodes — same signature, same batch shape). Metadata
+    * dims scale with the payload so downstream predicates stay honest.
+    */
+  def resizeStub(r: MediaRow, factor: Int): MediaRow = {
+    require(factor >= 1, s"resize factor must be >= 1, got $factor")
+    val out = Array.ofDim[Byte]((r.payload.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = r.payload(i * factor); i += 1 }
+    r.copy(payload = out,
+      width = r.width / factor, height = r.height / factor)
+  }
+
+  /** Per-partition batched resize — narrow (no shuffle, bytes stay in
+    * their partition), codec state amortized per partition like
+    * [[decodeAndFeaturize]].
+    */
+  def resize(ds: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      // per-partition init would go here (resize kernel, codec handles)
+      rows.map(resizeStub(_, factor))
+    }
+  }
+
   /** Per-partition batched decode+featurize — the `mapInPandas` analog:
     * the function receives one iterator per partition and may hold
     * per-partition state (codec handles, model weights). Narrow: no

@@ -32,6 +32,17 @@ class MultimodalSpec extends SparkSpec {
     assert(one.map(_.checksum).sameElements(two.map(_.checksum)))
   }
 
+  test("resize: downsamples payload and dims, empty payload survives") {
+    val out = Multimodal.resize(mediaDs, 4).collect().map(r => r.media_id -> r).toMap
+    assert(out(1L).payload.length == 250 && out(1L).width == 25 && out(1L).height == 2)
+    assert(out(1L).payload.forall(_ == 7))
+    assert(out(2L).payload.length == 75)
+    assert(out(3L).payload.isEmpty)
+    // factor 1 is the identity on the payload
+    val id = Multimodal.resize(mediaDs, 1).collect().map(r => r.media_id -> r).toMap
+    assert(id(1L).payload.toSeq == Array.fill[Byte](1000)(7).toSeq)
+  }
+
   test("sampleFrames: every-2nd 256-byte chunk with correct sizes") {
     val df = Multimodal.sampleFrames(mediaDs.toDF(), everyK = 2)
       .filter(col("media_id") === 1L)
