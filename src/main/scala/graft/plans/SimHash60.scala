@@ -10,10 +10,14 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * bit b of the result is set iff more tokens have bit b set than clear
   * (the classic sign-of-column-sum signature).
   *
-  * Semantics are EXACTLY the higher-order-function spelling used by the
+  * Semantics match the higher-order-function spelling used by the
   * DuckDB oracle (`aggregate(sequence(59,0,-1), ...)` over per-token ±1
-  * votes): a null token hash votes −1 on every bit (the SQL CASE's ELSE
-  * branch), a null array yields null. The HOF form walks the token array
+  * votes) on every NON-NULL input: a null token hash votes −1 on every
+  * bit (the SQL CASE's ELSE branch). On a null ARRAY this expression
+  * returns null where the HOF's CASE would swallow the inner null and
+  * fold to 0 — a deliberate divergence (null in, null out), pinned in
+  * ExpressionPropertySpec and unreachable from the registered queries
+  * (`split` of non-null text is never null). The HOF form walks the token array
   * 60 times through interpreted lambdas (~O(60·T) closure calls per
   * document — measured ~5 s for 5 000 docs at sf0.1); this expression is
   * one compiled pass that counts all 60 bit positions per token
