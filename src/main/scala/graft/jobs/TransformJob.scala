@@ -70,14 +70,25 @@ object TransformJob {
   def outputs(spark: SparkSession, sfDir: String): Map[String, DataFrame] =
     StarSchema.queries.map { case (name, fn) => name -> fn(spark, sfDir) }
 
-  /** Run the job: each output written through its declared schema. */
+  /** Run the job: each output written through its declared schema, with
+    * an `observe`d row count riding the SAME pass — the write audit a
+    * 100 TB pipeline needs without paying a second scan per table
+    * (a `.count()` after the write would re-run each plan). Returns the
+    * per-output row counts.
+    */
   def run(spark: SparkSession, sfDir: String,
-      sinkFor: String => Sink): Unit =
-    outputs(spark, sfDir).foreach { case (name, df) =>
-      sinkFor(name).writeWithSchema(df, outputSchemas(name))
+      sinkFor: String => Sink): Map[String, Long] =
+    outputs(spark, sfDir).map { case (name, df) =>
+      val audit = org.apache.spark.sql.Observation(s"graft_audit_$name")
+      sinkFor(name).writeWithSchema(
+        df.observe(audit, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).alias("rows")),
+        outputSchemas(name))
+      name -> audit.get("rows").asInstanceOf[Long]
     }
 
   /** Harness entry: star schema as a parquet mart under `outDir`. */
-  def runToParquet(spark: SparkSession, sfDir: String, outDir: String): Unit =
+  def runToParquet(spark: SparkSession, sfDir: String,
+      outDir: String): Map[String, Long] =
     run(spark, sfDir, name => ParquetSink(s"$outDir/$name"))
 }

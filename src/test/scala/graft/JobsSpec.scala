@@ -20,11 +20,13 @@ class JobsSpec extends SparkSpec {
 
   test("TransformJob writes the six star outputs in declared column order") {
     val out = Files.createTempDirectory("graft-mart").toString
-    TransformJob.runToParquet(spark, sf, out)
+    val audits = TransformJob.runToParquet(spark, sf, out)
     TransformJob.outputSchemas.foreach { case (name, schema) =>
       val back = spark.read.parquet(s"$out/$name")
       assert(back.schema.fieldNames.toSeq == schema.fieldNames.toSeq, name)
       assert(back.count() == q(name).count(), name)
+      // the observe audit rode the write pass — no re-scan, same count
+      assert(audits(name) == back.count(), s"$name audit")
     }
   }
 
