@@ -19,8 +19,16 @@ import org.apache.spark.sql.types.LongType
   */
 object VectorFunctions {
 
-  /** Double-precision dot product. */
+  /** Double-precision dot product — codegen'd
+    * ([[graft.plans.DoubleArrayDot]]); float inputs cast up at analysis.
+    */
   def dot(a: Column, b: Column): Column =
+    graft.plans.GraftFunctions.doubleDot(a, b)
+
+  /** Reference HOF formulation of [[dot]] — kept for differential tests
+    * against the custom expression.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

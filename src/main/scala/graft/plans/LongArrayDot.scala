@@ -96,6 +96,11 @@ object GraftFunctions {
   def simHash60(a: Column): Column =
     GraftSqlBridge.column(SimHash60(GraftSqlBridge.expression(a)))
 
+  /** `double_dot(a, b)` as a Column — production-precision dot. */
+  def doubleDot(a: Column, b: Column): Column =
+    GraftSqlBridge.column(DoubleArrayDot(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
   /** Register `graft_long_dot` + `graft_simhash60` for SQL-text callers. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

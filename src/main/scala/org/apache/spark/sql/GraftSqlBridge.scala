@@ -22,6 +22,13 @@ trait LongArrayInputTypes
     Seq(types.ArrayType(types.LongType), types.ArrayType(types.LongType))
 }
 
+/** Double-array twin of [[LongArrayInputTypes]]. */
+trait DoubleArrayInputTypes
+    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[types.AbstractDataType] =
+    Seq(types.ArrayType(types.DoubleType), types.ArrayType(types.DoubleType))
+}
+
 /** Single-argument variant of [[LongArrayInputTypes]]. */
 trait LongArraySingleInputType
     extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {

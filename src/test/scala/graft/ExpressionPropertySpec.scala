@@ -36,6 +36,29 @@ class ExpressionPropertySpec extends SparkSpec {
     assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
   }
 
+  test("DoubleArrayDot ≡ HOF dot on random float vectors (incl. the fixture surface)") {
+    import spark.implicits._
+    val vecs = Gen.listOfN(150,
+        Gen.chooseNum(0, 12).flatMap(len =>
+          Gen.listOfN(len, Gen.chooseNum(-1000.0, 1000.0).map(_.toFloat))))
+      .apply(Gen.Parameters.default, Seed(17L)).get
+    val pairs = vecs.zip(vecs.reverse)
+    val df = pairs.toDF("a", "b")
+    val diff = df.select(
+        graft.functions.VectorFunctions.dot(col("a"), col("b")).alias("fast"),
+        graft.functions.VectorFunctions.dotHof(col("a"), col("b")).alias("hof"))
+      .filter(!(col("fast") <=> col("hof")))
+    assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
+    // and the fixture embeddings agree end-to-end
+    val emb = Tables.embeddings(spark, sf).limit(50)
+      .select(graft.functions.VectorFunctions.dot(col("embedding"), col("embedding"))
+          .alias("fast"),
+        graft.functions.VectorFunctions.dotHof(col("embedding"), col("embedding"))
+          .alias("hof"))
+      .filter(!(col("fast") <=> col("hof")))
+    assert(emb.count() == 0)
+  }
+
   test("SimHash60 ≡ HOF simhash on random hash arrays with null elements") {
     import spark.implicits._
     // simhash input domain: NON-NULL arrays of non-negative 60-bit
