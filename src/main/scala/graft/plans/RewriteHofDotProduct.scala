@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
 
 /** Optimizer rule: rewrites the portable higher-order-function dot
   * product
@@ -31,6 +31,11 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  private def isDoubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   private def isVarPair(a: Expression, b: Expression,
       v1: NamedLambdaVariable, v2: NamedLambdaVariable): Boolean =
     (a, b) match {
@@ -53,5 +58,18 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
             isVarPair(add.left, add.right, acc, el) &&
             body.exprId == fin.exprId =>
         LongArrayDot(left, right)
+
+      // double-precision twin: same shape, 0.0 zero, array<double> inputs
+      case ArrayAggregate(
+            ZipWith(left, right,
+              LambdaFunction(mult: Multiply, Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
+            Literal(0.0, DoubleType),
+            LambdaFunction(add: Add, Seq(acc: NamedLambdaVariable, el: NamedLambdaVariable), _),
+            LambdaFunction(body: NamedLambdaVariable, Seq(fin: NamedLambdaVariable), _))
+          if isDoubleArray(left) && isDoubleArray(right) &&
+            isVarPair(mult.left, mult.right, x, y) &&
+            isVarPair(add.left, add.right, acc, el) &&
+            body.exprId == fin.exprId =>
+        DoubleArrayDot(left, right)
     }
 }

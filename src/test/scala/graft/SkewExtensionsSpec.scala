@@ -29,6 +29,20 @@ class SkewExtensionsSpec extends SparkSpec {
     assert(r == 32L)
   }
 
+  test("RewriteHofDotProduct also rewrites the double-precision HOF form") {
+    import spark.implicits._
+    val df = Seq((Seq(1.5, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+    // Column-API spelling (lit(0.0) is a folded double literal — the
+    // shape the rule sees after Catalyst's constant folding)
+    val hof = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v).alias("d"))
+    val rewritten = graft.plans.RewriteHofDotProduct(
+      hof.queryExecution.analyzed)
+    assert(rewritten.toString.contains("doublearraydot"), rewritten.toString)
+    assert(hof.collect()(0).getDouble(0) == 12.5)
+  }
+
   test("SimHash60 equals the interpreted HOF spelling on the fixture corpus") {
     val hofSig = expr(
       """aggregate(
