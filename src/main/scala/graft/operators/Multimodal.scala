@@ -68,11 +68,15 @@ object Multimodal {
     */
   def resizeStub(r: MediaRow, factor: Int): MediaRow = {
     require(factor >= 1, s"resize factor must be >= 1, got $factor")
-    val out = Array.ofDim[Byte]((r.payload.length + factor - 1) / factor)
+    // long ceil-div: payload.length + factor - 1 overflows Int for huge factors
+    val outLen = ((r.payload.length.toLong + factor - 1) / factor).toInt
+    val out = Array.ofDim[Byte](outLen)
     var i = 0
-    while (i < out.length) { out(i) = r.payload(i * factor); i += 1 }
-    r.copy(payload = out,
-      width = r.width / factor, height = r.height / factor)
+    while (i < out.length) { out(i) = r.payload((i.toLong * factor).toInt); i += 1 }
+    // a 1-in-factor byte decimation is ONE dimension scaled — width/factor
+    // keeps bytes ≈ width·height honest; scaling both dims would claim a
+    // factor² reduction the payload didn't get
+    r.copy(payload = out, width = r.width / factor)
   }
 
   /** Per-partition batched resize — narrow (no shuffle, bytes stay in

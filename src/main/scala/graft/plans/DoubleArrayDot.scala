@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.{Column, DoubleArrayInputTypes}
+import org.apache.spark.sql.DoubleArrayInputTypes
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -11,6 +11,12 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * `array<float>`/`array<int>` cast up at analysis). Null contract is
   * identical to the HOF spelling `aggregate(zip_with(a,b,*), 0D, +)`:
   * null array, length mismatch, or any null element → null.
+  *
+  * Deliberately a structural twin of [[LongArrayDot]] rather than an
+  * abstraction over element type — primitive specialization inside
+  * `doGenCode` resists a shared base without reflection; the lockstep
+  * contract is enforced by ExpressionPropertySpec's differential tests
+  * over both.
   *
   * Summation order is the array order (left fold), same as the HOF form
   * — deterministic for a fixed input, which is what the similarity

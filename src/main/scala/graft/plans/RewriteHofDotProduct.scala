@@ -59,14 +59,19 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
             body.exprId == fin.exprId =>
         LongArrayDot(left, right)
 
-      // double-precision twin: same shape, 0.0 zero, array<double> inputs
+      // double-precision twin: same shape, +0.0 zero, array<double> inputs.
+      // The zero must be POSITIVE zero bit-exactly: Scala's pattern match
+      // on 0.0 is numeric and would also accept -0.0, but DoubleArrayDot
+      // seeds +0.0 — rewriting a -0.0 fold would flip the empty-array
+      // result's sign bit.
       case ArrayAggregate(
             ZipWith(left, right,
               LambdaFunction(mult: Multiply, Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
-            Literal(0.0, DoubleType),
+            Literal(zero: java.lang.Double, DoubleType),
             LambdaFunction(add: Add, Seq(acc: NamedLambdaVariable, el: NamedLambdaVariable), _),
             LambdaFunction(body: NamedLambdaVariable, Seq(fin: NamedLambdaVariable), _))
-          if isDoubleArray(left) && isDoubleArray(right) &&
+          if java.lang.Double.doubleToRawLongBits(zero) == 0L &&
+            isDoubleArray(left) && isDoubleArray(right) &&
             isVarPair(mult.left, mult.right, x, y) &&
             isVarPair(add.left, add.right, acc, el) &&
             body.exprId == fin.exprId =>

@@ -28,35 +28,42 @@ class ExpressionPropertySpec extends SparkSpec {
     import spark.implicits._
     val pairs = arrays(11L, 150).zip(arrays(13L, 150))
     val df = pairs.toDF("a", "b")
-    val diff = df.select(
+    val rows = df.select(
         GraftFunctions.longDot(col("a"), col("b")).alias("fast"),
         expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
           .alias("hof"))
       .filter(!(col("fast") <=> col("hof")))
-    assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
+      .take(3)
+    assert(rows.isEmpty, rows.mkString("; "))
   }
 
-  test("DoubleArrayDot ≡ HOF dot on random float vectors (incl. the fixture surface)") {
+  test("DoubleArrayDot ≡ HOF dot on random vectors with nulls and length skew") {
     import spark.implicits._
-    val vecs = Gen.listOfN(150,
-        Gen.chooseNum(0, 12).flatMap(len =>
-          Gen.listOfN(len, Gen.chooseNum(-1000.0, 1000.0).map(_.toFloat))))
-      .apply(Gen.Parameters.default, Seed(17L)).get
-    val pairs = vecs.zip(vecs.reverse)
-    val df = pairs.toDF("a", "b")
-    val diff = df.select(
+    // same null/length-skew domain as the long test, double-valued
+    val delemGen: Gen[Option[Double]] = Gen.frequency(
+      9 -> Gen.chooseNum(-1000.0, 1000.0).map(Some(_)),
+      1 -> Gen.const(None))
+    def darrays(seed: Long): List[Option[List[Option[Double]]]] =
+      Gen.listOfN(150, Gen.frequency(
+          9 -> Gen.chooseNum(0, 12).flatMap(len => Gen.listOfN(len, delemGen)).map(Some(_)),
+          1 -> Gen.const(None)))
+        .apply(Gen.Parameters.default, Seed(seed)).get
+    val df = darrays(17L).zip(darrays(19L)).toDF("a", "b")
+    val rows = df.select(
         graft.functions.VectorFunctions.dot(col("a"), col("b")).alias("fast"),
         graft.functions.VectorFunctions.dotHof(col("a"), col("b")).alias("hof"))
       .filter(!(col("fast") <=> col("hof")))
-    assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
-    // and the fixture embeddings agree end-to-end
+      .take(3)
+    assert(rows.isEmpty, rows.mkString("; "))
+    // and the fixture float embeddings agree end-to-end (upcast path)
     val emb = Tables.embeddings(spark, sf).limit(50)
       .select(graft.functions.VectorFunctions.dot(col("embedding"), col("embedding"))
           .alias("fast"),
         graft.functions.VectorFunctions.dotHof(col("embedding"), col("embedding"))
           .alias("hof"))
       .filter(!(col("fast") <=> col("hof")))
-    assert(emb.count() == 0)
+      .take(3)
+    assert(emb.isEmpty, emb.mkString("; "))
   }
 
   test("SimHash60 ≡ HOF simhash on random hash arrays with null elements") {
@@ -80,10 +87,11 @@ class ExpressionPropertySpec extends SparkSpec {
         |       (a, h) -> a + (CASE WHEN (h div CAST(pow(2, b) AS BIGINT)) % 2 = 1
         |                      THEN 1 ELSE -1 END)) > 0
         |     THEN 1 ELSE 0 END))""".stripMargin)
-    val diff = df.select(
+    val rows = df.select(
         GraftFunctions.simHash60(col("hashes")).alias("fast"), hof.alias("hof"))
       .filter(!(col("fast") <=> col("hof")))
-    assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
+      .take(3)
+    assert(rows.isEmpty, rows.mkString("; "))
   }
 
   test("SimHash60 null-array contract intentionally diverges from the HOF spelling") {

@@ -34,7 +34,8 @@ class MultimodalSpec extends SparkSpec {
 
   test("resize: downsamples payload and dims, empty payload survives") {
     val out = Multimodal.resize(mediaDs, 4).collect().map(r => r.media_id -> r).toMap
-    assert(out(1L).payload.length == 250 && out(1L).width == 25 && out(1L).height == 2)
+    // 1-in-4 byte decimation = one dim scaled: width 100→25, height kept
+    assert(out(1L).payload.length == 250 && out(1L).width == 25 && out(1L).height == 10)
     assert(out(1L).payload.forall(_ == 7))
     assert(out(2L).payload.length == 75)
     assert(out(3L).payload.isEmpty)
