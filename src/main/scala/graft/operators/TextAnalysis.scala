@@ -149,6 +149,45 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Character-bigram profiles per language, derived from the stopword
+    * lists (distinct intra-word bigrams) — self-contained, computed at
+    * plan-build time and embedded as literals in both engines.
+    */
+  private[operators] val bigramProfiles: Seq[(String, Seq[String])] =
+    Seq("en" -> stopEn, "es" -> stopEs, "de" -> stopDe, "fr" -> stopFr).map {
+      case (l, words) =>
+        l -> words.flatMap(w => w.sliding(2).filter(_.length == 2)).distinct.sorted
+    }
+
+  /** N-gram-heuristic language ID: score = |doc char-bigrams ∩ language
+    * profile| (the classic character-n-gram profile method, reduced to
+    * set overlap so the oracle is exact); argmax with the same CASE
+    * tiebreak as the stopword variant. Pure per-row narrow work.
+    */
+  def langIdNgram(spark: SparkSession, sfDir: String): DataFrame = {
+    val bigrams = array_distinct(transform(
+      sequence(lit(1), greatest(length(col("text")) - 1, lit(1))),
+      i => col("text").substr(i, lit(2))))
+    val profiled = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang").alias("actual_lang"),
+        bigrams.alias("bg"))
+    val scoreCols = bigramProfiles.map { case (l, prof) =>
+      size(array_intersect(col("bg"), typedLit(prof))).alias(s"g_$l")
+    }
+    val scored = profiled.select(
+      Seq(col("doc_id"), col("actual_lang")) ++ scoreCols: _*)
+    val best = greatest(bigramProfiles.map { case (l, _) => col(s"g_$l") }: _*)
+    scored.select(
+      col("doc_id"), col("actual_lang"),
+      col("g_en"), col("g_es"), col("g_de"), col("g_fr"),
+      when(best === 0, lit("und"))
+        .when(col("g_en") === best, lit("en"))
+        .when(col("g_es") === best, lit("es"))
+        .when(col("g_de") === best, lit("de"))
+        .otherwise(lit("fr")).alias("predicted_lang"))
+      .orderBy("doc_id")
+  }
+
   /** Order-sensitive rolling-hash document fingerprint + full-text md5 —
     * the compact dedup/fingerprint keys a 100 TB pipeline carries instead
     * of raw text.
@@ -212,6 +251,31 @@ object TextAnalysis {
         |         ORDER BY n DESC, bigram ASC) AS INT) AS rank
         |FROM counts QUALIFY rank <= 5
         |ORDER BY lang, rank""".stripMargin,
+    "text_langid_ngram" -> {
+      val profLists = bigramProfiles.map { case (l, prof) =>
+        l -> prof.map(b => s"'$b'").mkString("[", ", ", "]")
+      }.toMap
+      s"""WITH bg AS (
+         |  SELECT doc_id, lang AS actual_lang,
+         |         list_distinct(list_transform(
+         |           generate_series(1, greatest(length(text) - 1, 1)),
+         |           i -> substr(text, i, 2))) AS b
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, actual_lang,
+         |         CAST(len(list_intersect(b, ${profLists("en")})) AS INT) AS g_en,
+         |         CAST(len(list_intersect(b, ${profLists("es")})) AS INT) AS g_es,
+         |         CAST(len(list_intersect(b, ${profLists("de")})) AS INT) AS g_de,
+         |         CAST(len(list_intersect(b, ${profLists("fr")})) AS INT) AS g_fr
+         |  FROM bg)
+         |SELECT doc_id, actual_lang, g_en, g_es, g_de, g_fr,
+         |       CASE WHEN greatest(g_en, g_es, g_de, g_fr) = 0 THEN 'und'
+         |            WHEN g_en = greatest(g_en, g_es, g_de, g_fr) THEN 'en'
+         |            WHEN g_es = greatest(g_en, g_es, g_de, g_fr) THEN 'es'
+         |            WHEN g_de = greatest(g_en, g_es, g_de, g_fr) THEN 'de'
+         |            ELSE 'fr' END AS predicted_lang
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
     "text_token_stats" ->
       """SELECT lang,
         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
@@ -258,6 +322,7 @@ object TextAnalysis {
     "text_normalized_fingerprint" -> normalizedFingerprint _,
     "text_token_stats"  -> tokenStats _,
     "text_bpe_tokens"   -> bpeTokens _,
+    "text_langid_ngram" -> langIdNgram _,
     "top_bigrams_per_lang" -> topBigramsPerLang _,
     "text_vocab_approx" -> vocabApprox _,
     "text_quality"      -> quality _,
