@@ -21,7 +21,10 @@ object Bench {
       .flatMap(p => Option(p.listFiles).toSeq.flatten)
       .filter(f => f.isDirectory && f.getName.startsWith("sf") &&
         f.getAbsolutePath != new java.io.File(sfDir).getAbsolutePath)
-      .sortBy(_.getName)
+      // Numeric sort on the scale-factor suffix: a plain name sort would put
+      // "sf10" before "sf2" and warm on a LARGER dataset than the bench one.
+      .sortBy(f => scala.util.Try(f.getName.stripPrefix("sf").toDouble)
+        .getOrElse(Double.MaxValue))
       .headOption
     warmSf match {
       case Some(dir) =>
@@ -37,10 +40,34 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Locale-pinned formatting: the default-locale `f` interpolator can emit a
+    // comma decimal separator, which would corrupt the JSON line.
+    def num(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def entry(k: String, v: Double): String = "\"" + k + "\":" + num(v)
+    // The harness keeps only the last ~2000 characters of stdout and parses
+    // the JSON line out of that tail. With 70 registered queries the full
+    // per-query map no longer fits, so the printed line carries the slowest
+    // queries only, up to a fixed character budget; the complete map goes to
+    // bench_full.json beside the repo for inspection.
+    val sortedDesc = results.toSeq.sortBy(-_._2)
+    val fullJson = {
+      val qs = sortedDesc.map { case (k, v) => entry(k, v) }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    }
+    try {
+      val w = new java.io.PrintWriter("bench_full.json")
+      try w.println(fullJson) finally w.close()
+    } catch { case _: Throwable => () }
+    val budget = 1400 // chars for the queries map; keeps the whole line well under the 2000-char tail
+    val kept = scala.collection.mutable.ListBuffer.empty[String]
+    var used = 0
+    sortedDesc.foreach { case (k, v) =>
+      val e = entry(k, v)
+      if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+    }
+    val qs = kept.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

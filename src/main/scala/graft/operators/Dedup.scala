@@ -40,6 +40,14 @@ object Dedup {
 
   private val JaccardThreshold = 0.8
 
+  import graft.CacheLifecycle.tracked
+
+  /** Release every intermediate the library has persisted — see
+    * [[graft.CacheLifecycle.unpersistAll]] (drivers iterating sfDirs call
+    * this between corpora).
+    */
+  def unpersistAll(): Unit = graft.CacheLifecycle.unpersistAll()
+
   /** doc_id, distinct-3-gram-shingle array. Tokens are materialized in
     * their own projection first — see the performance contract on
     * [[TextFunctions.shingles]].
@@ -56,7 +64,9 @@ object Dedup {
       // re-run) hits the same cache entry. Size ≈ corpus shingle set
       // (spills to disk if not); at 100 TB the same role is played by
       // materializing the shingle table to storage once per corpus rev.
+      // Lifecycle: tracked for release via [[unpersistAll]].
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(tracked)
 
   /** Exact dedup: one survivor (min doc_id) per identical text. The
     * fixture corpus has no exact duplicates, so n_copies is 1 throughout —
@@ -225,8 +235,10 @@ object Dedup {
       .select(col("doc_id"),
         graft.plans.GraftFunctions.simHash60(col("hashes")).alias("simhash"))
       // shared by the signature query and the banded pair join (both
-      // sides of the self-join) — one signature pass per session
+      // sides of the self-join) — one signature pass per session;
+      // tracked for release via [[unpersistAll]]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(tracked)
 
   def simhash(spark: SparkSession, sfDir: String): DataFrame =
     simhashSigs(spark, sfDir).orderBy("doc_id")

@@ -45,8 +45,10 @@ object Similarity {
       .withColumn("n2", V.qnorm2(col("v")))
       // Shared by both sides of every similarity self-join and across the
       // four similarity queries — one quantization pass per session
-      // (cache-manager plan dedup), not one per branch.
+      // (cache-manager plan dedup), not one per branch. Lifecycle:
+      // tracked for release via CacheLifecycle.unpersistAll.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheLifecycle.tracked)
 
   private val quantizedSql =
     s"""q AS (SELECT vec_id, label, ${V.quantize1000Sql("embedding")} AS v

@@ -48,8 +48,9 @@ case class SimHash60(child: Expression)
     var acc = 0L
     var b = 59
     while (b >= 0) {
-      // vote sum = cnt - (n - cnt) > 0  ⟺  2·cnt > n
-      acc = (acc << 1) + (if (2 * cnt(b) > n) 1L else 0L)
+      // vote sum = cnt - (n - cnt) > 0  ⟺  2·cnt > n; the doubling runs in
+      // long arithmetic so a ≥2³⁰-element array can't wrap the int product
+      acc = (acc << 1) + (if (2L * cnt(b) > n) 1L else 0L)
       b -= 1
     }
     acc
@@ -79,7 +80,7 @@ case class SimHash60(child: Expression)
          |}
          |long $acc = 0L;
          |for (int $b = 59; $b >= 0; $b--) {
-         |  $acc = ($acc << 1) + ((2 * $cnt[$b] > $n) ? 1L : 0L);
+         |  $acc = ($acc << 1) + ((2L * $cnt[$b] > $n) ? 1L : 0L);
          |}
          |${ev.value} = $acc;
          |""".stripMargin
