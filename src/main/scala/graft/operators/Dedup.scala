@@ -271,6 +271,64 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Near-dup CLUSTERS: connected components over the verified pair graph
+    * (pairs as edges), each document labeled with the minimum doc_id
+    * reachable from it — the canonical "keep one per duplicate cluster"
+    * grouping that pairwise output can't express (A~B, B~C but A≁C still
+    * belong together).
+    *
+    * Algorithm: distributed min-label propagation — labels start as the
+    * node's own id; each round every node takes the min of its own and
+    * its neighbors' labels; fixpoint = component minima (unique, so the
+    * result is deterministic regardless of execution order). The driver
+    * loop only orchestrates; each round is a join + aggregate over the
+    * PAIR GRAPH (nodes that appear in some near-dup pair), which is
+    * orders of magnitude smaller than the corpus — the classic shape for
+    * iterative algorithms on Spark. Rounds needed = component diameter
+    * (near-dup clusters are small); each round's labels are persisted and
+    * the previous round's released so lineage stays bounded (at serious
+    * depth, swap persist for `localCheckpoint`). Oracle: DuckDB recursive
+    * CTE computing min reachable id over the same edges.
+    *
+    * Singleton documents (no near-dup pair) are excluded — the output is
+    * the cluster map, joined back to the corpus by callers as needed.
+    */
+  def clusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashLsh(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(tracked)
+    var labels = edges.select(col("src").alias("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(tracked)
+    var changed = 1L
+    var rounds = 0
+    val MaxRounds = 20
+    while (changed > 0 && rounds < MaxRounds) {
+      val neighborLabels = edges.join(labels, col("dst") === col("node"))
+        .select(col("src").alias("node"), col("label"))
+      val next = labels.union(neighborLabels)
+        .groupBy(col("node")).agg(min(col("label")).alias("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(tracked)
+      changed = next.alias("n")
+        .join(labels.alias("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") =!= col("o.label"))
+        .count()
+      labels.unpersist(false)
+      labels = next
+      rounds += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $MaxRounds rounds")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    labels.select(col("node").alias("doc_id"), col("label").alias("cluster_id"))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .orderBy("doc_id")
+  }
+
   /** Spark-SQL-dialect twin of TextFunctions.md5Hash60Sql (conv vs CAST). */
   private def md5Hash60SqlSpark(e: String): String =
     s"CAST(conv(substring(md5($e), 18, 15), 16, 10) AS BIGINT)"
@@ -351,6 +409,29 @@ object Dedup {
     "dedup_simhash" ->
       s"""WITH $simhashCteSql
          |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+         |             JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE n_common / (sa.n + sb.n - n_common) >= $JaccardThreshold),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT src AS node, src AS r FROM edges
+         |  UNION
+         |  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+         |comp AS (
+         |  SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1)
+         |SELECT doc_id, cluster_id,
+         |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+         |FROM comp ORDER BY doc_id""".stripMargin,
     // exhaustive all-pairs oracle — the banded Spark plan provably equals
     // it (pigeonhole over 4 bands; see simhashPairs doc)
     "dedup_simhash_pairs" ->
@@ -370,5 +451,6 @@ object Dedup {
     "dedup_survivors"     -> survivors _,
     "dedup_simhash"       -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,
+    "dedup_clusters"      -> clusters _,
   )
 }

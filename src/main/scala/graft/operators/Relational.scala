@@ -204,7 +204,47 @@ object Relational {
       .orderBy("return_flag")
   }
 
+  /** Dense (region × priority) order-count matrix: an explicit CROSS JOIN
+    * builds every combination from the tiny dimensions, then a RIGHT OUTER
+    * join (the one join type the registry didn't yet exercise; build side
+    * is the dense matrix) zero-fills combinations with no orders. The
+    * cross product is dims-only — 5×5 rows — never the fact; the fact is
+    * reduced by groupBy first, so at 100 TB this is one aggregation
+    * shuffle plus a broadcast-sized completion join.
+    */
+  def regionPriorityMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val combos = Tables.region(spark, sfDir)
+      .select(col("r_regionkey").alias("region_key"), col("r_name").alias("region_name"))
+      .crossJoin(Tables.orders(spark, sfDir)
+        .select(col("o_orderpriority").alias("priority")).distinct())
+    val actual = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).alias("n"))
+    actual.join(combos,
+        col("n_regionkey") === col("region_key") &&
+          col("o_orderpriority") === col("priority"), "right")
+      .select(col("region_key"), col("region_name"), col("priority"),
+        coalesce(col("n"), lit(0L)).alias("n_orders"))
+      .orderBy("region_key", "priority")
+  }
+
   val oracles: Map[String, String] = Map(
+    "region_priority_matrix" ->
+      """WITH combos AS (
+        |  SELECT r_regionkey AS region_key, r_name AS region_name, priority
+        |  FROM region CROSS JOIN
+        |    (SELECT DISTINCT o_orderpriority AS priority FROM orders)),
+        |actual AS (
+        |  SELECT n_regionkey AS rk, o_orderpriority AS pr,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |              JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT region_key, region_name, priority, coalesce(n, 0) AS n_orders
+        |FROM combos LEFT JOIN actual ON region_key = rk AND priority = pr
+        |ORDER BY region_key, priority""".stripMargin,
     "nation_presence_full_outer" ->
       """WITH c AS (
         |  SELECT c_nationkey AS ck, CAST(count(*) AS BIGINT) AS n_customers
@@ -325,5 +365,6 @@ object Relational {
     "nation_presence_full_outer" -> nationPresenceFullOuter _,
     "revenue_share_by_flag"    -> revenueShareByFlag _,
     "nations_union"            -> nationsUnion _,
+    "region_priority_matrix"   -> regionPriorityMatrix _,
   )
 }

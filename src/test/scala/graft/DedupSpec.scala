@@ -46,6 +46,25 @@ class DedupSpec extends SparkSpec {
     assert(maxH <= 10, s"max hamming distance $maxH")
   }
 
+  test("clusters: every pair co-clustered, label is the component minimum") {
+    val labels = q("dedup_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = q("dedup_minhash_lsh").select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // endpoints of every near-dup pair share a cluster
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+    // the label IS a member, and it is the minimum of its cluster
+    labels.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keySet.contains(cid))
+      assert(members.keys.min == cid)
+    }
+    // cluster map covers exactly the nodes of the pair graph
+    assert(labels.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+  }
+
   test("survivors = documents minus higher ids of near-dup pairs") {
     val nDocs = Tables.documents(spark, sf).count()
     val nRemoved = q("dedup_minhash_lsh").select("doc_b").distinct().count()

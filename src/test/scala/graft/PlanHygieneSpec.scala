@@ -25,9 +25,13 @@ class PlanHygieneSpec extends SparkSpec {
     // ...and the single-row broadcast totals of ratio-to-report /
     // division (broadcasting one aggregate row IS the scale-correct
     // alternative to an unpartitioned window)
+    // ...and deliberate dims-only cross products: the region×priority
+    // dense matrix (5×5 dimension rows) and TF-IDF's single-row corpus
+    // size riding a broadcast
     val allowed = Set("range_join_price_band", "ivf_ann_cosine",
       "knn_brute_cosine", "embedding_near_dup",
-      "revenue_share_by_flag", "customers_all_years")
+      "revenue_share_by_flag", "customers_all_years",
+      "region_priority_matrix", "text_tfidf_top_terms")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),

@@ -11,6 +11,19 @@ class TextEventsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("tfidf: exactly top-3 per doc, score consistent with tf·n_docs/df") {
+    val nDocs = Tables.documents(spark, sf).count()
+    val out = q("text_tfidf_top_terms").cache()
+    val perDoc = out.groupBy("doc_id").agg(count(lit(1)).alias("k"),
+      max(col("rank")).alias("maxr")).filter(col("k") =!= 3 || col("maxr") =!= 3)
+    assert(perDoc.count() == 0) // every doc has ≥3 distinct terms in the fixture
+    val bad = out.filter(
+      col("tfidf") =!= (col("tf") * nDocs).cast("double") / col("df") ||
+        col("df") < 1 || col("df") > nDocs).count()
+    assert(bad == 0)
+    out.unpersist()
+  }
+
   test("text_token_stats: one row per language, totals positive") {
     val rows = q("text_token_stats").collect()
     assert(rows.length == 5)
