@@ -169,7 +169,153 @@ object Stats {
       .orderBy("brand")
   }
 
+  /** Bloom-pruned semi join: revenue of line items belonging to high-value
+    * orders, with the probe (lineitem) pre-filtered by a Bloom sketch of
+    * the qualifying order keys before the exact semi join — see
+    * [[graft.functions.BloomPrune]] for the 100 TB rationale. The oracle
+    * is the UNPRUNED semi join: any sketch artifact fails the gate.
+    */
+  def bloomPrunedOrderItems(spark: SparkSession, sfDir: String): DataFrame = {
+    val bigOrders = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey"))
+    graft.functions.BloomPrune.prunedSemiJoin(
+      probe = Tables.lineitem(spark, sfDir), build = bigOrders,
+      probeKey = "l_orderkey", buildKey = "o_orderkey",
+      expectedItems = 1000000L, fpp = 0.01)
+      .groupBy(col("l_returnflag").alias("return_flag"))
+      .agg(count(lit(1)).alias("n_items"),
+        Deterministic.exactSum(col("l_extendedprice"), 2).alias("revenue"))
+      .orderBy("return_flag")
+  }
+
+  /** Population skewness and excess kurtosis of `l_quantity` per return
+    * flag from exact integer power sums — the higher-moment extension of
+    * [[lineitemCorr]]'s pattern. Every numerator/denominator is an exact
+    * DECIMAL(38,0) integer; the closed forms then run the same
+    * double-precision operation sequence on both engines (sqrt is IEEE
+    * correctly-rounded; no `pow`, whose libm results differ), so the
+    * comparison is bit-exact. Magnitudes: with quantity ≤ 50 the largest
+    * term (sx⁴) stays < 1e38 up to ~10⁸ rows per group; beyond that,
+    * center first or widen the quantization — noted, not needed here.
+    */
+  def lineitemMoments(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val qx = Deterministic.quantize(col("l_quantity"), 0).cast(dec)
+    val agg = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").alias("return_flag"), qx.alias("x"))
+      .groupBy(col("return_flag"))
+      .agg(count(lit(1)).cast(dec).alias("n"),
+        sum(col("x")).alias("s1"),
+        sum(col("x") * col("x")).alias("s2"),
+        sum(col("x") * col("x") * col("x")).alias("s3"),
+        sum(col("x") * col("x") * col("x") * col("x")).alias("s4"))
+    val n = col("n")
+    val mean = col("s1").cast("double") / n.cast("double")
+    val m2 = (n * col("s2") - col("s1") * col("s1")).cast("double") /
+      (n * n).cast("double")
+    val m3 = (n * n * col("s3") - lit(3).cast(dec) * n * col("s1") * col("s2") +
+      lit(2).cast(dec) * col("s1") * col("s1") * col("s1")).cast("double") /
+      (n * n * n).cast("double")
+    val m4 = (n * n * n * col("s4") -
+      lit(4).cast(dec) * n * n * col("s1") * col("s3") +
+      lit(6).cast(dec) * n * col("s1") * col("s1") * col("s2") -
+      lit(3).cast(dec) * col("s1") * col("s1") * col("s1") * col("s1")).cast("double") /
+      (n * n * n * n).cast("double")
+    agg.select(col("return_flag"), n.cast(LongType).alias("n"),
+        mean.alias("mean_qty"), m2.alias("var_pop_qty"),
+        (m3 / (sqrt(m2) * m2)).alias("skewness_qty"),
+        (m4 / (m2 * m2) - lit(3.0)).alias("kurtosis_excess_qty"))
+      .orderBy("return_flag")
+  }
+
+  /** Least-squares regression of extendedprice on quantity per return
+    * flag, slope/intercept from the same exact power sums as
+    * [[lineitemCorr]] (y is quantized at cents, so the closed forms
+    * divide the quantization factor back out exactly once).
+    */
+  def lineitemRegression(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val qx = Deterministic.quantize(col("l_quantity"), 0).cast(dec)
+    val qy = Deterministic.quantize(col("l_extendedprice"), 2).cast(dec)
+    val agg = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").alias("return_flag"), qx.alias("x"), qy.alias("y"))
+      .groupBy(col("return_flag"))
+      .agg(count(lit(1)).cast(dec).alias("n"),
+        sum(col("x")).alias("sx"), sum(col("y")).alias("sy"),
+        sum(col("x") * col("x")).alias("sxx"),
+        sum(col("x") * col("y")).alias("sxy"))
+    val n = col("n")
+    // slope in quantized units (y·100 per x·1), /100 restores raw units
+    val slope = (n * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (n * col("sxx") - col("sx") * col("sx")).cast("double") / lit(100.0)
+    val intercept = col("sy").cast("double") / n.cast("double") / lit(100.0) -
+      slope * (col("sx").cast("double") / n.cast("double"))
+    agg.select(col("return_flag"), n.cast(LongType).alias("n"),
+        slope.alias("slope_price_per_qty"), intercept.alias("intercept_price"))
+      .orderBy("return_flag")
+  }
+
   val oracles: Map[String, String] = Map(
+    "bloom_pruned_order_items" ->
+      s"""SELECT l_returnflag AS return_flag, CAST(count(*) AS BIGINT) AS n_items,
+         |       ${Deterministic.exactSumSql("l_extendedprice", 2)} AS revenue
+         |FROM lineitem
+         |WHERE EXISTS (SELECT 1 FROM orders
+         |              WHERE o_orderkey = l_orderkey AND o_totalprice > 400000.0)
+         |GROUP BY 1 ORDER BY return_flag""".stripMargin,
+    "lineitem_moments" ->
+      """WITH sums AS (
+        |  SELECT l_returnflag AS return_flag,
+        |         CAST(count(*) AS HUGEINT) AS n,
+        |         CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS HUGEINT) AS s1,
+        |         CAST(SUM(CAST(round(l_quantity) AS BIGINT)
+        |           * CAST(round(l_quantity) AS BIGINT)) AS HUGEINT) AS s2,
+        |         CAST(SUM(CAST(round(l_quantity) AS BIGINT)
+        |           * CAST(round(l_quantity) AS BIGINT)
+        |           * CAST(round(l_quantity) AS BIGINT)) AS HUGEINT) AS s3,
+        |         CAST(SUM(CAST(round(l_quantity) AS BIGINT)
+        |           * CAST(round(l_quantity) AS BIGINT)
+        |           * CAST(round(l_quantity) AS BIGINT)
+        |           * CAST(round(l_quantity) AS BIGINT)) AS HUGEINT) AS s4
+        |  FROM lineitem GROUP BY 1),
+        |m AS (
+        |  SELECT return_flag, n,
+        |         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
+        |         CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * n AS DOUBLE) AS m2,
+        |         CAST(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS DOUBLE)
+        |           / CAST(n * n * n AS DOUBLE) AS m3,
+        |         CAST(n * n * n * s4 - 4 * n * n * s1 * s3
+        |              + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS DOUBLE)
+        |           / CAST(n * n * n * n AS DOUBLE) AS m4
+        |  FROM sums)
+        |SELECT return_flag, CAST(n AS BIGINT) AS n, mean_qty,
+        |       m2 AS var_pop_qty,
+        |       m3 / (sqrt(m2) * m2) AS skewness_qty,
+        |       m4 / (m2 * m2) - 3.0 AS kurtosis_excess_qty
+        |FROM m ORDER BY return_flag""".stripMargin,
+    "lineitem_regression" ->
+      """WITH sums AS (
+        |  SELECT l_returnflag AS return_flag,
+        |         CAST(count(*) AS HUGEINT) AS n,
+        |         CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS HUGEINT) AS sx,
+        |         CAST(SUM(CAST(round(l_extendedprice * 1e2) AS BIGINT)) AS HUGEINT) AS sy,
+        |         CAST(SUM(CAST(round(l_quantity) AS BIGINT)
+        |           * CAST(round(l_quantity) AS BIGINT)) AS HUGEINT) AS sxx,
+        |         CAST(SUM(CAST(round(l_quantity) AS BIGINT)
+        |           * CAST(round(l_extendedprice * 1e2) AS BIGINT)) AS HUGEINT) AS sxy
+        |  FROM lineitem GROUP BY 1),
+        |s AS (
+        |  SELECT return_flag, n,
+        |         CAST(n * sxy - sx * sy AS DOUBLE)
+        |           / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0 AS slope,
+        |         sx, sy
+        |  FROM sums)
+        |SELECT return_flag, CAST(n AS BIGINT) AS n,
+        |       slope AS slope_price_per_qty,
+        |       CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+        |         - slope * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS intercept_price
+        |FROM s ORDER BY return_flag""".stripMargin,
     "skew_join_brand_revenue" ->
       s"""SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n_items,
          |       ${Deterministic.exactSumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
@@ -240,5 +386,8 @@ object Stats {
     "sales_grouping_sets"    -> salesGroupingSets _,
     "docs_stratified_sample" -> docsStratifiedSample _,
     "skew_join_brand_revenue" -> skewJoinBrandRevenue _,
+    "bloom_pruned_order_items" -> bloomPrunedOrderItems _,
+    "lineitem_moments"        -> lineitemMoments _,
+    "lineitem_regression"     -> lineitemRegression _,
   )
 }

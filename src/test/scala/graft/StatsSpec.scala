@@ -26,6 +26,76 @@ class StatsSpec extends SparkSpec {
     assert(matchesPerOrder.count() == o.count())
   }
 
+  test("bloom-pruned semi join is row-identical to the plain semi join") {
+    val l = Tables.lineitem(spark, sf)
+    val big = Tables.orders(spark, sf)
+      .filter(col("o_totalprice") > 400000.0).select("o_orderkey")
+    val plain = l.join(big, l("l_orderkey") === big("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag").alias("return_flag"))
+      .agg(count(lit(1)).alias("n_items"))
+    val pruned = q("bloom_pruned_order_items").select("return_flag", "n_items")
+    assert(pruned.except(plain).count() == 0 && plain.except(pruned).count() == 0)
+    assert(pruned.count() > 0)
+  }
+
+  test("bloom predicate actually prunes: sketch rejects keys outside the build set") {
+    import java.io.ByteArrayOutputStream
+    val big = Tables.orders(spark, sf)
+      .filter(col("o_totalprice") > 400000.0).select("o_orderkey")
+    val bf = big.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+    val keys = big.collect().map(_.getLong(0)).toSet
+    // every build key passes (no false negatives)
+    assert(keys.forall(bf.mightContainLong))
+    // fpp holds on definitely-absent keys (disjoint range)
+    val absent = (1000000000L until 1000010000L)
+    val fpCount = absent.count(bf.mightContainLong)
+    assert(fpCount < 300, s"false-positive count $fpCount way above 1% of 10000")
+    // and the Catalyst predicate agrees with the driver-side sketch
+    val bos = new ByteArrayOutputStream(); bf.writeTo(bos)
+    val viaExpr = Tables.lineitem(spark, sf)
+      .where(graft.functions.BloomPrune.mightContain(bos.toByteArray, col("l_orderkey")))
+      .select("l_orderkey").distinct().collect().map(_.getLong(0)).toSet
+    assert(viaExpr.forall(bf.mightContainLong))
+    // every lineitem key that IS a build key must survive the pruning
+    // (build keys with no lineitem rows can't appear on the probe side)
+    val lineitemKeys = Tables.lineitem(spark, sf)
+      .select("l_orderkey").distinct().collect().map(_.getLong(0)).toSet
+    assert((keys intersect lineitemKeys).subsetOf(viaExpr))
+  }
+
+  test("moments agree with Spark's built-in skewness/kurtosis to float tolerance") {
+    val ours = q("lineitem_moments").collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val ref = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(avg("l_quantity").alias("m"), var_pop("l_quantity").alias("v"),
+        skewness("l_quantity").alias("s"), kurtosis("l_quantity").alias("k"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    for ((flag, (m, v, s, k)) <- ref) {
+      val (om, ov, os, ok) = ours(flag)
+      assert(math.abs(om - m) < 1e-6 && math.abs(ov - v) < 1e-4)
+      assert(math.abs(os - s) < 1e-6, s"skewness $flag: $os vs $s")
+      assert(math.abs(ok - k) < 1e-4, s"kurtosis $flag: $ok vs $k")
+    }
+  }
+
+  test("regression slope/intercept minimize squared error (perturbation check)") {
+    val rows = q("lineitem_regression").collect()
+    val data = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    for (row <- rows) {
+      val flag = row.getString(0)
+      val (slope, intercept) = (row.getDouble(2), row.getDouble(3))
+      val pts = data.filter(_._1 == flag)
+      def sse(a: Double, b: Double): Double =
+        pts.map { case (_, x, y) => val e = y - (a * x + b); e * e }.sum
+      val base = sse(slope, intercept)
+      for (da <- Seq(-1.0, 1.0); db <- Seq(-100.0, 100.0))
+        assert(base <= sse(slope + da, intercept + db))
+    }
+  }
+
   test("mode is the argmax of the per-group counts with the pinned tiebreak") {
     val m = q("orders_mode_priority").collect()
     val counts = Tables.orders(spark, sf)
