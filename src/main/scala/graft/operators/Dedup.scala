@@ -295,9 +295,12 @@ object Dedup {
     */
   def clusters(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = minhashLsh(spark, sfDir).select(col("doc_a"), col("doc_b"))
-    val edges = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst")
+    // both directions via one explode, NOT union(pairs, pairs.reversed):
+    // a union would evaluate the whole LSH candidate pipeline twice
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").alias("src"), col("doc_b").alias("dst")),
+        struct(col("doc_b").alias("src"), col("doc_a").alias("dst")))).alias("e"))
+      .select(col("e.src").alias("src"), col("e.dst").alias("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(tracked)
     var labels = edges.select(col("src").alias("node")).distinct()

@@ -209,8 +209,11 @@ object TextAnalysis {
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).alias("term"))
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).alias("tf"))
-    val dfreq = toks.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).alias("df"))
+    // df derives from tf — (doc, term) is unique there, so the distinct
+    // count collapses to a row count and the corpus is tokenized ONCE
+    // (tf feeds both branches of the join through one shuffle output)
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).alias("df"))
     val nd = Tables.documents(spark, sfDir).agg(count(lit(1)).alias("n_docs"))
     val scored = tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(nd))
