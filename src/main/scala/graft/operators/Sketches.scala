@@ -1,0 +1,107 @@
+package graft.operators
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+
+import graft.Tables
+
+/** Sketch-based operators — the bounded-memory paths a 100 TB pipeline
+  * uses when exact per-key state no longer fits (no reference analog; the
+  * reference's only aggregate is one groupBy-sum).
+  *
+  * Pattern shared by both operators here: sketches are MERGEABLE, so they
+  * aggregate map-side, merge associatively across partitions (safe under
+  * AQE re-plans), and can be rolled up across grouping granularities
+  * without touching raw data again.
+  */
+object Sketches {
+
+  /** Exact heavy hitters through a Count-Min-Sketch prune:
+    *
+    *  1. one aggregation builds a CMS of `l_partkey` (bounded memory:
+    *     width×depth counters regardless of key cardinality);
+    *  2. the distinct key set is probed against the broadcast sketch —
+    *     CMS only ever OVER-estimates, so the candidate set is a strict
+    *     superset of the true heavy hitters (no false negatives, same
+    *     one-sided guarantee as [[graft.functions.BloomPrune]]);
+    *  3. an exact count restricted to the candidates (broadcast semi
+    *     join) trims the false positives.
+    *
+    * Output is therefore EXACT (oracle: plain GROUP BY ... HAVING), while
+    * per-key exact state is only ever held for candidates. On uniform
+    * fixture data the prune is weak; on the Zipfian key distributions
+    * heavy-hitter queries exist for, candidates ≈ the hot keys only.
+    * The sketch probe is a driver-broadcast UDF over the DISTINCT keys —
+    * never the fact table — which is the one place a UDF is warranted:
+    * no built-in expression can probe a CMS.
+    *
+    * Threshold: 1.5× the mean per-key count, derived from two exact
+    * scalars (row count, distinct count) so both engines compute the
+    * identical double.
+    */
+  def heavyHitterParts(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+    val statsRow = l.agg(count(lit(1)).alias("total"),
+      countDistinct(col("l_partkey")).alias("nkeys")).head()
+    // same operation order as the oracle's `1.5 * avg(n)`: divide the two
+    // exact integers first, then scale — double ops on identical inputs
+    // in identical order are bit-identical across engines
+    val threshold = 1.5 * (statsRow.getLong(0).toDouble / statsRow.getLong(1))
+    val cmsBytes = l.stat.countMinSketch(col("l_partkey"),
+      eps = 0.0001, confidence = 0.99, seed = 42).toByteArray
+    val cmsBc = spark.sparkContext.broadcast(cmsBytes)
+    // deserialize once per task (transient lazy), not once per row
+    val probe = new (Long => Boolean) with Serializable {
+      @transient private lazy val cms =
+        CountMinSketch.readFrom(new ByteArrayInputStream(cmsBc.value))
+      def apply(key: Long): Boolean = cms.estimateCount(key) >= threshold
+    }
+    val estimateAtLeast = udf(probe)
+    val candidates = l.select(col("l_partkey")).distinct()
+      .filter(estimateAtLeast(col("l_partkey")))
+    l.join(broadcast(candidates), Seq("l_partkey"), "left_semi")
+      .groupBy(col("l_partkey").alias("part_key"))
+      .agg(count(lit(1)).alias("n"))
+      .filter(col("n") >= threshold)
+      .orderBy("part_key")
+  }
+
+  /** Mergeable-HLL vocabulary rollup: one DataSketches HLL sketch of the
+    * token stream per (lang, source), then per-language vocabulary by
+    * UNIONING the source sketches — the raw tokens are read exactly once
+    * and any coarser granularity derives from stored sketches, which is
+    * how a 100 TB corpus keeps distinct counts maintainable. Estimates
+    * are engine-specific → rows-only check (the exact twin is
+    * `text_token_stats.vocab`; accuracy is asserted in the spec).
+    */
+  def vocabHllRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSource = Tables.loadSpread(spark, sfDir, "documents")
+      .select(col("lang"), col("source"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).alias("token"))
+      .groupBy(col("lang"), col("source"))
+      .agg(hll_sketch_agg(col("token")).alias("sk"))
+    perSource.groupBy(col("lang"))
+      .agg(count(lit(1)).alias("n_sources"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).alias("vocab_est"))
+      .orderBy("lang")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "heavy_hitter_parts" ->
+      """WITH c AS (
+        |  SELECT l_partkey AS part_key, CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT 1.5 * avg(n) AS thr FROM c)
+        |SELECT part_key, n FROM c, t WHERE n >= thr
+        |ORDER BY part_key""".stripMargin,
+    // text_vocab_hll_rollup: rows-only (HLL estimates engine-specific)
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "heavy_hitter_parts"    -> heavyHitterParts _,
+    "text_vocab_hll_rollup" -> vocabHllRollup _,
+  )
+}

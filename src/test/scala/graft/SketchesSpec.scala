@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+
+  test("heavy hitters equal the exact GROUP BY ... HAVING result") {
+    val exact = {
+      val counts = Tables.lineitem(spark, sf)
+        .groupBy(col("l_partkey").alias("part_key"))
+        .agg(count(lit(1)).alias("n"))
+      val avg = counts.agg(sum("n"), count(lit(1))).head()
+      val thr = 1.5 * (avg.getLong(0).toDouble / avg.getLong(1))
+      counts.filter(col("n") >= thr)
+    }
+    val ours = q("heavy_hitter_parts")
+    assert(ours.except(exact).count() == 0 && exact.except(ours).count() == 0)
+  }
+
+  test("CMS never under-estimates: every true heavy hitter survives the prune") {
+    // estimateCount(k) >= true count for every key, by CMS construction —
+    // spot-check the whole key set against the same sketch config
+    val l = Tables.lineitem(spark, sf)
+    val cms = l.stat.countMinSketch(col("l_partkey"), 0.0001, 0.99, 42)
+    val counts = l.groupBy("l_partkey").count().collect()
+    counts.foreach { r =>
+      assert(cms.estimateCount(r.getLong(0)) >= r.getLong(1),
+        s"CMS under-estimated key ${r.getLong(0)}")
+    }
+  }
+
+  test("HLL union rollup estimates per-language vocab within 5% of exact") {
+    val est = q("text_vocab_hll_rollup").collect()
+      .map(r => r.getString(0) -> r.getLong(2).toDouble).toMap
+    val exact = q("text_token_stats").select("lang", "vocab").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    for ((lang, v) <- exact) {
+      val rel = math.abs(est(lang) - v) / v
+      assert(rel < 0.05, s"$lang: HLL $est($lang) vs exact $v (rel err $rel)")
+    }
+  }
+}
