@@ -163,6 +163,19 @@ object EventStream {
         col("ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
   }
 
+  /** Stream-static dimension enrichment: the event stream joined to a
+    * static (batch) dimension on the user key — stateless (no watermark
+    * needed; each micro-batch joins against the current static side), the
+    * dimension rides a broadcast, so the stream never shuffles. This is
+    * the streaming twin of every batch fact⋈dim join in the star tier;
+    * at scale the static side is a slowly-changing dim re-resolved per
+    * batch.
+    */
+  def enrichedEvents(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("c_mktsegment").alias("segment"))
+
   /** Streaming exact dedup by event id within the watermark horizon —
     * the ingestion-side guard against at-least-once source duplicates.
     * State holds one entry per id seen within the watermark; eviction is

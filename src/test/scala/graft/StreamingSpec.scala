@@ -107,6 +107,26 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static broadcast enrichment equals the batch join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream7")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val dim = Tables.customer(spark, sf)
+    val enriched = EventStream.enrichedEvents(
+      EventStream.readEvents(spark, dir.toString), dim)
+    assert(enriched.isStreaming)
+    val query = EventStream.runToMemory(enriched, "enrich_smoke", "append")
+    try {
+      val streamed = spark.table("enrich_smoke").select("event_id", "segment")
+      val batch = Tables.events(spark, sf)
+        .join(dim, col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("c_mktsegment").alias("segment"))
+      assert(streamed.count() == batch.count() && batch.count() > 0)
+      assert(streamed.exceptAll(batch).count() == 0)
+    } finally query.stop()
+  }
+
   test("stateful mapGroupsWithState latest-per-user equals the batch query") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream2")
     java.nio.file.Files.copy(
