@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+import graft.Tables
+import graft.functions.Deterministic
+
+/** Feature-engineering operators a training-data pipeline runs ahead of
+  * modeling (north-star tier; no reference analog): fuzzy entity matching
+  * with blocking, and per-group standardization / anomaly flagging.
+  */
+object Features {
+
+  /** Fuzzy name matching with BLOCKING: distinct part names self-joined
+    * only within a block (the name's noun — its last token), then exact
+    * Levenshtein ≤ 2 on the candidates. Blocking is what makes fuzzy
+    * joins scale: the quadratic candidate space shrinks to per-block
+    * squares (the same candidate-then-verify shape as the LSH dedup
+    * tier), and the edit-distance only runs on candidates. The fixture
+    * plants adjective typo pairs ("cold gear" / "old gear"), so the
+    * output is non-trivial at every scale factor.
+    */
+  def fuzzyPartNamePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val names = Tables.part(spark, sfDir)
+      .select(col("p_name")).distinct()
+      .withColumn("block", element_at(split(col("p_name"), " "), 2))
+    names.alias("a")
+      .join(names.alias("b"),
+        col("a.block") === col("b.block") && col("a.p_name") < col("b.p_name"))
+      .select(col("a.p_name").alias("name_a"), col("b.p_name").alias("name_b"),
+        levenshtein(col("a.p_name"), col("b.p_name")).alias("edit_distance"))
+      .filter(col("edit_distance") <= 2)
+      .orderBy("name_a", "name_b")
+  }
+
+  /** Per-type standardization of event values from exact integer power
+    * sums (the [[Stats.lineitemCorr]] determinism pattern): z-scores are
+    * `(value − mean) / stddev_pop` where mean/stddev derive from exact
+    * DECIMAL sums of the cent-quantized values, so both engines compute
+    * the identical doubles; rows with |z| > 2.5 are flagged as anomalies
+    * and returned. One aggregation shuffle + one broadcast join back to
+    * the stream — the standard shape for feature scaling at 100 TB
+    * (stats pass, then a stateless map).
+    */
+  def eventsValueZscore(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val qv = Deterministic.quantize(col("value"), 2).cast(dec)
+    val stats = Tables.events(spark, sfDir)
+      .select(col("event_type"), qv.alias("q"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(dec).alias("n"),
+        sum(col("q")).alias("s1"),
+        sum(col("q") * col("q")).alias("s2"))
+    val mean = col("s1").cast("double") / col("n").cast("double") / lit(100.0)
+    val std = sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+      (col("n") * col("n")).cast("double")) / lit(100.0)
+    val typed = stats.select(col("event_type"), mean.alias("mean_value"),
+      std.alias("std_value"))
+    Tables.events(spark, sfDir)
+      .join(broadcast(typed), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        ((col("value") - col("mean_value")) / col("std_value")).alias("zscore"))
+      .filter(abs(col("zscore")) > 2.5)
+      .orderBy("event_id")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "fuzzy_part_name_pairs" ->
+      """WITH names AS (
+        |  SELECT DISTINCT p_name, split_part(p_name, ' ', 2) AS block FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_distance
+        |FROM names a JOIN names b
+        |  ON a.block = b.block AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
+    "events_value_zscore" ->
+      """WITH sums AS (
+        |  SELECT event_type,
+        |         CAST(count(*) AS HUGEINT) AS n,
+        |         CAST(SUM(CAST(round(value * 1e2) AS BIGINT)) AS HUGEINT) AS s1,
+        |         CAST(SUM(CAST(round(value * 1e2) AS BIGINT)
+        |           * CAST(round(value * 1e2) AS BIGINT)) AS HUGEINT) AS s2
+        |  FROM events GROUP BY 1),
+        |stats AS (
+        |  SELECT event_type,
+        |         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_value,
+        |         sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+        |              / CAST(n * n AS DOUBLE)) / 100.0 AS std_value
+        |  FROM sums)
+        |SELECT event_id, e.event_type AS event_type, value,
+        |       (value - mean_value) / std_value AS zscore
+        |FROM events e JOIN stats USING (event_type)
+        |WHERE abs((value - mean_value) / std_value) > 2.5
+        |ORDER BY event_id""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fuzzy_part_name_pairs" -> fuzzyPartNamePairs _,
+    "events_value_zscore"   -> eventsValueZscore _,
+  )
+}
