@@ -66,7 +66,83 @@ object Features {
       .orderBy("event_id")
   }
 
+  private val ChunkSize = 32
+  private val ChunkStride = 24 // 8-token overlap between consecutive chunks
+
+  /** Overlapping token-window chunking — the step that turns documents
+    * into model-sized training samples. Chunk k of a doc covers tokens
+    * `[k·stride + 1, k·stride + size]` (1-based, 8-token overlap); the
+    * last chunk starts at the last stride boundary that still adds new
+    * tokens, so every token lands in ≥ 1 chunk and no empty chunks are
+    * emitted. Pure narrow work (sequence/explode/slice HOFs — one row
+    * widens to its chunk count, no shuffle until the verification sort).
+    */
+  def docsChunkedOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = graft.functions.TextFunctions.tokens(col("text"))
+    val chunked = Tables.loadSpread(spark, sfDir, "documents")
+      .select(col("doc_id"), t.alias("t"))
+      .withColumn("kmax",
+        expr(s"(greatest(size(t) - $ChunkSize, 0) + ${ChunkStride - 1}) div $ChunkStride"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), col("kmax").cast("int"))).alias("chunk_id"))
+      .withColumn("chunk",
+        slice(col("t"), col("chunk_id") * ChunkStride + 1, lit(ChunkSize)))
+    chunked.select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).alias("n_tokens"),
+        concat_ws(" ", col("chunk")).alias("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  private val PackBudget = 256
+
+  /** Streaming token packing: documents in doc_id order are assigned to
+    * fixed-capacity bins by the bin their FIRST token falls into
+    * (`bin = exclusive-cumsum div budget`) — the fully-parallel
+    * boundary-slicing approximation of greedy packing (a bin can overflow
+    * by at most one document's tokens; exact first-fit is a sequential
+    * fold and does not distribute). One window cumsum — at 100 TB the
+    * ordering column is the pre-assigned sample id and the window
+    * partitions by shard.
+    */
+  def docsTokenPacking(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).alias("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
+        expr(s"(cum_tokens - n_tokens) div $PackBudget").alias("bin_id"))
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "docs_chunked_overlap" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |k AS (
+         |  SELECT doc_id, t,
+         |         (greatest(len(t) - $ChunkSize, 0) + ${ChunkStride - 1}) // $ChunkStride AS kmax
+         |  FROM toks),
+         |chunks AS (
+         |  SELECT doc_id, unnest(generate_series(0, kmax)) AS chunk_id, t FROM k)
+         |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+         |       CAST(len(list_slice(t, chunk_id * $ChunkStride + 1,
+         |                           chunk_id * $ChunkStride + $ChunkSize)) AS INT) AS n_tokens,
+         |       array_to_string(list_slice(t, chunk_id * $ChunkStride + 1,
+         |                                  chunk_id * $ChunkStride + $ChunkSize), ' ') AS chunk_text
+         |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
+    "docs_token_packing" ->
+      s"""WITH sized AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+         |  FROM documents)
+         |SELECT doc_id, n_tokens,
+         |       CAST(sum(n_tokens) OVER (ORDER BY doc_id
+         |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+         |       CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |             - n_tokens) // $PackBudget AS BIGINT) AS bin_id
+         |FROM sized ORDER BY doc_id""".stripMargin,
     "fuzzy_part_name_pairs" ->
       """WITH names AS (
         |  SELECT DISTINCT p_name, split_part(p_name, ' ', 2) AS block FROM part)
@@ -100,5 +176,7 @@ object Features {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fuzzy_part_name_pairs" -> fuzzyPartNamePairs _,
     "events_value_zscore"   -> eventsValueZscore _,
+    "docs_chunked_overlap"  -> docsChunkedOverlap _,
+    "docs_token_packing"    -> docsTokenPacking _,
   )
 }

@@ -18,6 +18,49 @@ class FeaturesSpec extends SparkSpec {
       r.getString(1).startsWith("old ") && r.getInt(2) == 1))
   }
 
+  test("chunking covers every token: reassembling stride prefixes restores the doc") {
+    val chunks = q("docs_chunked_overlap").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(1))).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(chunks.keySet == docs.keySet)
+    for ((id, rows) <- chunks) {
+      val toks = docs(id).split(" ")
+      // chunk k starts at k*stride and holds min(32, n - k*24) tokens
+      rows.foreach { r =>
+        val k = r.getInt(1)
+        val expected = toks.slice(k * 24, k * 24 + 32)
+        assert(r.getString(3) == expected.mkString(" "), s"doc $id chunk $k")
+        assert(r.getInt(2) == expected.length)
+      }
+      // concatenating each chunk's first `stride` tokens (full tail for
+      // the last chunk) restores the document exactly
+      val rebuilt = rows.init.map(_.getString(3).split(" ").take(24))
+        .flatten ++ rows.last.getString(3).split(" ")
+      assert(rebuilt.mkString(" ") == docs(id), s"doc $id reassembly")
+    }
+  }
+
+  test("packing bins are contiguous, capacity-bounded, and in doc order") {
+    val rows = q("docs_token_packing").orderBy("doc_id").collect()
+    var prevCum = 0L
+    rows.foreach { r =>
+      assert(r.getLong(2) == prevCum + r.getInt(1)) // cumsum chains
+      prevCum = r.getLong(2)
+      assert(r.getLong(3) == (r.getLong(2) - r.getInt(1)) / 256)
+    }
+    // bin ids are non-decreasing in doc order; bins hold ≥ 1 doc; a bin's
+    // pre-overflow load never exceeds budget + one doc
+    val byBin = rows.groupBy(_.getLong(3))
+    val binIds = rows.map(_.getLong(3))
+    assert(binIds.zip(binIds.tail).forall { case (a, b) => a <= b })
+    val maxDoc = rows.map(_.getInt(1)).max
+    for ((_, members) <- byBin) {
+      val load = members.map(_.getInt(1).toLong).sum
+      assert(load <= 256L + maxDoc)
+    }
+  }
+
   test("zscore output only flags |z| > 2.5 and z reconstructs from group stats") {
     val out = q("events_value_zscore").collect()
     assert(out.nonEmpty)
