@@ -60,6 +60,26 @@ object Events {
         Deterministic.exactSum(col("value"), 2).alias("sum_value"))
       .orderBy("event_type")
 
+  /** Semi-structured extraction through Spark 4's VARIANT type:
+    * `parse_json` decodes the props string ONCE into the binary variant
+    * encoding, then typed `variant_get` paths read fields without
+    * re-parsing — at 100 TB the parse cost is paid at ingestion and every
+    * downstream field access is a cheap binary probe, vs
+    * `get_json_object` re-parsing the string per call (the
+    * [[jsonExtract]] twin keeps that spelling for comparison). Output is
+    * plain typed columns, so the oracle is engine-neutral.
+    */
+  def variantExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'long')").alias("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).alias("n_with_k"),
+        sum(col("k")).alias("sum_k"),
+        min(col("k")).alias("min_k"),
+        max(col("k")).alias("max_k"))
+      .orderBy("event_type")
+
   /** Tumbling 1-hour event-time window (epoch-aligned, UTC session TZ). */
   def hourlyWindow(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
@@ -306,6 +326,13 @@ object Events {
          |       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
          |       ${Deterministic.exactSumSql("value", 2)} AS sum_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_variant_extract" ->
+      """SELECT event_type,
+        |       CAST(count(props->>'k') AS BIGINT) AS n_with_k,
+        |       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |       CAST(MIN(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+        |       CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_hourly" ->
       s"""SELECT date_trunc('hour', ts) AS hour_start, event_type,
          |       CAST(count(*) AS BIGINT) AS n_events,
@@ -418,6 +445,7 @@ object Events {
     "events_cohort_retention" -> cohortRetention _,
     "events_pivot_by_type"   -> pivotByType _,
     "events_json_extract"    -> jsonExtract _,
+    "events_variant_extract" -> variantExtract _,
     "events_hourly"          -> hourlyWindow _,
     "events_sliding_window"  -> slidingWindow _,
     "user_event_paths"       -> userEventPaths _,
