@@ -53,6 +53,23 @@ object TextFunctions {
        |    list_transform($toksExpr, t -> ${md5Hash60Sql("t")})),
        |  (acc, h) -> (acc * 31 + h) % 1000003)""".stripMargin
 
+  /** Overlapping chunk windows over a token array: chunk k covers tokens
+    * `[k·stride + 1, k·stride + size]` (1-based); the last chunk starts at
+    * the last stride boundary that still adds new tokens, so every token
+    * lands in ≥ 1 chunk, the final chunk may be short, and none is empty.
+    * Returns `array<array<string>>` — `posexplode` it to get
+    * (chunk_id, chunk). Same performance contract as [[shingles]]: pass a
+    * materialized token column, not an inline `split`.
+    */
+  def chunkWindows(toks: Column, chunkSize: Int, stride: Int): Column = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= size, got size=$chunkSize stride=$stride")
+    val kmax = ((greatest(size(toks) - chunkSize, lit(0)) + lit(stride - 1))
+      / lit(stride)).cast("int") // non-negative ints: / then truncate = floor div
+    transform(sequence(lit(0), kmax),
+      k => slice(toks, k * stride + 1, lit(chunkSize)))
+  }
+
   /** Distinct word-level n-gram shingles of a token array (1-based
     * `element_at`). Documents shorter than n shingle to an empty array.
     *

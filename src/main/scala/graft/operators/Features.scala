@@ -78,16 +78,13 @@ object Features {
     * widens to its chunk count, no shuffle until the verification sort).
     */
   def docsChunkedOverlap(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = graft.functions.TextFunctions.tokens(col("text"))
-    val chunked = Tables.loadSpread(spark, sfDir, "documents")
-      .select(col("doc_id"), t.alias("t"))
-      .withColumn("kmax",
-        expr(s"(greatest(size(t) - $ChunkSize, 0) + ${ChunkStride - 1}) div $ChunkStride"))
-      .select(col("doc_id"), col("t"),
-        explode(sequence(lit(0), col("kmax").cast("int"))).alias("chunk_id"))
-      .withColumn("chunk",
-        slice(col("t"), col("chunk_id") * ChunkStride + 1, lit(ChunkSize)))
-    chunked.select(col("doc_id"), col("chunk_id"),
+    import graft.functions.TextFunctions
+    Tables.loadSpread(spark, sfDir, "documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).alias("t"))
+      .select(col("doc_id"),
+        posexplode(TextFunctions.chunkWindows(col("t"), ChunkSize, ChunkStride))
+          .as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id"),
         size(col("chunk")).alias("n_tokens"),
         concat_ws(" ", col("chunk")).alias("chunk_text"))
       .orderBy("doc_id", "chunk_id")

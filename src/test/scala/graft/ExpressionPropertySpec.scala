@@ -24,6 +24,32 @@ class ExpressionPropertySpec extends SparkSpec {
         1 -> Gen.const(None)))
       .apply(Gen.Parameters.default, Seed(seed)).get
 
+  test("chunkWindows: full coverage, stride starts, bounded sizes on random docs") {
+    import spark.implicits._
+    val docs = Gen.listOfN(200,
+        Gen.chooseNum(1, 120).flatMap(len =>
+          Gen.listOfN(len, Gen.alphaLowerStr.map(_.take(3)))))
+      .apply(Gen.Parameters.default, Seed(17L)).get
+      .zipWithIndex.map { case (toks, i) => (i.toLong, toks) }
+    val df = docs.toDF("id", "toks")
+    val out = df.select(col("id"),
+        graft.functions.TextFunctions.chunkWindows(col("toks"), 32, 24).alias("cs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[scala.collection.Seq[String]](1)).toMap
+    for ((id, toks) <- docs) {
+      val cs = out(id)
+      val expectedK = if (toks.length <= 32) 0 else (toks.length - 32 + 23) / 24
+      assert(cs.length == expectedK + 1, s"doc $id chunk count")
+      cs.zipWithIndex.foreach { case (c, k) =>
+        assert(c == toks.slice(k * 24, k * 24 + 32), s"doc $id chunk $k content")
+        assert(c.nonEmpty && c.length <= 32)
+      }
+      // coverage: every token index falls inside some chunk's range
+      assert(cs.map(_.length).sum >= toks.length)
+      assert(cs.last.length + (cs.length - 1) * 24 == toks.length,
+        s"doc $id tail coverage")
+    }
+  }
+
   test("LongArrayDot ≡ HOF dot on random arrays with nulls and length skew") {
     import spark.implicits._
     val pairs = arrays(11L, 150).zip(arrays(13L, 150))
