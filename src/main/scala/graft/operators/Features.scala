@@ -114,7 +114,51 @@ object Features {
       .orderBy("doc_id")
   }
 
+  /** Deterministic multi-source training schedule: round-robin interleave
+    * across languages, positions computed ARITHMETICALLY
+    * (`(rank−1)·n_langs + lang_idx`) rather than by a global window —
+    * rank-within-language is the only real shuffle, the language index
+    * rides a broadcast, and no total-order sort of the corpus ever runs
+    * (the verification `ORDER BY position` is on the gate, not the
+    * schedule computation). Positions are globally unique; once a
+    * language exhausts, its slots simply go unused — still a valid
+    * deterministic schedule, with no cross-partition coordination at
+    * 100 TB.
+    */
+  def corpusMixtureSchedule(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val langs = Tables.documents(spark, sfDir)
+      .select(col("lang")).distinct()
+      .withColumn("lang_idx",
+        row_number().over(Window.orderBy(col("lang"))) - 1)
+      .withColumn("n_langs", count(lit(1)).over())
+    val ranked = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rank_in_lang",
+        row_number().over(Window.partitionBy(col("lang")).orderBy(col("doc_id"))))
+    ranked.join(broadcast(langs), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("rank_in_lang"),
+        ((col("rank_in_lang") - 1).cast("long") * col("n_langs") +
+          col("lang_idx")).alias("position"))
+      .orderBy("position")
+  }
+
   val oracles: Map[String, String] = Map(
+    "corpus_mixture_schedule" ->
+      """WITH langs AS (
+        |  SELECT lang,
+        |         CAST(row_number() OVER (ORDER BY lang) - 1 AS INT) AS lang_idx,
+        |         CAST(count(*) OVER () AS BIGINT) AS n_langs
+        |  FROM (SELECT DISTINCT lang FROM documents)),
+        |ranked AS (
+        |  SELECT doc_id, lang,
+        |         CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS INT)
+        |           AS rank_in_lang
+        |  FROM documents)
+        |SELECT doc_id, r.lang AS lang, rank_in_lang,
+        |       CAST((rank_in_lang - 1) AS BIGINT) * n_langs + lang_idx AS position
+        |FROM ranked r JOIN langs USING (lang)
+        |ORDER BY position""".stripMargin,
     "docs_chunked_overlap" ->
       s"""WITH toks AS (
          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -175,5 +219,6 @@ object Features {
     "events_value_zscore"   -> eventsValueZscore _,
     "docs_chunked_overlap"  -> docsChunkedOverlap _,
     "docs_token_packing"    -> docsTokenPacking _,
+    "corpus_mixture_schedule" -> corpusMixtureSchedule _,
   )
 }

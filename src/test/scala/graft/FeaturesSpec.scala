@@ -61,6 +61,22 @@ class FeaturesSpec extends SparkSpec {
     }
   }
 
+  test("mixture schedule: unique positions, fair round-robin while sources last") {
+    val rows = q("corpus_mixture_schedule").orderBy("position").collect()
+    val positions = rows.map(_.getLong(3))
+    assert(positions.distinct.length == positions.length)
+    assert(rows.length == Tables.documents(spark, sf).count())
+    // while every language still has docs, each round of n_langs slots
+    // holds one doc per language
+    val langs = rows.map(_.getString(1)).distinct.sorted
+    val minPerLang = rows.groupBy(_.getString(1)).values.map(_.length).min
+    for (round <- 0 until minPerLang) {
+      val slot = rows.filter(r => r.getLong(3) / langs.length == round)
+      assert(slot.map(_.getString(1)).sorted.toSeq == langs.toSeq,
+        s"round $round not a full rotation")
+    }
+  }
+
   test("zscore output only flags |z| > 2.5 and z reconstructs from group stats") {
     val out = q("events_value_zscore").collect()
     assert(out.nonEmpty)
