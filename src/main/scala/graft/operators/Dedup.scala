@@ -309,7 +309,10 @@ object Dedup {
       .transform(tracked)
     var changed = 1L
     var rounds = 0
-    val MaxRounds = 20
+    // label propagation needs up to component-diameter rounds; converged
+    // graphs exit immediately, so a generous cap costs nothing and only
+    // guards against a pathological chain-shaped corpus
+    val MaxRounds = 50
     while (changed > 0 && rounds < MaxRounds) {
       val neighborLabels = edges.join(labels, col("dst") === col("node"))
         .select(col("src").alias("node"), col("label"))
