@@ -80,6 +80,48 @@ object Events {
         max(col("k")).alias("max_k"))
       .orderBy("event_type")
 
+  /** Markov transition matrix over per-user event sequences: lag pairs
+    * (prev_type → type) within each user's timeline, tie-broken by
+    * event_id like every other sequence operator here, then one tiny
+    * (type × type) count aggregation. The shuffle is per-user (the lag
+    * window); the matrix itself is bounded by |event types|².
+    */
+  def transitionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").alias("next_type"))
+      .agg(count(lit(1)).alias("n_transitions"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** Daily active users + trailing-7-day active users. Rolling DISTINCT
+    * counts are the one thing window frames cannot express (no
+    * `countDistinct` over a moving frame), so the WAU side is a range
+    * join: the distinct (day, user) pairs joined to a day spine on
+    * `day ∈ [spine_day − 6, spine_day]`, then a distinct count per spine
+    * day. At 100 TB the (day, user) table is already tiny relative to
+    * the raw events (one row per user-day), and the range join fans each
+    * row to ≤ 7 spine days — linear, never quadratic.
+    */
+  def dauWau(spark: SparkSession, sfDir: String): DataFrame = {
+    val userDays = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).alias("day"), col("user_id")).distinct()
+    val dau = userDays.groupBy(col("day"))
+      .agg(count(lit(1)).alias("dau"))
+    val spine = userDays.select(col("day").alias("spine_day")).distinct()
+    val wau = spine.join(userDays,
+        col("day") >= date_sub(col("spine_day"), 6) &&
+          col("day") <= col("spine_day"))
+      .groupBy(col("spine_day"))
+      .agg(countDistinct(col("user_id")).alias("wau"))
+    dau.join(wau, col("day") === col("spine_day"))
+      .select(col("day"), col("dau"), col("wau"))
+      .orderBy("day")
+  }
+
   /** Tumbling 1-hour event-time window (epoch-aligned, UTC session TZ). */
   def hourlyWindow(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
@@ -326,6 +368,30 @@ object Events {
          |       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
          |       ${Deterministic.exactSumSql("value", 2)} AS sum_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_transition_matrix" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type AS next_type,
+        |       CAST(count(*) AS BIGINT) AS n_transitions
+        |FROM seq WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY prev_type, next_type""".stripMargin,
+    "events_dau_wau" ->
+      """WITH user_days AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |dau AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM user_days GROUP BY 1),
+        |spine AS (SELECT DISTINCT day AS spine_day FROM user_days),
+        |wau AS (
+        |  SELECT spine_day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |  FROM spine JOIN user_days
+        |    ON day >= spine_day - 6 AND day <= spine_day
+        |  GROUP BY 1)
+        |SELECT day, dau, wau
+        |FROM dau JOIN wau ON day = spine_day
+        |ORDER BY day""".stripMargin,
     "events_variant_extract" ->
       """SELECT event_type,
         |       CAST(count(props->>'k') AS BIGINT) AS n_with_k,
@@ -446,6 +512,8 @@ object Events {
     "events_pivot_by_type"   -> pivotByType _,
     "events_json_extract"    -> jsonExtract _,
     "events_variant_extract" -> variantExtract _,
+    "events_transition_matrix" -> transitionMatrix _,
+    "events_dau_wau"         -> dauWau _,
     "events_hourly"          -> hourlyWindow _,
     "events_sliding_window"  -> slidingWindow _,
     "user_event_paths"       -> userEventPaths _,

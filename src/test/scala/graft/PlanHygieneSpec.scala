@@ -28,10 +28,14 @@ class PlanHygieneSpec extends SparkSpec {
     // ...and deliberate dims-only cross products: the region×priority
     // dense matrix (5×5 dimension rows) and TF-IDF's single-row corpus
     // size riding a broadcast
+    // ...and the DAU/WAU rolling-distinct range join (day spine × user-days
+    // on a 7-day interval — bounded fan-out by construction, no equi key
+    // exists for a moving window)
     val allowed = Set("range_join_price_band", "ivf_ann_cosine",
       "knn_brute_cosine", "embedding_near_dup",
       "revenue_share_by_flag", "customers_all_years",
-      "region_priority_matrix", "text_tfidf_top_terms")
+      "region_priority_matrix", "text_tfidf_top_terms",
+      "events_dau_wau")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
