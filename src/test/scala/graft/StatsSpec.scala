@@ -96,6 +96,28 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("dq audit lists every rule and proves the fixture clean") {
+    val rows = q("dq_violations").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("nonpositive_total", "orderdate_out_of_range",
+      "null_custkey", "duplicate_orderkey", "orphan_custkey"))
+    assert(rows.values.forall(_ == 0L), s"fixture not clean: $rows")
+  }
+
+  test("dq rules catch injected violations") {
+    import spark.implicits._
+    // same predicate shapes as the audit, on data with planted defects
+    val bad = Seq(
+      (1L, Some(10L), -5.0, "1989-12-31"),  // nonpositive + out-of-range
+      (1L, Some(11L), 20.0, "2000-06-01"),  // duplicate key
+      (2L, None, 30.0, "2000-06-01"))       // null custkey
+      .toDF("okey", "ckey", "total", "d")
+    assert(bad.filter(col("total") <= 0).count() == 1)
+    assert(bad.filter(to_date(col("d")) < to_date(lit("1990-01-01"))).count() == 1)
+    assert(bad.filter(col("ckey").isNull).count() == 1)
+    assert(bad.groupBy("okey").count().filter(col("count") > 1).count() == 1)
+  }
+
   test("mode is the argmax of the per-group counts with the pinned tiebreak") {
     val m = q("orders_mode_priority").collect()
     val counts = Tables.orders(spark, sf)
