@@ -230,7 +230,36 @@ object Relational {
       .orderBy("region_key", "priority")
   }
 
+  /** Market-basket co-occurrence: top-20 part pairs appearing in the same
+    * order, ties broken by the pair ids. The self-join keys on the order
+    * (equi-shuffle) and the per-order item list is short, so candidate
+    * pairs stay ~items²/2 per order — linear in orders, never a global
+    * cross product; the final top-k is a TakeOrderedAndProject heap.
+    */
+  def copurchasePartPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    items.alias("a")
+      .join(items.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").alias("part_a"), col("b.l_partkey").alias("part_b"))
+      .agg(count(lit(1)).alias("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a").asc, col("part_b").asc)
+      .limit(20)
+  }
+
   val oracles: Map[String, String] = Map(
+    "copurchase_part_pairs" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |       CAST(count(*) AS BIGINT) AS n_orders
+        |FROM items a JOIN items b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, part_a ASC, part_b ASC
+        |LIMIT 20""".stripMargin,
     "region_priority_matrix" ->
       """WITH combos AS (
         |  SELECT r_regionkey AS region_key, r_name AS region_name, priority
@@ -366,5 +395,6 @@ object Relational {
     "revenue_share_by_flag"    -> revenueShareByFlag _,
     "nations_union"            -> nationsUnion _,
     "region_priority_matrix"   -> regionPriorityMatrix _,
+    "copurchase_part_pairs"    -> copurchasePartPairs _,
   )
 }
