@@ -60,11 +60,16 @@ object Bench {
       try w.println(fullJson) finally w.close()
     } catch { case _: Throwable => () }
     val budget = 1400 // chars for the queries map; keeps the whole line well under the 2000-char tail
+    // stop at the FIRST entry that no longer fits, so the printed map is a
+    // true slowest-prefix — a greedy fill would skip a slow long-named
+    // query yet keep faster short-named ones after it
     val kept = scala.collection.mutable.ListBuffer.empty[String]
     var used = 0
+    var full = false
     sortedDesc.foreach { case (k, v) =>
       val e = entry(k, v)
-      if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+      if (!full && used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+      else full = true
     }
     val qs = kept.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")

@@ -23,13 +23,21 @@ object CacheLifecycle {
     df
   }
 
-  /** Release every intermediate the library has persisted (non-blocking). */
+  /** Release every intermediate the library has persisted (non-blocking).
+    * Each release is individually guarded: one frame failing to unpersist
+    * (e.g. it belongs to an already-stopped session in a multi-session
+    * driver) must not strand the frames after it — stranding pinned cache
+    * entries is the exact leak this class exists to prevent.
+    */
   def unpersistAll(): Unit = {
     val snapshot = frames.synchronized {
       val s = new java.util.ArrayList[DataFrame](frames)
       frames.clear()
       s
     }
-    snapshot.forEach(df => df.unpersist(false))
+    snapshot.forEach { df =>
+      try df.unpersist(false)
+      catch { case _: Throwable => () }
+    }
   }
 }

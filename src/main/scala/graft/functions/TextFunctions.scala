@@ -66,8 +66,12 @@ object TextFunctions {
       s"need 0 < stride <= size, got size=$chunkSize stride=$stride")
     val kmax = ((greatest(size(toks) - chunkSize, lit(0)) + lit(stride - 1))
       / lit(stride)).cast("int") // non-negative ints: / then truncate = floor div
-    transform(sequence(lit(0), kmax),
+    val chunks = transform(sequence(lit(0), kmax),
       k => slice(toks, k * stride + 1, lit(chunkSize)))
+    // an empty token array would otherwise yield [[]] — one phantom empty
+    // chunk — breaking the "none is empty" contract
+    when(size(toks) === 0, array().cast("array<array<string>>"))
+      .otherwise(chunks)
   }
 
   /** Distinct word-level n-gram shingles of a token array (1-based

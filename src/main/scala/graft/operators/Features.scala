@@ -14,18 +14,21 @@ import graft.functions.Deterministic
 object Features {
 
   /** Fuzzy name matching with BLOCKING: distinct part names self-joined
-    * only within a block (the name's noun — its last token), then exact
-    * Levenshtein ≤ 2 on the candidates. Blocking is what makes fuzzy
-    * joins scale: the quadratic candidate space shrinks to per-block
-    * squares (the same candidate-then-verify shape as the LSH dedup
-    * tier), and the edit-distance only runs on candidates. The fixture
-    * plants adjective typo pairs ("cold gear" / "old gear"), so the
-    * output is non-trivial at every scale factor.
+    * only within a block (the name's SECOND token — the noun of the
+    * fixture's adjective-noun names), then exact Levenshtein ≤ 2 on the
+    * candidates. Blocking is what makes fuzzy joins scale: the quadratic
+    * candidate space shrinks to per-block squares (the same
+    * candidate-then-verify shape as the LSH dedup tier), and the
+    * edit-distance only runs on candidates. The fixture plants adjective
+    * typo pairs ("cold gear" / "old gear"), so the output is non-trivial
+    * at every scale factor. `split_part` (not `element_at`) mirrors the
+    * oracle exactly: a single-token name blocks to the empty string on
+    * both engines, where ANSI `element_at` would error instead.
     */
   def fuzzyPartNamePairs(spark: SparkSession, sfDir: String): DataFrame = {
     val names = Tables.part(spark, sfDir)
       .select(col("p_name")).distinct()
-      .withColumn("block", element_at(split(col("p_name"), " "), 2))
+      .withColumn("block", expr("split_part(p_name, ' ', 2)"))
     names.alias("a")
       .join(names.alias("b"),
         col("a.block") === col("b.block") && col("a.p_name") < col("b.p_name"))

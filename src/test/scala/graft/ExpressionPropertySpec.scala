@@ -30,13 +30,17 @@ class ExpressionPropertySpec extends SparkSpec {
         Gen.chooseNum(1, 120).flatMap(len =>
           Gen.listOfN(len, Gen.alphaLowerStr.map(_.take(3)))))
       .apply(Gen.Parameters.default, Seed(17L)).get
-      .zipWithIndex.map { case (toks, i) => (i.toLong, toks) }
+      .zipWithIndex.map { case (toks, i) => (i.toLong, toks) } :+
+      (999L, List.empty[String]) // empty array → no chunks at all, not [[]]
     val df = docs.toDF("id", "toks")
     val out = df.select(col("id"),
         graft.functions.TextFunctions.chunkWindows(col("toks"), 32, 24).alias("cs"))
       .collect().map(r => r.getLong(0) -> r.getSeq[scala.collection.Seq[String]](1)).toMap
     for ((id, toks) <- docs) {
       val cs = out(id)
+      if (toks.isEmpty) {
+        assert(cs.isEmpty, s"doc $id: empty input must yield zero chunks")
+      } else {
       val expectedK = if (toks.length <= 32) 0 else (toks.length - 32 + 23) / 24
       assert(cs.length == expectedK + 1, s"doc $id chunk count")
       cs.zipWithIndex.foreach { case (c, k) =>
@@ -47,6 +51,7 @@ class ExpressionPropertySpec extends SparkSpec {
       assert(cs.map(_.length).sum >= toks.length)
       assert(cs.last.length + (cs.length - 1) * 24 == toks.length,
         s"doc $id tail coverage")
+      }
     }
   }
 

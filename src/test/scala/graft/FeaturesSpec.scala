@@ -10,7 +10,9 @@ class FeaturesSpec extends SparkSpec {
     rows.foreach { r =>
       val (a, b, d) = (r.getString(0), r.getString(1), r.getInt(2))
       assert(d >= 1 && d <= 2)
-      assert(a.split(" ").last == b.split(" ").last, s"($a, $b) cross-block")
+      // block = second token (split_part semantics; "" when absent)
+      assert(a.split(" ").lift(1).getOrElse("") == b.split(" ").lift(1).getOrElse(""),
+        s"($a, $b) cross-block")
       assert(a < b)
     }
     // the fixture's planted adjective typo: cold X ~ old X at distance 1

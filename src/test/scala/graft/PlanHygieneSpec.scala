@@ -6,9 +6,19 @@ package graft
   */
 class PlanHygieneSpec extends SparkSpec {
 
+  // Both checks share one plan materialization per query: a few registry
+  // entries (dedup_clusters, heavy_hitter_parts, bloom_pruned_order_items)
+  // run eager driver jobs at construction time, so every extra
+  // fn(spark, sf) call re-executes them. Known limitation: those eager
+  // internal jobs' plans are not inspected here — only the returned
+  // frame's plan is; their shapes are pinned by their own module specs.
+  private lazy val executedPlans: Map[String, String] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, sf).queryExecution.executedPlan.toString
+    }
+
   test("no registered query plans a cartesian product") {
-    for ((name, fn) <- SparkEntry.queries) {
-      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+    for ((name, plan) <- executedPlans) {
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n${plan.take(800)}")
     }
@@ -36,8 +46,7 @@ class PlanHygieneSpec extends SparkSpec {
       "revenue_share_by_flag", "customers_all_years",
       "region_priority_matrix", "text_tfidf_top_terms",
       "events_dau_wau")
-    for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
-      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+    for ((name, plan) <- executedPlans if !allowed(name)) {
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name unexpectedly plans a BroadcastNestedLoopJoin:\n${plan.take(800)}")
     }

@@ -37,7 +37,7 @@ class SketchesSpec extends SparkSpec {
     assert(est.keySet == exact.keySet)
     for ((lang, v) <- exact) {
       val rel = math.abs(est(lang) - v) / v
-      assert(rel < 0.05, s"$lang: HLL $est($lang) vs exact $v (rel err $rel)")
+      assert(rel < 0.05, s"$lang: HLL ${est(lang)} vs exact $v (rel err $rel)")
     }
   }
 }
