@@ -100,18 +100,40 @@ object Features {
     * (`bin = exclusive-cumsum div budget`) — the fully-parallel
     * boundary-slicing approximation of greedy packing (a bin can overflow
     * by at most one document's tokens; exact first-fit is a sequential
-    * fold and does not distribute). One window cumsum — at 100 TB the
-    * ordering column is the pre-assigned sample id and the window
-    * partitions by shard.
+    * fold and does not distribute).
+    *
+    * The global cumsum runs as a DISTRIBUTED PREFIX SUM, not a
+    * single-reducer global window: documents shard deterministically by
+    * doc_id range, each shard computes its local cumsum in parallel
+    * (shard-partitioned window), and the per-shard totals — one row per
+    * shard — roll into exclusive offsets that broadcast back. Identical
+    * result to `sum() OVER (ORDER BY doc_id)` (which remains the oracle
+    * spelling), but the only single-partition step touches `Shards` rows.
     */
   def docsTokenPacking(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, sfDir)
+    val Shards = 16
+    val sized = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         size(graft.functions.TextFunctions.tokens(col("text"))).alias("n_tokens"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    // deterministic arithmetic range sharding (sampling-based
+    // repartitionByRange boundaries would not be reproducible)
+    val maxId = sized.agg(max(col("doc_id"))).head.getLong(0)
+    val perShard = math.max(1L, maxId / Shards + 1)
+    val sharded = sized.withColumn("shard", (col("doc_id") / perShard).cast("int"))
+    val localW = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = sharded.withColumn("local_cum", sum(col("n_tokens")).over(localW))
+    val offsetW = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = sharded.groupBy(col("shard"))
+      .agg(sum(col("n_tokens")).alias("shard_total"))
+      .withColumn("offset",
+        sum(col("shard_total")).over(offsetW) - col("shard_total"))
+      .select(col("shard").alias("o_shard"), col("offset"))
+    local.join(broadcast(offsets), col("shard") === col("o_shard"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("local_cum") + col("offset")).alias("cum_tokens"))
       .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
         expr(s"(cum_tokens - n_tokens) div $PackBudget").alias("bin_id"))
       .orderBy("doc_id")
