@@ -31,5 +31,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the bench runs 32 executor threads in one JVM and the
+  // HOF-heavy operators (shingling, minhash folds) allocate hard; on the
+  // previous 8g default GC inflated the measured sf0.1 bench total ~1.7×
+  // (153 s → 87 s replica measurement). Override via SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

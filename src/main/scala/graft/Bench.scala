@@ -8,6 +8,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Static conf, default 100: with ~90 registered queries × several
+      // codegen units each, the generated-class cache thrashes and Janino
+      // recompiles the SAME classes mid-bench — measured as multi-second
+      // single-threaded stalls landing on arbitrary queries (run-to-run
+      // totals swung 77 s ↔ 182 s). Sized to hold every plan in the
+      // registry at both the warm-up and the bench scale factor.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warm-up at the smallest SIBLING scale factor: JIT-compiles
