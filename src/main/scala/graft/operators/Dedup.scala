@@ -164,7 +164,14 @@ object Dedup {
   }
 
   // h < p < 2³¹ and a_i < p, so h·a_i < 2⁶² — no overflow before the mod.
-  private def minhashSignature(sh: Column): Column =
+  // Production path: the codegen'd one-pass expression. The interpreted
+  // HOF spelling below it is kept for the differential spec (PlansSpec
+  // asserts bit-equality on randomized inputs) and as executable
+  // documentation of the algorithm.
+  private[graft] def minhashSignature(sh: Column): Column =
+    graft.plans.GraftFunctions.minHash16(sh, MinhashParams)
+
+  private[graft] def minhashSignatureHof(sh: Column): Column =
     aggregate(
       transform(sh, x => TextFunctions.md5Hash60(x) % lit(MinhashP)),
       array_repeat(lit(Long.MaxValue), 16),
@@ -303,32 +310,48 @@ object Dedup {
       .select(col("e.src").alias("src"), col("e.dst").alias("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(tracked)
-    var labels = edges.select(col("src").alias("node")).distinct()
-      .withColumn("label", col("node"))
+    // Round 0 folds initialization and the first propagation hop into ONE
+    // aggregation: label = min(node, direct neighbors). Every node appears
+    // as some src (edges carry both directions), so the groupBy covers the
+    // full node set.
+    def labelSum(df: DataFrame): (java.math.BigDecimal, Long) = {
+      // decimal sum: at 100 TB doc_ids × node count would overflow a long
+      val r = df.agg(sum(col("label").cast("decimal(38,0)")), count(lit(1))).head
+      (r.getDecimal(0), r.getLong(1))
+    }
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).alias("mn"))
+      .select(col("src").alias("node"),
+        least(col("mn"), col("src")).alias("label"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(tracked)
-    var changed = 1L
+    // Convergence via the label-sum invariant: min-propagation only ever
+    // DECREASES labels, so the (sum, count) pair is unchanged iff no label
+    // moved — one aggregation per round instead of a join + filter + count
+    // against the previous generation (halves the per-round job cost; the
+    // aggregation action also materializes the round's persist).
+    var prevSum = labelSum(labels)
     var rounds = 0
-    // label propagation needs up to component-diameter rounds; converged
-    // graphs exit immediately, so a generous cap costs nothing and only
-    // guards against a pathological chain-shaped corpus
+    var converged = false
+    // label propagation needs component-diameter rounds; converged graphs
+    // exit after one no-change round, so a generous cap costs nothing and
+    // only guards against a pathological chain-shaped corpus
     val MaxRounds = 50
-    while (changed > 0 && rounds < MaxRounds) {
+    while (!converged && rounds < MaxRounds) {
       val neighborLabels = edges.join(labels, col("dst") === col("node"))
         .select(col("src").alias("node"), col("label"))
       val next = labels.union(neighborLabels)
         .groupBy(col("node")).agg(min(col("label")).alias("label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         .transform(tracked)
-      changed = next.alias("n")
-        .join(labels.alias("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") =!= col("o.label"))
-        .count()
+      val nextSum = labelSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels.unpersist(false)
       labels = next
       rounds += 1
     }
-    require(changed == 0, s"label propagation did not converge in $MaxRounds rounds")
+    require(converged, s"label propagation did not converge in $MaxRounds rounds")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
     labels.select(col("node").alias("doc_id"), col("label").alias("cluster_id"))
       .withColumn("n_members", count(lit(1)).over(w))

@@ -101,6 +101,13 @@ object GraftFunctions {
     GraftSqlBridge.column(DoubleArrayDot(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
+  /** `minhash16(shingles, packedParams)` as a Column — one-pass MinHash
+    * signature (md5-60 → mod p → affine minima) over an `array<string>`.
+    */
+  def minHash16(shingles: Column, packedParams: Seq[Long]): Column =
+    GraftSqlBridge.column(MinHash16(
+      GraftSqlBridge.expression(shingles), packedParams))
+
   /** Register `graft_long_dot` + `graft_simhash60` for SQL-text callers. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

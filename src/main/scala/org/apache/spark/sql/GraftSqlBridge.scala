@@ -35,3 +35,10 @@ trait LongArraySingleInputType
   override def inputTypes: Seq[types.AbstractDataType] =
     Seq(types.ArrayType(types.LongType))
 }
+
+/** `array<string>` single-argument input declaration. */
+trait StringArraySingleInputType
+    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[types.AbstractDataType] =
+    Seq(types.ArrayType(types.StringType))
+}

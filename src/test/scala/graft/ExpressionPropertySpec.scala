@@ -125,6 +125,28 @@ class ExpressionPropertySpec extends SparkSpec {
     assert(rows.isEmpty, rows.mkString("; "))
   }
 
+  test("MinHash16 ≡ HOF minhash on random shingle arrays with null elements") {
+    import spark.implicits._
+    // shingle domain: arrays of short strings (some null elements, some
+    // null arrays, some empty arrays) — the codegen one-pass signature
+    // must bit-match the two-layer HOF spelling everywhere, including
+    // the skip-null-element and empty-array→all-MaxValue contracts.
+    val strGen: Gen[Option[String]] = Gen.frequency(
+      9 -> Gen.alphaNumStr.map(s => Some(s.take(12))),
+      1 -> Gen.const(None))
+    val docs = Gen.listOfN(150, Gen.frequency(
+        9 -> Gen.chooseNum(0, 25).flatMap(len => Gen.listOfN(len, strGen)).map(Some(_)),
+        1 -> Gen.const(Option.empty[List[Option[String]]])))
+      .apply(Gen.Parameters.default, Seed(31L)).get
+    val df = docs.toDF("sh")
+    val rows = df.select(
+        operators.Dedup.minhashSignature(col("sh")).alias("fast"),
+        operators.Dedup.minhashSignatureHof(col("sh")).alias("hof"))
+      .filter(!(col("fast") <=> col("hof")))
+      .take(3)
+    assert(rows.isEmpty, rows.mkString("; "))
+  }
+
   test("SimHash60 null-array contract intentionally diverges from the HOF spelling") {
     import spark.implicits._
     // the HOF CASE swallows the inner null and folds to 0; the
