@@ -1,0 +1,244 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.functions.{Deterministic, TextFunctions}
+
+/** Corpus-curation operators — the filtering/mixing stages a training-data
+  * pipeline runs between dedup and tokenization (north-star tier; no
+  * reference analog): benchmark decontamination, repetition-based quality
+  * filtering, denylist redaction, temperature-weighted resampling, and a
+  * per-entity threshold filter (the decorrelated correlated-subquery
+  * shape).
+  */
+object Curation {
+
+  /** The held-out "benchmark" source whose content must not leak into
+    * training data; src0 is one of the fixture's 20 uniform sources.
+    */
+  private val BenchmarkSource = "src0"
+  private val ContaminationThreshold = 0.5
+
+  /** Benchmark DECONTAMINATION: flag corpus documents whose 3-gram shingle
+    * sets overlap a held-out benchmark set (`source = src0`) by ≥ 50% —
+    * the standard eval-leak guard run before training. Shares the
+    * session-cached shingle table with the dedup tier; the benchmark
+    * shingle set (small by construction — benchmarks are a fixed corpus,
+    * not a scale-out input) rides a BROADCAST join against the exploded
+    * corpus shingles, so the corpus never shuffles: one scan, one
+    * broadcast probe, one per-doc aggregation.
+    */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val bench = Tables.documents(spark, sfDir)
+      .filter(col("source") === BenchmarkSource)
+      .select(col("doc_id"))
+    val sh = Dedup.shingled(spark, sfDir)
+    val exploded = sh.select(col("doc_id"), explode(col("sh")).alias("s"))
+      .select(col("doc_id"), TextFunctions.md5Hash60(col("s")).alias("hs"))
+    val benchShingles = exploded.join(bench, Seq("doc_id")).select(col("hs")).distinct()
+    val sizes = sh.select(col("doc_id"), size(col("sh")).alias("n_shingles"))
+    exploded.join(bench, Seq("doc_id"), "left_anti")
+      .join(broadcast(benchShingles), Seq("hs"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).alias("n_overlap"))
+      .join(sizes, Seq("doc_id"))
+      .select(col("doc_id"), col("n_overlap"), col("n_shingles"),
+        (col("n_overlap") / col("n_shingles")).alias("contamination"))
+      .filter(col("contamination") >= ContaminationThreshold)
+      .orderBy("doc_id")
+  }
+
+  /** Repetition-based QUALITY metrics per document (the Gopher-style
+    * rules): distinct-token ratio, most-frequent-token share, duplicate
+    * bigram fraction, and the resulting keep/drop verdict. All ratios are
+    * int/int divisions — one IEEE op on identical operands — so the
+    * doubles (and the boolean threshold verdict) are bit-identical across
+    * engines. The top-token count is the only shuffle (keyed
+    * (doc_id, token)); everything else is per-row array math on the
+    * materialized token column.
+    */
+  def repetitionQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.loadSpread(spark, sfDir, "documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).alias("t"))
+    val top = base.select(col("doc_id"), explode(col("t")).alias("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).alias("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).alias("top_token_n"))
+    val metrics = base.select(col("doc_id"),
+      size(col("t")).alias("n_tokens"),
+      size(array_distinct(col("t"))).alias("n_distinct"),
+      size(TextFunctions.shingles(col("t"), 2)).alias("n_distinct_bigrams"))
+    metrics.join(top, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_token_n"),
+        (col("n_distinct") / col("n_tokens")).alias("distinct_ratio"),
+        (col("top_token_n") / col("n_tokens")).alias("top_token_frac"),
+        when(col("n_tokens") >= 2,
+            lit(1.0) - col("n_distinct_bigrams") / (col("n_tokens") - 1))
+          .otherwise(lit(0.0)).alias("dup_bigram_frac"))
+      .withColumn("keep",
+        col("distinct_ratio") >= 0.15 && col("top_token_frac") <= 0.15 &&
+          col("dup_bigram_frac") <= 0.5)
+      .orderBy("doc_id")
+  }
+
+  /** Denylist terms masked before training (the same stateless-map shape
+    * as PII scrubbing — swap the alternation for email/phone patterns on
+    * a real corpus; the fixture vocabulary has no digits, so the denylist
+    * keeps the demo non-trivially exercised).
+    */
+  private val DenylistPattern = "\\b(customer|spark)\\b"
+
+  /** Denylist REDACTION: count and mask denylisted terms per document.
+    * Pure narrow work — regexp over each row, no shuffle (the output sort
+    * is the verification gate, not the operator). The redacted text rides
+    * as an md5 so the verified output stays narrow.
+    */
+  def denylistRedact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.loadSpread(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(DenylistPattern), lit(0)))
+          .alias("n_hits"),
+        md5(regexp_replace(col("text"), DenylistPattern, "[REDACTED]"))
+          .alias("redacted_md5"))
+      .orderBy("doc_id")
+
+  /** Temperature-weighted corpus RESAMPLING (α = 0.5): language l with
+    * n_l documents gets a target of `N · ⌊√n_l⌋ / Σ_m ⌊√n_m⌋` slots
+    * (N = half the corpus), flattening the language distribution toward
+    * low-resource languages — the standard multilingual mixing rule. The
+    * integer-sqrt weights keep every quantity exact integer math (no
+    * float pow/sum to drift cross-engine). Selection within a language is
+    * deterministic "random": the md5 of the doc_id orders the shuffle, a
+    * rank window takes the first target_l. Per-language stats are 5 rows
+    * → they ride a broadcast; the only corpus shuffle is the rank window.
+    */
+  def temperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).alias("n_l"))
+      .withColumn("w_l", floor(sqrt(col("n_l"))).cast(LongType))
+    val totals = counts.agg(sum(col("n_l")).alias("n_total"),
+      sum(col("w_l")).alias("w_sum"))
+    val targets = counts.crossJoin(broadcast(totals))
+      .select(col("lang"),
+        expr("(n_total div 2) * w_l div w_sum").alias("target_l"))
+    val ranked = docs.withColumn("sample_rank",
+      row_number().over(
+        Window.partitionBy(col("lang")).orderBy(md5(col("doc_id").cast("string")))))
+    ranked.join(broadcast(targets), Seq("lang"))
+      .filter(col("sample_rank") <= col("target_l"))
+      .select(col("doc_id"), col("lang"), col("sample_rank"))
+      .orderBy("doc_id")
+  }
+
+  /** Orders above their customer's average — the correlated-scalar-
+    * subquery pattern, decorrelated into ONE window pass (no self-join,
+    * no subquery re-scan). The comparison cross-multiplies exact cent
+    * integers (`cents · n > Σcents`) so no division ever happens and the
+    * filter is bit-deterministic in any engine.
+    */
+  def ordersAboveCustomerAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+    Tables.orders(spark, sfDir)
+      .withColumn("cents", Deterministic.quantize(col("o_totalprice"), 2))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("cents")).over(w))
+      .filter(col("cents") * col("n") > col("s"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "docs_decontaminate" ->
+      s"""WITH ${Dedup.shingleCte},
+         |bench AS (SELECT doc_id FROM documents WHERE source = '$BenchmarkSource'),
+         |bsh AS (
+         |  SELECT DISTINCT s FROM sh
+         |  WHERE doc_id IN (SELECT doc_id FROM bench)),
+         |ov AS (
+         |  SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |  FROM sh JOIN bsh USING (s)
+         |  WHERE sh.doc_id NOT IN (SELECT doc_id FROM bench)
+         |  GROUP BY 1)
+         |SELECT o.doc_id AS doc_id, n_overlap,
+         |       CAST(z.n AS INT) AS n_shingles,
+         |       n_overlap / z.n AS contamination
+         |FROM ov o JOIN sizes z ON o.doc_id = z.doc_id
+         |WHERE n_overlap / z.n >= $ContaminationThreshold
+         |ORDER BY doc_id""".stripMargin,
+    "text_repetition_quality" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |flat AS (
+         |  SELECT doc_id, unnest(t) AS token FROM toks),
+         |cnt AS (
+         |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+         |  FROM flat GROUP BY 1, 2),
+         |top AS (
+         |  SELECT doc_id, max(c) AS top_token_n FROM cnt GROUP BY 1),
+         |m AS (
+         |  SELECT doc_id,
+         |         CAST(len(t) AS INT) AS n_tokens,
+         |         CAST(len(list_distinct(t)) AS INT) AS n_distinct,
+         |         CAST(len(${TextFunctions.shinglesSql("t", 2)}) AS INT) AS n_bi
+         |  FROM toks)
+         |SELECT m.doc_id AS doc_id, n_tokens, n_distinct, top_token_n,
+         |       n_distinct / n_tokens AS distinct_ratio,
+         |       top_token_n / n_tokens AS top_token_frac,
+         |       CASE WHEN n_tokens >= 2 THEN 1.0 - n_bi / (n_tokens - 1)
+         |            ELSE 0.0 END AS dup_bigram_frac,
+         |       (n_distinct / n_tokens >= 0.15 AND top_token_n / n_tokens <= 0.15
+         |        AND (CASE WHEN n_tokens >= 2 THEN 1.0 - n_bi / (n_tokens - 1)
+         |             ELSE 0.0 END) <= 0.5) AS keep
+         |FROM m JOIN top ON m.doc_id = top.doc_id
+         |ORDER BY doc_id""".stripMargin,
+    "docs_denylist_redact" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '\b(customer|spark)\b')) AS INT)
+        |         AS n_hits,
+        |       md5(regexp_replace(text, '\b(customer|spark)\b', '[REDACTED]', 'g'))
+        |         AS redacted_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "docs_temperature_mix" ->
+      """WITH counts AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_l,
+        |         CAST(floor(sqrt(count(*))) AS BIGINT) AS w_l
+        |  FROM documents GROUP BY 1),
+        |totals AS (
+        |  SELECT sum(n_l) AS n_total, sum(w_l) AS w_sum FROM counts),
+        |targets AS (
+        |  SELECT lang, (n_total // 2) * w_l // w_sum AS target_l
+        |  FROM counts, totals),
+        |ranked AS (
+        |  SELECT doc_id, lang,
+        |         CAST(row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR))) AS INT) AS sample_rank
+        |  FROM documents)
+        |SELECT doc_id, r.lang AS lang, sample_rank
+        |FROM ranked r JOIN targets USING (lang)
+        |WHERE sample_rank <= target_l
+        |ORDER BY doc_id""".stripMargin,
+    "orders_above_customer_avg" ->
+      """WITH c AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |         CAST(round(o_totalprice * 1e2) AS BIGINT) AS cents,
+        |         CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(o_totalprice * 1e2) AS BIGINT))
+        |              OVER (PARTITION BY o_custkey) AS BIGINT) AS s
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM c WHERE cents * n > s
+        |ORDER BY o_orderkey""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "docs_decontaminate"        -> decontaminate _,
+    "text_repetition_quality"   -> repetitionQuality _,
+    "docs_denylist_redact"      -> denylistRedact _,
+    "docs_temperature_mix"      -> temperatureMix _,
+    "orders_above_customer_avg" -> ordersAboveCustomerAvg _,
+  )
+}

@@ -52,7 +52,7 @@ object Dedup {
     * their own projection first — see the performance contract on
     * [[TextFunctions.shingles]].
     */
-  private def shingled(spark: SparkSession, sfDir: String): DataFrame =
+  private[operators] def shingled(spark: SparkSession, sfDir: String): DataFrame =
     Tables.loadSpread(spark, sfDir, "documents")
       .select(col("doc_id"), TextFunctions.tokens(col("text")).alias("t"))
       .select(col("doc_id"), TextFunctions.shingles(col("t"), 3).alias("sh"))
@@ -380,7 +380,7 @@ object Dedup {
       |            THEN 1 ELSE 0 END)) AS simhash
       |  FROM hashed)""".stripMargin
 
-  private val shingleCte =
+  private[operators] val shingleCte =
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |sharr AS (SELECT doc_id, ${TextFunctions.shinglesSql("t", 3)} AS sh FROM toks),
        |sh AS (SELECT doc_id, unnest(sh) AS s FROM sharr),

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the curation tier beyond the DuckDB oracle:
+  * benchmark exclusion, metric-threshold consistency, redaction counts by
+  * an independent spelling, temperature-mix target arithmetic, and the
+  * per-customer threshold filter against a direct computation.
+  */
+class CurationSpec extends SparkSpec {
+
+  test("docs_decontaminate never flags benchmark documents and bounds the ratio") {
+    val benchIds = Tables.documents(spark, sf)
+      .filter(col("source") === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val out = q("docs_decontaminate").collect()
+    assert(out.nonEmpty, "fixture plants cross-source near-dups of src0 docs")
+    out.foreach { r =>
+      assert(!benchIds.contains(r.getLong(0)), s"benchmark doc ${r.getLong(0)} flagged")
+      val c = r.getDouble(3)
+      assert(c >= 0.5 && c <= 1.0, s"contamination $c out of [0.5, 1]")
+      assert(r.getLong(1) <= r.getInt(2).toLong, "overlap exceeds shingle count")
+    }
+  }
+
+  test("text_repetition_quality: ratios bounded, keep flag consistent with metrics") {
+    val rows = q("text_repetition_quality").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (nTok, nDis, topN) = (r.getInt(1), r.getInt(2), r.getLong(3))
+      val (dr, tf, db) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(nDis <= nTok && topN <= nTok)
+      assert(dr > 0 && dr <= 1 && tf > 0 && tf <= 1 && db >= 0 && db < 1)
+      assert(r.getBoolean(7) == (dr >= 0.15 && tf <= 0.15 && db <= 0.5),
+        s"keep flag inconsistent at doc ${r.getLong(0)}")
+    }
+    // the synthetic corpus is not degenerate: both verdicts occur
+    assert(rows.exists(_.getBoolean(7)) && rows.exists(!_.getBoolean(7)))
+  }
+
+  test("docs_denylist_redact hit counts match an independent token-filter spelling") {
+    val out = q("docs_denylist_redact")
+    val independent = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "),
+          t => t === "customer" || t === "spark")).alias("expected"))
+    val joined = out.join(independent, "doc_id")
+      .filter(col("n_hits") =!= col("expected"))
+    assert(joined.count() == 0)
+    assert(out.agg(sum("n_hits")).head.getLong(0) > 0, "denylist never fires")
+  }
+
+  test("docs_temperature_mix: per-lang counts equal the integer target formula") {
+    val langCounts = Tables.documents(spark, sf)
+      .groupBy("lang").agg(count(lit(1)).alias("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wSum = langCounts.values.map(n => math.floor(math.sqrt(n.toDouble)).toLong).sum
+    val nTotal = langCounts.values.sum
+    val expected = langCounts.map { case (l, n) =>
+      l -> (nTotal / 2) * math.floor(math.sqrt(n.toDouble)).toLong / wSum
+    }
+    val got = q("docs_temperature_mix").groupBy("lang")
+      .agg(count(lit(1)).alias("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected.filter(_._2 > 0), s"got $got expected $expected")
+    // temperature flattening: the head language's sampled share shrinks
+    val (headLang, headN) = langCounts.maxBy(_._2)
+    assert(got(headLang).toDouble / got.values.sum <
+      headN.toDouble / nTotal, "α=0.5 must shrink the head language's share")
+  }
+
+  test("orders_above_customer_avg matches a direct per-customer computation") {
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .collect()
+    val byCust = orders.groupBy(_.getLong(1))
+    val expected = orders.filter { r =>
+      val cents = math.round(r.getDouble(2) * 100)
+      val grp = byCust(r.getLong(1))
+      val s = grp.map(g => math.round(g.getDouble(2) * 100)).sum
+      cents * grp.length > s
+    }.map(_.getLong(0)).toSet
+    val got = q("orders_above_customer_avg")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+  }
+}

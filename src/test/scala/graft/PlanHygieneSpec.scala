@@ -41,11 +41,13 @@ class PlanHygieneSpec extends SparkSpec {
     // ...and the DAU/WAU rolling-distinct range join (day spine × user-days
     // on a 7-day interval — bounded fan-out by construction, no equi key
     // exists for a moving window)
+    // ...and the temperature mix's single-row corpus totals (same
+    // broadcast-one-aggregate-row shape as ratio-to-report)
     val allowed = Set("range_join_price_band", "ivf_ann_cosine",
       "knn_brute_cosine", "embedding_near_dup",
       "revenue_share_by_flag", "customers_all_years",
       "region_priority_matrix", "text_tfidf_top_terms",
-      "events_dau_wau")
+      "events_dau_wau", "docs_temperature_mix")
     for ((name, plan) <- executedPlans if !allowed(name)) {
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name unexpectedly plans a BroadcastNestedLoopJoin:\n${plan.take(800)}")
