@@ -36,4 +36,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // previous 8g default GC inflated the measured sf0.1 bench total ~1.7×
   // (153 s → 87 s replica measurement). Override via SPARK_DRIVER_MEM.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // GC log per forked JVM (%p = pid): when a bench run misreports — the
+  // round-5 recording was 7× the idle-machine cost of the same binary —
+  // this is the evidence distinguishing GC pathology from host contention.
+  "-Xlog:gc:file=target/gc-%p.log",
 )

@@ -19,16 +19,28 @@ object BenchOrder {
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    SparkEntry.queries.valuesIterator.foreach(fn =>
-      try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => })
+    // warm-up dir derived exactly like Bench: smallest SIBLING sf* dir
+    val warmDir = Option(new java.io.File(sfDir).getParentFile)
+      .toSeq
+      .flatMap(p => Option(p.listFiles).toSeq.flatten)
+      .filter(f => f.isDirectory && f.getName.startsWith("sf") &&
+        f.getAbsolutePath != new java.io.File(sfDir).getAbsolutePath)
+      .sortBy(f => scala.util.Try(f.getName.stripPrefix("sf").toDouble)
+        .getOrElse(Double.MaxValue))
+      .headOption.map(_.toString)
+    warmDir.foreach(dir => SparkEntry.queries.valuesIterator.foreach(fn =>
+      try fn(spark, dir).count() catch { case _: Throwable => }))
     spark.catalog.clearCache()
     var i = 0
     val t00 = System.nanoTime()
     SparkEntry.queries.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a failed query must not print a normal-looking timing
+      val status =
+        try { fn(spark, sfDir).count(); "" }
+        catch { case t: Throwable => s"  FAILED: ${t.getClass.getSimpleName}" }
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[$i%02d] $name%-35s ${dt}%7.3f s")
+      println(f"[$i%02d] $name%-35s ${dt}%7.3f s$status")
       i += 1
     }
     println(f"TOTAL ${(System.nanoTime() - t00) / 1e9}%.3f s")

@@ -40,9 +40,19 @@ object Curation {
     val exploded = sh.select(col("doc_id"), explode(col("sh")).alias("s"))
       .select(col("doc_id"), TextFunctions.md5Hash60(col("s")).alias("hs"))
     val benchShingles = exploded.join(bench, Seq("doc_id")).select(col("hs")).distinct()
+    // Broadcast only while the benchmark shingle set is actually broadcast-
+    // sized. Benchmarks are a fixed corpus by premise, but the premise is
+    // an input property, not an invariant — an oversized held-out source
+    // under an unconditional hint would OOM every executor. Past the cap
+    // (~50M 8-byte keys ≈ a few hundred MB hashed) the join falls back to
+    // the shuffle plan: same rows, no broadcast. The guard count is one
+    // small job over the benchmark side only.
+    val benchSide =
+      if (benchShingles.count() <= 50_000_000L) broadcast(benchShingles)
+      else benchShingles
     val sizes = sh.select(col("doc_id"), size(col("sh")).alias("n_shingles"))
     exploded.join(bench, Seq("doc_id"), "left_anti")
-      .join(broadcast(benchShingles), Seq("hs"))
+      .join(benchSide, Seq("hs"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).alias("n_overlap"))
       .join(sizes, Seq("doc_id"))
@@ -111,9 +121,20 @@ object Curation {
     * low-resource languages — the standard multilingual mixing rule. The
     * integer-sqrt weights keep every quantity exact integer math (no
     * float pow/sum to drift cross-engine). Selection within a language is
-    * deterministic "random": the md5 of the doc_id orders the shuffle, a
-    * rank window takes the first target_l. Per-language stats are 5 rows
-    * → they ride a broadcast; the only corpus shuffle is the rank window.
+    * deterministic "random": documents are ordered by md5(doc_id) and the
+    * first target_l win.
+    *
+    * The rank is computed SHARDED, never as one window per language: a
+    * real multilingual corpus is Zipfian — `partitionBy(lang)` would put
+    * ~half of 100 TB in a single window partition (full shuffle on a
+    * skewed key + a single-task sort). Because the shard key is a PREFIX
+    * of the sort key (first two md5 hex chars → 256 uniform shards),
+    * shards are contiguous ranges of the global md5 order, so
+    * `global rank = rank within (lang, shard) + Σ counts of earlier
+    * shards`. The offsets come from a (lang × 256)-row aggregate that
+    * rides a broadcast; the corpus shuffles once on the composite
+    * (lang, shard) key whose partitions are 1/256th the skewed size —
+    * identical output, de-skewed plan.
     */
   def temperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
@@ -125,9 +146,26 @@ object Curation {
     val targets = counts.crossJoin(broadcast(totals))
       .select(col("lang"),
         expr("(n_total div 2) * w_l div w_sum").alias("target_l"))
-    val ranked = docs.withColumn("sample_rank",
-      row_number().over(
-        Window.partitionBy(col("lang")).orderBy(md5(col("doc_id").cast("string")))))
+    val keyed = docs
+      .withColumn("md5_key", md5(col("doc_id").cast("string")))
+      .withColumn("shard", substring(col("md5_key"), 1, 2))
+    // per-(lang, shard) row counts → rank offset of each shard = running
+    // sum of the shards sorted before it; ≤ lang_count × 256 rows total,
+    // so the cumulative window and the join back are broadcast-cheap
+    val offsets = keyed.groupBy(col("lang"), col("shard"))
+      .agg(count(lit(1)).alias("n_shard"))
+      .withColumn("shard_offset",
+        sum(col("n_shard")).over(
+          Window.partitionBy(col("lang")).orderBy(col("shard")))
+          - col("n_shard"))
+      .select(col("lang"), col("shard"), col("shard_offset"))
+    val ranked = keyed
+      .withColumn("shard_rank",
+        row_number().over(
+          Window.partitionBy(col("lang"), col("shard")).orderBy(col("md5_key"))))
+      .join(broadcast(offsets), Seq("lang", "shard"))
+      .withColumn("sample_rank",
+        (col("shard_offset") + col("shard_rank")).cast("int"))
     ranked.join(broadcast(targets), Seq("lang"))
       .filter(col("sample_rank") <= col("target_l"))
       .select(col("doc_id"), col("lang"), col("sample_rank"))

@@ -165,9 +165,9 @@ object Dedup {
 
   // h < p < 2³¹ and a_i < p, so h·a_i < 2⁶² — no overflow before the mod.
   // Production path: the codegen'd one-pass expression. The interpreted
-  // HOF spelling below it is kept for the differential spec (PlansSpec
-  // asserts bit-equality on randomized inputs) and as executable
-  // documentation of the algorithm.
+  // HOF spelling below it is kept for the differential spec
+  // (ExpressionPropertySpec asserts bit-equality on randomized inputs)
+  // and as executable documentation of the algorithm.
   private[graft] def minhashSignature(sh: Column): Column =
     graft.plans.GraftFunctions.minHash16(sh, MinhashParams)
 
@@ -237,7 +237,8 @@ object Dedup {
       // the sign-of-column-sum fold runs as the codegen'd
       // graft.plans.SimHash60 expression — the interpreted HOF spelling
       // (kept verbatim in the DuckDB oracle and differential-tested in
-      // PlansSpec) walks the token array 60×: measured ~5 s vs ~50 ms
+      // ExpressionPropertySpec) walks the token array 60×: measured ~5 s
+      // vs ~50 ms
       // for the 5 000-doc sf0.1 corpus
       .select(col("doc_id"),
         graft.plans.GraftFunctions.simHash60(col("hashes")).alias("simhash"))
@@ -310,6 +311,29 @@ object Dedup {
       .select(col("e.src").alias("src"), col("e.dst").alias("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(tracked)
+    val (labels, _) = connectedComponents(edges)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    labels.select(col("node").alias("doc_id"), col("label").alias("cluster_id"))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .orderBy("doc_id")
+  }
+
+  /** Distributed min-label propagation over a SYMMETRIC edge set (both
+    * directions present): returns each node labeled with its component's
+    * minimum node id, plus the number of propagation rounds run.
+    *
+    * Lineage stays bounded two ways: early rounds persist (cheap,
+    * releasable), and past `localCheckpointDepth` rounds the generation is
+    * `localCheckpoint`ed instead — persist alone still GROWS the logical
+    * plan every round (each generation's plan contains its predecessor's),
+    * so on a deep chain-shaped graph plan analysis/canonicalization would
+    * eventually dwarf the data work; the checkpoint truncates the plan to
+    * the materialized blocks. Rounds-to-convergence is logged (stderr) —
+    * a production corpus whose round count climbs toward the cap is the
+    * signal to switch to a doubling algorithm (large-star/small-star).
+    */
+  private[graft] def connectedComponents(edges: DataFrame,
+      maxRounds: Int = 50, localCheckpointDepth: Int = 10): (DataFrame, Int) = {
     // Round 0 folds initialization and the first propagation hop into ONE
     // aggregation: label = min(node, direct neighbors). Every node appears
     // as some src (edges carry both directions), so the groupBy covers the
@@ -317,14 +341,27 @@ object Dedup {
     def labelSum(df: DataFrame): (java.math.BigDecimal, Long) = {
       // decimal sum: at 100 TB doc_ids × node count would overflow a long
       val r = df.agg(sum(col("label").cast("decimal(38,0)")), count(lit(1))).head
+      // a null sum means zero nodes (empty graph converges trivially) or a
+      // decimal overflow turned null — both must not silently compare as
+      // "unchanged" round over round
+      require(r.getLong(1) == 0L || r.getDecimal(0) != null,
+        "label sum null over a non-empty node set (decimal overflow?)")
       (r.getDecimal(0), r.getLong(1))
     }
-    var labels = edges.groupBy(col("src"))
+    // value comparison via compareTo: BigDecimal.equals is scale-sensitive
+    // (2E+1 != 20), so a future change to the cast type or sum spelling
+    // would otherwise loop past real convergence
+    def sameSum(a: (java.math.BigDecimal, Long), b: (java.math.BigDecimal, Long)): Boolean =
+      a._2 == b._2 && ((a._1 == null && b._1 == null) ||
+        (a._1 != null && b._1 != null && a._1.compareTo(b._1) == 0))
+    def materialize(df: DataFrame, round: Int): DataFrame =
+      if (round >= localCheckpointDepth) df.localCheckpoint(false)
+      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(tracked)
+    var labels = materialize(edges.groupBy(col("src"))
       .agg(min(col("dst")).alias("mn"))
       .select(col("src").alias("node"),
-        least(col("mn"), col("src")).alias("label"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .transform(tracked)
+        least(col("mn"), col("src")).alias("label")), 0)
     // Convergence via the label-sum invariant: min-propagation only ever
     // DECREASES labels, so the (sum, count) pair is unchanged iff no label
     // moved — one aggregation per round instead of a join + filter + count
@@ -336,26 +373,21 @@ object Dedup {
     // label propagation needs component-diameter rounds; converged graphs
     // exit after one no-change round, so a generous cap costs nothing and
     // only guards against a pathological chain-shaped corpus
-    val MaxRounds = 50
-    while (!converged && rounds < MaxRounds) {
+    while (!converged && rounds < maxRounds) {
       val neighborLabels = edges.join(labels, col("dst") === col("node"))
         .select(col("src").alias("node"), col("label"))
-      val next = labels.union(neighborLabels)
-        .groupBy(col("node")).agg(min(col("label")).alias("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        .transform(tracked)
+      val next = materialize(labels.union(neighborLabels)
+        .groupBy(col("node")).agg(min(col("label")).alias("label")), rounds + 1)
       val nextSum = labelSum(next)
-      converged = nextSum == prevSum
+      converged = sameSum(nextSum, prevSum)
       prevSum = nextSum
       labels.unpersist(false)
       labels = next
       rounds += 1
     }
-    require(converged, s"label propagation did not converge in $MaxRounds rounds")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
-    labels.select(col("node").alias("doc_id"), col("label").alias("cluster_id"))
-      .withColumn("n_members", count(lit(1)).over(w))
-      .orderBy("doc_id")
+    require(converged, s"label propagation did not converge in $maxRounds rounds")
+    System.err.println(s"[graft] connectedComponents converged in $rounds rounds")
+    (labels, rounds)
   }
 
   /** Spark-SQL-dialect twin of TextFunctions.md5Hash60Sql (conv vs CAST). */

@@ -1,10 +1,7 @@
 package graft.operators
 
-import java.io.ByteArrayInputStream
-
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.util.sketch.CountMinSketch
 
 import graft.Tables
 
@@ -34,9 +31,11 @@ object Sketches {
     * per-key exact state is only ever held for candidates. On uniform
     * fixture data the prune is weak; on the Zipfian key distributions
     * heavy-hitter queries exist for, candidates ≈ the hot keys only.
-    * The sketch probe is a driver-broadcast UDF over the DISTINCT keys —
-    * never the fact table — which is the one place a UDF is warranted:
-    * no built-in expression can probe a CMS.
+    * The sketch probe is the codegen'd [[graft.plans.CmsAtLeast]]
+    * Catalyst predicate over the DISTINCT keys — never the fact table —
+    * with the sketch bytes riding a broadcast variable (same transport
+    * rationale as [[graft.functions.BloomPrune]]; no UDF, no plan
+    * literal).
     *
     * Threshold: 1.5× the mean per-key count, derived from two exact
     * scalars (row count, distinct count) so both engines compute the
@@ -53,15 +52,10 @@ object Sketches {
     val cmsBytes = l.stat.countMinSketch(col("l_partkey"),
       eps = 0.0001, confidence = 0.99, seed = 42).toByteArray
     val cmsBc = spark.sparkContext.broadcast(cmsBytes)
-    // deserialize once per task (transient lazy), not once per row
-    val probe = new (Long => Boolean) with Serializable {
-      @transient private lazy val cms =
-        CountMinSketch.readFrom(new ByteArrayInputStream(cmsBc.value))
-      def apply(key: Long): Boolean = cms.estimateCount(key) >= threshold
-    }
-    val estimateAtLeast = udf(probe)
     val candidates = l.select(col("l_partkey")).distinct()
-      .filter(estimateAtLeast(col("l_partkey")))
+      .filter(GraftSqlBridge.column(graft.plans.CmsAtLeast(
+        GraftSqlBridge.expression(col("l_partkey").cast("long")),
+        cmsBc, threshold)))
     l.join(broadcast(candidates), Seq("l_partkey"), "left_semi")
       .groupBy(col("l_partkey").alias("part_key"))
       .agg(count(lit(1)).alias("n"))

@@ -182,7 +182,7 @@ object Stats {
     graft.functions.BloomPrune.prunedSemiJoin(
       probe = Tables.lineitem(spark, sfDir), build = bigOrders,
       probeKey = "l_orderkey", buildKey = "o_orderkey",
-      expectedItems = 1000000L, fpp = 0.01)
+      fpp = 0.01)
       .groupBy(col("l_returnflag").alias("return_flag"))
       .agg(count(lit(1)).alias("n_items"),
         Deterministic.exactSum(col("l_extendedprice"), 2).alias("revenue"))

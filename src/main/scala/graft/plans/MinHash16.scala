@@ -15,7 +15,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * Semantically identical to the higher-order spelling
   * `aggregate(transform(sh, x -> md5_60(x) % p), repeat(MAX, 16),
   * (acc, h) -> zip_with(acc, params, least(...)))` on every input
-  * (differential-tested in PlansSpec): a null shingle is skipped (the HOF's
+  * (differential-tested in ExpressionPropertySpec): a null shingle is
+  * skipped (the HOF's
   * `least` ignores the null affine image), an empty array yields 16
   * `Long.MaxValue` slots, a null array yields null. The HOF form walks the
   * array through TWO interpreted lambda layers and allocates a fresh

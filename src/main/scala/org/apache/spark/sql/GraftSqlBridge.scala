@@ -42,3 +42,9 @@ trait StringArraySingleInputType
   override def inputTypes: Seq[types.AbstractDataType] =
     Seq(types.ArrayType(types.StringType))
 }
+
+/** `bigint` single-argument input declaration (sketch-probe keys). */
+trait LongSingleInputType
+    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[types.AbstractDataType] = Seq(types.LongType)
+}

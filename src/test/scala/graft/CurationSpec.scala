@@ -56,8 +56,12 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val wSum = langCounts.values.map(n => math.floor(math.sqrt(n.toDouble)).toLong).sum
     val nTotal = langCounts.values.sum
+    // cap at n_l: the operator can never emit more rows than the language
+    // has (sample_rank <= target_l over n_l rows), and under α-flattening
+    // a low-resource language's raw target CAN exceed its population
     val expected = langCounts.map { case (l, n) =>
-      l -> (nTotal / 2) * math.floor(math.sqrt(n.toDouble)).toLong / wSum
+      l -> math.min(
+        (nTotal / 2) * math.floor(math.sqrt(n.toDouble)).toLong / wSum, n)
     }
     val got = q("docs_temperature_mix").groupBy("lang")
       .agg(count(lit(1)).alias("c"))

@@ -18,6 +18,29 @@ class DedupSpec extends SparkSpec {
     assert(rows == Set((1L, 3L), (3L, 1L)))
   }
 
+  test("connectedComponents: chain graph converges in ≤ diameter+1 rounds," +
+      " through the localCheckpoint path") {
+    import spark.implicits._
+    // 0-1-2-...-10 chain (diameter 10) plus a disjoint pair 100-101: the
+    // adversarial shape for min-label propagation (the minimum travels the
+    // full chain one hop per round) — exactly what the MaxRounds cap and
+    // the localCheckpoint depth switch exist for. Depth threshold 3 forces
+    // most rounds through the checkpoint branch.
+    val chain = (0L until 10L).map(i => (i, i + 1)) :+ (100L, 101L)
+    val edges = chain.toDF("a", "b")
+      .select(explode(array(
+        struct(col("a").alias("src"), col("b").alias("dst")),
+        struct(col("b").alias("src"), col("a").alias("dst")))).alias("e"))
+      .select(col("e.src").alias("src"), col("e.dst").alias("dst"))
+    val (labels, rounds) = Dedup.connectedComponents(
+      edges, maxRounds = 20, localCheckpointDepth = 3)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = ((0L to 10L).map(_ -> 0L) ++ Seq(100L -> 100L, 101L -> 100L)).toMap
+    assert(got == expected)
+    // diameter hops for the min to reach the far end, +1 no-change round
+    assert(rounds <= 11, s"chain of diameter 10 took $rounds rounds")
+  }
+
   test("minhash LSH pairs equal exhaustive jaccard pairs (planted near-dups)") {
     val lsh = q("dedup_minhash_lsh").select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

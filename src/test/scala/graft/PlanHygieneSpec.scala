@@ -54,6 +54,16 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
+  test("no registered query plans a Scala UDF — sketch probes included") {
+    // every scalar in the registry is a built-in or a codegen'd Catalyst
+    // expression (BloomProbe, CmsAtLeast, MinHash16, SimHash60...); a
+    // ScalaUDF node means a hot path dropped out of whole-stage codegen
+    for ((name, plan) <- executedPlans) {
+      assert(!plan.contains("UDF"),
+        s"$name plans a UDF:\n${plan.take(800)}")
+    }
+  }
+
   test("star-schema scans prune to the referenced columns") {
     // the flagship fact query must not drag unused lineitem columns
     // through the join (ReadSchema is the pushed projection)

@@ -51,9 +51,11 @@ class StatsSpec extends SparkSpec {
     val fpCount = absent.count(bf.mightContainLong)
     assert(fpCount < 300, s"false-positive count $fpCount way above 1% of 10000")
     // and the Catalyst predicate agrees with the driver-side sketch
+    // (sketch bytes ride a broadcast variable, not a plan literal)
     val bos = new ByteArrayOutputStream(); bf.writeTo(bos)
+    val bloomBc = spark.sparkContext.broadcast(bos.toByteArray)
     val viaExpr = Tables.lineitem(spark, sf)
-      .where(graft.functions.BloomPrune.mightContain(bos.toByteArray, col("l_orderkey")))
+      .where(graft.functions.BloomPrune.mightContain(bloomBc, col("l_orderkey")))
       .select("l_orderkey").distinct().collect().map(_.getLong(0)).toSet
     assert(viaExpr.forall(bf.mightContainLong))
     // every lineitem key that IS a build key must survive the pruning
