@@ -65,21 +65,32 @@ object Sketches {
 
   /** Mergeable-HLL vocabulary rollup: one DataSketches HLL sketch of the
     * token stream per (lang, source), then per-language vocabulary by
-    * UNIONING the source sketches — the raw tokens are read exactly once
-    * and any coarser granularity derives from stored sketches, which is
-    * how a 100 TB corpus keeps distinct counts maintainable. Estimates
-    * are engine-specific → rows-only check (the exact twin is
-    * `text_token_stats.vocab`; accuracy is asserted in the spec).
+    * UNIONING the source sketches — in production the raw tokens are read
+    * exactly once and any coarser granularity derives from stored
+    * sketches, which is how a 100 TB corpus keeps distinct counts
+    * maintainable. Estimates are engine-specific, so the VERIFIED output
+    * carries the exact per-language vocabulary plus a boolean asserting
+    * the rolled-up estimate landed within 5% of it; the oracle pins the
+    * exact value and expects `true` (same bounded-gate pattern as
+    * `text_vocab_approx`). The exact twin costs a second pass over the
+    * tokens — gate-spelling only; production keeps the sketch-only rollup.
     */
   def vocabHllRollup(spark: SparkSession, sfDir: String): DataFrame = {
-    val perSource = Tables.loadSpread(spark, sfDir, "documents")
+    val tokens = Tables.loadSpread(spark, sfDir, "documents")
       .select(col("lang"), col("source"),
         explode(graft.functions.TextFunctions.tokens(col("text"))).alias("token"))
+    val perSource = tokens
       .groupBy(col("lang"), col("source"))
       .agg(hll_sketch_agg(col("token")).alias("sk"))
-    perSource.groupBy(col("lang"))
+    val rolled = perSource.groupBy(col("lang"))
       .agg(count(lit(1)).alias("n_sources"),
-        hll_sketch_estimate(hll_union_agg(col("sk"))).alias("vocab_est"))
+        hll_sketch_estimate(hll_union_agg(col("sk"))).alias("est"))
+    val exact = tokens.groupBy(col("lang"))
+      .agg(countDistinct(col("token")).alias("vocab_exact"))
+    rolled.join(exact, Seq("lang"))
+      .select(col("lang"), col("n_sources"), col("vocab_exact"),
+        (abs(col("est") - col("vocab_exact"))
+          <= col("vocab_exact") * lit(0.05)).alias("rollup_within_5pct"))
       .orderBy("lang")
   }
 
@@ -91,7 +102,14 @@ object Sketches {
         |t AS (SELECT 1.5 * avg(n) AS thr FROM c)
         |SELECT part_key, n FROM c, t WHERE n >= thr
         |ORDER BY part_key""".stripMargin,
-    // text_vocab_hll_rollup: rows-only (HLL estimates engine-specific)
+    "text_vocab_hll_rollup" ->
+      """SELECT lang,
+        |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |       CAST(count(DISTINCT token) AS BIGINT) AS vocab_exact,
+        |       TRUE AS rollup_within_5pct
+        |FROM (SELECT lang, source, unnest(string_split(text, ' ')) AS token
+        |      FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -36,8 +36,8 @@ object TextAnalysis {
     * doc count, token count, exact vocabulary size, avg tokens/doc.
     * Scale note: explode widens rows but the aggregate is partial+final;
     * vocabulary uses exact distinct here because the oracle needs
-    * determinism — `text_vocab_approx` (no oracle) is the HLL-based scale
-    * path for 100 TB.
+    * determinism — `text_vocab_approx` (bounded-oracle) is the HLL-based
+    * scale path for 100 TB.
     */
   def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
@@ -94,13 +94,24 @@ object TextAnalysis {
   }
 
   /** Approximate vocabulary via HyperLogLog — the 100 TB path for distinct
-    * counting (no oracle: HLL estimates are engine-specific).
+    * counting. HLL estimates are engine-specific, so the raw estimate
+    * can't hash-match a DuckDB oracle; instead the VERIFIED output is the
+    * exact vocabulary plus a boolean asserting the HLL estimate landed
+    * within 5% of it (the sketch's rsd) — the oracle pins the exact value
+    * and expects `true`, so a drifting sketch fails the gate rather than
+    * dropping to a rows-only check. Production keeps the estimate-only
+    * aggregation (drop the `countDistinct` and the bound column); this
+    * spelling exists to keep the sketch under the correctness gate.
     */
   def vocabApprox(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("lang"), explode(TextFunctions.tokens(col("text"))).alias("token"))
       .groupBy(col("lang"))
-      .agg(approx_count_distinct(col("token")).alias("vocab_approx"))
+      .agg(countDistinct(col("token")).alias("vocab_exact"),
+        approx_count_distinct(col("token")).alias("est"))
+      .select(col("lang"), col("vocab_exact"),
+        (abs(col("est") - col("vocab_exact"))
+          <= col("vocab_exact") * lit(0.05)).alias("hll_within_5pct"))
       .orderBy("lang")
 
   /** Per-document quality scoring: char/token counts, mean token length,
@@ -314,6 +325,13 @@ object TextAnalysis {
          |            ELSE 'fr' END AS predicted_lang
          |FROM scored ORDER BY doc_id""".stripMargin
     },
+    "text_vocab_approx" ->
+      """SELECT lang,
+        |       CAST(count(DISTINCT token) AS BIGINT) AS vocab_exact,
+        |       TRUE AS hll_within_5pct
+        |FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+        |      FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "text_token_stats" ->
       """SELECT lang,
         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,

@@ -30,7 +30,19 @@ final case class JdbcSource(
     partitioning: Option[JdbcPartitioning] = None,
     extraOptions: Map[String, String] = Map.empty) {
 
-  /** The exact option surface of the reference reader, plus partitioning. */
+  /** The exact option surface of the reference reader, plus partitioning.
+    *
+    * The declared schema rides the JDBC `customSchema` option — the one
+    * schema slot the jdbc source actually honors. `DataFrameReader
+    * .schema()` (the reference's own spelling, `db_to_parquet.py:163`)
+    * throws at load time: `JdbcRelationProvider` is a plain
+    * `RelationProvider`, so Spark rejects user-specified schemas on it —
+    * caught by the embedded-Derby integration spec, which is exactly the
+    * drift a never-executed code path hides. `customSchema` overrides the
+    * resolved catalog types BY NAME; [[load]] then validates the final
+    * schema against the declaration so a renamed/missing source column
+    * still fails loudly instead of flowing through.
+    */
   def options: Map[String, String] = {
     val base = Map(
       "url" -> url, "dbtable" -> table, "user" -> user,
@@ -41,36 +53,38 @@ final case class JdbcSource(
         "upperBound" -> upper.toString, "numPartitions" -> n.toString)
       case _ => Map.empty[String, String]
     }
-    base ++ parts ++ extraOptions
+    // nullability stripped from the DDL: customSchema governs types only;
+    // nullable flags come from the source catalog
+    val custom = schema.map(s => "customSchema" ->
+      s.fields.map(f => s"${f.name} ${f.dataType.sql}").mkString(", "))
+    base ++ parts ++ custom ++ extraOptions
   }
 
   /** Configure a reader; lazy — nothing connects until an action. */
-  def reader(spark: SparkSession): DataFrameReader = {
-    val r = spark.read.format("jdbc").options(options)
-    schema.fold(r)(r.schema)
-  }
+  def reader(spark: SparkSession): DataFrameReader =
+    spark.read.format("jdbc").options(options)
 
-  def load(spark: SparkSession): DataFrame = partitioning match {
-    case Some(JdbcPredicatePartitioning(predicates)) =>
-      // DataFrameReader.jdbc(predicates) — one task per predicate. This
-      // API has no user-schema slot, so the declared schema is enforced
-      // post-resolution: a catalog drift fails loudly here instead of
-      // flowing through silently.
-      val props = new java.util.Properties()
-      options.foreach { case (k, v) => props.setProperty(k, v) }
-      val df = spark.read.jdbc(url, table, predicates.toArray, props)
-      schema.foreach { s =>
-        // case-insensitive, order-insensitive — the same leniency Spark's
-        // own resolver applies on the .schema() path, so both load paths
-        // accept the same declarations
-        val got = df.schema.fields.map(f => (f.name.toLowerCase, f.dataType)).toMap
-        val want = s.fields.map(f => (f.name.toLowerCase, f.dataType)).toMap
-        require(got == want,
-          s"declared schema for $table does not match the source catalog: " +
-            s"declared=$want resolved=$got")
-      }
-      df
-    case _ => reader(spark).load()
+  def load(spark: SparkSession): DataFrame = {
+    val df = partitioning match {
+      case Some(JdbcPredicatePartitioning(predicates)) =>
+        // DataFrameReader.jdbc(predicates) — one task per predicate; the
+        // options map (customSchema included) rides the Properties bag.
+        val props = new java.util.Properties()
+        options.foreach { case (k, v) => props.setProperty(k, v) }
+        spark.read.jdbc(url, table, predicates.toArray, props)
+      case _ => reader(spark).load()
+    }
+    schema.foreach { s =>
+      // case-insensitive, order-insensitive — the same leniency Spark's
+      // own resolver applies to customSchema, so every load path accepts
+      // the same declarations
+      val got = df.schema.fields.map(f => (f.name.toLowerCase, f.dataType)).toMap
+      val want = s.fields.map(f => (f.name.toLowerCase, f.dataType)).toMap
+      require(got == want,
+        s"declared schema for $table does not match the source catalog: " +
+          s"declared=$want resolved=$got")
+    }
+    df
   }
 }
 

@@ -64,6 +64,23 @@ class ScalePostureSpec extends SparkSpec {
     }
   }
 
+  test("temperature mix ranks in prefix shards, never one window per language") {
+    // a Zipfian corpus puts ~half the rows in one language: any Window
+    // whose partition key is lang ALONE is a single-task sort at 100 TB.
+    // The corpus-sized rank must run partitioned by (lang, shard); the
+    // only lang-alone aggregation allowed is over the tiny counts side.
+    val plan = SparkEntry.queries("docs_temperature_mix")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.nonEmpty, s"no window node found:\n${plan.take(800)}")
+    val rankWindows = windowLines.filter(_.contains("row_number"))
+    assert(rankWindows.nonEmpty, "row_number window missing from the plan")
+    rankWindows.foreach { l =>
+      assert(l.contains("shard"),
+        s"corpus rank window not sharded (skew-weak at scale): $l")
+    }
+  }
+
   test("dynamic partition pruning fires on a partitioned fact scan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString

