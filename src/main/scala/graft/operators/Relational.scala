@@ -231,19 +231,33 @@ object Relational {
   }
 
   /** Market-basket co-occurrence: top-20 part pairs appearing in the same
-    * order, ties broken by the pair ids. The self-join keys on the order
-    * (equi-shuffle) and the per-order item list is short, so candidate
-    * pairs stay ~items²/2 per order — linear in orders, never a global
-    * cross product; the final top-k is a TakeOrderedAndProject heap.
+    * order, ties broken by the pair ids.
+    *
+    * Shape: ONE pass builds each order's distinct sorted basket
+    * (`collect_set` — shuffles (order, part) once), pairs are generated
+    * MAP-SIDE by a nested array transform (baskets are short — ≤7 items
+    * in TPC-H-shaped data — so pairs stay ~items²/2 per order, linear in
+    * orders), and one aggregation counts pairs. The previous spelling
+    * self-joined the distinct item set with itself: a second full scan +
+    * distinct plus an extra join shuffle of the same rows, all to
+    * rediscover pairs this spelling derives in place. The final top-k is
+    * a TakeOrderedAndProject heap, never a global sort. At 100 TB add a
+    * basket-size cap before pairing (a degenerate mega-basket is
+    * quadratic); the fixture needs exactness, so none is applied here.
     */
   def copurchasePartPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val items = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    items.alias("a")
-      .join(items.alias("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").alias("part_a"), col("b.l_partkey").alias("part_b"))
+    val baskets = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).alias("parts"))
+    val n = size(col("parts"))
+    val pairs = baskets.select(explode(when(n >= 2,
+        flatten(transform(sequence(lit(1), n - 1), i =>
+          transform(slice(col("parts"), i + 1, n - i), p =>
+            struct(element_at(col("parts"), i).alias("part_a"),
+              p.alias("part_b"))))))
+      .otherwise(array().cast("array<struct<part_a:bigint,part_b:bigint>>")))
+      .alias("pr"))
+    pairs.groupBy(col("pr.part_a").alias("part_a"), col("pr.part_b").alias("part_b"))
       .agg(count(lit(1)).alias("n_orders"))
       .orderBy(col("n_orders").desc, col("part_a").asc, col("part_b").asc)
       .limit(20)

@@ -136,19 +136,29 @@ object Similarity {
     * recall. The oracle replicates the algorithm, so the check is exact
     * over the algorithm as specified.
     */
-  def ivfAnn(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Nearest-centroid assignment shared by IVF probe and the k-means
+    * step: centroids are the deterministic `vec_id % 97 == 0` subsample
+    * (~1% of the corpus, no trained model to store); the N·C scoring is
+    * one broadcast nested-loop, map-side only, then a per-vector argmax
+    * window keyed by vec_id (uniform key — no skew).
+    */
+  private def assignedCells(spark: SparkSession, sfDir: String): DataFrame = {
     val base = quantized(spark, sfDir)
     val cents = base.filter(col("vec_id") % 97 === 0)
       .select(col("vec_id").alias("c_id"), col("v").alias("cv"), col("n2").alias("cn2"))
     val w0 = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_score").desc, col("c_id").asc)
-    val cells = base.join(broadcast(cents))
+    base.join(broadcast(cents))
       .select(col("vec_id"), col("v"), col("n2"), col("c_id"),
         V.qcosineFrom(V.qdot(col("v"), col("cv")), col("n2"), col("cn2"))
           .alias("c_score"))
       .withColumn("rn", row_number().over(w0))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("n2"), col("c_id").alias("cell"))
+  }
+
+  def ivfAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = assignedCells(spark, sfDir)
     val queryVecs = cells.filter(col("vec_id") < 10)
       .select(col("vec_id").alias("query_id"), col("v").alias("qv"),
         col("n2").alias("qn2"), col("cell").alias("qcell"))
@@ -199,6 +209,29 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** One k-means LLOYD STEP over the quantized embeddings — the training
+    * primitive every embedding-clustering pipeline iterates: assign each
+    * vector to its nearest seed centroid ([[assignedCells]] — N·C
+    * broadcast scoring, map-side), then recompute every centroid as the
+    * member mean, element-wise. The update is EXACT: quantized integer
+    * coordinates posexplode to (cell, dim, x) and sum as longs — order-
+    * independent, so Spark's tree aggregation and DuckDB's scan agree
+    * bit-for-bit; the mean is the single terminal IEEE division. One
+    * shuffle on (cell, dim) — ~K·64 groups — after a narrow explode; at
+    * 100 TB this is a partial-aggregated map-side-combine shape, the same
+    * plan a billion-vector k-means iteration wants. Output: per-(cell,
+    * dim) member count, exact coordinate sum, and the new centroid
+    * coordinate.
+    */
+  def kmeansStep(spark: SparkSession, sfDir: String): DataFrame =
+    assignedCells(spark, sfDir)
+      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(count(lit(1)).alias("n_members"), sum(col("x")).alias("sum_q"))
+      .select(col("cell"), col("dim"), col("n_members"), col("sum_q"),
+        (col("sum_q").cast("double") / col("n_members")).alias("mean_q"))
+      .orderBy("cell", "dim")
+
   /** Top-5 most-similar same-label pairs per label: the self-join is
     * label-restricted (shuffles on label, no global cross product), then
     * one rank window per label.
@@ -221,7 +254,31 @@ object Similarity {
 
   private def qdotAB = V.qdotSql("a.v", "b.v", Dim)
 
+  /** DuckDB twin of [[assignedCells]] — keep in sync. */
+  private lazy val cellsSql =
+    s"""cents AS (
+       |  SELECT vec_id AS c_id, v AS cv, n2 AS cn2 FROM qn WHERE vec_id % 97 = 0),
+       |assign AS (
+       |  SELECT a.vec_id, a.v, a.n2, c.c_id,
+       |         row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |           ${V.qdotSql("a.v", "c.cv", Dim)} / (sqrt(a.n2) * sqrt(c.cn2)) DESC,
+       |           c.c_id ASC) AS rn
+       |  FROM qn a CROSS JOIN cents c),
+       |cells AS (
+       |  SELECT vec_id, v, n2, c_id AS cell FROM assign WHERE rn = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "kmeans_lloyd_step" ->
+      s"""WITH $quantizedSql,
+         |$cellsSql,
+         |flat AS (
+         |  SELECT cell, CAST(i AS INT) AS dim, v[CAST(i AS INT) + 1] AS x
+         |  FROM cells, range($Dim) t(i))
+         |SELECT cell, dim, CAST(count(*) AS BIGINT) AS n_members,
+         |       CAST(sum(x) AS BIGINT) AS sum_q,
+         |       CAST(sum(x) AS DOUBLE) / count(*) AS mean_q
+         |FROM flat GROUP BY 1, 2
+         |ORDER BY cell, dim""".stripMargin,
     "knn_brute_cosine" ->
       s"""WITH $quantizedSql,
          |scored AS (
@@ -249,16 +306,7 @@ object Similarity {
          |ORDER BY query_id, rank""".stripMargin,
     "ivf_ann_cosine" ->
       s"""WITH $quantizedSql,
-         |cents AS (
-         |  SELECT vec_id AS c_id, v AS cv, n2 AS cn2 FROM qn WHERE vec_id % 97 = 0),
-         |assign AS (
-         |  SELECT a.vec_id, a.v, a.n2, c.c_id,
-         |         row_number() OVER (PARTITION BY a.vec_id ORDER BY
-         |           ${V.qdotSql("a.v", "c.cv", Dim)} / (sqrt(a.n2) * sqrt(c.cn2)) DESC,
-         |           c.c_id ASC) AS rn
-         |  FROM qn a CROSS JOIN cents c),
-         |cells AS (
-         |  SELECT vec_id, v, n2, c_id AS cell FROM assign WHERE rn = 1),
+         |$cellsSql,
          |queries AS (
          |  SELECT vec_id AS query_id, v AS qv, n2 AS qn2, cell AS qcell
          |  FROM cells WHERE vec_id < 10),
@@ -306,6 +354,7 @@ object Similarity {
     "knn_brute_cosine"        -> knnBrute _,
     "ann_lsh_cosine"          -> annLsh _,
     "ivf_ann_cosine"          -> ivfAnn _,
+    "kmeans_lloyd_step"       -> kmeansStep _,
     "embedding_near_dup"      -> nearDupPairs _,
     "embedding_near_dup_lsh"  -> nearDupPairsLsh _,
     "similar_pairs_per_label" -> pairsPerLabel _,

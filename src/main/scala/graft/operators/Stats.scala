@@ -57,6 +57,30 @@ object Stats {
       .orderBy("band_id")
   }
 
+  /** Equi-key histogram — the scale-preferred twin of
+    * [[rangeJoinPriceBand]] for uniform-width bands, exactly as that
+    * operator's doc prescribes: the bucket is computed per row
+    * (`cents div width` — exact integer math, no float edge ambiguity at
+    * bucket boundaries), so the plan is a single partial-aggregated
+    * groupBy with NO join at all and ~one group per bucket. This is the
+    * one-pass histogram shape a 100 TB feature-binning scan wants;
+    * sparse-by-construction (empty buckets absent — gap-fill with a
+    * spine join like `orders_daily_gapfill` when density is required).
+    */
+  def orderPriceHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val widthCents = 5000000L // $50k buckets in exact cents
+    Tables.orders(spark, sfDir)
+      .select(Deterministic.quantize(col("o_totalprice"), 2).alias("cents"),
+        col("o_totalprice"))
+      .groupBy(expr(s"cents div $widthCents").alias("bucket"))
+      .agg(count(lit(1)).alias("n_orders"),
+        Deterministic.exactSum(col("o_totalprice"), 2).alias("total_revenue"))
+      .select(col("bucket"),
+        (col("bucket") * lit(widthCents) / lit(100.0)).alias("bucket_lo"),
+        col("n_orders"), col("total_revenue"))
+      .orderBy("bucket")
+  }
+
   /** Deterministic mode: most frequent order priority per status
     * (ties broken by priority string ascending).
     */
@@ -332,6 +356,15 @@ object Stats {
          |  ON o_totalprice >= lo AND (hi IS NULL OR o_totalprice < hi)
          |GROUP BY 1, 2, 3
          |ORDER BY band_id""".stripMargin,
+    "order_price_histogram" ->
+      s"""SELECT CAST(round(o_totalprice * 1e2) AS BIGINT) // 5000000 AS bucket,
+         |       (CAST(round(o_totalprice * 1e2) AS BIGINT) // 5000000)
+         |         * 5000000 / 100.0 AS bucket_lo,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${Deterministic.exactSumSql("o_totalprice", 2)} AS total_revenue
+         |FROM orders
+         |GROUP BY 1, 2
+         |ORDER BY bucket""".stripMargin,
     "orders_mode_priority" ->
       """WITH counts AS (
         |  SELECT o_orderstatus AS order_status, o_orderpriority AS mode_priority,
@@ -381,6 +414,7 @@ object Stats {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "range_join_price_band"  -> rangeJoinPriceBand _,
+    "order_price_histogram"  -> orderPriceHistogram _,
     "orders_mode_priority"   -> ordersModePriority _,
     "lineitem_corr"          -> lineitemCorr _,
     "sales_grouping_sets"    -> salesGroupingSets _,

@@ -43,8 +43,10 @@ class PlanHygieneSpec extends SparkSpec {
     // exists for a moving window)
     // ...and the temperature mix's single-row corpus totals (same
     // broadcast-one-aggregate-row shape as ratio-to-report)
+    // ...and the k-means step, which shares IVF's broadcast N·C centroid
+    // assignment
     val allowed = Set("range_join_price_band", "ivf_ann_cosine",
-      "knn_brute_cosine", "embedding_near_dup",
+      "kmeans_lloyd_step", "knn_brute_cosine", "embedding_near_dup",
       "revenue_share_by_flag", "customers_all_years",
       "region_priority_matrix", "text_tfidf_top_terms",
       "events_dau_wau", "docs_temperature_mix")

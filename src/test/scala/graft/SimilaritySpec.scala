@@ -36,6 +36,24 @@ class SimilaritySpec extends SparkSpec {
     assert(joined.count() == 0)
   }
 
+  test("kmeans step: counts constant per cell, cover the corpus, exact means") {
+    val rows = q("kmeans_lloyd_step").collect()
+    val byCell = rows.groupBy(_.getLong(0))
+    // every cell carries all 64 dims with ONE member count
+    byCell.foreach { case (cell, rs) =>
+      assert(cell % 97 == 0, s"cell $cell is not a seed centroid id")
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (0 until 64), s"cell $cell dims")
+      assert(rs.map(_.getLong(2)).distinct.length == 1, s"cell $cell counts differ")
+    }
+    // assignment is a partition: per-cell members sum to the corpus size
+    val corpus = Tables.loadSpread(spark, sf, "embeddings").count()
+    assert(byCell.values.map(_.head.getLong(2)).sum == corpus)
+    // the emitted mean is exactly the one terminal division of the sums
+    rows.foreach { r =>
+      assert(r.getDouble(4) == r.getLong(3).toDouble / r.getLong(2))
+    }
+  }
+
   test("quantized cosine tracks double-precision cosine within quantization error") {
     val e = Tables.embeddings(spark, sf).limit(50)
     val a = e.select(col("vec_id").alias("ia"), col("embedding").alias("ea"))

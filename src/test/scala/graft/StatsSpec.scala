@@ -26,6 +26,19 @@ class StatsSpec extends SparkSpec {
     assert(matchesPerOrder.count() == o.count())
   }
 
+  test("equi-key histogram agrees with the range-join bands bucket by bucket") {
+    // same $50k width: histogram bucket b ≡ band b for b < 9; the open
+    // top band 9 aggregates every histogram bucket >= 9
+    val hist = q("order_price_histogram").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val bands = q("range_join_price_band").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    for (b <- 0L until 9L)
+      assert(hist.getOrElse(b, 0L) == bands.getOrElse(b, 0L), s"bucket $b")
+    assert(hist.filter(_._1 >= 9L).values.sum == bands.getOrElse(9L, 0L))
+    assert(hist.values.sum == Tables.orders(spark, sf).count())
+  }
+
   test("bloom-pruned semi join is row-identical to the plain semi join") {
     val l = Tables.lineitem(spark, sf)
     val big = Tables.orders(spark, sf)
