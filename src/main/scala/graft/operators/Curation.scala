@@ -23,6 +23,39 @@ object Curation {
   private val BenchmarkSource = "src0"
   private val ContaminationThreshold = 0.5
 
+  /** Estimated broadcast bytes per hashed 8-byte key in a
+    * BroadcastHashJoin's LongHashedRelation: the key itself, the UnsafeRow
+    * envelope, and hash-map slack. Deliberately pessimistic — the guard
+    * exists to keep executors alive, not to squeeze the last broadcast in.
+    */
+  private val BytesPerHashedKey = 32L
+
+  /** Hard ceiling for a deliberate broadcast regardless of configuration —
+    * past a few hundred MB per executor the broadcast itself is the
+    * memory problem the guard exists to prevent.
+    */
+  private val ExplicitBroadcastCeilingBytes = 256L << 20
+
+  /** Maximum key count an explicit `broadcast()` hint may carry, derived
+    * from the session's `spark.sql.autoBroadcastJoinThreshold` so retuning
+    * that conf moves this guard with it (a fixed row constant and the conf
+    * would silently drift apart). A deliberate hint gets 16× the
+    * optimizer's conservative auto threshold (default 10 MB → 160 MB →
+    * ~5M hashed keys), clamped to [[ExplicitBroadcastCeilingBytes]]; with
+    * auto-broadcast disabled (-1) the budget stays at the conservative
+    * 1/16 of the ceiling rather than inheriting "unlimited".
+    */
+  private[graft] def maxBroadcastKeys(spark: SparkSession): Long = {
+    val auto =
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+      catch { case _: Throwable => -1L }
+    val budgetBytes =
+      if (auto > 0) math.min(auto * 16, ExplicitBroadcastCeilingBytes)
+      else ExplicitBroadcastCeilingBytes / 16
+    math.max(budgetBytes / BytesPerHashedKey, 1L)
+  }
+
   /** Benchmark DECONTAMINATION: flag corpus documents whose 3-gram shingle
     * sets overlap a held-out benchmark set (`source = src0`) by ≥ 50% —
     * the standard eval-leak guard run before training. Shares the
@@ -39,16 +72,24 @@ object Curation {
     val sh = Dedup.shingled(spark, sfDir)
     val exploded = sh.select(col("doc_id"), explode(col("sh")).alias("s"))
       .select(col("doc_id"), TextFunctions.md5Hash60(col("s")).alias("hs"))
+    // Persisted so the guard count below doubles as the materialization:
+    // the count job fills the cache and the main query's probe join reads
+    // it back instead of re-deriving the bench set from the (corpus-wide)
+    // shingle explode a second time. Tracked for release via
+    // CacheLifecycle.unpersistAll.
     val benchShingles = exploded.join(bench, Seq("doc_id")).select(col("hs")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheLifecycle.tracked)
     // Broadcast only while the benchmark shingle set is actually broadcast-
     // sized. Benchmarks are a fixed corpus by premise, but the premise is
     // an input property, not an invariant — an oversized held-out source
-    // under an unconditional hint would OOM every executor. Past the cap
-    // (~50M 8-byte keys ≈ a few hundred MB hashed) the join falls back to
-    // the shuffle plan: same rows, no broadcast. The guard count is one
-    // small job over the benchmark side only.
+    // under an unconditional hint would OOM every executor. The cap is
+    // byte-derived from the session's broadcast threshold (see
+    // [[maxBroadcastKeys]]); past it the join falls back to the shuffle
+    // plan: same rows, no broadcast. The guard count is one small job over
+    // the benchmark side only (and materializes the persist above).
     val benchSide =
-      if (benchShingles.count() <= 50_000_000L) broadcast(benchShingles)
+      if (benchShingles.count() <= maxBroadcastKeys(spark)) broadcast(benchShingles)
       else benchShingles
     val sizes = sh.select(col("doc_id"), size(col("sh")).alias("n_shingles"))
     exploded.join(bench, Seq("doc_id"), "left_anti")
@@ -164,8 +205,11 @@ object Curation {
         row_number().over(
           Window.partitionBy(col("lang"), col("shard")).orderBy(col("md5_key"))))
       .join(broadcast(offsets), Seq("lang", "shard"))
-      .withColumn("sample_rank",
-        (col("shard_offset") + col("shard_rank")).cast("int"))
+      // long, never int: the sharded rank exists precisely because one
+      // language can hold >2³¹ documents at 100 TB — an int cast here
+      // would wrap silently under non-ANSI semantics and corrupt the
+      // sample, reintroducing the limit the sharding removed
+      .withColumn("sample_rank", col("shard_offset") + col("shard_rank"))
     ranked.join(broadcast(targets), Seq("lang"))
       .filter(col("sample_rank") <= col("target_l"))
       .select(col("doc_id"), col("lang"), col("sample_rank"))
@@ -253,7 +297,7 @@ object Curation {
         |ranked AS (
         |  SELECT doc_id, lang,
         |         CAST(row_number() OVER (PARTITION BY lang
-        |           ORDER BY md5(CAST(doc_id AS VARCHAR))) AS INT) AS sample_rank
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR))) AS BIGINT) AS sample_rank
         |  FROM documents)
         |SELECT doc_id, r.lang AS lang, sample_rank
         |FROM ranked r JOIN targets USING (lang)

@@ -241,14 +241,36 @@ object Relational {
     * self-joined the distinct item set with itself: a second full scan +
     * distinct plus an extra join shuffle of the same rows, all to
     * rediscover pairs this spelling derives in place. The final top-k is
-    * a TakeOrderedAndProject heap, never a global sort. At 100 TB add a
-    * basket-size cap before pairing (a degenerate mega-basket is
-    * quadratic); the fixture needs exactness, so none is applied here.
+    * a TakeOrderedAndProject heap, never a global sort.
+    *
+    * Mega-basket guard: pair generation is O(items²) per basket, so a
+    * degenerate order (one basket with 10⁵ items — data-quality accidents
+    * produce these) would detonate a single task. Baskets are capped at
+    * [[MaxBasketSize]] smallest partkeys BEFORE pairing — deterministic,
+    * bounds per-basket fan-out at ~32k pairs, and far above any real
+    * TPC-H-shaped basket (fixture max ≤7), so fixture output is exact.
     */
-  def copurchasePartPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val baskets = Tables.lineitem(spark, sfDir)
+  def copurchasePartPairs(spark: SparkSession, sfDir: String): DataFrame =
+    basketPairCounts(Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey")))
+      .orderBy(col("n_orders").desc, col("part_a").asc, col("part_b").asc)
+      .limit(20)
+
+  /** Per-basket pair cap: keep the N smallest partkeys of each order.
+    * 256 bounds a degenerate basket's pair fan-out at 256·255/2 ≈ 32k
+    * rows (vs 5·10⁹ for an uncapped 10⁵-item basket) while sitting two
+    * orders of magnitude above any legitimate basket size.
+    */
+  private[graft] val MaxBasketSize = 256
+
+  /** Testable core of [[copurchasePartPairs]]: (l_orderkey, l_partkey) →
+    * per-pair co-occurrence counts, baskets capped at [[MaxBasketSize]].
+    */
+  private[graft] def basketPairCounts(items: DataFrame): DataFrame = {
+    val baskets = items
       .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).alias("parts"))
+      .agg(slice(sort_array(collect_set(col("l_partkey"))), 1, MaxBasketSize)
+        .alias("parts"))
     val n = size(col("parts"))
     val pairs = baskets.select(explode(when(n >= 2,
         flatten(transform(sequence(lit(1), n - 1), i =>
@@ -259,8 +281,6 @@ object Relational {
       .alias("pr"))
     pairs.groupBy(col("pr.part_a").alias("part_a"), col("pr.part_b").alias("part_b"))
       .agg(count(lit(1)).alias("n_orders"))
-      .orderBy(col("n_orders").desc, col("part_a").asc, col("part_b").asc)
-      .limit(20)
   }
 
   val oracles: Map[String, String] = Map(

@@ -73,6 +73,34 @@ class CurationSpec extends SparkSpec {
       headN.toDouble / nTotal, "α=0.5 must shrink the head language's share")
   }
 
+  test("decontaminate broadcast cap derives from the session broadcast threshold") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val orig = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "1048576") // 1 MB auto → 16 MB deliberate budget
+      assert(graft.operators.Curation.maxBroadcastKeys(spark) == 16L * 1048576 / 32)
+      spark.conf.set(key, "-1") // auto-broadcast disabled → conservative floor
+      assert(graft.operators.Curation.maxBroadcastKeys(spark) == (256L << 20) / 16 / 32)
+      spark.conf.set(key, "1g") // 16× would exceed the ceiling → clamped
+      assert(graft.operators.Curation.maxBroadcastKeys(spark) == (256L << 20) / 32)
+    } finally spark.conf.set(key, orig)
+  }
+
+  test("decontaminate emits identical rows through broadcast and shuffle guard branches") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val orig = spark.conf.get(key)
+    val viaBroadcast = q("docs_decontaminate").collect().toSeq
+    try {
+      // 32-byte budget → cap of 16 keys, far below any real benchmark
+      // shingle set — forces the shuffle branch of the guard
+      spark.conf.set(key, "32")
+      assert(graft.operators.Curation.maxBroadcastKeys(spark) == 16L)
+      val viaShuffle = q("docs_decontaminate").collect().toSeq
+      assert(viaShuffle == viaBroadcast,
+        "guard branches must be plan-only: same rows either way")
+    } finally spark.conf.set(key, orig)
+  }
+
   test("orders_above_customer_avg matches a direct per-customer computation") {
     val orders = Tables.orders(spark, sf)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))

@@ -40,6 +40,27 @@ class EdgeCasesSpec extends SparkSpec {
     assert(out(0).isNullAt(1) && out(0).getLong(2) == 7L)
   }
 
+  test("copurchase pair fan-out stays bounded on a degenerate mega-basket") {
+    import spark.implicits._
+    // one order holding 10⁴ distinct parts: uncapped pairing would emit
+    // ~5·10⁷ rows from a single basket; the cap bounds it at C(256, 2)
+    val cap = graft.operators.Relational.MaxBasketSize
+    val mega = (1L to 10000L).map(p => (1L, p)) ++ Seq((2L, 1L), (2L, 2L))
+    val out = graft.operators.Relational.basketPairCounts(
+      mega.toDF("l_orderkey", "l_partkey"))
+    // order 2's (1,2) pair merges into the mega-basket's group, so the
+    // distinct-pair count is exactly C(cap, 2)
+    val n = out.count()
+    assert(n == cap.toLong * (cap - 1) / 2,
+      s"expected capped fan-out, got $n pairs")
+    // the cap keeps the SMALLEST partkeys, deterministically: the pair
+    // (1,2) is counted from both orders, and no pair references a part
+    // beyond the cap boundary
+    assert(out.filter(col("part_a") === 1 && col("part_b") === 2)
+      .head.getLong(2) == 2L)
+    assert(out.filter(col("part_b") > cap).count() == 0)
+  }
+
   test("sampleFrames of an empty payload emits zero rows") {
     import spark.implicits._
     val ds = Seq(MediaRow(3L, "image", Array.empty[Byte], 0, 0, 0)).toDS()
