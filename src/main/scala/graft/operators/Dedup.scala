@@ -318,19 +318,48 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Distributed min-label propagation over a SYMMETRIC edge set (both
+  /** Distributed connected components over a SYMMETRIC edge set (both
     * directions present): returns each node labeled with its component's
-    * minimum node id, plus the number of propagation rounds run.
+    * minimum node id, plus the number of rounds run.
+    *
+    * Each round combines TWO label moves, which is what turns O(diameter)
+    * convergence into O(log diameter):
+    *
+    *  1. PROPAGATION — `L(u) := min(L(u), min over neighbors v of L(v))`:
+    *     the classic one-hop min-label step (join + aggregate on the pair
+    *     graph).
+    *  2. POINTER SHORTCUT (path doubling) — `L(u) := L(L(u))`: labels are
+    *     node ids, so the current label can itself be looked up; composing
+    *     the label map with itself roughly doubles how far a minimum has
+    *     effectively traveled each round (the same shortcutting that powers
+    *     the large-star/small-star family). On a chain of diameter d the
+    *     reach after round k is ≈ 3·2ᵏ, so convergence takes ~log₂ d
+    *     rounds instead of d — pinned by the DedupSpec chain test. The
+    *     shortcut mapping is built over the DISTINCT current labels only:
+    *     the label→node lookup join is skew-prone (labels concentrate onto
+    *     component minima as rounds progress), and the distinct-label set
+    *     both shrinks every round and keys the hot join at one row per
+    *     label instead of one per node.
+    *
+    * Both moves only ever DECREASE labels toward the component minimum, and
+    * a fixpoint of the propagation step alone already implies labels are
+    * constant per component (symmetric edges force L(u)=L(v) across every
+    * edge at fixpoint), so the shortcut is a pure accelerator — the
+    * label-sum convergence test below is exact for the combined step.
     *
     * Lineage stays bounded two ways: early rounds persist (cheap,
     * releasable), and past `localCheckpointDepth` rounds the generation is
     * `localCheckpoint`ed instead — persist alone still GROWS the logical
     * plan every round (each generation's plan contains its predecessor's),
-    * so on a deep chain-shaped graph plan analysis/canonicalization would
-    * eventually dwarf the data work; the checkpoint truncates the plan to
-    * the materialized blocks. Rounds-to-convergence is logged (stderr) —
-    * a production corpus whose round count climbs toward the cap is the
-    * signal to switch to a doubling algorithm (large-star/small-star).
+    * so plan analysis/canonicalization would eventually dwarf the data
+    * work; the checkpoint truncates the plan to the materialized blocks.
+    * Superseded generations are released EXPLICITLY each round — including
+    * checkpointed ones, whose blocks `Dataset.unpersist` does not free
+    * (see [[org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint]]).
+    * Fault-tolerance trade: `localCheckpoint` blocks live on executors and
+    * do NOT survive executor loss — a production run on a lossy cluster
+    * should swap in reliable `checkpoint` against a checkpoint dir at the
+    * cost of one write per round. Rounds-to-convergence is logged (stderr).
     */
   private[graft] def connectedComponents(edges: DataFrame,
       maxRounds: Int = 50, localCheckpointDepth: Int = 10): (DataFrame, Int) = {
@@ -354,35 +383,56 @@ object Dedup {
     def sameSum(a: (java.math.BigDecimal, Long), b: (java.math.BigDecimal, Long)): Boolean =
       a._2 == b._2 && ((a._1 == null && b._1 == null) ||
         (a._1 != null && b._1 != null && a._1.compareTo(b._1) == 0))
-    def materialize(df: DataFrame, round: Int): DataFrame =
-      if (round >= localCheckpointDepth) df.localCheckpoint(false)
-      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        .transform(tracked)
-    var labels = materialize(edges.groupBy(col("src"))
+    // materialize returns the pinned frame plus its release action: persist
+    // generations release via unpersist, checkpointed generations via the
+    // bridge (plain unpersist is a no-op for them — blocks would otherwise
+    // accumulate until ContextCleaner GC)
+    def materialize(df: DataFrame, round: Int): (DataFrame, () => Unit) =
+      if (round >= localCheckpointDepth) {
+        val cp = df.localCheckpoint(false)
+        (cp, () => org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(cp))
+      } else {
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(tracked)
+        (p, () => { p.unpersist(false); () })
+      }
+    // Round 0 folds initialization and the first propagation hop into ONE
+    // aggregation (see labelSum note above on the decimal sum).
+    var (labels, release) = materialize(edges.groupBy(col("src"))
       .agg(min(col("dst")).alias("mn"))
       .select(col("src").alias("node"),
         least(col("mn"), col("src")).alias("label")), 0)
-    // Convergence via the label-sum invariant: min-propagation only ever
-    // DECREASES labels, so the (sum, count) pair is unchanged iff no label
+    // Convergence via the label-sum invariant: both moves only ever
+    // DECREASE labels, so the (sum, count) pair is unchanged iff no label
     // moved — one aggregation per round instead of a join + filter + count
-    // against the previous generation (halves the per-round job cost; the
-    // aggregation action also materializes the round's persist).
+    // against the previous generation (the aggregation action also
+    // materializes the round's persist/checkpoint).
     var prevSum = labelSum(labels)
     var rounds = 0
     var converged = false
-    // label propagation needs component-diameter rounds; converged graphs
-    // exit after one no-change round, so a generous cap costs nothing and
-    // only guards against a pathological chain-shaped corpus
+    // doubling needs ~log₂(diameter) rounds + 1 no-change round to detect
+    // the fixpoint; the cap only guards against a logic regression
     while (!converged && rounds < maxRounds) {
+      // 1-hop propagation
       val neighborLabels = edges.join(labels, col("dst") === col("node"))
         .select(col("src").alias("node"), col("label"))
-      val next = materialize(labels.union(neighborLabels)
-        .groupBy(col("node")).agg(min(col("label")).alias("label")), rounds + 1)
+      val prop = labels.union(neighborLabels)
+        .groupBy(col("node")).agg(min(col("label")).alias("label"))
+      // pointer shortcut: every label is a node id, so L∘L is a self-join
+      // of the label map — restricted to the distinct current labels
+      val mapping = prop.select(col("label").alias("l")).distinct()
+        .join(prop, col("l") === col("node"))
+        .select(col("l"), col("label").alias("ll"))
+      val (next, nextRelease) = materialize(
+        prop.join(mapping, col("label") === col("l"))
+          .select(col("node"), least(col("label"), col("ll")).alias("label")),
+        rounds + 1)
       val nextSum = labelSum(next)
       converged = sameSum(nextSum, prevSum)
       prevSum = nextSum
-      labels.unpersist(false)
+      release()
       labels = next
+      release = nextRelease
       rounds += 1
     }
     require(converged, s"label propagation did not converge in $maxRounds rounds")

@@ -10,6 +10,23 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Release the cached blocks behind a `localCheckpoint`ed Dataset.
+    *
+    * `Dataset.unpersist` is a no-op for checkpointed frames: the blocks
+    * belong to the INTERNAL checkpointed RDD wrapped by the resulting
+    * `LogicalRDD` plan node, and are only freed when the ContextCleaner
+    * eventually GCs the dropped reference — iterative algorithms that
+    * supersede a generation per round would accumulate blocks for the
+    * whole run. This reaches through the (private[sql]) plan node and
+    * unpersists those blocks eagerly. No-op for non-checkpointed frames.
+    */
+  def unpersistLocalCheckpoint(df: Dataset[_], blocking: Boolean = false): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking)
+      case _ => ()
+    }
 }
 
 /** Mix-in declaring `(array<long>, array<long>)` input types with

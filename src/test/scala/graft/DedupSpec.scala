@@ -18,27 +18,31 @@ class DedupSpec extends SparkSpec {
     assert(rows == Set((1L, 3L), (3L, 1L)))
   }
 
-  test("connectedComponents: chain graph converges in ≤ diameter+1 rounds," +
+  test("connectedComponents: deep chain converges in O(log diameter) rounds," +
       " through the localCheckpoint path") {
     import spark.implicits._
-    // 0-1-2-...-10 chain (diameter 10) plus a disjoint pair 100-101: the
-    // adversarial shape for min-label propagation (the minimum travels the
-    // full chain one hop per round) — exactly what the MaxRounds cap and
-    // the localCheckpoint depth switch exist for. Depth threshold 3 forces
-    // most rounds through the checkpoint branch.
-    val chain = (0L until 10L).map(i => (i, i + 1)) :+ (100L, 101L)
+    // 0-1-2-...-256 chain (diameter 256) plus a disjoint pair 1000-1001:
+    // the adversarial shape for min-label propagation — plain one-hop
+    // propagation needs 256 rounds here (and would blow the round cap);
+    // the pointer-shortcut doubling step must close it in ~log₂(256).
+    // Depth threshold 3 forces most rounds through the checkpoint branch,
+    // exercising the explicit checkpoint-block release each round.
+    val diameter = 256L
+    val chain = (0L until diameter).map(i => (i, i + 1)) :+ (1000L, 1001L)
     val edges = chain.toDF("a", "b")
       .select(explode(array(
         struct(col("a").alias("src"), col("b").alias("dst")),
         struct(col("b").alias("src"), col("a").alias("dst")))).alias("e"))
       .select(col("e.src").alias("src"), col("e.dst").alias("dst"))
+    val maxExpected = 2 * (63 - java.lang.Long.numberOfLeadingZeros(diameter)) // 2·log₂(d)
     val (labels, rounds) = Dedup.connectedComponents(
-      edges, maxRounds = 20, localCheckpointDepth = 3)
+      edges, maxRounds = maxExpected + 1, localCheckpointDepth = 3)
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val expected = ((0L to 10L).map(_ -> 0L) ++ Seq(100L -> 100L, 101L -> 100L)).toMap
+    val expected = ((0L to diameter).map(_ -> 0L) ++
+      Seq(1000L -> 1000L, 1001L -> 1000L)).toMap
     assert(got == expected)
-    // diameter hops for the min to reach the far end, +1 no-change round
-    assert(rounds <= 11, s"chain of diameter 10 took $rounds rounds")
+    assert(rounds <= maxExpected,
+      s"chain of diameter $diameter took $rounds rounds (doubling regressed?)")
   }
 
   test("minhash LSH pairs equal exhaustive jaccard pairs (planted near-dups)") {
