@@ -57,7 +57,11 @@ object BloomPrune {
     val bf = build.stat.bloomFilter(buildKey, expectedItems, fpp)
     val bos = new ByteArrayOutputStream()
     bf.writeTo(bos)
-    build.sparkSession.sparkContext.broadcast(bos.toByteArray)
+    // tracked: repeated invocations in a long session would otherwise
+    // accumulate broadcast blocks until driver GC — CacheLifecycle
+    // .unpersistAll destroys superseded sketches alongside cached frames
+    graft.CacheLifecycle.trackedBroadcast(
+      build.sparkSession.sparkContext.broadcast(bos.toByteArray))
   }
 
   /** Left-semi join with a Bloom pre-filter on the probe side.

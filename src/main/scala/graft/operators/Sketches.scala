@@ -51,7 +51,10 @@ object Sketches {
     val threshold = 1.5 * (statsRow.getLong(0).toDouble / statsRow.getLong(1))
     val cmsBytes = l.stat.countMinSketch(col("l_partkey"),
       eps = 0.0001, confidence = 0.99, seed = 42).toByteArray
-    val cmsBc = spark.sparkContext.broadcast(cmsBytes)
+    // tracked so CacheLifecycle.unpersistAll destroys the sketch blocks —
+    // same leak rationale as BloomPrune.broadcastBloom
+    val cmsBc = graft.CacheLifecycle.trackedBroadcast(
+      spark.sparkContext.broadcast(cmsBytes))
     val candidates = l.select(col("l_partkey")).distinct()
       .filter(GraftSqlBridge.column(graft.plans.CmsAtLeast(
         GraftSqlBridge.expression(col("l_partkey").cast("long")),

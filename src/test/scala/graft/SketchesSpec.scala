@@ -17,6 +17,15 @@ class SketchesSpec extends SparkSpec {
     assert(ours.except(exact).count() == 0 && exact.except(ours).count() == 0)
   }
 
+  test("unpersistAll destroys tracked sketch broadcasts") {
+    val bc = CacheLifecycle.trackedBroadcast(
+      spark.sparkContext.broadcast(Array[Byte](1, 2, 3)))
+    assert(bc.value.length == 3)
+    CacheLifecycle.unpersistAll()
+    // a destroyed broadcast rejects further use — the blocks are gone
+    intercept[org.apache.spark.SparkException] { bc.value }
+  }
+
   test("CMS never under-estimates: every true heavy hitter survives the prune") {
     // estimateCount(k) >= true count for every key, by CMS construction —
     // spot-check the whole key set against the same sketch config
