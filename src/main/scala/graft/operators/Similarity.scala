@@ -209,6 +209,31 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Recall REPORT for the LSH near-dup scale path: what fraction of the
+    * exhaustive near-dup pairs ([[nearDupPairs]]) the bucket-restricted
+    * twin ([[nearDupPairsLsh]]) recovers at the current bucket config
+    * (6 planes → 64 buckets). The LSH output is a strict SUBSET of the
+    * exhaustive output — identical similarity threshold, bucketing only
+    * restricts candidates — so recall = |lsh| / |exhaustive| with no
+    * precision term. Registered as a first-class query so a
+    * bucket-parameter change (more/fewer planes, different weights)
+    * surfaces as a CORRECTNESS diff in this row instead of silent recall
+    * loss in the LSH twin. One broadcast-sized left join over the two
+    * (already scale-safe) pair pipelines, then a single-row aggregate.
+    */
+  def annRecallReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = nearDupPairs(spark, sfDir).select(col("vec_a"), col("vec_b"))
+    val lsh = nearDupPairsLsh(spark, sfDir)
+      .select(col("vec_a"), col("vec_b"), lit(1L).alias("hit"))
+    exact.join(lsh, Seq("vec_a", "vec_b"), "left")
+      .agg(count(lit(1)).alias("n_pairs_exhaustive"),
+        coalesce(sum(col("hit")), lit(0L)).alias("n_pairs_lsh"))
+      .select(lit(6).alias("n_planes"),
+        col("n_pairs_exhaustive"), col("n_pairs_lsh"),
+        (col("n_pairs_lsh").cast("double") / col("n_pairs_exhaustive"))
+          .alias("recall"))
+  }
+
   /** One k-means LLOYD STEP over the quantized embeddings — the training
     * primitive every embedding-clustering pipeline iterates: assign each
     * vector to its nearest seed centroid ([[assignedCells]] — N·C
@@ -337,6 +362,24 @@ object Similarity {
          |FROM qn a JOIN qn b ON a.vec_id < b.vec_id
          |WHERE $qdotAB / (sqrt(a.n2) * sqrt(b.n2)) >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
+    "ann_recall_report" ->
+      s"""WITH $quantizedSql,
+         |bucketed AS (
+         |  SELECT vec_id, v, n2, $bucketExprDuck AS bucket FROM qn),
+         |ex AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM qn a JOIN qn b ON a.vec_id < b.vec_id
+         |  WHERE $qdotAB / (sqrt(a.n2) * sqrt(b.n2)) >= 0.4),
+         |ls AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bucketed a JOIN bucketed b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE $qdotAB / (sqrt(a.n2) * sqrt(b.n2)) >= 0.4)
+         |SELECT CAST(6 AS INT) AS n_planes,
+         |       CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_pairs_exhaustive,
+         |       CAST((SELECT count(*) FROM ls) AS BIGINT) AS n_pairs_lsh,
+         |       CAST((SELECT count(*) FROM ls) AS DOUBLE)
+         |         / (SELECT count(*) FROM ex) AS recall""".stripMargin,
     "similar_pairs_per_label" ->
       s"""WITH $quantizedSql,
          |scored AS (
@@ -357,6 +400,7 @@ object Similarity {
     "kmeans_lloyd_step"       -> kmeansStep _,
     "embedding_near_dup"      -> nearDupPairs _,
     "embedding_near_dup_lsh"  -> nearDupPairsLsh _,
+    "ann_recall_report"       -> annRecallReport _,
     "similar_pairs_per_label" -> pairsPerLabel _,
   )
 }

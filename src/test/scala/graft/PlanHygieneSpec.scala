@@ -45,11 +45,13 @@ class PlanHygieneSpec extends SparkSpec {
     // broadcast-one-aggregate-row shape as ratio-to-report)
     // ...and the k-means step, which shares IVF's broadcast N·C centroid
     // assignment
+    // ...and the ANN recall report, which embeds the exhaustive near-dup
+    // baseline by definition (recall is measured AGAINST it)
     val allowed = Set("range_join_price_band", "ivf_ann_cosine",
       "kmeans_lloyd_step", "knn_brute_cosine", "embedding_near_dup",
       "revenue_share_by_flag", "customers_all_years",
       "region_priority_matrix", "text_tfidf_top_terms",
-      "events_dau_wau", "docs_temperature_mix")
+      "events_dau_wau", "docs_temperature_mix", "ann_recall_report")
     for ((name, plan) <- executedPlans if !allowed(name)) {
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name unexpectedly plans a BroadcastNestedLoopJoin:\n${plan.take(800)}")

@@ -36,6 +36,18 @@ class SimilaritySpec extends SparkSpec {
     assert(joined.count() == 0)
   }
 
+  test("ann_recall_report: counts match the registered twins, recall in (0,1]") {
+    val r = q("ann_recall_report").collect()
+    assert(r.length == 1)
+    val (nEx, nLsh, recall) = (r(0).getLong(1), r(0).getLong(2), r(0).getDouble(3))
+    assert(nEx == q("embedding_near_dup").count(),
+      "exhaustive count drifted from the registered exhaustive twin")
+    assert(nLsh == q("embedding_near_dup_lsh").count(),
+      "lsh count drifted from the registered lsh twin")
+    assert(nLsh <= nEx, "LSH pairs must be a subset of exhaustive pairs")
+    assert(recall == nLsh.toDouble / nEx && recall > 0.0 && recall <= 1.0)
+  }
+
   test("kmeans step: counts constant per cell, cover the corpus, exact means") {
     val rows = q("kmeans_lloyd_step").collect()
     val byCell = rows.groupBy(_.getLong(0))
