@@ -109,6 +109,28 @@ class JdbcIntegrationSpec extends SparkSpec {
     assert(e.getMessage.contains("does not match the source catalog"))
   }
 
+  test("filters push down into the JDBC scan instead of filtering post-load") {
+    seeded
+    import org.apache.spark.sql.functions.col
+    val df = src().load(spark).filter(col("n_nationkey") < 5)
+    // the predicate must reach the remote scan (WHERE in the generated
+    // query), not run as a Spark Filter over a whole-table pull — the
+    // reference's own Job 1 pulls entire tables
+    // (/root/reference/code_base/db_to_parquet.py:156-165); at 100 TB the
+    // pushed predicate is the difference between reading 5 rows and
+    // shipping the table
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .find(_.toLowerCase.contains("jdbc"))
+      .getOrElse(fail("no JDBC scan node in the executed plan"))
+    val pushed = "(?i)pushedfilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(scan)
+      .getOrElse(fail(s"no PushedFilters metadata on the JDBC scan:\n$scan"))
+      .group(1).toLowerCase
+    assert(pushed.contains("n_nationkey") && pushed.contains("5"),
+      s"filter not pushed to the JDBC source: [$pushed]")
+    assert(df.collect().map(_.getInt(0)).toSet == (0 until 5).toSet)
+  }
+
   test("Job-1 round trip: JDBC provider -> Parquet sink ≡ Parquet provider") {
     seeded
     val outDir = Files.createTempDirectory("graft-jdbc-ingest").toString
