@@ -257,6 +257,98 @@ object Similarity {
         (col("sum_q").cast("double") / col("n_members")).alias("mean_q"))
       .orderBy("cell", "dim")
 
+  /** Squared Euclidean distance between two double arrays — narrow
+    * higher-order expressions (rewritten to the codegen'd dot-product
+    * expression where the graft extensions are installed).
+    */
+  private def dist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** ITERATED Lloyd k-means — the driver loop that turns the single
+    * oracle-checked [[kmeansStep]] into the real training primitive.
+    *
+    * Inputs: `vectors` with columns `(vec_id, v: array<double>)`,
+    * `initial` centroids with `(cell: long, cv: array<double>)`. Each
+    * iteration: (1) ASSIGN — broadcast the K centroids against the
+    * streamed corpus (the N·C nested loop every billion-vector Lloyd
+    * iteration runs; map-side only) and keep each vector's nearest cell
+    * via a `min(struct(d2, cell))` aggregate — no rank window, one
+    * shuffle keyed by the uniform vec_id; (2) UPDATE — posexplode to
+    * (cell, dim, x), partial-aggregated sums, then per-cell mean arrays.
+    * Cells that lose every member drop out (standard Lloyd).
+    *
+    * Convergence discipline mirrors [[Dedup.connectedComponents]]: one
+    * scalar probe per round (max squared centroid movement ≤ tol²), each
+    * generation persisted and its predecessor released, generations past
+    * `localCheckpointDepth` localCheckpoint'ed instead so the logical
+    * plan stops compounding (each round's plan otherwise contains its
+    * predecessor's), with checkpoint blocks released explicitly via
+    * [[org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint]].
+    * Non-convergence inside `maxIter` is a normal training outcome (not
+    * an error as in connectedComponents): the caller gets the latest
+    * centroids plus the iteration count and decides.
+    *
+    * Returns (centroids `(cell, n_members, cv)`, iterations run).
+    */
+  def kmeansIterate(vectors: DataFrame, initial: DataFrame,
+      maxIter: Int = 20, tol: Double = 1e-6,
+      localCheckpointDepth: Int = 5): (DataFrame, Int) = {
+    def materialize(df: DataFrame, round: Int): (DataFrame, () => Unit) =
+      if (round >= localCheckpointDepth) {
+        val cp = df.localCheckpoint(false)
+        (cp, () => org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(cp))
+      } else {
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(graft.CacheLifecycle.tracked)
+        (p, () => { p.unpersist(false); () })
+      }
+    var (centroids, release) = materialize(
+      initial.select(col("cell"), lit(0L).alias("n_members"), col("cv")), 0)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIter) {
+      val assigned = vectors.crossJoin(broadcast(
+          centroids.select(col("cell"), col("cv"))))
+        .select(col("vec_id"), col("v"), col("cell"),
+          dist2(col("v"), col("cv")).alias("d2"))
+        .groupBy(col("vec_id"))
+        // nearest cell without a rank window: lexicographic struct min is
+        // (min d2, then min cell) — deterministic tie-break; first(v) is
+        // sound because v is functionally dependent on the group key
+        .agg(min(struct(col("d2"), col("cell"))).alias("a"),
+          first(col("v")).alias("v"))
+        .select(col("a.cell").alias("cell"), col("v"))
+      val sums = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(count(lit(1)).alias("n"), sum(col("x")).alias("s"))
+      val (next, nextRelease) = materialize(sums
+        .select(col("cell"), col("n"),
+          struct(col("dim"), (col("s") / col("n")).alias("m")).alias("dm"))
+        .groupBy(col("cell"))
+        .agg(max(col("n")).alias("n_members"),
+          transform(array_sort(collect_list(col("dm"))),
+            x => x.getField("m")).alias("cv")), rounds + 1)
+      // one scalar per round: max squared centroid movement (inner join —
+      // a dropped cell cannot "move"); the aggregate action also
+      // materializes the round's persist/checkpoint
+      val movedRow = next.alias("nx")
+        .join(centroids.alias("pv"), Seq("cell"))
+        .select(dist2(col("nx.cv"), col("pv.cv")).alias("delta2"))
+        .agg(max(col("delta2"))).head()
+      val maxDelta2 = if (movedRow.isNullAt(0)) 0.0 else movedRow.getDouble(0)
+      converged = maxDelta2 <= tol * tol
+      release()
+      centroids = next
+      release = nextRelease
+      rounds += 1
+    }
+    System.err.println(s"[graft] kmeansIterate ran $rounds rounds" +
+      (if (converged) " (converged)" else " (iteration cap)"))
+    (centroids, rounds)
+  }
+
   /** Top-5 most-similar same-label pairs per label: the self-join is
     * label-restricted (shuffles on label, no global cross product), then
     * one rank window per label.

@@ -66,6 +66,40 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kmeansIterate converges on a planted 3-cluster fixture") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // three well-separated centers; jitter (j*7+d*3)%5-2 ∈ [-2,2] cycles
+    // uniformly over the 20 points per cluster, so the per-dim jitter
+    // mean is EXACTLY 0 and the true Lloyd fixpoint is the planted center
+    val centers = Seq(
+      Array(100.0, 0.0, 0.0, 0.0),
+      Array(0.0, 100.0, 0.0, 0.0),
+      Array(0.0, 0.0, 100.0, 0.0))
+    val pts = for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 20
+    } yield ((ci * 20 + j).toLong,
+      c.zipWithIndex.map { case (x, d) => x + ((j * 7 + d * 3) % 5 - 2).toDouble })
+    val vectors = pts.toDF("vec_id", "v")
+    // seed with one (jittered) point per planted cluster
+    val init = vectors.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") / 20).cast("long").alias("cell"), col("v").alias("cv"))
+    val (cents, iters) = Similarity.kmeansIterate(vectors, init,
+      maxIter = 10, tol = 1e-9, localCheckpointDepth = 1)
+    assert(iters < 10, "planted clusters must converge before the cap")
+    val rows = cents.orderBy("cell").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 20L, "every planted cluster keeps its 20 members")
+      val cv = r.getSeq[Double](2)
+      val planted = centers(r.getLong(0).toInt)
+      cv.zip(planted).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"centroid drifted: $a vs planted $b")
+      }
+    }
+  }
+
   test("quantized cosine tracks double-precision cosine within quantization error") {
     val e = Tables.embeddings(spark, sf).limit(50)
     val a = e.select(col("vec_id").alias("ia"), col("embedding").alias("ea"))
