@@ -17,40 +17,32 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warm-up at the smallest SIBLING scale factor: JIT-compiles
-    // the parquet reader, whole-stage codegen, and shuffle paths once, so
-    // the timed numbers measure the queries rather than JVM warm-up
-    // (which otherwise lands arbitrarily on whichever query runs first).
-    // Never warms on the bench data itself — that would pre-populate the
-    // shared persisted intermediates and understate the timed total.
-    val warmSf = Option(new java.io.File(sfDir).getParentFile)
-      .toSeq
-      .flatMap(p => Option(p.listFiles).toSeq.flatten)
-      .filter(f => f.isDirectory && f.getName.startsWith("sf") &&
-        f.getAbsolutePath != new java.io.File(sfDir).getAbsolutePath)
-      // Numeric sort on the scale-factor suffix: a plain name sort would put
-      // "sf10" before "sf2" and warm on a LARGER dataset than the bench one.
-      .sortBy(f => scala.util.Try(f.getName.stripPrefix("sf").toDouble)
-        .getOrElse(Double.MaxValue))
-      .headOption
-    warmSf match {
-      case Some(dir) =>
-        SparkEntry.queries.valuesIterator.foreach(fn =>
-          try fn(spark, dir.toString).count() catch { case _: Throwable => })
-        spark.catalog.clearCache()
-      case None =>
-        System.err.println(s"[bench] no sibling sf* dir beside $sfDir — " +
-          "warm-up skipped; first-query timings include JVM warm-up")
-    }
-    // Two timed loops, per-query seconds = min of the two. Rationale:
-    // the recorded round-5 total (264 s) was 7× the idle-machine number
-    // (36 s, same binary) — the bench window shares the host with other
-    // driver work, and a contention burst landing on one loop otherwise
-    // corrupts the artifact unrecoverably. The min across two separated
-    // passes estimates the query's actual cost; both raw loop totals are
-    // reported alongside so the noise itself stays visible. Caches are
-    // reset between loops, so loop 2 rebuilds the session-cached
-    // intermediates exactly like loop 1 — the loops measure the same work.
+    // Untimed warm-up at the BENCH scale factor itself, then a full Spark
+    // cache reset. Round-6 evidence: warming at a sibling SF left loop 1
+    // ~1.9× loop 2 (raw totals 81.6 s vs 42.8 s), because loop 1 still
+    // paid the bench-SF-specific one-time compilation: AQE and broadcast
+    // decisions differ by input size, so sf0.1 plans generate codegen
+    // classes the sibling-SF warm-up never compiled, and Janino + C2 pay
+    // for ~100 queries' worth of them inside the first timed loop. (OS
+    // page cache is NOT the cause: the whole sf0.1 dir is ~17 MB — a
+    // sub-second read.) Warming on the bench data absorbs exactly those
+    // costs; the cache reset after it (clearCache + CacheLifecycle
+    // release, identical to the between-loops reset) means BOTH timed
+    // loops then rebuild every session-cached intermediate from scratch —
+    // the loops measure the same steady-state work a long-lived session
+    // does, which is the quantity the artifact claims. Measured effect
+    // (see BENCH_NOTES.md): loop1/loop2 drop from 1.9× to ≤1.23×, and
+    // back-to-back separate-JVM headlines agree within 4%.
+    SparkEntry.queries.valuesIterator.foreach(fn =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => })
+    CacheLifecycle.unpersistAll()
+    spark.catalog.clearCache()
+    // Two timed loops. Rationale: the recorded round-5 total (264 s) was
+    // 7× the idle-machine number (36 s, same binary) — the bench window
+    // shares the host with other driver work, and a contention burst
+    // landing on one loop otherwise corrupts the artifact unrecoverably.
+    // Caches are reset between loops, so loop 2 rebuilds the
+    // session-cached intermediates exactly like loop 1.
     def timedLoop(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -60,23 +52,33 @@ object Bench {
     CacheLifecycle.unpersistAll()
     spark.catalog.clearCache()
     val loop2 = timedLoop()
+    // Artifact semantics (bench_schema 3): "value" is the BEST MEASURED
+    // LOOP TOTAL — a number one loop actually achieved end-to-end, never a
+    // per-query composite. The per-query-min sum (a useful noise-floor
+    // estimate no single run achieved) is reported separately as
+    // "min_total"; raw loop totals stay visible so noise is inspectable.
     val results = loop1.map { case (name, t1) => name -> math.min(t1, loop2(name)) }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val minTotal = if (results.nonEmpty) results.values.sum else 0.0
+    val loop1Total = loop1.values.sum
+    val loop2Total = loop2.values.sum
+    val total = math.min(loop1Total, loop2Total)
     // Locale-pinned formatting: the default-locale `f` interpolator can emit a
     // comma decimal separator, which would corrupt the JSON line.
     def num(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def entry(k: String, v: Double): String = "\"" + k + "\":" + num(v)
     // The harness keeps only the last ~2000 characters of stdout and parses
-    // the JSON line out of that tail. With 70 registered queries the full
+    // the JSON line out of that tail. With ~100 registered queries the full
     // per-query map no longer fits, so the printed line carries the slowest
-    // queries only, up to a fixed character budget; the complete map goes to
+    // queries only, up to a fixed character budget; the complete maps go to
     // bench_full.json beside the repo for inspection.
     val sortedDesc = results.toSeq.sortBy(-_._2)
-    val loopTotals =
-      s""""loop_totals":[${num(loop1.values.sum)},${num(loop2.values.sum)}]"""
+    val header = s""""metric":"total","value":${num(total)},"unit":"sec","bench_schema":3,""" +
+      s""""min_total":${num(minTotal)},"n_queries":${results.size},""" +
+      s""""loop_totals":[${num(loop1Total)},${num(loop2Total)}]"""
     val fullJson = {
-      val qs = sortedDesc.map { case (k, v) => entry(k, v) }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},$loopTotals,"queries":$qs,"sf":"$sfDir"}"""
+      def qmap(m: Map[String, Double]): String =
+        sortedDesc.map { case (k, _) => entry(k, m(k)) }.mkString("{", ",", "}")
+      s"""{$header,"queries":${qmap(results)},"loop1":${qmap(loop1)},"loop2":${qmap(loop2)},"sf":"$sfDir"}"""
     }
     try {
       val w = new java.io.PrintWriter("bench_full.json")
@@ -95,7 +97,7 @@ object Bench {
       else full = true
     }
     val qs = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},$loopTotals,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{$header,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
