@@ -257,6 +257,28 @@ object Similarity {
         (col("sum_q").cast("double") / col("n_members")).alias("mean_q"))
       .orderBy("cell", "dim")
 
+  /** Per-query recall@5 of the IVF path ([[ivfAnn]], nprobe=1) against the
+    * exhaustive baseline ([[knnBrute]]). Unlike the near-dup LSH report,
+    * IVF top-k is NOT a subset of brute top-k (a cell can rank a worse
+    * neighbor into its local top-5), so this measures the true
+    * intersection: hits = |brute_top5 ∩ ivf_top5| per query. Registered so
+    * centroid-sampling or nprobe changes surface as a CORRECTNESS diff —
+    * the cell-bounded recall loss the IVF scaladoc admits becomes a
+    * number the harness pins.
+    */
+  def ivfRecallAt5(spark: SparkSession, sfDir: String): DataFrame = {
+    val brute = knnBrute(spark, sfDir).select(col("query_id"), col("neighbor_id"))
+    val ivf = ivfAnn(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).alias("hit"))
+    brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).alias("n_brute"),
+        coalesce(sum(col("hit")), lit(0L)).alias("n_hits"))
+      .select(col("query_id"), col("n_brute"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_brute")).alias("recall_at_5"))
+      .orderBy("query_id")
+  }
+
   /** Squared Euclidean distance between two double arrays — narrow
     * higher-order expressions (rewritten to the codegen'd dot-product
     * expression where the graft extensions are installed).
@@ -454,6 +476,37 @@ object Similarity {
          |FROM qn a JOIN qn b ON a.vec_id < b.vec_id
          |WHERE $qdotAB / (sqrt(a.n2) * sqrt(b.n2)) >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
+    "ivf_recall_at_5" ->
+      s"""WITH $quantizedSql,
+         |$cellsSql,
+         |brute AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY a.vec_id
+         |             ORDER BY $qdotAB / (sqrt(a.n2) * sqrt(b.n2)) DESC,
+         |                      b.vec_id ASC) AS rank
+         |    FROM qn a JOIN qn b ON a.vec_id < 10 AND b.vec_id != a.vec_id)
+         |  WHERE rank <= 5),
+         |queries AS (
+         |  SELECT vec_id AS query_id, v AS qv, n2 AS qn2, cell AS qcell
+         |  FROM cells WHERE vec_id < 10),
+         |ivf AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, b.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY ${V.qdotSql("q.qv", "b.v", Dim)}
+         |                        / (sqrt(q.qn2) * sqrt(b.n2)) DESC,
+         |                      b.vec_id ASC) AS rank
+         |    FROM cells b JOIN queries q
+         |      ON b.cell = q.qcell AND b.vec_id != q.query_id)
+         |  WHERE rank <= 5)
+         |SELECT b.query_id AS query_id,
+         |       CAST(count(*) AS BIGINT) AS n_brute,
+         |       CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+         |       CAST(count(i.neighbor_id) AS DOUBLE) / count(*) AS recall_at_5
+         |FROM brute b LEFT JOIN ivf i
+         |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         |GROUP BY 1 ORDER BY query_id""".stripMargin,
     "ann_recall_report" ->
       s"""WITH $quantizedSql,
          |bucketed AS (
@@ -493,6 +546,7 @@ object Similarity {
     "embedding_near_dup"      -> nearDupPairs _,
     "embedding_near_dup_lsh"  -> nearDupPairsLsh _,
     "ann_recall_report"       -> annRecallReport _,
+    "ivf_recall_at_5"         -> ivfRecallAt5 _,
     "similar_pairs_per_label" -> pairsPerLabel _,
   )
 }

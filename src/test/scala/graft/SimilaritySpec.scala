@@ -66,6 +66,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivf_recall_at_5: one row per query, hits bounded by both top-5 lists") {
+    val rows = q("ivf_recall_at_5").collect()
+    assert(rows.length == q("knn_brute_cosine")
+      .select("query_id").distinct().count().toInt)
+    rows.foreach { r =>
+      val (nBrute, nHits, recall) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nBrute == 5L)
+      assert(nHits >= 0L && nHits <= nBrute)
+      assert(recall == nHits.toDouble / nBrute)
+    }
+    // the fixture's cells are coherent enough that IVF finds SOMETHING
+    assert(rows.map(_.getLong(2)).sum > 0, "IVF recall is zero everywhere")
+  }
+
   test("kmeansIterate converges on a planted 3-cluster fixture") {
     import spark.implicits._
     import graft.operators.Similarity
