@@ -173,6 +173,43 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** MULTI-PROBE IVF (nprobe=2): each query probes its TWO nearest
+    * centroid cells instead of one — the standard IVF recall knob (probe
+    * more cells → more candidates → higher recall, linearly more probe
+    * work, corpus untouched). The corpus keeps its single-cell
+    * assignment, so each corpus vector matches a query at most once (the
+    * two probe cells are distinct) — no dedup step. Same broadcast-probe
+    * plan shape as nprobe=1; at 100 TB the probe side stays
+    * query-set-sized and the candidate scan is 2 cells' worth of rows
+    * per query. Paired with [[ivfRecallAt5]], nprobe's recall effect is
+    * a measured number, not a claim (spec asserts recall(2) ≥ recall(1)).
+    */
+  def ivfAnnNprobe2(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = quantized(spark, sfDir)
+    val cents = base.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").alias("c_id"), col("v").alias("cv"), col("n2").alias("cn2"))
+    val cells = assignedCells(spark, sfDir)
+    val wp = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_score").desc, col("c_id").asc)
+    val probes = base.filter(col("vec_id") < 10).join(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("n2"), col("c_id"),
+        V.qcosineFrom(V.qdot(col("v"), col("cv")), col("n2"), col("cn2"))
+          .alias("c_score"))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= 2)
+      .select(col("vec_id").alias("query_id"), col("v").alias("qv"),
+        col("n2").alias("qn2"), col("c_id").alias("qcell"))
+    val scored = cells.join(broadcast(probes),
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").alias("neighbor_id"), col("cell"),
+        V.qcosineFrom(V.qdot(col("qv"), col("v")), col("qn2"), col("n2")).alias("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs (threshold 0.4 — the fixture
     * corpus has no planted near-identical vectors; the threshold catches
     * the top tail so the check is non-trivial at every SF).
@@ -476,6 +513,22 @@ object Similarity {
          |FROM qn a JOIN qn b ON a.vec_id < b.vec_id
          |WHERE $qdotAB / (sqrt(a.n2) * sqrt(b.n2)) >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
+    "ivf_ann_nprobe2" ->
+      s"""WITH $quantizedSql,
+         |$cellsSql,
+         |probes AS (
+         |  SELECT vec_id AS query_id, v AS qv, n2 AS qn2, c_id AS qcell
+         |  FROM assign WHERE vec_id < 10 AND rn <= 2),
+         |scored AS (
+         |  SELECT q.query_id, b.vec_id AS neighbor_id, b.cell,
+         |         ${V.qdotSql("q.qv", "b.v", Dim)} / (sqrt(q.qn2) * sqrt(b.n2)) AS cos_sim
+         |  FROM cells b JOIN probes q
+         |    ON b.cell = q.qcell AND b.vec_id != q.query_id)
+         |SELECT query_id, neighbor_id, cell, cos_sim,
+         |       CAST(row_number() OVER (PARTITION BY query_id
+         |         ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+         |FROM scored QUALIFY rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
     "ivf_recall_at_5" ->
       s"""WITH $quantizedSql,
          |$cellsSql,
@@ -542,6 +595,7 @@ object Similarity {
     "knn_brute_cosine"        -> knnBrute _,
     "ann_lsh_cosine"          -> annLsh _,
     "ivf_ann_cosine"          -> ivfAnn _,
+    "ivf_ann_nprobe2"         -> ivfAnnNprobe2 _,
     "kmeans_lloyd_step"       -> kmeansStep _,
     "embedding_near_dup"      -> nearDupPairs _,
     "embedding_near_dup_lsh"  -> nearDupPairsLsh _,

@@ -80,6 +80,25 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum > 0, "IVF recall is zero everywhere")
   }
 
+  test("multi-probe IVF recall dominates nprobe=1 for every query") {
+    def pairs(name: String) = q(name).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs("knn_brute_cosine")
+    val p1 = pairs("ivf_ann_cosine")
+    val p2 = pairs("ivf_ann_nprobe2")
+    // probing a superset of cells can only add candidates, so per-query
+    // hits against the exhaustive top-5 must not decrease
+    val queries = brute.map(_._1)
+    queries.foreach { qid =>
+      val hits1 = brute.count(p => p._1 == qid && p1(p))
+      val hits2 = brute.count(p => p._1 == qid && p2(p))
+      assert(hits2 >= hits1, s"query $qid: nprobe=2 recall $hits2 < nprobe=1 $hits1")
+    }
+    // and the nprobe=1 probe cell is among the two probed cells: every
+    // nprobe=1 CANDIDATE that made top-5 under nprobe=2 scoring is kept
+    assert(queries.nonEmpty)
+  }
+
   test("kmeansIterate converges on a planted 3-cluster fixture") {
     import spark.implicits._
     import graft.operators.Similarity
