@@ -103,6 +103,39 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** EXACT-SUBSTRING decontamination (the 13-gram rule): flag corpus
+    * documents sharing ANY exact 13-token run with the held-out benchmark
+    * — the standard used alongside the overlap-ratio rule (a single
+    * verbatim benchmark sentence inside a long document never reaches a
+    * 50% shingle-overlap but is still a leak). Same plan shape as
+    * [[decontaminate]]: corpus never shuffles, benchmark 13-gram hashes
+    * ride a size-guarded broadcast, one per-doc aggregation. Documents
+    * shorter than 13 tokens produce no shingles and cannot be flagged —
+    * by construction of the rule, not an edge-case bug.
+    */
+  def decontaminateExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = 13
+    val bench = Tables.documents(spark, sfDir)
+      .filter(col("source") === BenchmarkSource)
+      .select(col("doc_id"))
+    val sh = Tables.loadSpread(spark, sfDir, "documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).alias("t"))
+      .select(col("doc_id"), TextFunctions.shingles(col("t"), n).alias("sh"))
+    val exploded = sh.select(col("doc_id"), explode(col("sh")).alias("s"))
+      .select(col("doc_id"), TextFunctions.md5Hash60(col("s")).alias("hs"))
+    val benchShingles = exploded.join(bench, Seq("doc_id")).select(col("hs")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheLifecycle.tracked)
+    val benchSide =
+      if (benchShingles.count() <= maxBroadcastKeys(spark)) broadcast(benchShingles)
+      else benchShingles
+    exploded.join(bench, Seq("doc_id"), "left_anti")
+      .join(benchSide, Seq("hs"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).alias("n_hit_13grams"))
+      .orderBy("doc_id")
+  }
+
   /** Repetition-based QUALITY metrics per document (the Gopher-style
     * rules): distinct-token ratio, most-frequent-token share, duplicate
     * bigram fraction, and the resulting keep/drop verdict. All ratios are
@@ -251,6 +284,21 @@ object Curation {
          |FROM ov o JOIN sizes z ON o.doc_id = z.doc_id
          |WHERE n_overlap / z.n >= $ContaminationThreshold
          |ORDER BY doc_id""".stripMargin,
+    "docs_decontaminate_exact" ->
+      s"""WITH toks13 AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sharr13 AS (
+         |  SELECT doc_id, ${TextFunctions.shinglesSql("t", 13)} AS sh FROM toks13),
+         |sh13 AS (SELECT doc_id, unnest(sh) AS s FROM sharr13),
+         |bench AS (SELECT doc_id FROM documents WHERE source = '$BenchmarkSource'),
+         |bsh AS (
+         |  SELECT DISTINCT s FROM sh13
+         |  WHERE doc_id IN (SELECT doc_id FROM bench))
+         |SELECT sh13.doc_id AS doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_hit_13grams
+         |FROM sh13 JOIN bsh USING (s)
+         |WHERE sh13.doc_id NOT IN (SELECT doc_id FROM bench)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "text_repetition_quality" ->
       s"""WITH toks AS (
          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -318,6 +366,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "docs_decontaminate"        -> decontaminate _,
+    "docs_decontaminate_exact"  -> decontaminateExact _,
     "text_repetition_quality"   -> repetitionQuality _,
     "docs_denylist_redact"      -> denylistRedact _,
     "docs_temperature_mix"      -> temperatureMix _,

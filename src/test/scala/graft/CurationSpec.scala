@@ -73,6 +73,28 @@ class CurationSpec extends SparkSpec {
       headN.toDouble / nTotal, "α=0.5 must shrink the head language's share")
   }
 
+  test("docs_decontaminate_exact: no benchmark docs, hits bounded by shingle count") {
+    val benchIds = Tables.documents(spark, sf)
+      .filter(col("source") === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val out = q("docs_decontaminate_exact").collect()
+    assert(out.nonEmpty,
+      "planted 0.99-jaccard near-dups of src0 docs must share a 13-token run")
+    out.foreach { r =>
+      assert(!benchIds.contains(r.getLong(0)), s"benchmark doc ${r.getLong(0)} flagged")
+      assert(r.getLong(1) >= 1L)
+    }
+    // the exact-substring rule and the 50%-overlap rule flag overlapping
+    // but not identical sets: every ratio-flagged doc (>=50% of ALL its
+    // 3-gram shingles shared) necessarily shares some 13-token run in
+    // this fixture's near-verbatim plants
+    val ratioFlagged = q("docs_decontaminate").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val exactFlagged = out.map(_.getLong(0)).toSet
+    assert(ratioFlagged.subsetOf(exactFlagged),
+      s"ratio-flagged ${ratioFlagged -- exactFlagged} missing from exact rule")
+  }
+
   test("decontaminate broadcast cap derives from the session broadcast threshold") {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val orig = spark.conf.get(key)
