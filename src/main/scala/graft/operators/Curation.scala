@@ -249,6 +249,37 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** The FULL curation pipeline as one declarative plan — what a
+    * training-data run actually executes between raw corpus and
+    * tokenization: drop near-dup non-survivors (MinHash+LSH verified
+    * pairs), drop contaminated documents (EITHER the 50%-overlap ratio
+    * rule OR the exact 13-gram rule), keep only quality-passing documents
+    * (Gopher-style repetition rules). Composing the tiers in one query is
+    * the point: Catalyst sees every stage, the session-persisted shingle
+    * table feeds dedup and both decontamination branches (one shingling
+    * pass, not three), and the anti/semi joins are all key-only — the
+    * document payload rides through exactly once.
+    */
+  def curationPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val removals = Dedup.minhashLsh(spark, sfDir)
+      .select(col("doc_b").alias("doc_id"))
+    val contaminated = decontaminate(spark, sfDir).select(col("doc_id"))
+      .union(decontaminateExact(spark, sfDir).select(col("doc_id")))
+      .distinct()
+    val qualityKeep = repetitionQuality(spark, sfDir)
+      .filter(col("keep")).select(col("doc_id"))
+    Tables.documents(spark, sfDir)
+      // the held-out benchmark source itself never enters training data —
+      // decontamination protects against LEAKS of it; this drops the
+      // source proper
+      .filter(col("source") =!= BenchmarkSource)
+      .join(removals, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(qualityKeep, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Orders above their customer's average — the correlated-scalar-
     * subquery pattern, decorrelated into ONE window pass (no self-join,
     * no subquery re-scan). The comparison cross-multiplies exact cent
@@ -283,6 +314,61 @@ object Curation {
          |       n_overlap / z.n AS contamination
          |FROM ov o JOIN sizes z ON o.doc_id = z.doc_id
          |WHERE n_overlap / z.n >= $ContaminationThreshold
+         |ORDER BY doc_id""".stripMargin,
+    "docs_curation_pipeline" ->
+      s"""WITH ${Dedup.shingleCte},
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |removals AS (
+         |  SELECT DISTINCT doc_b AS doc_id
+         |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+         |             JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE n_common / (sa.n + sb.n - n_common) >= 0.8),
+         |bench AS (SELECT doc_id FROM documents WHERE source = '$BenchmarkSource'),
+         |bsh AS (
+         |  SELECT DISTINCT s FROM sh
+         |  WHERE doc_id IN (SELECT doc_id FROM bench)),
+         |ov AS (
+         |  SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |  FROM sh JOIN bsh USING (s)
+         |  WHERE sh.doc_id NOT IN (SELECT doc_id FROM bench)
+         |  GROUP BY 1),
+         |contam_ratio AS (
+         |  SELECT o.doc_id FROM ov o JOIN sizes z ON o.doc_id = z.doc_id
+         |  WHERE n_overlap / z.n >= $ContaminationThreshold),
+         |sharr13 AS (
+         |  SELECT doc_id, ${TextFunctions.shinglesSql("t", 13)} AS sh13 FROM toks),
+         |s13 AS (SELECT doc_id, unnest(sh13) AS s FROM sharr13),
+         |bsh13 AS (
+         |  SELECT DISTINCT s FROM s13
+         |  WHERE doc_id IN (SELECT doc_id FROM bench)),
+         |contam_exact AS (
+         |  SELECT DISTINCT s13.doc_id FROM s13 JOIN bsh13 USING (s)
+         |  WHERE s13.doc_id NOT IN (SELECT doc_id FROM bench)),
+         |flat AS (SELECT doc_id, unnest(t) AS token FROM toks),
+         |cnt AS (
+         |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+         |  FROM flat GROUP BY 1, 2),
+         |top AS (SELECT doc_id, max(c) AS top_token_n FROM cnt GROUP BY 1),
+         |m AS (
+         |  SELECT doc_id,
+         |         CAST(len(t) AS INT) AS n_tokens,
+         |         CAST(len(list_distinct(t)) AS INT) AS n_distinct,
+         |         CAST(len(${TextFunctions.shinglesSql("t", 2)}) AS INT) AS n_bi
+         |  FROM toks),
+         |quality_keep AS (
+         |  SELECT m.doc_id FROM m JOIN top ON m.doc_id = top.doc_id
+         |  WHERE n_distinct / n_tokens >= 0.15 AND top_token_n / n_tokens <= 0.15
+         |    AND (CASE WHEN n_tokens >= 2 THEN 1.0 - n_bi / (n_tokens - 1)
+         |         ELSE 0.0 END) <= 0.5)
+         |SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE source != '$BenchmarkSource'
+         |  AND doc_id NOT IN (SELECT doc_id FROM removals)
+         |  AND doc_id NOT IN (SELECT doc_id FROM contam_ratio)
+         |  AND doc_id NOT IN (SELECT doc_id FROM contam_exact)
+         |  AND doc_id IN (SELECT doc_id FROM quality_keep)
          |ORDER BY doc_id""".stripMargin,
     "docs_decontaminate_exact" ->
       s"""WITH toks13 AS (
@@ -367,6 +453,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "docs_decontaminate"        -> decontaminate _,
     "docs_decontaminate_exact"  -> decontaminateExact _,
+    "docs_curation_pipeline"    -> curationPipeline _,
     "text_repetition_quality"   -> repetitionQuality _,
     "docs_denylist_redact"      -> denylistRedact _,
     "docs_temperature_mix"      -> temperatureMix _,

@@ -95,6 +95,23 @@ class CurationSpec extends SparkSpec {
       s"ratio-flagged ${ratioFlagged -- exactFlagged} missing from exact rule")
   }
 
+  test("curation pipeline equals the conjunction of its registered stages") {
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val survivors = ids(q("dedup_survivors"))
+    val contamR = ids(q("docs_decontaminate"))
+    val contamE = ids(q("docs_decontaminate_exact"))
+    val keep = ids(q("text_repetition_quality").filter(col("keep")))
+    val bench = ids(Tables.documents(spark, sf).filter(col("source") === "src0"))
+    val expected = ((survivors intersect keep) -- contamR -- contamE) -- bench
+    val got = ids(q("docs_curation_pipeline"))
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+    // every stage bites on the fixture: the pipeline is strictly smaller
+    // than any single stage's keep-set
+    assert(got.size < survivors.size && got.size < keep.size)
+  }
+
   test("decontaminate broadcast cap derives from the session broadcast threshold") {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val orig = spark.conf.get(key)
