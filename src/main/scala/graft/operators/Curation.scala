@@ -113,14 +113,24 @@ object Curation {
     * shorter than 13 tokens produce no shingles and cannot be flagged —
     * by construction of the rule, not an edge-case bug.
     */
+  /** Session-persisted 13-gram shingle table — same role and lifecycle as
+    * [[Dedup.shingled]] for the 3-gram tier: referenced twice per
+    * invocation (benchmark-side materialization + corpus probe) and
+    * shared between [[decontaminateExact]] and [[curationPipeline]], so
+    * the tokenize+shingle pass runs once per session, not 2× per query.
+    */
+  private def shingled13(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.loadSpread(spark, sfDir, "documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).alias("t"))
+      .select(col("doc_id"), TextFunctions.shingles(col("t"), 13).alias("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheLifecycle.tracked)
+
   def decontaminateExact(spark: SparkSession, sfDir: String): DataFrame = {
-    val n = 13
     val bench = Tables.documents(spark, sfDir)
       .filter(col("source") === BenchmarkSource)
       .select(col("doc_id"))
-    val sh = Tables.loadSpread(spark, sfDir, "documents")
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).alias("t"))
-      .select(col("doc_id"), TextFunctions.shingles(col("t"), n).alias("sh"))
+    val sh = shingled13(spark, sfDir)
     val exploded = sh.select(col("doc_id"), explode(col("sh")).alias("s"))
       .select(col("doc_id"), TextFunctions.md5Hash60(col("s")).alias("hs"))
     val benchShingles = exploded.join(bench, Seq("doc_id")).select(col("hs")).distinct()
