@@ -81,6 +81,19 @@ class ScalePostureSpec extends SparkSpec {
     }
   }
 
+  test("curation pipeline reads the shingle caches, never re-shingles the corpus") {
+    // the pipeline embeds dedup + both decontamination branches; the
+    // 3-gram and 13-gram shingle tables are session-persisted, so the
+    // executed plan must source them from InMemoryTableScan — a plan
+    // that re-derives shingles per branch multiplies the most expensive
+    // narrow stage by the number of consumers at 100 TB
+    val plan = SparkEntry.queries("docs_curation_pipeline")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(scans >= 2,
+      s"expected >=2 cached shingle scans in the pipeline plan, found $scans")
+  }
+
   test("dynamic partition pruning fires on a partitioned fact scan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
