@@ -20,15 +20,18 @@ object CacheLifecycle {
   private val broadcasts = java.util.Collections.synchronizedList(
     new java.util.ArrayList[org.apache.spark.broadcast.Broadcast[_]]())
 
+  private val releases = java.util.Collections.synchronizedList(
+    new java.util.ArrayList[() => Unit]())
+
   /** Record a persisted frame for later release; returns it unchanged. */
   def tracked(df: DataFrame): DataFrame = {
     frames.add(df)
     df
   }
 
-  /** Record a sketch/side-data broadcast for later destruction; returns it
-    * unchanged. Broadcast blocks otherwise live until driver GC drops the
-    * last reference — a long session invoking sketch operators repeatedly
+  /** Record a sketch/side-data broadcast for executor-side release.
+    * Broadcast blocks otherwise live until driver GC drops the last
+    * reference — a long session invoking sketch operators repeatedly
     * (e.g. the two bench loops) accumulates them exactly like stranded
     * cache entries.
     */
@@ -37,6 +40,42 @@ object CacheLifecycle {
     broadcasts.add(bc)
     bc
   }
+
+  /** Record an arbitrary release action (e.g. freeing a localCheckpoint'ed
+    * generation whose blocks `Dataset.unpersist` cannot reach). Actions
+    * must be idempotent — they may run after the resource was already
+    * released eagerly.
+    */
+  def trackedRelease(f: () => Unit): Unit = releases.add(f)
+
+  /** Persist-vs-localCheckpoint generation rotation for iterative
+    * algorithms (connected components, k-means): early rounds persist
+    * (cheap, releasable); past `localCheckpointDepth` the generation is
+    * `localCheckpoint`ed instead, truncating the otherwise-compounding
+    * logical plan. Returns the pinned frame plus its eager-release
+    * action. Checkpoint releases are ALSO registered here so
+    * [[unpersistAll]] frees the FINAL generation an algorithm returns to
+    * its caller — the caller holds no release handle, and plain
+    * unpersist/clearCache cannot reach checkpoint blocks.
+    *
+    * Fault-tolerance trade: `localCheckpoint` blocks live on executors
+    * and do not survive executor loss; a production run on a lossy
+    * cluster should swap in reliable `checkpoint` against a checkpoint
+    * dir at the cost of one write per generation.
+    */
+  def materializeGeneration(df: DataFrame, round: Int,
+      localCheckpointDepth: Int): (DataFrame, () => Unit) =
+    if (round >= localCheckpointDepth) {
+      val cp = df.localCheckpoint(false)
+      val release = () =>
+        org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(cp)
+      trackedRelease(release)
+      (cp, release)
+    } else {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(tracked)
+      (p, () => { p.unpersist(false); () })
+    }
 
   /** Release every intermediate the library has pinned — persisted frames
     * and sketch broadcasts — non-blocking. Each release is individually
@@ -61,9 +100,21 @@ object CacheLifecycle {
       s
     }
     bcSnapshot.forEach { bc =>
-      // destroy, not unpersist: a superseded sketch is never re-broadcast,
-      // so the driver-side copy should go too
-      try bc.destroy()
+      // unpersist, NOT destroy: destroy would permanently poison any
+      // still-held DataFrame whose plan embeds the broadcast (re-running
+      // it throws "used after destroy"), while unpersist frees the
+      // executor-side blocks — the accumulation this guards against —
+      // and lets a re-executed plan lazily re-ship from the driver copy
+      try bc.unpersist(false)
+      catch { case _: Throwable => () }
+    }
+    val releaseSnapshot = releases.synchronized {
+      val s = new java.util.ArrayList[() => Unit](releases)
+      releases.clear()
+      s
+    }
+    releaseSnapshot.forEach { f =>
+      try f()
       catch { case _: Throwable => () }
     }
   }

@@ -23,6 +23,39 @@ object Curation {
   private val BenchmarkSource = "src0"
   private val ContaminationThreshold = 0.5
 
+  /** Gopher-style repetition-quality thresholds — interpolated into BOTH
+    * the Scala plans and every oracle that applies the keep rule, so a
+    * retune cannot leave a consumer on the old rule.
+    */
+  private val QualityDistinctRatioMin = 0.15
+  private val QualityTopTokenFracMax = 0.15
+  private val QualityDupBigramFracMax = 0.5
+
+  /** Shared quality-metric CTEs (assume a `toks(doc_id, t)` CTE in scope)
+    * and the keep predicate over their columns — spliced into the
+    * `text_repetition_quality` oracle and the pipeline oracle.
+    */
+  private val qualityCte =
+    s"""flat AS (
+       |  SELECT doc_id, unnest(t) AS token FROM toks),
+       |cnt AS (
+       |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+       |  FROM flat GROUP BY 1, 2),
+       |top AS (
+       |  SELECT doc_id, max(c) AS top_token_n FROM cnt GROUP BY 1),
+       |m AS (
+       |  SELECT doc_id,
+       |         CAST(len(t) AS INT) AS n_tokens,
+       |         CAST(len(list_distinct(t)) AS INT) AS n_distinct,
+       |         CAST(len(${TextFunctions.shinglesSql("t", 2)}) AS INT) AS n_bi
+       |  FROM toks)""".stripMargin
+
+  private val qualityKeepSql =
+    s"""n_distinct / n_tokens >= $QualityDistinctRatioMin
+       | AND top_token_n / n_tokens <= $QualityTopTokenFracMax
+       | AND (CASE WHEN n_tokens >= 2 THEN 1.0 - n_bi / (n_tokens - 1)
+       |      ELSE 0.0 END) <= $QualityDupBigramFracMax""".stripMargin
+
   /** Estimated broadcast bytes per hashed 8-byte key in a
     * BroadcastHashJoin's LongHashedRelation: the key itself, the UnsafeRow
     * envelope, and hash-map slack. Deliberately pessimistic — the guard
@@ -173,8 +206,9 @@ object Curation {
             lit(1.0) - col("n_distinct_bigrams") / (col("n_tokens") - 1))
           .otherwise(lit(0.0)).alias("dup_bigram_frac"))
       .withColumn("keep",
-        col("distinct_ratio") >= 0.15 && col("top_token_frac") <= 0.15 &&
-          col("dup_bigram_frac") <= 0.5)
+        col("distinct_ratio") >= QualityDistinctRatioMin &&
+          col("top_token_frac") <= QualityTopTokenFracMax &&
+          col("dup_bigram_frac") <= QualityDupBigramFracMax)
       .orderBy("doc_id")
   }
 
@@ -327,15 +361,7 @@ object Curation {
          |ORDER BY doc_id""".stripMargin,
     "docs_curation_pipeline" ->
       s"""WITH ${Dedup.shingleCte},
-         |inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |removals AS (
-         |  SELECT DISTINCT doc_b AS doc_id
-         |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
-         |             JOIN sizes sb ON doc_b = sb.doc_id
-         |  WHERE n_common / (sa.n + sb.n - n_common) >= 0.8),
+         |${Dedup.removalsCte},
          |bench AS (SELECT doc_id FROM documents WHERE source = '$BenchmarkSource'),
          |bsh AS (
          |  SELECT DISTINCT s FROM sh
@@ -357,22 +383,10 @@ object Curation {
          |contam_exact AS (
          |  SELECT DISTINCT s13.doc_id FROM s13 JOIN bsh13 USING (s)
          |  WHERE s13.doc_id NOT IN (SELECT doc_id FROM bench)),
-         |flat AS (SELECT doc_id, unnest(t) AS token FROM toks),
-         |cnt AS (
-         |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
-         |  FROM flat GROUP BY 1, 2),
-         |top AS (SELECT doc_id, max(c) AS top_token_n FROM cnt GROUP BY 1),
-         |m AS (
-         |  SELECT doc_id,
-         |         CAST(len(t) AS INT) AS n_tokens,
-         |         CAST(len(list_distinct(t)) AS INT) AS n_distinct,
-         |         CAST(len(${TextFunctions.shinglesSql("t", 2)}) AS INT) AS n_bi
-         |  FROM toks),
+         |$qualityCte,
          |quality_keep AS (
          |  SELECT m.doc_id FROM m JOIN top ON m.doc_id = top.doc_id
-         |  WHERE n_distinct / n_tokens >= 0.15 AND top_token_n / n_tokens <= 0.15
-         |    AND (CASE WHEN n_tokens >= 2 THEN 1.0 - n_bi / (n_tokens - 1)
-         |         ELSE 0.0 END) <= 0.5)
+         |  WHERE $qualityKeepSql)
          |SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE source != '$BenchmarkSource'
          |  AND doc_id NOT IN (SELECT doc_id FROM removals)
@@ -398,27 +412,13 @@ object Curation {
     "text_repetition_quality" ->
       s"""WITH toks AS (
          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |flat AS (
-         |  SELECT doc_id, unnest(t) AS token FROM toks),
-         |cnt AS (
-         |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
-         |  FROM flat GROUP BY 1, 2),
-         |top AS (
-         |  SELECT doc_id, max(c) AS top_token_n FROM cnt GROUP BY 1),
-         |m AS (
-         |  SELECT doc_id,
-         |         CAST(len(t) AS INT) AS n_tokens,
-         |         CAST(len(list_distinct(t)) AS INT) AS n_distinct,
-         |         CAST(len(${TextFunctions.shinglesSql("t", 2)}) AS INT) AS n_bi
-         |  FROM toks)
+         |$qualityCte
          |SELECT m.doc_id AS doc_id, n_tokens, n_distinct, top_token_n,
          |       n_distinct / n_tokens AS distinct_ratio,
          |       top_token_n / n_tokens AS top_token_frac,
          |       CASE WHEN n_tokens >= 2 THEN 1.0 - n_bi / (n_tokens - 1)
          |            ELSE 0.0 END AS dup_bigram_frac,
-         |       (n_distinct / n_tokens >= 0.15 AND top_token_n / n_tokens <= 0.15
-         |        AND (CASE WHEN n_tokens >= 2 THEN 1.0 - n_bi / (n_tokens - 1)
-         |             ELSE 0.0 END) <= 0.5) AS keep
+         |       ($qualityKeepSql) AS keep
          |FROM m JOIN top ON m.doc_id = top.doc_id
          |ORDER BY doc_id""".stripMargin,
     "docs_denylist_redact" ->

@@ -38,7 +38,7 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
-  private val JaccardThreshold = 0.8
+  private[operators] val JaccardThreshold = 0.8
 
   import graft.CacheLifecycle.tracked
 
@@ -383,19 +383,12 @@ object Dedup {
     def sameSum(a: (java.math.BigDecimal, Long), b: (java.math.BigDecimal, Long)): Boolean =
       a._2 == b._2 && ((a._1 == null && b._1 == null) ||
         (a._1 != null && b._1 != null && a._1.compareTo(b._1) == 0))
-    // materialize returns the pinned frame plus its release action: persist
-    // generations release via unpersist, checkpointed generations via the
-    // bridge (plain unpersist is a no-op for them — blocks would otherwise
-    // accumulate until ContextCleaner GC)
+    // shared rotation helper: persist generations release via unpersist,
+    // checkpointed generations via the bridge (plain unpersist is a no-op
+    // for them); the final generation's checkpoint release is registered
+    // with CacheLifecycle so unpersistAll can free what we return
     def materialize(df: DataFrame, round: Int): (DataFrame, () => Unit) =
-      if (round >= localCheckpointDepth) {
-        val cp = df.localCheckpoint(false)
-        (cp, () => org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(cp))
-      } else {
-        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          .transform(tracked)
-        (p, () => { p.unpersist(false); () })
-      }
+      graft.CacheLifecycle.materializeGeneration(df, round, localCheckpointDepth)
     // Round 0 folds initialization and the first propagation hop into ONE
     // aggregation (see labelSum note above on the decimal sum).
     var (labels, release) = materialize(edges.groupBy(col("src"))
@@ -468,6 +461,22 @@ object Dedup {
        |sh AS (SELECT doc_id, unnest(sh) AS s FROM sharr),
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
+  /** Shared near-dup-removal CTEs (assumes [[shingleCte]] is in scope):
+    * `removals` = the higher doc_id of every ≥-threshold Jaccard pair —
+    * spliced into both the `dedup_survivors` oracle and the curation
+    * pipeline oracle so the threshold and pair rule cannot drift apart.
+    */
+  private[operators] val removalsCte =
+    s"""inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |removals AS (
+       |  SELECT DISTINCT doc_b AS doc_id
+       |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+       |             JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE n_common / (sa.n + sb.n - n_common) >= $JaccardThreshold)""".stripMargin
+
   private val exhaustivePairsSql =
     s"""WITH $shingleCte,
        |inter AS (
@@ -505,15 +514,7 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_survivors" ->
       s"""WITH $shingleCte,
-         |inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |removals AS (
-         |  SELECT DISTINCT doc_b AS doc_id
-         |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
-         |             JOIN sizes sb ON doc_b = sb.doc_id
-         |  WHERE n_common / (sa.n + sb.n - n_common) >= $JaccardThreshold)
+         |$removalsCte
          |SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM removals)
          |ORDER BY doc_id""".stripMargin,

@@ -157,34 +157,14 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("n2"), col("c_id").alias("cell"))
   }
 
-  def ivfAnn(spark: SparkSession, sfDir: String): DataFrame = {
-    val cells = assignedCells(spark, sfDir)
-    val queryVecs = cells.filter(col("vec_id") < 10)
-      .select(col("vec_id").alias("query_id"), col("v").alias("qv"),
-        col("n2").alias("qn2"), col("cell").alias("qcell"))
-    val scored = cells.join(broadcast(queryVecs),
-        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").alias("neighbor_id"), col("cell"),
-        V.qcosineFrom(V.qdot(col("qv"), col("v")), col("qn2"), col("n2")).alias("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .orderBy("query_id", "rank")
-  }
-
-  /** MULTI-PROBE IVF (nprobe=2): each query probes its TWO nearest
-    * centroid cells instead of one — the standard IVF recall knob (probe
-    * more cells → more candidates → higher recall, linearly more probe
-    * work, corpus untouched). The corpus keeps its single-cell
-    * assignment, so each corpus vector matches a query at most once (the
-    * two probe cells are distinct) — no dedup step. Same broadcast-probe
-    * plan shape as nprobe=1; at 100 TB the probe side stays
-    * query-set-sized and the candidate scan is 2 cells' worth of rows
-    * per query. Paired with [[ivfRecallAt5]], nprobe's recall effect is
-    * a measured number, not a claim (spec asserts recall(2) ≥ recall(1)).
+  /** Shared IVF probe path, parameterized on `nprobe`: each query vector
+    * probes its `nprobe` nearest centroid cells; the corpus keeps its
+    * single-cell assignment, so each corpus vector matches a query at
+    * most once (probe cells are distinct per query) — no dedup step.
+    * Centroid scoring, tie-breaks, and the top-5 rank tail live HERE
+    * once; [[ivfAnn]] and [[ivfAnnNprobe2]] are one-line registrations.
     */
-  def ivfAnnNprobe2(spark: SparkSession, sfDir: String): DataFrame = {
+  private def ivf(spark: SparkSession, sfDir: String, nprobe: Int): DataFrame = {
     val base = quantized(spark, sfDir)
     val cents = base.filter(col("vec_id") % 97 === 0)
       .select(col("vec_id").alias("c_id"), col("v").alias("cv"), col("n2").alias("cn2"))
@@ -196,7 +176,7 @@ object Similarity {
         V.qcosineFrom(V.qdot(col("v"), col("cv")), col("n2"), col("cn2"))
           .alias("c_score"))
       .withColumn("rn", row_number().over(wp))
-      .filter(col("rn") <= 2)
+      .filter(col("rn") <= nprobe)
       .select(col("vec_id").alias("query_id"), col("v").alias("qv"),
         col("n2").alias("qn2"), col("c_id").alias("qcell"))
     val scored = cells.join(broadcast(probes),
@@ -209,6 +189,18 @@ object Similarity {
       .filter(col("rank") <= 5)
       .orderBy("query_id", "rank")
   }
+
+  def ivfAnn(spark: SparkSession, sfDir: String): DataFrame =
+    ivf(spark, sfDir, nprobe = 1)
+
+  /** MULTI-PROBE IVF (nprobe=2): each query probes its TWO nearest
+    * centroid cells — the standard IVF recall knob (probe more cells →
+    * more candidates → higher recall, linearly more probe work, corpus
+    * untouched). Paired with [[ivfRecallAt5]], nprobe's recall effect is
+    * a measured number, not a claim (spec asserts recall(2) ≥ recall(1)).
+    */
+  def ivfAnnNprobe2(spark: SparkSession, sfDir: String): DataFrame =
+    ivf(spark, sfDir, nprobe = 2)
 
   /** Embedding-cosine near-duplicate pairs (threshold 0.4 — the fixture
     * corpus has no planted near-identical vectors; the threshold catches
@@ -354,14 +346,7 @@ object Similarity {
       maxIter: Int = 20, tol: Double = 1e-6,
       localCheckpointDepth: Int = 5): (DataFrame, Int) = {
     def materialize(df: DataFrame, round: Int): (DataFrame, () => Unit) =
-      if (round >= localCheckpointDepth) {
-        val cp = df.localCheckpoint(false)
-        (cp, () => org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(cp))
-      } else {
-        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          .transform(graft.CacheLifecycle.tracked)
-        (p, () => { p.unpersist(false); () })
-      }
+      graft.CacheLifecycle.materializeGeneration(df, round, localCheckpointDepth)
     var (centroids, release) = materialize(
       initial.select(col("cell"), lit(0L).alias("n_members"), col("cv")), 0)
     var rounds = 0
