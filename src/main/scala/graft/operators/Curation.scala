@@ -56,6 +56,53 @@ object Curation {
        | AND (CASE WHEN n_tokens >= 2 THEN 1.0 - n_bi / (n_tokens - 1)
        |      ELSE 0.0 END) <= $QualityDupBigramFracMax""".stripMargin
 
+  /** Contamination CTEs shared by the pipeline and funnel oracles (assume
+    * [[Dedup.shingleCte]]'s `toks`/`sh`/`sizes` in scope): `contam_ratio`
+    * = ≥50%-overlap rule, `contam_exact` = any-13-gram rule.
+    */
+  private lazy val contaminationCte =
+    s"""bench AS (SELECT doc_id FROM documents WHERE source = '$BenchmarkSource'),
+       |bsh AS (
+       |  SELECT DISTINCT s FROM sh
+       |  WHERE doc_id IN (SELECT doc_id FROM bench)),
+       |ov AS (
+       |  SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+       |  FROM sh JOIN bsh USING (s)
+       |  WHERE sh.doc_id NOT IN (SELECT doc_id FROM bench)
+       |  GROUP BY 1),
+       |contam_ratio AS (
+       |  SELECT o.doc_id FROM ov o JOIN sizes z ON o.doc_id = z.doc_id
+       |  WHERE n_overlap / z.n >= $ContaminationThreshold),
+       |sharr13 AS (
+       |  SELECT doc_id, ${TextFunctions.shinglesSql("t", 13)} AS sh13 FROM toks),
+       |s13 AS (SELECT doc_id, unnest(sh13) AS s FROM sharr13),
+       |bsh13 AS (
+       |  SELECT DISTINCT s FROM s13
+       |  WHERE doc_id IN (SELECT doc_id FROM bench)),
+       |contam_exact AS (
+       |  SELECT DISTINCT s13.doc_id FROM s13 JOIN bsh13 USING (s)
+       |  WHERE s13.doc_id NOT IN (SELECT doc_id FROM bench))""".stripMargin
+
+  /** Every CTE the pipeline semantics need, in dependency order. */
+  private lazy val pipelineCtes =
+    s"""${Dedup.shingleCte},
+       |${Dedup.removalsCte},
+       |$contaminationCte,
+       |$qualityCte,
+       |quality_keep AS (
+       |  SELECT m.doc_id FROM m JOIN top ON m.doc_id = top.doc_id
+       |  WHERE $qualityKeepSql)""".stripMargin
+
+  /** The pipeline keep-filter over those CTEs — shared by the pipeline
+    * oracle's final SELECT and the funnel's n_final subquery.
+    */
+  private val pipelineKeepWhere =
+    s"""source != '$BenchmarkSource'
+       |  AND doc_id NOT IN (SELECT doc_id FROM removals)
+       |  AND doc_id NOT IN (SELECT doc_id FROM contam_ratio)
+       |  AND doc_id NOT IN (SELECT doc_id FROM contam_exact)
+       |  AND doc_id IN (SELECT doc_id FROM quality_keep)""".stripMargin
+
   /** Estimated broadcast bytes per hashed 8-byte key in a
     * BroadcastHashJoin's LongHashedRelation: the key itself, the UnsafeRow
     * envelope, and hash-map slack. Deliberately pessimistic — the guard
@@ -324,6 +371,32 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Per-stage FUNNEL REPORT for the curation pipeline — the single-row
+    * monitoring record every production curation run emits: how many
+    * documents each rule flags INDEPENDENTLY (the sets overlap — these
+    * are per-rule diagnostics, not a partition of the drop) plus the
+    * final keep count. Seven single-row aggregates cross-joined: each
+    * rides a one-row broadcast, the scale-correct spelling (the inputs
+    * are the already-audited stage pipelines; the joins move 7 rows).
+    */
+  def curationFunnelReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    docs.agg(count(lit(1)).alias("n_documents"))
+      .crossJoin(broadcast(docs.filter(col("source") === BenchmarkSource)
+        .agg(count(lit(1)).alias("n_benchmark"))))
+      .crossJoin(broadcast(Dedup.minhashLsh(spark, sfDir)
+        .select(col("doc_b")).distinct()
+        .agg(count(lit(1)).alias("n_dedup_removed"))))
+      .crossJoin(broadcast(decontaminate(spark, sfDir)
+        .agg(count(lit(1)).alias("n_contaminated_ratio"))))
+      .crossJoin(broadcast(decontaminateExact(spark, sfDir)
+        .agg(count(lit(1)).alias("n_contaminated_exact"))))
+      .crossJoin(broadcast(repetitionQuality(spark, sfDir).filter(!col("keep"))
+        .agg(count(lit(1)).alias("n_quality_fail"))))
+      .crossJoin(broadcast(curationPipeline(spark, sfDir)
+        .agg(count(lit(1)).alias("n_final"))))
+  }
+
   /** Orders above their customer's average — the correlated-scalar-
     * subquery pattern, decorrelated into ONE window pass (no self-join,
     * no subquery re-scan). The comparison cross-multiplies exact cent
@@ -360,40 +433,21 @@ object Curation {
          |WHERE n_overlap / z.n >= $ContaminationThreshold
          |ORDER BY doc_id""".stripMargin,
     "docs_curation_pipeline" ->
-      s"""WITH ${Dedup.shingleCte},
-         |${Dedup.removalsCte},
-         |bench AS (SELECT doc_id FROM documents WHERE source = '$BenchmarkSource'),
-         |bsh AS (
-         |  SELECT DISTINCT s FROM sh
-         |  WHERE doc_id IN (SELECT doc_id FROM bench)),
-         |ov AS (
-         |  SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
-         |  FROM sh JOIN bsh USING (s)
-         |  WHERE sh.doc_id NOT IN (SELECT doc_id FROM bench)
-         |  GROUP BY 1),
-         |contam_ratio AS (
-         |  SELECT o.doc_id FROM ov o JOIN sizes z ON o.doc_id = z.doc_id
-         |  WHERE n_overlap / z.n >= $ContaminationThreshold),
-         |sharr13 AS (
-         |  SELECT doc_id, ${TextFunctions.shinglesSql("t", 13)} AS sh13 FROM toks),
-         |s13 AS (SELECT doc_id, unnest(sh13) AS s FROM sharr13),
-         |bsh13 AS (
-         |  SELECT DISTINCT s FROM s13
-         |  WHERE doc_id IN (SELECT doc_id FROM bench)),
-         |contam_exact AS (
-         |  SELECT DISTINCT s13.doc_id FROM s13 JOIN bsh13 USING (s)
-         |  WHERE s13.doc_id NOT IN (SELECT doc_id FROM bench)),
-         |$qualityCte,
-         |quality_keep AS (
-         |  SELECT m.doc_id FROM m JOIN top ON m.doc_id = top.doc_id
-         |  WHERE $qualityKeepSql)
+      s"""WITH $pipelineCtes
          |SELECT doc_id, lang, source, n_chars FROM documents
-         |WHERE source != '$BenchmarkSource'
-         |  AND doc_id NOT IN (SELECT doc_id FROM removals)
-         |  AND doc_id NOT IN (SELECT doc_id FROM contam_ratio)
-         |  AND doc_id NOT IN (SELECT doc_id FROM contam_exact)
-         |  AND doc_id IN (SELECT doc_id FROM quality_keep)
+         |WHERE $pipelineKeepWhere
          |ORDER BY doc_id""".stripMargin,
+    "curation_funnel_report" ->
+      s"""WITH $pipelineCtes
+         |SELECT (SELECT count(*) FROM documents) AS n_documents,
+         |       (SELECT count(*) FROM bench) AS n_benchmark,
+         |       (SELECT count(*) FROM removals) AS n_dedup_removed,
+         |       (SELECT count(*) FROM contam_ratio) AS n_contaminated_ratio,
+         |       (SELECT count(*) FROM contam_exact) AS n_contaminated_exact,
+         |       (SELECT count(*) FROM documents)
+         |         - (SELECT count(*) FROM quality_keep) AS n_quality_fail,
+         |       (SELECT count(*) FROM documents
+         |        WHERE $pipelineKeepWhere) AS n_final""".stripMargin,
     "docs_decontaminate_exact" ->
       s"""WITH toks13 AS (
          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -464,6 +518,7 @@ object Curation {
     "docs_decontaminate"        -> decontaminate _,
     "docs_decontaminate_exact"  -> decontaminateExact _,
     "docs_curation_pipeline"    -> curationPipeline _,
+    "curation_funnel_report"    -> curationFunnelReport _,
     "text_repetition_quality"   -> repetitionQuality _,
     "docs_denylist_redact"      -> denylistRedact _,
     "docs_temperature_mix"      -> temperatureMix _,

@@ -112,6 +112,22 @@ class CurationSpec extends SparkSpec {
     assert(got.size < survivors.size && got.size < keep.size)
   }
 
+  test("funnel report counts agree with the registered stage queries") {
+    val r = q("curation_funnel_report").collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getLong(0) == Tables.documents(spark, sf).count())
+    assert(row.getLong(2) == row.getLong(0) - q("dedup_survivors").count(),
+      "n_dedup_removed must complement the survivors count")
+    assert(row.getLong(3) == q("docs_decontaminate").count())
+    assert(row.getLong(4) == q("docs_decontaminate_exact").count())
+    assert(row.getLong(5) ==
+      q("text_repetition_quality").filter(!col("keep")).count())
+    assert(row.getLong(6) == q("docs_curation_pipeline").count())
+    // the funnel narrows: final <= total - benchmark
+    assert(row.getLong(6) <= row.getLong(0) - row.getLong(1))
+  }
+
   test("decontaminate broadcast cap derives from the session broadcast threshold") {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val orig = spark.conf.get(key)

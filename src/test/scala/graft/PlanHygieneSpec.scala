@@ -52,7 +52,7 @@ class PlanHygieneSpec extends SparkSpec {
       "revenue_share_by_flag", "customers_all_years",
       "region_priority_matrix", "text_tfidf_top_terms",
       "events_dau_wau", "docs_temperature_mix", "ann_recall_report",
-      "ivf_recall_at_5", "ivf_ann_nprobe2")
+      "ivf_recall_at_5", "ivf_ann_nprobe2", "curation_funnel_report")
     for ((name, plan) <- executedPlans if !allowed(name)) {
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name unexpectedly plans a BroadcastNestedLoopJoin:\n${plan.take(800)}")
