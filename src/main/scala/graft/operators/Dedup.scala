@@ -369,7 +369,7 @@ object Dedup {
     // full node set.
     def labelSum(df: DataFrame): (java.math.BigDecimal, Long) = {
       // decimal sum: at 100 TB doc_ids × node count would overflow a long
-      val r = df.agg(sum(col("label").cast("decimal(38,0)")), count(lit(1))).head
+      val r = df.agg(sum(col("label").cast("decimal(38,0)")), count(lit(1))).head()
       // a null sum means zero nodes (empty graph converges trivially) or a
       // decimal overflow turned null — both must not silently compare as
       // "unchanged" round over round
@@ -433,6 +433,35 @@ object Dedup {
     (labels, rounds)
   }
 
+  /** Canonical REPRESENTATIVE per near-dup cluster — the selection step a
+    * dedup pipeline runs after clustering: instead of the survivors
+    * query's pair-local "drop the higher doc_id", pick ONE document per
+    * CLUSTER by an explicit quality rule (longest text by n_chars, doc_id
+    * tie-break), so A~B~C collapses to a single deliberate keeper even
+    * when A≁C directly. Output: per-cluster representative, its length,
+    * member count and how many documents the cluster retires.
+    *
+    * Shape: the cluster map (already orders-of-magnitude smaller than the
+    * corpus — near-dup members only) joins doc lengths on the uniform
+    * doc_id key, then one rank window per cluster. Clusters are small by
+    * construction (near-dup groups), so the window partitions cannot
+    * skew; the corpus itself never shuffles.
+    */
+  def clusterReps(spark: SparkSession, sfDir: String): DataFrame = {
+    val byQuality = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    clusters(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars")),
+        Seq("doc_id"))
+      .withColumn("rn", row_number().over(byQuality))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").alias("rep_doc_id"),
+        col("n_chars").alias("rep_n_chars"), col("n_members"),
+        (col("n_members") - 1).alias("n_dropped"))
+      .orderBy("cluster_id")
+  }
+
   /** Spark-SQL-dialect twin of TextFunctions.md5Hash60Sql (conv vs CAST). */
   private def md5Hash60SqlSpark(e: String): String =
     s"CAST(conv(substring(md5($e), 18, 15), 16, 10) AS BIGINT)"
@@ -476,6 +505,32 @@ object Dedup {
        |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
        |             JOIN sizes sb ON doc_b = sb.doc_id
        |  WHERE n_common / (sa.n + sb.n - n_common) >= $JaccardThreshold)""".stripMargin
+
+  /** Shared connected-component CTE block (assumes [[shingleCte]] is in a
+    * `WITH RECURSIVE` scope): verified pairs → symmetric edges → min
+    * reachable id per node as `comp(doc_id, cluster_id)`. Spliced into
+    * both the `dedup_clusters` and `dedup_cluster_reps` oracles so the
+    * threshold and the component rule cannot drift between them.
+    */
+  private val clusterCompCte =
+    s"""inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc_a, doc_b
+       |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+       |             JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE n_common / (sa.n + sb.n - n_common) >= $JaccardThreshold),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT src AS node, src AS r FROM edges
+       |  UNION
+       |  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+       |comp AS (
+       |  SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1)""".stripMargin
 
   private val exhaustivePairsSql =
     s"""WITH $shingleCte,
@@ -523,27 +578,24 @@ object Dedup {
          |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE $shingleCte,
-         |inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT doc_a, doc_b
-         |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
-         |             JOIN sizes sb ON doc_b = sb.doc_id
-         |  WHERE n_common / (sa.n + sb.n - n_common) >= $JaccardThreshold),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION SELECT doc_b, doc_a FROM pairs),
-         |reach AS (
-         |  SELECT src AS node, src AS r FROM edges
-         |  UNION
-         |  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
-         |comp AS (
-         |  SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1)
+         |$clusterCompCte
          |SELECT doc_id, cluster_id,
          |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
          |FROM comp ORDER BY doc_id""".stripMargin,
+    "dedup_cluster_reps" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |$clusterCompCte,
+         |mem AS (
+         |  SELECT c.doc_id, c.cluster_id, d.n_chars,
+         |         CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT)
+         |           AS n_members
+         |  FROM comp c JOIN documents d USING (doc_id))
+         |SELECT cluster_id, doc_id AS rep_doc_id, n_chars AS rep_n_chars,
+         |       n_members, n_members - 1 AS n_dropped
+         |FROM mem
+         |QUALIFY row_number() OVER (PARTITION BY cluster_id
+         |                           ORDER BY n_chars DESC, doc_id ASC) = 1
+         |ORDER BY cluster_id""".stripMargin,
     // exhaustive all-pairs oracle — the banded Spark plan provably equals
     // it (pigeonhole over 4 bands; see simhashPairs doc)
     "dedup_simhash_pairs" ->
@@ -564,5 +616,6 @@ object Dedup {
     "dedup_simhash"       -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,
     "dedup_clusters"      -> clusters _,
+    "dedup_cluster_reps"  -> clusterReps _,
   )
 }

@@ -118,7 +118,7 @@ object Features {
         size(graft.functions.TextFunctions.tokens(col("text"))).alias("n_tokens"))
     // deterministic arithmetic range sharding (sampling-based
     // repartitionByRange boundaries would not be reproducible)
-    val maxId = sized.agg(max(col("doc_id"))).head.getLong(0)
+    val maxId = sized.agg(max(col("doc_id"))).head().getLong(0)
     val perShard = math.max(1L, maxId / Shards + 1)
     val sharded = sized.withColumn("shard", (col("doc_id") / perShard).cast("int"))
     val localW = Window.partitionBy(col("shard")).orderBy(col("doc_id"))

@@ -308,6 +308,60 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** INT8 SCALAR QUANTIZATION (SQ8) of the verified integer embeddings:
+    * per-vector scale s = max|x| (floored at 1 so a zero vector maps to
+    * zeros, not NULLs), element x ↦ round(x·127/s) ∈ [-127, 127]. SQ8 is
+    * the standard memory-bandwidth lever for billion-vector serving — 8×
+    * smaller vectors than float64 scoring, dot products stay exact
+    * integer sums. Derived from the already-oracle-pinned quantize1000
+    * longs, so the whole derivation is integer → one double multiply/
+    * divide → integer: bit-identical in any IEEE engine.
+    */
+  private[graft] def quantized8(spark: SparkSession, sfDir: String): DataFrame =
+    quantized(spark, sfDir)
+      .select(col("vec_id"), col("v"),
+        greatest(array_max(transform(col("v"), x => abs(x))), lit(1L))
+          .cast("double").alias("s"))
+      .select(col("vec_id"),
+        transform(col("v"),
+          x => round(x.cast("double") * lit(127.0) / col("s"))
+            .cast("long")).alias("v8"))
+      .withColumn("n28", V.qnorm2(col("v8")))
+
+  /** Per-query recall@5 of SQ8-scored top-5 against the full-precision
+    * top-5 ([[knnBrute]]) — the compression counterpart of
+    * [[ivfRecallAt5]]: IVF measures what CANDIDATE PRUNING loses, this
+    * measures what PRECISION LOSS in the score itself loses (ranks can
+    * swap where true similarities are close). Registered as a first-class
+    * query so the quantization error budget is a number the harness pins:
+    * changing the bit width or scale rule surfaces as a CORRECTNESS diff,
+    * not silent recall drift. Same broadcast |Q|·N scoring shape as the
+    * brute baseline it audits.
+    */
+  def sq8RecallAt5(spark: SparkSession, sfDir: String): DataFrame = {
+    val q8 = quantized8(spark, sfDir)
+    val queries8 = q8.filter(col("vec_id") < 10)
+      .select(col("vec_id").alias("query_id"),
+        col("v8").alias("qv8"), col("n28").alias("qn28"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos8").desc, col("neighbor_id").asc)
+    val top8 = q8.join(broadcast(queries8), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").alias("neighbor_id"),
+        V.qcosineFrom(V.qdot(col("qv8"), col("v8")), col("qn28"), col("n28"))
+          .alias("cos8"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).alias("hit"))
+    knnBrute(spark, sfDir).select(col("query_id"), col("neighbor_id"))
+      .join(top8, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).alias("n_exact"),
+        coalesce(sum(col("hit")), lit(0L)).alias("n_hits"))
+      .select(col("query_id"), col("n_exact"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_exact")).alias("recall_at_5"))
+      .orderBy("query_id")
+  }
+
   /** Squared Euclidean distance between two double arrays — narrow
     * higher-order expressions (rewritten to the codegen'd dot-product
     * expression where the graft extensions are installed).
@@ -563,6 +617,43 @@ object Similarity {
          |       CAST((SELECT count(*) FROM ls) AS BIGINT) AS n_pairs_lsh,
          |       CAST((SELECT count(*) FROM ls) AS DOUBLE)
          |         / (SELECT count(*) FROM ex) AS recall""".stripMargin,
+    "sq8_recall_at_5" ->
+      s"""WITH $quantizedSql,
+         |q8s AS (
+         |  SELECT vec_id, v,
+         |         CAST(greatest(list_max(list_transform(v, y -> abs(y))), 1)
+         |           AS DOUBLE) AS s
+         |  FROM qn),
+         |q8 AS (
+         |  SELECT vec_id,
+         |         list_transform(v, x ->
+         |           CAST(round(CAST(x AS DOUBLE) * 127.0 / s) AS BIGINT)) AS v8
+         |  FROM q8s),
+         |q8n AS (SELECT vec_id, v8, ${V.qnorm2Sql("v8", Dim)} AS n28 FROM q8),
+         |brute AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY a.vec_id
+         |             ORDER BY $qdotAB / (sqrt(a.n2) * sqrt(b.n2)) DESC,
+         |                      b.vec_id ASC) AS rank
+         |    FROM qn a JOIN qn b ON a.vec_id < 10 AND b.vec_id != a.vec_id)
+         |  WHERE rank <= 5),
+         |sq AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY a.vec_id
+         |             ORDER BY ${V.qdotSql("a.v8", "b.v8", Dim)}
+         |                        / (sqrt(a.n28) * sqrt(b.n28)) DESC,
+         |                      b.vec_id ASC) AS rank
+         |    FROM q8n a JOIN q8n b ON a.vec_id < 10 AND b.vec_id != a.vec_id)
+         |  WHERE rank <= 5)
+         |SELECT b.query_id AS query_id,
+         |       CAST(count(*) AS BIGINT) AS n_exact,
+         |       CAST(count(s.neighbor_id) AS BIGINT) AS n_hits,
+         |       CAST(count(s.neighbor_id) AS DOUBLE) / count(*) AS recall_at_5
+         |FROM brute b LEFT JOIN sq s
+         |  ON b.query_id = s.query_id AND b.neighbor_id = s.neighbor_id
+         |GROUP BY 1 ORDER BY query_id""".stripMargin,
     "similar_pairs_per_label" ->
       s"""WITH $quantizedSql,
          |scored AS (
@@ -586,6 +677,7 @@ object Similarity {
     "embedding_near_dup_lsh"  -> nearDupPairsLsh _,
     "ann_recall_report"       -> annRecallReport _,
     "ivf_recall_at_5"         -> ivfRecallAt5 _,
+    "sq8_recall_at_5"         -> sq8RecallAt5 _,
     "similar_pairs_per_label" -> pairsPerLabel _,
   )
 }

@@ -81,6 +81,64 @@ object Stats {
       .orderBy("bucket")
   }
 
+  /** EQUI-DEPTH (quantile-bucket) histogram of order prices — exact
+    * `ntile(10)` semantics WITHOUT a global sort or an unpartitioned
+    * window. The equi-WIDTH twin ([[orderPriceHistogram]]) computes its
+    * bucket per row; equi-depth needs each row's GLOBAL rank, which naive
+    * spellings get from `ntile() OVER (ORDER BY price)` — a single-task
+    * sort of the whole table at 100 TB. Instead the rank is assembled the
+    * same way [[Curation.temperatureMix]] de-skews its per-language rank:
+    *
+    *  1. shard every row by a key that is MONOTONE in the sort order
+    *     ($1k-wide cent ranges — data-independent, so shards are
+    *     contiguous runs of the global (cents, order_key) order);
+    *  2. per-shard counts → running-sum offsets (the only "global" step,
+    *     a window over one row PER SHARD — bounded by the price domain,
+    *     ~hundreds of rows — which then rides a broadcast);
+    *  3. global rank = shard offset + rank within shard (the heavy
+    *     shuffle keys on the shard, partitions 1/shards-th of the table).
+    *
+    * The ntile bucket is then pure integer arithmetic on (rank, total):
+    * the first `n % k` buckets take `n div k + 1` rows, the rest
+    * `n div k` — exactly the SQL-standard distribution DuckDB's `ntile`
+    * oracle produces. Output: 10 buckets with count, exact price bounds,
+    * and exact-cents revenue.
+    */
+  def orderPriceEquidepth(spark: SparkSession, sfDir: String): DataFrame = {
+    val nBuckets = 10
+    val shardCents = 100000L // $1k coarse ranges — monotone in the sort key
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        Deterministic.quantize(col("o_totalprice"), 2).alias("cents"))
+      .withColumn("shard", expr(s"cents div $shardCents"))
+    val offsets = base.groupBy(col("shard"))
+      .agg(count(lit(1)).alias("n_shard"))
+      // one row per occupied shard — the unpartitioned running sum is over
+      // that bounded aggregate, never the fact table
+      .withColumn("shard_offset",
+        sum(col("n_shard")).over(Window.orderBy(col("shard"))) - col("n_shard"))
+      .select(col("shard"), col("shard_offset"))
+    val total = base.agg(count(lit(1)).alias("n_total"))
+    base
+      .withColumn("shard_rank", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("cents").asc, col("o_orderkey").asc)))
+      .join(broadcast(offsets), Seq("shard"))
+      .withColumn("r", col("shard_offset") + col("shard_rank"))
+      .crossJoin(broadcast(total))
+      .withColumn("q", expr(s"n_total div $nBuckets"))
+      .withColumn("rem", col("n_total") % nBuckets)
+      .withColumn("bucket", expr(
+        s"""CASE WHEN r <= rem * (q + 1) THEN (r - 1) div (q + 1) + 1
+           |     ELSE rem + ((r - rem * (q + 1) - 1) div q) + 1 END""".stripMargin))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).alias("n_orders"),
+        min(col("o_totalprice")).alias("min_price"),
+        max(col("o_totalprice")).alias("max_price"),
+        Deterministic.exactSum(col("o_totalprice"), 2).alias("total_revenue"))
+      .orderBy("bucket")
+  }
+
   /** Deterministic mode: most frequent order priority per status
     * (ties broken by priority string ascending).
     */
@@ -365,6 +423,18 @@ object Stats {
          |FROM orders
          |GROUP BY 1, 2
          |ORDER BY bucket""".stripMargin,
+    "order_price_equidepth" ->
+      s"""WITH ranked AS (
+         |  SELECT o_orderkey, o_totalprice,
+         |         ntile(10) OVER (ORDER BY CAST(round(o_totalprice * 1e2) AS BIGINT) ASC,
+         |                         o_orderkey ASC) AS bucket
+         |  FROM orders)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       min(o_totalprice) AS min_price,
+         |       max(o_totalprice) AS max_price,
+         |       ${Deterministic.exactSumSql("o_totalprice", 2)} AS total_revenue
+         |FROM ranked GROUP BY 1 ORDER BY bucket""".stripMargin,
     "orders_mode_priority" ->
       """WITH counts AS (
         |  SELECT o_orderstatus AS order_status, o_orderpriority AS mode_priority,
@@ -415,6 +485,7 @@ object Stats {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "range_join_price_band"  -> rangeJoinPriceBand _,
     "order_price_histogram"  -> orderPriceHistogram _,
+    "order_price_equidepth"  -> orderPriceEquidepth _,
     "orders_mode_priority"   -> ordersModePriority _,
     "lineitem_corr"          -> lineitemCorr _,
     "sales_grouping_sets"    -> salesGroupingSets _,

@@ -162,7 +162,79 @@ object WindowAnalytics {
       .orderBy("order_status")
   }
 
+  /** Gaps-and-islands CHANGE COMPACTION — the SCD-Type-2 build primitive:
+    * each customer's order stream (ordered by order timestamp, key
+    * tie-break) collapses into runs of consecutive equal order priority,
+    * one validity interval per run: `[valid_from, valid_to]` (observed
+    * bounds) plus the SCD2 exclusive upper bound `valid_until` = next
+    * interval's `valid_from` (NULL = current version). This is the
+    * operator that turns an append-only event/CDC log into a versioned
+    * dimension.
+    *
+    * Shape: island ids come from the classic lag-change flag + running
+    * count — two window passes over ONE (customer_key, order) sort (same
+    * partitioning and ordering, so Catalyst plans a single shuffle +
+    * sort), then a partial-aggregated groupBy on (customer, island) and
+    * one tiny lead window over the compacted intervals (orders-of-
+    * magnitude fewer rows than the input). Per-customer history is
+    * bounded in any real workload, so the window partitions never skew
+    * the way a per-language corpus window would ([[Curation]]'s sharded
+    * rank covers that regime).
+    */
+  def customerPriorityIntervals(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("customer_key"))
+      .orderBy(col("o_orderdate").asc, col("order_key").asc)
+    val flagged = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").alias("customer_key"),
+        col("o_orderkey").alias("order_key"),
+        col("o_orderdate"),
+        col("o_orderpriority").alias("priority"))
+      .withColumn("chg",
+        when(lag(col("priority"), 1).over(w).isNull ||
+          lag(col("priority"), 1).over(w) =!= col("priority"), 1L).otherwise(0L))
+    val intervals = flagged
+      .withColumn("island", sum(col("chg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("customer_key"), col("island"))
+      // min(priority) = the run's constant priority (an island is a run of
+      // equal values by construction)
+      .agg(min(col("priority")).alias("priority"),
+        to_date(min(col("o_orderdate"))).alias("valid_from"),
+        to_date(max(col("o_orderdate"))).alias("valid_to"),
+        count(lit(1)).alias("n_orders"))
+    val byIsland = Window.partitionBy(col("customer_key")).orderBy(col("island"))
+    intervals
+      .withColumn("valid_until", lead(col("valid_from"), 1).over(byIsland))
+      .orderBy("customer_key", "island")
+  }
+
   val oracles: Map[String, String] = Map(
+    "customer_priority_intervals" ->
+      """WITH seq AS (
+        |  SELECT o_custkey AS customer_key, o_orderkey AS order_key,
+        |         o_orderdate, o_orderpriority AS priority,
+        |         CASE WHEN lag(o_orderpriority) OVER w IS NULL
+        |                OR lag(o_orderpriority) OVER w <> o_orderpriority
+        |              THEN 1 ELSE 0 END AS chg
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate ASC, o_orderkey ASC)),
+        |isl AS (
+        |  SELECT *, CAST(sum(chg) OVER (PARTITION BY customer_key
+        |         ORDER BY o_orderdate ASC, order_key ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS island
+        |  FROM seq),
+        |iv AS (
+        |  SELECT customer_key, island, min(priority) AS priority,
+        |         CAST(min(o_orderdate) AS DATE) AS valid_from,
+        |         CAST(max(o_orderdate) AS DATE) AS valid_to,
+        |         CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT customer_key, island, priority, valid_from, valid_to, n_orders,
+        |       lead(valid_from, 1) OVER (PARTITION BY customer_key
+        |         ORDER BY island) AS valid_until
+        |FROM iv ORDER BY customer_key, island""".stripMargin,
     "customer_next_order_gap" ->
       """WITH base AS (
         |  SELECT o_orderkey AS order_key, o_custkey AS customer_key,
@@ -245,5 +317,6 @@ object WindowAnalytics {
     "order_price_stats"       -> orderPriceStats _,
     "order_price_quantiles"   -> orderPriceQuantiles _,
     "order_price_quantiles_approx" -> orderPriceQuantilesApprox _,
+    "customer_priority_intervals"  -> customerPriorityIntervals _,
   )
 }

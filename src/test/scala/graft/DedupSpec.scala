@@ -97,4 +97,25 @@ class DedupSpec extends SparkSpec {
     val nRemoved = q("dedup_minhash_lsh").select("doc_b").distinct().count()
     assert(q("dedup_survivors").count() == nDocs - nRemoved)
   }
+
+  test("cluster representative is the longest member, min-id tie-break; counts reconcile") {
+    val members = q("dedup_clusters").collect()
+      .map(r => (r.getLong(0), r.getLong(1))) // (doc_id, cluster_id)
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSeq).toMap
+    assert(members.nonEmpty)
+    val chars = Tables.documents(spark, sf).select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reps = q("dedup_cluster_reps").collect()
+    // exactly one representative per cluster
+    assert(reps.map(_.getLong(0)).toSet == members.keySet)
+    for (r <- reps) {
+      val (cid, rep, repChars) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val ms = members(cid)
+      assert(ms.contains(rep), s"rep $rep not a member of cluster $cid")
+      assert(r.getLong(3) == ms.size && r.getLong(4) == ms.size - 1)
+      val maxChars = ms.map(chars).max
+      assert(repChars == maxChars, s"cluster $cid rep is not the longest member")
+      assert(rep == ms.filter(chars(_) == maxChars).min, s"cluster $cid tie-break")
+    }
+  }
 }

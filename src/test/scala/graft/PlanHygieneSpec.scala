@@ -47,12 +47,17 @@ class PlanHygieneSpec extends SparkSpec {
     // assignment
     // ...and the ANN recall report, which embeds the exhaustive near-dup
     // baseline by definition (recall is measured AGAINST it)
+    // ...and the SQ8 recall report, which embeds the brute-force baseline
+    // AND scores its own |Q|·N int8 pairs by design
+    // ...and the equi-depth histogram's single-row corpus total (the same
+    // broadcast-one-aggregate-row shape as ratio-to-report)
     val allowed = Set("range_join_price_band", "ivf_ann_cosine",
       "kmeans_lloyd_step", "knn_brute_cosine", "embedding_near_dup",
       "revenue_share_by_flag", "customers_all_years",
       "region_priority_matrix", "text_tfidf_top_terms",
       "events_dau_wau", "docs_temperature_mix", "ann_recall_report",
-      "ivf_recall_at_5", "ivf_ann_nprobe2", "curation_funnel_report")
+      "ivf_recall_at_5", "ivf_ann_nprobe2", "curation_funnel_report",
+      "sq8_recall_at_5", "order_price_equidepth")
     for ((name, plan) <- executedPlans if !allowed(name)) {
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name unexpectedly plans a BroadcastNestedLoopJoin:\n${plan.take(800)}")

@@ -80,6 +80,27 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum > 0, "IVF recall is zero everywhere")
   }
 
+  test("sq8: codes bounded to [-127,127], recall rows well-formed and non-zero") {
+    import org.apache.spark.sql.functions._
+    // int8 range: every quantized code fits the byte domain
+    val outOfRange = graft.operators.Similarity.quantized8(spark, sf)
+      .select(explode(col("v8")).alias("x"))
+      .filter(abs(col("x")) > 127).count()
+    assert(outOfRange == 0, "SQ8 code outside [-127, 127]")
+    val rows = q("sq8_recall_at_5").collect()
+    assert(rows.length == q("knn_brute_cosine")
+      .select("query_id").distinct().count().toInt)
+    rows.foreach { r =>
+      val (nExact, nHits, recall) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nExact == 5L)
+      assert(nHits >= 0L && nHits <= nExact)
+      assert(recall == nHits.toDouble / nExact)
+    }
+    // 8-bit scoring of 64-dim vectors preserves most of the ranking —
+    // zero overall recall would mean the quantization is broken, not lossy
+    assert(rows.map(_.getLong(2)).sum > 0, "SQ8 recall is zero everywhere")
+  }
+
   test("multi-probe IVF recall dominates nprobe=1 for every query") {
     def pairs(name: String) = q(name).select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

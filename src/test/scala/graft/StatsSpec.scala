@@ -39,6 +39,47 @@ class StatsSpec extends SparkSpec {
     assert(hist.values.sum == Tables.orders(spark, sf).count())
   }
 
+  test("equi-depth histogram: ntile discipline and lossless tiling of the price axis") {
+    val rows = q("order_price_equidepth").collect().sortBy(_.getLong(0))
+    // buckets numbered 1..10
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L))
+    val sizes = rows.map(_.getLong(1))
+    // equi-depth: sizes differ by at most one, larger buckets first
+    // (remainder discipline), and every order lands in exactly one bucket
+    assert(sizes.max - sizes.min <= 1)
+    assert(sizes.sameElements(sizes.sortBy(-_)))
+    assert(sizes.sum == Tables.orders(spark, sf).count())
+    // buckets tile the axis in order: each bucket's min price sits at or
+    // above the previous bucket's max (one-cent slack — the sort key is
+    // exact cents, raw prices within a cent may straddle a boundary)
+    for (i <- 1 until rows.length)
+      assert(rows(i).getDouble(2) >= rows(i - 1).getDouble(3) - 0.01,
+        s"bucket ${i + 1} overlaps bucket $i")
+  }
+
+  test("priority intervals losslessly compact the order stream (SCD2 invariants)") {
+    val iv = q("customer_priority_intervals").collect()
+    // per-customer order counts reconcile
+    val perCust = iv.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(5)).sum)
+    val expected = Tables.orders(spark, sf).groupBy(col("o_custkey"))
+      .agg(count(lit(1))).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perCust.toMap == expected)
+    for ((_, rows) <- iv.groupBy(_.getLong(0))) {
+      val sorted = rows.sortBy(_.getLong(1))
+      // islands numbered 1..n per customer
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length))
+      // the current (last) version is open-ended; all others point at the
+      // successor's valid_from
+      assert(sorted.last.isNullAt(6))
+      for (Array(a, b) <- sorted.sliding(2) if sorted.length > 1) {
+        assert(a.getString(2) != b.getString(2),
+          s"adjacent intervals share priority — compaction incomplete")
+        assert(!a.getDate(4).after(b.getDate(3)), "intervals out of order")
+        assert(a.getDate(6) == b.getDate(3), "valid_until != successor valid_from")
+      }
+    }
+  }
+
   test("bloom-pruned semi join is row-identical to the plain semi join") {
     val l = Tables.lineitem(spark, sf)
     val big = Tables.orders(spark, sf)
