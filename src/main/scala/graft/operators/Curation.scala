@@ -340,6 +340,59 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Share of each language's char mass the token-budget mix keeps. */
+  private[operators] val BudgetPct = 30L
+
+  /** TOKEN-BUDGET mixture selection: each language contributes documents
+    * until a fixed share ([[BudgetPct]]%) of its TOKEN MASS (chars as the
+    * tokenizer-free proxy) is filled — the unit a training mixture
+    * actually budgets in, where [[temperatureMix]] targets document
+    * COUNTS. Selection order is the same deterministic md5 shuffle; the
+    * cutoff is a grouped PREFIX SUM: a document is kept iff the char mass
+    * of the documents ordered before it is still under the language's
+    * budget (the boundary-crossing document is included, making the
+    * budget a floor). Every quantity is an exact integer.
+    *
+    * The prefix sum is computed SHARDED, generalizing the temperature
+    * mix's de-skewed rank from row counts to VALUE sums: because the
+    * two-hex-char shard is a PREFIX of the md5 sort key, shards are
+    * contiguous runs of the per-language order, so `chars_before = Σ char
+    * totals of earlier shards (a (lang × 256)-row broadcast) + in-shard
+    * running sum − own chars`. Identical output to a per-language global
+    * window; the corpus shuffles once on the composite (lang, shard) key
+    * whose partitions are 1/256th of the most skewed language.
+    */
+  def tokenBudgetMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val budgets = docs.groupBy(col("lang"))
+      .agg(sum(col("n_chars")).alias("chars_total"))
+      .select(col("lang"),
+        expr(s"chars_total * $BudgetPct div 100").alias("budget_chars"))
+    val keyed = docs
+      .withColumn("md5_key", md5(col("doc_id").cast("string")))
+      .withColumn("shard", substring(col("md5_key"), 1, 2))
+    val offsets = keyed.groupBy(col("lang"), col("shard"))
+      .agg(sum(col("n_chars")).alias("chars_shard"))
+      .withColumn("chars_offset",
+        sum(col("chars_shard")).over(
+          Window.partitionBy(col("lang")).orderBy(col("shard")))
+          - col("chars_shard"))
+      .select(col("lang"), col("shard"), col("chars_offset"))
+    val inShard = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("md5_key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed
+      .withColumn("prefix_in_shard", sum(col("n_chars")).over(inShard))
+      .join(broadcast(offsets), Seq("lang", "shard"))
+      .withColumn("chars_before",
+        col("chars_offset") + col("prefix_in_shard") - col("n_chars"))
+      .join(broadcast(budgets), Seq("lang"))
+      .filter(col("chars_before") < col("budget_chars"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("chars_before"))
+      .orderBy("doc_id")
+  }
+
   /** The FULL curation pipeline as one declarative plan — what a
     * training-data run actually executes between raw corpus and
     * tokenization: drop near-dup non-survivors (MinHash+LSH verified
@@ -501,6 +554,22 @@ object Curation {
         |FROM ranked r JOIN targets USING (lang)
         |WHERE sample_rank <= target_l
         |ORDER BY doc_id""".stripMargin,
+    "docs_token_budget_mix" ->
+      s"""WITH budgets AS (
+         |  SELECT lang,
+         |         CAST(sum(n_chars) AS BIGINT) * $BudgetPct // 100 AS budget_chars
+         |  FROM documents GROUP BY 1),
+         |ranked AS (
+         |  SELECT doc_id, lang, n_chars,
+         |         CAST(sum(n_chars) OVER (PARTITION BY lang
+         |           ORDER BY md5(CAST(doc_id AS VARCHAR))
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |           - n_chars AS chars_before
+         |  FROM documents)
+         |SELECT doc_id, r.lang AS lang, n_chars, chars_before
+         |FROM ranked r JOIN budgets USING (lang)
+         |WHERE chars_before < budget_chars
+         |ORDER BY doc_id""".stripMargin,
     "orders_above_customer_avg" ->
       """WITH c AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice,
@@ -522,6 +591,7 @@ object Curation {
     "text_repetition_quality"   -> repetitionQuality _,
     "docs_denylist_redact"      -> denylistRedact _,
     "docs_temperature_mix"      -> temperatureMix _,
+    "docs_token_budget_mix"     -> tokenBudgetMix _,
     "orders_above_customer_avg" -> ordersAboveCustomerAvg _,
   )
 }

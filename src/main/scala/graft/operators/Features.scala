@@ -69,6 +69,43 @@ object Features {
       .orderBy("event_id")
   }
 
+  /** ROBUST anomaly scores — the outlier-resistant twin of
+    * [[eventsValueZscore]]: median/MAD replace mean/stddev, so a handful
+    * of extreme values cannot drag the baseline toward themselves and
+    * mask each other (the masking failure that makes plain z-scores
+    * unreliable for data-quality gates). `robust_z = 0.6745·(x − med) /
+    * MAD` (the consistency constant makes it σ-comparable under
+    * normality); rows with |z| > 3.5 (the standard Iglewicz-Hoaglin cut)
+    * are returned.
+    *
+    * Determinism: `percentile` interpolation is the same closed form in
+    * Spark and DuckDB's `quantile_cont` (proven cross-engine-exact by
+    * `order_price_quantiles`), and every derived double flows through
+    * identical IEEE expression trees. Two aggregation passes (median,
+    * then MAD over the re-joined deviations) + broadcast joins back —
+    * exact medians sort per group, so at 100 TB the scale path swaps in
+    * `approx_percentile` exactly as `order_price_quantiles_approx`
+    * prescribes; the exact spelling is the verifiable one.
+    */
+  def eventsValueMad(spark: SparkSession, sfDir: String): DataFrame = {
+    val med = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.5)).alias("med"))
+    val mad = Tables.events(spark, sfDir)
+      .join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(first(col("med")).alias("med"),
+        percentile(abs(col("value") - col("med")), lit(0.5)).alias("mad"))
+    Tables.events(spark, sfDir)
+      .join(broadcast(mad), Seq("event_type"))
+      .filter(col("mad") > 0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        (lit(0.6745) * (col("value") - col("med")) / col("mad"))
+          .alias("robust_z"))
+      .filter(abs(col("robust_z")) > 3.5)
+      .orderBy("event_id")
+  }
+
   private val ChunkSize = 32
   private val ChunkStride = 24 // 8-token overlap between consecutive chunks
 
@@ -237,11 +274,26 @@ object Features {
         |FROM events e JOIN stats USING (event_type)
         |WHERE abs((value - mean_value) / std_value) > 2.5
         |ORDER BY event_id""".stripMargin,
+    "events_value_mad" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |mad AS (
+        |  SELECT e.event_type, first(med) AS med,
+        |         quantile_cont(abs(value - med), 0.5) AS mad
+        |  FROM events e JOIN med USING (event_type)
+        |  GROUP BY 1)
+        |SELECT event_id, e.event_type AS event_type, value,
+        |       0.6745 * (value - med) / mad AS robust_z
+        |FROM events e JOIN mad USING (event_type)
+        |WHERE mad > 0 AND abs(0.6745 * (value - med) / mad) > 3.5
+        |ORDER BY event_id""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fuzzy_part_name_pairs" -> fuzzyPartNamePairs _,
     "events_value_zscore"   -> eventsValueZscore _,
+    "events_value_mad"      -> eventsValueMad _,
     "docs_chunked_overlap"  -> docsChunkedOverlap _,
     "docs_token_packing"    -> docsTokenPacking _,
     "corpus_mixture_schedule" -> corpusMixtureSchedule _,

@@ -283,7 +283,79 @@ object Relational {
       .agg(count(lit(1)).alias("n_orders"))
   }
 
+  /** TRIANGLE CENSUS of the support-≥2 co-purchase graph — the standard
+    * graph-analytics step after pair mining: wedge and triangle counts
+    * plus the global clustering coefficient (3·triangles / wedges), which
+    * measures how clique-like the co-purchase relation is (association
+    * rules on a high-coefficient graph generalize from pairs to sets).
+    * The support-2 edge threshold is the usual min-support rule: a single
+    * co-occurrence is noise, and it also keeps the edge set (and thus the
+    * wedge join) orders of magnitude below the raw pair graph.
+    *
+    * Shape: the classic two-join distributed triangle count, made safe by
+    * ORIENTING edges a<b — each wedge (a<b<c) is enumerated exactly once
+    * at its middle vertex and closed by one hash join against the edge
+    * set, so no triangle is ever double-counted and the join fan-out is
+    * Σ deg² over the THRESHOLDED graph (the production refinement at
+    * extreme skew is degree-based orientation, which bounds fan-out by
+    * arboricity). Wedge totals come from a degree aggregate, not the
+    * join. The edge set is persisted once and read by all three join
+    * legs plus the degree pass; the single-row aggregates ride one-row
+    * broadcasts (funnel-report pattern).
+    */
+  def copurchaseTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = basketPairCounts(Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey")))
+      .filter(col("n_orders") >= 2)
+      .select(col("part_a"), col("part_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheLifecycle.tracked)
+    val wedgeTotal = edges
+      .select(explode(array(col("part_a"), col("part_b"))).alias("node"))
+      .groupBy(col("node")).agg(count(lit(1)).alias("d"))
+      .agg(sum(expr("d * (d - 1) div 2")).alias("n_wedges"))
+    val triangles = edges.alias("e1")
+      .join(edges.alias("e2"), col("e1.part_b") === col("e2.part_a"))
+      .join(edges.alias("e3"),
+        col("e3.part_a") === col("e1.part_a") &&
+          col("e3.part_b") === col("e2.part_b"))
+      .agg(count(lit(1)).alias("n_triangles"))
+    edges.agg(count(lit(1)).alias("n_edges"))
+      .crossJoin(broadcast(wedgeTotal))
+      .crossJoin(broadcast(triangles))
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") === 0, lit(null).cast("double"))
+          .otherwise(lit(3.0) * col("n_triangles") / col("n_wedges"))
+          .alias("clustering_coeff"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "copurchase_triangles" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pc AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT part_a, part_b FROM pc WHERE n >= 2),
+        |deg AS (
+        |  SELECT node, count(*) AS d FROM (
+        |    SELECT part_a AS node FROM edges
+        |    UNION ALL SELECT part_b FROM edges)
+        |  GROUP BY 1),
+        |w AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+        |tri AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM edges e1 JOIN edges e2 ON e1.part_b = e2.part_a
+        |       JOIN edges e3 ON e3.part_a = e1.part_a
+        |                    AND e3.part_b = e2.part_b)
+        |SELECT CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+        |       (SELECT n_wedges FROM w) AS n_wedges,
+        |       (SELECT n_triangles FROM tri) AS n_triangles,
+        |       CASE WHEN (SELECT n_wedges FROM w) = 0 THEN NULL
+        |            ELSE 3.0 * (SELECT n_triangles FROM tri)
+        |                   / (SELECT n_wedges FROM w) END AS clustering_coeff""".stripMargin,
     "copurchase_part_pairs" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
@@ -430,5 +502,6 @@ object Relational {
     "nations_union"            -> nationsUnion _,
     "region_priority_matrix"   -> regionPriorityMatrix _,
     "copurchase_part_pairs"    -> copurchasePartPairs _,
+    "copurchase_triangles"     -> copurchaseTriangles _,
   )
 }

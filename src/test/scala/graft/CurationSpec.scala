@@ -73,6 +73,34 @@ class CurationSpec extends SparkSpec {
       headN.toDouble / nTotal, "α=0.5 must shrink the head language's share")
   }
 
+  test("docs_token_budget_mix: md5-prefix selection fills each language's char budget") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val budget = docs.groupBy(_._2).view
+      .mapValues(ds => ds.map(_._3).sum * 30 / 100).toMap
+    // reference spelling: per-lang md5 order, keep while chars_before < budget
+    def md5(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val expected = docs.groupBy(_._2).flatMap { case (lang, ds) =>
+      val ordered = ds.sortBy(d => md5(d._1.toString))
+      val cum = ordered.scanLeft(0L)(_ + _._3)
+      ordered.zip(cum).toSeq
+        .collect { case (d, before) if before < budget(lang) => d._1 }
+    }.toSet
+    val got = q("docs_token_budget_mix").collect()
+    assert(got.map(_.getLong(0)).toSet == expected,
+      "sharded prefix-sum selection drifted from the per-lang window reference")
+    // the budget is a floor: kept mass reaches it, and dropping the
+    // boundary document would fall below it
+    for ((lang, rows) <- got.groupBy(_.getString(1))) {
+      val kept = rows.map(_.getLong(2)).sum
+      val maxBefore = rows.map(r => r.getLong(3)).max
+      assert(kept >= budget(lang), s"$lang kept $kept < budget ${budget(lang)}")
+      assert(maxBefore < budget(lang), s"$lang kept a doc past the budget")
+    }
+  }
+
   test("docs_decontaminate_exact: no benchmark docs, hits bounded by shingle count") {
     val benchIds = Tables.documents(spark, sf)
       .filter(col("source") === "src0")

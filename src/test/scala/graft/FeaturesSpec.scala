@@ -4,6 +4,32 @@ import org.apache.spark.sql.functions._
 
 class FeaturesSpec extends SparkSpec {
 
+  test("events_value_mad flags exactly the driver-side median/MAD reconstruction") {
+    val got = q("events_value_mad").collect()
+    assert(got.nonEmpty)
+    assert(got.forall(r => math.abs(r.getDouble(3)) > 3.5))
+    // independent reconstruction with the same interpolated-median formula
+    val evs = Tables.events(spark, sf)
+      .select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val pos = 0.5 * (s.length - 1)
+      val (lo, hi) = (s(pos.toInt), s(math.ceil(pos).toInt))
+      lo + (hi - lo) * (pos - pos.toInt)
+    }
+    val expected = evs.groupBy(_._2).flatMap { case (_, es) =>
+      val med = median(es.map(_._3).toSeq)
+      val mad = median(es.map(e => math.abs(e._3 - med)).toSeq)
+      if (mad > 0)
+        es.toSeq.collect { case (id, _, v)
+          if math.abs(0.6745 * (v - med) / mad) > 3.5 => id }
+      else Seq.empty[Long]
+    }.toSet
+    assert(got.map(_.getLong(0)).toSet == expected,
+      "robust-z flag set drifted from the median/MAD reconstruction")
+  }
+
   test("fuzzy pairs: same block, bounded distance, and the planted typo pairs found") {
     val rows = q("fuzzy_part_name_pairs").collect()
     assert(rows.nonEmpty)

@@ -57,7 +57,10 @@ class PlanHygieneSpec extends SparkSpec {
       "region_priority_matrix", "text_tfidf_top_terms",
       "events_dau_wau", "docs_temperature_mix", "ann_recall_report",
       "ivf_recall_at_5", "ivf_ann_nprobe2", "curation_funnel_report",
-      "sq8_recall_at_5", "order_price_equidepth")
+      "sq8_recall_at_5", "order_price_equidepth",
+      // triangle census: three single-row aggregates composed on one-row
+      // broadcasts (funnel-report shape)
+      "copurchase_triangles")
     for ((name, plan) <- executedPlans if !allowed(name)) {
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name unexpectedly plans a BroadcastNestedLoopJoin:\n${plan.take(800)}")

@@ -81,6 +81,31 @@ class ScalePostureSpec extends SparkSpec {
     }
   }
 
+  test("token-budget mix and equi-depth rank in prefix shards, like the temperature mix") {
+    // same skew rule as the temperature-mix pin: any corpus-sized window
+    // must be partitioned by the shard key; lang-alone or unpartitioned
+    // windows are allowed only over the tiny offsets/counts aggregates
+    val mixPlan = SparkEntry.queries("docs_token_budget_mix")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the corpus-sized prefix sum is the one ordered by the md5 sort key
+    val mixCorpus = mixPlan.linesIterator
+      .filter(l => l.contains("Window ") && l.contains("md5_key")).toSeq
+    assert(mixCorpus.nonEmpty, s"no md5-ordered window:\n${mixPlan.take(800)}")
+    mixCorpus.foreach { l =>
+      assert(l.contains("shard"), s"corpus prefix sum not sharded: $l")
+    }
+    val eqPlan = SparkEntry.queries("order_price_equidepth")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the corpus-sized window is the row_number rank; the only
+    // unpartitioned window allowed is the per-shard offsets running sum
+    val eqRanks = eqPlan.linesIterator
+      .filter(l => l.contains("Window ") && l.contains("row_number")).toSeq
+    assert(eqRanks.nonEmpty, s"no rank window:\n${eqPlan.take(800)}")
+    eqRanks.foreach { l =>
+      assert(l.contains("shard"), s"fact rank window not sharded: $l")
+    }
+  }
+
   test("curation pipeline reads the shingle caches, never re-shingles the corpus") {
     // the pipeline embeds dedup + both decontamination branches; the
     // 3-gram and 13-gram shingle tables are session-persisted, so the

@@ -80,6 +80,34 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("triangle census matches a driver-side adjacency count on the same graph") {
+    // independent reference: materialize the support-2 edge set, then
+    // count oriented wedges/triangles with plain Scala adjacency sets
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairCounts = items.groupBy(_._1).values.flatMap { basket =>
+      val parts = basket.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- (i + 1) until parts.length)
+        yield (parts(i), parts(j))
+    }.groupBy(identity).view.mapValues(_.size)
+    val edges = pairCounts.collect { case (e, n) if n >= 2 => e }.toSet
+    val adjUp = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val degrees = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+    val wedges = degrees.values.map(d => d * (d - 1) / 2).sum
+    val triangles = edges.toSeq.map { case (a, b) =>
+      adjUp.getOrElse(b, Set.empty).count(c => edges((a, c)))
+    }.sum
+    val r = q("copurchase_triangles").collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == edges.size.toLong, "edge count")
+    assert(r(0).getLong(1) == wedges, "wedge count")
+    assert(r(0).getLong(2) == triangles.toLong, "triangle count")
+    assert(triangles > 0, "fixture graph should close some triangles")
+    assert(r(0).getDouble(3) == 3.0 * triangles / wedges, "clustering coefficient")
+  }
+
   test("bloom-pruned semi join is row-identical to the plain semi join") {
     val l = Tables.lineitem(spark, sf)
     val big = Tables.orders(spark, sf)
