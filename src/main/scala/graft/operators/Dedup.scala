@@ -200,6 +200,61 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").alias("doc_a"), col("b.doc_id").alias("doc_b"))
       .distinct()
+    verifyCandidates(sh, candidates)
+  }
+
+  /** PREFIX-FILTERED exact Jaccard join (the ppjoin/ssjoin family) — a
+    * second scale path beside MinHash+LSH that is LOSSLESS BY THEOREM,
+    * not by probability: order every document's shingles by a global
+    * (document-frequency asc, shingle) key — rarest first — and keep only
+    * the first `p = n − ⌈t·n⌉ + 1` as its PREFIX. Any pair with
+    * Jaccard ≥ t must (a) satisfy the length filter `t·|A| ≤ |B|` and
+    * (b) share at least one prefix element under the same global order
+    * (sharing none leaves fewer than the required ⌈t·n⌉ overlaps
+    * available), so the prefix equi-join proposes a candidate SUPERSET
+    * and the exact verify loses nothing — which is why this query shares
+    * the exhaustive oracle verbatim, with no similarity-gap caveat.
+    *
+    * Scale shape: two shuffles on the shingle hash (df count + re-join),
+    * one on doc_id (prefix rebuild), then the candidate join runs on
+    * PREFIX tokens only — rare tokens first means candidate lists stay
+    * short exactly where the data is densest; at t=0.8 the prefix is
+    * ~20% of each document. The df ordering is the part worth paying
+    * for: a fixed pseudo-random order is also correct but proposes
+    * maximally many candidates instead of minimally few.
+    */
+  def prefixFilterJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingled(spark, sfDir).filter(size(col("sh")) > 0)
+    val exploded = sh.select(col("doc_id"), explode(col("sh")).alias("s"))
+    val dfreq = exploded.groupBy(col("s")).agg(count(lit(1)).alias("df"))
+    val ordered = exploded.join(dfreq, Seq("s"))
+      .groupBy(col("doc_id"))
+      // array_sort over (df, s) structs = lexicographic (df asc, s asc):
+      // a total order identical on every engine and every partitioning
+      .agg(array_sort(collect_list(struct(col("df"), col("s")))).alias("oss"))
+      .select(col("doc_id"),
+        expr("transform(oss, x -> x.s)").alias("os"))
+      .withColumn("n", size(col("os")))
+      .withColumn("p",
+        (col("n") - ceil(col("n") * lit(JaccardThreshold)) + 1).cast("int"))
+    val prefixes = ordered.select(col("doc_id"), col("n"),
+      explode(slice(col("os"), lit(1), col("p"))).alias("s"))
+    val candidates = prefixes.alias("a")
+      .join(prefixes.alias("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          // length filter: Jaccard >= t forces t·max(|A|,|B|) <= min(|A|,|B|)
+          col("b.n") >= ceil(col("a.n") * lit(JaccardThreshold)) &&
+          col("a.n") >= ceil(col("b.n") * lit(JaccardThreshold)))
+      .select(col("a.doc_id").alias("doc_a"), col("b.doc_id").alias("doc_b"))
+      .distinct()
+    verifyCandidates(sh, candidates)
+  }
+
+  /** Exact-Jaccard verification of a candidate pair set: re-attach both
+    * shingle arrays by key, intersect, threshold. Shared tail of every
+    * lossless candidate generator ([[minhashLsh]], [[prefixFilterJaccard]]).
+    */
+  private def verifyCandidates(sh: DataFrame, candidates: DataFrame): DataFrame =
     candidates
       .join(sh.select(col("doc_id"), col("sh").alias("sh_a")), col("doc_a") === col("doc_id"))
       .drop("doc_id")
@@ -212,7 +267,6 @@ object Dedup {
           .alias("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
       .orderBy("doc_a", "doc_b")
-  }
 
   /** Deduplicated corpus: drop the higher doc_id of every verified
     * near-dup pair (left-anti join against the pair set).
@@ -554,6 +608,8 @@ object Dedup {
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "dedup_ngram_jaccard" -> exhaustivePairsSql,
     "dedup_minhash_lsh"   -> exhaustivePairsSql,
+    // lossless by the prefix-filter theorem — same oracle, no caveat
+    "dedup_prefix_filter" -> exhaustivePairsSql,
     "dedup_containment" ->
       s"""WITH $shingleCte,
          |inter AS (
@@ -612,6 +668,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> ngramJaccard _,
     "dedup_containment"   -> containment _,
     "dedup_minhash_lsh"   -> minhashLsh _,
+    "dedup_prefix_filter" -> prefixFilterJaccard _,
     "dedup_survivors"     -> survivors _,
     "dedup_simhash"       -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,

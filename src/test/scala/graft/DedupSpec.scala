@@ -98,6 +98,16 @@ class DedupSpec extends SparkSpec {
     assert(q("dedup_survivors").count() == nDocs - nRemoved)
   }
 
+  test("prefix-filtered jaccard join equals the exhaustive join row for row") {
+    // the prefix-filter theorem makes the candidate set a superset for
+    // EVERY corpus — unlike the LSH twin there is no similarity-gap
+    // assumption to honor, so plain set equality is the whole contract
+    val pf = q("dedup_prefix_filter")
+    val ex = q("dedup_ngram_jaccard")
+    assert(pf.count() > 0)
+    assert(pf.except(ex).count() == 0 && ex.except(pf).count() == 0)
+  }
+
   test("cluster representative is the longest member, min-id tie-break; counts reconcile") {
     val members = q("dedup_clusters").collect()
       .map(r => (r.getLong(0), r.getLong(1))) // (doc_id, cluster_id)
