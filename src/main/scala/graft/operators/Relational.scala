@@ -204,6 +204,77 @@ object Relational {
       .orderBy("return_flag")
   }
 
+  /** PERCENT-OF-PARENT hierarchy shares — the drill-down complement of
+    * [[revenueShareByFlag]]'s single-level ratio-to-report: per nation,
+    * revenue as a share of its REGION's subtotal and of the GRAND total
+    * (region → nation being the fixture's dimension hierarchy). All mass
+    * aggregates once from the fact (exact cents); the region subtotals
+    * re-aggregate the 25-row nation result and both parent levels ride
+    * one-row/tiny broadcasts — no window over the fact, no second fact
+    * scan.
+    */
+  def revenueShareHierarchy(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = Deterministic.quantize(col("o_totalprice"), 2)
+    val perNation = Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").alias("region_name"),
+        col("n_name").alias("nation_name"), cents.alias("q"))
+      .groupBy(col("region_name"), col("nation_name"))
+      .agg(sum(col("q")).alias("nq"))
+    val perRegion = perNation.groupBy(col("region_name"))
+      .agg(sum(col("nq")).alias("rq"))
+    val total = perNation.agg(sum(col("nq")).alias("tq"))
+    perNation
+      .join(broadcast(perRegion), Seq("region_name"))
+      .join(broadcast(total))
+      .select(col("region_name"), col("nation_name"),
+        (col("nq") / lit(1e2)).cast("double").alias("revenue"),
+        (col("nq").cast("double") / col("rq").cast("double"))
+          .alias("share_of_region"),
+        (col("nq").cast("double") / col("tq").cast("double"))
+          .alias("share_of_total"))
+      .orderBy("region_name", "nation_name")
+  }
+
+  /** PARETO / ABC classification of brands by revenue — the cumulative-
+    * share cut every assortment analysis runs: brands ranked by revenue,
+    * class A while the running total is ≤ 80% of the grand total, B to
+    * 95%, C above. The cumulative window is UNPARTITIONED by design: it
+    * runs over the 25-row brand AGGREGATE (the brand domain is bounded —
+    * this is the [[Stats.ordersModePriority]] small-domain regime, not
+    * the corpus-window regime the sharded ranks exist for). Class
+    * boundaries compare exact integers cross-multiplied in DECIMAL
+    * (`100·cum ≤ 80·total`), so no float ever decides a class.
+    */
+  def brandRevenuePareto(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val q = Deterministic.quantize(revenue, 4)
+    val perBrand = Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").alias("brand"), q.alias("bq"))
+      .groupBy(col("brand")).agg(sum(col("bq")).alias("bq"))
+    val w = Window.orderBy(col("bq").desc, col("brand").asc)
+    val total = perBrand.agg(sum(col("bq")).alias("tq"))
+    perBrand.join(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum", sum(col("bq"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("brand"), col("rank"),
+        (col("bq") / lit(1e4)).cast("double").alias("revenue"),
+        (col("cum").cast("double") / col("tq").cast("double"))
+          .alias("cum_share"),
+        when(col("cum").cast(dec) * 100 <= col("tq").cast(dec) * 80, "A")
+          .when(col("cum").cast(dec) * 100 <= col("tq").cast(dec) * 95, "B")
+          .otherwise("C").alias("abc_class"))
+      .orderBy("rank")
+  }
+
   /** Dense (region × priority) order-count matrix: an explicit CROSS JOIN
     * builds every combination from the tiny dimensions, then a RIGHT OUTER
     * join (the one join type the registry didn't yet exercise; build side
@@ -404,6 +475,51 @@ object Relational {
         |FROM per_customer JOIN yc ON n_active_years = n_years
         |JOIN customer ON customer_key = c_custkey
         |ORDER BY customer_key""".stripMargin,
+    "revenue_share_hierarchy" ->
+      """WITH per_nation AS (
+        |  SELECT r_name AS region_name, n_name AS nation_name,
+        |         SUM(CAST(round(o_totalprice * 1e2) AS BIGINT)) AS nq
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |              JOIN nation ON c_nationkey = n_nationkey
+        |              JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |per_region AS (
+        |  SELECT region_name, SUM(nq) AS rq FROM per_nation GROUP BY 1),
+        |total AS (SELECT SUM(nq) AS tq FROM per_nation)
+        |SELECT nation_name, n.region_name AS region_name,
+        |       CAST(CAST(nq AS BIGINT) / 1e2 AS DOUBLE) AS revenue,
+        |       CAST(CAST(nq AS BIGINT) AS DOUBLE)
+        |         / CAST(CAST(rq AS BIGINT) AS DOUBLE) AS share_of_region,
+        |       CAST(CAST(nq AS BIGINT) AS DOUBLE)
+        |         / CAST(CAST(tq AS BIGINT) AS DOUBLE) AS share_of_total
+        |FROM per_nation n JOIN per_region USING (region_name) CROSS JOIN total
+        |ORDER BY region_name, nation_name""".stripMargin,
+    "brand_revenue_pareto" ->
+      """WITH per_brand AS (
+        |  SELECT p_brand AS brand,
+        |         SUM(CAST(round((l_extendedprice * (1.0 - l_discount)) * 1e4)
+        |             AS BIGINT)) AS bq
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1),
+        |total AS (SELECT SUM(bq) AS tq FROM per_brand),
+        |ranked AS (
+        |  SELECT brand, bq,
+        |         CAST(row_number() OVER w AS INT) AS rank,
+        |         CAST(sum(bq) OVER (ORDER BY bq DESC, brand ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           AS cum
+        |  FROM per_brand WINDOW w AS (ORDER BY bq DESC, brand ASC))
+        |SELECT brand, rank,
+        |       CAST(CAST(bq AS BIGINT) / 1e4 AS DOUBLE) AS revenue,
+        |       CAST(cum AS DOUBLE) / CAST(CAST(tq AS BIGINT) AS DOUBLE)
+        |         AS cum_share,
+        |       CASE WHEN CAST(cum AS HUGEINT) * 100 <= CAST(tq AS HUGEINT) * 80
+        |              THEN 'A'
+        |            WHEN CAST(cum AS HUGEINT) * 100 <= CAST(tq AS HUGEINT) * 95
+        |              THEN 'B'
+        |            ELSE 'C' END AS abc_class
+        |FROM ranked CROSS JOIN total
+        |ORDER BY rank""".stripMargin,
     "revenue_share_by_flag" ->
       """WITH per_flag AS (
         |  SELECT l_returnflag AS return_flag,
@@ -499,6 +615,8 @@ object Relational {
     "customers_all_years"      -> customersAllYears _,
     "nation_presence_full_outer" -> nationPresenceFullOuter _,
     "revenue_share_by_flag"    -> revenueShareByFlag _,
+    "revenue_share_hierarchy"  -> revenueShareHierarchy _,
+    "brand_revenue_pareto"     -> brandRevenuePareto _,
     "nations_union"            -> nationsUnion _,
     "region_priority_matrix"   -> regionPriorityMatrix _,
     "copurchase_part_pairs"    -> copurchasePartPairs _,

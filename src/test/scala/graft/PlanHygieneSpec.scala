@@ -60,7 +60,10 @@ class PlanHygieneSpec extends SparkSpec {
       "sq8_recall_at_5", "order_price_equidepth",
       // triangle census: three single-row aggregates composed on one-row
       // broadcasts (funnel-report shape)
-      "copurchase_triangles")
+      "copurchase_triangles",
+      // hierarchy shares and pareto: grand totals ride one-row broadcasts
+      // (ratio-to-report shape)
+      "revenue_share_hierarchy", "brand_revenue_pareto")
     for ((name, plan) <- executedPlans if !allowed(name)) {
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name unexpectedly plans a BroadcastNestedLoopJoin:\n${plan.take(800)}")

@@ -140,6 +140,48 @@ class ScalePostureSpec extends SparkSpec {
       fact.filter(col("l_returnflag") === "R").count())
   }
 
+  test("z-order clustering bounds every file in BOTH dimensions") {
+    import graft.functions.ZOrder
+    // 1) the Catalyst expression matches the JVM reference bit for bit
+    val probe = spark.range(0, 1000, 7).select(
+      col("id").alias("a"), (col("id") * 2654435761L % 4294967296L).alias("b"))
+    val got = probe.select(col("a"), col("b"),
+      ZOrder.morton32(col("a"), col("b")).alias("m")).collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == ZOrder.morton32Ref(r.getLong(0), r.getLong(1)),
+        s"morton(${r.getLong(0)}, ${r.getLong(1)})")
+    }
+    // 2) layout: orders clustered by morton(custkey, epoch-day) give each
+    // file a bounding box covering a FRACTION of the (custkey × day)
+    // plane — single-key clustering can never shrink the second dimension
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val base = Tables.orders(spark, sf).select(
+      col("o_custkey"),
+      datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+        .cast("long").alias("day"))
+    ZOrder.cluster(base, col("o_custkey"), col("day"), 8)
+      .write.mode("overwrite").parquet(s"$dir/orders")
+    val global = base.agg(
+      max(col("o_custkey")) - min(col("o_custkey")),
+      max(col("day")) - min(col("day"))).head()
+    val (gc, gd) = (global.getLong(0).toDouble, global.getLong(1).toDouble)
+    val files = new java.io.File(s"$dir/orders").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length > 4)
+    val areas = files.map { f =>
+      val r = spark.read.parquet(f).agg(
+        max(col("o_custkey")) - min(col("o_custkey")),
+        max(col("day")) - min(col("day"))).head()
+      (r.getLong(0) / gc) * (r.getLong(1) / gd)
+    }
+    // mean bounding-box area well under the full plane (files at z-curve
+    // quadrant seams may individually straddle; the average cannot)
+    val meanArea = areas.sum / areas.length
+    assert(meanArea < 0.5, f"mean z-order bounding-box area $meanArea%.2f")
+    // and the row set survives the re-layout
+    assert(spark.read.parquet(s"$dir/orders").count() == base.count())
+  }
+
   test("repartitionByRange + sortWithinPartitions writes range-clustered files") {
     val dir = java.nio.file.Files.createTempDirectory("graft-range").toString
     Tables.orders(spark, sf)
