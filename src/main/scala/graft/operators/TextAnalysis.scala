@@ -93,6 +93,39 @@ object TextAnalysis {
       .orderBy("lang", "rank")
   }
 
+  /** RARE-BIGRAM RATIO — a language-model-free fluency signal: the share
+    * of a document's DISTINCT word bigrams that almost no other document
+    * uses (corpus document-frequency ≤ 2). Machine-generated or corrupted
+    * text is dominated by never-seen-again transitions, natural text
+    * re-uses common ones — the integer-ratio stand-in for LM perplexity
+    * scoring (no log-probabilities, so every quantity is an exact count
+    * and the single terminal division is cross-engine identical).
+    *
+    * Shape: distinct (doc, bigram) → bigram document-frequency (one
+    * shuffle on the bigram key, partial-aggregated) → join back → per-doc
+    * conditional count. The df join is term-keyed exactly like TF-IDF's —
+    * never a window over documents.
+    */
+  def rareBigramRatio(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.loadSpread(spark, sfDir, "documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).alias("toks"))
+    val docBigrams = toks.select(col("doc_id"),
+      explode(when(size(col("toks")) >= 2,
+        array_distinct(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1)))))
+        .otherwise(array().cast("array<string>"))).alias("bigram"))
+    val dfreq = docBigrams.groupBy(col("bigram"))
+      .agg(count(lit(1)).alias("df"))
+    docBigrams.join(dfreq, Seq("bigram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).alias("n_bigrams"),
+        sum(when(col("df") <= 2, 1L).otherwise(0L)).alias("n_rare"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
+        (col("n_rare") / col("n_bigrams")).alias("rare_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Approximate vocabulary via HyperLogLog — the 100 TB path for distinct
     * counting. HLL estimates are engine-specific, so the raw estimate
     * can't hash-match a DuckDB oracle; instead the VERIFIED output is the
@@ -284,6 +317,24 @@ object TextAnalysis {
         |SELECT doc_id, CAST(len(sub) AS INT) AS n_subtokens,
         |       CAST(len(list_distinct(sub)) AS INT) AS n_unique_subtokens
         |FROM seg ORDER BY doc_id""".stripMargin,
+    "text_rare_bigram_ratio" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |db AS (
+        |  SELECT DISTINCT doc_id, bigram FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, greatest(len(t) - 1, 0)),
+        |      i -> t[i] || ' ' || t[i+1])) AS bigram
+        |    FROM toks)),
+        |dfq AS (
+        |  SELECT bigram, CAST(count(*) AS BIGINT) AS df FROM db GROUP BY 1)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |       CAST(sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / count(*) AS rare_ratio
+        |FROM db JOIN dfq USING (bigram)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "top_bigrams_per_lang" ->
       """WITH toks AS (
         |  SELECT lang, doc_id, string_split(text, ' ') AS t FROM documents),
@@ -399,6 +450,7 @@ object TextAnalysis {
     "text_bpe_tokens"   -> bpeTokens _,
     "text_langid_ngram" -> langIdNgram _,
     "top_bigrams_per_lang" -> topBigramsPerLang _,
+    "text_rare_bigram_ratio" -> rareBigramRatio _,
     "text_vocab_approx" -> vocabApprox _,
     "text_quality"      -> quality _,
     "text_langid"       -> langId _,

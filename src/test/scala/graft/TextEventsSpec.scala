@@ -11,6 +11,21 @@ class TextEventsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("text_rare_bigram_ratio: bounded ratios, full coverage, consistent counts") {
+    val rows = q("text_rare_bigram_ratio").collect()
+    // every multi-token document gets a row (single-token docs have no bigrams)
+    val expectedDocs = Tables.documents(spark, sf)
+      .filter(size(split(col("text"), " ")) >= 2).count()
+    assert(rows.length.toLong == expectedDocs)
+    rows.foreach { r =>
+      val (n, rare, ratio) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(n > 0 && rare >= 0 && rare <= n)
+      assert(ratio == rare.toDouble / n)
+    }
+    // the signal discriminates on the fixture: not constant everywhere
+    assert(rows.map(_.getDouble(3)).distinct.length > 1)
+  }
+
   test("tfidf: exactly top-3 per doc, score consistent with tf·n_docs/df") {
     val nDocs = Tables.documents(spark, sf).count()
     val out = q("text_tfidf_top_terms").cache()
