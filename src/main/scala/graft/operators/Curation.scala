@@ -393,6 +393,44 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** SOURCE-OVERLAP MATRIX: pairwise token-set Jaccard between corpus
+    * sources — the composition diagnostic run before fixing mixture
+    * weights (two sources with near-1 overlap are mirrors and should not
+    * both get full weight; near-0 overlap marks genuinely new material).
+    * Group-level set similarity, the complement of the document-level
+    * dedup tier.
+    *
+    * Shape: distinct (source, token-hash) — the vocabulary projection,
+    * orders of magnitude smaller than the corpus — then a self-equi-join
+    * on the 8-byte hash ([[Dedup]]'s candidate-join discipline; fan-out
+    * per token is bounded by the SOURCE count, not the corpus). At 100 TB
+    * add a document-frequency cap so ubiquitous stopword tokens don't
+    * dominate the join, exactly as the shingle pipeline prescribes.
+    */
+  def sourceOverlapMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = Tables.loadSpread(spark, sfDir, "documents")
+      .select(col("source"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).alias("tok"))
+      .select(col("source"),
+        graft.functions.TextFunctions.md5Hash60(col("tok")).alias("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheLifecycle.tracked)
+    val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).alias("n"))
+    vocab.alias("a")
+      .join(vocab.alias("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").alias("source_a"), col("b.source").alias("source_b"))
+      .agg(count(lit(1)).alias("n_common"))
+      .join(sizes.alias("sa"), col("source_a") === col("sa.source"))
+      .join(sizes.alias("sb"), col("source_b") === col("sb.source"))
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        col("sa.n").alias("n_a"), col("sb.n").alias("n_b"),
+        (col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
+          .alias("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** The FULL curation pipeline as one declarative plan — what a
     * training-data run actually executes between raw corpus and
     * tokenization: drop near-dup non-survivors (MinHash+LSH verified
@@ -554,6 +592,23 @@ object Curation {
         |FROM ranked r JOIN targets USING (lang)
         |WHERE sample_rank <= target_l
         |ORDER BY doc_id""".stripMargin,
+    "source_overlap_matrix" ->
+      """WITH vocab AS (
+        |  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |sizes AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM vocab GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |         CAST(count(*) AS BIGINT) AS n_common
+        |  FROM vocab a JOIN vocab b
+        |    ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_common, sa.n AS n_a, sb.n AS n_b,
+        |       n_common / (sa.n + sb.n - n_common) AS jaccard
+        |FROM inter JOIN sizes sa ON source_a = sa.source
+        |           JOIN sizes sb ON source_b = sb.source
+        |ORDER BY source_a, source_b""".stripMargin,
     "docs_token_budget_mix" ->
       s"""WITH budgets AS (
          |  SELECT lang,
@@ -592,6 +647,7 @@ object Curation {
     "docs_denylist_redact"      -> denylistRedact _,
     "docs_temperature_mix"      -> temperatureMix _,
     "docs_token_budget_mix"     -> tokenBudgetMix _,
+    "source_overlap_matrix"     -> sourceOverlapMatrix _,
     "orders_above_customer_avg" -> ordersAboveCustomerAvg _,
   )
 }

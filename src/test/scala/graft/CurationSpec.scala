@@ -101,6 +101,24 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("source overlap matrix covers every source pair with bounded jaccard") {
+    val rows = q("source_overlap_matrix").collect()
+    val nSources = Tables.documents(spark, sf)
+      .select("source").distinct().count().toInt
+    // the synthetic corpus shares vocabulary across sources, so every
+    // unordered pair intersects and the matrix is complete
+    assert(rows.length == nSources * (nSources - 1) / 2,
+      s"expected all pairs of $nSources sources, got ${rows.length}")
+    rows.foreach { r =>
+      val (common, na, nb, j) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(r.getString(0) < r.getString(1), "pair not canonically ordered")
+      assert(common >= 1 && common <= math.min(na, nb))
+      assert(j > 0.0 && j <= 1.0)
+      assert(j == common.toDouble / (na + nb - common))
+    }
+  }
+
   test("docs_decontaminate_exact: no benchmark docs, hits bounded by shingle count") {
     val benchIds = Tables.documents(spark, sf)
       .filter(col("source") === "src0")
