@@ -2,11 +2,11 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: replicate the Bench measurement loop exactly (sibling-SF
-  * warm-up, clearCache, timed loop in registry iteration order) but print
-  * per-query seconds in RUN order, to separate per-query cost from
-  * run-position cost (JIT, GC, cache rebuilds landing on early queries).
-  * Not part of the driver contract.
+/** Dev tool: replicate the Bench measurement loop exactly (bench-SF
+  * warm-up + cache reset, then a timed loop in registry iteration order)
+  * but print per-query seconds in RUN order, to separate per-query cost
+  * from run-position cost (JIT, GC, cache rebuilds landing on early
+  * queries). Not part of the driver contract.
   */
 object BenchOrder {
   def main(args: Array[String]): Unit = {
@@ -19,17 +19,13 @@ object BenchOrder {
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // warm-up dir derived exactly like Bench: smallest SIBLING sf* dir
-    val warmDir = Option(new java.io.File(sfDir).getParentFile)
-      .toSeq
-      .flatMap(p => Option(p.listFiles).toSeq.flatten)
-      .filter(f => f.isDirectory && f.getName.startsWith("sf") &&
-        f.getAbsolutePath != new java.io.File(sfDir).getAbsolutePath)
-      .sortBy(f => scala.util.Try(f.getName.stripPrefix("sf").toDouble)
-        .getOrElse(Double.MaxValue))
-      .headOption.map(_.toString)
-    warmDir.foreach(dir => SparkEntry.queries.valuesIterator.foreach(fn =>
-      try fn(spark, dir).count() catch { case _: Throwable => }))
+    // warm-up + reset mirror Bench v3: warm at the BENCH SF itself (AQE
+    // and broadcast plans are input-size-specific, so sibling-SF warm-up
+    // leaves the first timed loop paying bench-SF codegen), then release
+    // every session-cached intermediate so the timed loop rebuilds them
+    SparkEntry.queries.valuesIterator.foreach(fn =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => })
+    CacheLifecycle.unpersistAll()
     spark.catalog.clearCache()
     var i = 0
     val t00 = System.nanoTime()
