@@ -139,6 +139,52 @@ object Stats {
       .orderBy("bucket")
   }
 
+  /** GROUPED equi-depth quartiles — [[orderPriceEquidepth]] generalized
+    * to per-group binning (`ntile(4) OVER (PARTITION BY status ...)`),
+    * the form feature engineering actually uses: bucket boundaries per
+    * segment, not global. Same de-skew construction with the group key
+    * prepended everywhere: offsets come from a (status × shard) aggregate
+    * (broadcast), ranks from (status, shard)-partitioned windows, and the
+    * per-group row total joins back by the group key — so a Zipfian group
+    * distribution still never produces a single-task per-group sort.
+    */
+  def orderPriceQuartilesByStatus(spark: SparkSession, sfDir: String): DataFrame = {
+    val nBuckets = 4
+    val shardCents = 100000L
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus").alias("order_status"),
+        col("o_totalprice"),
+        Deterministic.quantize(col("o_totalprice"), 2).alias("cents"))
+      .withColumn("shard", expr(s"cents div $shardCents"))
+    val offsets = base.groupBy(col("order_status"), col("shard"))
+      .agg(count(lit(1)).alias("n_shard"))
+      .withColumn("shard_offset",
+        sum(col("n_shard")).over(
+          Window.partitionBy(col("order_status")).orderBy(col("shard")))
+          - col("n_shard"))
+      .select(col("order_status"), col("shard"), col("shard_offset"))
+    val totals = base.groupBy(col("order_status"))
+      .agg(count(lit(1)).alias("n_total"))
+    base
+      .withColumn("shard_rank", row_number().over(
+        Window.partitionBy(col("order_status"), col("shard"))
+          .orderBy(col("cents").asc, col("o_orderkey").asc)))
+      .join(broadcast(offsets), Seq("order_status", "shard"))
+      .withColumn("r", col("shard_offset") + col("shard_rank"))
+      .join(broadcast(totals), Seq("order_status"))
+      .withColumn("q", expr(s"n_total div $nBuckets"))
+      .withColumn("rem", col("n_total") % nBuckets)
+      .withColumn("bucket", expr(
+        s"""CASE WHEN r <= rem * (q + 1) THEN (r - 1) div (q + 1) + 1
+           |     ELSE rem + ((r - rem * (q + 1) - 1) div q) + 1 END""".stripMargin))
+      .groupBy(col("order_status"), col("bucket"))
+      .agg(count(lit(1)).alias("n_orders"),
+        min(col("o_totalprice")).alias("min_price"),
+        max(col("o_totalprice")).alias("max_price"),
+        Deterministic.exactSum(col("o_totalprice"), 2).alias("total_revenue"))
+      .orderBy("order_status", "bucket")
+  }
+
   /** Deterministic mode: most frequent order priority per status
     * (ties broken by priority string ascending).
     */
@@ -435,6 +481,19 @@ object Stats {
          |       max(o_totalprice) AS max_price,
          |       ${Deterministic.exactSumSql("o_totalprice", 2)} AS total_revenue
          |FROM ranked GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "order_price_quartiles_by_status" ->
+      s"""WITH ranked AS (
+         |  SELECT o_orderstatus AS order_status, o_orderkey, o_totalprice,
+         |         ntile(4) OVER (PARTITION BY o_orderstatus
+         |           ORDER BY CAST(round(o_totalprice * 1e2) AS BIGINT) ASC,
+         |                    o_orderkey ASC) AS bucket
+         |  FROM orders)
+         |SELECT order_status, CAST(bucket AS BIGINT) AS bucket,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       min(o_totalprice) AS min_price,
+         |       max(o_totalprice) AS max_price,
+         |       ${Deterministic.exactSumSql("o_totalprice", 2)} AS total_revenue
+         |FROM ranked GROUP BY 1, 2 ORDER BY order_status, bucket""".stripMargin,
     "orders_mode_priority" ->
       """WITH counts AS (
         |  SELECT o_orderstatus AS order_status, o_orderpriority AS mode_priority,
@@ -486,6 +545,7 @@ object Stats {
     "range_join_price_band"  -> rangeJoinPriceBand _,
     "order_price_histogram"  -> orderPriceHistogram _,
     "order_price_equidepth"  -> orderPriceEquidepth _,
+    "order_price_quartiles_by_status" -> orderPriceQuartilesByStatus _,
     "orders_mode_priority"   -> ordersModePriority _,
     "lineitem_corr"          -> lineitemCorr _,
     "sales_grouping_sets"    -> salesGroupingSets _,

@@ -57,6 +57,25 @@ class StatsSpec extends SparkSpec {
         s"bucket ${i + 1} overlaps bucket $i")
   }
 
+  test("grouped quartiles: ntile discipline holds independently per status") {
+    val rows = q("order_price_quartiles_by_status").collect()
+    val statusCounts = Tables.orders(spark, sf)
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.groupBy(_.getString(0)).keySet == statusCounts.keySet)
+    for ((status, rs) <- rows.groupBy(_.getString(0))) {
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to 4L), s"$status buckets")
+      val sizes = sorted.map(_.getLong(2))
+      assert(sizes.max - sizes.min <= 1, s"$status depth skew")
+      assert(sizes.sameElements(sizes.sortBy(-(_: Long))), s"$status remainder order")
+      assert(sizes.sum == statusCounts(status), s"$status total")
+      for (i <- 1 until sorted.length)
+        assert(sorted(i).getDouble(3) >= sorted(i - 1).getDouble(4) - 0.01,
+          s"$status bucket ${i + 1} overlaps")
+    }
+  }
+
   test("priority intervals losslessly compact the order stream (SCD2 invariants)") {
     val iv = q("customer_priority_intervals").collect()
     // per-customer order counts reconcile
