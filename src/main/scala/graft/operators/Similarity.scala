@@ -362,6 +362,79 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** PRODUCT QUANTIZATION + ADC recall — the third rung of the ANN
+    * compression ladder ([[sq8RecallAt5]] compresses the SCORE precision,
+    * IVF prunes CANDIDATES; PQ compresses the VECTORS to m=8 one-byte
+    * codes and scores them without decompression). Codebooks are the
+    * deterministic `vec_id % 499` corpus subsample per 8-dim subspace (no
+    * trained model to store); every corpus subvector is encoded as its
+    * nearest codebook entry by exact integer L2 (the `qnorm2(c) − 2·q·c`
+    * form — the subvector's own norm is constant under the argmin);
+    * queries stay exact and scoring is ASYMMETRIC-DISTANCE: a per-query
+    * lookup table of (subspace, code) → exact partial dot, so each
+    * corpus vector costs m table hits instead of a 64-dim product — the
+    * memory-bandwidth shape that serves billion-vector indexes from RAM.
+    * Every quantity is an exact integer until the final cosine division,
+    * and [[knnBrute]] pins the recall@5 like the other ANN reports.
+    *
+    * Measured finding the report exists to pin: on the UNSTRUCTURED
+    * synthetic fixture, 64 dims → 8 bytes keeps only ~4% of top-5
+    * neighbors (and a Lloyd-refined codebook does no better — verified:
+    * random data has no subspace cluster structure for PQ to exploit).
+    * Real embedding corpora are strongly clustered and recover most
+    * recall; either way, a codebook or m/k change surfaces here as a
+    * CORRECTNESS diff instead of silent quality drift.
+    *
+    * Scale shape: encoding is the N·m·k broadcast nested loop (k bounded
+    * by the subsample rate); the LUT is |Q|·m·k and rides a broadcast;
+    * ADC is one join on the (subspace, code) key + a (query, vec)
+    * partial-aggregated sum. Nothing ever shuffles the embedding arrays.
+    */
+  def pqAdcRecallAt5(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = quantized(spark, sfDir)
+    val subs = base.select(col("vec_id"), col("n2"),
+      posexplode(expr("transform(sequence(0, 7), j -> slice(v, j * 8 + 1, 8))"))
+        .as(Seq("j", "sv")))
+    val cb = subs.filter(col("vec_id") % 499 === 0)
+      .select(col("j"), col("vec_id").alias("c_id"), col("sv").alias("cv"))
+    val codes = subs.join(broadcast(cb), Seq("j"))
+      .select(col("vec_id"), col("j"), col("c_id"),
+        (V.qnorm2(col("cv")) - lit(2) * V.qdot(col("sv"), col("cv"))).alias("d"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("d"), col("c_id"))).alias("m"))
+      .select(col("vec_id"), col("j"), col("m.c_id").alias("code"))
+    val lut = subs.filter(col("vec_id") < 10)
+      .select(col("vec_id").alias("query_id"), col("j"), col("sv").alias("qsv"))
+      .join(broadcast(cb), Seq("j"))
+      .select(col("query_id"), col("j"), col("c_id").alias("code"),
+        V.qdot(col("qsv"), col("cv")).alias("pdot"),
+        V.qnorm2(col("cv")).alias("cn2"))
+    val adc = codes.join(broadcast(lut), Seq("j", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pdot")).alias("adc_dot"), sum(col("cn2")).alias("recon_n2"))
+    val qn2 = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").alias("query_id"), col("n2").alias("qn2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_cos").desc, col("vec_id").asc)
+    val top5 = adc.join(broadcast(qn2), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").alias("neighbor_id"),
+        (col("adc_dot").cast("double")
+          / (sqrt(col("qn2")) * sqrt(col("recon_n2")))).alias("adc_cos"),
+        col("vec_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).alias("hit"))
+    knnBrute(spark, sfDir).select(col("query_id"), col("neighbor_id"))
+      .join(top5, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).alias("n_exact"),
+        coalesce(sum(col("hit")), lit(0L)).alias("n_hits"))
+      .select(col("query_id"), col("n_exact"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_exact")).alias("recall_at_5"))
+      .orderBy("query_id")
+  }
+
   /** Squared Euclidean distance between two double arrays — narrow
     * higher-order expressions (rewritten to the codegen'd dot-product
     * expression where the graft extensions are installed).
@@ -617,6 +690,59 @@ object Similarity {
          |       CAST((SELECT count(*) FROM ls) AS BIGINT) AS n_pairs_lsh,
          |       CAST((SELECT count(*) FROM ls) AS DOUBLE)
          |         / (SELECT count(*) FROM ex) AS recall""".stripMargin,
+    "pq_adc_recall_at_5" ->
+      s"""WITH $quantizedSql,
+         |subs AS (
+         |  SELECT vec_id, n2, CAST(j AS INT) AS j,
+         |         list_slice(v, CAST(j AS INT) * 8 + 1, CAST(j AS INT) * 8 + 8) AS sv
+         |  FROM qn, range(8) t(j)),
+         |cb AS (
+         |  SELECT j, vec_id AS c_id, sv AS cv FROM subs WHERE vec_id % 499 = 0),
+         |enc AS (
+         |  SELECT s.vec_id, s.j, c.c_id,
+         |         row_number() OVER (PARTITION BY s.vec_id, s.j
+         |           ORDER BY ${V.qnorm2Sql("c.cv", 8)}
+         |                      - 2 * ${V.qdotSql("s.sv", "c.cv", 8)} ASC,
+         |                    c.c_id ASC) AS rn
+         |  FROM subs s JOIN cb c ON s.j = c.j),
+         |codes AS (SELECT vec_id, j, c_id AS code FROM enc WHERE rn = 1),
+         |lut AS (
+         |  SELECT q.vec_id AS query_id, c.j, c.c_id AS code,
+         |         ${V.qdotSql("q.sv", "c.cv", 8)} AS pdot,
+         |         ${V.qnorm2Sql("c.cv", 8)} AS cn2
+         |  FROM subs q JOIN cb c ON q.j = c.j
+         |  WHERE q.vec_id < 10),
+         |adc AS (
+         |  SELECT l.query_id, k.vec_id,
+         |         CAST(sum(pdot) AS BIGINT) AS adc_dot,
+         |         CAST(sum(cn2) AS BIGINT) AS recon_n2
+         |  FROM codes k JOIN lut l ON k.j = l.j AND k.code = l.code
+         |  WHERE k.vec_id != l.query_id
+         |  GROUP BY 1, 2),
+         |pq AS (
+         |  SELECT query_id, vec_id AS neighbor_id FROM (
+         |    SELECT a.query_id, a.vec_id,
+         |           row_number() OVER (PARTITION BY a.query_id
+         |             ORDER BY CAST(a.adc_dot AS DOUBLE)
+         |                        / (sqrt(q.n2) * sqrt(a.recon_n2)) DESC,
+         |                      a.vec_id ASC) AS rank
+         |    FROM adc a JOIN qn q ON q.vec_id = a.query_id)
+         |  WHERE rank <= 5),
+         |brute AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY a.vec_id
+         |             ORDER BY $qdotAB / (sqrt(a.n2) * sqrt(b.n2)) DESC,
+         |                      b.vec_id ASC) AS rank
+         |    FROM qn a JOIN qn b ON a.vec_id < 10 AND b.vec_id != a.vec_id)
+         |  WHERE rank <= 5)
+         |SELECT b.query_id AS query_id,
+         |       CAST(count(*) AS BIGINT) AS n_exact,
+         |       CAST(count(p.neighbor_id) AS BIGINT) AS n_hits,
+         |       CAST(count(p.neighbor_id) AS DOUBLE) / count(*) AS recall_at_5
+         |FROM brute b LEFT JOIN pq p
+         |  ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+         |GROUP BY 1 ORDER BY query_id""".stripMargin,
     "sq8_recall_at_5" ->
       s"""WITH $quantizedSql,
          |q8s AS (
@@ -678,6 +804,7 @@ object Similarity {
     "ann_recall_report"       -> annRecallReport _,
     "ivf_recall_at_5"         -> ivfRecallAt5 _,
     "sq8_recall_at_5"         -> sq8RecallAt5 _,
+    "pq_adc_recall_at_5"      -> pqAdcRecallAt5 _,
     "similar_pairs_per_label" -> pairsPerLabel _,
   )
 }

@@ -63,7 +63,9 @@ class PlanHygieneSpec extends SparkSpec {
       "copurchase_triangles",
       // hierarchy shares and pareto: grand totals ride one-row broadcasts
       // (ratio-to-report shape)
-      "revenue_share_hierarchy", "brand_revenue_pareto")
+      "revenue_share_hierarchy", "brand_revenue_pareto",
+      // PQ recall embeds the brute-force baseline it is measured against
+      "pq_adc_recall_at_5")
     for ((name, plan) <- executedPlans if !allowed(name)) {
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name unexpectedly plans a BroadcastNestedLoopJoin:\n${plan.take(800)}")

@@ -101,6 +101,21 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum > 0, "SQ8 recall is zero everywhere")
   }
 
+  test("pq adc recall: rows well-formed; 8-byte codes recover signal over 64 dims") {
+    val rows = q("pq_adc_recall_at_5").collect()
+    assert(rows.length == q("knn_brute_cosine")
+      .select("query_id").distinct().count().toInt)
+    rows.foreach { r =>
+      val (nExact, nHits, recall) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nExact == 5L)
+      assert(nHits >= 0L && nHits <= nExact)
+      assert(recall == nHits.toDouble / nExact)
+    }
+    // 8 one-byte codes per 64-dim vector is a lossy 8x compression; zero
+    // recall everywhere would mean broken encoding, not lossy scoring
+    assert(rows.map(_.getLong(2)).sum > 0, "PQ/ADC recall is zero everywhere")
+  }
+
   test("multi-probe IVF recall dominates nprobe=1 for every query") {
     def pairs(name: String) = q(name).select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
