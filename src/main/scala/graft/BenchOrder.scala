@@ -27,9 +27,15 @@ object BenchOrder {
       try fn(spark, sfDir).count() catch { case _: Throwable => })
     CacheLifecycle.unpersistAll()
     spark.catalog.clearCache()
+    // optional args: restrict the timed loop to the named queries (the
+    // warm-up above still covers the full registry, so isolation timings
+    // run over warm code and cold caches exactly like a full loop)
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
     var i = 0
     val t00 = System.nanoTime()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query must not print a normal-looking timing
       val status =

@@ -68,6 +68,8 @@ object ZOrder {
     * as-is; downstream predicates on either dimension skip most files.
     */
   def cluster(df: DataFrame, a: Column, b: Column, numFiles: Int): DataFrame = {
+    require(!df.columns.contains("__zorder"),
+      "input already has a __zorder column; rename it before clustering")
     val code = morton32(a, b).alias("__zorder")
     df.withColumn("__zorder", code)
       .repartitionByRange(numFiles, col("__zorder"))

@@ -426,7 +426,9 @@ object Curation {
       .join(sizes.alias("sb"), col("source_b") === col("sb.source"))
       .select(col("source_a"), col("source_b"), col("n_common"),
         col("sa.n").alias("n_a"), col("sb.n").alias("n_b"),
-        (col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
+        // reference the UNDERLYING columns, not the sibling aliases —
+        // sibling references resolve only via lateral-column-alias support
+        (col("n_common") / (col("sa.n") + col("sb.n") - col("n_common")))
           .alias("jaccard"))
       .orderBy("source_a", "source_b")
   }

@@ -486,7 +486,7 @@ object Relational {
         |per_region AS (
         |  SELECT region_name, SUM(nq) AS rq FROM per_nation GROUP BY 1),
         |total AS (SELECT SUM(nq) AS tq FROM per_nation)
-        |SELECT nation_name, n.region_name AS region_name,
+        |SELECT n.region_name AS region_name, nation_name,
         |       CAST(CAST(nq AS BIGINT) / 1e2 AS DOUBLE) AS revenue,
         |       CAST(CAST(nq AS BIGINT) AS DOUBLE)
         |         / CAST(CAST(rq AS BIGINT) AS DOUBLE) AS share_of_region,

@@ -295,18 +295,28 @@ object Similarity {
     * the cell-bounded recall loss the IVF scaladoc admits becomes a
     * number the harness pins.
     */
-  def ivfRecallAt5(spark: SparkSession, sfDir: String): DataFrame = {
-    val brute = knnBrute(spark, sfDir).select(col("query_id"), col("neighbor_id"))
-    val ivf = ivfAnn(spark, sfDir)
-      .select(col("query_id"), col("neighbor_id"), lit(1L).alias("hit"))
-    brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+  def ivfRecallAt5(spark: SparkSession, sfDir: String): DataFrame =
+    recallAt5Against(spark, sfDir,
+      ivfAnn(spark, sfDir).select(col("query_id"), col("neighbor_id")),
+      countName = "n_brute")
+
+  /** Shared recall@5 tail of every per-query ANN/compression report:
+    * left-join an approximate top-5 pair set against the brute-force
+    * baseline ([[knnBrute]]) and emit per-query hit counts. `countName`
+    * preserves each report's registered baseline-count column name (the
+    * oracle contract pins it per query).
+    */
+  private def recallAt5Against(spark: SparkSession, sfDir: String,
+      approxTop5: DataFrame, countName: String): DataFrame =
+    knnBrute(spark, sfDir).select(col("query_id"), col("neighbor_id"))
+      .join(approxTop5.withColumn("hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
-      .agg(count(lit(1)).alias("n_brute"),
+      .agg(count(lit(1)).alias(countName),
         coalesce(sum(col("hit")), lit(0L)).alias("n_hits"))
-      .select(col("query_id"), col("n_brute"), col("n_hits"),
-        (col("n_hits").cast("double") / col("n_brute")).alias("recall_at_5"))
+      .select(col("query_id"), col(countName), col("n_hits"),
+        (col("n_hits").cast("double") / col(countName)).alias("recall_at_5"))
       .orderBy("query_id")
-  }
 
   /** INT8 SCALAR QUANTIZATION (SQ8) of the verified integer embeddings:
     * per-vector scale s = max|x| (floored at 1 so a zero vector maps to
@@ -351,15 +361,8 @@ object Similarity {
           .alias("cos8"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
-      .select(col("query_id"), col("neighbor_id"), lit(1L).alias("hit"))
-    knnBrute(spark, sfDir).select(col("query_id"), col("neighbor_id"))
-      .join(top8, Seq("query_id", "neighbor_id"), "left")
-      .groupBy(col("query_id"))
-      .agg(count(lit(1)).alias("n_exact"),
-        coalesce(sum(col("hit")), lit(0L)).alias("n_hits"))
-      .select(col("query_id"), col("n_exact"), col("n_hits"),
-        (col("n_hits").cast("double") / col("n_exact")).alias("recall_at_5"))
-      .orderBy("query_id")
+      .select(col("query_id"), col("neighbor_id"))
+    recallAt5Against(spark, sfDir, top8, countName = "n_exact")
   }
 
   /** PRODUCT QUANTIZATION + ADC recall — the third rung of the ANN
@@ -424,15 +427,8 @@ object Similarity {
         col("vec_id"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
-      .select(col("query_id"), col("neighbor_id"), lit(1L).alias("hit"))
-    knnBrute(spark, sfDir).select(col("query_id"), col("neighbor_id"))
-      .join(top5, Seq("query_id", "neighbor_id"), "left")
-      .groupBy(col("query_id"))
-      .agg(count(lit(1)).alias("n_exact"),
-        coalesce(sum(col("hit")), lit(0L)).alias("n_hits"))
-      .select(col("query_id"), col("n_exact"), col("n_hits"),
-        (col("n_hits").cast("double") / col("n_exact")).alias("recall_at_5"))
-      .orderBy("query_id")
+      .select(col("query_id"), col("neighbor_id"))
+    recallAt5Against(spark, sfDir, top5, countName = "n_exact")
   }
 
   /** Squared Euclidean distance between two double arrays — narrow
@@ -542,6 +538,20 @@ object Similarity {
 
   private def qdotAB = V.qdotSql("a.v", "b.v", Dim)
 
+  /** Shared brute-force top-5 CTE (assumes `qn` is in scope) — spliced
+    * into every recall-report oracle so the baseline definition cannot
+    * drift between them.
+    */
+  private lazy val bruteTop5Cte =
+    s"""brute AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |             ORDER BY $qdotAB / (sqrt(a.n2) * sqrt(b.n2)) DESC,
+       |                      b.vec_id ASC) AS rank
+       |    FROM qn a JOIN qn b ON a.vec_id < 10 AND b.vec_id != a.vec_id)
+       |  WHERE rank <= 5)""".stripMargin
+
   /** DuckDB twin of [[assignedCells]] — keep in sync. */
   private lazy val cellsSql =
     s"""cents AS (
@@ -644,14 +654,7 @@ object Similarity {
     "ivf_recall_at_5" ->
       s"""WITH $quantizedSql,
          |$cellsSql,
-         |brute AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |           row_number() OVER (PARTITION BY a.vec_id
-         |             ORDER BY $qdotAB / (sqrt(a.n2) * sqrt(b.n2)) DESC,
-         |                      b.vec_id ASC) AS rank
-         |    FROM qn a JOIN qn b ON a.vec_id < 10 AND b.vec_id != a.vec_id)
-         |  WHERE rank <= 5),
+         |$bruteTop5Cte,
          |queries AS (
          |  SELECT vec_id AS query_id, v AS qv, n2 AS qn2, cell AS qcell
          |  FROM cells WHERE vec_id < 10),
@@ -728,14 +731,7 @@ object Similarity {
          |                      a.vec_id ASC) AS rank
          |    FROM adc a JOIN qn q ON q.vec_id = a.query_id)
          |  WHERE rank <= 5),
-         |brute AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |           row_number() OVER (PARTITION BY a.vec_id
-         |             ORDER BY $qdotAB / (sqrt(a.n2) * sqrt(b.n2)) DESC,
-         |                      b.vec_id ASC) AS rank
-         |    FROM qn a JOIN qn b ON a.vec_id < 10 AND b.vec_id != a.vec_id)
-         |  WHERE rank <= 5)
+         |$bruteTop5Cte
          |SELECT b.query_id AS query_id,
          |       CAST(count(*) AS BIGINT) AS n_exact,
          |       CAST(count(p.neighbor_id) AS BIGINT) AS n_hits,
@@ -756,14 +752,7 @@ object Similarity {
          |           CAST(round(CAST(x AS DOUBLE) * 127.0 / s) AS BIGINT)) AS v8
          |  FROM q8s),
          |q8n AS (SELECT vec_id, v8, ${V.qnorm2Sql("v8", Dim)} AS n28 FROM q8),
-         |brute AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |           row_number() OVER (PARTITION BY a.vec_id
-         |             ORDER BY $qdotAB / (sqrt(a.n2) * sqrt(b.n2)) DESC,
-         |                      b.vec_id ASC) AS rank
-         |    FROM qn a JOIN qn b ON a.vec_id < 10 AND b.vec_id != a.vec_id)
-         |  WHERE rank <= 5),
+         |$bruteTop5Cte,
          |sq AS (
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

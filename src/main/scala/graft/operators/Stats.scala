@@ -104,39 +104,63 @@ object Stats {
     * oracle produces. Output: 10 buckets with count, exact price bounds,
     * and exact-cents revenue.
     */
-  def orderPriceEquidepth(spark: SparkSession, sfDir: String): DataFrame = {
-    val nBuckets = 10
-    val shardCents = 100000L // $1k coarse ranges — monotone in the sort key
-    val base = Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"), col("o_totalprice"),
+  def orderPriceEquidepth(spark: SparkSession, sfDir: String): DataFrame =
+    shardRankedDepthBuckets(equidepthBase(spark, sfDir), Nil, nBuckets = 10)
+
+  /** Shared (o_orderkey, o_totalprice, cents, shard) projection of the
+    * equi-depth family: $1k coarse cent ranges — data-independent and
+    * monotone in the (cents, order_key) sort order, so shards are
+    * contiguous runs of it.
+    */
+  private def equidepthBase(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
         Deterministic.quantize(col("o_totalprice"), 2).alias("cents"))
-      .withColumn("shard", expr(s"cents div $shardCents"))
-    val offsets = base.groupBy(col("shard"))
+      .withColumn("shard", expr("cents div 100000"))
+
+  /** Shared shard-ranked equi-depth core, parameterized on the group key
+    * (empty = one global histogram). Offsets come from a (group × shard)
+    * aggregate — one row per OCCUPIED shard, bounded by the price domain,
+    * so the only group-partitioned (or unpartitioned, in the global case)
+    * running sum is over that tiny table and never the fact; ranks run
+    * per (group, shard); per-group totals ride a broadcast. The ntile
+    * bucket is then pure integer arithmetic on (rank, total) — the
+    * SQL-standard remainder-first distribution.
+    */
+  private def shardRankedDepthBuckets(base: DataFrame, groupCols: Seq[String],
+      nBuckets: Int): DataFrame = {
+    val gc = groupCols.map(col)
+    val offsets = base.groupBy(gc :+ col("shard"): _*)
       .agg(count(lit(1)).alias("n_shard"))
-      // one row per occupied shard — the unpartitioned running sum is over
-      // that bounded aggregate, never the fact table
       .withColumn("shard_offset",
-        sum(col("n_shard")).over(Window.orderBy(col("shard"))) - col("n_shard"))
-      .select(col("shard"), col("shard_offset"))
-    val total = base.agg(count(lit(1)).alias("n_total"))
-    base
+        sum(col("n_shard")).over(
+          Window.partitionBy(gc: _*).orderBy(col("shard")))
+          - col("n_shard"))
+      .select(gc :+ col("shard") :+ col("shard_offset"): _*)
+    val totals =
+      if (groupCols.isEmpty) base.agg(count(lit(1)).alias("n_total"))
+      else base.groupBy(gc: _*).agg(count(lit(1)).alias("n_total"))
+    val ranked = base
       .withColumn("shard_rank", row_number().over(
-        Window.partitionBy(col("shard"))
+        Window.partitionBy(gc :+ col("shard"): _*)
           .orderBy(col("cents").asc, col("o_orderkey").asc)))
-      .join(broadcast(offsets), Seq("shard"))
+      .join(broadcast(offsets), groupCols :+ "shard")
       .withColumn("r", col("shard_offset") + col("shard_rank"))
-      .crossJoin(broadcast(total))
+    val withTotal =
+      if (groupCols.isEmpty) ranked.crossJoin(broadcast(totals))
+      else ranked.join(broadcast(totals), groupCols)
+    withTotal
       .withColumn("q", expr(s"n_total div $nBuckets"))
       .withColumn("rem", col("n_total") % nBuckets)
       .withColumn("bucket", expr(
         s"""CASE WHEN r <= rem * (q + 1) THEN (r - 1) div (q + 1) + 1
            |     ELSE rem + ((r - rem * (q + 1) - 1) div q) + 1 END""".stripMargin))
-      .groupBy(col("bucket"))
+      .groupBy(gc :+ col("bucket"): _*)
       .agg(count(lit(1)).alias("n_orders"),
         min(col("o_totalprice")).alias("min_price"),
         max(col("o_totalprice")).alias("max_price"),
         Deterministic.exactSum(col("o_totalprice"), 2).alias("total_revenue"))
-      .orderBy("bucket")
+      .orderBy(gc :+ col("bucket"): _*)
   }
 
   /** GROUPED equi-depth quartiles — [[orderPriceEquidepth]] generalized
@@ -148,42 +172,11 @@ object Stats {
     * per-group row total joins back by the group key — so a Zipfian group
     * distribution still never produces a single-task per-group sort.
     */
-  def orderPriceQuartilesByStatus(spark: SparkSession, sfDir: String): DataFrame = {
-    val nBuckets = 4
-    val shardCents = 100000L
-    val base = Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"), col("o_orderstatus").alias("order_status"),
-        col("o_totalprice"),
-        Deterministic.quantize(col("o_totalprice"), 2).alias("cents"))
-      .withColumn("shard", expr(s"cents div $shardCents"))
-    val offsets = base.groupBy(col("order_status"), col("shard"))
-      .agg(count(lit(1)).alias("n_shard"))
-      .withColumn("shard_offset",
-        sum(col("n_shard")).over(
-          Window.partitionBy(col("order_status")).orderBy(col("shard")))
-          - col("n_shard"))
-      .select(col("order_status"), col("shard"), col("shard_offset"))
-    val totals = base.groupBy(col("order_status"))
-      .agg(count(lit(1)).alias("n_total"))
-    base
-      .withColumn("shard_rank", row_number().over(
-        Window.partitionBy(col("order_status"), col("shard"))
-          .orderBy(col("cents").asc, col("o_orderkey").asc)))
-      .join(broadcast(offsets), Seq("order_status", "shard"))
-      .withColumn("r", col("shard_offset") + col("shard_rank"))
-      .join(broadcast(totals), Seq("order_status"))
-      .withColumn("q", expr(s"n_total div $nBuckets"))
-      .withColumn("rem", col("n_total") % nBuckets)
-      .withColumn("bucket", expr(
-        s"""CASE WHEN r <= rem * (q + 1) THEN (r - 1) div (q + 1) + 1
-           |     ELSE rem + ((r - rem * (q + 1) - 1) div q) + 1 END""".stripMargin))
-      .groupBy(col("order_status"), col("bucket"))
-      .agg(count(lit(1)).alias("n_orders"),
-        min(col("o_totalprice")).alias("min_price"),
-        max(col("o_totalprice")).alias("max_price"),
-        Deterministic.exactSum(col("o_totalprice"), 2).alias("total_revenue"))
-      .orderBy("order_status", "bucket")
-  }
+  def orderPriceQuartilesByStatus(spark: SparkSession, sfDir: String): DataFrame =
+    shardRankedDepthBuckets(
+      equidepthBase(spark, sfDir)
+        .withColumnRenamed("o_orderstatus", "order_status"),
+      Seq("order_status"), nBuckets = 4)
 
   /** Deterministic mode: most frequent order priority per status
     * (ties broken by priority string ascending).
