@@ -336,8 +336,17 @@ object Relational {
 
   /** Testable core of [[copurchasePartPairs]]: (l_orderkey, l_partkey) →
     * per-pair co-occurrence counts, baskets capped at [[MaxBasketSize]].
+    * Session-persisted ([[graft.CacheLifecycle]] discipline, like the
+    * dedup shingle table): the basket collect + pair explode is the
+    * expensive stage shared by the top-k pairs query and the triangle
+    * census — one computation per session, not one per consumer.
     */
-  private[graft] def basketPairCounts(items: DataFrame): DataFrame = {
+  private[graft] def basketPairCounts(items: DataFrame): DataFrame =
+    basketPairCountsUncached(items)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheLifecycle.tracked)
+
+  private[graft] def basketPairCountsUncached(items: DataFrame): DataFrame = {
     val baskets = items
       .groupBy(col("l_orderkey"))
       .agg(slice(sort_array(collect_set(col("l_partkey"))), 1, MaxBasketSize)
