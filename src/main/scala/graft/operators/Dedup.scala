@@ -200,7 +200,13 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").alias("doc_a"), col("b.doc_id").alias("doc_b"))
       .distinct()
+    // the verified pair set anchors five registered queries (its own row,
+    // survivors, clusters, the curation pipeline and funnel) — persist
+    // the tiny result so the band join + exact verify runs once per
+    // session; tracked for release via [[unpersistAll]]
     verifyCandidates(sh, candidates)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(tracked)
   }
 
   /** PREFIX-FILTERED exact Jaccard join (the ppjoin/ssjoin family) — a

@@ -70,6 +70,11 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .orderBy("query_id", "rank")
+      // the brute baseline anchors every recall report (IVF, SQ8, PQ) as
+      // well as its own registry row — persist the 50-row result so the
+      // |Q|·N scoring pass runs once per session; tracked for release
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheLifecycle.tracked)
   }
 
   /** Deterministic sign-random-projection plane weights (6 planes → 64
@@ -155,6 +160,12 @@ object Similarity {
       .withColumn("rn", row_number().over(w0))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("n2"), col("c_id").alias("cell"))
+      // the N·C assignment feeds four registered queries (both IVF probes,
+      // the Lloyd step, the IVF recall report) — session-persist it like
+      // [[quantized]] so the nested-loop scoring runs once, not per
+      // consumer; tracked for release via CacheLifecycle
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheLifecycle.tracked)
   }
 
   /** Shared IVF probe path, parameterized on `nprobe`: each query vector
