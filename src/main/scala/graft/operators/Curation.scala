@@ -181,6 +181,10 @@ object Curation {
         (col("n_overlap") / col("n_shingles")).alias("contamination"))
       .filter(col("contamination") >= ContaminationThreshold)
       .orderBy("doc_id")
+      // three registered consumers (own row, pipeline, funnel) — the
+      // corpus probe join runs once per session; tracked for release
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheLifecycle.tracked)
   }
 
   /** EXACT-SUBSTRING decontamination (the 13-gram rule): flag corpus
@@ -224,6 +228,10 @@ object Curation {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).alias("n_hit_13grams"))
       .orderBy("doc_id")
+      // three registered consumers (own row, pipeline, funnel) — the
+      // 13-gram probe join runs once per session; tracked for release
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheLifecycle.tracked)
   }
 
   /** Repetition-based QUALITY metrics per document (the Gopher-style
@@ -257,6 +265,10 @@ object Curation {
           col("top_token_frac") <= QualityTopTokenFracMax &&
           col("dup_bigram_frac") <= QualityDupBigramFracMax)
       .orderBy("doc_id")
+      // three registered consumers (own row, pipeline, funnel) — the
+      // token-level quality pass runs once per session; tracked for release
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheLifecycle.tracked)
   }
 
   /** Denylist terms masked before training (the same stateless-map shape

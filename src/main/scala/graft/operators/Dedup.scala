@@ -107,6 +107,10 @@ object Dedup {
       .join(sizes.alias("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         col("sa.n").alias("n_a"), col("sb.n").alias("n_b"))
+      // the exhaustive candidate join feeds both the Jaccard and the
+      // containment rows — one self-join per session; tracked for release
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(tracked)
   }
 
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
