@@ -372,16 +372,25 @@ object Relational {
     * co-occurrence is noise, and it also keeps the edge set (and thus the
     * wedge join) orders of magnitude below the raw pair graph.
     *
-    * Shape: the classic two-join distributed triangle count, made safe by
-    * ORIENTING edges a<b — each wedge (a<b<c) is enumerated exactly once
-    * at its middle vertex and closed by one hash join against the edge
-    * set, so no triangle is ever double-counted and the join fan-out is
-    * Σ deg² over the THRESHOLDED graph (the production refinement at
-    * extreme skew is degree-based orientation, which bounds fan-out by
-    * arboricity). Wedge totals come from a degree aggregate, not the
-    * join. The edge set is persisted once and read by all three join
-    * legs plus the degree pass; the single-row aggregates ride one-row
-    * broadcasts (funnel-report pattern).
+    * Shape: the classic two-join distributed triangle count with
+    * DEGREE-BASED ORIENTATION (the compact-forward scheme from the
+    * published triangle-listing literature): every edge is directed from
+    * its lower-(degree, id) endpoint to the higher, wedges are enumerated
+    * only at a vertex's OUT-neighbours, and closed by one hash join
+    * against the oriented edge set. Every triangle {x,y,z} has a unique
+    * minimum vertex in the (degree, id) total order whose two out-edges
+    * form the one enumerated wedge, so no triangle is double-counted —
+    * the same invariant the previous id-only orientation gave, but with
+    * fan-out Σ outdeg² bounded by O(m·arboricity) instead of Σ deg²: a
+    * power-law hub (retail co-purchase graphs have them) has huge
+    * in-degree yet tiny out-degree, because almost all its edges point
+    * INTO it from lower-degree neighbours. RelationalSpec plants a
+    * 10³-degree hub and asserts the enumerated wedge fan-out stays
+    * bounded while Σ deg² would be ~10⁶. Orientation never changes the
+    * triangle SET, so the DuckDB oracle is unchanged. Wedge totals come
+    * from a degree aggregate, not the join. The oriented edge set is
+    * persisted once and read by all three join legs; the single-row
+    * aggregates ride one-row broadcasts (funnel-report pattern).
     */
   def copurchaseTriangles(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = basketPairCounts(Tables.lineitem(spark, sfDir)
@@ -390,16 +399,17 @@ object Relational {
       .select(col("part_a"), col("part_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheLifecycle.tracked)
-    val wedgeTotal = edges
+    val degrees = edges
       .select(explode(array(col("part_a"), col("part_b"))).alias("node"))
       .groupBy(col("node")).agg(count(lit(1)).alias("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheLifecycle.tracked)
+    val wedgeTotal = degrees
       .agg(sum(expr("d * (d - 1) div 2")).alias("n_wedges"))
-    val triangles = edges.alias("e1")
-      .join(edges.alias("e2"), col("e1.part_b") === col("e2.part_a"))
-      .join(edges.alias("e3"),
-        col("e3.part_a") === col("e1.part_a") &&
-          col("e3.part_b") === col("e2.part_b"))
-      .agg(count(lit(1)).alias("n_triangles"))
+    val oriented = orientByDegree(edges, degrees)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheLifecycle.tracked)
+    val triangles = countTrianglesOriented(oriented)
     edges.agg(count(lit(1)).alias("n_edges"))
       .crossJoin(broadcast(wedgeTotal))
       .crossJoin(broadcast(triangles))
@@ -408,6 +418,47 @@ object Relational {
           .otherwise(lit(3.0) * col("n_triangles") / col("n_wedges"))
           .alias("clustering_coeff"))
   }
+
+  /** Direct each undirected edge (part_a < part_b by id) from its
+    * lower-(degree, id) endpoint to the higher. `degrees` is the
+    * node→degree table of the SAME edge set. Output columns:
+    * `src`, `dst`, and `dst_ord` = struct(d_dst, dst) — the total-order
+    * key of the head, kept so the wedge self-join can order a vertex's
+    * out-neighbours without re-joining degrees. Two key-equi joins
+    * against the degree table (node-keyed shuffles, never broadcast —
+    * the node set is unbounded at corpus scale); ties in degree fall
+    * back to the id, so the order is total and the orientation acyclic.
+    */
+  private[graft] def orientByDegree(edges: DataFrame, degrees: DataFrame): DataFrame = {
+    val withD = edges
+      .join(degrees.select(col("node").alias("part_a"), col("d").alias("d_a")), "part_a")
+      .join(degrees.select(col("node").alias("part_b"), col("d").alias("d_b")), "part_b")
+    val ordA = struct(col("d_a").cast("bigint").alias("deg"),
+      col("part_a").cast("bigint").alias("id"))
+    val ordB = struct(col("d_b").cast("bigint").alias("deg"),
+      col("part_b").cast("bigint").alias("id"))
+    val aFirst = ordA < ordB
+    withD.select(
+      when(aFirst, col("part_a")).otherwise(col("part_b")).alias("src"),
+      when(aFirst, col("part_b")).otherwise(col("part_a")).alias("dst"),
+      when(aFirst, ordB).otherwise(ordA).alias("dst_ord"))
+  }
+
+  /** Two-join triangle count over a degree-oriented edge set (columns
+    * `src`, `dst`, `dst_ord` as produced by [[orientByDegree]]). Wedges
+    * pair a vertex's out-neighbours in `dst_ord` order — fan-out is
+    * Σ outdeg(v)², arboricity-bounded — and close against the oriented
+    * edge whose direction is forced by the same total order (the lower
+    * `dst_ord` endpoint must be the tail), so one equi-join probe per
+    * wedge finds the closing edge iff the triangle exists.
+    */
+  private[graft] def countTrianglesOriented(oriented: DataFrame): DataFrame =
+    oriented.alias("e1")
+      .join(oriented.alias("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst_ord") < col("e2.dst_ord"))
+      .join(oriented.alias("e3"),
+        col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
+      .agg(count(lit(1)).alias("n_triangles"))
 
   val oracles: Map[String, String] = Map(
     "copurchase_triangles" ->

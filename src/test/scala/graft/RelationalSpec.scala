@@ -38,4 +38,40 @@ class RelationalSpec extends SparkSpec {
     val revs = rows.map(_.getDouble(2))
     assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
   }
+
+  test("degree orientation bounds wedge fan-out on a planted 10³-degree hub") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Adversarial skew: hub 0 touches spokes 1..1000 (undirected degree
+    // 10³), plus one triangle among spokes {1,2,3}. Id-orientation would
+    // enumerate all C(1000,2) ≈ 5·10⁵ hub wedges in ONE task; degree
+    // orientation points every hub edge INTO the hub, so its out-degree
+    // is 0 and the enumerated wedge count collapses to the handful at
+    // the low-degree spokes.
+    val hubEdges  = (1L to 1000L).map(i => (0L, i))
+    val spokeTris = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val edges = (hubEdges ++ spokeTris).toDF("part_a", "part_b")
+    val degrees = edges
+      .select(explode(array(col("part_a"), col("part_b"))).alias("node"))
+      .groupBy(col("node")).agg(count(lit(1)).alias("d"))
+    val oriented = graft.operators.Relational.orientByDegree(edges, degrees)
+
+    // triangles: hub-1-2, hub-2-3, hub-1-3, 1-2-3
+    val tri = graft.operators.Relational.countTrianglesOriented(oriented).collect()
+    assert(tri.length == 1 && tri(0).getLong(0) == 4L, s"triangles: ${tri.mkString}")
+
+    // orientation sanity: every edge present exactly once, hub never a tail
+    assert(oriented.count() == 1003L)
+    assert(oriented.filter(col("src") === 0L).count() == 0L, "hub must have out-degree 0")
+
+    // the skew bound itself: enumerated wedges Σ outdeg·(outdeg-1)/2 stays
+    // tiny although the undirected wedge total is ≥ C(1000,2)
+    val outdegs = oriented.groupBy(col("src")).agg(count(lit(1)).alias("od"))
+      .select(col("od")).as[Long].collect()
+    assert(outdegs.max <= 4L, s"max out-degree ${outdegs.max} — fan-out not bounded")
+    val enumerated = outdegs.map(d => d * (d - 1) / 2).sum
+    val undirected = 1000L * 999L / 2
+    assert(enumerated < 20L,
+      s"enumerated $enumerated wedges; id-orientation would pay >= $undirected")
+  }
 }
