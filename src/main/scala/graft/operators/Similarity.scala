@@ -147,7 +147,7 @@ object Similarity {
     * one broadcast nested-loop, map-side only, then a per-vector argmax
     * window keyed by vec_id (uniform key — no skew).
     */
-  private def assignedCells(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def assignedCells(spark: SparkSession, sfDir: String): DataFrame = {
     val base = quantized(spark, sfDir)
     val cents = base.filter(col("vec_id") % 97 === 0)
       .select(col("vec_id").alias("c_id"), col("v").alias("cv"), col("n2").alias("cn2"))
@@ -159,9 +159,11 @@ object Similarity {
           .alias("c_score"))
       .withColumn("rn", row_number().over(w0))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("n2"), col("c_id").alias("cell"))
-      // the N·C assignment feeds four registered queries (both IVF probes,
-      // the Lloyd step, the IVF recall report) — session-persist it like
+      .select(col("vec_id"), col("v"), col("n2"), col("c_id").alias("cell"),
+        col("c_score"))
+      // the N·C assignment feeds five registered queries (both IVF probes,
+      // the Lloyd step, the IVF recall report, semantic dedup) —
+      // session-persist it like
       // [[quantized]] so the nested-loop scoring runs once, not per
       // consumer; tracked for release via CacheLifecycle
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -547,6 +549,71 @@ object Similarity {
       .orderBy("label", "rank")
   }
 
+  /** Intra-cell semantic near-dup candidate pairs — the SemDeDup
+    * candidate step: two vectors are compared ONLY if they share an IVF
+    * cell ([[assignedCells]]), so the self-join is an equi-join on the
+    * cell id, never the all-pairs cross product ([[nearDupPairs]] is the
+    * exhaustive differential baseline; the SimilaritySpec subset test
+    * pins that cell restriction only PRUNES, never invents, pairs).
+    * Threshold matches the near-dup queries (0.4) so the two ladders are
+    * directly comparable.
+    */
+  private[graft] def semanticDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = assignedCells(spark, sfDir)
+    val a = cells.select(col("cell"),
+      col("vec_id").alias("vec_a"), col("v").alias("va"), col("n2").alias("na"))
+    val b = cells.select(col("cell"),
+      col("vec_id").alias("vec_b"), col("v").alias("vb"), col("n2").alias("nb"))
+    a.join(b, Seq("cell")).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        V.qcosineFrom(V.qdot(col("va"), col("vb")), col("na"), col("nb")).alias("cos_sim"))
+      .filter(col("cos_sim") >= 0.4)
+  }
+
+  /** SEMANTIC DEDUP — the SemDeDup pipeline shape from the public
+    * literature (cluster embeddings, drop all-but-one per semantic
+    * group), composed from machinery that is each already oracle-pinned:
+    * IVF cell assignment ([[assignedCells]]) buckets the corpus,
+    * [[semanticDupPairs]] thresholds cosine within cells, the pair graph
+    * feeds the O(log diameter) doubling connected components
+    * ([[Dedup.connectedComponents]]), and each semantic cluster keeps the
+    * member FARTHEST from its cell centroid (lowest centroid cosine,
+    * vec_id tie-break) — the diversity-preserving representative rule:
+    * near-identical embeddings collapse onto their most outlying
+    * exemplar. Output: one row per multi-member cluster with the rep and
+    * the retired count.
+    *
+    * 100 TB posture: candidates are cell-bucketed (equi-join on cell id,
+    * never all-pairs — the scale property SemDeDup exists for), the
+    * cluster map is orders of magnitude smaller than the corpus, the rep
+    * rank window partitions by cluster (small by construction), and the
+    * corpus embeddings never shuffle — only (vec_id, cell, score)
+    * projections move.
+    */
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = semanticDupPairs(spark, sfDir)
+    val edges = pairs.select(explode(array(
+        struct(col("vec_a").alias("src"), col("vec_b").alias("dst")),
+        struct(col("vec_b").alias("src"), col("vec_a").alias("dst")))).alias("e"))
+      .select(col("e.src").alias("src"), col("e.dst").alias("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheLifecycle.tracked)
+    val (labels, _) = Dedup.connectedComponents(edges)
+    val byOutlier = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("c_score").asc, col("vec_id").asc)
+    labels.select(col("node").alias("vec_id"), col("label").alias("cluster_id"))
+      .join(assignedCells(spark, sfDir).select(col("vec_id"), col("c_score")),
+        Seq("vec_id"))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .withColumn("rn", row_number().over(byOutlier))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("vec_id").alias("rep_vec_id"),
+        col("c_score").alias("rep_centroid_sim"), col("n_members"),
+        (col("n_members") - 1).alias("n_dropped"))
+      .orderBy("cluster_id")
+  }
+
   private def qdotAB = V.qdotSql("a.v", "b.v", Dim)
 
   /** Shared brute-force top-5 CTE (assumes `qn` is in scope) — spliced
@@ -569,14 +636,42 @@ object Similarity {
        |  SELECT vec_id AS c_id, v AS cv, n2 AS cn2 FROM qn WHERE vec_id % 97 = 0),
        |assign AS (
        |  SELECT a.vec_id, a.v, a.n2, c.c_id,
+       |         ${V.qdotSql("a.v", "c.cv", Dim)} / (sqrt(a.n2) * sqrt(c.cn2)) AS c_score,
        |         row_number() OVER (PARTITION BY a.vec_id ORDER BY
        |           ${V.qdotSql("a.v", "c.cv", Dim)} / (sqrt(a.n2) * sqrt(c.cn2)) DESC,
        |           c.c_id ASC) AS rn
        |  FROM qn a CROSS JOIN cents c),
        |cells AS (
-       |  SELECT vec_id, v, n2, c_id AS cell FROM assign WHERE rn = 1)""".stripMargin
+       |  SELECT vec_id, v, n2, c_id AS cell, c_score FROM assign WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "semantic_dedup" ->
+      s"""WITH RECURSIVE $quantizedSql,
+         |$cellsSql,
+         |sp AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM cells a JOIN cells b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE $qdotAB / (sqrt(a.n2) * sqrt(b.n2)) >= 0.4),
+         |edges AS (
+         |  SELECT vec_a AS src, vec_b AS dst FROM sp
+         |  UNION SELECT vec_b, vec_a FROM sp),
+         |reach AS (
+         |  SELECT src AS node, src AS r FROM edges
+         |  UNION
+         |  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+         |comp AS (
+         |  SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+         |memb AS (
+         |  SELECT c.cluster_id, c.vec_id, cells.c_score,
+         |         CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT)
+         |           AS n_members,
+         |         row_number() OVER (PARTITION BY c.cluster_id
+         |           ORDER BY cells.c_score ASC, c.vec_id ASC) AS rn
+         |  FROM comp c JOIN cells ON c.vec_id = cells.vec_id)
+         |SELECT cluster_id, vec_id AS rep_vec_id, c_score AS rep_centroid_sim,
+         |       n_members, n_members - 1 AS n_dropped
+         |FROM memb WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     "kmeans_lloyd_step" ->
       s"""WITH $quantizedSql,
          |$cellsSql,
@@ -806,5 +901,6 @@ object Similarity {
     "sq8_recall_at_5"         -> sq8RecallAt5 _,
     "pq_adc_recall_at_5"      -> pqAdcRecallAt5 _,
     "similar_pairs_per_label" -> pairsPerLabel _,
+    "semantic_dedup"          -> semanticDedup _,
   )
 }

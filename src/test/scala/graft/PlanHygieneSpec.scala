@@ -65,7 +65,10 @@ class PlanHygieneSpec extends SparkSpec {
       // (ratio-to-report shape)
       "revenue_share_hierarchy", "brand_revenue_pareto",
       // PQ recall embeds the brute-force baseline it is measured against
-      "pq_adc_recall_at_5")
+      "pq_adc_recall_at_5",
+      // semantic dedup reads the IVF cell assignment, which shares the
+      // deliberate broadcast N·C centroid scoring of ivf_ann_cosine
+      "semantic_dedup")
     for ((name, plan) <- executedPlans if !allowed(name)) {
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name unexpectedly plans a BroadcastNestedLoopJoin:\n${plan.take(800)}")

@@ -183,4 +183,49 @@ class SimilaritySpec extends SparkSpec {
     val maxErr = pairs.agg(max(abs(col("dcos") - col("qcos")))).collect()(0).getDouble(0)
     assert(maxErr < 0.01, s"quantization error $maxErr")
   }
+
+  test("semantic dedup: cell pairs are a subset of exhaustive pairs; reps are the cluster outliers") {
+    // (1) candidate soundness: the cell-bucketed pair set never invents a
+    // pair — every semantic-dup pair is also an exhaustive near-dup pair
+    // at the same threshold (cell restriction only PRUNES)
+    val semPairs = graft.operators.Similarity.semanticDupPairs(spark, sf)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val allPairs = q("embedding_near_dup")
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(semPairs.nonEmpty, "fixture should contain intra-cell semantic dups")
+    assert(semPairs.subsetOf(allPairs),
+      s"cell bucketing invented pairs: ${(semPairs -- allPairs).take(5)}")
+
+    // (2) representative rule, checked against an independent driver-side
+    // union-find over the same pair set: one rep per component, and the
+    // rep is the member farthest from its centroid (min c_score, then id)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    semPairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = parent.keys.map(x => (find(x), x)).groupBy(_._1)
+      .map { case (root, xs) => (root, xs.map(_._2).toSet) }
+    val reps = q("semantic_dedup").collect()
+    assert(reps.length == members.size, "one row per semantic cluster")
+    val cScore = graft.operators.Similarity.assignedCells(spark, sf)
+      .select("vec_id", "c_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    reps.foreach { r =>
+      val cluster = r.getLong(0); val rep = r.getLong(1)
+      val m = members(cluster)
+      assert(m.contains(rep), s"rep $rep not a member of cluster $cluster")
+      assert(r.getLong(3) == m.size.toLong, s"n_members mismatch for $cluster")
+      assert(r.getLong(4) == m.size.toLong - 1, s"n_dropped mismatch for $cluster")
+      assert(m.size >= 2, "clusters only exist where at least one pair merged")
+      // outlier rule: rep minimizes (c_score, vec_id) over the cluster
+      val want = m.toSeq.map(v => (cScore(v), v)).min
+      assert((r.getDouble(2), rep) == want,
+        s"cluster $cluster rep ($rep, ${r.getDouble(2)}) != farthest member $want")
+    }
+  }
 }
