@@ -65,15 +65,82 @@ object ZOrder {
   /** Range-cluster `df` into `numFiles` output partitions by the Morton
     * code of two integer-mappable dimensions, sorted within partitions so
     * parquet row-group stats are tight on BOTH columns. Write the result
-    * as-is; downstream predicates on either dimension skip most files.
+    * as-is; downstream predicates on either dimension skip most row
+    * groups (ScalePostureSpec pins the actual scan-level payoff).
+    *
+    * Layout is DETERMINISTIC and DEPTH-BALANCED — the repo's
+    * reproducibility discipline (sampling-based `repartitionByRange`
+    * draws different boundaries run to run), via the same sharded-rank
+    * construction the equi-depth histograms use: a bounded min/max probe
+    * fixes the occupied code span, equal-width coarse shards are monotone
+    * in code order, per-shard counts roll into broadcast offsets, each
+    * row's exact global code rank is shard_offset + local rank, and the
+    * file id is integer ntile arithmetic on that rank — every file gets
+    * n/numFiles ± 1 rows of one contiguous code interval, independent of
+    * code-space density. Files are then routed to their own partition by
+    * a driver-computed probe value whose Murmur3 hash lands exactly on
+    * the file's partition id — identity routing through the stock hash
+    * shuffle, so no two files ever merge.
+    *
+    * Determinism caveat: rows with EQUAL codes (duplicate (a, b)) may
+    * swap across a file boundary between runs — boundaries in code space,
+    * per-file row counts, and bounding boxes are all reproducible; the
+    * assignment of identical rows among them is not ordered further.
+    * Degenerate input (most rows sharing one code value) collapses onto
+    * one coarse shard and ranks it in a single task — the caveat the
+    * Stats machinery documents for value-derived shards.
     */
   def cluster(df: DataFrame, a: Column, b: Column, numFiles: Int): DataFrame = {
-    require(!df.columns.contains("__zorder"),
-      "input already has a __zorder column; rename it before clustering")
-    val code = morton32(a, b).alias("__zorder")
-    df.withColumn("__zorder", code)
-      .repartitionByRange(numFiles, col("__zorder"))
+    require(numFiles >= 1, "numFiles must be positive")
+    Seq("__zorder", "__zshard", "__zrank", "__zroute", "__zn", "__zoff").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already has a $c column; rename it before clustering"))
+    val coded = df.withColumn("__zorder", morton32(a, b))
+    if (numFiles == 1)
+      return coded.coalesce(1).sortWithinPartitions(col("__zorder")).drop("__zorder")
+    val span = coded.agg(min(col("__zorder")), max(col("__zorder"))).head()
+    if (span.isNullAt(0)) return coded.drop("__zorder") // empty input
+    val (lo, hi) = (span.getLong(0), span.getLong(1))
+    // double arithmetic: the signed code span can overflow long; IEEE is
+    // deterministic and coarse boundaries only need to be ~equal-width
+    val coarse = math.max(1024, numFiles * 16)
+    val width = math.max(1.0, (hi.toDouble - lo.toDouble + 1.0) / coarse)
+    val sharded = coded.withColumn("__zshard", least(lit(coarse - 1),
+      floor((col("__zorder").cast("double") - lit(lo.toDouble)) / lit(width))
+        .cast("int")))
+    // per-occupied-shard counts → exclusive running offsets: a tiny table
+    // (≤ coarse rows), so the unpartitioned running-sum window is safe
+    val offsets = sharded.groupBy(col("__zshard"))
+      .agg(count(lit(1)).alias("__zn"))
+      .withColumn("__zoff",
+        sum(col("__zn")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("__zshard"))) - col("__zn"))
+    val total = offsets.agg(sum(col("__zn"))).head().getLong(0)
+    // probe p(f): smallest non-negative long with pmod(murmur3(p), n) = f —
+    // the same hash+pmod the hash shuffle applies, so repartitioning on
+    // the probe column places file f in partition f exactly
+    val probes: Seq[Long] = {
+      val found = new Array[Long](numFiles)
+      val seen = new Array[Boolean](numFiles)
+      var cand = 0L
+      var left = numFiles
+      while (left > 0) {
+        val s = math.floorMod(
+          org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(cand, 42), numFiles)
+        if (!seen(s)) { seen(s) = true; found(s) = cand; left -= 1 }
+        cand += 1
+      }
+      found.toSeq
+    }
+    sharded
+      .withColumn("__zrank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__zshard")).orderBy(col("__zorder"))))
+      .join(broadcast(offsets.select(col("__zshard"), col("__zoff"))), "__zshard")
+      .withColumn("__zroute", element_at(typedlit(probes),
+        expr(s"CAST(((__zoff + __zrank - 1) * $numFiles) div ${total}L AS INT)") + 1))
+      .repartition(numFiles, col("__zroute"))
       .sortWithinPartitions(col("__zorder"))
-      .drop("__zorder")
+      .drop("__zorder", "__zshard", "__zrank", "__zoff", "__zroute")
   }
 }

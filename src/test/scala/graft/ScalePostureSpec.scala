@@ -182,6 +182,52 @@ class ScalePostureSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/orders").count() == base.count())
   }
 
+  test("z-order layout actually prunes the scan: second-dimension predicate reads a fraction of the rows") {
+    import graft.functions.ZOrder
+    // two independent uniform dims; linear layout clusters on x only, so a
+    // y-band predicate can never skip a row group there — the z layout can
+    val n = 1 << 14
+    val base = spark.range(n).select(
+      (col("id") % 1024).alias("x"),
+      ((col("id") * 2654435761L) % 1024).alias("y"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-zprune").toString
+    base.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(s"$dir/linear")
+    ZOrder.cluster(base, col("x"), col("y"), 16)
+      .write.mode("overwrite").parquet(s"$dir/zorder")
+
+    // scan-level rows read (post row-group pruning, pre per-row filter):
+    // the scan node's numOutputRows; AQE off so the executed plan holds
+    // the FileSourceScanExec directly
+    def rowsRead(path: String, pred: org.apache.spark.sql.Column): (Long, Long) = {
+      val df = spark.read.parquet(path).filter(pred)
+      val result = df.collect().length.toLong // executes THIS plan, filling its metrics
+      val scan = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scan.nonEmpty, "expected a FileSourceScanExec leaf")
+      (scan.map(_.metrics("numOutputRows").value).sum, result)
+    }
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val yBand = col("y").between(100, 160)
+      val (linRead, linRows) = rowsRead(s"$dir/linear", yBand)
+      val (zRead, zRows) = rowsRead(s"$dir/zorder", yBand)
+      // same answer either way
+      assert(linRows == zRows && zRows > 0)
+      // linear layout cannot skip anything on y (every file spans all y)
+      assert(linRead == n.toLong, s"linear read $linRead of $n")
+      // the z layout's actual scan skips most row groups on the SECOND dim
+      assert(zRead < linRead / 2,
+        s"z layout read $zRead rows vs linear $linRead — pruning payoff missing")
+      // and a conjunctive band on both dims prunes at least as hard
+      val (zBoth, _) = rowsRead(s"$dir/zorder",
+        col("x").between(100, 160) && yBand)
+      assert(zBoth <= zRead)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("repartitionByRange + sortWithinPartitions writes range-clustered files") {
     val dir = java.nio.file.Files.createTempDirectory("graft-range").toString
     Tables.orders(spark, sf)
