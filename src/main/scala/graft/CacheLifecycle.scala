@@ -29,6 +29,21 @@ object CacheLifecycle {
     df
   }
 
+  /** Persist-or-reuse — the session-persist entry point for every
+    * multi-consumer intermediate (`df.transform(sessionPersist)`). A
+    * re-invoked operator builds a fresh but canonically-equal plan; the
+    * cache manager would serve it from the existing entry anyway, but
+    * calling `persist` again logs 'Asked to cache already cached data'
+    * per invocation and appends a duplicate entry here. The bridge check
+    * makes re-invocations silent no-ops; only the FIRST invocation pins
+    * and registers the frame, and [[unpersistAll]] releases exactly one
+    * entry per distinct plan.
+    */
+  def sessionPersist(df: DataFrame): DataFrame =
+    if (org.apache.spark.sql.GraftSqlBridge.isCached(df)) df
+    else tracked(
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Record a sketch/side-data broadcast for executor-side release.
     * Broadcast blocks otherwise live until driver GC drops the last
     * reference — a long session invoking sketch operators repeatedly

@@ -47,8 +47,7 @@ object Similarity {
       // four similarity queries — one quantization pass per session
       // (cache-manager plan dedup), not one per branch. Lifecycle:
       // tracked for release via CacheLifecycle.unpersistAll.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .transform(graft.CacheLifecycle.tracked)
+      .transform(graft.CacheLifecycle.sessionPersist)
 
   private val quantizedSql =
     s"""q AS (SELECT vec_id, label, ${V.quantize1000Sql("embedding")} AS v
@@ -73,8 +72,7 @@ object Similarity {
       // the brute baseline anchors every recall report (IVF, SQ8, PQ) as
       // well as its own registry row — persist the 50-row result so the
       // |Q|·N scoring pass runs once per session; tracked for release
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .transform(graft.CacheLifecycle.tracked)
+      .transform(graft.CacheLifecycle.sessionPersist)
   }
 
   /** Deterministic sign-random-projection plane weights (6 planes → 64
@@ -131,6 +129,46 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** MULTI-PROBE sign-LSH: each query scores its own bucket PLUS the six
+    * Hamming-1 neighbor buckets (one sign bit flipped) — the standard
+    * recall knob for sign-random-projection LSH, mirroring what nprobe is
+    * for IVF: a near-neighbor that lands just across one hyperplane is
+    * recovered at the cost of probing 7 of 64 buckets; the corpus keeps
+    * its single-bucket assignment and never re-shuffles (probe masks are
+    * distinct, so each corpus vector pairs with a query at most once — no
+    * dedup step). Recall dominance over the single-bucket path is a
+    * THEOREM (superset candidates; a displaced hit is displaced only by a
+    * globally better neighbor) and SimilaritySpec pins it per query.
+    */
+  def annLshMultiprobe(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucketed = quantized(spark, sfDir).withColumn("bucket", bucketCol(col("v")))
+    val masks = typedlit(0L +: (0 until 6).map(i => 1L << i))
+    val probes = bucketed.filter(col("vec_id") < 10)
+      .select(col("vec_id").alias("query_id"), col("v").alias("qv"),
+        col("n2").alias("qn2"),
+        explode(transform(masks, m => col("bucket").bitwiseXOR(m)))
+          .alias("pbucket"))
+    val scored = bucketed.join(broadcast(probes),
+        col("bucket") === col("pbucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").alias("neighbor_id"), col("bucket"),
+        V.qcosineFrom(V.qdot(col("qv"), col("v")), col("qn2"), col("n2")).alias("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Per-query recall@5 of the multi-probe LSH path against the brute
+    * baseline — the registered number that makes the Hamming-1 probe
+    * neighborhood's recall effect a CORRECTNESS row, exactly as
+    * [[ivfRecallAt5]] does for nprobe.
+    */
+  def lshMultiprobeRecallAt5(spark: SparkSession, sfDir: String): DataFrame =
+    recallAt5Against(spark, sfDir,
+      annLshMultiprobe(spark, sfDir).select(col("query_id"), col("neighbor_id")),
+      countName = "n_brute")
+
   /** IVF (inverted-file) ANN: a second scale path beside the LSH buckets.
     * Centroids are a deterministic corpus subsample (`vec_id % 97 == 0` —
     * ~1% of the corpus, no trained model to store); every vector is
@@ -166,8 +204,7 @@ object Similarity {
       // session-persist it like
       // [[quantized]] so the nested-loop scoring runs once, not per
       // consumer; tracked for release via CacheLifecycle
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .transform(graft.CacheLifecycle.tracked)
+      .transform(graft.CacheLifecycle.sessionPersist)
   }
 
   /** Shared IVF probe path, parameterized on `nprobe`: each query vector
@@ -312,6 +349,85 @@ object Similarity {
     recallAt5Against(spark, sfDir,
       ivfAnn(spark, sfDir).select(col("query_id"), col("neighbor_id")),
       countName = "n_brute")
+
+  /** Two Lloyd rounds of cosine k-means refinement over the deterministic
+    * centroid subsample — the centroid-QUALITY recall knob beside nprobe:
+    * better-centered cells put more of each query's true neighbors into
+    * the one probed cell. The round count is FIXED (2) and every updated
+    * centroid is RE-QUANTIZED to integer coordinates (HALF_UP round of
+    * the exact integer-sum mean), so the whole refinement stays inside
+    * the exact-integer-dot discipline and the DuckDB oracle can unroll it
+    * CTE by CTE — the open-ended, convergence-driven production variant
+    * of the same loop is [[kmeansIterate]], whose planted-cluster spec
+    * covers the iteration machinery. Each round is the [[kmeansStep]]
+    * shape: broadcast N·C assignment, (cell, dim) integer-sum shuffle.
+    * Empty cells drop (their centroid attracts nothing).
+    */
+  private[graft] def lloydRefinedCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = quantized(spark, sfDir)
+    var cents = base.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").alias("c_id"), col("v").alias("cv"), col("n2").alias("cn2"))
+    val w0 = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_score").desc, col("c_id").asc)
+    for (_ <- 1 to 2) {
+      val assigned = base.join(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("c_id"),
+          V.qcosineFrom(V.qdot(col("v"), col("cv")), col("n2"), col("cn2"))
+            .alias("c_score"))
+        .withColumn("rn", row_number().over(w0))
+        .filter(col("rn") === 1)
+        .select(col("v"), col("c_id").alias("cell"))
+      cents = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(col("x")).alias("s"), count(lit(1)).alias("n"))
+        .select(col("cell"), struct(col("dim"),
+          round(col("s").cast("double") / col("n")).cast("long").alias("cq"))
+          .alias("dc"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(col("dc"))),
+          x => x.getField("cq")).alias("cv"))
+        .select(col("cell").alias("c_id"), col("cv"),
+          V.qnorm2(col("cv")).alias("cn2"))
+    }
+    cents
+  }
+
+  /** Per-query recall@5 of IVF over the REFINED centroids (nprobe=1) —
+    * registers centroid quality as a measured number the way
+    * [[ivfRecallAt5]] registers the subsample baseline and
+    * [[ivfAnnNprobe2]] registers the probe-width knob; SimilaritySpec
+    * asserts the refinement's mean-recall effect against the subsample.
+    */
+  def ivfRecallRefined(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = lloydRefinedCentroids(spark, sfDir)
+    val base = quantized(spark, sfDir)
+    val w0 = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_score").desc, col("c_id").asc)
+    val cells = base.join(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("n2"), col("c_id"),
+        V.qcosineFrom(V.qdot(col("v"), col("cv")), col("n2"), col("cn2"))
+          .alias("c_score"))
+      .withColumn("rn", row_number().over(w0))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("n2"), col("c_id").alias("cell"))
+      // read twice below (corpus side + query probes) — one assignment pass
+      .transform(graft.CacheLifecycle.sessionPersist)
+    val probes = cells.filter(col("vec_id") < 10)
+      .select(col("vec_id").alias("query_id"), col("v").alias("qv"),
+        col("n2").alias("qn2"), col("cell").alias("qcell"))
+    val scored = cells.join(broadcast(probes),
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").alias("neighbor_id"),
+        V.qcosineFrom(V.qdot(col("qv"), col("v")), col("qn2"), col("n2"))
+          .alias("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    val top5 = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"))
+    recallAt5Against(spark, sfDir, top5, countName = "n_brute")
+  }
 
   /** Shared recall@5 tail of every per-query ANN/compression report:
     * left-join an approximate top-5 pair set against the brute-force
@@ -470,7 +586,9 @@ object Similarity {
     * generation persisted and its predecessor released, generations past
     * `localCheckpointDepth` localCheckpoint'ed instead so the logical
     * plan stops compounding (each round's plan otherwise contains its
-    * predecessor's), with checkpoint blocks released explicitly via
+    * predecessor's several times over — geometric growth, the measured
+    * failure mode documented at [[Dedup.connectedComponents]]; hence the
+    * low default), with checkpoint blocks released explicitly via
     * [[org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint]].
     * Non-convergence inside `maxIter` is a normal training outcome (not
     * an error as in connectedComponents): the caller gets the latest
@@ -480,7 +598,7 @@ object Similarity {
     */
   def kmeansIterate(vectors: DataFrame, initial: DataFrame,
       maxIter: Int = 20, tol: Double = 1e-6,
-      localCheckpointDepth: Int = 5): (DataFrame, Int) = {
+      localCheckpointDepth: Int = 2): (DataFrame, Int) = {
     def materialize(df: DataFrame, round: Int): (DataFrame, () => Unit) =
       graft.CacheLifecycle.materializeGeneration(df, round, localCheckpointDepth)
     var (centroids, release) = materialize(
@@ -596,8 +714,7 @@ object Similarity {
         struct(col("vec_a").alias("src"), col("vec_b").alias("dst")),
         struct(col("vec_b").alias("src"), col("vec_a").alias("dst")))).alias("e"))
       .select(col("e.src").alias("src"), col("e.dst").alias("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .transform(graft.CacheLifecycle.tracked)
+      .transform(graft.CacheLifecycle.sessionPersist)
     val (labels, _) = Dedup.connectedComponents(edges)
     val byOutlier = Window.partitionBy(col("cluster_id"))
       .orderBy(col("c_score").asc, col("vec_id").asc)
@@ -630,6 +747,39 @@ object Similarity {
        |    FROM qn a JOIN qn b ON a.vec_id < 10 AND b.vec_id != a.vec_id)
        |  WHERE rank <= 5)""".stripMargin
 
+  /** DuckDB CTE pair for one cosine-argmax assignment against a centroid
+    * CTE (`c_id`, `cv`, `cn2`) — the building block the refined-IVF
+    * oracle chains; keep in sync with the assignment spelling in
+    * [[lloydRefinedCentroids]]/[[ivfRecallRefined]].
+    */
+  private def refineAssignSql(cteName: String, centsName: String): String =
+    s"""${cteName}_r AS (
+       |  SELECT a.vec_id, a.v, a.n2, c.c_id,
+       |         row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |           ${V.qdotSql("a.v", "c.cv", Dim)} / (sqrt(a.n2) * sqrt(c.cn2)) DESC,
+       |           c.c_id ASC) AS rn
+       |  FROM qn a CROSS JOIN $centsName c),
+       |$cteName AS (
+       |  SELECT vec_id, v, n2, c_id AS cell FROM ${cteName}_r WHERE rn = 1)""".stripMargin
+
+  /** DuckDB CTE chain for one integer-requantized Lloyd centroid update
+    * from an assignment CTE (`vec_id`, `v`, `cell`) — twin of the update
+    * in [[lloydRefinedCentroids]].
+    */
+  private def refineCentsSql(centsName: String, fromCells: String): String =
+    s"""${centsName}_f AS (
+       |  SELECT cell, CAST(i AS INT) AS dim, v[CAST(i AS INT) + 1] AS x
+       |  FROM $fromCells, range($Dim) t(i)),
+       |${centsName}_m AS (
+       |  SELECT cell, dim,
+       |         CAST(round(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+       |  FROM ${centsName}_f GROUP BY 1, 2),
+       |${centsName}_v AS (
+       |  SELECT cell, list(cq ORDER BY dim) AS cv FROM ${centsName}_m GROUP BY 1),
+       |$centsName AS (
+       |  SELECT cell AS c_id, cv, ${V.qnorm2Sql("cv", Dim)} AS cn2
+       |  FROM ${centsName}_v)""".stripMargin
+
   /** DuckDB twin of [[assignedCells]] — keep in sync. */
   private lazy val cellsSql =
     s"""cents AS (
@@ -645,6 +795,82 @@ object Similarity {
        |  SELECT vec_id, v, n2, c_id AS cell, c_score FROM assign WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ann_lsh_multiprobe" ->
+      s"""WITH $quantizedSql,
+         |bucketed AS (
+         |  SELECT vec_id, v, n2, $bucketExprDuck AS bucket FROM qn),
+         |masks AS (SELECT mask FROM (VALUES (0), (1), (2), (4), (8), (16), (32)) m(mask)),
+         |probes AS (
+         |  SELECT vec_id AS query_id, v AS qv, n2 AS qn2,
+         |         xor(bucket, CAST(mask AS BIGINT)) AS pbucket
+         |  FROM bucketed CROSS JOIN masks WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.query_id, b.vec_id AS neighbor_id, b.bucket,
+         |         ${V.qdotSql("q.qv", "b.v", Dim)} / (sqrt(q.qn2) * sqrt(b.n2)) AS cos_sim
+         |  FROM bucketed b JOIN probes q
+         |    ON b.bucket = q.pbucket AND b.vec_id != q.query_id)
+         |SELECT query_id, neighbor_id, bucket, cos_sim,
+         |       CAST(row_number() OVER (PARTITION BY query_id
+         |         ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+         |FROM scored QUALIFY rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+    "lsh_multiprobe_recall_at_5" ->
+      s"""WITH $quantizedSql,
+         |$bruteTop5Cte,
+         |bucketed AS (
+         |  SELECT vec_id, v, n2, $bucketExprDuck AS bucket FROM qn),
+         |masks AS (SELECT mask FROM (VALUES (0), (1), (2), (4), (8), (16), (32)) m(mask)),
+         |probes AS (
+         |  SELECT vec_id AS query_id, v AS qv, n2 AS qn2,
+         |         xor(bucket, CAST(mask AS BIGINT)) AS pbucket
+         |  FROM bucketed CROSS JOIN masks WHERE vec_id < 10),
+         |mp AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, b.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY ${V.qdotSql("q.qv", "b.v", Dim)}
+         |                        / (sqrt(q.qn2) * sqrt(b.n2)) DESC,
+         |                      b.vec_id ASC) AS rank
+         |    FROM bucketed b JOIN probes q
+         |      ON b.bucket = q.pbucket AND b.vec_id != q.query_id)
+         |  WHERE rank <= 5)
+         |SELECT b.query_id AS query_id,
+         |       CAST(count(*) AS BIGINT) AS n_brute,
+         |       CAST(count(m.neighbor_id) AS BIGINT) AS n_hits,
+         |       CAST(count(m.neighbor_id) AS DOUBLE) / count(*) AS recall_at_5
+         |FROM brute b LEFT JOIN mp m
+         |  ON b.query_id = m.query_id AND b.neighbor_id = m.neighbor_id
+         |GROUP BY 1 ORDER BY query_id""".stripMargin,
+    "ivf_recall_refined" ->
+      s"""WITH $quantizedSql,
+         |cents0 AS (
+         |  SELECT vec_id AS c_id, v AS cv, n2 AS cn2 FROM qn WHERE vec_id % 97 = 0),
+         |${refineAssignSql("asg1", "cents0")},
+         |${refineCentsSql("cents1", "asg1")},
+         |${refineAssignSql("asg2", "cents1")},
+         |${refineCentsSql("cents2", "asg2")},
+         |${refineAssignSql("cellsr", "cents2")},
+         |$bruteTop5Cte,
+         |queries AS (
+         |  SELECT vec_id AS query_id, v AS qv, n2 AS qn2, cell AS qcell
+         |  FROM cellsr WHERE vec_id < 10),
+         |ivfr AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, b.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY ${V.qdotSql("q.qv", "b.v", Dim)}
+         |                        / (sqrt(q.qn2) * sqrt(b.n2)) DESC,
+         |                      b.vec_id ASC) AS rank
+         |    FROM cellsr b JOIN queries q
+         |      ON b.cell = q.qcell AND b.vec_id != q.query_id)
+         |  WHERE rank <= 5)
+         |SELECT b.query_id AS query_id,
+         |       CAST(count(*) AS BIGINT) AS n_brute,
+         |       CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+         |       CAST(count(i.neighbor_id) AS DOUBLE) / count(*) AS recall_at_5
+         |FROM brute b LEFT JOIN ivfr i
+         |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         |GROUP BY 1 ORDER BY query_id""".stripMargin,
     "semantic_dedup" ->
       s"""WITH RECURSIVE $quantizedSql,
          |$cellsSql,
@@ -902,5 +1128,8 @@ object Similarity {
     "pq_adc_recall_at_5"      -> pqAdcRecallAt5 _,
     "similar_pairs_per_label" -> pairsPerLabel _,
     "semantic_dedup"          -> semanticDedup _,
+    "ann_lsh_multiprobe"      -> annLshMultiprobe _,
+    "lsh_multiprobe_recall_at_5" -> lshMultiprobeRecallAt5 _,
+    "ivf_recall_refined"      -> ivfRecallRefined _,
   )
 }

@@ -27,6 +27,20 @@ object GraftSqlBridge {
         lr.rdd.unpersist(blocking)
       case _ => ()
     }
+
+  /** True if the cache manager already holds a plan-identical entry for
+    * this frame — the session-persist dedup check: a re-invoked operator
+    * builds a fresh but canonically-equal plan, and persisting it again
+    * would only log 'Asked to cache already cached data' and append a
+    * duplicate lifecycle entry. (`sharedState` is `private[sql]`, hence
+    * the bridge.)
+    */
+  def isCached(df: Dataset[_]): Boolean = (df, df.sparkSession) match {
+    case (d: org.apache.spark.sql.classic.Dataset[_],
+          s: org.apache.spark.sql.classic.SparkSession) =>
+      s.sharedState.cacheManager.lookupCachedData(d).isDefined
+    case _ => false
+  }
 }
 
 /** Mix-in declaring `(array<long>, array<long>)` input types with

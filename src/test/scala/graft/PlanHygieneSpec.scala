@@ -68,7 +68,10 @@ class PlanHygieneSpec extends SparkSpec {
       "pq_adc_recall_at_5",
       // semantic dedup reads the IVF cell assignment, which shares the
       // deliberate broadcast N·C centroid scoring of ivf_ann_cosine
-      "semantic_dedup")
+      "semantic_dedup",
+      // refined-centroid IVF runs the same deliberate N·C assignment per
+      // Lloyd round; the multiprobe recall report embeds the brute baseline
+      "ivf_recall_refined", "lsh_multiprobe_recall_at_5")
     for ((name, plan) <- executedPlans if !allowed(name)) {
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name unexpectedly plans a BroadcastNestedLoopJoin:\n${plan.take(800)}")

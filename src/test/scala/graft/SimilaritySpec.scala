@@ -184,6 +184,46 @@ class SimilaritySpec extends SparkSpec {
     assert(maxErr < 0.01, s"quantization error $maxErr")
   }
 
+  test("multi-probe LSH recall dominates the single-bucket path for every query") {
+    // dominance is a THEOREM here (candidate superset; a brute-top-5 hit
+    // can only be displaced by a neighbor that is itself brute-top-5), so
+    // the assertion is per query, not on the mean
+    val brute = q("knn_brute_cosine").select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(name: String): Map[Long, Int] =
+      q(name).select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.count(brute)).toMap
+    val single = hits("ann_lsh_cosine")
+    val multi = hits("ann_lsh_multiprobe")
+    val report = q("lsh_multiprobe_recall_at_5").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(report.nonEmpty)
+    for ((qid, h) <- report) {
+      assert(h == multi.getOrElse(qid, 0).toLong,
+        s"registered multiprobe recall disagrees with recomputed hits for $qid")
+      assert(h >= single.getOrElse(qid, 0).toLong,
+        s"query $qid: multiprobe hits $h < single-bucket ${single.getOrElse(qid, 0)}")
+    }
+    // and the probe widening actually buys something on this fixture
+    assert(multi.values.sum > single.values.sum)
+  }
+
+  test("refined-centroid IVF recall holds the subsample baseline's level") {
+    // NOT a theorem (Lloyd refinement has no per-query monotonicity, unlike
+    // nprobe's candidate superset) — the spec pins the measured fixture
+    // property: mean recall must not collapse under refinement
+    def mean(name: String): Double = {
+      val rows = q(name).collect()
+      assert(rows.length == 10 && rows.forall(r => r.getLong(2) <= 5L))
+      rows.map(_.getDouble(3)).sum / rows.length
+    }
+    val base = mean("ivf_recall_at_5")
+    val refined = mean("ivf_recall_refined")
+    assert(refined >= base - 0.1,
+      s"refined-centroid mean recall $refined collapsed vs subsample $base")
+  }
+
   test("semantic dedup: cell pairs are a subset of exhaustive pairs; reps are the cluster outliers") {
     // (1) candidate soundness: the cell-bucketed pair set never invents a
     // pair — every semantic-dup pair is also an exhaustive near-dup pair
