@@ -29,7 +29,17 @@ object BenchOrder {
     spark.catalog.clearCache()
     // optional args: restrict the timed loop to the named queries (the
     // warm-up above still covers the full registry, so isolation timings
-    // run over warm code and cold caches exactly like a full loop)
+    // run over warm code and cold caches exactly like a full loop).
+    // Unknown names fail LOUDLY — a silent filter would time an empty or
+    // partial selection and read as a misleadingly fast run
+    val unknown = args.filterNot(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"unknown queries: ${unknown.mkString(", ")} — " +
+          s"valid names:\n  ${SparkEntry.queries.keys.toSeq.sorted.mkString("\n  ")}")
+      spark.stop()
+      sys.exit(2)
+    }
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }

@@ -158,8 +158,7 @@ object Curation {
     // shingle explode a second time. Tracked for release via
     // CacheLifecycle.unpersistAll.
     val benchShingles = exploded.join(bench, Seq("doc_id")).select(col("hs")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .transform(graft.CacheLifecycle.tracked)
+      .transform(graft.CacheLifecycle.sessionPersist)
     // Broadcast only while the benchmark shingle set is actually broadcast-
     // sized. Benchmarks are a fixed corpus by premise, but the premise is
     // an input property, not an invariant — an oversized held-out source
@@ -183,8 +182,7 @@ object Curation {
       .orderBy("doc_id")
       // three registered consumers (own row, pipeline, funnel) — the
       // corpus probe join runs once per session; tracked for release
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .transform(graft.CacheLifecycle.tracked)
+      .transform(graft.CacheLifecycle.sessionPersist)
   }
 
   /** EXACT-SUBSTRING decontamination (the 13-gram rule): flag corpus
@@ -207,8 +205,7 @@ object Curation {
     Tables.loadSpread(spark, sfDir, "documents")
       .select(col("doc_id"), TextFunctions.tokens(col("text")).alias("t"))
       .select(col("doc_id"), TextFunctions.shingles(col("t"), 13).alias("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .transform(graft.CacheLifecycle.tracked)
+      .transform(graft.CacheLifecycle.sessionPersist)
 
   def decontaminateExact(spark: SparkSession, sfDir: String): DataFrame = {
     val bench = Tables.documents(spark, sfDir)
@@ -218,8 +215,7 @@ object Curation {
     val exploded = sh.select(col("doc_id"), explode(col("sh")).alias("s"))
       .select(col("doc_id"), TextFunctions.md5Hash60(col("s")).alias("hs"))
     val benchShingles = exploded.join(bench, Seq("doc_id")).select(col("hs")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .transform(graft.CacheLifecycle.tracked)
+      .transform(graft.CacheLifecycle.sessionPersist)
     val benchSide =
       if (benchShingles.count() <= maxBroadcastKeys(spark)) broadcast(benchShingles)
       else benchShingles
@@ -230,8 +226,7 @@ object Curation {
       .orderBy("doc_id")
       // three registered consumers (own row, pipeline, funnel) — the
       // 13-gram probe join runs once per session; tracked for release
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .transform(graft.CacheLifecycle.tracked)
+      .transform(graft.CacheLifecycle.sessionPersist)
   }
 
   /** Repetition-based QUALITY metrics per document (the Gopher-style
@@ -267,8 +262,7 @@ object Curation {
       .orderBy("doc_id")
       // three registered consumers (own row, pipeline, funnel) — the
       // token-level quality pass runs once per session; tracked for release
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .transform(graft.CacheLifecycle.tracked)
+      .transform(graft.CacheLifecycle.sessionPersist)
   }
 
   /** Denylist terms masked before training (the same stateless-map shape
@@ -418,6 +412,16 @@ object Curation {
     * per token is bounded by the SOURCE count, not the corpus). At 100 TB
     * add a document-frequency cap so ubiquitous stopword tokens don't
     * dominate the join, exactly as the shingle pipeline prescribes.
+    *
+    * Hash-vs-string asymmetry against the oracle: this side compares
+    * md5-60 TOKEN HASHES while the DuckDB twin joins exact token strings,
+    * so a 60-bit collision would deflate a source's vocabulary count (or
+    * inflate n_common) and surface as a hash-mismatch in the harness —
+    * accepted under the same vanishing-probability discipline as
+    * [[Dedup.shingleIntersections]] (~10⁻¹⁸ per pair at fixture
+    * vocabulary sizes); the df-cap note above is also the escape hatch
+    * here, shrinking the joined vocabulary if a colliding corpus ever
+    * materializes.
     */
   def sourceOverlapMatrix(spark: SparkSession, sfDir: String): DataFrame = {
     val vocab = Tables.loadSpread(spark, sfDir, "documents")
@@ -426,8 +430,7 @@ object Curation {
       .select(col("source"),
         graft.functions.TextFunctions.md5Hash60(col("tok")).alias("h"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .transform(graft.CacheLifecycle.tracked)
+      .transform(graft.CacheLifecycle.sessionPersist)
     val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).alias("n"))
     vocab.alias("a")
       .join(vocab.alias("b"),
@@ -500,23 +503,6 @@ object Curation {
         .agg(count(lit(1)).alias("n_quality_fail"))))
       .crossJoin(broadcast(curationPipeline(spark, sfDir)
         .agg(count(lit(1)).alias("n_final"))))
-  }
-
-  /** Orders above their customer's average — the correlated-scalar-
-    * subquery pattern, decorrelated into ONE window pass (no self-join,
-    * no subquery re-scan). The comparison cross-multiplies exact cent
-    * integers (`cents · n > Σcents`) so no division ever happens and the
-    * filter is bit-deterministic in any engine.
-    */
-  def ordersAboveCustomerAvg(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_custkey"))
-    Tables.orders(spark, sfDir)
-      .withColumn("cents", Deterministic.quantize(col("o_totalprice"), 2))
-      .withColumn("n", count(lit(1)).over(w))
-      .withColumn("s", sum(col("cents")).over(w))
-      .filter(col("cents") * col("n") > col("s"))
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      .orderBy("o_orderkey")
   }
 
   val oracles: Map[String, String] = Map(
@@ -639,17 +625,6 @@ object Curation {
          |FROM ranked r JOIN budgets USING (lang)
          |WHERE chars_before < budget_chars
          |ORDER BY doc_id""".stripMargin,
-    "orders_above_customer_avg" ->
-      """WITH c AS (
-        |  SELECT o_orderkey, o_custkey, o_totalprice,
-        |         CAST(round(o_totalprice * 1e2) AS BIGINT) AS cents,
-        |         CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n,
-        |         CAST(sum(CAST(round(o_totalprice * 1e2) AS BIGINT))
-        |              OVER (PARTITION BY o_custkey) AS BIGINT) AS s
-        |  FROM orders)
-        |SELECT o_orderkey, o_custkey, o_totalprice
-        |FROM c WHERE cents * n > s
-        |ORDER BY o_orderkey""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -662,6 +637,5 @@ object Curation {
     "docs_temperature_mix"      -> temperatureMix _,
     "docs_token_budget_mix"     -> tokenBudgetMix _,
     "source_overlap_matrix"     -> sourceOverlapMatrix _,
-    "orders_above_customer_avg" -> ordersAboveCustomerAvg _,
   )
 }

@@ -40,7 +40,6 @@ object Dedup {
 
   private[operators] val JaccardThreshold = 0.8
 
-  import graft.CacheLifecycle.tracked
 
   /** Release every intermediate the library has persisted — see
     * [[graft.CacheLifecycle.unpersistAll]] (drivers iterating sfDirs call
@@ -65,8 +64,7 @@ object Dedup {
       // (spills to disk if not); at 100 TB the same role is played by
       // materializing the shingle table to storage once per corpus rev.
       // Lifecycle: tracked for release via [[unpersistAll]].
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .transform(tracked)
+      .transform(graft.CacheLifecycle.sessionPersist)
 
   /** Exact dedup: one survivor (min doc_id) per identical text. The
     * fixture corpus has no exact duplicates, so n_copies is 1 throughout —
@@ -109,8 +107,7 @@ object Dedup {
         col("sa.n").alias("n_a"), col("sb.n").alias("n_b"))
       // the exhaustive candidate join feeds both the Jaccard and the
       // containment rows — one self-join per session; tracked for release
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .transform(tracked)
+      .transform(graft.CacheLifecycle.sessionPersist)
   }
 
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
@@ -209,8 +206,7 @@ object Dedup {
     // the tiny result so the band join + exact verify runs once per
     // session; tracked for release via [[unpersistAll]]
     verifyCandidates(sh, candidates)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .transform(tracked)
+      .transform(graft.CacheLifecycle.sessionPersist)
   }
 
   /** PREFIX-FILTERED exact Jaccard join (the ppjoin/ssjoin family) — a
@@ -309,8 +305,7 @@ object Dedup {
       // shared by the signature query and the banded pair join (both
       // sides of the self-join) — one signature pass per session;
       // tracked for release via [[unpersistAll]]
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .transform(tracked)
+      .transform(graft.CacheLifecycle.sessionPersist)
 
   def simhash(spark: SparkSession, sfDir: String): DataFrame =
     simhashSigs(spark, sfDir).orderBy("doc_id")
@@ -373,8 +368,7 @@ object Dedup {
         struct(col("doc_a").alias("src"), col("doc_b").alias("dst")),
         struct(col("doc_b").alias("src"), col("doc_a").alias("dst")))).alias("e"))
       .select(col("e.src").alias("src"), col("e.dst").alias("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .transform(tracked)
+      .transform(graft.CacheLifecycle.sessionPersist)
     val (labels, _) = connectedComponents(edges)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
     labels.select(col("node").alias("doc_id"), col("label").alias("cluster_id"))
@@ -411,12 +405,18 @@ object Dedup {
     * edge at fixpoint), so the shortcut is a pure accelerator — the
     * label-sum convergence test below is exact for the combined step.
     *
-    * Lineage stays bounded two ways: early rounds persist (cheap,
+    * Lineage stays bounded two ways: the first rounds persist (cheap,
     * releasable), and past `localCheckpointDepth` rounds the generation is
     * `localCheckpoint`ed instead — persist alone still GROWS the logical
-    * plan every round (each generation's plan contains its predecessor's),
-    * so plan analysis/canonicalization would eventually dwarf the data
-    * work; the checkpoint truncates the plan to the materialized blocks.
+    * plan every round (each generation's plan contains its predecessor's
+    * SIX times over: prop appears thrice in the round plan and holds two
+    * label references plus the edge join), so plan analysis compounds
+    * ~6–12× per persisted round and dwarfs the data work within a few
+    * rounds when the edge plan is itself deep — measured at round 3 over
+    * the semantic-dedup edge plan: 145M plan chars, 48 s for a 178-edge
+    * graph. The checkpoint truncates the plan to the materialized blocks,
+    * so the depth default is 2: one persisted round for cheap replay,
+    * truncation before the geometric growth bites.
     * Superseded generations are released EXPLICITLY each round — including
     * checkpointed ones, whose blocks `Dataset.unpersist` does not free
     * (see [[org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint]]).
@@ -426,7 +426,7 @@ object Dedup {
     * cost of one write per round. Rounds-to-convergence is logged (stderr).
     */
   private[graft] def connectedComponents(edges: DataFrame,
-      maxRounds: Int = 50, localCheckpointDepth: Int = 10): (DataFrame, Int) = {
+      maxRounds: Int = 50, localCheckpointDepth: Int = 2): (DataFrame, Int) = {
     // Round 0 folds initialization and the first propagation hop into ONE
     // aggregation: label = min(node, direct neighbors). Every node appears
     // as some src (edges carry both directions), so the groupBy covers the

@@ -343,8 +343,7 @@ object Relational {
     */
   private[graft] def basketPairCounts(items: DataFrame): DataFrame =
     basketPairCountsUncached(items)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .transform(graft.CacheLifecycle.tracked)
+      .transform(graft.CacheLifecycle.sessionPersist)
 
   private[graft] def basketPairCountsUncached(items: DataFrame): DataFrame = {
     val baskets = items
@@ -397,18 +396,15 @@ object Relational {
         .select(col("l_orderkey"), col("l_partkey")))
       .filter(col("n_orders") >= 2)
       .select(col("part_a"), col("part_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .transform(graft.CacheLifecycle.tracked)
+      .transform(graft.CacheLifecycle.sessionPersist)
     val degrees = edges
       .select(explode(array(col("part_a"), col("part_b"))).alias("node"))
       .groupBy(col("node")).agg(count(lit(1)).alias("d"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .transform(graft.CacheLifecycle.tracked)
+      .transform(graft.CacheLifecycle.sessionPersist)
     val wedgeTotal = degrees
       .agg(sum(expr("d * (d - 1) div 2")).alias("n_wedges"))
     val oriented = orientByDegree(edges, degrees)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .transform(graft.CacheLifecycle.tracked)
+      .transform(graft.CacheLifecycle.sessionPersist)
     val triangles = countTrianglesOriented(oriented)
     edges.agg(count(lit(1)).alias("n_edges"))
       .crossJoin(broadcast(wedgeTotal))
@@ -417,6 +413,23 @@ object Relational {
         when(col("n_wedges") === 0, lit(null).cast("double"))
           .otherwise(lit(3.0) * col("n_triangles") / col("n_wedges"))
           .alias("clustering_coeff"))
+  }
+
+  /** Orders above their customer's average — the correlated-scalar-
+    * subquery pattern, decorrelated into ONE window pass (no self-join,
+    * no subquery re-scan). The comparison cross-multiplies exact cent
+    * integers (`cents · n > Σcents`) so no division ever happens and the
+    * filter is bit-deterministic in any engine.
+    */
+  def ordersAboveCustomerAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+    Tables.orders(spark, sfDir)
+      .withColumn("cents", Deterministic.quantize(col("o_totalprice"), 2))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("cents")).over(w))
+      .filter(col("cents") * col("n") > col("s"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
   }
 
   /** Direct each undirected edge (part_a < part_b by id) from its
@@ -461,6 +474,17 @@ object Relational {
       .agg(count(lit(1)).alias("n_triangles"))
 
   val oracles: Map[String, String] = Map(
+    "orders_above_customer_avg" ->
+      """WITH c AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |         CAST(round(o_totalprice * 1e2) AS BIGINT) AS cents,
+        |         CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(o_totalprice * 1e2) AS BIGINT))
+        |              OVER (PARTITION BY o_custkey) AS BIGINT) AS s
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM c WHERE cents * n > s
+        |ORDER BY o_orderkey""".stripMargin,
     "copurchase_triangles" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -680,6 +704,7 @@ object Relational {
     "nations_union"            -> nationsUnion _,
     "region_priority_matrix"   -> regionPriorityMatrix _,
     "copurchase_part_pairs"    -> copurchasePartPairs _,
+    "orders_above_customer_avg" -> ordersAboveCustomerAvg _,
     "copurchase_triangles"     -> copurchaseTriangles _,
   )
 }
