@@ -675,17 +675,51 @@ object Similarity {
     * pins that cell restriction only PRUNES, never invents, pairs).
     * Threshold matches the near-dup queries (0.4) so the two ladders are
     * directly comparable.
+    *
+    * Skew posture: the join fans out as Σ occupancy² over cells, so cell
+    * SIZE — not corpus size — is the scale lever, and it is a free
+    * parameter: the centroid count scales with the corpus (here the
+    * deterministic 1% subsample, so expected occupancy is a constant
+    * ~100 at any N; production picks k ∝ N the same way). The one input
+    * that defeats any quantizer is a degenerate mass of IDENTICAL
+    * embeddings collapsing into one cell (mirror crawls, default-value
+    * vectors — the embedding-side twin of the mega-basket accident), so
+    * pairing runs behind an EXACT-VECTOR PRE-COLLAPSE: one surviving
+    * representative per distinct quantized vector (min vec_id; one
+    * window over the vector key), duplicates attach to their rep by a
+    * direct edge (cosine 1 by definition — always above threshold), and
+    * only representatives enter the quadratic join. A 10⁵-copy mass
+    * costs 10⁵−1 edges instead of ~5·10⁹ pairs, and the DOWNSTREAM
+    * CLUSTERS ARE UNCHANGED: duplicates are cosine-1 to their rep, so
+    * rep edges reproduce exactly the components the uncollapsed join
+    * would have built (the oracle keeps the uncollapsed spelling;
+    * SimilaritySpec pins both the equivalence on the fixture and the
+    * bounded fan-out on a planted 10³-copy mass). At 100 TB the window
+    * key is the full vector array — swap in xxhash64(v) with a verify
+    * pass if the 512-byte shuffle key ever dominates.
     */
-  private[graft] def semanticDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val cells = assignedCells(spark, sfDir)
-    val a = cells.select(col("cell"),
+  private[graft] def semanticDupPairs(spark: SparkSession, sfDir: String): DataFrame =
+    semanticDupPairsFrom(assignedCells(spark, sfDir))
+
+  /** Testable core of [[semanticDupPairs]] over an assigned-cells frame
+    * (`vec_id`, `v`, `n2`, `cell`).
+    */
+  private[graft] def semanticDupPairsFrom(cells: DataFrame): DataFrame = {
+    val withRep = cells.withColumn("rep_id",
+      min(col("vec_id")).over(Window.partitionBy(col("v"))))
+    val dupEdges = withRep.filter(col("vec_id") =!= col("rep_id"))
+      .select(col("rep_id").alias("vec_a"), col("vec_id").alias("vec_b"),
+        lit(1.0).alias("cos_sim"))
+    val repCells = withRep.filter(col("vec_id") === col("rep_id"))
+    val a = repCells.select(col("cell"),
       col("vec_id").alias("vec_a"), col("v").alias("va"), col("n2").alias("na"))
-    val b = cells.select(col("cell"),
+    val b = repCells.select(col("cell"),
       col("vec_id").alias("vec_b"), col("v").alias("vb"), col("n2").alias("nb"))
     a.join(b, Seq("cell")).filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         V.qcosineFrom(V.qdot(col("va"), col("vb")), col("na"), col("nb")).alias("cos_sim"))
       .filter(col("cos_sim") >= 0.4)
+      .unionByName(dupEdges)
   }
 
   /** SEMANTIC DEDUP — the SemDeDup pipeline shape from the public

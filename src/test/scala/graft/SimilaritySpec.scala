@@ -224,6 +224,37 @@ class SimilaritySpec extends SparkSpec {
       s"refined-centroid mean recall $refined collapsed vs subsample $base")
   }
 
+  test("exact-vector pre-collapse bounds the cell join on a planted 10³-copy mass") {
+    import spark.implicits._
+    // adversarial input: 1000 byte-identical vectors (mirror-crawl shape)
+    // plus two distinct near-neighbors, all in one cell — the uncollapsed
+    // intra-cell join would emit ~C(1000,2) ≈ 5·10⁵ pairs
+    val mass = (0L until 1000L).map(i => (i, Seq.fill(4)(10L), 400L, 7))
+    val others = Seq(
+      (2000L, Seq(10L, 10L, 10L, 9L), 381L, 7),
+      (3000L, Seq(-10L, 10L, -10L, 9L), 381L, 7))
+    val cells = (mass ++ others).toDF("vec_id", "v", "n2", "cell")
+    val pairs = graft.operators.Similarity.semanticDupPairsFrom(cells)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // 999 dup→rep edges + rep pairs among the 3 distinct vectors (bounded
+    // by 3 choose 2), never the 5·10⁵ quadratic blowup
+    assert(pairs.length <= 999 + 3, s"fan-out not bounded: ${pairs.length} pairs")
+    assert(pairs.count { case (a, b) => a == 0L && b < 1000L } == 999,
+      "every duplicate must attach to its representative")
+    // and the duplicates all land in ONE component with the rep: the
+    // pre-collapse changes the edge set, not the clusters
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    assert((0L until 1000L).map(find).toSet.size == 1, "mass must stay one cluster")
+  }
+
   test("semantic dedup: cell pairs are a subset of exhaustive pairs; reps are the cluster outliers") {
     // (1) candidate soundness: the cell-bucketed pair set never invents a
     // pair — every semantic-dup pair is also an exhaustive near-dup pair
