@@ -228,6 +228,23 @@ class ScalePostureSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("z-order cluster degenerate inputs: empty frame and numFiles=1") {
+    import graft.functions.ZOrder
+    val base = spark.range(100).select(
+      (col("id") % 10).alias("x"), (col("id") / 10).alias("y"))
+    // empty input: no min/max to probe — must not throw, must stay empty
+    val empty = ZOrder.cluster(base.filter(col("x") < -1), col("x"), col("y"), 8)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("x", "y"), "helper columns must not leak")
+    // numFiles=1: one partition, sorted by the code, schema unchanged
+    val one = ZOrder.cluster(base, col("x"), col("y"), 1)
+    assert(one.rdd.getNumPartitions == 1)
+    assert(one.count() == 100)
+    assert(one.columns.toSeq == Seq("x", "y"))
+    // row set survives every path
+    assert(ZOrder.cluster(base, col("x"), col("y"), 4).count() == 100)
+  }
+
   test("repartitionByRange + sortWithinPartitions writes range-clustered files") {
     val dir = java.nio.file.Files.createTempDirectory("graft-range").toString
     Tables.orders(spark, sf)
