@@ -92,6 +92,33 @@ object CacheLifecycle {
       (p, () => { p.unpersist(false); () })
     }
 
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Session-memoize a DRIVER-SIDE computation's result frame. Plan-level
+    * cache dedup ([[sessionPersist]]) cannot help an operator whose
+    * construction RUNS a driver loop (connected components, k-means):
+    * a re-invocation replays every round's actions before returning a
+    * plan-identical frame. This caches the returned frame under an
+    * explicit key instead, so the second consumer (e.g. cluster reps
+    * after clusters) skips the loop entirely. Cleared by
+    * [[unpersistAll]] — the memoized frames are typically
+    * localCheckpoint-backed, and a released checkpoint CANNOT be
+    * recomputed (truncated lineage), so holding them across a cache
+    * reset would hand out dead frames.
+    */
+  def memoized(key: String)(build: => DataFrame): DataFrame = {
+    val hit = memo.get(key)
+    if (hit != null) hit
+    else {
+      // no computeIfAbsent: `build` runs Spark actions and must not run
+      // inside the map's lock; a rare duplicate build is harmless
+      val df = build
+      memo.putIfAbsent(key, df)
+      df
+    }
+  }
+
   /** Release every intermediate the library has pinned — persisted frames
     * and sketch broadcasts — non-blocking. Each release is individually
     * guarded: one frame failing to unpersist (e.g. it belongs to an
@@ -100,6 +127,7 @@ object CacheLifecycle {
     * this class exists to prevent.
     */
   def unpersistAll(): Unit = {
+    memo.clear()
     val frameSnapshot = frames.synchronized {
       val s = new java.util.ArrayList[DataFrame](frames)
       frames.clear()

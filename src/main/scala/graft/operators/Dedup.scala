@@ -360,21 +360,25 @@ object Dedup {
     * Singleton documents (no near-dup pair) are excluded — the output is
     * the cluster map, joined back to the corpus by callers as needed.
     */
-  def clusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = minhashLsh(spark, sfDir).select(col("doc_a"), col("doc_b"))
-    // both directions via one explode, NOT union(pairs, pairs.reversed):
-    // a union would evaluate the whole LSH candidate pipeline twice
-    val edges = pairs.select(explode(array(
-        struct(col("doc_a").alias("src"), col("doc_b").alias("dst")),
-        struct(col("doc_b").alias("src"), col("doc_a").alias("dst")))).alias("e"))
-      .select(col("e.src").alias("src"), col("e.dst").alias("dst"))
-      .transform(graft.CacheLifecycle.sessionPersist)
-    val (labels, _) = connectedComponents(edges)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
-    labels.select(col("node").alias("doc_id"), col("label").alias("cluster_id"))
-      .withColumn("n_members", count(lit(1)).over(w))
-      .orderBy("doc_id")
-  }
+  def clusters(spark: SparkSession, sfDir: String): DataFrame =
+    // driver-side memo, not plan-level persist: connectedComponents RUNS
+    // its rounds during construction, so without this the second consumer
+    // (cluster reps) replays the whole loop for a plan-identical result
+    graft.CacheLifecycle.memoized(s"dedup.clusters:$sfDir") {
+      val pairs = minhashLsh(spark, sfDir).select(col("doc_a"), col("doc_b"))
+      // both directions via one explode, NOT union(pairs, pairs.reversed):
+      // a union would evaluate the whole LSH candidate pipeline twice
+      val edges = pairs.select(explode(array(
+          struct(col("doc_a").alias("src"), col("doc_b").alias("dst")),
+          struct(col("doc_b").alias("src"), col("doc_a").alias("dst")))).alias("e"))
+        .select(col("e.src").alias("src"), col("e.dst").alias("dst"))
+        .transform(graft.CacheLifecycle.sessionPersist)
+      val (labels, _) = connectedComponents(edges)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+      labels.select(col("node").alias("doc_id"), col("label").alias("cluster_id"))
+        .withColumn("n_members", count(lit(1)).over(w))
+        .orderBy("doc_id")
+    }
 
   /** Distributed connected components over a SYMMETRIC edge set (both
     * directions present): returns each node labeled with its component's
