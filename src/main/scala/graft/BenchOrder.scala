@@ -19,19 +19,12 @@ object BenchOrder {
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // warm-up + reset mirror Bench v3: warm at the BENCH SF itself (AQE
-    // and broadcast plans are input-size-specific, so sibling-SF warm-up
-    // leaves the first timed loop paying bench-SF codegen), then release
-    // every session-cached intermediate so the timed loop rebuilds them
-    SparkEntry.queries.valuesIterator.foreach(fn =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => })
-    CacheLifecycle.unpersistAll()
-    spark.catalog.clearCache()
     // optional args: restrict the timed loop to the named queries (the
-    // warm-up above still covers the full registry, so isolation timings
+    // warm-up below still covers the full registry, so isolation timings
     // run over warm code and cold caches exactly like a full loop).
     // Unknown names fail LOUDLY — a silent filter would time an empty or
-    // partial selection and read as a misleadingly fast run
+    // partial selection and read as a misleadingly fast run — and BEFORE
+    // the warm-up, so a typo costs nothing instead of a multi-minute loop
     val unknown = args.filterNot(SparkEntry.queries.keySet)
     if (unknown.nonEmpty) {
       System.err.println(
@@ -40,6 +33,14 @@ object BenchOrder {
       spark.stop()
       sys.exit(2)
     }
+    // warm-up + reset mirror Bench v3: warm at the BENCH SF itself (AQE
+    // and broadcast plans are input-size-specific, so sibling-SF warm-up
+    // leaves the first timed loop paying bench-SF codegen), then release
+    // every session-cached intermediate so the timed loop rebuilds them
+    SparkEntry.queries.valuesIterator.foreach(fn =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => })
+    CacheLifecycle.unpersistAll()
+    spark.catalog.clearCache()
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }

@@ -457,9 +457,20 @@ object Dedup {
     // with CacheLifecycle so unpersistAll can free what we return
     def materialize(df: DataFrame, round: Int): (DataFrame, () => Unit) =
       graft.CacheLifecycle.materializeGeneration(df, round, localCheckpointDepth)
+    // The EDGES side of every round's join carries the caller's full
+    // logical plan — persist dedups the DATA but Catalyst still re-analyzes
+    // the whole tree each round, and the round plan references edges in
+    // both the propagation join and round 0. Over a deep edge lineage
+    // (semantic dedup: IVF assignment → pre-collapse window → pair join)
+    // that analysis dwarfs the data work: measured 11.4 s for a 48-edge
+    // graph at sf0.001, 1.1 s after this truncation. One localCheckpoint
+    // at entry makes edges a leaf for every round; its release is
+    // registered with CacheLifecycle (returned labels may reference it).
+    val (flatEdges, _) = graft.CacheLifecycle.materializeGeneration(
+      edges, localCheckpointDepth, localCheckpointDepth)
     // Round 0 folds initialization and the first propagation hop into ONE
     // aggregation (see labelSum note above on the decimal sum).
-    var (labels, release) = materialize(edges.groupBy(col("src"))
+    var (labels, release) = materialize(flatEdges.groupBy(col("src"))
       .agg(min(col("dst")).alias("mn"))
       .select(col("src").alias("node"),
         least(col("mn"), col("src")).alias("label")), 0)
@@ -475,7 +486,7 @@ object Dedup {
     // the fixpoint; the cap only guards against a logic regression
     while (!converged && rounds < maxRounds) {
       // 1-hop propagation
-      val neighborLabels = edges.join(labels, col("dst") === col("node"))
+      val neighborLabels = flatEdges.join(labels, col("dst") === col("node"))
         .select(col("src").alias("node"), col("label"))
       val prop = labels.union(neighborLabels)
         .groupBy(col("node")).agg(min(col("label")).alias("label"))
