@@ -708,25 +708,95 @@ object Similarity {
   private[graft] def semanticDupPairs(spark: SparkSession, sfDir: String): DataFrame =
     semanticDupPairsFrom(assignedCells(spark, sfDir))
 
+  /** Occupancy past which a cell takes the anchor-star decomposition
+    * instead of the all-pairs join — far above the expected ~100 constant
+    * occupancy the 1% centroid subsample yields, so only genuinely
+    * degenerate cells (a near-identical ε-jittered mass the exact
+    * pre-collapse cannot fold) cross it.
+    */
+  private val DenseCellOccupancyCap = 256
+
   /** Testable core of [[semanticDupPairs]] over an assigned-cells frame
     * (`vec_id`, `v`, `n2`, `cell`).
+    *
+    * Cells past `denseCellCap` representatives take the ANCHOR-STAR
+    * decomposition instead of the all-pairs self-join — the guard for the
+    * NEAR-identical adversarial mass (ε-jittered mirror-crawl copies:
+    * distinct vectors, one cell) that the exact pre-collapse cannot fold
+    * and that would otherwise pay occupancy². Each dense cell scores every
+    * member against its anchor (the min-vec_id representative, O(m) work);
+    * members within the cosine threshold of the anchor connect by their
+    * genuine star edge, and pairs where BOTH sides are anchor-adjacent are
+    * OMITTED — they are already connected through the anchor, so the
+    * connected components (the only thing the downstream clustering
+    * consumes) are EXACTLY those of the full quadratic join. Members NOT
+    * anchor-adjacent still compare against every cell member (two
+    * |non-starred|×m equi-joins covering every pair with at least one
+    * non-starred side), so no cross-group edge is lost. Cost: a planted
+    * 10³ ε-jittered mass emits ~10³ star edges instead of ~5·10⁵ pairs
+    * (SimilaritySpec pins the bound and the component equivalence); the
+    * worst case — a dense cell where nothing is anchor-adjacent —
+    * degrades to ~2× the all-pairs join, never worse than O(m·|NS|).
+    * Emitted pairs remain a SUBSET of the genuine threshold pairs (every
+    * edge carries its true cosine), so candidate soundness is unchanged.
     */
-  private[graft] def semanticDupPairsFrom(cells: DataFrame): DataFrame = {
+  private[graft] def semanticDupPairsFrom(cells: DataFrame,
+      denseCellCap: Int = DenseCellOccupancyCap): DataFrame = {
     val withRep = cells.withColumn("rep_id",
       min(col("vec_id")).over(Window.partitionBy(xxhash64(col("v")), col("v"))))
     val dupEdges = withRep.filter(col("vec_id") =!= col("rep_id"))
       .select(col("rep_id").alias("vec_a"), col("vec_id").alias("vec_b"),
         lit(1.0).alias("cos_sim"))
+    // occupancy + anchor in ONE window pass over the cell partitioning the
+    // pair join shuffles on anyway (no orderBy — full-partition frames)
+    val cellW = Window.partitionBy(col("cell"))
     val repCells = withRep.filter(col("vec_id") === col("rep_id"))
-    val a = repCells.select(col("cell"),
+      .select(col("cell"), col("vec_id"), col("v"), col("n2"))
+      .withColumn("occ", count(lit(1)).over(cellW))
+      .withColumn("anchor_id", min(col("vec_id")).over(cellW))
+    val small = repCells.filter(col("occ") <= denseCellCap)
+    val a = small.select(col("cell"),
       col("vec_id").alias("vec_a"), col("v").alias("va"), col("n2").alias("na"))
-    val b = repCells.select(col("cell"),
+    val b = small.select(col("cell"),
       col("vec_id").alias("vec_b"), col("v").alias("vb"), col("n2").alias("nb"))
-    a.join(b, Seq("cell")).filter(col("vec_a") < col("vec_b"))
+    val smallPairs = a.join(b, Seq("cell")).filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         V.qcosineFrom(V.qdot(col("va"), col("vb")), col("na"), col("nb")).alias("cos_sim"))
       .filter(col("cos_sim") >= 0.4)
-      .unionByName(dupEdges)
+    val dense = repCells.filter(col("occ") > denseCellCap)
+    val anchors = dense.filter(col("vec_id") === col("anchor_id"))
+      .select(col("cell"), col("v").alias("av"), col("n2").alias("an2"))
+    // every dense member scored once against its cell anchor: starred ⇔
+    // anchor-adjacent (the anchor itself is trivially starred at cos 1)
+    val flagged = dense.join(anchors, Seq("cell"))
+      .withColumn("a_cos",
+        V.qcosineFrom(V.qdot(col("v"), col("av")), col("n2"), col("an2")))
+      .withColumn("starred",
+        col("vec_id") === col("anchor_id") || col("a_cos") >= 0.4)
+      .select(col("cell"), col("vec_id"), col("v"), col("n2"),
+        col("anchor_id"), col("a_cos"), col("starred"))
+      .transform(graft.CacheLifecycle.sessionPersist)
+    val starEdges = flagged
+      .filter(col("starred") && col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id").alias("vec_a"), col("vec_id").alias("vec_b"),
+        col("a_cos").alias("cos_sim"))
+    val ns = flagged.filter(!col("starred"))
+    // pairs with ≥1 non-starred side, disjointly: (¬st(a), any b) ∪
+    // (st(a), ¬st(b)) — never an m×m join input
+    val nsA = ns.select(col("cell"),
+      col("vec_id").alias("vec_a"), col("v").alias("va"), col("n2").alias("na"))
+    val allB = flagged.select(col("cell"),
+      col("vec_id").alias("vec_b"), col("v").alias("vb"), col("n2").alias("nb"))
+    val stA = flagged.filter(col("starred")).select(col("cell"),
+      col("vec_id").alias("vec_a"), col("v").alias("va"), col("n2").alias("na"))
+    val nsB = ns.select(col("cell"),
+      col("vec_id").alias("vec_b"), col("v").alias("vb"), col("n2").alias("nb"))
+    val densePairs = nsA.join(allB, Seq("cell")).filter(col("vec_a") < col("vec_b"))
+      .unionByName(stA.join(nsB, Seq("cell")).filter(col("vec_a") < col("vec_b")))
+      .select(col("vec_a"), col("vec_b"),
+        V.qcosineFrom(V.qdot(col("va"), col("vb")), col("na"), col("nb")).alias("cos_sim"))
+      .filter(col("cos_sim") >= 0.4)
+    smallPairs.unionByName(densePairs).unionByName(starEdges).unionByName(dupEdges)
   }
 
   /** SEMANTIC DEDUP — the SemDeDup pipeline shape from the public

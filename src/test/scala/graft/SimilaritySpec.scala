@@ -255,6 +255,57 @@ class SimilaritySpec extends SparkSpec {
     assert((0L until 1000L).map(find).toSet.size == 1, "mass must stay one cluster")
   }
 
+  test("dense-cell star decomposition bounds fan-out on a planted 10³ ε-jittered mass") {
+    import spark.implicits._
+    // adversarial input the exact pre-collapse CANNOT fold: 1000 DISTINCT
+    // near-identical vectors (ε-jittered mirror-crawl copies, pairwise
+    // cosine ≈ 1) in one cell, plus two mutually-orthogonal outsiders —
+    // the uncollapsed intra-cell join would emit ~C(1000,2) ≈ 5·10⁵ pairs
+    val mass = (0L until 1000L).map { i =>
+      (i, Seq(1000L, 1000L, 1000L, 1000L + i),
+        3000000L + (1000L + i) * (1000L + i), 7)
+    }
+    val others = Seq(
+      (2000L, Seq(1000L, -1000L, 1000L, -1000L), 4000000L, 7),
+      (3000L, Seq(-1000L, 1000L, -1000L, 1000L), 4000000L, 7))
+    val all = mass ++ others
+    val pairs = graft.operators.Similarity
+      .semanticDupPairsFrom(all.toDF("vec_id", "v", "n2", "cell"))
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the jittered mass is entirely anchor-adjacent → 999 star edges, no
+    // quadratic tail; the outsiders are below threshold to everything
+    assert(pairs.length == 999,
+      s"fan-out not bounded: ${pairs.length} pairs (expected 999 star edges)")
+
+    // exactness: components of the emitted edge set must equal components
+    // of the FULL quadratic threshold graph, computed independently here
+    val vecs = all.map(t => t._1 -> ((t._2.toArray, t._3))).toMap
+    def cos(x: Long, y: Long): Double = {
+      val ((va, na), (vb, nb)) = (vecs(x), vecs(y))
+      val dot = va.zip(vb).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    val ids = all.map(_._1)
+    val fullPairs = for {
+      i <- ids; j <- ids if i < j && cos(i, j) >= 0.4
+    } yield (i, j)
+    def components(es: Seq[(Long, Long)]): Map[Long, Set[Long]] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.toSeq.map(x => (find(x), x)).groupBy(_._1)
+        .map { case (r, xs) => r -> xs.map(_._2).toSet }
+    }
+    assert(components(pairs.toSeq) == components(fullPairs),
+      "star decomposition changed the connected components")
+  }
+
   test("semantic dedup: cell pairs are a subset of exhaustive pairs; reps are the cluster outliers") {
     // (1) candidate soundness: the cell-bucketed pair set never invents a
     // pair — every semantic-dup pair is also an exhaustive near-dup pair
