@@ -91,7 +91,10 @@ object Curation {
        |$qualityCte,
        |quality_keep AS (
        |  SELECT m.doc_id FROM m JOIN top ON m.doc_id = top.doc_id
-       |  WHERE $qualityKeepSql)""".stripMargin
+       |  WHERE $qualityKeepSql),
+       |aug AS (
+       |  SELECT doc_id, ${piiAugSql("text", "doc_id")} AS aug_text
+       |  FROM documents)""".stripMargin
 
   /** The pipeline keep-filter over those CTEs — shared by the pipeline
     * oracle's final SELECT and the funnel's n_final subquery.
@@ -286,6 +289,96 @@ object Curation {
           .alias("redacted_md5"))
       .orderBy("doc_id")
 
+  /** PII rules in APPLICATION ORDER (name, pattern, replacement) — the
+    * order is load-bearing: the credit-card rule must fire before the
+    * phone rule so a partially-consumed card number can never be
+    * re-matched as a phone (the patterns are disjoint on intact text —
+    * a spec pins it — but sequential redaction makes the guarantee
+    * structural rather than coincidental). Patterns stay inside the
+    * common Java-regex ∩ RE2 subset (no lookaround, no backreferences)
+    * so the Spark plans and the DuckDB oracle execute the SAME automaton;
+    * separators are hyphen-only for the same reason — a production
+    * deployment widens the alternations, not the machinery.
+    */
+  private[graft] val PiiRules: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("cc", "\\b\\d{4}-\\d{4}-\\d{4}-\\d{4}\\b", "[CC]"),
+    ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "[PHONE]"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"))
+
+  /** Sequential redaction over [[PiiRules]] — pure narrow per-row work
+    * (the same stateless-map shape as [[denylistRedact]]): four chained
+    * codegen'd `regexp_replace`s, no shuffle, composable onto any text
+    * column.
+    */
+  private[graft] def piiRedact(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    PiiRules.foldLeft(c) { case (acc, (_, pat, rep)) => regexp_replace(acc, pat, rep) }
+
+  private def piiRedactSql(inner: String): String =
+    PiiRules.foldLeft(inner) { case (acc, (_, pat, rep)) =>
+      s"regexp_replace($acc, '$pat', '$rep', 'g')" }
+
+  /** PII-bearing demo text: the fixture vocabulary has no digits or
+    * @-signs (the same gap the denylist stage notes), so the PII stage
+    * plants DETERMINISTIC synthetic contact spans derived from doc_id —
+    * residue classes 3/7/4/5 give each rule independent coverage plus
+    * every overlap combination — and both engines compute the identical
+    * augmented string (integer mod + lpad + concat, nothing
+    * engine-specific). On a real corpus the stage runs directly on
+    * `text`; the augmentation is the demo's input, not part of the
+    * operator.
+    */
+  private def piiAugmented(text: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def pad(m: Int, w: Int) = lpad(pmod(id, lit(m)).cast("string"), w, "0")
+    concat(text,
+      when(pmod(id, lit(3)) === 0,
+        concat(lit(" contact user"), id.cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(pmod(id, lit(7)) === 0,
+        concat(lit(" card 4111-1111-1111-"), pad(10000, 4))).otherwise(lit("")),
+      when(pmod(id, lit(4)) === 0,
+        concat(lit(" call 555-"), pad(1000, 3), lit("-"), pad(10000, 4)))
+        .otherwise(lit("")),
+      when(pmod(id, lit(5)) === 0,
+        concat(lit(" host 10."), pmod(id, lit(200)).cast("string"), lit(".0."),
+          pmod(id, lit(250)).cast("string"))).otherwise(lit("")))
+  }
+
+  // ONE line on purpose: this splices into outer stripMargin oracle
+  // strings, and a continuation line starting with " || " would have its
+  // first "|" eaten as a margin marker, silently corrupting the SQL
+  private def piiAugSql(text: String, id: String): String = Seq(
+    text,
+    s"CASE WHEN $id % 3 = 0 THEN ' contact user' || CAST($id AS VARCHAR) || '@example.com' ELSE '' END",
+    s"CASE WHEN $id % 7 = 0 THEN ' card 4111-1111-1111-' || lpad(CAST($id % 10000 AS VARCHAR), 4, '0') ELSE '' END",
+    s"CASE WHEN $id % 4 = 0 THEN ' call 555-' || lpad(CAST($id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST($id % 10000 AS VARCHAR), 4, '0') ELSE '' END",
+    s"CASE WHEN $id % 5 = 0 THEN ' host 10.' || CAST($id % 200 AS VARCHAR) || '.0.' || CAST($id % 250 AS VARCHAR) ELSE '' END"
+  ).mkString(" || ")
+
+  /** PII REDACTION: per-document hit counts for each [[PiiRules]] family
+    * plus the md5 of the sequentially-redacted text (narrow output, like
+    * [[denylistRedact]]). Counts are taken per rule on the UNREDACTED
+    * text — independent diagnostics, the per-rule analog of the funnel's
+    * overlapping flag counts — and the redaction itself is the chained
+    * fold, so counts and redaction cannot disagree about what a rule
+    * matches. Pure per-row regex work: no shuffle beyond the
+    * verification sort.
+    */
+  def piiRedacted(spark: SparkSession, sfDir: String): DataFrame = {
+    val aug = Tables.loadSpread(spark, sfDir, "documents")
+      .select(col("doc_id"), piiAugmented(col("text"), col("doc_id")).alias("aug_text"))
+    val cols = col("doc_id") +:
+      (PiiRules.map { case (name, pat, _) =>
+        size(regexp_extract_all(col("aug_text"), lit(pat), lit(0))).alias(s"n_$name")
+      } :+ md5(piiRedact(col("aug_text"))).alias("redacted_md5"))
+    aug.select(cols: _*)
+      .orderBy("doc_id")
+      // two registered consumers (own row, funnel) — the regex pass runs
+      // once per session; tracked for release
+      .transform(graft.CacheLifecycle.sessionPersist)
+  }
+
   /** Temperature-weighted corpus RESAMPLING (α = 0.5): language l with
     * n_l documents gets a target of `N · ⌊√n_l⌋ / Σ_m ⌊√n_m⌋` slots
     * (N = half the corpus), flattening the language distribution toward
@@ -475,7 +568,15 @@ object Curation {
       .join(removals, Seq("doc_id"), "left_anti")
       .join(contaminated, Seq("doc_id"), "left_anti")
       .join(qualityKeep, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      // the post-filter map stage every surviving document passes through
+      // before tokenization: PII redaction (narrow per-row regex work on
+      // the rows that survived the key-only joins — redacting dropped
+      // documents would be wasted compute, which is why the stage
+      // composes HERE and not upstream); the md5 keeps the verified
+      // output narrow
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(piiRedact(piiAugmented(col("text"), col("doc_id"))))
+          .alias("text_redacted_md5"))
       .orderBy("doc_id")
   }
 
@@ -503,6 +604,15 @@ object Curation {
         .agg(count(lit(1)).alias("n_quality_fail"))))
       .crossJoin(broadcast(curationPipeline(spark, sfDir)
         .agg(count(lit(1)).alias("n_final"))))
+      // per-rule PII coverage (documents with ≥1 hit per family) — the
+      // redaction stage's monitoring row, same overlapping-diagnostics
+      // semantics as the flag counts above; one aggregate over the
+      // session-persisted per-doc counts
+      .crossJoin(broadcast {
+        val aggs = PiiRules.map { case (name, _, _) =>
+          count(when(col(s"n_$name") > 0, lit(1))).alias(s"n_pii_${name}_docs") }
+        piiRedacted(spark, sfDir).agg(aggs.head, aggs.tail: _*)
+      })
   }
 
   val oracles: Map[String, String] = Map(
@@ -525,7 +635,10 @@ object Curation {
          |ORDER BY doc_id""".stripMargin,
     "docs_curation_pipeline" ->
       s"""WITH $pipelineCtes
-         |SELECT doc_id, lang, source, n_chars FROM documents
+         |SELECT doc_id, lang, source, n_chars,
+         |       md5(${piiRedactSql("(SELECT aug_text FROM aug WHERE aug.doc_id = documents.doc_id)")})
+         |         AS text_redacted_md5
+         |FROM documents
          |WHERE $pipelineKeepWhere
          |ORDER BY doc_id""".stripMargin,
     "curation_funnel_report" ->
@@ -538,7 +651,20 @@ object Curation {
          |       (SELECT count(*) FROM documents)
          |         - (SELECT count(*) FROM quality_keep) AS n_quality_fail,
          |       (SELECT count(*) FROM documents
-         |        WHERE $pipelineKeepWhere) AS n_final""".stripMargin,
+         |        WHERE $pipelineKeepWhere) AS n_final,
+         |${PiiRules.map { case (name, pat, _) =>
+             s"       (SELECT count(*) FROM aug WHERE len(regexp_extract_all(aug_text, '$pat')) > 0) AS n_pii_${name}_docs"
+           }.mkString(",\n")}""".stripMargin,
+    "docs_pii_redacted" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, ${piiAugSql("text", "doc_id")} AS aug_text
+         |  FROM documents)
+         |SELECT doc_id,
+         |${PiiRules.map { case (name, pat, _) =>
+             s"       CAST(len(regexp_extract_all(aug_text, '$pat')) AS INT) AS n_$name"
+           }.mkString(",\n")},
+         |       md5(${piiRedactSql("aug_text")}) AS redacted_md5
+         |FROM aug ORDER BY doc_id""".stripMargin,
     "docs_decontaminate_exact" ->
       s"""WITH toks13 AS (
          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -634,6 +760,7 @@ object Curation {
     "curation_funnel_report"    -> curationFunnelReport _,
     "text_repetition_quality"   -> repetitionQuality _,
     "docs_denylist_redact"      -> denylistRedact _,
+    "docs_pii_redacted"         -> piiRedacted _,
     "docs_temperature_mix"      -> temperatureMix _,
     "docs_token_budget_mix"     -> tokenBudgetMix _,
     "source_overlap_matrix"     -> sourceOverlapMatrix _,

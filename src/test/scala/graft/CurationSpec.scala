@@ -202,6 +202,55 @@ class CurationSpec extends SparkSpec {
     } finally spark.conf.set(key, orig)
   }
 
+  test("pii redaction: planted strings redact fully, rules never cross-fire") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "mail bob.smith+x@sub.example.co.uk today", 1, 0, 0, 0),
+      (2L, "card 4111-1111-1111-0042 swiped", 0, 1, 0, 0),
+      (3L, "call 555-012-3456 or 555-999-0000", 0, 0, 2, 0),
+      (4L, "host 10.0.0.1 and 192.168.255.254 up", 0, 0, 0, 2),
+      (5L, "a@b.io 4111-2222-3333-4444 555-111-2222 8.8.8.8", 1, 1, 1, 1),
+      (6L, "no pii here at all", 0, 0, 0, 0)).toDF(
+      "id", "s", "e_email", "e_cc", "e_phone", "e_ipv4")
+    val counted = planted.select(col("*") +:
+      graft.operators.Curation.PiiRules.map { case (name, pat, _) =>
+        size(regexp_extract_all(col("s"), lit(pat), lit(0))).alias(s"n_$name")
+      } :+ graft.operators.Curation.piiRedact(col("s")).alias("red"): _*)
+    counted.collect().foreach { r =>
+      for (n <- Seq("email", "cc", "phone", "ipv4"))
+        assert(r.getAs[Int](s"n_$n") == r.getAs[Int](s"e_$n"),
+          s"rule $n miscounted on id ${r.getLong(0)}: ${r.getAs[String]("red")}")
+      // full redaction: no digit runs that look like PII survive, and no
+      // partially-consumed token is re-matched by a later rule
+      val red = r.getAs[String]("red")
+      assert(!red.matches(".*\\d{3}-\\d{3}.*") && !red.contains("@"),
+        s"residual PII in: $red")
+    }
+    // ordering property the scaladoc claims: an intact card number is
+    // consumed by the cc rule, never split into a phone match
+    val cc = counted.filter(col("id") === 2).head()
+    assert(cc.getAs[Int]("n_cc") == 1 && cc.getAs[Int]("n_phone") == 0)
+    assert(cc.getAs[String]("red").contains("[CC]"))
+  }
+
+  test("docs_pii_redacted: residue-class coverage and funnel agreement") {
+    val rows = q("docs_pii_redacted").collect()
+    assert(rows.length == 500)
+    // the deterministic augmentation fires exactly on its residue class
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert((r.getAs[Int]("n_email") > 0) == (id % 3 == 0), s"email at $id")
+      assert((r.getAs[Int]("n_cc") > 0) == (id % 7 == 0), s"cc at $id")
+      assert((r.getAs[Int]("n_phone") > 0) == (id % 4 == 0), s"phone at $id")
+      assert((r.getAs[Int]("n_ipv4") > 0) == (id % 5 == 0), s"ipv4 at $id")
+    }
+    // funnel's per-rule coverage columns equal direct counts over this set
+    val funnel = q("curation_funnel_report").head()
+    for (n <- Seq("email", "cc", "phone", "ipv4"))
+      assert(funnel.getAs[Long](s"n_pii_${n}_docs") ==
+        rows.count(_.getAs[Int](s"n_$n") > 0), s"funnel disagrees on $n")
+  }
+
   test("orders_above_customer_avg matches a direct per-customer computation") {
     val orders = Tables.orders(spark, sf)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
