@@ -94,17 +94,21 @@ object Curation {
        |  WHERE $qualityKeepSql),
        |aug AS (
        |  SELECT doc_id, ${piiAugSql("text", "doc_id")} AS aug_text
-       |  FROM documents)""".stripMargin
+       |  FROM documents),
+       |$gateSignalCtes,
+       |gate_keep AS (
+       |  SELECT doc_id FROM gate_final WHERE quality_score >= $GateKeepMin)""".stripMargin
 
   /** The pipeline keep-filter over those CTEs — shared by the pipeline
     * oracle's final SELECT and the funnel's n_final subquery.
     */
-  private val pipelineKeepWhere =
+  private lazy val pipelineKeepWhere =
     s"""source != '$BenchmarkSource'
        |  AND doc_id NOT IN (SELECT doc_id FROM removals)
        |  AND doc_id NOT IN (SELECT doc_id FROM contam_ratio)
        |  AND doc_id NOT IN (SELECT doc_id FROM contam_exact)
-       |  AND doc_id IN (SELECT doc_id FROM quality_keep)""".stripMargin
+       |  AND doc_id IN (SELECT doc_id FROM quality_keep)
+       |  AND doc_id IN (SELECT doc_id FROM gate_keep)""".stripMargin
 
   /** Estimated broadcast bytes per hashed 8-byte key in a
     * BroadcastHashJoin's LongHashedRelation: the key itself, the UnsafeRow
@@ -288,6 +292,110 @@ object Curation {
         md5(regexp_replace(col("text"), DenylistPattern, "[REDACTED]"))
           .alias("redacted_md5"))
       .orderBy("doc_id")
+
+  /** Composite quality-gate thresholds. Each signal is a boolean over
+    * exact integer arithmetic (the rare-ratio cut is the cross-multiplied
+    * `n_rare · 20 ≤ n_bigrams` ⇔ ratio ≤ 1/20 — never a float compare),
+    * so the score and verdict are bit-identical cross-engine. Keep rule:
+    * majority vote, ≥ [[GateKeepMin]] of 4 signals — the "quality
+    * classifier lite" shape (a weighted ensemble of cheap signals
+    * standing in for a learned classifier's logit).
+    */
+  private val GateMinTokens = 20
+  private val GateRareMult = 20
+  private val GateLangConfMin = 4
+  private val GateKeepMin = 3
+
+  /** COMPOSITE QUALITY GATE: one scored keep/drop verdict per document
+    * from four independent cheap signals — Gopher-style repetition rules
+    * ([[repetitionQuality]]), minimum length, rare-bigram share (the
+    * gibberish proxy, [[TextAnalysis.rareBigramRatio]]), and n-gram
+    * language-ID confidence ([[TextAnalysis.langIdNgram]] best profile
+    * overlap). Documents too short to have bigrams simply lack rare-
+    * bigram evidence and default that signal to pass (`coalesce`, LEFT
+    * join) — the length signal is what penalizes them.
+    *
+    * Shape: three keyed joins of per-doc signal frames (each signal
+    * frame's own scale posture is audited at its definition; the gate
+    * adds only doc_id-keyed equi-joins and per-row boolean math).
+    * Session-persisted: own registry row, the pipeline's semi-join, and
+    * the funnel's fail count all read it.
+    */
+  def qualityGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val rep = repetitionQuality(spark, sfDir)
+      .select(col("doc_id"), col("keep").alias("rep_ok"), col("n_tokens"))
+    val rare = TextAnalysis.rareBigramRatio(spark, sfDir)
+      .select(col("doc_id"), col("n_bigrams"), col("n_rare"))
+    val langBest = TextAnalysis.langIdNgram(spark, sfDir)
+      .select(col("doc_id"),
+        greatest(col("g_en"), col("g_es"), col("g_de"), col("g_fr"))
+          .alias("lang_best"))
+    rep
+      .join(rare, Seq("doc_id"), "left")
+      .join(langBest, Seq("doc_id"))
+      .select(col("doc_id"), col("rep_ok"),
+        (col("n_tokens") >= GateMinTokens).alias("len_ok"),
+        coalesce(col("n_rare") * GateRareMult <= col("n_bigrams"), lit(true))
+          .alias("rare_ok"),
+        (col("lang_best") >= GateLangConfMin).alias("lang_ok"))
+      .withColumn("quality_score",
+        col("rep_ok").cast("int") + col("len_ok").cast("int")
+          + col("rare_ok").cast("int") + col("lang_ok").cast("int"))
+      .withColumn("keep", col("quality_score") >= GateKeepMin)
+      .orderBy("doc_id")
+      .transform(graft.CacheLifecycle.sessionPersist)
+  }
+
+  /** DuckDB literal lists for the language profiles — same spelling as
+    * the `text_langid_ngram` oracle.
+    */
+  private lazy val gateLangListsSql = TextAnalysis.bigramProfiles.map {
+    case (l, prof) => l -> prof.map(b => s"'$b'").mkString("[", ", ", "]")
+  }.toMap
+
+  /** Gate-signal CTE chain — assumes `toks` (t column) and [[qualityCte]]
+    * (`m`/`top`) in scope; ends at `gate_final` with the per-doc signals
+    * and integer score.
+    */
+  private lazy val gateSignalCtes =
+    s"""gdb AS (
+       |  SELECT DISTINCT doc_id, bigram FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      generate_series(1, greatest(len(t) - 1, 0)),
+       |      i -> t[i] || ' ' || t[i+1])) AS bigram
+       |    FROM toks)),
+       |gdf AS (
+       |  SELECT bigram, CAST(count(*) AS BIGINT) AS df FROM gdb GROUP BY 1),
+       |gate_rare AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |         CAST(sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+       |  FROM gdb JOIN gdf USING (bigram) GROUP BY 1),
+       |gate_bg AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(length(text) - 1, 1)),
+       |    i -> substr(text, i, 2))) AS b
+       |  FROM documents),
+       |gate_lang AS (
+       |  SELECT doc_id, greatest(
+       |    len(list_intersect(b, ${gateLangListsSql("en")})),
+       |    len(list_intersect(b, ${gateLangListsSql("es")})),
+       |    len(list_intersect(b, ${gateLangListsSql("de")})),
+       |    len(list_intersect(b, ${gateLangListsSql("fr")}))) AS lang_best
+       |  FROM gate_bg),
+       |gate_scored AS (
+       |  SELECT m.doc_id,
+       |         ($qualityKeepSql) AS rep_ok,
+       |         m.n_tokens >= $GateMinTokens AS len_ok,
+       |         coalesce(gr.n_rare * $GateRareMult <= gr.n_bigrams, TRUE) AS rare_ok,
+       |         gl.lang_best >= $GateLangConfMin AS lang_ok
+       |  FROM m JOIN top ON m.doc_id = top.doc_id
+       |  LEFT JOIN gate_rare gr ON m.doc_id = gr.doc_id
+       |  JOIN gate_lang gl ON m.doc_id = gl.doc_id),
+       |gate_final AS (
+       |  SELECT doc_id, rep_ok, len_ok, rare_ok, lang_ok,
+       |         CAST(rep_ok AS INT) + CAST(len_ok AS INT)
+       |           + CAST(rare_ok AS INT) + CAST(lang_ok AS INT) AS quality_score
+       |  FROM gate_scored)""".stripMargin
 
   /** PII rules in APPLICATION ORDER (name, pattern, replacement) — the
     * order is load-bearing: the credit-card rule must fire before the
@@ -560,6 +668,8 @@ object Curation {
       .distinct()
     val qualityKeep = repetitionQuality(spark, sfDir)
       .filter(col("keep")).select(col("doc_id"))
+    val gateKeep = qualityGate(spark, sfDir)
+      .filter(col("keep")).select(col("doc_id"))
     Tables.documents(spark, sfDir)
       // the held-out benchmark source itself never enters training data —
       // decontamination protects against LEAKS of it; this drops the
@@ -568,6 +678,7 @@ object Curation {
       .join(removals, Seq("doc_id"), "left_anti")
       .join(contaminated, Seq("doc_id"), "left_anti")
       .join(qualityKeep, Seq("doc_id"), "left_semi")
+      .join(gateKeep, Seq("doc_id"), "left_semi")
       // the post-filter map stage every surviving document passes through
       // before tokenization: PII redaction (narrow per-row regex work on
       // the rows that survived the key-only joins — redacting dropped
@@ -602,6 +713,8 @@ object Curation {
         .agg(count(lit(1)).alias("n_contaminated_exact"))))
       .crossJoin(broadcast(repetitionQuality(spark, sfDir).filter(!col("keep"))
         .agg(count(lit(1)).alias("n_quality_fail"))))
+      .crossJoin(broadcast(qualityGate(spark, sfDir).filter(!col("keep"))
+        .agg(count(lit(1)).alias("n_gate_fail"))))
       .crossJoin(broadcast(curationPipeline(spark, sfDir)
         .agg(count(lit(1)).alias("n_final"))))
       // per-rule PII coverage (documents with ≥1 hit per family) — the
@@ -650,11 +763,21 @@ object Curation {
          |       (SELECT count(*) FROM contam_exact) AS n_contaminated_exact,
          |       (SELECT count(*) FROM documents)
          |         - (SELECT count(*) FROM quality_keep) AS n_quality_fail,
+         |       (SELECT count(*) FROM gate_final
+         |        WHERE quality_score < $GateKeepMin) AS n_gate_fail,
          |       (SELECT count(*) FROM documents
          |        WHERE $pipelineKeepWhere) AS n_final,
          |${PiiRules.map { case (name, pat, _) =>
              s"       (SELECT count(*) FROM aug WHERE len(regexp_extract_all(aug_text, '$pat')) > 0) AS n_pii_${name}_docs"
            }.mkString(",\n")}""".stripMargin,
+    "docs_quality_gate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |$qualityCte,
+         |$gateSignalCtes
+         |SELECT doc_id, rep_ok, len_ok, rare_ok, lang_ok, quality_score,
+         |       quality_score >= $GateKeepMin AS keep
+         |FROM gate_final ORDER BY doc_id""".stripMargin,
     "docs_pii_redacted" ->
       s"""WITH aug AS (
          |  SELECT doc_id, ${piiAugSql("text", "doc_id")} AS aug_text
@@ -761,6 +884,7 @@ object Curation {
     "text_repetition_quality"   -> repetitionQuality _,
     "docs_denylist_redact"      -> denylistRedact _,
     "docs_pii_redacted"         -> piiRedacted _,
+    "docs_quality_gate"         -> qualityGate _,
     "docs_temperature_mix"      -> temperatureMix _,
     "docs_token_budget_mix"     -> tokenBudgetMix _,
     "source_overlap_matrix"     -> sourceOverlapMatrix _,

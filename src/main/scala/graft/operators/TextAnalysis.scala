@@ -124,6 +124,9 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
         (col("n_rare") / col("n_bigrams")).alias("rare_ratio"))
       .orderBy("doc_id")
+      // two registered consumers (own row, Curation.qualityGate) — the
+      // bigram-df shuffle runs once per session; tracked for release
+      .transform(graft.CacheLifecycle.sessionPersist)
   }
 
   /** Approximate vocabulary via HyperLogLog — the 100 TB path for distinct
@@ -230,6 +233,9 @@ object TextAnalysis {
         .when(col("g_de") === best, lit("de"))
         .otherwise(lit("fr")).alias("predicted_lang"))
       .orderBy("doc_id")
+      // two registered consumers (own row, Curation.qualityGate) — the
+      // per-row profile scoring runs once per session; tracked for release
+      .transform(graft.CacheLifecycle.sessionPersist)
   }
 
   /** Top-3 TF-IDF terms per document. The idf factor is the LINEAR

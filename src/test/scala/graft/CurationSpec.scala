@@ -148,8 +148,10 @@ class CurationSpec extends SparkSpec {
     val contamR = ids(q("docs_decontaminate"))
     val contamE = ids(q("docs_decontaminate_exact"))
     val keep = ids(q("text_repetition_quality").filter(col("keep")))
+    val gateKeep = ids(q("docs_quality_gate").filter(col("keep")))
     val bench = ids(Tables.documents(spark, sf).filter(col("source") === "src0"))
-    val expected = ((survivors intersect keep) -- contamR -- contamE) -- bench
+    val expected =
+      ((survivors intersect keep intersect gateKeep) -- contamR -- contamE) -- bench
     val got = ids(q("docs_curation_pipeline"))
     assert(got == expected,
       s"missing=${expected -- got} extra=${got -- expected}")
@@ -162,16 +164,45 @@ class CurationSpec extends SparkSpec {
     val r = q("curation_funnel_report").collect()
     assert(r.length == 1)
     val row = r(0)
-    assert(row.getLong(0) == Tables.documents(spark, sf).count())
-    assert(row.getLong(2) == row.getLong(0) - q("dedup_survivors").count(),
+    def n(name: String) = row.getAs[Long](name)
+    assert(n("n_documents") == Tables.documents(spark, sf).count())
+    assert(n("n_dedup_removed") == n("n_documents") - q("dedup_survivors").count(),
       "n_dedup_removed must complement the survivors count")
-    assert(row.getLong(3) == q("docs_decontaminate").count())
-    assert(row.getLong(4) == q("docs_decontaminate_exact").count())
-    assert(row.getLong(5) ==
+    assert(n("n_contaminated_ratio") == q("docs_decontaminate").count())
+    assert(n("n_contaminated_exact") == q("docs_decontaminate_exact").count())
+    assert(n("n_quality_fail") ==
       q("text_repetition_quality").filter(!col("keep")).count())
-    assert(row.getLong(6) == q("docs_curation_pipeline").count())
+    assert(n("n_gate_fail") == q("docs_quality_gate").filter(!col("keep")).count())
+    assert(n("n_final") == q("docs_curation_pipeline").count())
     // the funnel narrows: final <= total - benchmark
-    assert(row.getLong(6) <= row.getLong(0) - row.getLong(1))
+    assert(n("n_final") <= n("n_documents") - n("n_benchmark"))
+  }
+
+  test("docs_quality_gate: signals match source queries, score arithmetic exact") {
+    val gate = q("docs_quality_gate").collect()
+    assert(gate.length == 500)
+    val rep = q("text_repetition_quality").select("doc_id", "keep", "n_tokens")
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getInt(2)))).toMap
+    val rare = q("text_rare_bigram_ratio").select("doc_id", "n_bigrams", "n_rare")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val lang = q("text_langid_ngram").collect().map(r =>
+      r.getLong(0) -> Seq(r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)).max).toMap
+    gate.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getAs[Boolean]("rep_ok") == rep(id)._1, s"rep_ok at $id")
+      assert(r.getAs[Boolean]("len_ok") == (rep(id)._2 >= 20), s"len_ok at $id")
+      // absent rare-bigram evidence (doc too short for bigrams) passes
+      val expRare = rare.get(id).forall { case (nb, nr) => nr * 20 <= nb }
+      assert(r.getAs[Boolean]("rare_ok") == expRare, s"rare_ok at $id")
+      assert(r.getAs[Boolean]("lang_ok") == (lang(id) >= 4), s"lang_ok at $id")
+      val score = Seq("rep_ok", "len_ok", "rare_ok", "lang_ok")
+        .count(c => r.getAs[Boolean](c))
+      assert(r.getAs[Int]("quality_score") == score, s"score at $id")
+      assert(r.getAs[Boolean]("keep") == (score >= 3), s"keep at $id")
+    }
+    // the gate bites in both directions on the fixture
+    assert(gate.exists(_.getAs[Boolean]("keep"))
+      && gate.exists(r => !r.getAs[Boolean]("keep")))
   }
 
   test("decontaminate broadcast cap derives from the session broadcast threshold") {
