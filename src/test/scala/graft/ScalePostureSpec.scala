@@ -228,6 +228,39 @@ class ScalePostureSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("zorder_pruned_scan: registered query pushes both predicates and skips files") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // the registered query (runs the cluster+write side effect and the
+      // verified projection)
+      val rows = graft.operators.Layout.zorderPrunedScan(spark, sf).collect()
+      assert(rows.nonEmpty, "the band predicate must select rows at sf0.001")
+      // measure pruning on the sort-free band scan: the global sort's
+      // range-sampling pass re-executes the scan and double-counts its
+      // metrics, so the query's own plan can't be measured directly
+      val dir = graft.operators.Layout.layoutDir(sf)
+      val scan = graft.operators.Layout.prunedRead(spark, dir)
+      val n = scan.collect().length
+      assert(n == rows.length, "sort-free scan must select the same rows")
+      val scans = scan.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty, "expected a FileSourceScanExec over the layout")
+      val pushed = scans.map(_.metadata("PushedFilters")).mkString
+      for (c <- Seq("o_custkey", "o_day"))
+        assert(pushed.contains(c), s"predicate on $c not pushed: $pushed")
+      // row-group-level payoff (vanilla Spark prunes parquet row groups
+      // via pushed filters, not the file listing): the scan must emit
+      // well under the full table — every row group whose bounding box
+      // misses the band is skipped before the per-row filter
+      val scanRows = scans.map(_.metrics("numOutputRows").value).sum
+      val total = Tables.orders(spark, sf).count()
+      assert(scanRows < total / 2,
+        s"scan read $scanRows of $total rows — row-group pruning missing")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("z-order cluster degenerate inputs: empty frame and numFiles=1") {
     import graft.functions.ZOrder
     val base = spark.range(100).select(
