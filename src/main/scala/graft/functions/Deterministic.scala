@@ -21,6 +21,19 @@ import org.apache.spark.sql.types.LongType
   */
 object Deterministic {
 
+  /** A constant-valued but NON-FOLDABLE window partition key for bounded
+    * side tables. A bare unpartitioned window logs the WindowExec
+    * single-partition warning on every execution, drowning the log tail;
+    * a `lit(0)` key does not help because Spark 4's
+    * `EliminateWindowPartitions` strips foldable keys back to the
+    * unpartitioned spelling. `pmod(xxhash64(c), 1)` is 0 for every row —
+    * the same single-partition plan — but hangs off a real column, so
+    * the optimizer keeps the explicit partition spec and the intent
+    * (this window is DELIBERATELY single-partition over a bounded input)
+    * is visible in the plan instead of warned about.
+    */
+  def onePartitionKey(c: Column): Column = pmod(xxhash64(c), lit(1))
+
   /** Quantize a double column to an exact integer at 10^scale. */
   def quantize(c: Column, scale: Int): Column = {
     val factor = math.pow(10, scale)

@@ -113,7 +113,10 @@ object ZOrder {
     val offsets = sharded.groupBy(col("__zshard"))
       .agg(count(lit(1)).alias("__zn"))
       .withColumn("__zoff",
+        // constant partition key: single-partition window over the
+        // bounded (≤ coarse) shard table, without the warning
         sum(col("__zn")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(Deterministic.onePartitionKey(col("__zshard")))
           .orderBy(col("__zshard"))) - col("__zn"))
     val total = offsets.agg(sum(col("__zn"))).head().getLong(0)
     // probe p(f): smallest non-negative long with pmod(murmur3(p), n) = f —

@@ -161,7 +161,11 @@ object Features {
     val localW = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = sharded.withColumn("local_cum", sum(col("n_tokens")).over(localW))
-    val offsetW = Window.orderBy(col("shard"))
+    // constant partition key: same single-partition plan over the bounded
+    // (≤256-shard) side table, without the unpartitioned-window warning
+    val offsetW = Window
+      .partitionBy(graft.functions.Deterministic.onePartitionKey(col("shard")))
+      .orderBy(col("shard"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offsets = sharded.groupBy(col("shard"))
       .agg(sum(col("n_tokens")).alias("shard_total"))
@@ -192,8 +196,11 @@ object Features {
     val langs = Tables.documents(spark, sfDir)
       .select(col("lang")).distinct()
       .withColumn("lang_idx",
-        row_number().over(Window.orderBy(col("lang"))) - 1)
-      .withColumn("n_langs", count(lit(1)).over())
+        row_number().over(Window
+          .partitionBy(graft.functions.Deterministic.onePartitionKey(col("lang")))
+          .orderBy(col("lang"))) - 1)
+      .withColumn("n_langs", count(lit(1)).over(Window
+        .partitionBy(graft.functions.Deterministic.onePartitionKey(col("lang")))))
     val ranked = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"))
       .withColumn("rank_in_lang",

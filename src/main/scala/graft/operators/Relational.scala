@@ -259,7 +259,11 @@ object Relational {
         col("l_partkey") === col("p_partkey"))
       .select(col("p_brand").alias("brand"), q.alias("bq"))
       .groupBy(col("brand")).agg(sum(col("bq")).alias("bq"))
-    val w = Window.orderBy(col("bq").desc, col("brand").asc)
+    // constant partition key: same single-partition plan over the bounded
+    // (25-brand) aggregate, without the unpartitioned-window warning
+    val w = Window
+      .partitionBy(graft.functions.Deterministic.onePartitionKey(col("brand")))
+      .orderBy(col("bq").desc, col("brand").asc)
     val total = perBrand.agg(sum(col("bq")).alias("tq"))
     perBrand.join(broadcast(total))
       .withColumn("rank", row_number().over(w))

@@ -133,8 +133,13 @@ object Stats {
     val offsets = base.groupBy(gc :+ col("shard"): _*)
       .agg(count(lit(1)).alias("n_shard"))
       .withColumn("shard_offset",
+        // the global (no-group) histogram would otherwise pass an EMPTY
+        // partition spec here — same single-partition plan over the
+        // bounded shard table, minus the WindowExec warning
         sum(col("n_shard")).over(
-          Window.partitionBy(gc: _*).orderBy(col("shard")))
+          Window.partitionBy((if (gc.nonEmpty) gc
+            else Seq(Deterministic.onePartitionKey(col("shard")))): _*)
+            .orderBy(col("shard")))
           - col("n_shard"))
       .select(gc :+ col("shard") :+ col("shard_offset"): _*)
     val totals =

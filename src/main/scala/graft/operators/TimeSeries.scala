@@ -58,7 +58,11 @@ object TimeSeries {
       .groupBy(col("year"))
       .agg(count(lit(1)).alias("n_orders"),
         Deterministic.exactSum(col("o_totalprice"), 2).alias("revenue"))
-    val w = Window.orderBy(col("year"))
+    // constant partition key: same single-partition plan over the bounded
+    // (≤ distinct-years) aggregate, without the unpartitioned-window
+    // warning that would mask a real one in the logs
+    val w = Window.partitionBy(Deterministic.onePartitionKey(col("year")))
+      .orderBy(col("year"))
     yearly
       .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
       .withColumn("yoy_growth",
