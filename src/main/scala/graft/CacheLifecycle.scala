@@ -38,6 +38,14 @@ object CacheLifecycle {
     * makes re-invocations silent no-ops; only the FIRST invocation pins
     * and registers the frame, and [[unpersistAll]] releases exactly one
     * entry per distinct plan.
+    *
+    * Limitation: the bridge's `isCached` reads the classic cache manager
+    * and answers `false` for any non-classic Dataset/SparkSession (e.g.
+    * Spark Connect), where this degrades to the old
+    * duplicate-persist-and-track behavior — duplicate lifecycle entries
+    * plus 'Asked to cache already cached data' log spam, but no
+    * correctness change. Fine for this local-mode repo; a Connect-based
+    * driver would want a Connect-side cache probe.
     */
   def sessionPersist(df: DataFrame): DataFrame =
     if (org.apache.spark.sql.GraftSqlBridge.isCached(df)) df
@@ -109,8 +117,13 @@ object CacheLifecycle {
     */
   def memoized(key: String)(build: => DataFrame): DataFrame = {
     val hit = memo.get(key)
-    if (hit != null) hit
+    // a hit bound to a stopped session is a dead frame (the driver
+    // stopped and recreated its session without calling unpersistAll);
+    // drop it and rebuild against the live session rather than hand the
+    // caller a frame whose every action throws
+    if (hit != null && !hit.sparkSession.sparkContext.isStopped) hit
     else {
+      if (hit != null) memo.remove(key, hit)
       // no computeIfAbsent: `build` runs Spark actions and must not run
       // inside the map's lock; a rare duplicate build is harmless
       val df = build

@@ -89,36 +89,54 @@ object ZOrder {
     * Degenerate input (most rows sharing one code value) collapses onto
     * one coarse shard and ranks it in a single task — the caveat the
     * Stats machinery documents for value-derived shards.
+    *
+    * Null dimensions: a null in either column makes the Morton code null;
+    * such rows are routed EXPLICITLY to the first shard, where the
+    * nulls-first sort clusters them at the front of the first file —
+    * deterministic and lossless, not an error. Filter or impute upstream
+    * if null dimensions are meaningless for the layout.
+    *
+    * Action economy: one bounded span probe plus ONE collect of the
+    * per-shard counts (≤ coarse rows); offsets and the grand total derive
+    * from that same collect on the driver and ride back as literal maps,
+    * so no offsets window, no broadcast join, and no third pass over the
+    * input plan. The coded frame is session-persisted for the call, so
+    * the probe, the counts, and the final layout job scan the (possibly
+    * expensive) input once, not three times.
     */
   def cluster(df: DataFrame, a: Column, b: Column, numFiles: Int): DataFrame = {
     require(numFiles >= 1, "numFiles must be positive")
-    Seq("__zorder", "__zshard", "__zrank", "__zroute", "__zn", "__zoff").foreach(c =>
+    Seq("__zorder", "__zshard", "__zrank", "__zroute", "__zoff").foreach(c =>
       require(!df.columns.contains(c),
         s"input already has a $c column; rename it before clustering"))
-    val coded = df.withColumn("__zorder", morton32(a, b))
     if (numFiles == 1)
-      return coded.coalesce(1).sortWithinPartitions(col("__zorder")).drop("__zorder")
+      return df.withColumn("__zorder", morton32(a, b))
+        .coalesce(1).sortWithinPartitions(col("__zorder")).drop("__zorder")
+    val coded = graft.CacheLifecycle.sessionPersist(
+      df.withColumn("__zorder", morton32(a, b)))
     val span = coded.agg(min(col("__zorder")), max(col("__zorder"))).head()
-    if (span.isNullAt(0)) return coded.drop("__zorder") // empty input
+    if (span.isNullAt(0)) return coded.drop("__zorder") // empty (or all-null-code) input
     val (lo, hi) = (span.getLong(0), span.getLong(1))
     // double arithmetic: the signed code span can overflow long; IEEE is
     // deterministic and coarse boundaries only need to be ~equal-width
     val coarse = math.max(1024, numFiles * 16)
     val width = math.max(1.0, (hi.toDouble - lo.toDouble + 1.0) / coarse)
-    val sharded = coded.withColumn("__zshard", least(lit(coarse - 1),
-      floor((col("__zorder").cast("double") - lit(lo.toDouble)) / lit(width))
-        .cast("int")))
-    // per-occupied-shard counts → exclusive running offsets: a tiny table
-    // (≤ coarse rows), so the unpartitioned running-sum window is safe
-    val offsets = sharded.groupBy(col("__zshard"))
-      .agg(count(lit(1)).alias("__zn"))
-      .withColumn("__zoff",
-        // constant partition key: single-partition window over the
-        // bounded (≤ coarse) shard table, without the warning
-        sum(col("__zn")).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(Deterministic.onePartitionKey(col("__zshard")))
-          .orderBy(col("__zshard"))) - col("__zn"))
-    val total = offsets.agg(sum(col("__zn"))).head().getLong(0)
+    val sharded = coded.withColumn("__zshard",
+      when(col("__zorder").isNull, lit(0)).otherwise(least(lit(coarse - 1),
+        floor((col("__zorder").cast("double") - lit(lo.toDouble)) / lit(width))
+          .cast("int"))))
+    // ONE driver collect of the bounded (≤ coarse rows) per-shard counts;
+    // exclusive running offsets and the grand total fall out of the same
+    // array, replacing a window + an extra aggregate action + a broadcast
+    // join with a literal map lookup
+    val shardCounts = sharded.groupBy(col("__zshard"))
+      .agg(count(lit(1)).alias("__zn")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = shardCounts.map(_._2).sum
+    val offMap: Map[Int, Long] = {
+      var acc = 0L
+      shardCounts.map { case (s, n) => val off = acc; acc += n; s -> off }.toMap
+    }
     // probe p(f): smallest non-negative long with pmod(murmur3(p), n) = f —
     // the same hash+pmod the hash shuffle applies, so repartitioning on
     // the probe column places file f in partition f exactly
@@ -139,7 +157,7 @@ object ZOrder {
       .withColumn("__zrank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("__zshard")).orderBy(col("__zorder"))))
-      .join(broadcast(offsets.select(col("__zshard"), col("__zoff"))), "__zshard")
+      .withColumn("__zoff", element_at(typedlit(offMap), col("__zshard")))
       .withColumn("__zroute", element_at(typedlit(probes),
         expr(s"CAST(((__zoff + __zrank - 1) * $numFiles) div ${total}L AS INT)") + 1))
       .repartition(numFiles, col("__zroute"))

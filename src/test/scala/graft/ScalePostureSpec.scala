@@ -276,6 +276,13 @@ class ScalePostureSpec extends SparkSpec {
     assert(one.columns.toSeq == Seq("x", "y"))
     // row set survives every path
     assert(ZOrder.cluster(base, col("x"), col("y"), 4).count() == 100)
+    // null dimensions: null-coded rows route to the first shard and are
+    // kept — lossless, deterministic, not an error
+    val nb = spark.range(100).select(
+      (col("id") % 10).alias("x"),
+      when(col("id") % 7 === 0, lit(null).cast("long"))
+        .otherwise(col("id") / 10).alias("y"))
+    assert(ZOrder.cluster(nb, col("x"), col("y"), 4).count() == 100)
   }
 
   test("repartitionByRange + sortWithinPartitions writes range-clustered files") {
