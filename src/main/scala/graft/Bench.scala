@@ -33,8 +33,23 @@ object Bench {
     // does, which is the quantity the artifact claims. Measured effect
     // (see BENCH_NOTES.md): loop1/loop2 drop from 1.9× to ≤1.23×, and
     // back-to-back separate-JVM headlines agree within 4%.
+    // Materialize EVERY column through the built-in noop sink, not
+    // count(): under count() Catalyst prunes all computed columns and
+    // eliminates the final sort, so a narrow map-only query (language-ID,
+    // fingerprints, PII redaction) was being timed as a bare row count —
+    // parquet footer metadata, microseconds — while its actual per-row
+    // work went unmeasured. Discovered in round 9 when session-persisting
+    // text_langid_ngram forced full materialization and its bench entry
+    // jumped 0.3 s → 3.7 s: the 3.7 s was always the query's true cost.
+    // The noop write executes the complete physical plan (all columns,
+    // all sorts) and discards rows — the standard Spark benchmarking
+    // sink. bench_schema 4 marks the change: schema-4 totals measure
+    // strictly MORE work than schema-3 totals and must not be compared
+    // across the boundary without BENCH_NOTES.md's per-query bridge.
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     SparkEntry.queries.valuesIterator.foreach(fn =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => })
+      try materialize(fn(spark, sfDir)) catch { case _: Throwable => })
     CacheLifecycle.unpersistAll()
     spark.catalog.clearCache()
     // Two timed loops. Rationale: the recorded round-5 total (264 s) was
@@ -45,14 +60,14 @@ object Bench {
     // session-cached intermediates exactly like loop 1.
     def timedLoop(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val loop1 = timedLoop()
     CacheLifecycle.unpersistAll()
     spark.catalog.clearCache()
     val loop2 = timedLoop()
-    // Artifact semantics (bench_schema 3): "value" is the BEST MEASURED
+    // Artifact semantics (bench_schema 4): "value" is the BEST MEASURED
     // LOOP TOTAL — a number one loop actually achieved end-to-end, never a
     // per-query composite. The per-query-min sum (a useful noise-floor
     // estimate no single run achieved) is reported separately as
@@ -72,7 +87,7 @@ object Bench {
     // queries only, up to a fixed character budget; the complete maps go to
     // bench_full.json beside the repo for inspection.
     val sortedDesc = results.toSeq.sortBy(-_._2)
-    val header = s""""metric":"total","value":${num(total)},"unit":"sec","bench_schema":3,""" +
+    val header = s""""metric":"total","value":${num(total)},"unit":"sec","bench_schema":4,""" +
       s""""min_total":${num(minTotal)},"n_queries":${results.size},""" +
       s""""loop_totals":[${num(loop1Total)},${num(loop2Total)}]"""
     val fullJson = {

@@ -38,7 +38,7 @@ object BenchOrder {
     // leaves the first timed loop paying bench-SF codegen), then release
     // every session-cached intermediate so the timed loop rebuilds them
     SparkEntry.queries.valuesIterator.foreach(fn =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => })
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save() catch { case _: Throwable => })
     CacheLifecycle.unpersistAll()
     spark.catalog.clearCache()
     val selected =
@@ -50,7 +50,7 @@ object BenchOrder {
       val t0 = System.nanoTime()
       // a failed query must not print a normal-looking timing
       val status =
-        try { fn(spark, sfDir).count(); "" }
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); "" }
         catch { case t: Throwable => s"  FAILED: ${t.getClass.getSimpleName}" }
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[$i%02d] $name%-35s ${dt}%7.3f s$status")

@@ -16,11 +16,11 @@ object TimeQ {
     spark.sparkContext.setLogLevel("ERROR")
     for (name <- args) {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
+      SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       val warm = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       val t1 = System.nanoTime()
-      SparkEntry.queries(name)(spark, "/root/testdata/sf0.1").count()
+      SparkEntry.queries(name)(spark, "/root/testdata/sf0.1").write.format("noop").mode("overwrite").save()
       println(f"$name warm_sf0.001: $warm%.2f s, then_sf0.1: ${(System.nanoTime() - t1) / 1e9}%.2f s")
     }
     spark.stop()
