@@ -667,6 +667,47 @@ object Similarity {
       .orderBy("label", "rank")
   }
 
+  /** LABEL-CENTROID SIMILARITY MATRIX: integer-requantized mean embedding
+    * per label, then pairwise cosine between the centroids — the
+    * embedding-space mixture diagnostic twin of
+    * [[Curation.sourceOverlapMatrix]] (token space): two labels whose
+    * centroids sit at near-1 cosine are semantic mirrors and should not
+    * both get full mixture weight; near-0 marks genuinely distinct
+    * material. The centroid update is the SAME integer-requantized mean
+    * as the Lloyd step ([[lloydRefinedCentroids]]) so the oracle reuses
+    * that proven cross-engine spelling.
+    *
+    * Shape: one per-(label, dim) partial-aggregated shuffle over the
+    * posexploded corpus (the only corpus-sized work — Σ N·Dim rows, the
+    * same cost envelope as one Lloyd round), then an all-pairs join over
+    * the BOUNDED centroid table (≤ label-count rows — a deliberate
+    * bounded broadcast nested loop, allow-listed like the other
+    * report-shape joins; label count is a schema property, not a scale
+    * axis).
+    */
+  def labelCentroidMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = quantized(spark, sfDir)
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("x")).alias("s"), count(lit(1)).alias("n"))
+      .select(col("label"), struct(col("dim"),
+        round(col("s").cast("double") / col("n")).cast("long").alias("cq"))
+        .alias("dc"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(col("dc"))),
+        x => x.getField("cq")).alias("cv"))
+      .select(col("label"), col("cv"), V.qnorm2(col("cv")).alias("cn2"))
+    val a = cents.select(col("label").alias("label_a"),
+      col("cv").alias("va"), col("cn2").alias("na"))
+    val b = cents.select(col("label").alias("label_b"),
+      col("cv").alias("vb"), col("cn2").alias("nb"))
+    a.join(broadcast(b), col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        V.qcosineFrom(V.qdot(col("va"), col("vb")), col("na"), col("nb"))
+          .alias("cos_sim"))
+      .orderBy("label_a", "label_b")
+  }
+
   /** Intra-cell semantic near-dup candidate pairs — the SemDeDup
     * candidate step: two vectors are compared ONLY if they share an IVF
     * cell ([[assignedCells]]), so the self-join is an equi-join on the
@@ -916,6 +957,23 @@ object Similarity {
        |  SELECT vec_id, v, n2, c_id AS cell, c_score FROM assign WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "label_centroid_matrix" ->
+      s"""WITH $quantizedSql,
+         |cf AS (
+         |  SELECT label, CAST(i AS INT) AS dim, v[CAST(i AS INT) + 1] AS x
+         |  FROM qn, range($Dim) t(i)),
+         |cm AS (
+         |  SELECT label, dim,
+         |         CAST(round(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+         |  FROM cf GROUP BY 1, 2),
+         |cvt AS (
+         |  SELECT label, list(cq ORDER BY dim) AS cv FROM cm GROUP BY 1),
+         |cn AS (
+         |  SELECT label, cv, ${V.qnorm2Sql("cv", Dim)} AS n2 FROM cvt)
+         |SELECT a.label AS label_a, b.label AS label_b,
+         |       ${V.qdotSql("a.cv", "b.cv", Dim)} / (sqrt(a.n2) * sqrt(b.n2)) AS cos_sim
+         |FROM cn a JOIN cn b ON a.label < b.label
+         |ORDER BY label_a, label_b""".stripMargin,
     "ann_lsh_multiprobe" ->
       s"""WITH $quantizedSql,
          |bucketed AS (
@@ -1248,6 +1306,7 @@ object Similarity {
     "sq8_recall_at_5"         -> sq8RecallAt5 _,
     "pq_adc_recall_at_5"      -> pqAdcRecallAt5 _,
     "similar_pairs_per_label" -> pairsPerLabel _,
+    "label_centroid_matrix" -> labelCentroidMatrix _,
     "semantic_dedup"          -> semanticDedup _,
     "ann_lsh_multiprobe"      -> annLshMultiprobe _,
     "lsh_multiprobe_recall_at_5" -> lshMultiprobeRecallAt5 _,

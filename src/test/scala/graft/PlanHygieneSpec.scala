@@ -71,7 +71,10 @@ class PlanHygieneSpec extends SparkSpec {
       "semantic_dedup",
       // refined-centroid IVF runs the same deliberate N·C assignment per
       // Lloyd round; the multiprobe recall report embeds the brute baseline
-      "ivf_recall_refined", "lsh_multiprobe_recall_at_5")
+      "ivf_recall_refined", "lsh_multiprobe_recall_at_5",
+      // centroid matrix: all-pairs inequality join over the bounded
+      // (≤ label-count) centroid table — report shape, deliberate
+      "label_centroid_matrix")
     for ((name, plan) <- executedPlans if !allowed(name)) {
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name unexpectedly plans a BroadcastNestedLoopJoin:\n${plan.take(800)}")

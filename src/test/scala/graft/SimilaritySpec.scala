@@ -306,6 +306,37 @@ class SimilaritySpec extends SparkSpec {
       "star decomposition changed the connected components")
   }
 
+  test("label_centroid_matrix: full matrix, bounded cosines, centroid arithmetic matches driver-side") {
+    val rows = q("label_centroid_matrix").collect()
+    val labels = Tables.loadSpread(spark, sf, "embeddings")
+      .select("label").distinct().count().toInt
+    assert(rows.length == labels * (labels - 1) / 2, "one row per unordered pair")
+    rows.foreach { r =>
+      val c = r.getDouble(2)
+      assert(c >= -1.0000001 && c <= 1.0000001, s"cosine $c out of range")
+      assert(r.getInt(0) < r.getInt(1), "pairs must be ordered label_a < label_b")
+    }
+    // centroid arithmetic: recompute one label's requantized centroid
+    // driver-side from the raw embeddings and compare one matrix entry
+    import spark.implicits._
+    val raw = Tables.loadSpread(spark, sf, "embeddings")
+      .select(col("label"), col("embedding")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+    def centroid(l: Int): Array[Long] = {
+      val vs = raw.filter(_._1 == l).map(_._2
+        .map(x => math.round(x.toDouble * 1000.0)))
+      Array.tabulate(vs.head.length) { d =>
+        math.round(vs.map(_(d)).sum.toDouble / vs.length)
+      }
+    }
+    val (c0, c1) = (centroid(0), centroid(1))
+    val dot = c0.zip(c1).map { case (x, y) => x * y }.sum.toDouble
+    val expected = dot / (math.sqrt(c0.map(x => x * x).sum.toDouble)
+      * math.sqrt(c1.map(x => x * x).sum.toDouble))
+    val got = rows.find(r => r.getInt(0) == 0 && r.getInt(1) == 1).get.getDouble(2)
+    assert(got == expected, s"entry (0,1): got $got expected $expected")
+  }
+
   test("semantic dedup: cell pairs are a subset of exhaustive pairs; reps are the cluster outliers") {
     // (1) candidate soundness: the cell-bucketed pair set never invents a
     // pair — every semantic-dup pair is also an exhaustive near-dup pair
