@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
 import graft.Tables
-import graft.functions.{Deterministic, TextFunctions}
+import graft.functions.{Deterministic, TextFunctions, VectorFunctions => V}
 
 /** Corpus-curation operators — the filtering/mixing stages a training-data
   * pipeline runs between dedup and tokenization (north-star tier; no
@@ -97,7 +97,18 @@ object Curation {
        |  FROM documents),
        |$gateSignalCtes,
        |gate_keep AS (
-       |  SELECT doc_id FROM gate_final WHERE quality_score >= $GateKeepMin)""".stripMargin
+       |  SELECT doc_id FROM gate_final WHERE quality_score >= $GateKeepMin),
+       |${Similarity.quantizedSql},
+       |${Similarity.cellsSql},
+       |bvv AS (
+       |  SELECT cell, v AS bv, n2 AS bn2 FROM cells
+       |  WHERE vec_id IN (SELECT doc_id FROM bench)),
+       |contam_semantic AS (
+       |  SELECT DISTINCT a.vec_id AS doc_id
+       |  FROM cells a JOIN bvv b USING (cell)
+       |  WHERE a.vec_id NOT IN (SELECT doc_id FROM bench)
+       |    AND ${V.qdotSql("a.v", "b.bv", Similarity.Dim)}
+       |          / (sqrt(a.n2) * sqrt(b.bn2)) >= $SemanticContamThreshold)""".stripMargin
 
   /** The pipeline keep-filter over those CTEs — shared by the pipeline
     * oracle's final SELECT and the funnel's n_final subquery.
@@ -107,6 +118,7 @@ object Curation {
        |  AND doc_id NOT IN (SELECT doc_id FROM removals)
        |  AND doc_id NOT IN (SELECT doc_id FROM contam_ratio)
        |  AND doc_id NOT IN (SELECT doc_id FROM contam_exact)
+       |  AND doc_id NOT IN (SELECT doc_id FROM contam_semantic)
        |  AND doc_id IN (SELECT doc_id FROM quality_keep)
        |  AND doc_id IN (SELECT doc_id FROM gate_keep)""".stripMargin
 
@@ -233,6 +245,52 @@ object Curation {
       .orderBy("doc_id")
       // three registered consumers (own row, pipeline, funnel) — the
       // 13-gram probe join runs once per session; tracked for release
+      .transform(graft.CacheLifecycle.sessionPersist)
+  }
+
+  /** Threshold for SEMANTIC decontamination — matches the embedding
+    * near-dup ladder (0.4) so the three decon rungs and the dedup tier
+    * are directly comparable on the fixture; production tunes this per
+    * embedding model (typically much higher).
+    */
+  private val SemanticContamThreshold = 0.4
+
+  /** SEMANTIC decontamination (the embedding-space rung beside the
+    * 50%-overlap ratio rule and the exact 13-gram rule): flag corpus
+    * documents whose EMBEDDING sits within cosine
+    * [[SemanticContamThreshold]] of any held-out benchmark document's
+    * embedding — the leak class n-gram rules cannot see (paraphrased or
+    * re-worded benchmark items share no 13-gram but embed nearby).
+    * `vec_id` ≡ `doc_id` by fixture construction.
+    *
+    * Scale shape: candidates are IVF-CELL-BUCKETED exactly like SemDeDup
+    * ([[Similarity.assignedCells]] is the shared session-persisted
+    * assignment) — a corpus vector is scored only against benchmark
+    * vectors in ITS cell, so the join is an equi-join on the cell id and
+    * the corpus never meets the benchmark set all-pairs. The benchmark
+    * side is small by premise (and cell-partitioned); the oracle mirrors
+    * the cell restriction, so the registered result is exact for the
+    * operator AS DEFINED (candidate recall is the IVF trade the ANN
+    * recall queries measure).
+    */
+  def decontaminateSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    val bench = Tables.documents(spark, sfDir)
+      .filter(col("source") === BenchmarkSource)
+      .select(col("doc_id"))
+    val cells = Similarity.assignedCells(spark, sfDir)
+    val benchVecs = cells.join(bench, cells("vec_id") === bench("doc_id"))
+      .select(col("cell"), col("v").alias("bv"), col("n2").alias("bn2"))
+    val corpus = cells.join(bench, cells("vec_id") === bench("doc_id"), "left_anti")
+    corpus.join(benchVecs, Seq("cell"))
+      .select(col("vec_id").alias("doc_id"),
+        V.qcosineFrom(V.qdot(col("v"), col("bv")), col("n2"), col("bn2"))
+          .alias("cos_sim"))
+      .filter(col("cos_sim") >= SemanticContamThreshold)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).alias("n_bench_neighbors"),
+        max(col("cos_sim")).alias("max_cos"))
+      .orderBy("doc_id")
+      // three registered consumers (own row, pipeline, funnel)
       .transform(graft.CacheLifecycle.sessionPersist)
   }
 
@@ -665,6 +723,7 @@ object Curation {
       .select(col("doc_b").alias("doc_id"))
     val contaminated = decontaminate(spark, sfDir).select(col("doc_id"))
       .union(decontaminateExact(spark, sfDir).select(col("doc_id")))
+      .union(decontaminateSemantic(spark, sfDir).select(col("doc_id")))
       .distinct()
     val qualityKeep = repetitionQuality(spark, sfDir)
       .filter(col("keep")).select(col("doc_id"))
@@ -711,6 +770,8 @@ object Curation {
         .agg(count(lit(1)).alias("n_contaminated_ratio"))))
       .crossJoin(broadcast(decontaminateExact(spark, sfDir)
         .agg(count(lit(1)).alias("n_contaminated_exact"))))
+      .crossJoin(broadcast(decontaminateSemantic(spark, sfDir)
+        .agg(count(lit(1)).alias("n_contaminated_semantic"))))
       .crossJoin(broadcast(repetitionQuality(spark, sfDir).filter(!col("keep"))
         .agg(count(lit(1)).alias("n_quality_fail"))))
       .crossJoin(broadcast(qualityGate(spark, sfDir).filter(!col("keep"))
@@ -761,6 +822,7 @@ object Curation {
          |       (SELECT count(*) FROM removals) AS n_dedup_removed,
          |       (SELECT count(*) FROM contam_ratio) AS n_contaminated_ratio,
          |       (SELECT count(*) FROM contam_exact) AS n_contaminated_exact,
+         |       (SELECT count(*) FROM contam_semantic) AS n_contaminated_semantic,
          |       (SELECT count(*) FROM documents)
          |         - (SELECT count(*) FROM quality_keep) AS n_quality_fail,
          |       (SELECT count(*) FROM gate_final
@@ -770,6 +832,23 @@ object Curation {
          |${PiiRules.map { case (name, pat, _) =>
              s"       (SELECT count(*) FROM aug WHERE len(regexp_extract_all(aug_text, '$pat')) > 0) AS n_pii_${name}_docs"
            }.mkString(",\n")}""".stripMargin,
+    "docs_decontaminate_semantic" ->
+      s"""WITH ${Similarity.quantizedSql},
+         |${Similarity.cellsSql},
+         |bench AS (SELECT doc_id FROM documents WHERE source = '$BenchmarkSource'),
+         |bvv AS (
+         |  SELECT cell, v AS bv, n2 AS bn2 FROM cells
+         |  WHERE vec_id IN (SELECT doc_id FROM bench)),
+         |scored AS (
+         |  SELECT a.vec_id AS doc_id,
+         |         ${V.qdotSql("a.v", "b.bv", Similarity.Dim)}
+         |           / (sqrt(a.n2) * sqrt(b.bn2)) AS cos_sim
+         |  FROM cells a JOIN bvv b USING (cell)
+         |  WHERE a.vec_id NOT IN (SELECT doc_id FROM bench))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bench_neighbors,
+         |       max(cos_sim) AS max_cos
+         |FROM scored WHERE cos_sim >= $SemanticContamThreshold
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "docs_quality_gate" ->
       s"""WITH toks AS (
          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -879,6 +958,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "docs_decontaminate"        -> decontaminate _,
     "docs_decontaminate_exact"  -> decontaminateExact _,
+    "docs_decontaminate_semantic" -> decontaminateSemantic _,
     "docs_curation_pipeline"    -> curationPipeline _,
     "curation_funnel_report"    -> curationFunnelReport _,
     "text_repetition_quality"   -> repetitionQuality _,

@@ -35,7 +35,7 @@ import graft.functions.{VectorFunctions => V}
   */
 object Similarity {
 
-  private val Dim = 64
+  private[operators] val Dim = 64
 
   /** Quantized embeddings with integer squared norms. */
   private def quantized(spark: SparkSession, sfDir: String): DataFrame =
@@ -49,7 +49,7 @@ object Similarity {
       // tracked for release via CacheLifecycle.unpersistAll.
       .transform(graft.CacheLifecycle.sessionPersist)
 
-  private val quantizedSql =
+  private[operators] val quantizedSql =
     s"""q AS (SELECT vec_id, label, ${V.quantize1000Sql("embedding")} AS v
        |      FROM embeddings),
        |qn AS (SELECT vec_id, label, v, ${V.qnorm2Sql("v", Dim)} AS n2 FROM q)""".stripMargin
@@ -942,8 +942,12 @@ object Similarity {
        |  SELECT cell AS c_id, cv, ${V.qnorm2Sql("cv", Dim)} AS cn2
        |  FROM ${centsName}_v)""".stripMargin
 
-  /** DuckDB twin of [[assignedCells]] — keep in sync. */
-  private lazy val cellsSql =
+  /** DuckDB twin of [[assignedCells]] — keep in sync. Shared with the
+    * semantic-decontamination oracle in [[Curation]] (one-way dependency:
+    * Curation reads these CTE vals, Similarity never references Curation,
+    * so object initialization cannot cycle).
+    */
+  private[operators] lazy val cellsSql =
     s"""cents AS (
        |  SELECT vec_id AS c_id, v AS cv, n2 AS cn2 FROM qn WHERE vec_id % 97 = 0),
        |assign AS (

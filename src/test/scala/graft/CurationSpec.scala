@@ -147,11 +147,13 @@ class CurationSpec extends SparkSpec {
     val survivors = ids(q("dedup_survivors"))
     val contamR = ids(q("docs_decontaminate"))
     val contamE = ids(q("docs_decontaminate_exact"))
+    val contamS = ids(q("docs_decontaminate_semantic"))
     val keep = ids(q("text_repetition_quality").filter(col("keep")))
     val gateKeep = ids(q("docs_quality_gate").filter(col("keep")))
     val bench = ids(Tables.documents(spark, sf).filter(col("source") === "src0"))
     val expected =
-      ((survivors intersect keep intersect gateKeep) -- contamR -- contamE) -- bench
+      ((survivors intersect keep intersect gateKeep)
+        -- contamR -- contamE -- contamS) -- bench
     val got = ids(q("docs_curation_pipeline"))
     assert(got == expected,
       s"missing=${expected -- got} extra=${got -- expected}")
@@ -170,6 +172,8 @@ class CurationSpec extends SparkSpec {
       "n_dedup_removed must complement the survivors count")
     assert(n("n_contaminated_ratio") == q("docs_decontaminate").count())
     assert(n("n_contaminated_exact") == q("docs_decontaminate_exact").count())
+    assert(n("n_contaminated_semantic") ==
+      q("docs_decontaminate_semantic").count())
     assert(n("n_quality_fail") ==
       q("text_repetition_quality").filter(!col("keep")).count())
     assert(n("n_gate_fail") == q("docs_quality_gate").filter(!col("keep")).count())
@@ -231,6 +235,38 @@ class CurationSpec extends SparkSpec {
       assert(viaShuffle == viaBroadcast,
         "guard branches must be plan-only: same rows either way")
     } finally spark.conf.set(key, orig)
+  }
+
+  test("docs_decontaminate_semantic: subset of exhaustive bench-adjacent set, no bench docs") {
+    val benchIds = Tables.documents(spark, sf)
+      .filter(col("source") === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val flagged = q("docs_decontaminate_semantic").collect()
+    assert(flagged.nonEmpty, "fixture has bench-adjacent embeddings at 0.4")
+    flagged.foreach { r =>
+      assert(!benchIds.contains(r.getLong(0)), s"bench doc ${r.getLong(0)} flagged")
+      assert(r.getDouble(2) >= 0.4 && r.getDouble(2) <= 1.0000001,
+        s"max_cos ${r.getDouble(2)} out of range")
+    }
+    // candidate soundness: the cell restriction only PRUNES — every
+    // flagged doc is also in the EXHAUSTIVE bench-adjacent set, computed
+    // driver-side from the raw embeddings
+    val raw = Tables.loadSpread(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray.map(x => math.round(x.toDouble * 1000.0)))
+      .toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      dot / (math.sqrt(a.map(x => x * x).sum.toDouble)
+        * math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val exhaustive = raw.keySet.filterNot(benchIds).filter { id =>
+      benchIds.exists(b => cos(raw(id), raw(b)) >= 0.4)
+    }
+    val got = flagged.map(_.getLong(0)).toSet
+    assert(got.subsetOf(exhaustive),
+      s"cell bucketing invented hits: ${got -- exhaustive}")
   }
 
   test("pii redaction: planted strings redact fully, rules never cross-fire") {
