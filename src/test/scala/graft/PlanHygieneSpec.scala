@@ -74,7 +74,11 @@ class PlanHygieneSpec extends SparkSpec {
       "ivf_recall_refined", "lsh_multiprobe_recall_at_5",
       // centroid matrix: all-pairs inequality join over the bounded
       // (≤ label-count) centroid table — report shape, deliberate
-      "label_centroid_matrix")
+      "label_centroid_matrix",
+      // semantic decon reads the IVF cell assignment (deliberate N·C
+      // broadcast scoring, as semantic_dedup); the pipeline embeds it
+      // through its semantic contamination branch
+      "docs_decontaminate_semantic", "docs_curation_pipeline")
     for ((name, plan) <- executedPlans if !allowed(name)) {
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name unexpectedly plans a BroadcastNestedLoopJoin:\n${plan.take(800)}")
