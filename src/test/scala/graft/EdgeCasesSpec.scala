@@ -109,6 +109,29 @@ class EdgeCasesSpec extends SparkSpec {
     assert(rows(1).getLong(0) == 14L && rows(1).getLong(1) == 14L)
   }
 
+  test("piiRedact edge inputs: empty string, adjacent spans, boundary non-matches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      // empty + whitespace-only: no match, text unchanged
+      (1L, "", ""),
+      (2L, "   ", "   "),
+      // adjacent PII spans with no separator word
+      (3L, "a@b.co 1.2.3.4", "[EMAIL] [IP]"),
+      // boundary NON-matches: 5-digit groups are not cards, 2-group
+      // dotted numbers are not IPs, bare @ is not an email
+      (4L, "41111-1111-1111-0042 ok", "41111-1111-1111-0042 ok"),
+      (5L, "1.2 and lone @ sign", "1.2 and lone @ sign"),
+      // an IP embedded in a longer dotted run: \b\d{1,3} quads still
+      // match the first four groups (documented greedy-left behavior)
+      (6L, "v 1.2.3.4.5", "v [IP].5")).toDF("id", "s", "expected")
+    val got = rows.withColumn("red", graft.operators.Curation.piiRedact(col("s")))
+    got.collect().foreach { r =>
+      assert(r.getAs[String]("red") == r.getAs[String]("expected"),
+        s"id ${r.getLong(0)}: got '${r.getAs[String]("red")}'")
+    }
+  }
+
   test("asOf rejects carry/internal name collisions up front") {
     import spark.implicits._
     val left = Seq((10L, 1L, 30L, 9L)).toDF("lid", "k", "lt", "a")
