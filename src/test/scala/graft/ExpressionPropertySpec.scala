@@ -24,6 +24,65 @@ class ExpressionPropertySpec extends SparkSpec {
         1 -> Gen.const(None)))
       .apply(Gen.Parameters.default, Seed(seed)).get
 
+  test("morton32 Catalyst expression equals the JVM reference on arbitrary longs") {
+    import spark.implicits._
+    // full long range — the expression must mask to the low 32 bits the
+    // same way the reference does, including negatives and high bits set
+    val pairs = Gen.listOfN(500,
+        Gen.zip(Gen.chooseNum(Long.MinValue, Long.MaxValue),
+          Gen.chooseNum(Long.MinValue, Long.MaxValue)))
+      .apply(Gen.Parameters.default, Seed(43L)).get
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.functions.ZOrder.morton32(col("a"), col("b")).alias("m"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) ==
+        graft.functions.ZOrder.morton32Ref(r.getLong(0), r.getLong(1)),
+        s"morton(${r.getLong(0)}, ${r.getLong(1)})")
+    }
+    // monotone locality sanity on the masked domain: code of (x, y) has
+    // a's bits on even positions — recover both inputs by de-interleave
+    got.foreach { r =>
+      val m = r.getLong(2)
+      def unspread(v: Long): Long = {
+        var x = v & 0x5555555555555555L
+        x = (x | (x >>> 1)) & 0x3333333333333333L
+        x = (x | (x >>> 2)) & 0x0F0F0F0F0F0F0F0FL
+        x = (x | (x >>> 4)) & 0x00FF00FF00FF00FFL
+        x = (x | (x >>> 8)) & 0x0000FFFF0000FFFFL
+        (x | (x >>> 16)) & 0xFFFFFFFFL
+      }
+      assert(unspread(m) == (r.getLong(0) & 0xFFFFFFFFL)
+        && unspread(m >>> 1) == (r.getLong(1) & 0xFFFFFFFFL),
+        "morton code must be losslessly de-interleavable")
+    }
+  }
+
+  test("piiRedact is idempotent on arbitrary PII-shaped strings") {
+    import spark.implicits._
+    val span = Gen.oneOf(
+      Gen.const("user@example.com"),
+      Gen.const("4111-1111-1111-0042"),
+      Gen.const("555-012-3456"),
+      Gen.const("10.0.0.1"),
+      Gen.alphaLowerStr.map(_.take(8)),
+      Gen.numStr.map(_.take(6)),
+      Gen.const("@"), Gen.const("."), Gen.const("-"))
+    val strings = Gen.listOfN(300,
+        Gen.chooseNum(0, 8).flatMap(n => Gen.listOfN(n, span)).map(_.mkString(" ")))
+      .apply(Gen.Parameters.default, Seed(101L)).get
+    val out = strings.toDF("s")
+      .select(graft.operators.Curation.piiRedact(col("s")).alias("once"))
+      .select(col("once"),
+        graft.operators.Curation.piiRedact(col("once")).alias("twice"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+        s"redaction not idempotent: '${r.getString(0)}' -> '${r.getString(1)}'")
+    }
+  }
+
   test("chunkWindows: full coverage, stride starts, bounded sizes on random docs") {
     import spark.implicits._
     val docs = Gen.listOfN(200,
