@@ -748,6 +748,10 @@ object Curation {
         md5(piiRedact(piiAugmented(col("text"), col("doc_id"))))
           .alias("text_redacted_md5"))
       .orderBy("doc_id")
+      // two registered consumers (own row, funnel n_final) — the anti/
+      // semi join chain and the redaction map run once per session;
+      // tracked for release
+      .transform(graft.CacheLifecycle.sessionPersist)
   }
 
   /** Per-stage FUNNEL REPORT for the curation pipeline — the single-row
