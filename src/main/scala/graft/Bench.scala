@@ -8,6 +8,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Parity with Verify/TimeQ/tests: zorder_pruned_scan clusters on
+      // to_date(o_orderdate)/datediff, which are session-timezone
+      // dependent — on a non-UTC host an unpinned bench would cluster
+      // and scan a slightly different band than the one the verify gate
+      // proves lossless.
+      .config("spark.sql.session.timeZone", "UTC")
       // Static conf, default 100: with ~90 registered queries × several
       // codegen units each, the generated-class cache thrashes and Janino
       // recompiles the SAME classes mid-bench — measured as multi-second

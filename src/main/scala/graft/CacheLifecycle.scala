@@ -100,8 +100,42 @@ object CacheLifecycle {
       (p, () => { p.unpersist(false); () })
     }
 
+  /** One memo slot: `frame` is a Scala lazy val, so the expensive build
+    * runs at most once, serialized on THIS holder's monitor — per-key
+    * locking without ever holding the map's lock during a Spark action
+    * (computeIfAbsent only constructs the cheap holder). Serialization
+    * matters beyond wasted work: a memoized build may carry filesystem
+    * side effects (Layout's cluster+parquet write), where two racing
+    * builds would overwrite the same directory concurrently.
+    */
+  private final class MemoSlot(build0: () => DataFrame) {
+    lazy val frame: DataFrame = build0()
+  }
+
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, MemoSlot]()
+
+  private val durableMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, MemoSlot]()
+
+  private def memoizedIn(
+      map: java.util.concurrent.ConcurrentHashMap[String, MemoSlot],
+      key: String)(build: => DataFrame): DataFrame = {
+    val holder = map.computeIfAbsent(key, _ => new MemoSlot(() => build))
+    // forcing the lazy val happens OUTSIDE the map's lock; a second
+    // thread racing on the same key blocks on the holder until the one
+    // build finishes, then reads the cached frame
+    val df = holder.frame
+    // a hit bound to a stopped session is a dead frame (the driver
+    // stopped and recreated its session without calling unpersistAll);
+    // drop it and rebuild against the live session rather than hand the
+    // caller a frame whose every action throws
+    if (!df.sparkSession.sparkContext.isStopped) df
+    else {
+      map.remove(key, holder)
+      memoizedIn(map, key)(build)
+    }
+  }
 
   /** Session-memoize a DRIVER-SIDE computation's result frame. Plan-level
     * cache dedup ([[sessionPersist]]) cannot help an operator whose
@@ -113,24 +147,25 @@ object CacheLifecycle {
     * [[unpersistAll]] — the memoized frames are typically
     * localCheckpoint-backed, and a released checkpoint CANNOT be
     * recomputed (truncated lineage), so holding them across a cache
-    * reset would hand out dead frames.
+    * reset would hand out dead frames. Builds are serialized per key
+    * (see [[MemoSlot]]) and must be idempotent only across SESSIONS,
+    * never concurrently within one.
     */
-  def memoized(key: String)(build: => DataFrame): DataFrame = {
-    val hit = memo.get(key)
-    // a hit bound to a stopped session is a dead frame (the driver
-    // stopped and recreated its session without calling unpersistAll);
-    // drop it and rebuild against the live session rather than hand the
-    // caller a frame whose every action throws
-    if (hit != null && !hit.sparkSession.sparkContext.isStopped) hit
-    else {
-      if (hit != null) memo.remove(key, hit)
-      // no computeIfAbsent: `build` runs Spark actions and must not run
-      // inside the map's lock; a rare duplicate build is harmless
-      val df = build
-      memo.putIfAbsent(key, df)
-      df
-    }
-  }
+  def memoized(key: String)(build: => DataFrame): DataFrame =
+    memoizedIn(memo, key)(build)
+
+  /** Like [[memoized]] but the entry SURVIVES [[unpersistAll]] — for
+    * builds whose side effect lands on DISK (e.g. Layout's cluster +
+    * parquet write) and whose returned frame's lineage reads only those
+    * files: re-executing it after a blanket cache reset is correct and
+    * cheap, so clearing the memo would only force the expensive write to
+    * replay (and, in a bench loop that resets caches between timed
+    * loops, put write I/O noise into a read-path measurement). The
+    * dead-session guard still applies — a frame from a stopped session
+    * is rebuilt, which re-runs the write against the live session.
+    */
+  def memoizedDurable(key: String)(build: => DataFrame): DataFrame =
+    memoizedIn(durableMemo, key)(build)
 
   /** Release every intermediate the library has pinned — persisted frames
     * and sketch broadcasts — non-blocking. Each release is individually

@@ -94,7 +94,12 @@ object ZOrder {
     * such rows are routed EXPLICITLY to the first shard, where the
     * nulls-first sort clusters them at the front of the first file —
     * deterministic and lossless, not an error. Filter or impute upstream
-    * if null dimensions are meaningless for the layout.
+    * if null dimensions are meaningless for the layout. The ALL-null
+    * case (every row's code null, so the span probe returns null) is
+    * different in kind: it takes the empty-input early return below, so
+    * the frame comes back LOSSLESS but with NO re-layout at all — no
+    * coalesce/repartition to `numFiles` — and still carrying the call's
+    * session-persist pin until the lifecycle release.
     *
     * Action economy: one bounded span probe plus ONE collect of the
     * per-shard counts (≤ coarse rows); offsets and the grand total derive

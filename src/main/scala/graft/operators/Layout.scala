@@ -43,9 +43,16 @@ object Layout {
     * the hash gate; the pruning PAYOFF (files skipped on the second
     * dimension) is asserted plan-level in ScalePostureSpec.
     *
-    * Memoized per session: the cluster+write side effect runs once;
-    * bench loops and verify re-reads pay only the pruned scan — which is
-    * the actual production read path this query exists to exercise.
+    * Memoized DURABLY ([[graft.CacheLifecycle.memoizedDurable]]): the
+    * cluster+write side effect runs once per JVM session and the entry
+    * survives `unpersistAll`, so bench loops — which reset caches
+    * between timed loops — pay only the pruned scan, the actual
+    * production read path this query exists to exercise. (A plain
+    * [[graft.CacheLifecycle.memoized]] entry would be cleared with the
+    * caches and replay the full cluster + parquet write inside every
+    * timed loop, folding disk-write I/O noise into a read measurement.)
+    * The returned frame's lineage is only the parquet scan of the
+    * written dir, so re-executing it after a cache reset is safe.
     */
   /** The layout carries the epoch-day dimension as a materialized LONG
     * column and the read path filters on IT, not on the timestamp:
@@ -56,7 +63,7 @@ object Layout {
     * layouts materialize partition-grade date keys for the same reason.
     */
   def zorderPrunedScan(spark: SparkSession, sfDir: String): DataFrame =
-    graft.CacheLifecycle.memoized(s"layout.zorderPrunedScan:$sfDir") {
+    graft.CacheLifecycle.memoizedDurable(s"layout.zorderPrunedScan:$sfDir") {
       val base = Tables.orders(spark, sfDir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
           col("o_totalprice"),
