@@ -52,12 +52,16 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame       = load(spark, sfDir, "part")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "lineitem")
-  /** Physical schema of `events.parquet`: `ts` is INT64 TIMESTAMP(NANOS),
-    * which Spark's Parquet reader rejects by default (no nanos timestamp
-    * type) — it is read as a plain long and converted via
-    * [[eventsTsMicrosExpr]]. Shared by the batch reader below and the
-    * streaming reader (`graft.streaming.EventStream`), so the contract
-    * lives in exactly one place.
+  /** Fallback physical schema of `events.parquet` for fixture generations
+    * whose `ts` is INT64 TIMESTAMP(NANOS) — Spark's Parquet reader rejects
+    * nanos at schema inference (no nanos timestamp type), so that
+    * generation is read with `ts` as a plain long and converted via
+    * [[eventsTsMicrosExpr]]. Newer fixture generations write
+    * TIMESTAMP(MICROS) which inference handles natively; [[eventsSchemaFor]]
+    * sniffs the footer and picks the right shape. Shared by the batch
+    * reader below and the streaming reader
+    * (`graft.streaming.EventStream`), so the contract lives in exactly
+    * one place.
     */
   val eventsPhysicalSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
@@ -73,9 +77,48 @@ object Tables {
   val eventsTsMicrosExpr: String =
     "timestamp_micros((ts - pmod(ts, 1000)) div 1000)"
 
+  /** Footer-sniffed read schema for an events parquet path. The fixture's
+    * `ts` physical encoding has varied across driver generations (INT64
+    * TIMESTAMP(NANOS) vs TIMESTAMP(MICROS, isAdjustedToUTC=false)); a
+    * hard-coded schema silently mis-scales one of them (a micros value
+    * pushed through the nanos `div 1000` lands in 1970), so the footer is
+    * authoritative. Inference throwing = the nanos generation (the one
+    * shape Spark refuses to infer) → the long-typed fallback. Cached per
+    * path: one footer read per (path, JVM), not per query.
+    */
+  private val eventsSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  def eventsSchemaFor(spark: SparkSession, p: String): StructType =
+    eventsSchemaCache.computeIfAbsent(p, _ =>
+      try spark.read.parquet(p).schema
+      catch { case _: Exception => eventsPhysicalSchema })
+
+  /** Normalize the sniffed `ts` to TimestampType(micros) wall-clock:
+    * long = nanos generation (floor-div to micros); TIMESTAMP_NTZ = the
+    * micros generation (cast is wall-clock-exact under the UTC session
+    * every graft entry point pins); TimestampType passes through.
+    */
+  private def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType      => df.withColumn("ts", expr(eventsTsMicrosExpr))
+      case TimestampType => df
+      case _             => df.withColumn("ts", df("ts").cast(TimestampType))
+    }
+
+  def eventsFrom(spark: SparkSession, p: String): DataFrame =
+    normalizeEventsTs(spark.read.schema(eventsSchemaFor(spark, p)).parquet(p))
+
+  /** Streaming twin of [[eventsFrom]] — file stream sources need an
+    * explicit schema, so the footer sniff runs over the directory via the
+    * batch reader first, then the same `ts` normalization applies.
+    */
+  def eventsStreamFrom(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventsTs(
+      spark.readStream.schema(eventsSchemaFor(spark, dir)).parquet(dir))
+
   def events(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.schema(eventsPhysicalSchema).parquet(path(sfDir, "events"))
-      .withColumn("ts", expr(eventsTsMicrosExpr))
+    eventsFrom(spark, path(sfDir, "events"))
   def documents(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 }

@@ -20,13 +20,12 @@ import graft.functions.Deterministic
   */
 object EventStream {
 
-  /** File-based streaming source over an events directory — same physical
-    * schema and nanos→micros conversion as the batch reader (both defined
-    * once on [[graft.Tables]]).
+  /** File-based streaming source over an events directory — same
+    * footer-sniffed physical schema and `ts` normalization as the batch
+    * reader (both defined once on [[graft.Tables]]).
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(graft.Tables.eventsPhysicalSchema).parquet(dir)
-      .withColumn("ts", expr(graft.Tables.eventsTsMicrosExpr))
+    graft.Tables.eventsStreamFrom(spark, dir)
 
   /** Tumbling 1-hour windowed counts/sums with a 2-hour watermark —
     * identical aggregation body to the batch `events_hourly` query.
