@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -754,43 +754,75 @@ object Curation {
       .transform(graft.CacheLifecycle.sessionPersist)
   }
 
+  /** Per-document FLAG FRAME joining every curation stage's verdict onto
+    * the document key: one narrow row per document with each rule's
+    * independent flag, the per-family PII hit counts, and the pipeline's
+    * final keep decision recomputed from the flags (the same conjunction
+    * [[curationPipeline]] evaluates with its anti/semi chain — a spec
+    * pins the equivalence). Every input is an already-session-persisted
+    * stage frame, so building this is a chain of key-only left joins on
+    * doc_id — no stage recomputes, the payload never rides.
+    *
+    * 100 TB posture: each join shuffles only (doc_id, flag) pairs; the
+    * frame itself is O(corpus rows) × a few dozen bytes. This is the
+    * signal-frame pattern [[qualityGate]] established, widened to the
+    * whole pipeline.
+    */
+  private[graft] def curationFlags(spark: SparkSession, sfDir: String): DataFrame = {
+    def flag(df: DataFrame, name: String): DataFrame =
+      df.select(col("doc_id")).distinct().withColumn(name, lit(true))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), (col("source") === BenchmarkSource).alias("is_bench"))
+      .join(flag(Dedup.minhashLsh(spark, sfDir)
+        .select(col("doc_b").alias("doc_id")), "is_dup"), Seq("doc_id"), "left")
+      .join(flag(decontaminate(spark, sfDir), "contam_ratio"), Seq("doc_id"), "left")
+      .join(flag(decontaminateExact(spark, sfDir), "contam_exact"), Seq("doc_id"), "left")
+      .join(flag(decontaminateSemantic(spark, sfDir), "contam_sem"), Seq("doc_id"), "left")
+      .join(repetitionQuality(spark, sfDir)
+        .select(col("doc_id"), col("keep").alias("qual_keep")), Seq("doc_id"), "left")
+      .join(qualityGate(spark, sfDir)
+        .select(col("doc_id"), col("keep").alias("gate_keep")), Seq("doc_id"), "left")
+      .join(piiRedacted(spark, sfDir)
+        .select(col("doc_id") +: PiiRules.map { case (name, _, _) => col(s"n_$name") }: _*),
+        Seq("doc_id"), "left")
+      .na.fill(false, Seq("is_dup", "contam_ratio", "contam_exact", "contam_sem"))
+      .withColumn("kept",
+        !col("is_bench") && !col("is_dup") &&
+          !col("contam_ratio") && !col("contam_exact") && !col("contam_sem") &&
+          coalesce(col("qual_keep"), lit(false)) &&
+          coalesce(col("gate_keep"), lit(false)))
+      // one registered consumer today (the funnel), but the frame is the
+      // natural seam for any future per-rule diagnostic; tracked for
+      // release
+      .transform(graft.CacheLifecycle.sessionPersist)
+  }
+
   /** Per-stage FUNNEL REPORT for the curation pipeline — the single-row
     * monitoring record every production curation run emits: how many
     * documents each rule flags INDEPENDENTLY (the sets overlap — these
     * are per-rule diagnostics, not a partition of the drop) plus the
-    * final keep count. Seven single-row aggregates cross-joined: each
-    * rides a one-row broadcast, the scale-correct spelling (the inputs
-    * are the already-audited stage pipelines; the joins move 7 rows).
+    * final keep count. ONE conditional-sum aggregate over
+    * [[curationFlags]] — the former spelling cross-joined ten one-row
+    * aggregates, which was ten job submissions whose fixed cost grew
+    * linearly with stage count; the flag frame collapses it to a single
+    * pass (the per-rule sets still overlap — conditional counts, not a
+    * partition).
     */
   def curationFunnelReport(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    docs.agg(count(lit(1)).alias("n_documents"))
-      .crossJoin(broadcast(docs.filter(col("source") === BenchmarkSource)
-        .agg(count(lit(1)).alias("n_benchmark"))))
-      .crossJoin(broadcast(Dedup.minhashLsh(spark, sfDir)
-        .select(col("doc_b")).distinct()
-        .agg(count(lit(1)).alias("n_dedup_removed"))))
-      .crossJoin(broadcast(decontaminate(spark, sfDir)
-        .agg(count(lit(1)).alias("n_contaminated_ratio"))))
-      .crossJoin(broadcast(decontaminateExact(spark, sfDir)
-        .agg(count(lit(1)).alias("n_contaminated_exact"))))
-      .crossJoin(broadcast(decontaminateSemantic(spark, sfDir)
-        .agg(count(lit(1)).alias("n_contaminated_semantic"))))
-      .crossJoin(broadcast(repetitionQuality(spark, sfDir).filter(!col("keep"))
-        .agg(count(lit(1)).alias("n_quality_fail"))))
-      .crossJoin(broadcast(qualityGate(spark, sfDir).filter(!col("keep"))
-        .agg(count(lit(1)).alias("n_gate_fail"))))
-      .crossJoin(broadcast(curationPipeline(spark, sfDir)
-        .agg(count(lit(1)).alias("n_final"))))
-      // per-rule PII coverage (documents with ≥1 hit per family) — the
-      // redaction stage's monitoring row, same overlapping-diagnostics
-      // semantics as the flag counts above; one aggregate over the
-      // session-persisted per-doc counts
-      .crossJoin(broadcast {
-        val aggs = PiiRules.map { case (name, _, _) =>
-          count(when(col(s"n_$name") > 0, lit(1))).alias(s"n_pii_${name}_docs") }
-        piiRedacted(spark, sfDir).agg(aggs.head, aggs.tail: _*)
-      })
+    def n(cond: Column, alias: String) = count(when(cond, lit(1))).alias(alias)
+    val aggs = Seq(
+      count(lit(1)).alias("n_documents"),
+      n(col("is_bench"), "n_benchmark"),
+      n(col("is_dup"), "n_dedup_removed"),
+      n(col("contam_ratio"), "n_contaminated_ratio"),
+      n(col("contam_exact"), "n_contaminated_exact"),
+      n(col("contam_sem"), "n_contaminated_semantic"),
+      n(!coalesce(col("qual_keep"), lit(false)), "n_quality_fail"),
+      n(!coalesce(col("gate_keep"), lit(false)), "n_gate_fail"),
+      n(col("kept"), "n_final")) ++
+      PiiRules.map { case (name, _, _) =>
+        n(col(s"n_$name") > 0, s"n_pii_${name}_docs") }
+    curationFlags(spark, sfDir).agg(aggs.head, aggs.tail: _*)
   }
 
   val oracles: Map[String, String] = Map(

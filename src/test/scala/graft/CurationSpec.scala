@@ -162,6 +162,19 @@ class CurationSpec extends SparkSpec {
     assert(got.size < survivors.size && got.size < keep.size)
   }
 
+  test("flag frame's kept column equals pipeline membership per document") {
+    // the funnel derives n_final from curationFlags.kept, the pipeline
+    // from its anti/semi join chain — the two spellings of the same
+    // conjunction must agree on every document, not just in count
+    val keptIds = graft.operators.Curation.curationFlags(spark, sf)
+      .filter(col("kept")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val pipelineIds = q("docs_curation_pipeline").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(keptIds == pipelineIds,
+      s"missing=${pipelineIds -- keptIds} extra=${keptIds -- pipelineIds}")
+  }
+
   test("funnel report counts agree with the registered stage queries") {
     val r = q("curation_funnel_report").collect()
     assert(r.length == 1)
