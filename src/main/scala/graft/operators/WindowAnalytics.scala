@@ -181,7 +181,7 @@ object WindowAnalytics {
     * the way a per-language corpus window would ([[Curation]]'s sharded
     * rank covers that regime).
     */
-  def customerPriorityIntervals(spark: SparkSession, sfDir: String): DataFrame = {
+  private def priorityIntervalHistory(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("customer_key"))
       .orderBy(col("o_orderdate").asc, col("order_key").asc)
     val flagged = Tables.orders(spark, sfDir)
@@ -205,36 +205,110 @@ object WindowAnalytics {
     val byIsland = Window.partitionBy(col("customer_key")).orderBy(col("island"))
     intervals
       .withColumn("valid_until", lead(col("valid_from"), 1).over(byIsland))
-      .orderBy("customer_key", "island")
   }
+
+  def customerPriorityIntervals(spark: SparkSession, sfDir: String): DataFrame =
+    priorityIntervalHistory(spark, sfDir).orderBy("customer_key", "island")
+
+  /** SCD-TYPE-2 DIMENSION BUILD — the versioned `dim_customer_scd2` the
+    * standard warehouse pattern produces from a change history: one row
+    * per (customer, attribute version) carrying the static customer
+    * attributes, the tracked attribute's value for that validity window,
+    * `valid_from`/`valid_to` (observed bounds), the exclusive
+    * `valid_until` (NULL on the open/current version), `is_current`, and
+    * a SURROGATE KEY. The change history is [[priorityIntervalHistory]]
+    * (the gaps-and-islands compaction); the reference's star schema
+    * (transform_to_bq.py:102-110) builds only the Type-1 current-state
+    * dimension — this is the Type-2 extension.
+    *
+    * The surrogate key is the ARITHMETIC composite
+    * `customer_key · 2²⁰ + version` — deterministic and computed
+    * per-row with no coordination, unlike `monotonically_increasing_id`
+    * (nondeterministic across retries: a re-executed task re-draws ids,
+    * so a join written against a lost dimension partition stops
+    * matching) or a global `row_number()` (one-partition sort of the
+    * whole dimension). Capacity: 2²⁰ versions per customer — an
+    * attribute changing hourly for 120 years; natural keys above 2⁴³
+    * would overflow and take a wider split, not a different design.
+    *
+    * Scale shape: one equi-join of the compacted history against the
+    * customer dimension (shuffle on the customer key; the history is
+    * orders-of-magnitude smaller than the fact table that produced it)
+    * plus a broadcast of the 25-row nation dim.
+    */
+  def dimCustomerScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = priorityIntervalHistory(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir).select(
+      col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_nationkey"))
+    val nat = Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))
+    hist.join(cust, col("customer_key") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(
+        (col("customer_key") * lit(1048576L) + col("island")).alias("customer_sk"),
+        col("customer_key"),
+        col("c_name").alias("customer_name"),
+        col("c_mktsegment").alias("mkt_segment"),
+        col("n_name").alias("nation"),
+        col("priority"),
+        col("island").alias("version"),
+        col("valid_from"), col("valid_to"), col("valid_until"),
+        col("valid_until").isNull.alias("is_current"))
+      .orderBy("customer_sk")
+  }
+
+  /** Shared gaps-and-islands CTEs (DuckDB twin of
+    * [[priorityIntervalHistory]]) — spliced into both the interval query
+    * and the SCD2 dimension oracle so the island rule cannot drift.
+    */
+  private val priorityIntervalCtes =
+    """seq AS (
+      |  SELECT o_custkey AS customer_key, o_orderkey AS order_key,
+      |         o_orderdate, o_orderpriority AS priority,
+      |         CASE WHEN lag(o_orderpriority) OVER w IS NULL
+      |                OR lag(o_orderpriority) OVER w <> o_orderpriority
+      |              THEN 1 ELSE 0 END AS chg
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey
+      |               ORDER BY o_orderdate ASC, o_orderkey ASC)),
+      |isl AS (
+      |  SELECT *, CAST(sum(chg) OVER (PARTITION BY customer_key
+      |         ORDER BY o_orderdate ASC, order_key ASC
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         AS island
+      |  FROM seq),
+      |iv AS (
+      |  SELECT customer_key, island, min(priority) AS priority,
+      |         CAST(min(o_orderdate) AS DATE) AS valid_from,
+      |         CAST(max(o_orderdate) AS DATE) AS valid_to,
+      |         CAST(count(*) AS BIGINT) AS n_orders
+      |  FROM isl GROUP BY 1, 2),
+      |hist AS (
+      |  SELECT customer_key, island, priority, valid_from, valid_to, n_orders,
+      |         lead(valid_from, 1) OVER (PARTITION BY customer_key
+      |           ORDER BY island) AS valid_until
+      |  FROM iv)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "customer_priority_intervals" ->
-      """WITH seq AS (
-        |  SELECT o_custkey AS customer_key, o_orderkey AS order_key,
-        |         o_orderdate, o_orderpriority AS priority,
-        |         CASE WHEN lag(o_orderpriority) OVER w IS NULL
-        |                OR lag(o_orderpriority) OVER w <> o_orderpriority
-        |              THEN 1 ELSE 0 END AS chg
-        |  FROM orders
-        |  WINDOW w AS (PARTITION BY o_custkey
-        |               ORDER BY o_orderdate ASC, o_orderkey ASC)),
-        |isl AS (
-        |  SELECT *, CAST(sum(chg) OVER (PARTITION BY customer_key
-        |         ORDER BY o_orderdate ASC, order_key ASC
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |         AS island
-        |  FROM seq),
-        |iv AS (
-        |  SELECT customer_key, island, min(priority) AS priority,
-        |         CAST(min(o_orderdate) AS DATE) AS valid_from,
-        |         CAST(max(o_orderdate) AS DATE) AS valid_to,
-        |         CAST(count(*) AS BIGINT) AS n_orders
-        |  FROM isl GROUP BY 1, 2)
-        |SELECT customer_key, island, priority, valid_from, valid_to, n_orders,
-        |       lead(valid_from, 1) OVER (PARTITION BY customer_key
-        |         ORDER BY island) AS valid_until
-        |FROM iv ORDER BY customer_key, island""".stripMargin,
+      s"""WITH $priorityIntervalCtes
+         |SELECT customer_key, island, priority, valid_from, valid_to,
+         |       n_orders, valid_until
+         |FROM hist ORDER BY customer_key, island""".stripMargin,
+    "dim_customer_scd2" ->
+      s"""WITH $priorityIntervalCtes
+         |SELECT customer_key * 1048576 + island AS customer_sk,
+         |       customer_key,
+         |       c_name AS customer_name,
+         |       c_mktsegment AS mkt_segment,
+         |       n_name AS nation,
+         |       priority,
+         |       island AS version,
+         |       valid_from, valid_to, valid_until,
+         |       valid_until IS NULL AS is_current
+         |FROM hist
+         |JOIN customer ON customer_key = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |ORDER BY customer_sk""".stripMargin,
     "customer_next_order_gap" ->
       """WITH base AS (
         |  SELECT o_orderkey AS order_key, o_custkey AS customer_key,
@@ -318,5 +392,6 @@ object WindowAnalytics {
     "order_price_quantiles"   -> orderPriceQuantiles _,
     "order_price_quantiles_approx" -> orderPriceQuantilesApprox _,
     "customer_priority_intervals"  -> customerPriorityIntervals _,
+    "dim_customer_scd2"            -> dimCustomerScd2 _,
   )
 }

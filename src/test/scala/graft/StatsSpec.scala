@@ -99,6 +99,29 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("dim_customer_scd2: surrogate keys unique, one current version, chain closed") {
+    val dim = q("dim_customer_scd2").collect()
+    // surrogate key is injective over the whole dimension
+    assert(dim.map(_.getLong(0)).distinct.length == dim.length)
+    // row count = interval count (the dim join loses/duplicates nothing)
+    assert(dim.length == q("customer_priority_intervals").count())
+    for ((cust, rows) <- dim.groupBy(_.getLong(1))) {
+      val sorted = rows.sortBy(_.getLong(6))
+      // versions 1..n, surrogate = cust * 2^20 + version
+      assert(sorted.map(_.getLong(6)).toSeq == (1L to sorted.length))
+      sorted.foreach(r =>
+        assert(r.getLong(0) == cust * 1048576L + r.getLong(6)))
+      // exactly one open/current version — the last
+      assert(sorted.count(_.getBoolean(10)) == 1)
+      assert(sorted.last.getBoolean(10) && sorted.last.isNullAt(9))
+      // static attributes constant across a customer's versions
+      assert(sorted.map(_.getString(2)).distinct.length == 1)
+      assert(sorted.map(_.getString(4)).distinct.length == 1)
+      for (Array(a, b) <- sorted.sliding(2) if sorted.length > 1)
+        assert(a.getDate(9) == b.getDate(7), "valid_until != successor valid_from")
+    }
+  }
+
   test("triangle census matches a driver-side adjacency count on the same graph") {
     // independent reference: materialize the support-2 edge set, then
     // count oriented wedges/triangles with plain Scala adjacency sets
