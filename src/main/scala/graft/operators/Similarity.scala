@@ -523,12 +523,78 @@ object Similarity {
     * partial-aggregated sum. Nothing ever shuffles the embedding arrays.
     */
   def pqAdcRecallAt5(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = quantized(spark, sfDir)
-    val subs = base.select(col("vec_id"), col("n2"),
-      posexplode(expr("transform(sequence(0, 7), j -> slice(v, j * 8 + 1, 8))"))
-        .as(Seq("j", "sv")))
+    val subs = pqSubvectors(spark, sfDir)
     val cb = subs.filter(col("vec_id") % 499 === 0)
       .select(col("j"), col("vec_id").alias("c_id"), col("sv").alias("cv"))
+    pqAdcRecallWith(spark, sfDir, subs, cb)
+  }
+
+  /** The m=8 8-dim subvector decomposition every PQ rung shares. */
+  private def pqSubvectors(spark: SparkSession, sfDir: String): DataFrame =
+    quantized(spark, sfDir).select(col("vec_id"), col("n2"),
+      posexplode(expr("transform(sequence(0, 7), j -> slice(v, j * 8 + 1, 8))"))
+        .as(Seq("j", "sv")))
+
+  /** Two Lloyd rounds of L2 k-means over each SUBSPACE's codebook — the
+    * PQ counterpart of [[lloydRefinedCentroids]] (same fixed round
+    * count, same integer re-quantization of every updated entry via
+    * HALF_UP round of the exact integer-sum mean, so the DuckDB oracle
+    * unrolls it CTE by CTE). Assignment metric is exact integer L2 in
+    * the `qnorm2(c) − 2·q·c` form ([[pqAdcRecallAt5]]'s encoder);
+    * entries that attract no subvectors drop. Each round is a broadcast
+    * N·m·k assignment + a (j, cell, dim) integer-sum shuffle.
+    */
+  private[graft] def pqRefinedCodebooks(spark: SparkSession, sfDir: String): DataFrame = {
+    val subs = pqSubvectors(spark, sfDir)
+    var cb = subs.filter(col("vec_id") % 499 === 0)
+      .select(col("j"), col("vec_id").alias("c_id"), col("sv").alias("cv"))
+    val w0 = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("d").asc, col("c_id").asc)
+    for (_ <- 1 to 2) {
+      val assigned = subs.join(broadcast(cb), Seq("j"))
+        .select(col("vec_id"), col("j"), col("sv"), col("c_id"),
+          (V.qnorm2(col("cv")) - lit(2) * V.qdot(col("sv"), col("cv"))).alias("d"))
+        .withColumn("rn", row_number().over(w0))
+        .filter(col("rn") === 1)
+        .select(col("j"), col("c_id").alias("cell"), col("sv"))
+      cb = assigned
+        .select(col("j"), col("cell"), posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy(col("j"), col("cell"), col("dim"))
+        .agg(sum(col("x")).alias("s"), count(lit(1)).alias("n"))
+        .select(col("j"), col("cell"), struct(col("dim"),
+          round(col("s").cast("double") / col("n")).cast("long").alias("cq"))
+          .alias("dc"))
+        .groupBy(col("j"), col("cell"))
+        .agg(transform(array_sort(collect_list(col("dc"))),
+          x => x.getField("cq")).alias("cv"))
+        .select(col("j"), col("cell").alias("c_id"), col("cv"))
+    }
+    cb
+  }
+
+  /** Per-query recall@5 of PQ+ADC over the REFINED per-subspace codebooks
+    * — registers codebook quality as a measured number the way
+    * [[ivfRecallRefined]] does for IVF centroids; SimilaritySpec asserts
+    * the refinement's mean-recall effect against the subsample codebook.
+    *
+    * Measured on the unstructured synthetic fixture: subsample 0.04 mean
+    * recall, refined 0.02 — Lloyd training cannot conjure subspace
+    * cluster structure random data doesn't have (the finding
+    * [[pqAdcRecallAt5]]'s scaladoc records, now pinned by a registered
+    * number instead of a prose claim). On a clustered real corpus this
+    * rung is where trained codebooks lift recall; either way a codebook
+    * change surfaces as a CORRECTNESS diff here.
+    */
+  def pqRecallRefined(spark: SparkSession, sfDir: String): DataFrame =
+    pqAdcRecallWith(spark, sfDir, pqSubvectors(spark, sfDir),
+      pqRefinedCodebooks(spark, sfDir))
+
+  /** The encode → LUT → ADC → recall tail shared by the subsample and
+    * refined PQ rungs; `cb` is the codebook `(j, c_id, cv)`.
+    */
+  private def pqAdcRecallWith(spark: SparkSession, sfDir: String,
+      subs: DataFrame, cb: DataFrame): DataFrame = {
+    val base = quantized(spark, sfDir)
     val codes = subs.join(broadcast(cb), Seq("j"))
       .select(col("vec_id"), col("j"), col("c_id"),
         (V.qnorm2(col("cv")) - lit(2) * V.qdot(col("sv"), col("cv"))).alias("d"))
@@ -942,6 +1008,90 @@ object Similarity {
        |  SELECT cell AS c_id, cv, ${V.qnorm2Sql("cv", Dim)} AS cn2
        |  FROM ${centsName}_v)""".stripMargin
 
+  /** DuckDB CTE for one per-subspace L2 assignment pass from a codebook
+    * CTE (`j`, `c_id`, `cv`) — twin of the encoder/assignment in
+    * [[pqRefinedCodebooks]] (assumes `subs` is in scope).
+    */
+  private def pqRefineAssignSql(cteName: String, cbName: String): String =
+    s"""${cteName}_r AS (
+       |  SELECT s.vec_id, s.j, s.sv, c.c_id,
+       |         row_number() OVER (PARTITION BY s.vec_id, s.j
+       |           ORDER BY ${V.qnorm2Sql("c.cv", 8)}
+       |                      - 2 * ${V.qdotSql("s.sv", "c.cv", 8)} ASC,
+       |                    c.c_id ASC) AS rn
+       |  FROM subs s JOIN $cbName c ON s.j = c.j),
+       |$cteName AS (
+       |  SELECT vec_id, j, sv, c_id AS cell FROM ${cteName}_r WHERE rn = 1)""".stripMargin
+
+  /** DuckDB CTE chain for one integer-requantized per-subspace codebook
+    * update from an assignment CTE (`vec_id`, `j`, `sv`, `cell`) — twin
+    * of the update in [[pqRefinedCodebooks]].
+    */
+  private def pqRefineCentsSql(centsName: String, fromAsg: String): String =
+    s"""${centsName}_f AS (
+       |  SELECT j, cell, CAST(i AS INT) AS dim, sv[CAST(i AS INT) + 1] AS x
+       |  FROM $fromAsg, range(8) t(i)),
+       |${centsName}_m AS (
+       |  SELECT j, cell, dim,
+       |         CAST(round(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+       |  FROM ${centsName}_f GROUP BY 1, 2, 3),
+       |$centsName AS (
+       |  SELECT j, cell AS c_id, list(cq ORDER BY dim) AS cv
+       |  FROM ${centsName}_m GROUP BY 1, 2)""".stripMargin
+
+  /** The full PQ encode → LUT → ADC → recall oracle, parameterized by the
+    * codebook CTE the encoder and LUT read (`cb` = the raw subsample;
+    * a refined name with `extraCtes` carrying the Lloyd unroll = the
+    * refined rung) — twin of [[pqAdcRecallWith]].
+    */
+  private def pqAdcOracleSql(cbName: String, extraCtes: String): String =
+    s"""WITH $quantizedSql,
+       |subs AS (
+       |  SELECT vec_id, n2, CAST(j AS INT) AS j,
+       |         list_slice(v, CAST(j AS INT) * 8 + 1, CAST(j AS INT) * 8 + 8) AS sv
+       |  FROM qn, range(8) t(j)),
+       |cb AS (
+       |  SELECT j, vec_id AS c_id, sv AS cv FROM subs WHERE vec_id % 499 = 0),
+       |$extraCtes
+       |enc AS (
+       |  SELECT s.vec_id, s.j, c.c_id,
+       |         row_number() OVER (PARTITION BY s.vec_id, s.j
+       |           ORDER BY ${V.qnorm2Sql("c.cv", 8)}
+       |                      - 2 * ${V.qdotSql("s.sv", "c.cv", 8)} ASC,
+       |                    c.c_id ASC) AS rn
+       |  FROM subs s JOIN $cbName c ON s.j = c.j),
+       |codes AS (SELECT vec_id, j, c_id AS code FROM enc WHERE rn = 1),
+       |lut AS (
+       |  SELECT q.vec_id AS query_id, c.j, c.c_id AS code,
+       |         ${V.qdotSql("q.sv", "c.cv", 8)} AS pdot,
+       |         ${V.qnorm2Sql("c.cv", 8)} AS cn2
+       |  FROM subs q JOIN $cbName c ON q.j = c.j
+       |  WHERE q.vec_id < 10),
+       |adc AS (
+       |  SELECT l.query_id, k.vec_id,
+       |         CAST(sum(pdot) AS BIGINT) AS adc_dot,
+       |         CAST(sum(cn2) AS BIGINT) AS recon_n2
+       |  FROM codes k JOIN lut l ON k.j = l.j AND k.code = l.code
+       |  WHERE k.vec_id != l.query_id
+       |  GROUP BY 1, 2),
+       |pq AS (
+       |  SELECT query_id, vec_id AS neighbor_id FROM (
+       |    SELECT a.query_id, a.vec_id,
+       |           row_number() OVER (PARTITION BY a.query_id
+       |             ORDER BY CAST(a.adc_dot AS DOUBLE)
+       |                        / (sqrt(q.n2) * sqrt(a.recon_n2)) DESC,
+       |                      a.vec_id ASC) AS rank
+       |    FROM adc a JOIN qn q ON q.vec_id = a.query_id)
+       |  WHERE rank <= 5),
+       |$bruteTop5Cte
+       |SELECT b.query_id AS query_id,
+       |       CAST(count(*) AS BIGINT) AS n_exact,
+       |       CAST(count(p.neighbor_id) AS BIGINT) AS n_hits,
+       |       CAST(count(p.neighbor_id) AS DOUBLE) / count(*) AS recall_at_5
+       |FROM brute b LEFT JOIN pq p
+       |  ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+       |GROUP BY 1 ORDER BY query_id""".stripMargin
+
   /** DuckDB twin of [[assignedCells]] — keep in sync. Shared with the
     * semantic-decontamination oracle in [[Curation]] (one-way dependency:
     * Curation reads these CTE vals, Similarity never references Curation,
@@ -1208,52 +1358,12 @@ object Similarity {
          |       CAST((SELECT count(*) FROM ls) AS BIGINT) AS n_pairs_lsh,
          |       CAST((SELECT count(*) FROM ls) AS DOUBLE)
          |         / (SELECT count(*) FROM ex) AS recall""".stripMargin,
-    "pq_adc_recall_at_5" ->
-      s"""WITH $quantizedSql,
-         |subs AS (
-         |  SELECT vec_id, n2, CAST(j AS INT) AS j,
-         |         list_slice(v, CAST(j AS INT) * 8 + 1, CAST(j AS INT) * 8 + 8) AS sv
-         |  FROM qn, range(8) t(j)),
-         |cb AS (
-         |  SELECT j, vec_id AS c_id, sv AS cv FROM subs WHERE vec_id % 499 = 0),
-         |enc AS (
-         |  SELECT s.vec_id, s.j, c.c_id,
-         |         row_number() OVER (PARTITION BY s.vec_id, s.j
-         |           ORDER BY ${V.qnorm2Sql("c.cv", 8)}
-         |                      - 2 * ${V.qdotSql("s.sv", "c.cv", 8)} ASC,
-         |                    c.c_id ASC) AS rn
-         |  FROM subs s JOIN cb c ON s.j = c.j),
-         |codes AS (SELECT vec_id, j, c_id AS code FROM enc WHERE rn = 1),
-         |lut AS (
-         |  SELECT q.vec_id AS query_id, c.j, c.c_id AS code,
-         |         ${V.qdotSql("q.sv", "c.cv", 8)} AS pdot,
-         |         ${V.qnorm2Sql("c.cv", 8)} AS cn2
-         |  FROM subs q JOIN cb c ON q.j = c.j
-         |  WHERE q.vec_id < 10),
-         |adc AS (
-         |  SELECT l.query_id, k.vec_id,
-         |         CAST(sum(pdot) AS BIGINT) AS adc_dot,
-         |         CAST(sum(cn2) AS BIGINT) AS recon_n2
-         |  FROM codes k JOIN lut l ON k.j = l.j AND k.code = l.code
-         |  WHERE k.vec_id != l.query_id
-         |  GROUP BY 1, 2),
-         |pq AS (
-         |  SELECT query_id, vec_id AS neighbor_id FROM (
-         |    SELECT a.query_id, a.vec_id,
-         |           row_number() OVER (PARTITION BY a.query_id
-         |             ORDER BY CAST(a.adc_dot AS DOUBLE)
-         |                        / (sqrt(q.n2) * sqrt(a.recon_n2)) DESC,
-         |                      a.vec_id ASC) AS rank
-         |    FROM adc a JOIN qn q ON q.vec_id = a.query_id)
-         |  WHERE rank <= 5),
-         |$bruteTop5Cte
-         |SELECT b.query_id AS query_id,
-         |       CAST(count(*) AS BIGINT) AS n_exact,
-         |       CAST(count(p.neighbor_id) AS BIGINT) AS n_hits,
-         |       CAST(count(p.neighbor_id) AS DOUBLE) / count(*) AS recall_at_5
-         |FROM brute b LEFT JOIN pq p
-         |  ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
-         |GROUP BY 1 ORDER BY query_id""".stripMargin,
+    "pq_adc_recall_at_5" -> pqAdcOracleSql(cbName = "cb", extraCtes = ""),
+    "pq_recall_refined" -> pqAdcOracleSql(cbName = "pqcents2", extraCtes =
+      s"""${pqRefineAssignSql("pqasg1", "cb")},
+         |${pqRefineCentsSql("pqcents1", "pqasg1")},
+         |${pqRefineAssignSql("pqasg2", "pqcents1")},
+         |${pqRefineCentsSql("pqcents2", "pqasg2")},""".stripMargin),
     "sq8_recall_at_5" ->
       s"""WITH $quantizedSql,
          |q8s AS (
@@ -1315,5 +1425,6 @@ object Similarity {
     "ann_lsh_multiprobe"      -> annLshMultiprobe _,
     "lsh_multiprobe_recall_at_5" -> lshMultiprobeRecallAt5 _,
     "ivf_recall_refined"      -> ivfRecallRefined _,
+    "pq_recall_refined"       -> pqRecallRefined _,
   )
 }

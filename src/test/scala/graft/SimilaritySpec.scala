@@ -224,6 +224,21 @@ class SimilaritySpec extends SparkSpec {
       s"refined-centroid mean recall $refined collapsed vs subsample $base")
   }
 
+  test("refined-codebook PQ recall holds the subsample codebook's level") {
+    // same contract as the IVF twin: Lloyd refinement has no per-query
+    // monotonicity theorem, so the spec pins the measured fixture
+    // property — mean recall must not collapse under refinement
+    def mean(name: String): Double = {
+      val rows = q(name).collect()
+      assert(rows.length == 10 && rows.forall(r => r.getLong(2) <= 5L))
+      rows.map(_.getDouble(3)).sum / rows.length
+    }
+    val base = mean("pq_adc_recall_at_5")
+    val refined = mean("pq_recall_refined")
+    assert(refined >= base - 0.1,
+      s"refined-codebook mean recall $refined collapsed vs subsample $base")
+  }
+
   test("exact-vector pre-collapse bounds the cell join on a planted 10³-copy mass") {
     import spark.implicits._
     // adversarial input: 1000 byte-identical vectors (mirror-crawl shape)
