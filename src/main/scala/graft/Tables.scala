@@ -91,19 +91,31 @@ object Tables {
 
   def eventsSchemaFor(spark: SparkSession, p: String): StructType =
     eventsSchemaCache.computeIfAbsent(p, _ =>
-      try spark.read.parquet(p).schema
-      catch { case _: Exception => eventsPhysicalSchema })
+      try {
+        // request TimestampType where the footer says TIMESTAMP_NTZ: the
+        // reader converts in place (wall-clock-exact under the UTC
+        // session every graft entry point pins) and `ts` stays a PLAIN
+        // ATTRIBUTE — an NTZ read + cast would wrap it in an expression
+        // parquet cannot skip on, losing time-range filter pushdown
+        // (asserted in ScalePostureSpec)
+        val inferred = spark.read.parquet(p).schema
+        StructType(inferred.map {
+          case f if f.name == "ts" && f.dataType == TimestampNTZType =>
+            f.copy(dataType = TimestampType)
+          case f => f
+        })
+      } catch { case _: Exception => eventsPhysicalSchema })
 
   /** Normalize the sniffed `ts` to TimestampType(micros) wall-clock:
-    * long = nanos generation (floor-div to micros); TIMESTAMP_NTZ = the
-    * micros generation (cast is wall-clock-exact under the UTC session
-    * every graft entry point pins); TimestampType passes through.
+    * long = nanos generation (floor-div to micros); timestamp
+    * generations arrive as TimestampType straight from the reader
+    * ([[eventsSchemaFor]] rewrites NTZ in the read schema) and pass
+    * through untouched.
     */
   private def normalizeEventsTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
-      case LongType      => df.withColumn("ts", expr(eventsTsMicrosExpr))
-      case TimestampType => df
-      case _             => df.withColumn("ts", df("ts").cast(TimestampType))
+      case LongType => df.withColumn("ts", expr(eventsTsMicrosExpr))
+      case _        => df
     }
 
   def eventsFrom(spark: SparkSession, p: String): DataFrame =

@@ -65,7 +65,8 @@ class PlanHygieneSpec extends SparkSpec {
       // (ratio-to-report shape)
       "revenue_share_hierarchy", "brand_revenue_pareto",
       // PQ recall embeds the brute-force baseline it is measured against
-      "pq_adc_recall_at_5",
+      // (both the subsample and the Lloyd-refined codebook rung)
+      "pq_adc_recall_at_5", "pq_recall_refined",
       // semantic dedup reads the IVF cell assignment, which shares the
       // deliberate broadcast N·C centroid scoring of ivf_ann_cosine
       "semantic_dedup",
