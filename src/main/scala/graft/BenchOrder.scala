@@ -43,9 +43,14 @@ object BenchOrder {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save() catch { case _: Throwable => })
     CacheLifecycle.unpersistAll()
     spark.catalog.clearCache()
-    val selected =
-      if (args.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+    // with explicit args, run in ARG order (shared session-persisted
+    // stages are paid by whichever query runs first, so marginal-cost
+    // questions — "what does X cost once its inputs are warm?" — need
+    // caller-controlled sequencing); the no-arg loop keeps registry
+    // iteration order to mirror Bench exactly
+    val selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      if (args.isEmpty) SparkEntry.queries.toSeq
+      else args.toSeq.map(n => n -> SparkEntry.queries(n))
     var i = 0
     val t00 = System.nanoTime()
     selected.foreach { case (name, fn) =>

@@ -768,29 +768,52 @@ object Curation {
     * signal-frame pattern [[qualityGate]] established, widened to the
     * whole pipeline.
     */
-  private[graft] def curationFlags(spark: SparkSession, sfDir: String): DataFrame = {
-    def flag(df: DataFrame, name: String): DataFrame =
-      df.select(col("doc_id")).distinct().withColumn(name, lit(true))
+  private[graft] def curationFlags(spark: SparkSession, sfDir: String): DataFrame =
+    // memoized by KEY, not only plan-matched ([[CacheLifecycle
+    // .sessionPersist]]): the frame unions ten stage reads, and a
+    // re-invocation that misses the cache-manager's canonical-plan match
+    // re-materializes the whole union — measured 1.7 s per funnel call
+    // at sf0.1 even with every stage warm; the memo pins the one frame
+    graft.CacheLifecycle.memoized(s"curation.flags:$sfDir") {
+      curationFlagsBuild(spark, sfDir)
+    }
+
+  private def curationFlagsBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    // every stage's verdict rides ONE union of narrow (doc_id, signal,
+    // value) rows + one conditional aggregation — two shuffles total,
+    // where a per-stage join chain would shuffle once per stage (eight
+    // overhead-dominated exchanges measured ~2× slower at sf0.1, and a
+    // growing join tree at 100 TB)
+    def tag(df: DataFrame, name: String, v: Column): DataFrame =
+      df.select(col("doc_id"), lit(name).alias("sig"), v.cast("long").alias("v"))
+    val signals = Seq(
+      tag(Dedup.minhashLsh(spark, sfDir)
+        .select(col("doc_b").alias("doc_id")).distinct(), "is_dup", lit(1L)),
+      tag(decontaminate(spark, sfDir), "contam_ratio", lit(1L)),
+      tag(decontaminateExact(spark, sfDir), "contam_exact", lit(1L)),
+      tag(decontaminateSemantic(spark, sfDir), "contam_sem", lit(1L)),
+      tag(repetitionQuality(spark, sfDir), "qual_keep", col("keep").cast("long")),
+      tag(qualityGate(spark, sfDir), "gate_keep", col("keep").cast("long"))) ++
+      PiiRules.map { case (name, _, _) =>
+        tag(piiRedacted(spark, sfDir), s"pii_$name", col(s"n_$name").cast("long")) }
+    val aggs =
+      Seq("is_dup", "contam_ratio", "contam_exact", "contam_sem").map(s =>
+        max(when(col("sig") === s, col("v"))).isNotNull.alias(s)) ++
+      Seq("qual_keep", "gate_keep").map(s =>
+        coalesce(max(when(col("sig") === s, col("v"))) === 1L, lit(false)).alias(s)) ++
+      PiiRules.map { case (name, _, _) =>
+        max(when(col("sig") === s"pii_$name", col("v"))).alias(s"n_$name") }
+    val agged = signals.reduce(_.unionByName(_))
+      .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), (col("source") === BenchmarkSource).alias("is_bench"))
-      .join(flag(Dedup.minhashLsh(spark, sfDir)
-        .select(col("doc_b").alias("doc_id")), "is_dup"), Seq("doc_id"), "left")
-      .join(flag(decontaminate(spark, sfDir), "contam_ratio"), Seq("doc_id"), "left")
-      .join(flag(decontaminateExact(spark, sfDir), "contam_exact"), Seq("doc_id"), "left")
-      .join(flag(decontaminateSemantic(spark, sfDir), "contam_sem"), Seq("doc_id"), "left")
-      .join(repetitionQuality(spark, sfDir)
-        .select(col("doc_id"), col("keep").alias("qual_keep")), Seq("doc_id"), "left")
-      .join(qualityGate(spark, sfDir)
-        .select(col("doc_id"), col("keep").alias("gate_keep")), Seq("doc_id"), "left")
-      .join(piiRedacted(spark, sfDir)
-        .select(col("doc_id") +: PiiRules.map { case (name, _, _) => col(s"n_$name") }: _*),
-        Seq("doc_id"), "left")
-      .na.fill(false, Seq("is_dup", "contam_ratio", "contam_exact", "contam_sem"))
+      .join(agged, Seq("doc_id"), "left")
+      .na.fill(false, Seq("is_dup", "contam_ratio", "contam_exact", "contam_sem",
+        "qual_keep", "gate_keep"))
       .withColumn("kept",
         !col("is_bench") && !col("is_dup") &&
           !col("contam_ratio") && !col("contam_exact") && !col("contam_sem") &&
-          coalesce(col("qual_keep"), lit(false)) &&
-          coalesce(col("gate_keep"), lit(false)))
+          col("qual_keep") && col("gate_keep"))
       // one registered consumer today (the funnel), but the frame is the
       // natural seam for any future per-rule diagnostic; tracked for
       // release
