@@ -237,6 +237,32 @@ object Multimodal {
       .orderBy("media_a", "media_b")
   }
 
+  /** Perceptual near-dup CLUSTERS: connected components over the verified
+    * phash pair graph — the "keep one asset per duplicate group" step a
+    * media pipeline runs after [[phashDupes]], exactly the text tier's
+    * `Dedup.clusters` over its MinHash pairs. Reuses the doubling CC
+    * (min-label propagation + pointer shortcut, O(log diameter) rounds,
+    * bounded lineage) and is memoized the same way — CC runs its rounds
+    * at construction, so a plan-level persist cannot dedup a second
+    * consumer. Oracle: DuckDB recursive CTE over the same exhaustive
+    * pair set. Singletons (no near-dup pair) are excluded; callers join
+    * the cluster map back to the catalog.
+    */
+  def phashClusters(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoized(s"multimodal.phashClusters:$sfDir") {
+      val pairs = phashDupes(spark, sfDir).select(col("media_a"), col("media_b"))
+      val edges = pairs.select(explode(array(
+          struct(col("media_a").alias("src"), col("media_b").alias("dst")),
+          struct(col("media_b").alias("src"), col("media_a").alias("dst")))).alias("e"))
+        .select(col("e.src").alias("src"), col("e.dst").alias("dst"))
+        .transform(graft.CacheLifecycle.sessionPersist)
+      val (labels, _) = Dedup.connectedComponents(edges)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+      labels.select(col("node").alias("media_id"), col("label").alias("cluster_id"))
+        .withColumn("n_members", count(lit(1)).over(w))
+        .orderBy("media_id")
+    }
+
   /** DuckDB twin of [[phashSigs]] — keep in sync. */
   private val phashCteSql =
     """bsums AS (
@@ -258,6 +284,24 @@ object Multimodal {
       |  FROM bsums)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "multimodal_phash_clusters" ->
+      s"""WITH RECURSIVE $phashCteSql,
+         |pp AS (
+         |  SELECT a.media_id AS media_a, b.media_id AS media_b
+         |  FROM psig a JOIN psig b ON a.media_id < b.media_id
+         |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+         |edges AS (
+         |  SELECT media_a AS src, media_b AS dst FROM pp
+         |  UNION SELECT media_b, media_a FROM pp),
+         |reach AS (
+         |  SELECT src AS node, src AS r FROM edges
+         |  UNION
+         |  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+         |comp AS (
+         |  SELECT node AS media_id, min(r) AS cluster_id FROM reach GROUP BY 1)
+         |SELECT media_id, cluster_id,
+         |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+         |FROM comp ORDER BY media_id""".stripMargin,
     "multimodal_phash_dupes" ->
       s"""WITH $phashCteSql
          |SELECT a.media_id AS media_a, b.media_id AS media_b,
@@ -296,5 +340,6 @@ object Multimodal {
     "multimodal_features" -> features _,
     "multimodal_frame_sample" -> frameSample _,
     "multimodal_phash_dupes" -> phashDupes _,
+    "multimodal_phash_clusters" -> phashClusters _,
   )
 }

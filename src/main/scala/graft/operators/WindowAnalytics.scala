@@ -181,10 +181,10 @@ object WindowAnalytics {
     * the way a per-language corpus window would ([[Curation]]'s sharded
     * rank covers that regime).
     */
-  private def priorityIntervalHistory(spark: SparkSession, sfDir: String): DataFrame = {
+  private def priorityIntervalHistoryOf(orders: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("customer_key"))
       .orderBy(col("o_orderdate").asc, col("order_key").asc)
-    val flagged = Tables.orders(spark, sfDir)
+    val flagged = orders
       .select(col("o_custkey").alias("customer_key"),
         col("o_orderkey").alias("order_key"),
         col("o_orderdate"),
@@ -205,6 +205,78 @@ object WindowAnalytics {
     val byIsland = Window.partitionBy(col("customer_key")).orderBy(col("island"))
     intervals
       .withColumn("valid_until", lead(col("valid_from"), 1).over(byIsland))
+  }
+
+  private def priorityIntervalHistory(spark: SparkSession, sfDir: String): DataFrame =
+    priorityIntervalHistoryOf(Tables.orders(spark, sfDir))
+
+  /** SCD2 APPLY-CHANGES (incremental merge): fold a CDC batch into an
+    * existing interval history WITHOUT rebuilding unaffected keys. The
+    * batch is compacted into runs by the same gaps-and-islands pass,
+    * appended after each key's existing runs, and a SECOND islands pass
+    * over the RUN stream merges across the boundary (a new run whose
+    * value equals the key's current version extends that version —
+    * `valid_to` advances and `n_orders` accumulates — while a changed
+    * value closes it and opens the next). Versions renumber by interval
+    * order per key, so the merged history is ROW-IDENTICAL to the
+    * from-scratch build over the full input — the registered incremental
+    * query's oracle IS the from-scratch SQL, making that equivalence a
+    * driver-gate fact rather than a unit assertion.
+    *
+    * Contract: append-only CDC — every batch row for a key is at or
+    * after that key's last `valid_from` (out-of-order history belongs to
+    * the from-scratch build). `seq` orders runs within equal
+    * `valid_from` (existing runs carry their version, batch runs their
+    * island offset past any version), which can only matter for
+    * same-day changes.
+    *
+    * Scale shape: both islands passes and the final lead window sort the
+    * RUN grain (orders-of-magnitude smaller than the event grain); the
+    * unaffected-key rows never shuffle at all in a real deployment
+    * (they'd be partition-pruned by the affected-key anti-join; here the
+    * merged history recomputes per affected key only).
+    */
+  def scd2ApplyChanges(history: DataFrame, changes: DataFrame): DataFrame = {
+    val affected = changes.select(col("o_custkey").alias("customer_key")).distinct()
+    val carried = history.join(affected, Seq("customer_key"), "left_anti")
+    val oldRuns = history.join(affected, Seq("customer_key"), "left_semi")
+      .select(col("customer_key"), col("island").alias("seq"),
+        col("priority"), col("valid_from"), col("valid_to"), col("n_orders"))
+    val batchRuns = priorityIntervalHistoryOf(changes)
+      .select(col("customer_key"), (col("island") + lit(1L << 40)).alias("seq"),
+        col("priority"), col("valid_from"), col("valid_to"), col("n_orders"))
+    val w = Window.partitionBy(col("customer_key"))
+      .orderBy(col("valid_from").asc, col("seq").asc)
+    val merged = oldRuns.unionByName(batchRuns)
+      .withColumn("chg",
+        when(lag(col("priority"), 1).over(w).isNull ||
+          lag(col("priority"), 1).over(w) =!= col("priority"), 1L).otherwise(0L))
+      .withColumn("mi", sum(col("chg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("customer_key"), col("mi"))
+      .agg(min(col("priority")).alias("priority"),
+        min(col("valid_from")).alias("valid_from"),
+        max(col("valid_to")).alias("valid_to"),
+        sum(col("n_orders")).alias("n_orders"))
+      .withColumnRenamed("mi", "island")
+    val byIsland = Window.partitionBy(col("customer_key")).orderBy(col("island"))
+    carried.unionByName(
+      merged.withColumn("valid_until", lead(col("valid_from"), 1).over(byIsland)))
+  }
+
+  /** Registered incremental SCD2 build: the dimension from pre-1997
+    * history with every 1997+ order applied through [[scd2ApplyChanges]]
+    * — the oracle is [[dimCustomerScd2]]'s from-scratch SQL over the
+    * FULL order table, so the driver gate proves incremental ≡ rebuild
+    * on every run.
+    */
+  def dimCustomerScd2Incremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val cutoff = lit("1997-01-01").cast("timestamp")
+    val history = priorityIntervalHistoryOf(orders.filter(col("o_orderdate") < cutoff))
+    val merged = scd2ApplyChanges(history,
+      orders.filter(col("o_orderdate") >= cutoff))
+    scd2Dimension(spark, sfDir, merged)
   }
 
   def customerPriorityIntervals(spark: SparkSession, sfDir: String): DataFrame =
@@ -236,8 +308,14 @@ object WindowAnalytics {
     * orders-of-magnitude smaller than the fact table that produced it)
     * plus a broadcast of the 25-row nation dim.
     */
-  def dimCustomerScd2(spark: SparkSession, sfDir: String): DataFrame = {
-    val hist = priorityIntervalHistory(spark, sfDir)
+  def dimCustomerScd2(spark: SparkSession, sfDir: String): DataFrame =
+    scd2Dimension(spark, sfDir, priorityIntervalHistory(spark, sfDir))
+
+  /** The attribute join + surrogate projection shared by the from-scratch
+    * and incremental SCD2 builds; `hist` is an interval history frame.
+    */
+  private def scd2Dimension(spark: SparkSession, sfDir: String,
+      hist: DataFrame): DataFrame = {
     val cust = Tables.customer(spark, sfDir).select(
       col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_nationkey"))
     val nat = Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))
@@ -294,6 +372,24 @@ object WindowAnalytics {
          |SELECT customer_key, island, priority, valid_from, valid_to,
          |       n_orders, valid_until
          |FROM hist ORDER BY customer_key, island""".stripMargin,
+    // the incremental build's oracle is the FROM-SCRATCH dimension SQL:
+    // passing the gate means applying the 1997+ batch onto the pre-1997
+    // dimension reproduced the full-history rebuild row-for-row
+    "dim_customer_scd2_incremental" ->
+      s"""WITH $priorityIntervalCtes
+         |SELECT customer_key * 1048576 + island AS customer_sk,
+         |       customer_key,
+         |       c_name AS customer_name,
+         |       c_mktsegment AS mkt_segment,
+         |       n_name AS nation,
+         |       priority,
+         |       island AS version,
+         |       valid_from, valid_to, valid_until,
+         |       valid_until IS NULL AS is_current
+         |FROM hist
+         |JOIN customer ON customer_key = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |ORDER BY customer_sk""".stripMargin,
     "dim_customer_scd2" ->
       s"""WITH $priorityIntervalCtes
          |SELECT customer_key * 1048576 + island AS customer_sk,
@@ -393,5 +489,6 @@ object WindowAnalytics {
     "order_price_quantiles_approx" -> orderPriceQuantilesApprox _,
     "customer_priority_intervals"  -> customerPriorityIntervals _,
     "dim_customer_scd2"            -> dimCustomerScd2 _,
+    "dim_customer_scd2_incremental" -> dimCustomerScd2Incremental _,
   )
 }

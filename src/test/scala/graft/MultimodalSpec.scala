@@ -75,6 +75,32 @@ class MultimodalSpec extends SparkSpec {
     assert(banded.count() > 0)
   }
 
+  test("phash clusters equal a driver-side union-find over the pair graph") {
+    val pairs = q("multimodal_phash_dupes")
+      .select("media_a", "media_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // driver-side union-find reference on the small fixture graph
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(k => k -> find(k)).toMap
+    val got = q("multimodal_phash_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected,
+      s"cluster labels diverge: ${got.toSet.diff(expected.toSet).take(5)}")
+    // n_members consistent with the label map
+    val sizes = expected.values.groupBy(identity).view.mapValues(_.size).toMap
+    q("multimodal_phash_clusters").collect().foreach { r =>
+      assert(r.getLong(2) == sizes(r.getLong(1)))
+    }
+  }
+
   test("phash pairs planted near-identical payloads, not unrelated ones") {
     // near-identical = one character changed mid-payload: every resampled
     // position keeps its byte except those landing on the edit, so the

@@ -122,6 +122,18 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("scd2 apply-changes reproduces the from-scratch dimension row-for-row") {
+    val full = q("dim_customer_scd2")
+    val inc = q("dim_customer_scd2_incremental")
+    assert(inc.exceptAll(full).count() == 0 && full.exceptAll(inc).count() == 0)
+    // the split is real on this fixture: both sides of the cutoff carry
+    // orders, so the merge exercises extension AND closure paths
+    val orders = Tables.orders(spark, sf)
+    val cutoff = lit("1997-01-01").cast("timestamp")
+    assert(orders.filter(col("o_orderdate") < cutoff).count() > 0)
+    assert(orders.filter(col("o_orderdate") >= cutoff).count() > 0)
+  }
+
   test("triangle census matches a driver-side adjacency count on the same graph") {
     // independent reference: materialize the support-2 edge set, then
     // count oriented wedges/triangles with plain Scala adjacency sets
