@@ -189,6 +189,23 @@ object Multimodal {
     */
   private[graft] def phashSigs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.loadSpread(spark, sfDir, "documents")
+      // the block-sum fold runs as the codegen'd graft.plans.PHash60
+      // expression — the interpreted HOF spelling (kept verbatim in the
+      // DuckDB oracle and in [[phashSigsHof]], differential-tested in
+      // ExpressionPropertySpec) walks a lambda per block per row
+      .select(col("doc_id").alias("media_id"),
+        graft.plans.GraftFunctions.pHash60(col("text")).alias("phash"))
+      // shared by both sides of the banded self-join — one hashing pass
+      // per session; tracked for release
+      .transform(graft.CacheLifecycle.sessionPersist)
+
+  /** The higher-order-function spelling of [[phashSigs]] — the exact
+    * in-Spark twin of the DuckDB oracle CTE, kept as the differential
+    * reference for the codegen expression (ExpressionPropertySpec pins
+    * equality on ASCII payloads, where byte = codepoint).
+    */
+  private[graft] def phashSigsHof(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.loadSpread(spark, sfDir, "documents")
       .select(col("doc_id").alias("media_id"),
         expr("(length(text) + 60) div 61").alias("bs"), col("text"))
       .select(col("media_id"),
@@ -202,9 +219,6 @@ object Multimodal {
           "acc * 2 + (CASE WHEN element_at(b, g + 2).s * element_at(b, g + 1).l " +
           "> element_at(b, g + 1).s * element_at(b, g + 2).l " +
           "THEN 1 ELSE 0 END))").alias("phash"))
-      // shared by both sides of the banded self-join — one hashing pass
-      // per session; tracked for release
-      .transform(graft.CacheLifecycle.sessionPersist)
 
   /** Perceptual-hash near-dup pairs (Hamming ≤ 3) through the SAME
     * pigeonhole-lossless band-bucket join as the text tier's SimHash

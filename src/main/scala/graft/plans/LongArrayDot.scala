@@ -96,6 +96,10 @@ object GraftFunctions {
   def simHash60(a: Column): Column =
     GraftSqlBridge.column(SimHash60(GraftSqlBridge.expression(a)))
 
+  /** `phash60(payload)` as a Column — block-mean perceptual hash. */
+  def pHash60(a: Column): Column =
+    GraftSqlBridge.column(PHash60(GraftSqlBridge.expression(a)))
+
   /** `double_dot(a, b)` as a Column — production-precision dot. */
   def doubleDot(a: Column, b: Column): Column =
     GraftSqlBridge.column(DoubleArrayDot(

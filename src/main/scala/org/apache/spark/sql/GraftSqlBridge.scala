@@ -79,3 +79,9 @@ trait LongSingleInputType
     extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   override def inputTypes: Seq[types.AbstractDataType] = Seq(types.LongType)
 }
+
+/** `string` single-argument input declaration (payload hashes). */
+trait StringSingleInputType
+    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[types.AbstractDataType] = Seq(types.StringType)
+}

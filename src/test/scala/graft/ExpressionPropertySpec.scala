@@ -206,6 +206,45 @@ class ExpressionPropertySpec extends SparkSpec {
     assert(rows.isEmpty, rows.mkString("; "))
   }
 
+  test("PHash60 ≡ HOF block-mean hash on random ASCII payloads") {
+    import spark.implicits._
+    // payload domain: ASCII strings (where byte = codepoint, the regime
+    // the HOF/oracle spelling shares), lengths straddling every block
+    // regime — empty, shorter than 61, around multiples of 61, long
+    val asciiGen = for {
+      len <- Gen.frequency(
+        1 -> Gen.const(0), 2 -> Gen.chooseNum(1, 60),
+        3 -> Gen.chooseNum(61, 200), 2 -> Gen.chooseNum(480, 500))
+      cs <- Gen.listOfN(len, Gen.chooseNum(32, 126).map(_.toChar))
+    } yield cs.mkString
+    val docs = Gen.listOfN(200, asciiGen)
+      .apply(Gen.Parameters.default, Seed(31L)).get
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val hof = expr("(length(text) + 60) div 61").alias("bs")
+    val staged = df.select(col("doc_id"), col("text"), hof)
+      .select(col("doc_id"), col("text"),
+        expr("transform(sequence(0, 60), k -> struct(" +
+          "aggregate(slice(split(text, ''), CAST(k * bs + 1 AS INT), CAST(bs AS INT)), " +
+          "CAST(0 AS BIGINT), (acc, c) -> acc + ascii(c)) AS s, " +
+          "CAST(length(substring(text, CAST(k * bs + 1 AS INT), CAST(bs AS INT))) AS BIGINT) AS l))")
+          .alias("b"))
+      .select(col("doc_id"), col("text"),
+        expr("aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, g) -> " +
+          "acc * 2 + (CASE WHEN element_at(b, g + 2).s * element_at(b, g + 1).l " +
+          "> element_at(b, g + 1).s * element_at(b, g + 2).l " +
+          "THEN 1 ELSE 0 END))").alias("hof"))
+    val bad = staged
+      .select(col("doc_id"), GraftFunctions.pHash60(col("text")).alias("fast"),
+        col("hof"))
+      .filter(!(col("fast") <=> col("hof")))
+      .take(3)
+    assert(bad.isEmpty, bad.mkString("; "))
+    // null in, null out
+    val nulls = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
+    assert(nulls.select(GraftFunctions.pHash60(col("text"))).head().isNullAt(0))
+  }
+
   test("SimHash60 null-array contract intentionally diverges from the HOF spelling") {
     import spark.implicits._
     // the HOF CASE swallows the inner null and folds to 0; the
