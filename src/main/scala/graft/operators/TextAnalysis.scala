@@ -283,6 +283,38 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** IDF-SURPRISAL quality score — the integer-exact stand-in for the
+    * language-model perplexity filter a pretraining pipeline runs:
+    * a token occurring in df of N documents carries
+    * `⌊log₂(N/df)⌋` bits of surprisal, computed EXACTLY as
+    * `length(bin(N div df)) − 1` (binary-digit count — no float log, so
+    * both engines agree bit-for-bit where a `ln`-based spelling could
+    * disagree in the last ulp at power-of-two boundaries). A document's
+    * score is its mean per-token surprisal: low = boilerplate built from
+    * ubiquitous tokens, high = rare-token-dense (OCR noise, codes) —
+    * the two tails a perplexity gate trims. Shares the tokenize-once
+    * tf→df shape of [[tfidfTopTerms]]: one corpus shuffle, term-keyed df
+    * join, no document windows.
+    */
+  def surprisalQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.loadSpread(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).alias("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).alias("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).alias("df"))
+    val nd = Tables.documents(spark, sfDir).agg(count(lit(1)).alias("n_docs"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nd))
+      .withColumn("bits", (length(bin(expr("n_docs div df"))) - 1).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).alias("n_tokens"),
+        sum(col("bits") * col("tf")).alias("total_bits"))
+      .withColumn("mean_bits",
+        col("total_bits").cast("double") / col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Order-sensitive rolling-hash document fingerprint + full-text md5 —
     * the compact dedup/fingerprint keys a 100 TB pipeline carries instead
     * of raw text.
@@ -436,6 +468,23 @@ object TextAnalysis {
       s"""SELECT doc_id, md5(text) AS text_md5,
          |       ${TextFunctions.rollingFingerprintSql(toksSql)} AS rolling_fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_surprisal_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY 1, 2),
+        |dfreq AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+        |SELECT doc_id,
+        |       CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |       CAST(sum((length(bin(n_docs // df)) - 1) * tf) AS BIGINT)
+        |         AS total_bits,
+        |       CAST(sum((length(bin(n_docs // df)) - 1) * tf) AS DOUBLE)
+        |         / sum(tf) AS mean_bits
+        |FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "text_tfidf_top_terms" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -469,5 +518,6 @@ object TextAnalysis {
     "text_langid"       -> langId _,
     "text_fingerprint"  -> fingerprint _,
     "text_tfidf_top_terms" -> tfidfTopTerms _,
+    "text_surprisal_quality" -> surprisalQuality _,
   )
 }

@@ -39,6 +39,25 @@ class TextEventsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("text_surprisal_quality: bits match a driver-side df recompute") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nDocs = docs.size
+    val df = docs.values.flatMap(_.split(" ").distinct).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    def bits(term: String): Long =
+      (63 - java.lang.Long.numberOfLeadingZeros(nDocs.toLong / df(term))).toLong
+    val rows = q("text_surprisal_quality").collect()
+    assert(rows.length == nDocs)
+    rows.take(25).foreach { r =>
+      val toks = docs(r.getLong(0)).split(" ")
+      assert(r.getLong(1) == toks.length.toLong)
+      assert(r.getLong(2) == toks.map(bits).sum, s"doc ${r.getLong(0)}")
+      assert(r.getDouble(3) >= 0.0 &&
+        r.getDouble(3) <= math.log(nDocs.toDouble) / math.log(2.0))
+    }
+  }
+
   test("text_token_stats: one row per language, totals positive") {
     val rows = q("text_token_stats").collect()
     assert(rows.length == 5)
