@@ -54,7 +54,8 @@ class PlanHygieneSpec extends SparkSpec {
     val allowed = Set("range_join_price_band", "ivf_ann_cosine",
       "kmeans_lloyd_step", "knn_brute_cosine", "embedding_near_dup",
       "revenue_share_by_flag", "customers_all_years",
-      "region_priority_matrix", "text_tfidf_top_terms",
+      // ...surprisal shares TF-IDF's single-row corpus-size broadcast
+      "region_priority_matrix", "text_tfidf_top_terms", "text_surprisal_quality",
       "events_dau_wau", "docs_temperature_mix", "ann_recall_report",
       "ivf_recall_at_5", "ivf_ann_nprobe2", "curation_funnel_report",
       "sq8_recall_at_5", "order_price_equidepth",
