@@ -209,6 +209,30 @@ object Dedup {
       .transform(graft.CacheLifecycle.sessionPersist)
   }
 
+  /** CROSS-SOURCE DUPLICATE MATRIX: the verified near-dup pairs rolled up
+    * by (source, source) — the crawl-overlap diagnostic a dedup run emits
+    * (how much of dump A is republished in dump B decides whether a new
+    * source is worth ingesting). The pair endpoints join to the document
+    * catalog for their sources and the pair counts into a canonical
+    * (least, greatest) cell so A↔B and B↔A accumulate together; the
+    * diagonal is within-source duplication. Scale shape: two key-only
+    * joins of the (tiny, session-persisted) verified pair set against the
+    * catalog, then a bounded |sources|² aggregate — the corpus itself
+    * never reshuffles. Token-overlap twin: `source_overlap_matrix`
+    * (Curation) measures VOCABULARY sharing; this measures verified
+    * near-DUPLICATES.
+    */
+  def crossSourcePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    minhashLsh(spark, sfDir).select(col("doc_a"), col("doc_b"))
+      .join(src.select(col("doc_id").alias("doc_a"), col("source").alias("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").alias("doc_b"), col("source").alias("sb")), Seq("doc_b"))
+      .groupBy(least(col("sa"), col("sb")).alias("source_a"),
+        greatest(col("sa"), col("sb")).alias("source_b"))
+      .agg(count(lit(1)).alias("n_dup_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** PREFIX-FILTERED exact Jaccard join (the ppjoin/ssjoin family) — a
     * second scale path beside MinHash+LSH that is LOSSLESS BY THEOREM,
     * not by probability: order every document's shingles by a global
@@ -633,6 +657,25 @@ object Dedup {
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "dedup_ngram_jaccard" -> exhaustivePairsSql,
     "dedup_minhash_lsh"   -> exhaustivePairsSql,
+    "dedup_cross_source_pairs" ->
+      s"""WITH $shingleCte,
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |vpairs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+         |             JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE n_common / (sa.n + sb.n - n_common) >= $JaccardThreshold),
+         |ps AS (
+         |  SELECT least(da.source, db.source) AS source_a,
+         |         greatest(da.source, db.source) AS source_b
+         |  FROM vpairs
+         |  JOIN documents da ON vpairs.doc_a = da.doc_id
+         |  JOIN documents db ON vpairs.doc_b = db.doc_id)
+         |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_dup_pairs
+         |FROM ps GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
     // lossless by the prefix-filter theorem — same oracle, no caveat
     "dedup_prefix_filter" -> exhaustivePairsSql,
     "dedup_containment" ->
@@ -693,6 +736,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> ngramJaccard _,
     "dedup_containment"   -> containment _,
     "dedup_minhash_lsh"   -> minhashLsh _,
+    "dedup_cross_source_pairs" -> crossSourcePairs _,
     "dedup_prefix_filter" -> prefixFilterJaccard _,
     "dedup_survivors"     -> survivors _,
     "dedup_simhash"       -> simhash _,

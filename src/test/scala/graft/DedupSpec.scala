@@ -98,6 +98,13 @@ class DedupSpec extends SparkSpec {
     assert(q("dedup_survivors").count() == nDocs - nRemoved)
   }
 
+  test("cross-source matrix cells sum to the verified pair count, canonical order") {
+    val rows = q("dedup_cross_source_pairs").collect()
+    assert(rows.map(_.getLong(2)).sum == q("dedup_minhash_lsh").count())
+    rows.foreach(r => assert(r.getString(0) <= r.getString(1),
+      s"cell not canonical: ${r.getString(0)} > ${r.getString(1)}"))
+  }
+
   test("prefix-filtered jaccard join equals the exhaustive join row for row") {
     // the prefix-filter theorem makes the candidate set a superset for
     // EVERY corpus — unlike the LSH twin there is no similarity-gap
