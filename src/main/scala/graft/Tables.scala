@@ -31,19 +31,29 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(path(sfDir, name))
 
-  /** Load + spread across the cluster for CPU-heavy narrow pipelines.
+  /** Load + spread across the cluster for CPU-heavy narrow pipelines —
+    * CONDITIONALLY.
     *
     * The fixture tables are single parquet files, so a plain scan yields
     * ONE input partition and a compute-bound stage (shingling, hashing,
     * vector math) runs on one core — measured 3.5s single-threaded for
     * work that takes 0.2s spread. The round-robin repartition is a tiny
     * shuffle (the rows themselves), bought back many times over by the
-    * parallel stage. At 100 TB inputs arrive multi-file and this becomes a
-    * no-op cost-wise; it still guards against small-but-expensive inputs
-    * (exactly the LLM-pipeline shape: few docs, heavy per-doc work).
+    * parallel stage.
+    *
+    * The repartition only fires when the SCAN ITSELF is narrower than
+    * the cluster: an unconditional `repartition` is a full shuffle of
+    * whatever it reads — at 100 TB that is a corpus-sized exchange
+    * inserted in front of every narrow pipeline, which a multi-file
+    * input never needed (the scan already yields ≥ parallelism
+    * splits). The partition probe reads the file index, not the data.
     */
-  def loadSpread(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    load(spark, sfDir, name).repartition(spark.sparkContext.defaultParallelism)
+  def loadSpread(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = load(spark, sfDir, name)
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
+  }
 
   def region(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "region")
   def nation(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "nation")

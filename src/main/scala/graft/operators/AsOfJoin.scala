@@ -30,8 +30,12 @@ object AsOfJoin {
   private val ReservedNames = Seq("__k", "__t", "__side", "__carry", "__tie")
 
   /** Generic as-of join. `carries` are the right-side columns to attach
-    * (they must exist in `right`). Inner semantics: left rows with no
-    * matching earlier right row are dropped (matching DuckDB's ASOF JOIN).
+    * (they must exist in `right`). Inner semantics (default): left rows
+    * with no matching earlier right row are dropped (matching DuckDB's
+    * ASOF JOIN); `joinType = "left"` keeps them with null carries
+    * (DuckDB's ASOF LEFT JOIN — the production-safe default when a
+    * missing match is data, not an error; round 10's fixture shift
+    * turned exactly this distinction into an empty inner result).
     * `rightTiebreak` orders simultaneous right rows (the last one wins) —
     * it must be UNIQUE within each (key, time) group of `right`, or the
     * carried row among exact time ties is engine-arbitrary; pre-reduce
@@ -42,7 +46,10 @@ object AsOfJoin {
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTimeUs: Column, rightTimeUs: Column,
-      carries: Seq[String], rightTiebreak: String): DataFrame = {
+      carries: Seq[String], rightTiebreak: String,
+      joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left",
+      s"asOf supports inner|left, got '$joinType'")
 
     val carryClash = carries.filter(left.columns.contains)
     require(carryClash.isEmpty,
@@ -85,9 +92,14 @@ object AsOfJoin {
         last(col("__carry"), ignoreNulls = true).over(w).alias("__carry")) ++
         leftCols.map(col)): _*)
 
-    carried.filter(col("__side") === 1 && col("__carry").isNotNull)
-      .select((leftCols.map(col) ++
-        carries.map(c => col(s"__carry.$c").alias(c))): _*)
+    // left semantics: unmatched left rows survive with null carries (the
+    // struct is null, so every projected carry field is null together —
+    // never a half-stitched row)
+    val kept =
+      if (joinType == "left") carried.filter(col("__side") === 1)
+      else carried.filter(col("__side") === 1 && col("__carry").isNotNull)
+    kept.select((leftCols.map(col) ++
+      carries.map(c => col(s"__carry.$c").alias(c))): _*)
   }
 
   /** Forward as-of join: for each left row, attach the EARLIEST right row
@@ -114,7 +126,19 @@ object AsOfJoin {
     * reduction pins it. Oracle: DuckDB's native ASOF JOIN over the same
     * reduction.
     */
-  def eventsAsofOrder(spark: SparkSession, sfDir: String): DataFrame = {
+  def eventsAsofOrder(spark: SparkSession, sfDir: String): DataFrame =
+    eventsAsofOrderWith(spark, sfDir, "inner")
+
+  /** Left twin of [[eventsAsofOrder]]: users whose first order postdates
+    * an event (or who never ordered) keep the event row with null order
+    * columns — the monitoring-safe spelling where "no state yet" is an
+    * answer rather than a dropped row.
+    */
+  def eventsAsofOrderLeft(spark: SparkSession, sfDir: String): DataFrame =
+    eventsAsofOrderWith(spark, sfDir, "left")
+
+  private def eventsAsofOrderWith(
+      spark: SparkSession, sfDir: String, joinType: String): DataFrame = {
     val events = Tables.events(spark, sfDir).select(
       col("event_id"), col("user_id"), col("event_type"),
       unix_micros(col("ts")).alias("ts_us"))
@@ -129,7 +153,8 @@ object AsOfJoin {
       leftTimeUs = col("ts_us"),
       rightTimeUs = col("asof_order_ts_us"),
       carries = Seq("asof_order_key", "asof_order_ts_us"),
-      rightTiebreak = "asof_order_key")
+      rightTiebreak = "asof_order_key",
+      joinType = joinType)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("asof_order_key"),
         timestamp_micros(col("asof_order_ts_us")).alias("asof_order_ts"))
@@ -223,10 +248,20 @@ object AsOfJoin {
         |FROM events e ASOF JOIN op
         |  ON e.user_id = op.o_custkey AND op.ots <= e.ts
         |ORDER BY event_id""".stripMargin,
+    "events_asof_order_left" ->
+      """WITH op AS (
+        |  SELECT o_custkey, o_orderdate AS ots, max(o_orderkey) AS asof_order_key
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.event_type,
+        |       op.asof_order_key, op.ots AS asof_order_ts
+        |FROM events e ASOF LEFT JOIN op
+        |  ON e.user_id = op.o_custkey AND op.ots <= e.ts
+        |ORDER BY event_id""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_asof_order"        -> eventsAsofOrder _,
+    "events_asof_order_left"   -> eventsAsofOrderLeft _,
     "events_next_purchase"     -> eventsNextPurchase _,
     "purchase_attribution_30m" -> purchaseAttribution30m _,
   )

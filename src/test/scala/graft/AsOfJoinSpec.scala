@@ -25,6 +25,27 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == Map(1L -> 7L, 2L -> 8L))
   }
 
+  test("asOf left semantics keep unmatched rows with all-null carries") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, 10L), (2L, 100L, 25L), (3L, 100L, 5L), (4L, 200L, 50L))
+      .toDF("lid", "k", "lt")
+    val right = Seq(
+      (7L, 100L, 10L), (8L, 100L, 20L), (9L, 300L, 1L))
+      .toDF("rid", "rk", "rt")
+    val out = AsOfJoin.asOf(left, right,
+        leftKey = "k", rightKey = "rk",
+        leftTimeUs = col("lt"), rightTimeUs = col("rt"),
+        carries = Seq("rid"), rightTiebreak = "rid",
+        joinType = "left")
+      .select("lid", "rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    // matched rows identical to inner; lid 3 (no earlier right row) and
+    // lid 4 (key absent from right) survive with null carries
+    assert(out == Map(1L -> Some(7L), 2L -> Some(8L), 3L -> None, 4L -> None))
+  }
+
   test("events_asof_order: attached order is at-or-before the event and rows are unique") {
     val df = q("events_asof_order")
     assert(df.count() > 0)

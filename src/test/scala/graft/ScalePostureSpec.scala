@@ -53,6 +53,23 @@ class ScalePostureSpec extends SparkSpec {
     }
   }
 
+  test("loadSpread repartitions narrow scans only — wide scans stay shuffle-free") {
+    // single-file fixture: one input split < parallelism → spread fires
+    val narrow = Tables.loadSpread(spark, sf, "documents")
+    assert(narrow.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    // multi-file input already at/above parallelism: no exchange at all —
+    // an unconditional repartition here would be a corpus-sized shuffle
+    // in front of every narrow pipeline at 100 TB
+    val dir = java.nio.file.Files.createTempDirectory("graft-spread").toString
+    Tables.documents(spark, sf)
+      .repartition(spark.sparkContext.defaultParallelism * 2)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val wide = Tables.loadSpread(spark, dir, "documents")
+    assert(!wide.queryExecution.executedPlan.toString.contains("Exchange"),
+      "loadSpread shuffled an already-wide scan")
+  }
+
   test("AQE splits a planted skewed shuffle join (OptimizeSkewedJoin fires)") {
     // the automatic first line of defense functions/Skew.saltedJoin
     // documents: plant a power-law key (one key owns half the probe
