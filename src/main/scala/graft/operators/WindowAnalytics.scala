@@ -264,6 +264,23 @@ object WindowAnalytics {
       merged.withColumn("valid_until", lead(col("valid_from"), 1).over(byIsland)))
   }
 
+  /** POINT-IN-TIME snapshot of the SCD2 dimension — the query every
+    * consumer of a versioned dimension actually runs ("the customer's
+    * state as of date D"): the one version per key whose half-open
+    * validity window `[valid_from, valid_until)` covers D, open versions
+    * covering everything from their `valid_from` on. Customers whose
+    * history starts after D are absent (they did not exist yet). A pure
+    * filter over the dimension — at scale this is the predicate a
+    * date-partitioned or z-ordered dimension layout prunes on.
+    */
+  def dimCustomerSnapshot(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = lit("1997-06-01").cast("date")
+    dimCustomerScd2(spark, sfDir)
+      .filter(col("valid_from") <= d &&
+        (col("valid_until").isNull || col("valid_until") > d))
+      .orderBy("customer_key")
+  }
+
   /** Registered incremental SCD2 build: the dimension from pre-1997
     * history with every 1997+ order applied through [[scd2ApplyChanges]]
     * — the oracle is [[dimCustomerScd2]]'s from-scratch SQL over the
@@ -372,6 +389,23 @@ object WindowAnalytics {
          |SELECT customer_key, island, priority, valid_from, valid_to,
          |       n_orders, valid_until
          |FROM hist ORDER BY customer_key, island""".stripMargin,
+    "dim_customer_snapshot" ->
+      s"""WITH $priorityIntervalCtes
+         |SELECT customer_key * 1048576 + island AS customer_sk,
+         |       customer_key,
+         |       c_name AS customer_name,
+         |       c_mktsegment AS mkt_segment,
+         |       n_name AS nation,
+         |       priority,
+         |       island AS version,
+         |       valid_from, valid_to, valid_until,
+         |       valid_until IS NULL AS is_current
+         |FROM hist
+         |JOIN customer ON customer_key = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE valid_from <= DATE '1997-06-01'
+         |  AND (valid_until IS NULL OR valid_until > DATE '1997-06-01')
+         |ORDER BY customer_key""".stripMargin,
     // the incremental build's oracle is the FROM-SCRATCH dimension SQL:
     // passing the gate means applying the 1997+ batch onto the pre-1997
     // dimension reproduced the full-history rebuild row-for-row
@@ -490,5 +524,6 @@ object WindowAnalytics {
     "customer_priority_intervals"  -> customerPriorityIntervals _,
     "dim_customer_scd2"            -> dimCustomerScd2 _,
     "dim_customer_scd2_incremental" -> dimCustomerScd2Incremental _,
+    "dim_customer_snapshot"        -> dimCustomerSnapshot _,
   )
 }

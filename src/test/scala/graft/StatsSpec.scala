@@ -134,6 +134,20 @@ class StatsSpec extends SparkSpec {
     assert(orders.filter(col("o_orderdate") >= cutoff).count() > 0)
   }
 
+  test("scd2 snapshot: at most one version per customer, window covers the date") {
+    val d = java.sql.Date.valueOf("1997-06-01")
+    val snap = q("dim_customer_snapshot").collect()
+    assert(snap.map(_.getLong(1)).distinct.length == snap.length)
+    snap.foreach { r =>
+      assert(!r.getDate(7).after(d))
+      assert(r.isNullAt(9) || r.getDate(9).after(d))
+    }
+    // every customer with history starting by the date is present
+    val expected = q("dim_customer_scd2").filter(col("version") === 1)
+      .filter(col("valid_from") <= lit("1997-06-01").cast("date")).count()
+    assert(snap.length.toLong == expected)
+  }
+
   test("triangle census matches a driver-side adjacency count on the same graph") {
     // independent reference: materialize the support-2 edge set, then
     // count oriented wedges/triangles with plain Scala adjacency sets
