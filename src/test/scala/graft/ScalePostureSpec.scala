@@ -40,9 +40,15 @@ class ScalePostureSpec extends SparkSpec {
       case _ =>
         // timestamp generation: the loader requests TimestampType in the
         // READ SCHEMA (not NTZ-read-then-cast), so `ts` stays a plain
-        // attribute and the range predicate reaches the scan directly
-        val cutoff = lit("2024-01-15 00:00:00").cast(TimestampType)
-        val filtered = Tables.events(spark, sf).filter(col("ts") >= cutoff)
+        // attribute and the range predicate reaches the scan directly.
+        // The cutoff derives from the data (median ts) so a future
+        // fixture regeneration shifting the event epoch cannot turn the
+        // strictly-between assertion below into 0 or all rows
+        val cutoff = Tables.events(spark, sf)
+          .select(percentile_approx(col("ts").cast("double"), lit(0.5), lit(100)))
+          .head().getDouble(0)
+        val filtered = Tables.events(spark, sf)
+          .filter(col("ts") >= timestamp_seconds(lit(cutoff)))
         val scan = filtered.queryExecution.executedPlan.toString.linesIterator
           .find(_.contains("PushedFilters"))
         assert(scan.isDefined && scan.get.contains("GreaterThanOrEqual(ts"),
