@@ -848,7 +848,59 @@ object Curation {
     curationFlags(spark, sfDir).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** PER-SOURCE curation report — the funnel grouped by origin: how much
+    * of each source the pipeline keeps and which rule bites it (the
+    * number that decides whether a crawl dump stays in the mix). One
+    * conditional-sum aggregate over the memoized [[curationFlags]] frame
+    * joined to the catalog for the source key — the flag frame's second
+    * registered consumer, which is exactly the reuse the memo exists
+    * for. n_contaminated counts docs flagged by ANY decon rung (the
+    * per-rung splits are the funnel's columns).
+    */
+  def curationSourceReport(spark: SparkSession, sfDir: String): DataFrame = {
+    def n(cond: Column, alias: String) = count(when(cond, lit(1))).alias(alias)
+    curationFlags(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).alias("n_docs"),
+        n(col("is_dup"), "n_dup"),
+        n(col("contam_ratio") || col("contam_exact") || col("contam_sem"),
+          "n_contaminated"),
+        n(!col("qual_keep"), "n_quality_fail"),
+        n(!col("gate_keep"), "n_gate_fail"),
+        n(col("kept"), "n_kept"))
+      .withColumn("keep_rate", col("n_kept").cast("double") / col("n_docs"))
+      .orderBy("source")
+  }
+
   val oracles: Map[String, String] = Map(
+    "curation_source_report" ->
+      s"""WITH $pipelineCtes,
+         |per_doc AS (
+         |  SELECT source,
+         |         CASE WHEN doc_id IN (SELECT doc_id FROM removals)
+         |              THEN 1 END AS dup_hit,
+         |         CASE WHEN doc_id IN (SELECT doc_id FROM contam_ratio)
+         |                OR doc_id IN (SELECT doc_id FROM contam_exact)
+         |                OR doc_id IN (SELECT doc_id FROM contam_semantic)
+         |              THEN 1 END AS contam_hit,
+         |         CASE WHEN doc_id NOT IN (SELECT doc_id FROM quality_keep)
+         |              THEN 1 END AS qfail_hit,
+         |         CASE WHEN doc_id NOT IN (SELECT doc_id FROM gate_keep)
+         |              THEN 1 END AS gfail_hit,
+         |         CASE WHEN $pipelineKeepWhere THEN 1 END AS kept_hit
+         |  FROM documents)
+         |SELECT source,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(dup_hit) AS BIGINT) AS n_dup,
+         |       CAST(count(contam_hit) AS BIGINT) AS n_contaminated,
+         |       CAST(count(qfail_hit) AS BIGINT) AS n_quality_fail,
+         |       CAST(count(gfail_hit) AS BIGINT) AS n_gate_fail,
+         |       CAST(count(kept_hit) AS BIGINT) AS n_kept,
+         |       CAST(count(kept_hit) AS DOUBLE) / count(*) AS keep_rate
+         |FROM per_doc GROUP BY 1 ORDER BY source""".stripMargin,
     "docs_decontaminate" ->
       s"""WITH ${Dedup.shingleCte},
          |bench AS (SELECT doc_id FROM documents WHERE source = '$BenchmarkSource'),
@@ -1020,6 +1072,7 @@ object Curation {
     "docs_decontaminate_semantic" -> decontaminateSemantic _,
     "docs_curation_pipeline"    -> curationPipeline _,
     "curation_funnel_report"    -> curationFunnelReport _,
+    "curation_source_report"    -> curationSourceReport _,
     "text_repetition_quality"   -> repetitionQuality _,
     "docs_denylist_redact"      -> denylistRedact _,
     "docs_pii_redacted"         -> piiRedacted _,

@@ -175,6 +175,20 @@ class CurationSpec extends SparkSpec {
       s"missing=${pipelineIds -- keptIds} extra=${keptIds -- pipelineIds}")
   }
 
+  test("source report rows sum to the funnel's corpus-wide counts") {
+    val rows = q("curation_source_report").collect()
+    val funnel = q("curation_funnel_report").head()
+    def total(i: Int) = rows.map(_.getLong(i)).sum
+    assert(total(1) == funnel.getAs[Long]("n_documents"))
+    assert(total(2) == funnel.getAs[Long]("n_dedup_removed"))
+    assert(total(6) == funnel.getAs[Long]("n_final"))
+    assert(total(4) == funnel.getAs[Long]("n_quality_fail"))
+    assert(total(5) == funnel.getAs[Long]("n_gate_fail"))
+    // the benchmark source keeps nothing by construction
+    val bench = rows.find(_.getString(0) == "src0")
+    assert(bench.exists(_.getLong(6) == 0L))
+  }
+
   test("funnel report counts agree with the registered stage queries") {
     val r = q("curation_funnel_report").collect()
     assert(r.length == 1)

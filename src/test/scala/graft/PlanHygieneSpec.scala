@@ -57,7 +57,10 @@ class PlanHygieneSpec extends SparkSpec {
       // ...surprisal shares TF-IDF's single-row corpus-size broadcast
       "region_priority_matrix", "text_tfidf_top_terms", "text_surprisal_quality",
       "events_dau_wau", "docs_temperature_mix", "ann_recall_report",
+      // funnel + source report read the flag frame, which embeds the
+      // semantic-decon rung's deliberate IVF cell-assignment broadcast
       "ivf_recall_at_5", "ivf_ann_nprobe2", "curation_funnel_report",
+      "curation_source_report",
       "sq8_recall_at_5", "order_price_equidepth",
       // triangle census: three single-row aggregates composed on one-row
       // broadcasts (funnel-report shape)
