@@ -92,15 +92,25 @@ object Tables {
     * TIMESTAMP(NANOS) vs TIMESTAMP(MICROS, isAdjustedToUTC=false)); a
     * hard-coded schema silently mis-scales one of them (a micros value
     * pushed through the nanos `div 1000` lands in 1970), so the footer is
-    * authoritative. Inference throwing = the nanos generation (the one
-    * shape Spark refuses to infer) → the long-typed fallback. Cached per
-    * path: one footer read per (path, JVM), not per query.
+    * authoritative. Only SUCCESSFUL inference is cached (one footer read
+    * per (path, JVM) on the timestamp generations); the nanos fallback is
+    * returned uncached and the catch is narrowed to `AnalysisException`
+    * (the class both the nanos "Illegal Parquet type" rejection and the
+    * empty-dir "unable to infer" failure raise). Caching the fallback on
+    * ANY exception was a trap: a micros-generation directory first
+    * sniffed while empty — or during a transient IO error — would be
+    * pinned to the nanos `div 1000` arm for the JVM lifetime, recreating
+    * the 1000× mis-scale this sniff exists to prevent; now such a sniff
+    * merely retries on the next access, and genuine IO errors propagate
+    * instead of masquerading as the nanos generation.
     */
   private val eventsSchemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
-  def eventsSchemaFor(spark: SparkSession, p: String): StructType =
-    eventsSchemaCache.computeIfAbsent(p, _ =>
+  def eventsSchemaFor(spark: SparkSession, p: String): StructType = {
+    val hit = eventsSchemaCache.get(p)
+    if (hit != null) hit
+    else
       try {
         // request TimestampType where the footer says TIMESTAMP_NTZ: the
         // reader converts in place (wall-clock-exact under the UTC
@@ -109,12 +119,17 @@ object Tables {
         // parquet cannot skip on, losing time-range filter pushdown
         // (asserted in ScalePostureSpec)
         val inferred = spark.read.parquet(p).schema
-        StructType(inferred.map {
+        val sniffed = StructType(inferred.map {
           case f if f.name == "ts" && f.dataType == TimestampNTZType =>
             f.copy(dataType = TimestampType)
           case f => f
         })
-      } catch { case _: Exception => eventsPhysicalSchema })
+        eventsSchemaCache.putIfAbsent(p, sniffed)
+        sniffed
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException => eventsPhysicalSchema
+      }
+  }
 
   /** Normalize the sniffed `ts` to TimestampType(micros) wall-clock:
     * long = nanos generation (floor-div to micros); timestamp

@@ -806,7 +806,12 @@ object Curation {
     val agged = signals.reduce(_.unionByName(_))
       .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), (col("source") === BenchmarkSource).alias("is_bench"))
+      // `source` rides along for free — this is the frame's ONLY corpus
+      // join, and carrying the (small, dictionary-encoded) column here is
+      // what lets the per-source report run without a second corpus-wide
+      // join of its own (PlanHygieneSpec pins the single-scan shape)
+      .select(col("doc_id"), col("source"),
+        (col("source") === BenchmarkSource).alias("is_bench"))
       .join(agged, Seq("doc_id"), "left")
       .na.fill(false, Seq("is_dup", "contam_ratio", "contam_exact", "contam_sem",
         "qual_keep", "gate_keep"))
@@ -852,16 +857,15 @@ object Curation {
     * of each source the pipeline keeps and which rule bites it (the
     * number that decides whether a crawl dump stays in the mix). One
     * conditional-sum aggregate over the memoized [[curationFlags]] frame
-    * joined to the catalog for the source key — the flag frame's second
-    * registered consumer, which is exactly the reuse the memo exists
-    * for. n_contaminated counts docs flagged by ANY decon rung (the
-    * per-rung splits are the funnel's columns).
+    * — the flag frame's second registered consumer, which is exactly the
+    * reuse the memo exists for; `source` is carried IN the frame (it
+    * joins the catalog exactly once, at build), so this report adds no
+    * corpus-wide join of its own. n_contaminated counts docs flagged by
+    * ANY decon rung (the per-rung splits are the funnel's columns).
     */
   def curationSourceReport(spark: SparkSession, sfDir: String): DataFrame = {
     def n(cond: Column, alias: String) = count(when(cond, lit(1))).alias(alias)
     curationFlags(spark, sfDir)
-      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("source")),
-        Seq("doc_id"))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).alias("n_docs"),

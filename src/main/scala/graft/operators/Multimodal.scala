@@ -151,8 +151,14 @@ object Multimodal {
   def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
     val fb = MediaCodecStub.FrameBytes
     Tables.documents(spark, sfDir)
-      .select(col("doc_id").alias("media_id"), col("text").alias("payload"),
-        expr(s"CAST((length(text) + ${fb - 1}) div $fb AS INT)").alias("n_frames"))
+      // payload is BINARY from here on: frame counting, slicing
+      // (`substring` over binary is BYTE-indexed — over a string it
+      // would be character-indexed, the wrong contract for media), frame
+      // length, and the content hash all run on bytes
+      .select(col("doc_id").alias("media_id"),
+        col("text").cast("binary").alias("payload"))
+      .withColumn("n_frames",
+        expr(s"CAST((length(payload) + ${fb - 1}) div $fb AS INT)"))
       .select(col("media_id"),
         // empty payload → 0 frames; guard because Spark's sequence(0, -1, 2)
         // errors rather than returning empty like generate_series
@@ -163,7 +169,7 @@ object Multimodal {
       .select(col("media_id"), col("frame_idx"),
         length(expr(s"substring(payload, frame_idx * $fb + 1, $fb)"))
           .alias("frame_len"),
-        md5(expr(s"substring(payload, frame_idx * $fb + 1, $fb)").cast("binary"))
+        md5(expr(s"substring(payload, frame_idx * $fb + 1, $fb)"))
           .alias("frame_md5"))
       .orderBy("media_id", "frame_idx")
   }
@@ -182,10 +188,13 @@ object Multimodal {
     * shifts every sample and near-identical payloads scatter to ~12 bits.
     * Mean comparisons use integer cross-multiplication
     * (`s₂·l₁ > s₁·l₂`) so both engines compute bit-identical signs — no
-    * float division. The fixture payload is ASCII, so `ascii` per char IS
-    * the byte; a production build hashes a decoded pixel grid through
-    * the [[MediaCodecStub]] seam instead. Empty payloads degenerate to
-    * hash 0 (every block sum and length is 0).
+    * float division. The payload is typed `binary` END-TO-END — the cast
+    * happens at load and [[graft.plans.PHash60]] declares binary input —
+    * so the bytes contract is structural, not an ASCII convention (the
+    * fixture's ASCII text is merely why the oracle's codepoint sums
+    * agree); a production build hashes a decoded pixel grid through the
+    * [[MediaCodecStub]] seam instead. Empty payloads degenerate to hash
+    * 0 (every block sum and length is 0).
     */
   private[graft] def phashSigs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.loadSpread(spark, sfDir, "documents")
@@ -194,7 +203,8 @@ object Multimodal {
       // DuckDB oracle and in [[phashSigsHof]], differential-tested in
       // ExpressionPropertySpec) walks a lambda per block per row
       .select(col("doc_id").alias("media_id"),
-        graft.plans.GraftFunctions.pHash60(col("text")).alias("phash"))
+        graft.plans.GraftFunctions.pHash60(col("text").cast("binary"))
+          .alias("phash"))
       // shared by both sides of the banded self-join — one hashing pass
       // per session; tracked for release
       .transform(graft.CacheLifecycle.sessionPersist)

@@ -626,6 +626,74 @@ object Similarity {
     recallAt5Against(spark, sfDir, top5, countName = "n_exact")
   }
 
+  /** IVF-PQ (IVFADC) — the ANN ladder's END STATE, composing the two
+    * rungs the ladder built separately into the standard billion-vector
+    * serving shape: IVF restricts CANDIDATES to the query's probed cell
+    * ([[assignedCells]] — the same nprobe=1 restriction
+    * [[ivfRecallAt5]] measures alone) and PQ+ADC compresses the SCORING
+    * (corpus encoded once as m=8 one-byte codes against the
+    * Lloyd-refined codebooks; per-query LUT of exact partial dots) — so
+    * the index holds 8 bytes per vector and a query touches only its
+    * cell's candidates, each at m LUT hits. Candidates are provably a
+    * subset of the probed cells (SimilaritySpec pins it), and the
+    * recall@5 against [[knnBrute]] is the REGISTERED number, so both
+    * composed losses — cell pruning and code quantization — land in one
+    * pinned, driver-verified figure.
+    *
+    * Scale shape: encoding is the one-time N·m·k broadcast pass every
+    * PQ index build pays (the codes ARE the stored index); the
+    * candidate restriction is a key-only join of the cell assignment
+    * against broadcast probes; ADC joins ride (vec_id) and the
+    * broadcast (query, j, code) LUT with a (query, vec) partial-
+    * aggregated sum. Raw embedding arrays never shuffle.
+    */
+  def ivfpqRecallAt5(spark: SparkSession, sfDir: String): DataFrame =
+    recallAt5Against(spark, sfDir, ivfpqTop5(spark, sfDir),
+      countName = "n_exact")
+
+  /** The IVF-PQ top-5 pair set (query_id, neighbor_id) — the serving
+    * path proper; shared by the registered recall report and the
+    * SimilaritySpec candidates-within-probed-cells assertion.
+    */
+  private[graft] def ivfpqTop5(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = assignedCells(spark, sfDir)
+    val subs = pqSubvectors(spark, sfDir)
+    val cb = pqRefinedCodebooks(spark, sfDir)
+    val codes = subs.join(broadcast(cb), Seq("j"))
+      .select(col("vec_id"), col("j"), col("c_id"),
+        (V.qnorm2(col("cv")) - lit(2) * V.qdot(col("sv"), col("cv"))).alias("d"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("d"), col("c_id"))).alias("m"))
+      .select(col("vec_id"), col("j"), col("m.c_id").alias("code"))
+    val probes = cells.filter(col("vec_id") < 10)
+      .select(col("vec_id").alias("query_id"), col("cell").alias("qcell"))
+    val cand = cells.select(col("vec_id"), col("cell"))
+      .join(broadcast(probes),
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val lut = subs.filter(col("vec_id") < 10)
+      .select(col("vec_id").alias("query_id"), col("j"), col("sv").alias("qsv"))
+      .join(broadcast(cb), Seq("j"))
+      .select(col("query_id"), col("j"), col("c_id").alias("code"),
+        V.qdot(col("qsv"), col("cv")).alias("pdot"),
+        V.qnorm2(col("cv")).alias("cn2"))
+    val adc = codes.join(cand, Seq("vec_id"))
+      .join(broadcast(lut), Seq("query_id", "j", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pdot")).alias("adc_dot"), sum(col("cn2")).alias("recon_n2"))
+    val qn2 = quantized(spark, sfDir).filter(col("vec_id") < 10)
+      .select(col("vec_id").alias("query_id"), col("n2").alias("qn2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_cos").desc, col("neighbor_id").asc)
+    adc.join(broadcast(qn2), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").alias("neighbor_id"),
+        (col("adc_dot").cast("double")
+          / (sqrt(col("qn2")) * sqrt(col("recon_n2")))).alias("adc_cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
   /** Squared Euclidean distance between two double arrays — narrow
     * higher-order expressions (rewritten to the codegen'd dot-product
     * expression where the graft extensions are installed).
@@ -1358,6 +1426,63 @@ object Similarity {
          |       CAST((SELECT count(*) FROM ls) AS BIGINT) AS n_pairs_lsh,
          |       CAST((SELECT count(*) FROM ls) AS DOUBLE)
          |         / (SELECT count(*) FROM ex) AS recall""".stripMargin,
+    "ivfpq_recall_at_5" ->
+      s"""WITH $quantizedSql,
+         |$cellsSql,
+         |subs AS (
+         |  SELECT vec_id, n2, CAST(j AS INT) AS j,
+         |         list_slice(v, CAST(j AS INT) * 8 + 1, CAST(j AS INT) * 8 + 8) AS sv
+         |  FROM qn, range(8) t(j)),
+         |cb AS (
+         |  SELECT j, vec_id AS c_id, sv AS cv FROM subs WHERE vec_id % 499 = 0),
+         |${pqRefineAssignSql("pqasg1", "cb")},
+         |${pqRefineCentsSql("pqcents1", "pqasg1")},
+         |${pqRefineAssignSql("pqasg2", "pqcents1")},
+         |${pqRefineCentsSql("pqcents2", "pqasg2")},
+         |enc AS (
+         |  SELECT s.vec_id, s.j, c.c_id,
+         |         row_number() OVER (PARTITION BY s.vec_id, s.j
+         |           ORDER BY ${V.qnorm2Sql("c.cv", 8)}
+         |                      - 2 * ${V.qdotSql("s.sv", "c.cv", 8)} ASC,
+         |                    c.c_id ASC) AS rn
+         |  FROM subs s JOIN pqcents2 c ON s.j = c.j),
+         |codes AS (SELECT vec_id, j, c_id AS code FROM enc WHERE rn = 1),
+         |lut AS (
+         |  SELECT q.vec_id AS query_id, c.j, c.c_id AS code,
+         |         ${V.qdotSql("q.sv", "c.cv", 8)} AS pdot,
+         |         ${V.qnorm2Sql("c.cv", 8)} AS cn2
+         |  FROM subs q JOIN pqcents2 c ON q.j = c.j
+         |  WHERE q.vec_id < 10),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cell AS qcell FROM cells WHERE vec_id < 10),
+         |cand AS (
+         |  SELECT p.query_id, c.vec_id FROM cells c JOIN probes p
+         |    ON c.cell = p.qcell AND c.vec_id != p.query_id),
+         |adc AS (
+         |  SELECT d.query_id, k.vec_id,
+         |         CAST(sum(pdot) AS BIGINT) AS adc_dot,
+         |         CAST(sum(cn2) AS BIGINT) AS recon_n2
+         |  FROM codes k
+         |  JOIN cand d ON k.vec_id = d.vec_id
+         |  JOIN lut l ON k.j = l.j AND k.code = l.code AND l.query_id = d.query_id
+         |  GROUP BY 1, 2),
+         |ivfpq AS (
+         |  SELECT query_id, vec_id AS neighbor_id FROM (
+         |    SELECT a.query_id, a.vec_id,
+         |           row_number() OVER (PARTITION BY a.query_id
+         |             ORDER BY CAST(a.adc_dot AS DOUBLE)
+         |                        / (sqrt(q.n2) * sqrt(a.recon_n2)) DESC,
+         |                      a.vec_id ASC) AS rank
+         |    FROM adc a JOIN qn q ON q.vec_id = a.query_id)
+         |  WHERE rank <= 5),
+         |$bruteTop5Cte
+         |SELECT b.query_id AS query_id,
+         |       CAST(count(*) AS BIGINT) AS n_exact,
+         |       CAST(count(p.neighbor_id) AS BIGINT) AS n_hits,
+         |       CAST(count(p.neighbor_id) AS DOUBLE) / count(*) AS recall_at_5
+         |FROM brute b LEFT JOIN ivfpq p
+         |  ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+         |GROUP BY 1 ORDER BY query_id""".stripMargin,
     "pq_adc_recall_at_5" -> pqAdcOracleSql(cbName = "cb", extraCtes = ""),
     "pq_recall_refined" -> pqAdcOracleSql(cbName = "pqcents2", extraCtes =
       s"""${pqRefineAssignSql("pqasg1", "cb")},
@@ -1426,5 +1551,6 @@ object Similarity {
     "lsh_multiprobe_recall_at_5" -> lshMultiprobeRecallAt5 _,
     "ivf_recall_refined"      -> ivfRecallRefined _,
     "pq_recall_refined"       -> pqRecallRefined _,
+    "ivfpq_recall_at_5"       -> ivfpqRecallAt5 _,
   )
 }

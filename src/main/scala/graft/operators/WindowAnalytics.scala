@@ -225,10 +225,18 @@ object WindowAnalytics {
     *
     * Contract: append-only CDC — every batch row for a key is at or
     * after that key's last `valid_from` (out-of-order history belongs to
-    * the from-scratch build). `seq` orders runs within equal
-    * `valid_from` (existing runs carry their version, batch runs their
-    * island offset past any version), which can only matter for
-    * same-day changes.
+    * the from-scratch build). The contract is ENFORCED by default
+    * (`enforceAppendOnly`): per affected key, the batch's min order date
+    * is checked against the history's max `valid_from` — one small
+    * eager action over the compact run grain plus a batch key aggregate
+    * — and a violation fails loudly with the offending keys instead of
+    * returning a silently wrong merged dimension. A caller whose batch
+    * satisfies the contract BY CONSTRUCTION (e.g. the registered
+    * incremental query's strict date split) may pass
+    * `enforceAppendOnly = false` to skip the check's job. `seq` orders
+    * runs within equal `valid_from` (existing runs carry their version,
+    * batch runs their island offset past any version), which can only
+    * matter for same-day changes.
     *
     * Scale shape: both islands passes and the final lead window sort the
     * RUN grain (orders-of-magnitude smaller than the event grain); the
@@ -236,7 +244,21 @@ object WindowAnalytics {
     * (they'd be partition-pruned by the affected-key anti-join; here the
     * merged history recomputes per affected key only).
     */
-  def scd2ApplyChanges(history: DataFrame, changes: DataFrame): DataFrame = {
+  def scd2ApplyChanges(history: DataFrame, changes: DataFrame,
+      enforceAppendOnly: Boolean = true): DataFrame = {
+    if (enforceAppendOnly) {
+      val batchMin = changes.groupBy(col("o_custkey").alias("customer_key"))
+        .agg(to_date(min(col("o_orderdate"))).alias("batch_min_date"))
+      val histMax = history.groupBy(col("customer_key"))
+        .agg(max(col("valid_from")).alias("hist_max_from"))
+      val violating = batchMin.join(histMax, Seq("customer_key"))
+        .filter(col("batch_min_date") < col("hist_max_from"))
+        .select(col("customer_key")).limit(10).collect().map(_.get(0))
+      require(violating.isEmpty,
+        s"scd2ApplyChanges: append-only CDC contract violated — batch rows " +
+          s"predate the last valid_from for keys ${violating.mkString(", ")}" +
+          s" (first 10); out-of-order history needs the from-scratch build")
+    }
     val affected = changes.select(col("o_custkey").alias("customer_key")).distinct()
     val carried = history.join(affected, Seq("customer_key"), "left_anti")
     val oldRuns = history.join(affected, Seq("customer_key"), "left_semi")
@@ -281,6 +303,69 @@ object WindowAnalytics {
       .orderBy("customer_key")
   }
 
+  /** Snapshot date of the PRUNED scan — deliberately LATE in the
+    * fixture's 1995-2001 history (unlike [[dimCustomerSnapshot]]'s
+    * mid-history 1997 date) so that most versions are closed before it
+    * and the year(valid_until) partitioning has something to prune.
+    */
+  private val PrunedSnapshotDate = "2000-06-01"
+
+  private[graft] def scd2LayoutDir(sfDir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-scd2layout-${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  /** PARTITION-PRUNED SCD2 SNAPSHOT — [[dimCustomerSnapshot]]'s scaladoc
+    * names the layout a versioned dimension prunes on at scale; this
+    * query makes that a GATE FACT the way `zorder_pruned_scan` did for
+    * z-order: the dimension is written date-partitioned and the snapshot
+    * predicate provably skips most partitions (ScalePostureSpec asserts
+    * partitions read < half), while the oracle is the UNPARTITIONED
+    * twin's SQL verbatim (same projection, snapshot date 2000-06-01 —
+    * late in the fixture's 1995-2001 history so most versions are
+    * CLOSED by then, which is the long-lived-dimension regime the
+    * layout exists for) — a row lost, duplicated, or mutated by the
+    * layout round trip fails the hash gate.
+    *
+    * The partition key is `year(valid_until)` (open versions → sentinel
+    * 9999), NOT `year(valid_from)`: a point-in-time snapshot keeps only
+    * versions still valid AT the date — `valid_until > D OR NULL` — and
+    * in a long-lived dimension almost every version is CLOSED BEFORE the
+    * snapshot date (at 2000-06-01, 5 of the 8 year partitions), whereas
+    * `valid_from <= D` keeps nearly all of history (only future years
+    * prune). The pruning predicate `valid_until_year >= year(D)` is
+    * IMPLIED by the exact predicate (`valid_until > D ⟹ year ≥
+    * year(D)`; NULL → 9999 ≥ anything), so adding it changes no rows —
+    * the standard derived-partition-key pattern.
+    *
+    * Memoized DURABLY like the z-order layout: the partitioned write
+    * runs once per JVM and survives cache resets, so bench loops pay
+    * only the pruned read — the production path this query exercises.
+    */
+  def scd2SnapshotPrunedScan(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoizedDurable(s"windowanalytics.scd2Pruned:$sfDir") {
+      val dir = scd2LayoutDir(sfDir)
+      dimCustomerScd2(spark, sfDir)
+        .withColumn("valid_until_year",
+          coalesce(year(col("valid_until")), lit(9999)))
+        .write.mode("overwrite").partitionBy("valid_until_year").parquet(dir)
+      prunedSnapshotRead(spark, dir)
+        .select(col("customer_sk"), col("customer_key"), col("customer_name"),
+          col("mkt_segment"), col("nation"), col("priority"), col("version"),
+          col("valid_from"), col("valid_to"), col("valid_until"),
+          col("is_current"))
+        .orderBy("customer_key")
+    }
+
+  /** The snapshot scan over a written SCD2 layout, pre-projection —
+    * shared with the ScalePostureSpec pruning measurement.
+    */
+  private[graft] def prunedSnapshotRead(spark: SparkSession, dir: String): DataFrame = {
+    val d = lit(PrunedSnapshotDate).cast("date")
+    spark.read.parquet(dir)
+      .filter(col("valid_until_year") >= year(d) &&
+        col("valid_from") <= d &&
+        (col("valid_until").isNull || col("valid_until") > d))
+  }
+
   /** Registered incremental SCD2 build: the dimension from pre-1997
     * history with every 1997+ order applied through [[scd2ApplyChanges]]
     * — the oracle is [[dimCustomerScd2]]'s from-scratch SQL over the
@@ -291,8 +376,11 @@ object WindowAnalytics {
     val orders = Tables.orders(spark, sfDir)
     val cutoff = lit("1997-01-01").cast("timestamp")
     val history = priorityIntervalHistoryOf(orders.filter(col("o_orderdate") < cutoff))
+    // the strict date split satisfies the append-only contract BY
+    // CONSTRUCTION (every batch date >= cutoff > every history date), so
+    // the guard's check job is skipped here
     val merged = scd2ApplyChanges(history,
-      orders.filter(col("o_orderdate") >= cutoff))
+      orders.filter(col("o_orderdate") >= cutoff), enforceAppendOnly = false)
     scd2Dimension(spark, sfDir, merged)
   }
 
@@ -405,6 +493,27 @@ object WindowAnalytics {
          |JOIN nation ON c_nationkey = n_nationkey
          |WHERE valid_from <= DATE '1997-06-01'
          |  AND (valid_until IS NULL OR valid_until > DATE '1997-06-01')
+         |ORDER BY customer_key""".stripMargin,
+    // the pruned layout's oracle is the UNPARTITIONED snapshot SQL
+    // verbatim: passing the gate proves the partitioned round trip
+    // lossless; the pruning payoff itself is plan-asserted in
+    // ScalePostureSpec
+    "scd2_snapshot_pruned_scan" ->
+      s"""WITH $priorityIntervalCtes
+         |SELECT customer_key * 1048576 + island AS customer_sk,
+         |       customer_key,
+         |       c_name AS customer_name,
+         |       c_mktsegment AS mkt_segment,
+         |       n_name AS nation,
+         |       priority,
+         |       island AS version,
+         |       valid_from, valid_to, valid_until,
+         |       valid_until IS NULL AS is_current
+         |FROM hist
+         |JOIN customer ON customer_key = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE valid_from <= DATE '2000-06-01'
+         |  AND (valid_until IS NULL OR valid_until > DATE '2000-06-01')
          |ORDER BY customer_key""".stripMargin,
     // the incremental build's oracle is the FROM-SCRATCH dimension SQL:
     // passing the gate means applying the 1997+ batch onto the pre-1997
@@ -525,5 +634,6 @@ object WindowAnalytics {
     "dim_customer_scd2"            -> dimCustomerScd2 _,
     "dim_customer_scd2_incremental" -> dimCustomerScd2Incremental _,
     "dim_customer_snapshot"        -> dimCustomerSnapshot _,
+    "scd2_snapshot_pruned_scan"    -> scd2SnapshotPrunedScan _,
   )
 }

@@ -1,38 +1,38 @@
 package graft.plans
 
-import org.apache.spark.sql.StringSingleInputType
+import org.apache.spark.sql.BinarySingleInputType
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.types.{DataType, LongType}
 
-/** Codegen'd 60-bit block-mean perceptual hash of a payload string
-  * (the 1-D dHash `graft.operators.Multimodal.phashSigs` documents):
-  * split the payload into 61 fixed blocks of `⌈n/61⌉` bytes, take the 60
-  * gradient signs between adjacent block means (integer
-  * cross-multiplication `s₂·l₁ > s₁·l₂` — no float division), fold
-  * MSB-first into a long.
+/** Codegen'd 60-bit block-mean perceptual hash of an opaque BINARY
+  * payload (the 1-D dHash `graft.operators.Multimodal.phashSigs`
+  * documents): split the payload into 61 fixed blocks of `⌈n/61⌉`
+  * bytes, take the 60 gradient signs between adjacent block means
+  * (integer cross-multiplication `s₂·l₁ > s₁·l₂` — no float division),
+  * fold MSB-first into a long.
   *
-  * Semantics match the higher-order-function spelling kept verbatim in
-  * the DuckDB oracle (`aggregate(slice(split(text,''),…))` block sums)
-  * on every ASCII input, where byte = codepoint; on non-ASCII payloads
-  * this expression sums UTF-8 BYTES (unsigned) where the HOF/oracle sum
-  * CODEPOINTS — a deliberate divergence (the operator treats the payload
-  * as opaque bytes, which is the multimodal contract; the fixture corpus
-  * is ASCII) pinned by the ASCII-restricted differential property in
-  * ExpressionPropertySpec. The HOF form walks interpreted lambdas per
-  * block per row (HigherOrderFunction is CodegenFallback); this is one
-  * compiled pass over the payload bytes — the shape a 100 TB signature
-  * scan needs.
+  * The input type is `binary` — the bytes contract is STRUCTURAL, not
+  * conventional: a string argument arrives through Catalyst's implicit
+  * byte-preserving string→binary cast as its UTF-8 bytes. The
+  * higher-order-function spelling kept verbatim in the DuckDB oracle
+  * (`aggregate(slice(split(text,''),…))` block sums) sums CODEPOINTS,
+  * which equals the byte sum on every ASCII input — the
+  * ASCII-restricted differential in ExpressionPropertySpec pins that
+  * agreement, and a separate arbitrary-bytes property pins the
+  * interpreted eval against the codegen path where no codepoint twin
+  * exists. The HOF form walks interpreted lambdas per block per row
+  * (HigherOrderFunction is CodegenFallback); this is one compiled pass
+  * over the payload bytes — the shape a 100 TB signature scan needs.
   */
 case class PHash60(child: Expression)
-    extends UnaryExpression with StringSingleInputType {
+    extends UnaryExpression with BinarySingleInputType {
 
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String]
-    val n = s.numBytes()
+    val s = input.asInstanceOf[Array[Byte]]
+    val n = s.length
     val bs = (n + 60) / 61
     val sums = new Array[Long](61)
     val lens = new Array[Long](61)
@@ -45,7 +45,7 @@ case class PHash60(child: Expression)
           lens(k) = end - start
           var i = start.toInt
           var acc = 0L
-          while (i < end) { acc += (s.getByte(i) & 0xff).toLong; i += 1 }
+          while (i < end) { acc += (s(i) & 0xff).toLong; i += 1 }
           sums(k) = acc
         }
         k += 1
@@ -79,7 +79,7 @@ case class PHash60(child: Expression)
       val g = ctx.freshName("g")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = $a.numBytes();
+         |int $n = $a.length;
          |long $bs = ($n + 60) / 61;
          |java.util.Arrays.fill($sums, 0L);
          |java.util.Arrays.fill($lens, 0L);
@@ -91,7 +91,7 @@ case class PHash60(child: Expression)
          |      $lens[$k] = $en - $st;
          |      long $bacc = 0L;
          |      for (int $i = (int) $st; $i < $en; $i++) {
-         |        $bacc += ($a.getByte($i) & 0xff);
+         |        $bacc += ($a[$i] & 0xff);
          |      }
          |      $sums[$k] = $bacc;
          |    }

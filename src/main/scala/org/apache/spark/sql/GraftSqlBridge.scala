@@ -85,3 +85,13 @@ trait StringSingleInputType
     extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   override def inputTypes: Seq[types.AbstractDataType] = Seq(types.StringType)
 }
+
+/** `binary` single-argument input declaration (opaque media payloads).
+  * String arguments still work — Catalyst's implicit cast inserts the
+  * byte-preserving string→binary cast (the same coercion `md5(string)`
+  * rides), so a caller over a text column gets the UTF-8 bytes.
+  */
+trait BinarySingleInputType
+    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[types.AbstractDataType] = Seq(types.BinaryType)
+}

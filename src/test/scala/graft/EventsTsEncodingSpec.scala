@@ -53,6 +53,30 @@ class EventsTsEncodingSpec extends SparkSpec {
     assert(readBack(p).getAs[Long]("us") == microsSinceEpoch)
   }
 
+  test("an empty-dir sniff is not pinned: the schema retries once data lands") {
+    // the stale-fallback trap: a streaming input dir sniffed while empty
+    // (or during a transient IO failure) used to cache the nanos long
+    // fallback for the JVM lifetime, so a micros generation arriving
+    // later was read through the div-1000 arm — 2024 events in 1970.
+    // Only SUCCESSFUL inference is cached now; the fallback answer is
+    // per-call.
+    val dir = Files.createTempDirectory("graft-ts-empty").toString
+    val p = s"$dir/events.parquet"
+    Files.createDirectories(java.nio.file.Paths.get(p))
+    assert(Tables.eventsSchemaFor(spark, p)("ts").dataType == LongType,
+      "empty dir must fall back to the long-typed nanos schema")
+    // the micros generation lands at the SAME path
+    spark.range(1).select(
+      lit(7L).alias("event_id"),
+      lit(wallClock).cast(TimestampNTZType).alias("ts"),
+      lit(3L).alias("user_id"), lit("click").alias("event_type"),
+      lit(1.5).alias("value"), lit("{}").alias("props"))
+      .coalesce(1).write.mode("overwrite").parquet(p)
+    assert(Tables.eventsSchemaFor(spark, p)("ts").dataType == TimestampType,
+      "populated dir must re-sniff to the timestamp schema, not serve the stale fallback")
+    assert(readBack(p).getAs[Long]("us") == microsSinceEpoch)
+  }
+
   test("nanos-generation events.ts (long footer) floors nanos to micros") {
     // Spark cannot write TIMESTAMP(NANOS) parquet; a plain INT64 column
     // exercises the same loader arm (footer that does not infer as a

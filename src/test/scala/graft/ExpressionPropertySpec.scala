@@ -245,6 +245,57 @@ class ExpressionPropertySpec extends SparkSpec {
     assert(nulls.select(GraftFunctions.pHash60(col("text"))).head().isNullAt(0))
   }
 
+  test("PHash60 over arbitrary binary payloads matches the JVM reference past ASCII") {
+    import spark.implicits._
+    // the binary-typed contract: the expression hashes BYTES, any bytes —
+    // not just the ASCII regime the HOF/oracle codepoint twin shares.
+    // Reference is an independent driver-side loop over the same
+    // definition; payload domain covers sign-extension traps (bytes
+    // ≥ 0x80), empties, and every block-size regime
+    def ref(b: Array[Byte]): Long = {
+      val n = b.length
+      val bs = (n + 60) / 61
+      val sums = new Array[Long](61)
+      val lens = new Array[Long](61)
+      if (bs > 0) {
+        for (k <- 0 until 61) {
+          val st = k.toLong * bs
+          val en = math.min(st + bs, n.toLong)
+          if (en > st) {
+            lens(k) = en - st
+            sums(k) = (st.toInt until en.toInt).map(i => (b(i) & 0xff).toLong).sum
+          }
+        }
+      }
+      (0 until 60).foldLeft(0L)((acc, g) =>
+        (acc << 1) + (if (sums(g + 1) * lens(g) > sums(g) * lens(g + 1)) 1L else 0L))
+    }
+    val byteGen = for {
+      len <- Gen.frequency(
+        1 -> Gen.const(0), 2 -> Gen.chooseNum(1, 60),
+        3 -> Gen.chooseNum(61, 200), 2 -> Gen.chooseNum(480, 500))
+      bs <- Gen.listOfN(len, Gen.chooseNum(-128, 127).map(_.toByte))
+    } yield bs.toArray
+    val payloads = Gen.listOfN(200, byteGen)
+      .apply(Gen.Parameters.default, Seed(47L)).get
+    val got = payloads.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"), GraftFunctions.pHash60(col("payload")).alias("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    payloads.zipWithIndex.foreach { case (b, i) =>
+      assert(got(i.toLong) == ref(b), s"payload $i (${b.length} bytes)")
+    }
+    // string arguments ride the implicit byte-preserving string→binary
+    // cast: a NON-ASCII string hashes as its UTF-8 bytes
+    val uni = "héllo wörld — ünïcode ✓ 日本語テキスト" * 8
+    val viaString = Seq(Tuple1(uni)).toDF("text")
+      .select(GraftFunctions.pHash60(col("text"))).head().getLong(0)
+    assert(viaString == ref(uni.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    // null binary in, null out
+    val nulls = Seq(Tuple1(Option.empty[Array[Byte]])).toDF("payload")
+    assert(nulls.select(GraftFunctions.pHash60(col("payload"))).head().isNullAt(0))
+  }
+
   test("SimHash60 null-array contract intentionally diverges from the HOF spelling") {
     import spark.implicits._
     // the HOF CASE swallows the inner null and folds to 0; the

@@ -69,8 +69,9 @@ class PlanHygieneSpec extends SparkSpec {
       // (ratio-to-report shape)
       "revenue_share_hierarchy", "brand_revenue_pareto",
       // PQ recall embeds the brute-force baseline it is measured against
-      // (both the subsample and the Lloyd-refined codebook rung)
-      "pq_adc_recall_at_5", "pq_recall_refined",
+      // (both the subsample and the Lloyd-refined codebook rung, and the
+      // IVFADC composition over them)
+      "pq_adc_recall_at_5", "pq_recall_refined", "ivfpq_recall_at_5",
       // semantic dedup reads the IVF cell assignment, which shares the
       // deliberate broadcast N·C centroid scoring of ivf_ann_cosine
       "semantic_dedup",
@@ -98,6 +99,27 @@ class PlanHygieneSpec extends SparkSpec {
       assert(!plan.contains("UDF"),
         s"$name plans a UDF:\n${plan.take(800)}")
     }
+  }
+
+  test("per-source curation report rides the cached flag frame — no corpus join of its own") {
+    // `source` is carried IN the flag frame (one corpus join, at build),
+    // so the report must plan as a pure aggregate over the cached frame:
+    // any Join node or fresh documents scan means the second corpus-wide
+    // join this rewrite deleted has crept back
+    val plan = SparkEntry.queries("curation_source_report")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"report does not read the cached flag frame:\n${plan.take(800)}")
+    // the plan string inlines the CACHED frame's build plan under its
+    // InMemoryRelation (which legitimately holds the one corpus join);
+    // the report's OWN operators are everything above that marker
+    val own = plan.linesIterator
+      .takeWhile(!_.contains("InMemoryRelation")).mkString("\n")
+    assert(own.contains("InMemoryTableScan"), own.take(800))
+    assert(!own.contains("documents.parquet"),
+      s"report re-scans the corpus:\n${own.take(800)}")
+    assert(!own.contains("Join"),
+      s"report plans a join of its own:\n${own.take(800)}")
   }
 
   test("star-schema scans prune to the referenced columns") {

@@ -342,6 +342,42 @@ class ScalePostureSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("scd2_snapshot_pruned_scan: snapshot predicate skips most year partitions") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // the registered query (runs the partitioned write side effect)
+      val rows = graft.operators.WindowAnalytics
+        .scd2SnapshotPrunedScan(spark, sf).collect()
+      assert(rows.nonEmpty, "the snapshot must select rows at sf0.001")
+      // measure pruning on the sort-free snapshot scan (the global
+      // sort's sampling pass would double-count scan metrics)
+      val dir = graft.operators.WindowAnalytics.scd2LayoutDir(sf)
+      val scan = graft.operators.WindowAnalytics.prunedSnapshotRead(spark, dir)
+      assert(scan.collect().length == rows.length,
+        "sort-free scan must select the same rows")
+      val scans = scan.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty, "expected a FileSourceScanExec over the layout")
+      // the derived partition-key predicate must land in PartitionFilters
+      // (catalog-level pruning), not survive only as a data filter
+      val pf = scans.map(_.metadata("PartitionFilters")).mkString
+      assert(pf.contains("valid_until_year"),
+        s"partition predicate not recognized: $pf")
+      // partition-level payoff: versions closed before the snapshot year
+      // never reach the scan — files read < half the layout's files
+      def parquetFiles(d: java.io.File): Long =
+        if (d.isDirectory) d.listFiles().map(parquetFiles).sum
+        else if (d.getName.endsWith(".parquet")) 1L else 0L
+      val totalFiles = parquetFiles(new java.io.File(dir))
+      val readFiles = scans.map(_.metrics("numFiles").value).sum
+      assert(readFiles > 0 && totalFiles > 2)
+      assert(readFiles * 2 < totalFiles,
+        s"scan read $readFiles of $totalFiles files — partition pruning missing")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("z-order cluster degenerate inputs: empty frame and numFiles=1") {
     import graft.functions.ZOrder
     val base = spark.range(100).select(

@@ -134,6 +134,45 @@ class StatsSpec extends SparkSpec {
     assert(orders.filter(col("o_orderdate") >= cutoff).count() > 0)
   }
 
+  test("scd2ApplyChanges enforces the append-only contract by default") {
+    import spark.implicits._
+    // history: key 1's single version runs Jan–Jun 1995
+    val hist = Seq((1L, 1L, "1-URGENT",
+        java.sql.Date.valueOf("1995-01-01"), java.sql.Date.valueOf("1995-06-01"),
+        3L, Option.empty[java.sql.Date]))
+      .toDF("customer_key", "island", "priority",
+        "valid_from", "valid_to", "n_orders", "valid_until")
+    def batch(date: String) = Seq(
+        (1L, 100L, java.sql.Timestamp.valueOf(s"$date 00:00:00"), "2-HIGH"))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
+    // out-of-order batch (predates the key's last valid_from) fails LOUDLY
+    val ex = intercept[IllegalArgumentException] {
+      operators.WindowAnalytics.scd2ApplyChanges(hist, batch("1994-03-01"))
+    }
+    assert(ex.getMessage.contains("append-only"), ex.getMessage)
+    // an in-order batch passes the guard and merges
+    val merged = operators.WindowAnalytics
+      .scd2ApplyChanges(hist, batch("1996-01-01")).collect()
+    assert(merged.length == 2, merged.mkString("; "))
+    // and the same out-of-order batch slips through only when the caller
+    // EXPLICITLY claims the contract holds by construction
+    operators.WindowAnalytics
+      .scd2ApplyChanges(hist, batch("1994-03-01"), enforceAppendOnly = false)
+      .collect()
+  }
+
+  test("scd2_snapshot_pruned_scan matches the unpartitioned snapshot row-for-row") {
+    val d = lit("2000-06-01").cast("date")
+    val pruned = q("scd2_snapshot_pruned_scan")
+    // unpartitioned twin: the same point-in-time filter over the plain
+    // dimension (the pruned query's own late snapshot date)
+    val plain = q("dim_customer_scd2")
+      .filter(col("valid_from") <= d &&
+        (col("valid_until").isNull || col("valid_until") > d))
+    assert(pruned.exceptAll(plain).count() == 0 &&
+      plain.exceptAll(pruned).count() == 0)
+  }
+
   test("scd2 snapshot: at most one version per customer, window covers the date") {
     val d = java.sql.Date.valueOf("1997-06-01")
     val snap = q("dim_customer_snapshot").collect()
