@@ -88,6 +88,85 @@ object Layout {
       .filter(col("o_custkey").between(CustLo, CustHi)
         && col("o_day") >= DayLo && col("o_day") < DayHi)
 
+  /** Buckets in the demo layout — small because the smallest fixture has
+    * ~1.5k orders; production sizes bucket count to executor-heap-sized
+    * bucket files (e.g. 4096 buckets over a 100 TB fact).
+    */
+  private val Buckets = 8
+
+  private def ident(sfDir: String): String =
+    sfDir.replaceAll("[^A-Za-z0-9]", "_")
+
+  private[graft] def bucketDir(sfDir: String, t: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-bucketed-$t-${ident(sfDir)}"
+
+  private def bucketTable(sfDir: String, t: String): String =
+    s"graft_bkt_${t}_${ident(sfDir)}"
+
+  /** BUCKETED CO-LOCATED JOIN: write `orders` and `lineitem` as
+    * hash-bucketed tables on their join key (`bucketBy` + per-bucket
+    * `sortBy`, external tables so the catalog carries only metadata),
+    * then run the fact join + per-order rollup over the bucketed reads.
+    * This is the second write-side lever next to [[zorderPrunedScan]]'s
+    * clustering: pre-hashing both fact tables on the join key at WRITE
+    * time makes every subsequent orderkey join and orderkey-led
+    * aggregation shuffle-free — on a 100 TB fact pair, the nightly join
+    * pipeline re-pays its one bucketed rewrite within the first run.
+    *
+    * Plan shape the layout buys (pinned by ScalePostureSpec): both scans
+    * report `HashPartitioning(orderkey, 8)`, the SortMergeJoin takes
+    * them WITHOUT a ShuffleExchange on either side, and the per-order
+    * aggregate reuses the same distribution (orderkey is a superset-key
+    * of the grouping), so the only exchange in the whole query is the
+    * final presentation sort. The DuckDB oracle runs the identical join
+    * over the ORIGINAL tables, proving the bucketed rewrite lossless.
+    *
+    * Memoized durably for the same reason as [[zorderPrunedScan]]: the
+    * bucketed write is a once-per-layout side effect; the measured query
+    * is the shuffle-free read path.
+    */
+  def bucketedColocatedJoin(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoizedDurable(s"layout.bucketedJoin:$sfDir") {
+      writeBucketedTables(spark, sfDir)
+      bucketedJoinRead(spark, sfDir).orderBy("o_orderkey")
+    }
+
+  private[graft] def writeBucketedTables(spark: SparkSession, sfDir: String): Unit = {
+    def write(df: DataFrame, t: String, key: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS ${bucketTable(sfDir, t)}")
+      df.write.mode("overwrite")
+        .bucketBy(Buckets, key)
+        .sortBy(key)
+        .option("path", bucketDir(sfDir, t))
+        .saveAsTable(bucketTable(sfDir, t))
+    }
+    write(Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority")),
+      "orders", "o_orderkey")
+    write(Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+      "lineitem", "l_orderkey")
+  }
+
+  /** The join + rollup over already-written bucketed tables, pre-sort —
+    * shared with ScalePostureSpec, which asserts on THIS plan (the
+    * presentation sort would add a range exchange that is not part of
+    * the layout's claim). The `% 17` band keeps the verified output a
+    * stable ~1/17 sample of orders; Catalyst pushes it below the join
+    * into the orders scan and infers the twin predicate on lineitem.
+    */
+  private[graft] def bucketedJoinRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = spark.table(bucketTable(sfDir, "orders"))
+    val l = spark.table(bucketTable(sfDir, "lineitem"))
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).alias("n_lines"),
+        graft.functions.Deterministic.exactSum(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).alias("gross"))
+      .filter(pmod(col("o_orderkey"), lit(17)) === 0)
+  }
+
   val oracles: Map[String, String] = Map(
     "zorder_pruned_scan" ->
       s"""SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
@@ -96,9 +175,19 @@ object Layout {
          |  AND o_orderdate >= TIMESTAMP '$DateLo'
          |  AND o_orderdate < TIMESTAMP '$DateHi'
          |ORDER BY o_orderkey""".stripMargin,
+    "bucketed_colocated_join" ->
+      s"""SELECT o_orderkey, o_orderpriority,
+         |       CAST(count(*) AS BIGINT) AS n_lines,
+         |       ${graft.functions.Deterministic.exactSumSql(
+               "l_extendedprice * (1.0 - l_discount)", 4)} AS gross
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE o_orderkey % 17 = 0
+         |GROUP BY 1, 2
+         |ORDER BY o_orderkey""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "zorder_pruned_scan" -> zorderPrunedScan _,
+    "bucketed_colocated_join" -> bucketedColocatedJoin _,
   )
 }

@@ -425,4 +425,45 @@ class ScalePostureSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/orders").count() ==
       Tables.orders(spark, sf).count())
   }
+
+  test("bucketed_colocated_join: join and rollup run shuffle-free over the layout") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // force the sort-merge path: at fixture scale AQE would broadcast
+    // the join, hiding the distribution property the layout exists for
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.operators.Layout.writeBucketedTables(spark, sf)
+      val df = graft.operators.Layout.bucketedJoinRead(spark, sf)
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect { case j: SortMergeJoinExec => j }.nonEmpty,
+        s"expected a SortMergeJoin over the bucketed scans:\n$plan")
+      // the layout's whole claim: scans arrive pre-hashed on the join
+      // key, and the orderkey-led aggregate reuses that distribution —
+      // ZERO exchanges anywhere in join + rollup
+      val exchanges = plan.collect { case e: ShuffleExchangeLike => e }
+      assert(exchanges.isEmpty,
+        s"bucketed join plan must be shuffle-free, found:\n$plan")
+      // and the shuffle-free plan computes the same answer as the
+      // shuffled join over the raw tables
+      val raw = Tables.orders(spark, sf)
+        .join(Tables.lineitem(spark, sf),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderpriority"))
+        .agg(count(lit(1)).alias("n_lines"),
+          graft.functions.Deterministic.exactSum(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .alias("gross"))
+        .filter(pmod(col("o_orderkey"), lit(17)) === 0)
+      assert(df.orderBy("o_orderkey").collect().toSeq ==
+        raw.orderBy("o_orderkey").collect().toSeq)
+      assert(df.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
 }
