@@ -52,6 +52,14 @@ object Dedup {
     * [[TextFunctions.shingles]].
     */
   private[operators] def shingled(spark: SparkSession, sfDir: String): DataFrame =
+    // key-memoized like the curation flag frame: the shingle table is
+    // re-invoked by every near-dup consumer, and each re-invocation
+    // otherwise pays plan re-analysis + cache-manager canonicalization
+    // of this lineage on the driver (~0.1-0.3 s per call at sf0.1)
+    graft.CacheLifecycle.memoized(s"dedup.shingled:$sfDir")(
+      shingledBuild(spark, sfDir))
+
+  private def shingledBuild(spark: SparkSession, sfDir: String): DataFrame =
     Tables.loadSpread(spark, sfDir, "documents")
       .select(col("doc_id"), TextFunctions.tokens(col("text")).alias("t"))
       .select(col("doc_id"), TextFunctions.shingles(col("t"), 3).alias("sh"))
@@ -90,7 +98,11 @@ object Dedup {
     * measure (Jaccard, containment) — changing this pipeline (e.g. the
     * 100 TB shingle document-frequency cap) changes all of them at once.
     */
-  private def shingleIntersections(spark: SparkSession, sfDir: String): DataFrame = {
+  private def shingleIntersections(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoized(s"dedup.shingleIntersections:$sfDir")(
+      shingleIntersectionsBuild(spark, sfDir))
+
+  private def shingleIntersectionsBuild(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingled(spark, sfDir)
     val exploded = sh.select(col("doc_id"),
       explode(col("sh")).alias("s"))
@@ -184,7 +196,14 @@ object Dedup {
     * exact-Jaccard verification of candidates only. Output (and oracle)
     * identical to [[ngramJaccard]] — see class doc for why.
     */
-  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    // key-memoized: the verified pair set anchors five registered
+    // queries plus the curation flag frame — see [[shingled]] for why
+    // plan-match dedup alone is not enough
+    graft.CacheLifecycle.memoized(s"dedup.minhashLsh:$sfDir")(
+      minhashLshBuild(spark, sfDir))
+
+  private def minhashLshBuild(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingled(spark, sfDir).filter(size(col("sh")) > 0)
     val signed = sh.select(col("doc_id"), col("sh"),
       minhashSignature(col("sh")).alias("sig"))

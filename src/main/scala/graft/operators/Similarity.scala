@@ -39,6 +39,12 @@ object Similarity {
 
   /** Quantized embeddings with integer squared norms. */
   private def quantized(spark: SparkSession, sfDir: String): DataFrame =
+    // key-memoized (see Dedup.shingled): shared by every similarity
+    // consumer; re-invocations must not re-analyze the plan per call
+    graft.CacheLifecycle.memoized(s"similarity.quantized:$sfDir")(
+      quantizedBuild(spark, sfDir))
+
+  private def quantizedBuild(spark: SparkSession, sfDir: String): DataFrame =
     Tables.loadSpread(spark, sfDir, "embeddings").select(
       col("vec_id"), col("label"),
       V.quantize1000(col("embedding")).alias("v"))
@@ -185,7 +191,11 @@ object Similarity {
     * one broadcast nested-loop, map-side only, then a per-vector argmax
     * window keyed by vec_id (uniform key — no skew).
     */
-  private[graft] def assignedCells(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def assignedCells(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoized(s"similarity.assignedCells:$sfDir")(
+      assignedCellsBuild(spark, sfDir))
+
+  private def assignedCellsBuild(spark: SparkSession, sfDir: String): DataFrame = {
     val base = quantized(spark, sfDir)
     val cents = base.filter(col("vec_id") % 97 === 0)
       .select(col("vec_id").alias("c_id"), col("v").alias("cv"), col("n2").alias("cn2"))

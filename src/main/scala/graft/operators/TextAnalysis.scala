@@ -106,7 +106,13 @@ object TextAnalysis {
     * conditional count. The df join is term-keyed exactly like TF-IDF's —
     * never a window over documents.
     */
-  def rareBigramRatio(spark: SparkSession, sfDir: String): DataFrame = {
+  def rareBigramRatio(spark: SparkSession, sfDir: String): DataFrame =
+    // key-memoized (see Dedup.shingled): own registry row + the
+    // quality gate both invoke this; one analysis, one frame
+    graft.CacheLifecycle.memoized(s"textanalysis.rareBigramRatio:$sfDir")(
+      rareBigramRatioBuild(spark, sfDir))
+
+  private def rareBigramRatioBuild(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Tables.loadSpread(spark, sfDir, "documents")
       .select(col("doc_id"), TextFunctions.tokens(col("text")).alias("toks"))
     val docBigrams = toks.select(col("doc_id"),
@@ -223,7 +229,13 @@ object TextAnalysis {
     * keeps that independent array spelling, which doubles as the
     * differential check that the probe-sum rewrite is exact.
     */
-  def langIdNgram(spark: SparkSession, sfDir: String): DataFrame = {
+  def langIdNgram(spark: SparkSession, sfDir: String): DataFrame =
+    // key-memoized (see Dedup.shingled): own registry row + the
+    // quality gate both invoke this; one analysis, one frame
+    graft.CacheLifecycle.memoized(s"textanalysis.langIdNgram:$sfDir")(
+      langIdNgramBuild(spark, sfDir))
+
+  private def langIdNgramBuild(spark: SparkSession, sfDir: String): DataFrame = {
     val scoreCols = bigramProfiles.map { case (l, prof) =>
       prof.map(b => when(col("text").contains(b), 1).otherwise(0))
         .reduce(_ + _).alias(s"g_$l")
