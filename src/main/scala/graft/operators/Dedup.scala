@@ -669,7 +669,82 @@ object Dedup {
        |WHERE n_common / (sa.n + sb.n - n_common) >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Non-overlapping 32-token chunk windows per document. */
+  private[operators] val ChunkDedupTokens = 32
+
+  /** SPAN-LEVEL exact dedup with document reassembly (the CCNet /
+    * "Deduplicating Training Data Makes Language Models Better"
+    * paragraph-granularity rung of the ladder): documents are split into
+    * non-overlapping 32-token chunks, every chunk occurrence whose text
+    * already appeared earlier in the corpus (first occurrence = smallest
+    * `(doc_id, chunk_id)`) is REMOVED, and each document is reassembled
+    * from its surviving chunks in order. Document-level dedup
+    * ([[exact]], MinHash) drops whole near-identical documents; this
+    * rung removes the boilerplate SPANS (headers, license blocks,
+    * navigation chrome) that repeat across otherwise-distinct pages —
+    * the dominant duplication mode in web corpora. Output per document:
+    * chunk count, removed-chunk count, and the md5 of the reassembled
+    * text (NULL when every chunk was removed — i.e. the whole document
+    * was prior art).
+    *
+    * Scale shape: ONE shuffle keyed by the 128-bit chunk hash decides
+    * first-occurrence (row_number over the hash partition — at 100 TB
+    * group on the hash so the shuffle key is bounded, and the heavy
+    * chunk payload rides exactly once), then ONE shuffle back on doc_id
+    * for reassembly carrying only surviving chunks. No self-join, no
+    * candidate blowup — cost is linear in corpus tokens either way.
+    */
+  def chunkDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val C = ChunkDedupTokens
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc_id"), col("chunk_id"))
+    Tables.loadSpread(spark, sfDir, "documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).alias("t"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, greatest(cast(ceil(size(t) / $C.0) as int) - 1, 0)), " +
+          s"k -> array_join(slice(t, k * $C + 1, $C), ' '))")))
+      .withColumnsRenamed(Map("pos" -> "chunk_id", "col" -> "chunk_text"))
+      .withColumn("h", md5(col("chunk_text")))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).alias("n_chunks"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).alias("n_removed"),
+        sort_array(collect_list(struct(col("chunk_id"),
+          when(col("rn") === 1, col("chunk_text")).alias("kt")))).alias("cs"))
+      .withColumn("kept", expr("transform(filter(cs, s -> s.kt IS NOT NULL), s -> s.kt)"))
+      .select(col("doc_id"), col("n_chunks"), col("n_removed"),
+        when(size(col("kept")) === 0, lit(null))
+          .otherwise(md5(array_join(col("kept"), " "))).alias("kept_md5"))
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "docs_chunk_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |chunks AS (
+         |  SELECT doc_id,
+         |         unnest(generate_series(0,
+         |           greatest(CAST(ceil(len(t) / $ChunkDedupTokens.0) AS INT) - 1, 0)))
+         |           AS chunk_id,
+         |         t
+         |  FROM toks),
+         |c2 AS (
+         |  SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+         |         array_to_string(list_slice(t,
+         |           chunk_id * $ChunkDedupTokens + 1,
+         |           chunk_id * $ChunkDedupTokens + $ChunkDedupTokens), ' ') AS chunk_text
+         |  FROM chunks),
+         |flagged AS (
+         |  SELECT *, row_number() OVER (PARTITION BY md5(chunk_text)
+         |                               ORDER BY doc_id, chunk_id) AS rn
+         |  FROM c2)
+         |SELECT doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_chunks,
+         |       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |       md5(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' '
+         |                      ORDER BY chunk_id)) AS kept_md5
+         |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies,
         |       md5(text) AS text_md5
@@ -762,5 +837,6 @@ object Dedup {
     "dedup_simhash_pairs" -> simhashPairs _,
     "dedup_clusters"      -> clusters _,
     "dedup_cluster_reps"  -> clusterReps _,
+    "docs_chunk_dedup"    -> chunkDedup _,
   )
 }

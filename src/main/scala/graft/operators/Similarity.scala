@@ -504,6 +504,44 @@ object Similarity {
     recallAt5Against(spark, sfDir, top8, countName = "n_exact")
   }
 
+  /** MATRYOSHKA / DIMENSION-TRUNCATION recall — the fourth compression
+    * lever beside SQ8 (score precision), PQ (vector bytes) and IVF
+    * (candidates): score cosine over only the FIRST 32 of 64 dimensions
+    * and pin what prefix truncation loses against the full-precision
+    * top-5. Matryoshka-style embedding serving stores the prefix tier
+    * hot (half the bytes, half the FLOPs per candidate) and re-ranks
+    * survivors with the full vector; this report is the measured recall
+    * number that decides whether the fixture's embeddings tolerate it —
+    * a dimension-budget change surfaces as a CORRECTNESS diff, not
+    * silent quality drift. Derivation stays exact-integer: the truncated
+    * vector is `slice` of the oracle-pinned quantize1000 longs, dots and
+    * norms are the same codegen integer sums at half width.
+    *
+    * Scale shape: identical to [[knnBrute]] — broadcast |Q| query side,
+    * corpus scanned once, no self-shuffle; the point at 100 TB is that
+    * this pass reads/multiplies HALF the vector bytes.
+    */
+  def mrlRecallAt5(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = quantized(spark, sfDir)
+      .select(col("vec_id"), slice(col("v"), 1, MrlDim).alias("vh"))
+      .withColumn("nh2", V.qnorm2(col("vh")))
+    val queriesH = h.filter(col("vec_id") < 10)
+      .select(col("vec_id").alias("query_id"),
+        col("vh").alias("qvh"), col("nh2").alias("qnh2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosh").desc, col("neighbor_id").asc)
+    val toph = h.join(broadcast(queriesH), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").alias("neighbor_id"),
+        V.qcosineFrom(V.qdot(col("qvh"), col("vh")), col("qnh2"), col("nh2"))
+          .alias("cosh"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"))
+    recallAt5Against(spark, sfDir, toph, countName = "n_exact")
+  }
+
+  private val MrlDim = 32
+
   /** PRODUCT QUANTIZATION + ADC recall — the third rung of the ANN
     * compression ladder ([[sq8RecallAt5]] compresses the SCORE precision,
     * IVF prunes CANDIDATES; PQ compresses the VECTORS to m=8 one-byte
@@ -1529,6 +1567,27 @@ object Similarity {
          |FROM brute b LEFT JOIN sq s
          |  ON b.query_id = s.query_id AND b.neighbor_id = s.neighbor_id
          |GROUP BY 1 ORDER BY query_id""".stripMargin,
+    "mrl_truncation_recall_at_5" ->
+      s"""WITH $quantizedSql,
+         |h AS (SELECT vec_id, list_slice(v, 1, $MrlDim) AS vh FROM qn),
+         |hn AS (SELECT vec_id, vh, ${V.qnorm2Sql("vh", MrlDim)} AS nh2 FROM h),
+         |$bruteTop5Cte,
+         |mr AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY a.vec_id
+         |             ORDER BY ${V.qdotSql("a.vh", "b.vh", MrlDim)}
+         |                        / (sqrt(a.nh2) * sqrt(b.nh2)) DESC,
+         |                      b.vec_id ASC) AS rank
+         |    FROM hn a JOIN hn b ON a.vec_id < 10 AND b.vec_id != a.vec_id)
+         |  WHERE rank <= 5)
+         |SELECT b.query_id AS query_id,
+         |       CAST(count(*) AS BIGINT) AS n_exact,
+         |       CAST(count(m.neighbor_id) AS BIGINT) AS n_hits,
+         |       CAST(count(m.neighbor_id) AS DOUBLE) / count(*) AS recall_at_5
+         |FROM brute b LEFT JOIN mr m
+         |  ON b.query_id = m.query_id AND b.neighbor_id = m.neighbor_id
+         |GROUP BY 1 ORDER BY query_id""".stripMargin,
     "similar_pairs_per_label" ->
       s"""WITH $quantizedSql,
          |scored AS (
@@ -1562,5 +1621,6 @@ object Similarity {
     "ivf_recall_refined"      -> ivfRecallRefined _,
     "pq_recall_refined"       -> pqRecallRefined _,
     "ivfpq_recall_at_5"       -> ivfpqRecallAt5 _,
+    "mrl_truncation_recall_at_5" -> mrlRecallAt5 _,
   )
 }

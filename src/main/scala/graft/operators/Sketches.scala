@@ -97,7 +97,63 @@ object Sketches {
       .orderBy("lang")
   }
 
+  /** SELF-JOIN-SIZE / F2 ESTIMATION via an AMS count-sketch (the
+    * Alon-Matias-Szegedy tug-of-war estimator in its bucketed
+    * "fast-AMS" form) — the third sketch family beside CMS (point
+    * frequency) and HLL (distinct count): it answers "how many rows
+    * would `lineitem ⋈ lineitem ON l_partkey` produce?" from ONE
+    * bounded-memory pass, the statistic a cost-based optimizer needs
+    * BEFORE committing to a join strategy at 100 TB. Three independent
+    * estimator rows of 8192 signed-sum counters (bucket and sign from
+    * seeded xxhash64 — deterministic, no stored model); each row's
+    * estimate is Σ_j c_j² (expected value F2 = Σ_k cnt(k)², relative
+    * std ≈ √(2/w) ≈ 1.6%), and the registered value is the MEDIAN of
+    * the three. Every quantity is an exact integer; like the other
+    * sketch gates the verified output carries the exact F2 plus a
+    * boolean pinning the estimate within 10% (the oracle expects TRUE),
+    * so a hash or width change surfaces as a CORRECTNESS diff.
+    *
+    * Scale shape: the sketch is a map-side-mergeable aggregation onto a
+    * FIXED 3×8192 counter grid — the shuffle moves ≤ 24k rows no matter
+    * the corpus size; the exact twin (groupBy key) is gate-spelling
+    * only. The median is computed arithmetically over the 3-row frame
+    * (sum − max − min), and exact/estimate meet in one conditional
+    * aggregate over a 4-row union — no cross join, no collect.
+    */
+  def selfJoinSizeAms(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = 8192
+    val keyed = Tables.lineitem(spark, sfDir).select(col("l_partkey"))
+    val ests = keyed
+      .select(explode(expr(
+        s"""transform(sequence(0, 2), i -> named_struct(
+           |  'r', i,
+           |  'b', pmod(xxhash64(i, l_partkey), $W),
+           |  'sgn', pmod(xxhash64(i + 100, l_partkey), 2) * 2 - 1))""".stripMargin))
+        .alias("s"))
+      .select(col("s.r").alias("r"), col("s.b").alias("b"), col("s.sgn").alias("sgn"))
+      .groupBy(col("r"), col("b")).agg(sum(col("sgn")).alias("c"))
+      .groupBy(col("r")).agg(sum(col("c") * col("c")).alias("v"))
+    val exact = keyed.groupBy(col("l_partkey")).agg(count(lit(1)).alias("n"))
+      .agg(sum(col("n") * col("n")).alias("v"))
+      .select(lit(-1).alias("r"), col("v"))
+    ests.select(col("r"), col("v")).union(exact)
+      .agg(
+        max(when(col("r") === -1, col("v"))).alias("exact_selfjoin_size"),
+        (sum(when(col("r") >= 0, col("v")))
+          - max(when(col("r") >= 0, col("v")))
+          - min(when(col("r") >= 0, col("v")))).alias("med"))
+      .select(col("exact_selfjoin_size"),
+        (abs(col("med") - col("exact_selfjoin_size"))
+          <= col("exact_selfjoin_size").cast("double") * lit(0.1))
+          .alias("ams_within_10pct"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "lineitem_selfjoin_size_ams" ->
+      """SELECT CAST(sum(n * n) AS BIGINT) AS exact_selfjoin_size,
+        |       TRUE AS ams_within_10pct
+        |FROM (SELECT CAST(count(*) AS BIGINT) AS n
+        |      FROM lineitem GROUP BY l_partkey)""".stripMargin,
     "heavy_hitter_parts" ->
       """WITH c AS (
         |  SELECT l_partkey AS part_key, CAST(count(*) AS BIGINT) AS n
@@ -118,5 +174,6 @@ object Sketches {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "heavy_hitter_parts"    -> heavyHitterParts _,
     "text_vocab_hll_rollup" -> vocabHllRollup _,
+    "lineitem_selfjoin_size_ams" -> selfJoinSizeAms _,
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -153,10 +153,62 @@ object StarSchema {
       .orderBy("date_key", "product_key")
   }
 
+  /** INCREMENTAL AGGREGATE MAINTENANCE — the materialized-view twin of
+    * the SCD2 apply-changes gate: lifetime per-product sales totals
+    * maintained as MERGEABLE PARTIAL STATE. History (orders before
+    * 1997-01-01) and the CDC batch (1997+) are each aggregated to
+    * per-product partials, and the merge SUMS THE QUANTIZED LONGS —
+    * only the final merged sum is divided back to a double, so the
+    * incremental result is bit-identical to the from-scratch aggregate
+    * (summing two already-divided doubles would not be: (a+b)/f ≠
+    * a/f + b/f in IEEE). The oracle IS the from-scratch one-shot
+    * GROUP BY over all rows — incremental ≡ rebuild is the gate fact,
+    * exactly like `dim_customer_scd2_incremental`.
+    *
+    * Scale shape: at 100 TB the stored table holds the integer partials
+    * per key; a nightly batch aggregates only its own rows and merges by
+    * key — history is never rescanned. Partial+final hash aggregation on
+    * both legs; the merge shuffles only per-key partial rows.
+    */
+  def factProductTotalsIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val cut = "1997-01-01"
+    def partials(pred: Column): DataFrame = {
+      val l = Tables.lineitem(spark, sfDir).alias("l")
+      val o = Tables.orders(spark, sfDir).alias("o")
+      l.join(o, col("l.l_orderkey") === col("o.o_orderkey"), "inner")
+        .filter(pred)
+        .select(col("l.l_partkey").alias("product_key"),
+          col("l.l_quantity").alias("qty"),
+          (col("l.l_extendedprice") * (lit(1.0) - col("l.l_discount"))).alias("line_total"))
+        .groupBy(col("product_key"))
+        .agg(sum(Deterministic.quantize(col("qty"), 2)).alias("q2"),
+          sum(Deterministic.quantize(col("line_total"), 4)).alias("r4"),
+          count(lit(1)).alias("n"))
+    }
+    partials(col("o.o_orderdate") < lit(cut))
+      .unionAll(partials(col("o.o_orderdate") >= lit(cut)))
+      .groupBy(col("product_key"))
+      .agg(sum(col("q2")).alias("q2m"), sum(col("r4")).alias("r4m"),
+        sum(col("n")).alias("n_lines"))
+      .select(col("product_key"),
+        (col("q2m") / lit(1e2)).cast("double").alias("total_quantity_sold"),
+        (col("r4m") / lit(1e4)).cast("double").alias("total_revenue"),
+        col("n_lines"))
+      .orderBy("product_key")
+  }
+
   /** Oracle SQL (DuckDB dialect) for each query above — same table names,
     * same column aliases, same deterministic ordering.
     */
   val oracles: Map[String, String] = Map(
+    "fact_product_totals_incremental" ->
+      s"""SELECT l_partkey AS product_key,
+         |       ${Deterministic.exactSumSql("l_quantity", 2)} AS total_quantity_sold,
+         |       ${Deterministic.exactSumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS total_revenue,
+         |       CAST(count(*) AS BIGINT) AS n_lines
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1
+         |ORDER BY product_key""".stripMargin,
     "dim_customer" ->
       """SELECT c_custkey AS customer_key, c_name AS customer_name,
         |       c_mktsegment AS market_segment, n_name AS nation_name,
@@ -212,5 +264,6 @@ object StarSchema {
     "dim_date"                     -> dimDate _,
     "fact_sales_detail"            -> factSalesDetail _,
     "fact_sales_agg_daily_product" -> factSalesAggDailyProduct _,
+    "fact_product_totals_incremental" -> factProductTotalsIncremental _,
   )
 }

@@ -135,4 +135,32 @@ class DedupSpec extends SparkSpec {
       assert(rep == ms.filter(chars(_) == maxChars).min, s"cluster $cid tie-break")
     }
   }
+
+  test("chunkDedup matches a driver-side reimplementation row for row," +
+      " and untouched documents reassemble to their own text") {
+    val C = 32
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    // independent spelling: global first-occurrence by (doc_id, chunk_id)
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expected = docs.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val chunks = toks.grouped(C).map(_.mkString(" ")).toSeq
+      val kept = chunks.filter { c => val fresh = !seen(c); seen += c; fresh }
+      val keptMd5 = if (kept.isEmpty) null else md5hex(kept.mkString(" "))
+      (id, chunks.size.toLong, (chunks.size - kept.size).toLong, keptMd5)
+    }
+    val got = q("docs_chunk_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getString(3)))
+    assert(got.toSeq == expected.toSeq)
+    // reassembly identity: a doc that lost nothing hashes to md5(text)
+    val textMd5 = docs.toMap
+    val untouched = got.filter(_._3 == 0L)
+    assert(untouched.nonEmpty)
+    untouched.foreach { case (id, _, _, h) => assert(h == md5hex(textMd5(id))) }
+  }
 }

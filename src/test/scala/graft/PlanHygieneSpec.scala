@@ -84,7 +84,10 @@ class PlanHygieneSpec extends SparkSpec {
       // semantic decon reads the IVF cell assignment (deliberate N·C
       // broadcast scoring, as semantic_dedup); the pipeline embeds it
       // through its semantic contamination branch
-      "docs_decontaminate_semantic", "docs_curation_pipeline")
+      "docs_decontaminate_semantic", "docs_curation_pipeline",
+      // MRL truncation recall scores its own |Q|·N truncated pairs by
+      // design AND embeds the brute baseline it is measured against
+      "mrl_truncation_recall_at_5")
     for ((name, plan) <- executedPlans if !allowed(name)) {
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name unexpectedly plans a BroadcastNestedLoopJoin:\n${plan.take(800)}")

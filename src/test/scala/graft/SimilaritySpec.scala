@@ -425,4 +425,34 @@ class SimilaritySpec extends SparkSpec {
         s"cluster $cluster rep ($rep, ${r.getDouble(2)}) != farthest member $want")
     }
   }
+
+  test("mrlRecallAt5 matches a driver-side truncated-cosine recomputation") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map { r =>
+        val arr = r.getSeq[Float](1).map(f => math.round(f.toDouble * 1000.0)).toArray
+        r.getLong(0) -> arr
+      }.sortBy(_._1)
+    def top5(dim: Int): Map[Long, Set[Long]] = {
+      def cos(a: Array[Long], b: Array[Long]): Double = {
+        var d = 0L; var na = 0L; var nb = 0L; var i = 0
+        while (i < dim) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        d / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+      }
+      vecs.filter(_._1 < 10).map { case (qid, qv) =>
+        qid -> vecs.filter(_._1 != qid)
+          .map { case (nid, nv) => (nid, cos(qv, nv)) }
+          .sortBy { case (nid, c) => (-c, nid) }.take(5).map(_._1).toSet
+      }.toMap
+    }
+    val brute = top5(64); val trunc = top5(32)
+    val got = q("mrl_truncation_recall_at_5").collect()
+    assert(got.length == 10)
+    got.foreach { r =>
+      val qid = r.getLong(0)
+      assert(r.getLong(1) == 5L)
+      val wantHits = (brute(qid) intersect trunc(qid)).size.toLong
+      assert(r.getLong(2) == wantHits, s"query $qid hits")
+      assert(r.getDouble(3) == wantHits / 5.0)
+    }
+  }
 }

@@ -53,4 +53,17 @@ class SketchesSpec extends SparkSpec {
       assert(rows(lang)._2, s"$lang: HLL rollup estimate outside 5% of $v")
     }
   }
+
+  test("AMS self-join size: exact F2 matches a driver groupBy, verdict true," +
+      " and the sketch is deterministic across runs") {
+    val counts = Tables.lineitem(spark, sf).groupBy(col("l_partkey")).count()
+      .collect().map(_.getLong(1))
+    val wantF2 = counts.map(n => n * n).sum
+    val row = q("lineitem_selfjoin_size_ams").collect()
+    assert(row.length == 1)
+    assert(row(0).getLong(0) == wantF2)
+    assert(row(0).getBoolean(1), "AMS median estimate outside 10% of exact F2")
+    val again = q("lineitem_selfjoin_size_ams").collect()
+    assert(again(0) == row(0), "seeded xxhash sketch must be deterministic")
+  }
 }

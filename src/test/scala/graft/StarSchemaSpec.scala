@@ -54,4 +54,27 @@ class StarSchemaSpec extends SparkSpec {
       .collect()(0).getLong(0)
     assert(detail == agg)
   }
+
+  test("incremental product totals ≡ from-scratch rebuild, bit-exact") {
+    import graft.functions.Deterministic
+    val oneShot = Tables.lineitem(spark, sf).alias("l")
+      .join(Tables.orders(spark, sf).alias("o"),
+        col("l.l_orderkey") === col("o.o_orderkey"))
+      .groupBy(col("l.l_partkey").alias("product_key"))
+      .agg(Deterministic.exactSum(col("l.l_quantity"), 2).alias("total_quantity_sold"),
+        Deterministic.exactSum(
+          col("l.l_extendedprice") * (lit(1.0) - col("l.l_discount")), 4)
+          .alias("total_revenue"),
+        count(lit(1)).alias("n_lines"))
+      .orderBy("product_key")
+      .collect().toSeq
+    val incr = q("fact_product_totals_incremental").collect().toSeq
+    assert(incr == oneShot)
+    // the cut actually splits the data — both legs contribute
+    val batchRows = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1997-01-01")).count()
+    val baseRows = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") < lit("1997-01-01")).count()
+    assert(batchRows > 0 && baseRows > 0)
+  }
 }
