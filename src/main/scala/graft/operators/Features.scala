@@ -212,7 +212,74 @@ object Features {
       .orderBy("position")
   }
 
+  /** POINT-IN-TIME-CORRECT TRAINING MATRIX (the feature-store "training
+    * example generation" shape): one row per purchase event carrying
+    * features computed ONLY from state strictly before the label's
+    * timestamp — the discipline that prevents feature leakage. Composes
+    * the two point-in-time machineries the library already pins:
+    * rows-frame windows for the user's running history (event count,
+    * prior purchase value — exact-integer cents, divided once) and the
+    * LEFT as-of join for the newest order at-or-before the event (null
+    * when the user had no order yet — "no state" is an answer, the
+    * [[AsOfJoin.eventsAsofOrderLeft]] rule). The DuckDB oracle spells
+    * the identical matrix with WINDOW + ASOF LEFT JOIN, so leakage
+    * discipline (strictly-before frames, ≤-as-of) is a gate fact.
+    *
+    * Scale shape: ONE shuffle on user_id serves the history windows, the
+    * as-of union-carry rides the same key — never a per-event range
+    * probe; at 100 TB this is the backfill job that materializes a
+    * training table, and its cost is two keyed sorts of the event log.
+    */
+  def userPurchaseFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wPrev = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val feats = Tables.events(spark, sfDir)
+      .withColumn("n_prior_events", count(lit(1)).over(wPrev))
+      .withColumn("prior_purchase_value",
+        (coalesce(sum(when(col("event_type") === "purchase",
+          Deterministic.quantize(col("value"), 2))).over(wPrev), lit(0L))
+          / lit(100.0)).cast("double"))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").alias("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).alias("ts_us"),
+        col("n_prior_events"), col("prior_purchase_value"))
+    val ordersPerTs = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).alias("o_ts_us"))
+      .agg(max(col("o_orderkey")).alias("asof_order_key"))
+    AsOfJoin.asOf(
+      left = feats, right = ordersPerTs,
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTimeUs = col("ts_us"), rightTimeUs = col("o_ts_us"),
+      carries = Seq("asof_order_key"), rightTiebreak = "asof_order_key",
+      joinType = "left")
+      .select(col("purchase_id"), col("user_id"), col("n_prior_events"),
+        col("prior_purchase_value"), col("asof_order_key"))
+      .orderBy("purchase_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "user_purchase_features" ->
+      """WITH f AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |         CAST(count(*) OVER wprev AS BIGINT) AS n_prior_events,
+        |         CAST(coalesce(SUM(CASE WHEN event_type = 'purchase'
+        |                THEN CAST(round(value * 1e2) AS BIGINT) END)
+        |              OVER wprev, 0) / 1e2 AS DOUBLE) AS prior_purchase_value
+        |  FROM events
+        |  WINDOW wprev AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |op AS (
+        |  SELECT o_custkey, o_orderdate AS ots, max(o_orderkey) AS asof_order_key
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT f.event_id AS purchase_id, f.user_id AS user_id,
+        |       n_prior_events, prior_purchase_value, op.asof_order_key
+        |FROM f ASOF LEFT JOIN op
+        |  ON f.user_id = op.o_custkey AND op.ots <= f.ts
+        |WHERE f.event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin,
     "corpus_mixture_schedule" ->
       """WITH langs AS (
         |  SELECT lang,
@@ -304,5 +371,6 @@ object Features {
     "docs_chunked_overlap"  -> docsChunkedOverlap _,
     "docs_token_packing"    -> docsTokenPacking _,
     "corpus_mixture_schedule" -> corpusMixtureSchedule _,
+    "user_purchase_features"  -> userPurchaseFeatures _,
   )
 }

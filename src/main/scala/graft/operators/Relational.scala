@@ -477,7 +477,57 @@ object Relational {
         col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
       .agg(count(lit(1)).alias("n_triangles"))
 
+  /** RECURSIVE CTE surface (Spark 4's `WITH RECURSIVE`, SPARK-24497):
+    * per-customer order-chain traversal — the anchor is each customer's
+    * first order, the recursive step follows the precomputed next-order
+    * edge, and the recursion DEPTH is the order's position in the
+    * chain. The oracle spells the same result as a `row_number` window,
+    * so "chain traversal ≡ ranking" is a gate fact tying the recursive
+    * execution to the standard windowed spelling.
+    *
+    * Scale posture, stated honestly: each recursion level re-joins the
+    * shrinking frontier against the edge relation (≤ max-chain-length
+    * levels — 25 on the fixture, bounded by orders-per-customer), where
+    * the window spelling is ONE shuffle; the window form is the scale
+    * path, and this query exists to cover the SQL surface an engine
+    * migrating user carries (hierarchy walks, BOM explosions — shapes
+    * that ARE recursive and have no window twin). Spark's UNION-ALL-only
+    * recursion (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE, probed in
+    * RecursiveCteProbeSpec) terminates here because next-order edges
+    * form disjoint acyclic chains by construction.
+    */
+  def customerOrderChainSql(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .createOrReplaceTempView("graft_chain_orders")
+    spark.sql(
+      """WITH RECURSIVE
+        |ranked AS (
+        |  SELECT o_custkey, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate, o_orderkey) AS rn,
+        |         lead(o_orderkey) OVER (PARTITION BY o_custkey
+        |                                ORDER BY o_orderdate, o_orderkey) AS next_key
+        |  FROM graft_chain_orders),
+        |chain(customer_key, order_key, ordinal) AS (
+        |  SELECT o_custkey, o_orderkey, 1 FROM ranked WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.customer_key, r.next_key, c.ordinal + 1
+        |  FROM chain c JOIN ranked r ON c.order_key = r.o_orderkey
+        |  WHERE r.next_key IS NOT NULL)
+        |SELECT customer_key, order_key, CAST(ordinal AS INT) AS ordinal
+        |FROM chain
+        |ORDER BY customer_key, ordinal""".stripMargin)
+  }
+
   val oracles: Map[String, String] = Map(
+    "customer_order_chain_sql" ->
+      """SELECT o_custkey AS customer_key, o_orderkey AS order_key,
+        |       CAST(row_number() OVER (PARTITION BY o_custkey
+        |                               ORDER BY o_orderdate, o_orderkey) AS INT)
+        |         AS ordinal
+        |FROM orders
+        |ORDER BY customer_key, ordinal""".stripMargin,
     "orders_above_customer_avg" ->
       """WITH c AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice,
@@ -710,5 +760,6 @@ object Relational {
     "copurchase_part_pairs"    -> copurchasePartPairs _,
     "orders_above_customer_avg" -> ordersAboveCustomerAvg _,
     "copurchase_triangles"     -> copurchaseTriangles _,
+    "customer_order_chain_sql" -> customerOrderChainSql _,
   )
 }

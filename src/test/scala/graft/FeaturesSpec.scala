@@ -119,4 +119,38 @@ class FeaturesSpec extends SparkSpec {
       assert(math.abs(z - r.getDouble(3)) < 1e-6)
     }
   }
+
+  test("userPurchaseFeatures is point-in-time correct: every feature derives" +
+      " only from state strictly before (or as-of) the label timestamp") {
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).alias("ts_us"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getDouble(4)))
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).alias("ots")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val got = q("user_purchase_features").collect()
+    assert(got.nonEmpty)
+    val byId = events.map(e => e._1 -> e).toMap
+    got.foreach { r =>
+      val (pid, user) = (r.getLong(0), r.getLong(1))
+      val (_, _, _, ts, _) = byId(pid)
+      // history = rows ordered (ts, event_id) strictly before this one
+      val prior = events.filter(e => e._2 == user &&
+        (e._4 < ts || (e._4 == ts && e._1 < pid)))
+      assert(r.getLong(2) == prior.length.toLong, s"n_prior_events for $pid")
+      val wantCents = prior.filter(_._3 == "purchase")
+        .map(e => math.round(e._5 * 100)).sum
+      assert(r.getDouble(3) == wantCents / 100.0, s"prior_purchase_value for $pid")
+      // as-of: newest order at-or-before ts, max orderkey tie-break; null if none
+      val cand = orders.filter(o => o._1 == user && o._3 <= ts)
+      if (cand.isEmpty) assert(r.isNullAt(4), s"expected null as-of for $pid")
+      else {
+        val best = cand.maxBy(o => (o._3, o._2))._2
+        assert(r.getLong(4) == best, s"asof_order_key for $pid")
+      }
+    }
+  }
 }
