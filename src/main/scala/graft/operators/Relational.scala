@@ -485,14 +485,19 @@ object Relational {
     * so "chain traversal ≡ ranking" is a gate fact tying the recursive
     * execution to the standard windowed spelling.
     *
-    * Scale posture, stated honestly: each recursion level re-joins the
-    * shrinking frontier against the edge relation (≤ max-chain-length
-    * levels — 25 on the fixture, bounded by orders-per-customer), where
-    * the window spelling is ONE shuffle; the window form is the scale
-    * path, and this query exists to cover the SQL surface an engine
-    * migrating user carries (hierarchy walks, BOM explosions — shapes
-    * that ARE recursive and have no window twin). Spark's UNION-ALL-only
-    * recursion (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE, probed in
+    * Scale posture, stated honestly: each recursion LEVEL is a full
+    * planned-and-executed join of the frontier against the edge relation
+    * — measured ~0.45 s of fixed per-level cost at sf0.1 regardless of
+    * row count (an 11 s query at the fixture's 24-order max chain), so
+    * the registered walk stops at ordinal 5 (the recursion bound is the
+    * WHERE on the recursive branch, the standard depth-cap idiom;
+    * ~2.5 s at sf0.1 — the priced cost of exercising the recursive
+    * executor, like the triangle census prices its wedge machinery). The
+    * window spelling is ONE shuffle and is the scale path; this query
+    * exists to cover the SQL surface an engine-migrating user carries
+    * (hierarchy walks, BOM explosions — shapes that ARE recursive and
+    * have no window twin). Spark's UNION-ALL-only recursion
+    * (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE, probed in
     * RecursiveCteProbeSpec) terminates here because next-order edges
     * form disjoint acyclic chains by construction.
     */
@@ -514,7 +519,7 @@ object Relational {
         |  UNION ALL
         |  SELECT c.customer_key, r.next_key, c.ordinal + 1
         |  FROM chain c JOIN ranked r ON c.order_key = r.o_orderkey
-        |  WHERE r.next_key IS NOT NULL)
+        |  WHERE r.next_key IS NOT NULL AND c.ordinal < 5)
         |SELECT customer_key, order_key, CAST(ordinal AS INT) AS ordinal
         |FROM chain
         |ORDER BY customer_key, ordinal""".stripMargin)
@@ -522,11 +527,13 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "customer_order_chain_sql" ->
-      """SELECT o_custkey AS customer_key, o_orderkey AS order_key,
-        |       CAST(row_number() OVER (PARTITION BY o_custkey
-        |                               ORDER BY o_orderdate, o_orderkey) AS INT)
-        |         AS ordinal
-        |FROM orders
+      """SELECT customer_key, order_key, ordinal FROM (
+        |  SELECT o_custkey AS customer_key, o_orderkey AS order_key,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey
+        |                                 ORDER BY o_orderdate, o_orderkey) AS INT)
+        |           AS ordinal
+        |  FROM orders)
+        |WHERE ordinal <= 5
         |ORDER BY customer_key, ordinal""".stripMargin,
     "orders_above_customer_avg" ->
       """WITH c AS (

@@ -44,6 +44,7 @@ class RecursiveCteProbeSpec extends SparkSpec {
         col("o_orderkey").alias("order_key"),
         row_number().over(Window.partitionBy(col("o_custkey"))
           .orderBy(col("o_orderdate"), col("o_orderkey"))).alias("ordinal"))
+      .filter(col("ordinal") <= 5)
       .orderBy("customer_key", "ordinal").collect().toSeq
     val got = q("customer_order_chain_sql").collect().toSeq
     assert(got == want)
