@@ -216,7 +216,68 @@ object AsOfJoin {
       .orderBy("purchase_id")
   }
 
+  /** TOLERANCE-BOUNDED as-of join (the feature-store staleness rule): for
+    * every non-purchase interaction, the user's latest purchase counts
+    * only if it is no older than 30 days — a serving stack refuses
+    * features staler than its freshness SLA, so "stale" and "absent"
+    * must coincide in the output. Implemented as the LEFT as-of join
+    * carrying (purchase id, ts) as one struct, then a map-side
+    * post-filter nulls BOTH carries together when the match is outside
+    * tolerance — the single-shuffle union-carry shape is untouched
+    * (tolerance is a projection, not a join-condition change), and the
+    * all-or-nothing struct rule from [[asOf]] still holds. DuckDB has no
+    * ASOF tolerance either; its oracle applies the same CASE over the
+    * plain ASOF LEFT JOIN, so the semantics are pinned cross-engine.
+    */
+  def eventsLastPurchaseStaleBound(spark: SparkSession, sfDir: String): DataFrame = {
+    val tolUs = 30L * 24 * 3600 * 1000000L
+    val events = Tables.events(spark, sfDir)
+      .filter(col("event_type") =!= "purchase")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).alias("ts_us"))
+    val purchasesPerTs = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").alias("p_user"),
+        unix_micros(col("ts")).alias("purchase_ts_us"))
+      .agg(max(col("event_id")).alias("last_purchase_id"))
+    val fresh = col("purchase_ts_us").isNotNull &&
+      col("purchase_ts_us") >= col("ts_us") - lit(tolUs)
+    asOf(
+      left = events, right = purchasesPerTs,
+      leftKey = "user_id", rightKey = "p_user",
+      leftTimeUs = col("ts_us"),
+      rightTimeUs = col("purchase_ts_us"),
+      carries = Seq("last_purchase_id", "purchase_ts_us"),
+      rightTiebreak = "last_purchase_id",
+      joinType = "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        when(fresh, col("last_purchase_id")).alias("last_purchase_id"),
+        when(fresh, timestamp_micros(col("purchase_ts_us")))
+          .alias("last_purchase_ts"),
+        fresh.alias("fresh"))
+      .orderBy("event_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "events_last_purchase_stale_bound" ->
+      """WITH p AS (
+        |  SELECT user_id AS p_user, ts AS pts, max(event_id) AS last_purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |j AS (
+        |  SELECT e.event_id, e.user_id, e.event_type, e.ts,
+        |         p.last_purchase_id, p.pts
+        |  FROM events e ASOF LEFT JOIN p
+        |    ON e.user_id = p.p_user AND p.pts <= e.ts
+        |  WHERE e.event_type != 'purchase')
+        |SELECT event_id, user_id, event_type,
+        |       CASE WHEN fresh THEN last_purchase_id END AS last_purchase_id,
+        |       CASE WHEN fresh THEN pts END AS last_purchase_ts,
+        |       fresh
+        |FROM (SELECT *,
+        |        pts IS NOT NULL AND epoch_us(CAST(pts AS TIMESTAMP))
+        |          >= epoch_us(CAST(ts AS TIMESTAMP)) - 2592000000000 AS fresh
+        |      FROM j)
+        |ORDER BY event_id""".stripMargin,
     "events_next_purchase" ->
       """WITH p AS (
         |  SELECT user_id AS p_user, ts AS pts, max(event_id) AS next_purchase_id
@@ -262,6 +323,7 @@ object AsOfJoin {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_asof_order"        -> eventsAsofOrder _,
     "events_asof_order_left"   -> eventsAsofOrderLeft _,
+    "events_last_purchase_stale_bound" -> eventsLastPurchaseStaleBound _,
     "events_next_purchase"     -> eventsNextPurchase _,
     "purchase_attribution_30m" -> purchaseAttribution30m _,
   )

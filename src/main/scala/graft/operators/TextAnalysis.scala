@@ -51,6 +51,30 @@ object TextAnalysis {
         (count(lit(1)) / countDistinct(col("doc_id"))).alias("avg_tokens_per_doc"))
       .orderBy("lang")
 
+  /** DATASET-CARD LENGTH PROFILE per source: doc count, mean tokens, and
+    * exact interpolated p50/p90/p99 token-count percentiles — the
+    * distribution summary a corpus datasheet publishes per dump, and the
+    * first thing a mixture rebalance consults (a source whose p99 is 10×
+    * its p50 needs chunking; one whose p50 collapses is boilerplate).
+    * Token counts are exact integers; the mean is one division of two
+    * exact aggregates and `percentile` interpolates identically to
+    * DuckDB's `quantile_cont` (the `order_price_quantiles` precedent).
+    * Scale: one narrow (source, n_tokens) aggregation; at 100 TB swap
+    * `percentile` for the mergeable `approx_percentile` exactly as
+    * `order_price_quantiles_approx` pins.
+    */
+  def lengthProfile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("source"),
+        size(TextFunctions.tokens(col("text"))).alias("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).alias("n_docs"),
+        (sum(col("n_tokens")) / count(lit(1))).alias("mean_tokens"),
+        percentile(col("n_tokens"), lit(0.5)).alias("p50_tokens"),
+        percentile(col("n_tokens"), lit(0.9)).alias("p90_tokens"),
+        percentile(col("n_tokens"), lit(0.99)).alias("p99_tokens"))
+      .orderBy("source")
+
   /** BPE-ish greedy subword segmentation via one regex pass: maximal
     * vowel runs and consonant runs (`[aeiou]+|[^aeiou ]+`) — the
     * longest-match-wins behavior that makes byte-pair-style tokenizers
@@ -358,6 +382,16 @@ object TextAnalysis {
   private val toksSql = "string_split(text, ' ')"
 
   val oracles: Map[String, String] = Map(
+    "docs_length_profile" ->
+      """SELECT source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       sum(n_tokens) / count(*) AS mean_tokens,
+        |       quantile_cont(n_tokens, 0.5) AS p50_tokens,
+        |       quantile_cont(n_tokens, 0.9) AS p90_tokens,
+        |       quantile_cont(n_tokens, 0.99) AS p99_tokens
+        |FROM (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |      FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "text_normalized_fingerprint" ->
       """WITH canon AS (
         |  SELECT doc_id,
@@ -520,6 +554,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_normalized_fingerprint" -> normalizedFingerprint _,
+    "docs_length_profile" -> lengthProfile _,
     "text_token_stats"  -> tokenStats _,
     "text_bpe_tokens"   -> bpeTokens _,
     "text_langid_ngram" -> langIdNgram _,

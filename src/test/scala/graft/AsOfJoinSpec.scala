@@ -55,4 +55,34 @@ class AsOfJoinSpec extends SparkSpec {
       .filter(unix_micros(col("asof_order_ts")) > unix_micros(col("ts"))).count()
     assert(violations == 0)
   }
+
+  test("stale-bound as-of: fresh rows sit inside the 30-day window, stale" +
+      " rows null both carries together, both classes occur") {
+    val tolUs = 30L * 24 * 3600 * 1000000L
+    val bound = q("events_last_purchase_stale_bound")
+      .join(Tables.events(spark, sf).select(col("event_id"),
+        unix_micros(col("ts")).alias("ts_us")), "event_id")
+    // all-or-nothing: id null ⟺ ts null ⟺ !fresh
+    assert(bound.filter(col("fresh") =!=
+      (col("last_purchase_id").isNotNull && col("last_purchase_ts").isNotNull))
+      .count() == 0)
+    // fresh matches are at-or-before ts AND within tolerance
+    assert(bound.filter(col("fresh") &&
+      (unix_micros(col("last_purchase_ts")) > col("ts_us") ||
+        unix_micros(col("last_purchase_ts")) < col("ts_us") - tolUs))
+      .count() == 0)
+    // a stale/absent row has NO purchase by that user inside the window
+    // (the nulled match may not hide a qualifying one)
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").alias("p_user"),
+        unix_micros(col("ts")).alias("p_ts"))
+    val hidden = bound.filter(!col("fresh"))
+      .join(purchases, col("user_id") === col("p_user") &&
+        col("p_ts") <= col("ts_us") && col("p_ts") >= col("ts_us") - lit(tolUs))
+      .count()
+    assert(hidden == 0)
+    assert(bound.filter(col("fresh")).count() > 0)
+    assert(bound.filter(!col("fresh")).count() > 0)
+  }
 }

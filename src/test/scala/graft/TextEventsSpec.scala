@@ -101,4 +101,31 @@ class TextEventsSpec extends SparkSpec {
       .count()
     assert(bad == 0)
   }
+
+  test("docs_length_profile matches driver-side interpolated percentiles") {
+    val bySource = Tables.documents(spark, sf)
+      .select(col("source"), size(split(col("text"), " ")).alias("n")).collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    // Spark's Percentile.getPercentile two-sided weighted form — the
+    // formula matters to the last ulp: a + frac*(b-a) differs from it
+    // by one ulp on this fixture
+    def pct(xs: IndexedSeq[Long], p: Double): Double = {
+      val pos = p * (xs.length - 1)
+      val lo = math.floor(pos).toInt
+      val hi = math.ceil(pos).toInt
+      if (lo == hi) xs(lo).toDouble
+      else (hi - pos) * xs(lo) + (pos - lo) * xs(hi)
+    }
+    val got = q("docs_length_profile").collect()
+    assert(got.map(_.getString(0)).toSet == bySource.keySet)
+    got.foreach { r =>
+      val xs = bySource(r.getString(0))
+      assert(r.getLong(1) == xs.length.toLong)
+      assert(r.getDouble(2) == xs.sum.toDouble / xs.length)
+      assert(r.getDouble(3) == pct(xs, 0.5), s"${r.getString(0)} p50")
+      assert(r.getDouble(4) == pct(xs, 0.9), s"${r.getString(0)} p90")
+      assert(r.getDouble(5) == pct(xs, 0.99), s"${r.getString(0)} p99")
+    }
+  }
 }
