@@ -203,18 +203,22 @@ object Dedup {
     graft.CacheLifecycle.memoized(s"dedup.minhashLsh:$sfDir")(
       minhashLshBuild(spark, sfDir))
 
+  /** (doc_id, band) rows — band key b=0..7 → "b:sig[2b]:sig[2b+1]". The
+    * band join and the candidate distinct carry ONLY (band, doc_id) —
+    * shingle arrays are re-attached afterwards so no array ever rides
+    * through a shuffle key.
+    */
+  private def bandsOf(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), minhashSignature(col("sh")).alias("sig"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(7)),
+          b => concat_ws(":", b.cast("string"),
+            get(col("sig"), b * 2).cast("string"),
+            get(col("sig"), b * 2 + 1).cast("string")))).alias("band"))
+
   private def minhashLshBuild(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingled(spark, sfDir).filter(size(col("sh")) > 0)
-    val signed = sh.select(col("doc_id"), col("sh"),
-      minhashSignature(col("sh")).alias("sig"))
-    // band key b=0..7 → "b:sig[2b]:sig[2b+1]"; the band join and the
-    // candidate distinct carry ONLY (band, doc_id) — shingle arrays are
-    // re-attached afterwards so no array ever rides through a shuffle key.
-    val banded = signed.select(col("doc_id"),
-      explode(transform(sequence(lit(0), lit(7)),
-        b => concat_ws(":", b.cast("string"),
-          get(col("sig"), b * 2).cast("string"),
-          get(col("sig"), b * 2 + 1).cast("string")))).alias("band"))
+    val banded = bandsOf(sh)
     val candidates = banded.alias("a")
       .join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
@@ -316,6 +320,46 @@ object Dedup {
           .alias("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
       .orderBy("doc_a", "doc_b")
+
+  /** INCREMENTAL MinHash dedup — the daily-crawl index-probe shape, and
+    * the dedup tier's "incremental ≡ rebuild" gate beside
+    * `dim_customer_scd2_incremental` (dimensions) and
+    * `fact_product_totals_incremental` (aggregates). Docs with
+    * `doc_id % 10 == 9` play the incoming batch; the rest are the
+    * already-indexed history. The incremental union —
+    *
+    *  1. history↔history pairs (yesterday's answer, from the stored
+    *     band index alone),
+    *  2. batch-probe pairs (new docs' bands probe the FULL index:
+    *     history bands for new↔old, each other for new↔new),
+    *
+    * — verified by the same exact-Jaccard step, must equal the
+    * from-scratch [[minhashLsh]] pair set; both share the exhaustive
+    * oracle. At 100 TB this is the shape that makes dedup affordable at
+    * all: the shingle/signature/band state of the history is stored
+    * once, each crawl increment shingles ONLY its own documents, and
+    * the band equi-join against the stored index replaces re-banding
+    * the corpus (the history self-join here stands in for "yesterday's
+    * pair set", which production reads from storage rather than
+    * recomputing).
+    */
+  def minhashIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingled(spark, sfDir).filter(size(col("sh")) > 0)
+    val banded = bandsOf(sh)
+    val isBatch = col("doc_id") % 10 === 9
+    val history = banded.filter(!isBatch)
+    val batch = banded.filter(isBatch)
+    val histPairs = history.alias("a")
+      .join(history.alias("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").alias("doc_a"), col("b.doc_id").alias("doc_b"))
+    val batchPairs = batch.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).alias("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).alias("doc_b"))
+    verifyCandidates(sh, histPairs.unionAll(batchPairs).distinct())
+  }
 
   /** Deduplicated corpus: drop the higher doc_id of every verified
     * near-dup pair (left-anti join against the pair set).
@@ -751,6 +795,7 @@ object Dedup {
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "dedup_ngram_jaccard" -> exhaustivePairsSql,
     "dedup_minhash_lsh"   -> exhaustivePairsSql,
+    "dedup_minhash_incremental" -> exhaustivePairsSql,
     "dedup_cross_source_pairs" ->
       s"""WITH $shingleCte,
          |inter AS (
@@ -838,5 +883,6 @@ object Dedup {
     "dedup_clusters"      -> clusters _,
     "dedup_cluster_reps"  -> clusterReps _,
     "docs_chunk_dedup"    -> chunkDedup _,
+    "dedup_minhash_incremental" -> minhashIncremental _,
   )
 }

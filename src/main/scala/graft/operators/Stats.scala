@@ -383,6 +383,20 @@ object Stats {
   }
 
   val oracles: Map[String, String] = Map(
+    "docs_train_val_test_split" -> {
+      val bucket = TextFunctions.md5Hash60Sql("CAST(doc_id AS VARCHAR)") + " % 100"
+      s"""WITH s AS (
+         |  SELECT lang,
+         |         CASE WHEN $bucket < 80 THEN 'train'
+         |              WHEN $bucket < 90 THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(*) * 100 AS DOUBLE)
+         |         / sum(count(*)) OVER (PARTITION BY lang) AS share_pct
+         |FROM s GROUP BY lang, split
+         |ORDER BY lang, split""".stripMargin
+    },
     "bloom_pruned_order_items" ->
       s"""SELECT l_returnflag AS return_flag, CAST(count(*) AS BIGINT) AS n_items,
          |       ${Deterministic.exactSumSql("l_extendedprice", 2)} AS revenue
@@ -539,7 +553,36 @@ object Stats {
     },
   )
 
+  /** DETERMINISTIC TRAIN/VAL/TEST SPLIT — the dataset-release step after
+    * curation: every document lands in exactly one split by hashing its
+    * id into 100 residue buckets (80/10/10), so the assignment is
+    * reproducible from the id alone (no stored split table, no RNG
+    * state), stable under corpus growth (a new doc never moves an old
+    * one — the property shuffle-split lacks), and stratification-free by
+    * construction (hash independence ⇒ every language lands ~80/10/10
+    * without per-group machinery; the per-(lang, split) counts this
+    * query emits are the release audit that checks exactly that).
+    * Same md5-residue idiom as `docs_stratified_sample`, so both
+    * engines derive identical buckets. Scale: one map-side hash +
+    * bounded (lang × 3) aggregate.
+    */
+  def docsTrainValTestSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = pmod(TextFunctions.md5Hash60(col("doc_id").cast("string")), lit(100L))
+    Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").alias("split"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).alias("n_docs"))
+      .withColumn("share_pct",
+        (col("n_docs") * lit(100)).cast("double") /
+          sum(col("n_docs")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lang"))))
+      .orderBy("lang", "split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "docs_train_val_test_split" -> docsTrainValTestSplit _,
     "range_join_price_band"  -> rangeJoinPriceBand _,
     "order_price_histogram"  -> orderPriceHistogram _,
     "order_price_equidepth"  -> orderPriceEquidepth _,

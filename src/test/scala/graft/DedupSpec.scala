@@ -136,6 +136,15 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhashIncremental ≡ from-scratch minhashLsh, with a real batch split") {
+    val full = q("dedup_minhash_lsh").collect().toSeq
+    val incr = q("dedup_minhash_incremental").collect().toSeq
+    assert(incr == full)
+    assert(full.nonEmpty)
+    val docs = Tables.documents(spark, sf).select("doc_id").collect().map(_.getLong(0))
+    assert(docs.count(_ % 10 == 9) > 0 && docs.count(_ % 10 != 9) > 0)
+  }
+
   test("chunkDedup matches a driver-side reimplementation row for row," +
       " and untouched documents reassemble to their own text") {
     val C = 32
