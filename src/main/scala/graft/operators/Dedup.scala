@@ -122,6 +122,29 @@ object Dedup {
       .transform(graft.CacheLifecycle.sessionPersist)
   }
 
+  /** THRESHOLD-TUNING HISTOGRAM: pair counts per 0.05 Jaccard band
+    * (≥ 0.5) — the artifact you read before committing to a dedup
+    * threshold: the planted near-dup mass should sit in the top bands
+    * with a clear gap to the background, and a threshold drifting into
+    * a populated band surfaces here as moved counts. Binning is EXACT
+    * integer arithmetic (`(20·n_common) div (n_a+n_b−n_common)` — never
+    * a float compare at a band edge, the brand_revenue_pareto rule).
+    * Rides the session-persisted exhaustive intersection frame, so its
+    * in-loop marginal cost is one bounded aggregate; at 100 TB the
+    * histogram rides the LSH-verified candidate set instead (exact
+    * intersections exist only above the banding recall floor — stated
+    * per the no-silent-caps rule).
+    */
+  def jaccardHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    shingleIntersections(spark, sfDir)
+      .select(expr("(n_common * 20) div (n_a + n_b - n_common)").alias("bin"))
+      .filter(col("bin") >= 10)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).alias("n_pairs"))
+      .select(col("bin"), (col("bin").cast("double") / 20.0).alias("jaccard_lo"),
+        col("n_pairs"))
+      .orderBy("bin")
+
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     shingleIntersections(spark, sfDir)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"),
@@ -796,6 +819,21 @@ object Dedup {
     "dedup_ngram_jaccard" -> exhaustivePairsSql,
     "dedup_minhash_lsh"   -> exhaustivePairsSql,
     "dedup_minhash_incremental" -> exhaustivePairsSql,
+    "dedup_jaccard_histogram" ->
+      s"""WITH $shingleCte,
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(count(*) AS BIGINT) AS n_common
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |binned AS (
+         |  SELECT (n_common * 20) // (sa.n + sb.n - n_common) AS bin
+         |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+         |             JOIN sizes sb ON doc_b = sb.doc_id)
+         |SELECT bin, CAST(bin AS DOUBLE) / 20.0 AS jaccard_lo,
+         |       CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM binned WHERE bin >= 10
+         |GROUP BY bin ORDER BY bin""".stripMargin,
     "dedup_cross_source_pairs" ->
       s"""WITH $shingleCte,
          |inter AS (
@@ -884,5 +922,6 @@ object Dedup {
     "dedup_cluster_reps"  -> clusterReps _,
     "docs_chunk_dedup"    -> chunkDedup _,
     "dedup_minhash_incremental" -> minhashIncremental _,
+    "dedup_jaccard_histogram" -> jaccardHistogram _,
   )
 }

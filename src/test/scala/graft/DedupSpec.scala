@@ -145,6 +145,20 @@ class DedupSpec extends SparkSpec {
     assert(docs.count(_ % 10 == 9) > 0 && docs.count(_ % 10 != 9) > 0)
   }
 
+  test("jaccard histogram: band edges are exact — the ≥0.8 bands sum to the" +
+      " exhaustive pair count") {
+    val hist = q("dedup_jaccard_histogram").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(hist.nonEmpty)
+    hist.foreach { case (bin, lo, _) =>
+      assert(bin >= 10 && bin <= 20)
+      assert(lo == bin / 20.0)
+    }
+    val above80 = hist.filter(_._1 >= 16).map(_._3).sum
+    assert(above80 == q("dedup_ngram_jaccard").count(),
+      "bin >= 16 must be exactly the jaccard >= 0.8 pair set")
+  }
+
   test("chunkDedup matches a driver-side reimplementation row for row," +
       " and untouched documents reassemble to their own text") {
     val C = 32
