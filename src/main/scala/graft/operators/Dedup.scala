@@ -761,16 +761,26 @@ object Dedup {
     * for reassembly carrying only surviving chunks. No self-join, no
     * candidate blowup — cost is linear in corpus tokens either way.
     */
-  def chunkDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (doc_id, chunk_id, chunk_text): non-overlapping [[ChunkDedupTokens]]
+    * windows; an empty/short document yields exactly one (possibly
+    * short) chunk, never a descending `sequence` (the `greatest` guard —
+    * Spark's sequence(0, -1) counts DOWN where DuckDB's
+    * generate_series(0, -1) is empty).
+    */
+  private[graft] def chunksOf(docs: DataFrame): DataFrame = {
     val C = ChunkDedupTokens
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("h")).orderBy(col("doc_id"), col("chunk_id"))
-    Tables.loadSpread(spark, sfDir, "documents")
+    docs
       .select(col("doc_id"), TextFunctions.tokens(col("text")).alias("t"))
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, greatest(cast(ceil(size(t) / $C.0) as int) - 1, 0)), " +
           s"k -> array_join(slice(t, k * $C + 1, $C), ' '))")))
       .withColumnsRenamed(Map("pos" -> "chunk_id", "col" -> "chunk_text"))
+  }
+
+  def chunkDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc_id"), col("chunk_id"))
+    chunksOf(Tables.loadSpread(spark, sfDir, "documents"))
       .withColumn("h", md5(col("chunk_text")))
       .withColumn("rn", row_number().over(w))
       .groupBy(col("doc_id"))

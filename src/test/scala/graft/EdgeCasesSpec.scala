@@ -22,6 +22,25 @@ class EdgeCasesSpec extends SparkSpec {
     assert(out == Seq(0, 0, 1, 2))
   }
 
+  test("chunksOf edge inputs: empty text, exact multiple, one-over, and" +
+      " chunks always rejoin to the original text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, ""),
+      (2L, (1 to 32).map(i => s"t$i").mkString(" ")),
+      (3L, (1 to 33).map(i => s"t$i").mkString(" ")),
+      (4L, "solo")).toDF("doc_id", "text")
+    val chunks = graft.operators.Dedup.chunksOf(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(chunks(1L) == Seq(""))
+    assert(chunks(2L).size == 1 && chunks(3L).size == 2)
+    assert(chunks(3L)(1) == "t33")
+    assert(chunks(4L) == Seq("solo"))
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    chunks.foreach { case (id, cs) => assert(cs.mkString(" ") == texts(id)) }
+  }
+
   test("asOf with a null value in a carry column does not stitch rows or drop the match") {
     import spark.implicits._
     val left = Seq((10L, 1L, 30L)).toDF("lid", "k", "lt")
