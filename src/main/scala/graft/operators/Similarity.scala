@@ -542,6 +542,60 @@ object Similarity {
 
   private val MrlDim = 32
 
+  /** TWO-STAGE RETRIEVAL (candidate-generation + re-rank) — the
+    * production serving pattern the MRL rung exists for: the CHEAP
+    * prefix-cosine scan proposes top-[[MrlRerankCandidates]] candidates
+    * per query (half the bytes/FLOPs over the whole corpus), then ONLY
+    * those candidates are re-scored with the full 64-dim vector and the
+    * final top-5 served. Registered recall@5 vs brute pins the composed
+    * budget. Per-query dominance over the truncation-only rung is a
+    * THEOREM the spec asserts: every brute-top-5 member inside the
+    * candidate set survives full-precision re-ranking (nothing can
+    * outscore it), and candidates ⊇ the truncated top-5 — so re-rank
+    * hits ≥ truncation hits, query by query.
+    *
+    * Scale shape: stage 1 is the brute broadcast scan at half width;
+    * stage 2 touches |Q|·20 rows — the full vectors re-attach by a
+    * key-only join against the candidate ids, so the wide embedding
+    * column never rides a shuffle wider than the candidate set.
+    */
+  def mrlRerankRecallAt5(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = quantized(spark, sfDir)
+      .select(col("vec_id"), slice(col("v"), 1, MrlDim).alias("vh"))
+      .withColumn("nh2", V.qnorm2(col("vh")))
+    val queriesH = h.filter(col("vec_id") < 10)
+      .select(col("vec_id").alias("query_id"),
+        col("vh").alias("qvh"), col("nh2").alias("qnh2"))
+    val wTrunc = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosh").desc, col("neighbor_id").asc)
+    val cands = h.join(broadcast(queriesH), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").alias("neighbor_id"),
+        V.qcosineFrom(V.qdot(col("qvh"), col("vh")), col("qnh2"), col("nh2"))
+          .alias("cosh"))
+      .withColumn("rank", row_number().over(wTrunc))
+      .filter(col("rank") <= MrlRerankCandidates)
+      .select(col("query_id"), col("neighbor_id"))
+    val full = quantized(spark, sfDir)
+      .select(col("vec_id"), col("v"), col("n2"))
+    val queriesF = full.filter(col("vec_id") < 10)
+      .select(col("vec_id").alias("query_id"),
+        col("v").alias("qv"), col("n2").alias("qn2"))
+    val wFull = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_full").desc, col("neighbor_id").asc)
+    val reranked = cands
+      .join(full.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(broadcast(queriesF), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        V.qcosineFrom(V.qdot(col("qv"), col("v")), col("qn2"), col("n2"))
+          .alias("cos_full"))
+      .withColumn("rank", row_number().over(wFull))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"))
+    recallAt5Against(spark, sfDir, reranked, countName = "n_exact")
+  }
+
+  private val MrlRerankCandidates = 20
+
   /** PRODUCT QUANTIZATION + ADC recall — the third rung of the ANN
     * compression ladder ([[sq8RecallAt5]] compresses the SCORE precision,
     * IVF prunes CANDIDATES; PQ compresses the VECTORS to m=8 one-byte
@@ -1567,6 +1621,38 @@ object Similarity {
          |FROM brute b LEFT JOIN sq s
          |  ON b.query_id = s.query_id AND b.neighbor_id = s.neighbor_id
          |GROUP BY 1 ORDER BY query_id""".stripMargin,
+    "mrl_rerank_recall_at_5" ->
+      s"""WITH $quantizedSql,
+         |h AS (SELECT vec_id, list_slice(v, 1, $MrlDim) AS vh FROM qn),
+         |hn AS (SELECT vec_id, vh, ${V.qnorm2Sql("vh", MrlDim)} AS nh2 FROM h),
+         |$bruteTop5Cte,
+         |cand AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY a.vec_id
+         |             ORDER BY ${V.qdotSql("a.vh", "b.vh", MrlDim)}
+         |                        / (sqrt(a.nh2) * sqrt(b.nh2)) DESC,
+         |                      b.vec_id ASC) AS rank
+         |    FROM hn a JOIN hn b ON a.vec_id < 10 AND b.vec_id != a.vec_id)
+         |  WHERE rank <= $MrlRerankCandidates),
+         |rr AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT c.query_id, c.neighbor_id,
+         |           row_number() OVER (PARTITION BY c.query_id
+         |             ORDER BY ${V.qdotSql("q.v", "n.v", Dim)}
+         |                        / (sqrt(q.n2) * sqrt(n.n2)) DESC,
+         |                      c.neighbor_id ASC) AS rank
+         |    FROM cand c
+         |    JOIN qn q ON q.vec_id = c.query_id
+         |    JOIN qn n ON n.vec_id = c.neighbor_id)
+         |  WHERE rank <= 5)
+         |SELECT b.query_id AS query_id,
+         |       CAST(count(*) AS BIGINT) AS n_exact,
+         |       CAST(count(r.neighbor_id) AS BIGINT) AS n_hits,
+         |       CAST(count(r.neighbor_id) AS DOUBLE) / count(*) AS recall_at_5
+         |FROM brute b LEFT JOIN rr r
+         |  ON b.query_id = r.query_id AND b.neighbor_id = r.neighbor_id
+         |GROUP BY 1 ORDER BY query_id""".stripMargin,
     "mrl_truncation_recall_at_5" ->
       s"""WITH $quantizedSql,
          |h AS (SELECT vec_id, list_slice(v, 1, $MrlDim) AS vh FROM qn),
@@ -1622,5 +1708,6 @@ object Similarity {
     "pq_recall_refined"       -> pqRecallRefined _,
     "ivfpq_recall_at_5"       -> ivfpqRecallAt5 _,
     "mrl_truncation_recall_at_5" -> mrlRecallAt5 _,
+    "mrl_rerank_recall_at_5"  -> mrlRerankRecallAt5 _,
   )
 }

@@ -86,8 +86,9 @@ class PlanHygieneSpec extends SparkSpec {
       // through its semantic contamination branch
       "docs_decontaminate_semantic", "docs_curation_pipeline",
       // MRL truncation recall scores its own |Q|·N truncated pairs by
-      // design AND embeds the brute baseline it is measured against
-      "mrl_truncation_recall_at_5")
+      // design AND embeds the brute baseline it is measured against;
+      // the re-rank rung runs the same stage-1 truncated scan
+      "mrl_truncation_recall_at_5", "mrl_rerank_recall_at_5")
     for ((name, plan) <- executedPlans if !allowed(name)) {
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name unexpectedly plans a BroadcastNestedLoopJoin:\n${plan.take(800)}")

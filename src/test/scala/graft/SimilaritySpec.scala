@@ -426,6 +426,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("mrl re-rank dominates truncation-only recall per query (theorem)," +
+      " and recall values stay in range") {
+    val trunc = q("mrl_truncation_recall_at_5").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val rerank = q("mrl_rerank_recall_at_5").collect()
+    assert(rerank.length == 10)
+    rerank.foreach { r =>
+      val qid = r.getLong(0)
+      assert(r.getLong(1) == 5L)
+      assert(r.getLong(2) >= trunc(qid),
+        s"query $qid: re-rank hits ${r.getLong(2)} < truncation hits ${trunc(qid)}")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("mrlRecallAt5 matches a driver-side truncated-cosine recomputation") {
     val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
       .map { r =>
