@@ -41,6 +41,30 @@ class EdgeCasesSpec extends SparkSpec {
     chunks.foreach { case (id, cs) => assert(cs.mkString(" ") == texts(id)) }
   }
 
+  test("chunksOf property: for arbitrary token counts, chunk sizes are" +
+      " ⌈n/32⌉ full-then-remainder and chunks always rejoin to the text") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val counts = Gen.listOfN(60, Gen.chooseNum(0, 200))
+      .apply(Gen.Parameters.default, Seed(47L)).get
+    val docs = counts.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (1 to n).map(k => s"w$k").mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = graft.operators.Dedup.chunksOf(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    counts.zipWithIndex.foreach { case (n, i) =>
+      val cs = got(i.toLong)
+      // a 0-token text splits to [""] (split semantics), so 1 chunk
+      val tokens = math.max(n, 1)
+      assert(cs.size == (tokens + 31) / 32, s"doc $i with $n tokens")
+      assert(cs.init.forall(_.split(" ", -1).length == 32) || cs.size == 1)
+      val want = (1 to n).map(k => s"w$k").mkString(" ")
+      assert(cs.mkString(" ") == want, s"doc $i reassembly")
+    }
+  }
+
   test("asOf with a null value in a carry column does not stitch rows or drop the match") {
     import spark.implicits._
     val left = Seq((10L, 1L, 30L)).toDF("lid", "k", "lt")
