@@ -212,6 +212,25 @@ object Features {
       .orderBy("position")
   }
 
+  /** PACKING-EFFICIENCY AUDIT over [[docsTokenPacking]]'s bins: docs per
+    * bin, tokens landed in the bin, and fill percentage against the
+    * 256-token budget — the padding-waste number that decides whether a
+    * packing scheme is paying for itself (every unfilled slot is a
+    * padded position the training step computes over for nothing; fills
+    * over 100% mark documents straddling a bin boundary, which the
+    * slot-by-start rule permits by design). Pure rollup of the packing
+    * assignment — same shuffles, plus one bounded per-bin aggregate.
+    */
+  def packEfficiency(spark: SparkSession, sfDir: String): DataFrame =
+    docsTokenPacking(spark, sfDir)
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).alias("n_docs"),
+        sum(col("n_tokens")).alias("used_tokens"))
+      .select(col("bin_id"), col("n_docs"), col("used_tokens"),
+        (col("used_tokens") * lit(100)).cast("double")
+          ./(lit(PackBudget)).alias("fill_pct"))
+      .orderBy("bin_id")
+
   /** POINT-IN-TIME-CORRECT TRAINING MATRIX (the feature-store "training
     * example generation" shape): one row per purchase event carrying
     * features computed ONLY from state strictly before the label's
@@ -261,6 +280,19 @@ object Features {
   }
 
   val oracles: Map[String, String] = Map(
+    "docs_pack_efficiency" ->
+      s"""WITH sized AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+         |  FROM documents),
+         |packed AS (
+         |  SELECT doc_id, n_tokens,
+         |         CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |               - n_tokens) // $PackBudget AS BIGINT) AS bin_id
+         |  FROM sized)
+         |SELECT bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS used_tokens,
+         |       CAST(sum(n_tokens) * 100 AS DOUBLE) / $PackBudget AS fill_pct
+         |FROM packed GROUP BY bin_id ORDER BY bin_id""".stripMargin,
     "user_purchase_features" ->
       """WITH f AS (
         |  SELECT event_id, user_id, ts, event_type,
@@ -372,5 +404,6 @@ object Features {
     "docs_token_packing"    -> docsTokenPacking _,
     "corpus_mixture_schedule" -> corpusMixtureSchedule _,
     "user_purchase_features"  -> userPurchaseFeatures _,
+    "docs_pack_efficiency"    -> packEfficiency _,
   )
 }

@@ -120,6 +120,20 @@ class FeaturesSpec extends SparkSpec {
     }
   }
 
+  test("packEfficiency conserves tokens and agrees with the packing assignment") {
+    val bins = q("docs_pack_efficiency").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val packed = q("docs_token_packing").collect()
+      .map(r => (r.getLong(3), r.getInt(1).toLong))
+    assert(bins.map(_._3).sum == packed.map(_._2).sum, "token conservation")
+    val wantByBin = packed.groupBy(_._1).view
+      .mapValues(xs => (xs.length.toLong, xs.map(_._2).sum)).toMap
+    bins.foreach { case (bin, nDocs, used, fill) =>
+      assert(wantByBin(bin) == ((nDocs, used)), s"bin $bin")
+      assert(fill == used * 100.0 / 256)
+    }
+  }
+
   test("userPurchaseFeatures is point-in-time correct: every feature derives" +
       " only from state strictly before (or as-of) the label timestamp") {
     val events = Tables.events(spark, sf)
