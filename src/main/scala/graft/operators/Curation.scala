@@ -824,8 +824,20 @@ object Curation {
     // where a per-stage join chain would shuffle once per stage (eight
     // overhead-dominated exchanges measured ~2× slower at sf0.1, and a
     // growing join tree at 100 TB)
+    // Each leg coalesces to 4 read-partitions: a leg is a narrow
+    // (doc_id, sig, v) projection of a session-persisted stage frame
+    // that carries the stage's 32 shuffle partitions, so the raw union
+    // materialized ~350 tasks for ~65k rows — pure submission overhead
+    // measured at 2.4–3.2 s of the cascade's cold cost (BENCH_NOTES).
+    // coalesce narrows only the post-exchange tail: cold, every shuffle
+    // INSIDE a stage still runs at full width (the map side is planned
+    // below the coalesce), and the 4 tasks merely drain + cache the
+    // bounded final rows; warm, consumers read 4 partitions instead of
+    // 32. ~56 leg tasks total replace ~350.
+    val LegParts = 4
     def tag(df: DataFrame, name: String, v: Column): DataFrame =
       df.select(col("doc_id"), lit(name).alias("sig"), v.cast("long").alias("v"))
+        .coalesce(LegParts)
     // the four PII counts ride ONE stack leg (4 rows per doc from one
     // cached scan) instead of four union legs — a quarter of the task
     // submissions for the same (doc_id, sig, v) rows
@@ -834,6 +846,7 @@ object Curation {
       .mkString(", ")
     val piiLeg = piiRedacted(spark, sfDir)
       .selectExpr("doc_id", s"stack(${PiiRules.size}, $piiPairs) as (sig, v)")
+      .coalesce(LegParts)
     val signals = Seq(
       tag(Dedup.minhashLsh(spark, sfDir)
         .select(col("doc_b").alias("doc_id")).distinct(), "is_dup", lit(1L)),

@@ -239,6 +239,27 @@ object Dedup {
             get(col("sig"), b * 2).cast("string"),
             get(col("sig"), b * 2 + 1).cast("string")))).alias("band"))
 
+  /** Shingle an arbitrary documents frame (`doc_id`, `text`) — the same
+    * derivation as the memoized corpus [[shingled]] table, for callers
+    * that shingle a SUBSET they hold themselves (the streaming
+    * ingest-dedup micro-batch, whose whole point is shingling only its
+    * own rows). Empty shingle sets are dropped here, as every band
+    * consumer requires.
+    */
+  private[graft] def shingleDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextFunctions.tokens(col("text")).alias("t"))
+      .select(col("doc_id"), TextFunctions.shingles(col("t"), 3).alias("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** The stored band-index rows for a shingle frame — [[bandsOf]] opened
+    * to the streaming module (graft-private, not API).
+    */
+  private[graft] def bandIndex(sh: DataFrame): DataFrame = bandsOf(sh)
+
+  /** [[verifyCandidates]] opened to the streaming module. */
+  private[graft] def verifyPairs(sh: DataFrame, candidates: DataFrame): DataFrame =
+    verifyCandidates(sh, candidates)
+
   private def minhashLshBuild(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingled(spark, sfDir).filter(size(col("sh")) > 0)
     val banded = bandsOf(sh)

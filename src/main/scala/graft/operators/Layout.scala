@@ -167,7 +167,80 @@ object Layout {
       .filter(pmod(col("o_orderkey"), lit(17)) === 0)
   }
 
+  /** BUCKETED INCREMENTAL-MAINTENANCE MERGE — the two write-side levers
+    * composed into the realistic 100 TB materialized-view maintenance
+    * plan: the per-product partial-state table (history partials —
+    * integer-quantized sums, [[StarSchema.productTotalsPartials]]) and
+    * tonight's batch partials are BOTH written hash-bucketed on the
+    * group key, so the nightly merge — a full-outer join + partial-sum
+    * addition — runs with ZERO ShuffleExchanges (ScalePostureSpec pins
+    * it): each bucket of state merges against exactly its twin bucket of
+    * delta. The delta leg pays its own delta-SCALE aggregation shuffle
+    * at staging-write time; the history partials are never rescanned,
+    * never reshuffled — which is the entire point at 100 TB, where
+    * `fact_product_totals_incremental`'s in-plan union merge would
+    * re-shuffle the full key space every night.
+    *
+    * Correctness gate: the oracle is the SAME from-scratch GROUP BY over
+    * all rows as `fact_product_totals_incremental` — incremental ≡
+    * rebuild, now through the bucketed layout. The merged longs divide
+    * back to doubles only after the final addition, so the result is
+    * bit-identical to the one-shot aggregate.
+    *
+    * Memoized durably like the other layout queries: the bucketed writes
+    * are the once-per-layout side effect; the measured query is the
+    * exchange-free merge read.
+    */
+  def bucketedIncrementalMerge(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoizedDurable(s"layout.totalsMerge:$sfDir") {
+      writeTotalsStateTables(spark, sfDir)
+      bucketedMergeRead(spark, sfDir).orderBy("product_key")
+    }
+
+  private[graft] def writeTotalsStateTables(spark: SparkSession, sfDir: String): Unit = {
+    def write(df: DataFrame, t: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS ${bucketTable(sfDir, t)}")
+      df.write.mode("overwrite")
+        .bucketBy(Buckets, "product_key")
+        .sortBy("product_key")
+        .option("path", bucketDir(sfDir, t))
+        .saveAsTable(bucketTable(sfDir, t))
+    }
+    write(StarSchema.productTotalsPartials(spark, sfDir,
+      col("o.o_orderdate") < lit(StarSchema.TotalsCutover)), "totals_state")
+    write(StarSchema.productTotalsPartials(spark, sfDir,
+      col("o.o_orderdate") >= lit(StarSchema.TotalsCutover)), "totals_delta")
+  }
+
+  /** The merge over already-written bucketed partial-state tables,
+    * pre-sort — shared with ScalePostureSpec's zero-exchange assertion
+    * (the presentation sort would add a range exchange that is not part
+    * of the layout's claim). Partial longs add BEFORE the single
+    * dividing double op, mirroring [[StarSchema.factProductTotalsIncremental]].
+    */
+  private[graft] def bucketedMergeRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = spark.table(bucketTable(sfDir, "totals_state")).alias("s")
+    val d = spark.table(bucketTable(sfDir, "totals_delta")).alias("d")
+    s.join(d, Seq("product_key"), "full_outer")
+      .select(col("product_key"),
+        ((coalesce(col("s.q2"), lit(0L)) + coalesce(col("d.q2"), lit(0L)))
+          / lit(1e2)).cast("double").alias("total_quantity_sold"),
+        ((coalesce(col("s.r4"), lit(0L)) + coalesce(col("d.r4"), lit(0L)))
+          / lit(1e4)).cast("double").alias("total_revenue"),
+        (coalesce(col("s.n"), lit(0L)) + coalesce(col("d.n"), lit(0L)))
+          .alias("n_lines"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "fact_totals_bucketed_merge" ->
+      s"""SELECT l_partkey AS product_key,
+         |       ${graft.functions.Deterministic.exactSumSql("l_quantity", 2)} AS total_quantity_sold,
+         |       ${graft.functions.Deterministic.exactSumSql(
+               "l_extendedprice * (1.0 - l_discount)", 4)} AS total_revenue,
+         |       CAST(count(*) AS BIGINT) AS n_lines
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1
+         |ORDER BY product_key""".stripMargin,
     "zorder_pruned_scan" ->
       s"""SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
          |FROM orders
@@ -189,5 +262,6 @@ object Layout {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "zorder_pruned_scan" -> zorderPrunedScan _,
     "bucketed_colocated_join" -> bucketedColocatedJoin _,
+    "fact_totals_bucketed_merge" -> bucketedIncrementalMerge _,
   )
 }

@@ -502,30 +502,121 @@ object Relational {
     * form disjoint acyclic chains by construction.
     */
   def customerOrderChainSql(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.orders(spark, sfDir)
-      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
-      .createOrReplaceTempView("graft_chain_orders")
-    spark.sql(
-      """WITH RECURSIVE
-        |ranked AS (
-        |  SELECT o_custkey, o_orderkey,
-        |         row_number() OVER (PARTITION BY o_custkey
-        |                            ORDER BY o_orderdate, o_orderkey) AS rn,
-        |         lead(o_orderkey) OVER (PARTITION BY o_custkey
-        |                                ORDER BY o_orderdate, o_orderkey) AS next_key
-        |  FROM graft_chain_orders),
+    // The recursive text needs a named relation; scope it to this
+    // invocation (fresh UUID suffix, dropped before returning) so the
+    // session catalog is left exactly as found — `spark.sql` analyzes
+    // eagerly and the returned frame's plan inlines the view's subtree,
+    // so execution never re-resolves the dropped name.
+    val view = s"graft_chain_ranked_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // The recursive executor re-plans and re-executes the recursive
+    // branch once per LEVEL, and as an inline CTE the edge relation
+    // (`ranked` — a corpus-wide window) was re-computed inside every
+    // level: the measured ~0.45 s/level fixed cost at sf0.1 (BENCH_NOTES,
+    // r12). Building `ranked` HERE and session-persisting it turns each
+    // level's edge side into a cached-table probe — the window runs once
+    // per session, the per-level work shrinks to frontier ⋈ cached edges.
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val ranked = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).alias("rn"),
+        lead(col("o_orderkey"), 1).over(w).alias("next_key"))
+      .transform(graft.CacheLifecycle.sessionPersist)
+    ranked.createOrReplaceTempView(view)
+    try spark.sql(
+      s"""WITH RECURSIVE
         |chain(customer_key, order_key, ordinal) AS (
-        |  SELECT o_custkey, o_orderkey, 1 FROM ranked WHERE rn = 1
+        |  SELECT o_custkey, o_orderkey, 1 FROM $view WHERE rn = 1
         |  UNION ALL
         |  SELECT c.customer_key, r.next_key, c.ordinal + 1
-        |  FROM chain c JOIN ranked r ON c.order_key = r.o_orderkey
+        |  FROM chain c JOIN $view r ON c.order_key = r.o_orderkey
         |  WHERE r.next_key IS NOT NULL AND c.ordinal < 5)
         |SELECT customer_key, order_key, CAST(ordinal AS INT) AS ordinal
         |FROM chain
         |ORDER BY customer_key, ordinal""".stripMargin)
+    finally spark.catalog.dropTempView(view)
+  }
+
+  /** GENUINELY RECURSIVE BOM EXPLOSION — the shape recursion uniquely
+    * serves, with NO window/ranking twin: a part-containment DAG (each
+    * part's components are its key halved and thirded — strictly
+    * DECREASING keys, so the graph is acyclic by construction and every
+    * path bottoms out at key 1; edge quantities derive from key
+    * residues), walked from the `% 20 == 0` root assemblies with
+    * per-path QUANTITY MULTIPLICATION, then aggregated to the classic
+    * BOM answer: total required quantity of each component per unit of
+    * each root = Σ over paths Π edge quantities. Path multiplicity is
+    * load-bearing (a component reached along two paths needs the SUM of
+    * both paths' products — `n_paths` exposes it), which is exactly what
+    * no `row_number` spelling can express; the oracle is DuckDB's own
+    * recursive CTE over the same edge derivation, so the gate checks the
+    * recursive EXECUTION, not an equivalence to a non-recursive twin
+    * (`customer_order_chain_sql` covers that side).
+    *
+    * Termination argument (RecursiveCteProbeSpec pins it): every edge
+    * strictly decreases the part key, so recursion depth ≤ log₂(max
+    * key) (14 at sf0.1) and Spark's UNION-ALL fixpoint empties. Scale
+    * shape: each level joins the CURRENT FRONTIER against the bounded
+    * edge relation (≤ 2 edges per part — derived once from the part
+    * scan), per-level work proportional to live paths, never
+    * corpus-resident state; the final rollup is one hash aggregate over
+    * the path rows.
+    */
+  def partBomExplosionSql(spark: SparkSession, sfDir: String): DataFrame = {
+    // invocation-scoped view, dropped before returning — same catalog
+    // hygiene as [[customerOrderChainSql]]
+    val view = s"graft_bom_parts_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    Tables.part(spark, sfDir).select(col("p_partkey")).createOrReplaceTempView(view)
+    try spark.sql(
+      s"""WITH RECURSIVE
+         |edges AS (
+         |  SELECT p_partkey AS parent, p_partkey div 2 AS component,
+         |         p_partkey % 3 + 1 AS qty
+         |  FROM $view WHERE p_partkey div 2 >= 1
+         |  UNION ALL
+         |  SELECT p_partkey, p_partkey div 3, p_partkey % 5 + 1
+         |  FROM $view WHERE p_partkey div 3 >= 1
+         |    AND p_partkey div 3 != p_partkey div 2),
+         |bom(root_key, part_key, qty, lvl) AS (
+         |  SELECT p_partkey, p_partkey, CAST(1 AS BIGINT), 0
+         |  FROM $view WHERE p_partkey % 20 = 0
+         |  UNION ALL
+         |  SELECT b.root_key, e.component, b.qty * e.qty, b.lvl + 1
+         |  FROM bom b JOIN edges e ON b.part_key = e.parent)
+         |SELECT root_key, part_key,
+         |       CAST(count(*) AS BIGINT) AS n_paths,
+         |       CAST(sum(qty) AS BIGINT) AS total_qty,
+         |       CAST(min(lvl) AS INT) AS min_level
+         |FROM bom WHERE lvl > 0
+         |GROUP BY root_key, part_key
+         |ORDER BY root_key, part_key""".stripMargin)
+    finally spark.catalog.dropTempView(view)
   }
 
   val oracles: Map[String, String] = Map(
+    "part_bom_explosion_sql" ->
+      """WITH RECURSIVE
+        |edges AS (
+        |  SELECT p_partkey AS parent, p_partkey // 2 AS component,
+        |         p_partkey % 3 + 1 AS qty
+        |  FROM part WHERE p_partkey // 2 >= 1
+        |  UNION ALL
+        |  SELECT p_partkey, p_partkey // 3, p_partkey % 5 + 1
+        |  FROM part WHERE p_partkey // 3 >= 1
+        |    AND p_partkey // 3 != p_partkey // 2),
+        |bom(root_key, part_key, qty, lvl) AS (
+        |  SELECT p_partkey, p_partkey, CAST(1 AS BIGINT), 0
+        |  FROM part WHERE p_partkey % 20 = 0
+        |  UNION ALL
+        |  SELECT b.root_key, e.component, b.qty * e.qty, b.lvl + 1
+        |  FROM bom b JOIN edges e ON b.part_key = e.parent)
+        |SELECT root_key, part_key,
+        |       CAST(count(*) AS BIGINT) AS n_paths,
+        |       CAST(sum(qty) AS BIGINT) AS total_qty,
+        |       CAST(min(lvl) AS INT) AS min_level
+        |FROM bom WHERE lvl > 0
+        |GROUP BY root_key, part_key
+        |ORDER BY root_key, part_key""".stripMargin,
     "customer_order_chain_sql" ->
       """SELECT customer_key, order_key, ordinal FROM (
         |  SELECT o_custkey AS customer_key, o_orderkey AS order_key,
@@ -768,5 +859,6 @@ object Relational {
     "orders_above_customer_avg" -> ordersAboveCustomerAvg _,
     "copurchase_triangles"     -> copurchaseTriangles _,
     "customer_order_chain_sql" -> customerOrderChainSql _,
+    "part_bom_explosion_sql"   -> partBomExplosionSql _,
   )
 }

@@ -757,7 +757,18 @@ object Similarity {
     * path proper; shared by the registered recall report and the
     * SimilaritySpec candidates-within-probed-cells assertion.
     */
-  private[graft] def ivfpqTop5(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def ivfpqTop5(spark: SparkSession, sfDir: String): DataFrame =
+    ivfpqAdcRanked(spark, sfDir)
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"))
+
+  /** Every probed-cell candidate ADC-scored and ranked per query —
+    * the shared index-side frame: [[ivfpqTop5]] serves its rank ≤ 5
+    * head directly (ADC scores are final), [[ivfpqRerankRecallAt5]]
+    * treats rank ≤ [[IvfpqRerankCandidates]] as the candidate list for
+    * full-precision re-scoring.
+    */
+  private def ivfpqAdcRanked(spark: SparkSession, sfDir: String): DataFrame = {
     val cells = assignedCells(spark, sfDir)
     val subs = pqSubvectors(spark, sfDir)
     val cb = pqRefinedCodebooks(spark, sfDir)
@@ -792,6 +803,61 @@ object Similarity {
         (col("adc_dot").cast("double")
           / (sqrt(col("qn2")) * sqrt(col("recon_n2")))).alias("adc_cos"))
       .withColumn("rank", row_number().over(w))
+  }
+
+  private val IvfpqRerankCandidates = 20
+
+  /** THE PRODUCTION SERVING STACK — ANN-index candidate generation +
+    * full-precision re-rank, composing the ladder's two proven halves:
+    * the IVF-PQ index ([[ivfpqAdcRanked]] — 8-byte codes, probed-cell
+    * candidates, per-query ADC LUT) proposes its top-20 per query, and
+    * ONLY those 20 rows re-attach their full 64-dim vectors by key-only
+    * join for exact re-scoring; the served top-5 ranks by the EXACT
+    * cosine. This is the billion-vector shape FAISS/ScaNN deployments
+    * run: the index never stores full vectors, the full vectors never
+    * ride a scan — they meet at |Q|·20 keys.
+    *
+    * Per-query dominance over the un-reranked [[ivfpqTop5]] is a
+    * THEOREM the spec asserts: candidates ⊇ the ADC top-5, and a
+    * brute-top-5 member inside the candidate set always survives exact
+    * re-ranking (at most 4 other vectors in the whole corpus out-score
+    * it, so it cannot be pushed past rank 5) — so re-rank hits ≥
+    * un-reranked hits, query by query. The composed recall@5 vs
+    * [[knnBrute]] is the registered number: it isolates exactly the
+    * index's candidate-generation loss (re-ranking is exact), which is
+    * why it must also dominate the ADC-scored rung.
+    *
+    * Scale shape: everything up to the candidate list is
+    * [[ivfpqRecallAt5]]'s plan verbatim (shared memoized cells/codes);
+    * the re-rank adds one join of |Q|·20 keys against the quantized
+    * corpus — broadcast-able at any corpus size — and a 20-row-per-query
+    * rank window. Raw vectors still never shuffle corpus-wide.
+    */
+  def ivfpqRerankRecallAt5(spark: SparkSession, sfDir: String): DataFrame =
+    recallAt5Against(spark, sfDir, ivfpqRerankTop5(spark, sfDir),
+      countName = "n_exact")
+
+  /** The re-ranked top-5 pair set — shared by the registered recall
+    * report and the SimilaritySpec per-query dominance assertion.
+    */
+  private[graft] def ivfpqRerankTop5(spark: SparkSession, sfDir: String): DataFrame = {
+    val cands = ivfpqAdcRanked(spark, sfDir)
+      .filter(col("rank") <= IvfpqRerankCandidates)
+      .select(col("query_id"), col("neighbor_id"))
+    val full = quantized(spark, sfDir)
+      .select(col("vec_id"), col("v"), col("n2"))
+    val queriesF = full.filter(col("vec_id") < 10)
+      .select(col("vec_id").alias("query_id"),
+        col("v").alias("qv"), col("n2").alias("qn2"))
+    val wFull = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_full").desc, col("neighbor_id").asc)
+    cands
+      .join(full.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(broadcast(queriesF), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        V.qcosineFrom(V.qdot(col("qv"), col("v")), col("qn2"), col("n2"))
+          .alias("cos_full"))
+      .withColumn("rank", row_number().over(wFull))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("neighbor_id"))
   }
@@ -1585,6 +1651,74 @@ object Similarity {
          |FROM brute b LEFT JOIN ivfpq p
          |  ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
          |GROUP BY 1 ORDER BY query_id""".stripMargin,
+    "ivfpq_rerank_recall_at_5" ->
+      s"""WITH $quantizedSql,
+         |$cellsSql,
+         |subs AS (
+         |  SELECT vec_id, n2, CAST(j AS INT) AS j,
+         |         list_slice(v, CAST(j AS INT) * 8 + 1, CAST(j AS INT) * 8 + 8) AS sv
+         |  FROM qn, range(8) t(j)),
+         |cb AS (
+         |  SELECT j, vec_id AS c_id, sv AS cv FROM subs WHERE vec_id % 499 = 0),
+         |${pqRefineAssignSql("pqasg1", "cb")},
+         |${pqRefineCentsSql("pqcents1", "pqasg1")},
+         |${pqRefineAssignSql("pqasg2", "pqcents1")},
+         |${pqRefineCentsSql("pqcents2", "pqasg2")},
+         |enc AS (
+         |  SELECT s.vec_id, s.j, c.c_id,
+         |         row_number() OVER (PARTITION BY s.vec_id, s.j
+         |           ORDER BY ${V.qnorm2Sql("c.cv", 8)}
+         |                      - 2 * ${V.qdotSql("s.sv", "c.cv", 8)} ASC,
+         |                    c.c_id ASC) AS rn
+         |  FROM subs s JOIN pqcents2 c ON s.j = c.j),
+         |codes AS (SELECT vec_id, j, c_id AS code FROM enc WHERE rn = 1),
+         |lut AS (
+         |  SELECT q.vec_id AS query_id, c.j, c.c_id AS code,
+         |         ${V.qdotSql("q.sv", "c.cv", 8)} AS pdot,
+         |         ${V.qnorm2Sql("c.cv", 8)} AS cn2
+         |  FROM subs q JOIN pqcents2 c ON q.j = c.j
+         |  WHERE q.vec_id < 10),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cell AS qcell FROM cells WHERE vec_id < 10),
+         |cand AS (
+         |  SELECT p.query_id, c.vec_id FROM cells c JOIN probes p
+         |    ON c.cell = p.qcell AND c.vec_id != p.query_id),
+         |adc AS (
+         |  SELECT d.query_id, k.vec_id,
+         |         CAST(sum(pdot) AS BIGINT) AS adc_dot,
+         |         CAST(sum(cn2) AS BIGINT) AS recon_n2
+         |  FROM codes k
+         |  JOIN cand d ON k.vec_id = d.vec_id
+         |  JOIN lut l ON k.j = l.j AND k.code = l.code AND l.query_id = d.query_id
+         |  GROUP BY 1, 2),
+         |idxcand AS (
+         |  SELECT query_id, vec_id AS neighbor_id FROM (
+         |    SELECT a.query_id, a.vec_id,
+         |           row_number() OVER (PARTITION BY a.query_id
+         |             ORDER BY CAST(a.adc_dot AS DOUBLE)
+         |                        / (sqrt(q.n2) * sqrt(a.recon_n2)) DESC,
+         |                      a.vec_id ASC) AS rank
+         |    FROM adc a JOIN qn q ON q.vec_id = a.query_id)
+         |  WHERE rank <= $IvfpqRerankCandidates),
+         |rr AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT c.query_id, c.neighbor_id,
+         |           row_number() OVER (PARTITION BY c.query_id
+         |             ORDER BY ${V.qdotSql("q.v", "n.v", Dim)}
+         |                        / (sqrt(q.n2) * sqrt(n.n2)) DESC,
+         |                      c.neighbor_id ASC) AS rank
+         |    FROM idxcand c
+         |    JOIN qn q ON q.vec_id = c.query_id
+         |    JOIN qn n ON n.vec_id = c.neighbor_id)
+         |  WHERE rank <= 5),
+         |$bruteTop5Cte
+         |SELECT b.query_id AS query_id,
+         |       CAST(count(*) AS BIGINT) AS n_exact,
+         |       CAST(count(r.neighbor_id) AS BIGINT) AS n_hits,
+         |       CAST(count(r.neighbor_id) AS DOUBLE) / count(*) AS recall_at_5
+         |FROM brute b LEFT JOIN rr r
+         |  ON b.query_id = r.query_id AND b.neighbor_id = r.neighbor_id
+         |GROUP BY 1 ORDER BY query_id""".stripMargin,
     "pq_adc_recall_at_5" -> pqAdcOracleSql(cbName = "cb", extraCtes = ""),
     "pq_recall_refined" -> pqAdcOracleSql(cbName = "pqcents2", extraCtes =
       s"""${pqRefineAssignSql("pqasg1", "cb")},
@@ -1707,6 +1841,7 @@ object Similarity {
     "ivf_recall_refined"      -> ivfRecallRefined _,
     "pq_recall_refined"       -> pqRecallRefined _,
     "ivfpq_recall_at_5"       -> ivfpqRecallAt5 _,
+    "ivfpq_rerank_recall_at_5" -> ivfpqRerankRecallAt5 _,
     "mrl_truncation_recall_at_5" -> mrlRecallAt5 _,
     "mrl_rerank_recall_at_5"  -> mrlRerankRecallAt5 _,
   )

@@ -170,23 +170,40 @@ object StarSchema {
     * key — history is never rescanned. Partial+final hash aggregation on
     * both legs; the merge shuffles only per-key partial rows.
     */
+  /** The CDC cutover date the incremental-maintenance gates split on:
+    * orders before it are "history" (the stored state), from it on are
+    * "tonight's batch". Shared with [[Layout.bucketedIncrementalMerge]],
+    * whose oracle is the same from-scratch rebuild.
+    */
+  private[graft] val TotalsCutover = "1997-01-01"
+
+  /** Per-product MERGEABLE PARTIAL STATE over the order subset `pred`
+    * selects: integer-quantized sums (exact, order-independent) plus the
+    * line count — the row format an incremental materialized view stores
+    * per key. Shared by [[factProductTotalsIncremental]] (in-plan union
+    * merge) and [[Layout.bucketedIncrementalMerge]] (bucketed-table
+    * merge); predicates reference the aliased scans as `l.*` / `o.*`.
+    */
+  private[graft] def productTotalsPartials(spark: SparkSession, sfDir: String,
+      pred: Column): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir).alias("l")
+    val o = Tables.orders(spark, sfDir).alias("o")
+    l.join(o, col("l.l_orderkey") === col("o.o_orderkey"), "inner")
+      .filter(pred)
+      .select(col("l.l_partkey").alias("product_key"),
+        col("l.l_quantity").alias("qty"),
+        (col("l.l_extendedprice") * (lit(1.0) - col("l.l_discount"))).alias("line_total"))
+      .groupBy(col("product_key"))
+      .agg(sum(Deterministic.quantize(col("qty"), 2)).alias("q2"),
+        sum(Deterministic.quantize(col("line_total"), 4)).alias("r4"),
+        count(lit(1)).alias("n"))
+  }
+
   def factProductTotalsIncremental(spark: SparkSession, sfDir: String): DataFrame = {
-    val cut = "1997-01-01"
-    def partials(pred: Column): DataFrame = {
-      val l = Tables.lineitem(spark, sfDir).alias("l")
-      val o = Tables.orders(spark, sfDir).alias("o")
-      l.join(o, col("l.l_orderkey") === col("o.o_orderkey"), "inner")
-        .filter(pred)
-        .select(col("l.l_partkey").alias("product_key"),
-          col("l.l_quantity").alias("qty"),
-          (col("l.l_extendedprice") * (lit(1.0) - col("l.l_discount"))).alias("line_total"))
-        .groupBy(col("product_key"))
-        .agg(sum(Deterministic.quantize(col("qty"), 2)).alias("q2"),
-          sum(Deterministic.quantize(col("line_total"), 4)).alias("r4"),
-          count(lit(1)).alias("n"))
-    }
-    partials(col("o.o_orderdate") < lit(cut))
-      .unionAll(partials(col("o.o_orderdate") >= lit(cut)))
+    def partials(pred: Column): DataFrame =
+      productTotalsPartials(spark, sfDir, pred)
+    partials(col("o.o_orderdate") < lit(TotalsCutover))
+      .unionAll(partials(col("o.o_orderdate") >= lit(TotalsCutover)))
       .groupBy(col("product_key"))
       .agg(sum(col("q2")).alias("q2m"), sum(col("r4")).alias("r4m"),
         sum(col("n")).alias("n_lines"))

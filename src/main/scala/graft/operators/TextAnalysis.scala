@@ -57,8 +57,12 @@ object TextAnalysis {
     * first thing a mixture rebalance consults (a source whose p99 is 10×
     * its p50 needs chunking; one whose p50 collapses is boilerplate).
     * Token counts are exact integers; the mean is one division of two
-    * exact aggregates and `percentile` interpolates identically to
-    * DuckDB's `quantile_cont` (the `order_price_quantiles` precedent).
+    * exact aggregates, and the oracle spells Spark's `percentile`
+    * interpolation EXPLICITLY — `(hi−pos)·a + (pos−lo)·b` over the
+    * sorted list, the formula `Percentile.getPercentile` evaluates —
+    * instead of trusting DuckDB's `quantile_cont` to agree to the last
+    * ulp (its `a + (b−a)·frac` spelling can differ by one ulp, a
+    * latent hash-gate break on an engine upgrade; see [[pinnedPctSql]]).
     * Scale: one narrow (source, n_tokens) aggregation; at 100 TB swap
     * `percentile` for the mergeable `approx_percentile` exactly as
     * `order_price_quantiles_approx` pins.
@@ -381,17 +385,42 @@ object TextAnalysis {
 
   private val toksSql = "string_split(text, ' ')"
 
+  /** DuckDB spelling of Spark's `Percentile` interpolation, PINNED to the
+    * exact arithmetic `Percentile.getPercentile` performs — pos =
+    * (n−1)·q, lo = floor(pos), hi = ceil(pos), and the interpolated
+    * value is `(hi−pos)·arr[lo] + (pos−lo)·arr[hi]` with the lo==hi case
+    * returned directly (the general formula would yield 0 there).
+    * `quantile_cont`'s algebraically-equal `a + (b−a)·frac` form can
+    * differ in the last ulp, so the oracle evaluates the same IEEE ops
+    * in the same order instead of assuming the engines' builtins agree.
+    * Expects CTE columns `n_docs` (count) and `arr` (sorted BIGINT list,
+    * 1-based indexing).
+    */
+  private def pinnedPctSql(q: String): String = {
+    val pos = s"(CAST(n_docs - 1 AS DOUBLE) * CAST($q AS DOUBLE))"
+    s"""CASE WHEN floor($pos) = ceil($pos)
+       |  THEN CAST(arr[CAST(floor($pos) AS BIGINT) + 1] AS DOUBLE)
+       |  ELSE (ceil($pos) - $pos)
+       |         * CAST(arr[CAST(floor($pos) AS BIGINT) + 1] AS DOUBLE)
+       |       + ($pos - floor($pos))
+       |         * CAST(arr[CAST(ceil($pos) AS BIGINT) + 1] AS DOUBLE) END""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "docs_length_profile" ->
-      """SELECT source,
-        |       CAST(count(*) AS BIGINT) AS n_docs,
-        |       sum(n_tokens) / count(*) AS mean_tokens,
-        |       quantile_cont(n_tokens, 0.5) AS p50_tokens,
-        |       quantile_cont(n_tokens, 0.9) AS p90_tokens,
-        |       quantile_cont(n_tokens, 0.99) AS p99_tokens
-        |FROM (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |      FROM documents)
-        |GROUP BY source ORDER BY source""".stripMargin,
+      s"""WITH t AS (
+         |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |g AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         sum(n_tokens) / count(*) AS mean_tokens,
+         |         list(n_tokens ORDER BY n_tokens) AS arr
+         |  FROM t GROUP BY source)
+         |SELECT source, n_docs, mean_tokens,
+         |       ${pinnedPctSql("0.5")} AS p50_tokens,
+         |       ${pinnedPctSql("0.9")} AS p90_tokens,
+         |       ${pinnedPctSql("0.99")} AS p99_tokens
+         |FROM g ORDER BY source""".stripMargin,
     "text_normalized_fingerprint" ->
       """WITH canon AS (
         |  SELECT doc_id,

@@ -185,6 +185,57 @@ object EventStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** INGESTION-TIME MinHash dedup via `foreachBatch` — the streaming form
+    * of the batch `dedup_minhash_incremental` gate, i.e. what a live
+    * crawl actually runs: each micro-batch of documents shingles ONLY its
+    * own rows, computes their MinHash band keys, probes the STORED band
+    * index (history bands for new↔old plus its own bands for new↔new),
+    * exact-Jaccard-verifies the candidates, appends the verified pairs to
+    * `pairsOutDir`, and folds its own shingles+bands into the index state
+    * for the next batch. StreamingSpec pins the parity: over any batch
+    * split, the union of emitted pairs plus the pre-existing
+    * history↔history pairs equals the from-scratch batch
+    * `dedup_minhash_lsh` pair set.
+    *
+    * State discipline: the index generations are driver-held DataFrames,
+    * each persisted and tracked via [[graft.CacheLifecycle]]; the plan
+    * grows by one union node per micro-batch — fine for a bounded test
+    * run, while production swaps the vars for a storage-backed index
+    * table (append the batch's band/shingle rows, probe by equi-join),
+    * which is the identical plan shape with the state durable. At 100 TB
+    * the probe is a band-key equi-join of the SMALL batch against the
+    * stored index — the corpus is never re-banded, which is what makes
+    * ingestion-time dedup affordable at all.
+    */
+  def minhashIngestDedup(docsStream: DataFrame, historyDocs: DataFrame,
+      pairsOutDir: String): StreamingQuery = {
+    import graft.operators.Dedup
+    var idxSh = graft.CacheLifecycle.sessionPersist(Dedup.shingleDocs(historyDocs))
+    var idxBands = graft.CacheLifecycle.sessionPersist(Dedup.bandIndex(idxSh))
+    docsStream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val batchSh = graft.CacheLifecycle.sessionPersist(
+          Dedup.shingleDocs(batch.toDF()))
+        val batchBands = graft.CacheLifecycle.sessionPersist(
+          Dedup.bandIndex(batchSh))
+        // probe the full index: history bands (new↔old) + own bands
+        // (new↔new); canonical (least, greatest) so a pair lands once
+        val cands = batchBands.alias("a")
+          .join(idxBands.unionAll(batchBands).alias("b"),
+            col("a.band") === col("b.band") && col("a.doc_id") =!= col("b.doc_id"))
+          .select(least(col("a.doc_id"), col("b.doc_id")).alias("doc_a"),
+            greatest(col("a.doc_id"), col("b.doc_id")).alias("doc_b"))
+          .distinct()
+        Dedup.verifyPairs(idxSh.unionAll(batchSh), cands)
+          .write.mode("append").parquet(pairsOutDir)
+        idxSh = idxSh.unionAll(batchSh)
+        idxBands = idxBands.unionAll(batchBands)
+      }
+      .start()
+  }
+
   /** Drive a streaming aggregation to a named in-memory table and process
     * everything currently available (synchronous smoke harness — the
     * pattern the test suite uses).

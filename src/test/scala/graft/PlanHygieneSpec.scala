@@ -71,7 +71,11 @@ class PlanHygieneSpec extends SparkSpec {
       // PQ recall embeds the brute-force baseline it is measured against
       // (both the subsample and the Lloyd-refined codebook rung, and the
       // IVFADC composition over them)
+      // ...the serving-stack re-rank composes the same IVF-PQ index
+      // (deliberate N·C assignment) and is measured against the same
+      // embedded brute baseline
       "pq_adc_recall_at_5", "pq_recall_refined", "ivfpq_recall_at_5",
+      "ivfpq_rerank_recall_at_5",
       // semantic dedup reads the IVF cell assignment, which shares the
       // deliberate broadcast N·C centroid scoring of ivf_ann_cosine
       "semantic_dedup",

@@ -36,6 +36,41 @@ class RecursiveCteProbeSpec extends SparkSpec {
     assert(e.getErrorClass == "UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE")
   }
 
+  test("part_bom_explosion_sql: edges form a strictly-decreasing DAG (termination)" +
+      " and the recursive walk matches a driver-side path recomputation") {
+    import org.apache.spark.sql.functions.col
+    val keys = Tables.part(spark, sf).select(col("p_partkey")).collect()
+      .map(_.getLong(0)).toSet
+    // the same edge derivation the query spells in SQL
+    val edges = keys.toSeq.flatMap { p =>
+      val half = if (p / 2 >= 1) Seq((p, p / 2, p % 3 + 1)) else Nil
+      val third = if (p / 3 >= 1 && p / 3 != p / 2) Seq((p, p / 3, p % 5 + 1)) else Nil
+      half ++ third
+    }
+    // TERMINATION: every edge strictly decreases the key → acyclic, and
+    // UNION-ALL fixpoint recursion must empty within log2(max key) levels
+    assert(edges.nonEmpty && edges.forall { case (p, c, _) => c < p })
+    val adj = edges.groupBy(_._1)
+    val want = scala.collection.mutable.Map[(Long, Long), (Long, Long, Int)]()
+    def walk(root: Long, node: Long, qty: Long, lvl: Int): Unit =
+      adj.getOrElse(node, Nil).foreach { case (_, c, q) =>
+        val nq = qty * q
+        val (p0, q0, l0) = want.getOrElse((root, c), (0L, 0L, Int.MaxValue))
+        want((root, c)) = (p0 + 1, q0 + nq, math.min(l0, lvl + 1))
+        walk(root, c, nq, lvl + 1)
+      }
+    keys.filter(_ % 20 == 0).foreach(r => walk(r, r, 1L, 0))
+    val got = q("part_bom_explosion_sql").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getInt(4)))
+      .toMap
+    assert(got == want.toMap,
+      s"BOM walk mismatch: got ${got.size} cells, want ${want.size}")
+    // path multiplicity is load-bearing somewhere on the fixture —
+    // otherwise the query degenerates to reachability and a non-recursive
+    // spelling would cover it
+    assert(got.values.exists(_._1 > 1), "no multi-path component on fixture")
+  }
+
   test("customer_order_chain_sql ordinal equals the window-rank spelling") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

@@ -467,6 +467,39 @@ class ScalePostureSpec extends SparkSpec {
     }
   }
 
+  test("fact_totals_bucketed_merge: the nightly state+delta merge is exchange-free") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // force the sort-merge path: at fixture scale AQE would broadcast
+    // the outer join, hiding the co-partitioning the layout exists for
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.operators.Layout.writeTotalsStateTables(spark, sf)
+      val df = graft.operators.Layout.bucketedMergeRead(spark, sf)
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect { case j: SortMergeJoinExec => j }.nonEmpty,
+        s"expected a SortMergeJoin over the bucketed partial-state scans:\n$plan")
+      // the maintenance claim: state and delta partials arrive pre-hashed
+      // on product_key, so the merge join shuffles NOTHING — history is
+      // neither rescanned nor reshuffled at merge time
+      val exchanges = plan.collect { case e: ShuffleExchangeLike => e }
+      assert(exchanges.isEmpty,
+        s"bucketed merge plan must be shuffle-free, found:\n$plan")
+      // and the exchange-free merge equals the from-scratch rebuild
+      // (incremental ≡ rebuild — the same gate fact the oracle pins)
+      val rebuild = q("fact_product_totals_incremental")
+      assert(df.orderBy("product_key").collect().toSeq ==
+        rebuild.collect().toSeq)
+      assert(df.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("column pruning reaches the documents scan in the r12 narrow queries") {
     // a 100 TB corpus scan that drags lang/source/n_chars (or the text
     // payload where only counts are needed) through a 2-column operator

@@ -268,6 +268,39 @@ class SimilaritySpec extends SparkSpec {
     // what the registered number measures — the oracle gate pins it
   }
 
+  test("ivfpq re-rank dominates the un-reranked IVF-PQ recall per query (theorem)," +
+      " and served neighbors stay inside the probed cell") {
+    // THE THEOREM: re-rank candidates (ADC top-20) ⊇ ADC top-5, and the
+    // re-rank scores with the EXACT cosine — a brute-top-5 member among
+    // the candidates can be out-scored by at most 4 vectors in the whole
+    // corpus, so it always survives the exact top-5. Hence every
+    // un-reranked hit is a re-ranked hit, query by query.
+    val unreranked = q("ivfpq_recall_at_5").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val reranked = q("ivfpq_rerank_recall_at_5").collect()
+    assert(reranked.length == 10)
+    reranked.foreach { r =>
+      val qid = r.getLong(0)
+      assert(r.getLong(1) == 5L)
+      assert(r.getLong(2) >= unreranked(qid),
+        s"query $qid: re-rank hits ${r.getLong(2)} < un-reranked hits ${unreranked(qid)}")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // the re-rank changes SCORING only, never the candidate restriction:
+    // served neighbors still come from the query's probed cell
+    val cellOf = operators.Similarity.assignedCells(spark, sf)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val top5 = operators.Similarity.ivfpqRerankTop5(spark, sf).collect()
+    assert(top5.nonEmpty)
+    top5.foreach { r =>
+      val (qid, nid) = (r.getLong(0), r.getLong(1))
+      assert(qid != nid, "self-match served")
+      assert(cellOf(nid) == cellOf(qid),
+        s"re-ranked neighbor $nid (cell ${cellOf(nid)}) served to query $qid (cell ${cellOf(qid)})")
+    }
+  }
+
   test("exact-vector pre-collapse bounds the cell join on a planted 10³-copy mass") {
     import spark.implicits._
     // adversarial input: 1000 byte-identical vectors (mirror-crawl shape)

@@ -127,6 +127,40 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("foreachBatch MinHash ingest-dedup equals the batch pair set across micro-batches") {
+    // same history/batch split as the batch dedup_minhash_incremental
+    // gate (doc_id % 10 == 9 is the crawl increment), but the increment
+    // arrives as TWO staged files driven one-per-trigger, so the second
+    // micro-batch genuinely probes an index the first one extended —
+    // the cross-batch state path a single-batch run never exercises
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream8")
+    val docs = Tables.documents(spark, sf)
+    docs.filter(col("doc_id") % 20 === 9)
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    docs.filter(col("doc_id") % 20 === 19)
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    val docsStream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    assert(docsStream.isStreaming)
+    val history = docs.filter(col("doc_id") % 10 =!= 9)
+    val out = java.nio.file.Files.createTempDirectory("graft-stream8-out")
+      .resolve("pairs").toString
+    val query = streaming.EventStream.minhashIngestDedup(docsStream, history, out)
+    try query.processAllAvailable() finally query.stop()
+    val streamed = spark.read.parquet(out)
+    // expected: every verified near-dup pair involving an increment doc —
+    // the from-scratch LSH pair set minus its history↔history rows
+    val batchOnly = (c: org.apache.spark.sql.Column) => c % 10 === 9
+    val want = q("dedup_minhash_lsh")
+      .filter(batchOnly(col("doc_a")) || batchOnly(col("doc_b")))
+    assert(want.count() > 0, "fixture has no increment-involved pairs")
+    assert(streamed.count() == want.count())
+    assert(streamed.exceptAll(want).count() == 0)
+    assert(want.exceptAll(streamed).count() == 0)
+  }
+
   test("stateful mapGroupsWithState latest-per-user equals the batch query") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream2")
     java.nio.file.Files.copy(
