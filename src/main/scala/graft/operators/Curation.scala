@@ -844,6 +844,12 @@ object Curation {
     val piiPairs = PiiRules
       .map { case (name, _, _) => s"'pii_$name', cast(n_$name as long)" }
       .mkString(", ")
+    // safe to coalesce ALL legs including this one: every stage frame
+    // ends in an `orderBy` (a range exchange), so each stage's real work
+    // — piiRedacted's per-row regex pass included — is planned BELOW its
+    // last exchange and still runs at full map width on the cold build;
+    // the coalesce narrows only the bounded post-exchange tail each leg
+    // reads
     val piiLeg = piiRedacted(spark, sfDir)
       .selectExpr("doc_id", s"stack(${PiiRules.size}, $piiPairs) as (sig, v)")
       .coalesce(LegParts)

@@ -555,13 +555,22 @@ object Relational {
     *
     * Termination argument (RecursiveCteProbeSpec pins it): every edge
     * strictly decreases the part key, so recursion depth ≤ log₂(max
-    * key) (14 at sf0.1) and Spark's UNION-ALL fixpoint empties. Scale
-    * shape: each level joins the CURRENT FRONTIER against the bounded
-    * edge relation (≤ 2 edges per part — derived once from the part
-    * scan), per-level work proportional to live paths, never
-    * corpus-resident state; the final rollup is one hash aggregate over
-    * the path rows.
+    * key) (14 at sf0.1) and Spark's UNION-ALL fixpoint empties. The
+    * registered walk additionally caps at [[BomDepthCap]] levels — the
+    * standard k-level-explosion idiom — because PATH COUNT (not depth)
+    * is the cost axis: an uncapped sf0.1 walk materializes 1.83M path
+    * rows and trips Spark's `RECURSION_ROW_LIMIT_EXCEEDED` safety valve
+    * (default 1M rows; `spark.sql.cteRecursionRowLimit` is the
+    * production knob for deeper walks — the library does not mutate
+    * session conf behind the caller's back). With the cap, sf0.1 walks
+    * ~350k path rows across 400 roots. Scale shape: each level joins
+    * the CURRENT FRONTIER against the bounded edge relation (≤ 2 edges
+    * per part — derived once from the part scan), per-level work
+    * proportional to live paths, never corpus-resident state; the final
+    * rollup is one hash aggregate over the path rows.
     */
+  private val BomDepthCap = 9
+
   def partBomExplosionSql(spark: SparkSession, sfDir: String): DataFrame = {
     // invocation-scoped view, dropped before returning — same catalog
     // hygiene as [[customerOrderChainSql]]
@@ -579,10 +588,11 @@ object Relational {
          |    AND p_partkey div 3 != p_partkey div 2),
          |bom(root_key, part_key, qty, lvl) AS (
          |  SELECT p_partkey, p_partkey, CAST(1 AS BIGINT), 0
-         |  FROM $view WHERE p_partkey % 20 = 0
+         |  FROM $view WHERE p_partkey % 50 = 0
          |  UNION ALL
          |  SELECT b.root_key, e.component, b.qty * e.qty, b.lvl + 1
-         |  FROM bom b JOIN edges e ON b.part_key = e.parent)
+         |  FROM bom b JOIN edges e ON b.part_key = e.parent
+         |  WHERE b.lvl < $BomDepthCap)
          |SELECT root_key, part_key,
          |       CAST(count(*) AS BIGINT) AS n_paths,
          |       CAST(sum(qty) AS BIGINT) AS total_qty,
@@ -595,7 +605,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "part_bom_explosion_sql" ->
-      """WITH RECURSIVE
+      s"""WITH RECURSIVE
         |edges AS (
         |  SELECT p_partkey AS parent, p_partkey // 2 AS component,
         |         p_partkey % 3 + 1 AS qty
@@ -606,10 +616,11 @@ object Relational {
         |    AND p_partkey // 3 != p_partkey // 2),
         |bom(root_key, part_key, qty, lvl) AS (
         |  SELECT p_partkey, p_partkey, CAST(1 AS BIGINT), 0
-        |  FROM part WHERE p_partkey % 20 = 0
+        |  FROM part WHERE p_partkey % 50 = 0
         |  UNION ALL
         |  SELECT b.root_key, e.component, b.qty * e.qty, b.lvl + 1
-        |  FROM bom b JOIN edges e ON b.part_key = e.parent)
+        |  FROM bom b JOIN edges e ON b.part_key = e.parent
+        |  WHERE b.lvl < $BomDepthCap)
         |SELECT root_key, part_key,
         |       CAST(count(*) AS BIGINT) AS n_paths,
         |       CAST(sum(qty) AS BIGINT) AS total_qty,

@@ -628,7 +628,7 @@ object Similarity {
     val subs = pqSubvectors(spark, sfDir)
     val cb = subs.filter(col("vec_id") % 499 === 0)
       .select(col("j"), col("vec_id").alias("c_id"), col("sv").alias("cv"))
-    pqAdcRecallWith(spark, sfDir, subs, cb)
+    pqAdcRecallWith(spark, sfDir, subs, cb, pqCodesFor(subs, cb))
   }
 
   /** The m=8 8-dim subvector decomposition every PQ rung shares. */
@@ -646,7 +646,15 @@ object Similarity {
     * entries that attract no subvectors drop. Each round is a broadcast
     * N·m·k assignment + a (j, cell, dim) integer-sum shuffle.
     */
-  private[graft] def pqRefinedCodebooks(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def pqRefinedCodebooks(spark: SparkSession, sfDir: String): DataFrame =
+    // key-memoized + session-persisted: three registered consumers
+    // (pq_recall_refined, ivfpq_recall_at_5, ivfpq_rerank_recall_at_5)
+    // otherwise each re-run the two Lloyd rounds' broadcast N·m·k
+    // assignments; the codebook itself is a few hundred tiny rows
+    graft.CacheLifecycle.memoized(s"similarity.pqRefinedCodebooks:$sfDir")(
+      pqRefinedCodebooksBuild(spark, sfDir))
+
+  private def pqRefinedCodebooksBuild(spark: SparkSession, sfDir: String): DataFrame = {
     val subs = pqSubvectors(spark, sfDir)
     var cb = subs.filter(col("vec_id") % 499 === 0)
       .select(col("j"), col("vec_id").alias("c_id"), col("sv").alias("cv"))
@@ -671,8 +679,30 @@ object Similarity {
           x => x.getField("cq")).alias("cv"))
         .select(col("j"), col("cell").alias("c_id"), col("cv"))
     }
-    cb
+    graft.CacheLifecycle.sessionPersist(cb)
   }
+
+  /** The corpus PQ-encoded against the REFINED codebooks — the stored
+    * 8-byte-per-vector index shared by the refined-PQ recall rung and
+    * both IVF-PQ queries; one memoized encoding pass (the N·m·k
+    * broadcast argmin) instead of one per consumer.
+    */
+  private def refinedCodes(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoized(s"similarity.refinedCodes:$sfDir") {
+      graft.CacheLifecycle.sessionPersist(
+        pqCodesFor(pqSubvectors(spark, sfDir), pqRefinedCodebooks(spark, sfDir)))
+    }
+
+  /** Nearest-codebook-entry encoding of every (vec, subspace) — the PQ
+    * index build every ADC consumer shares; `cb` is `(j, c_id, cv)`.
+    */
+  private def pqCodesFor(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.join(broadcast(cb), Seq("j"))
+      .select(col("vec_id"), col("j"), col("c_id"),
+        (V.qnorm2(col("cv")) - lit(2) * V.qdot(col("sv"), col("cv"))).alias("d"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("d"), col("c_id"))).alias("m"))
+      .select(col("vec_id"), col("j"), col("m.c_id").alias("code"))
 
   /** Per-query recall@5 of PQ+ADC over the REFINED per-subspace codebooks
     * — registers codebook quality as a measured number the way
@@ -689,20 +719,16 @@ object Similarity {
     */
   def pqRecallRefined(spark: SparkSession, sfDir: String): DataFrame =
     pqAdcRecallWith(spark, sfDir, pqSubvectors(spark, sfDir),
-      pqRefinedCodebooks(spark, sfDir))
+      pqRefinedCodebooks(spark, sfDir), refinedCodes(spark, sfDir))
 
-  /** The encode → LUT → ADC → recall tail shared by the subsample and
-    * refined PQ rungs; `cb` is the codebook `(j, c_id, cv)`.
+  /** The LUT → ADC → recall tail shared by the subsample and refined PQ
+    * rungs; `cb` is the codebook `(j, c_id, cv)`, `codes` the corpus
+    * encoded against it ([[pqCodesFor]] — passed in so the refined rungs
+    * share the memoized [[refinedCodes]] index).
     */
   private def pqAdcRecallWith(spark: SparkSession, sfDir: String,
-      subs: DataFrame, cb: DataFrame): DataFrame = {
+      subs: DataFrame, cb: DataFrame, codes: DataFrame): DataFrame = {
     val base = quantized(spark, sfDir)
-    val codes = subs.join(broadcast(cb), Seq("j"))
-      .select(col("vec_id"), col("j"), col("c_id"),
-        (V.qnorm2(col("cv")) - lit(2) * V.qdot(col("sv"), col("cv"))).alias("d"))
-      .groupBy(col("vec_id"), col("j"))
-      .agg(min(struct(col("d"), col("c_id"))).alias("m"))
-      .select(col("vec_id"), col("j"), col("m.c_id").alias("code"))
     val lut = subs.filter(col("vec_id") < 10)
       .select(col("vec_id").alias("query_id"), col("j"), col("sv").alias("qsv"))
       .join(broadcast(cb), Seq("j"))
@@ -768,16 +794,20 @@ object Similarity {
     * treats rank ≤ [[IvfpqRerankCandidates]] as the candidate list for
     * full-precision re-scoring.
     */
-  private def ivfpqAdcRanked(spark: SparkSession, sfDir: String): DataFrame = {
+  private def ivfpqAdcRanked(spark: SparkSession, sfDir: String): DataFrame =
+    // key-memoized + session-persisted: the recall report and the
+    // re-rank serving query both consume this frame (≈ |Q| × cell
+    // occupancy rows); the index passes behind it (codebooks, codes,
+    // cell assignment) are themselves memoized
+    graft.CacheLifecycle.memoized(s"similarity.ivfpqAdcRanked:$sfDir") {
+      graft.CacheLifecycle.sessionPersist(ivfpqAdcRankedBuild(spark, sfDir))
+    }
+
+  private def ivfpqAdcRankedBuild(spark: SparkSession, sfDir: String): DataFrame = {
     val cells = assignedCells(spark, sfDir)
     val subs = pqSubvectors(spark, sfDir)
     val cb = pqRefinedCodebooks(spark, sfDir)
-    val codes = subs.join(broadcast(cb), Seq("j"))
-      .select(col("vec_id"), col("j"), col("c_id"),
-        (V.qnorm2(col("cv")) - lit(2) * V.qdot(col("sv"), col("cv"))).alias("d"))
-      .groupBy(col("vec_id"), col("j"))
-      .agg(min(struct(col("d"), col("c_id"))).alias("m"))
-      .select(col("vec_id"), col("j"), col("m.c_id").alias("code"))
+    val codes = refinedCodes(spark, sfDir)
     val probes = cells.filter(col("vec_id") < 10)
       .select(col("vec_id").alias("query_id"), col("cell").alias("qcell"))
     val cand = cells.select(col("vec_id"), col("cell"))

@@ -52,14 +52,16 @@ class RecursiveCteProbeSpec extends SparkSpec {
     assert(edges.nonEmpty && edges.forall { case (p, c, _) => c < p })
     val adj = edges.groupBy(_._1)
     val want = scala.collection.mutable.Map[(Long, Long), (Long, Long, Int)]()
+    // the registered walk's depth cap: the recursive branch only extends
+    // rows with lvl < 9, so children exist at levels 1..9
     def walk(root: Long, node: Long, qty: Long, lvl: Int): Unit =
-      adj.getOrElse(node, Nil).foreach { case (_, c, q) =>
+      if (lvl < 9) adj.getOrElse(node, Nil).foreach { case (_, c, q) =>
         val nq = qty * q
         val (p0, q0, l0) = want.getOrElse((root, c), (0L, 0L, Int.MaxValue))
         want((root, c)) = (p0 + 1, q0 + nq, math.min(l0, lvl + 1))
         walk(root, c, nq, lvl + 1)
       }
-    keys.filter(_ % 20 == 0).foreach(r => walk(r, r, 1L, 0))
+    keys.filter(_ % 50 == 0).foreach(r => walk(r, r, 1L, 0))
     val got = q("part_bom_explosion_sql").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getInt(4)))
       .toMap
