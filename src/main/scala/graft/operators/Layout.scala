@@ -197,7 +197,14 @@ object Layout {
       bucketedMergeRead(spark, sfDir).orderBy("product_key")
     }
 
-  private[graft] def writeTotalsStateTables(spark: SparkSession, sfDir: String): Unit = {
+  /** `cut`/`suffix` exist for the degenerate-CDC spec cases (empty
+    * state on day-one bootstrap, empty delta on a no-op night) — the
+    * registered query always uses the defaults, and variant tables get
+    * their own names so a spec can never clobber the tables the
+    * durable-memoized registered frame reads.
+    */
+  private[graft] def writeTotalsStateTables(spark: SparkSession, sfDir: String,
+      cut: String = StarSchema.TotalsCutover, suffix: String = ""): Unit = {
     def write(df: DataFrame, t: String): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS ${bucketTable(sfDir, t)}")
       df.write.mode("overwrite")
@@ -207,9 +214,9 @@ object Layout {
         .saveAsTable(bucketTable(sfDir, t))
     }
     write(StarSchema.productTotalsPartials(spark, sfDir,
-      col("o.o_orderdate") < lit(StarSchema.TotalsCutover)), "totals_state")
+      col("o.o_orderdate") < lit(cut)), s"totals_state$suffix")
     write(StarSchema.productTotalsPartials(spark, sfDir,
-      col("o.o_orderdate") >= lit(StarSchema.TotalsCutover)), "totals_delta")
+      col("o.o_orderdate") >= lit(cut)), s"totals_delta$suffix")
   }
 
   /** The merge over already-written bucketed partial-state tables,
@@ -218,9 +225,10 @@ object Layout {
     * of the layout's claim). Partial longs add BEFORE the single
     * dividing double op, mirroring [[StarSchema.factProductTotalsIncremental]].
     */
-  private[graft] def bucketedMergeRead(spark: SparkSession, sfDir: String): DataFrame = {
-    val s = spark.table(bucketTable(sfDir, "totals_state")).alias("s")
-    val d = spark.table(bucketTable(sfDir, "totals_delta")).alias("d")
+  private[graft] def bucketedMergeRead(spark: SparkSession, sfDir: String,
+      suffix: String = ""): DataFrame = {
+    val s = spark.table(bucketTable(sfDir, s"totals_state$suffix")).alias("s")
+    val d = spark.table(bucketTable(sfDir, s"totals_delta$suffix")).alias("d")
     s.join(d, Seq("product_key"), "full_outer")
       .select(col("product_key"),
         ((coalesce(col("s.q2"), lit(0L)) + coalesce(col("d.q2"), lit(0L)))

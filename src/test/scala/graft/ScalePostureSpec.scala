@@ -500,6 +500,21 @@ class ScalePostureSpec extends SparkSpec {
     }
   }
 
+  test("fact_totals_bucketed_merge: degenerate CDC nights (empty state, empty delta)" +
+      " still merge to the rebuild") {
+    // day-one bootstrap: cutover before all orders → state table is EMPTY,
+    // everything arrives as the first batch; and the no-op night: cutover
+    // past all orders → delta EMPTY. The full-outer merge's coalesce
+    // arithmetic must hand back the exact rebuild in both extremes.
+    val rebuild = q("fact_product_totals_incremental").collect().toSeq
+    for ((cut, suffix) <- Seq(("1900-01-01", "_bootstrap"), ("2999-01-01", "_noop"))) {
+      graft.operators.Layout.writeTotalsStateTables(spark, sf, cut, suffix)
+      val merged = graft.operators.Layout.bucketedMergeRead(spark, sf, suffix)
+        .orderBy("product_key").collect().toSeq
+      assert(merged == rebuild, s"cut=$cut merge != rebuild")
+    }
+  }
+
   test("column pruning reaches the documents scan in the r12 narrow queries") {
     // a 100 TB corpus scan that drags lang/source/n_chars (or the text
     // payload where only counts are needed) through a 2-column operator
