@@ -582,8 +582,11 @@ object Similarity {
         col("v").alias("qv"), col("n2").alias("qn2"))
     val wFull = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_full").desc, col("neighbor_id").asc)
-    val reranked = cands
-      .join(full.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+    // candidates broadcast explicitly — same rationale as
+    // [[ivfpqRerankTop5]]: the |Q|·20 key set is the small side at any
+    // corpus size, and the wide vectors must stay map-side
+    val reranked = full.withColumnRenamed("vec_id", "neighbor_id")
+      .join(broadcast(cands), Seq("neighbor_id"))
       .join(broadcast(queriesF), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         V.qcosineFrom(V.qdot(col("qv"), col("v")), col("qn2"), col("n2"))
@@ -881,8 +884,12 @@ object Similarity {
         col("v").alias("qv"), col("n2").alias("qn2"))
     val wFull = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_full").desc, col("neighbor_id").asc)
-    cands
-      .join(full.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+    // the candidate list is |Q|·20 keys at ANY corpus size — broadcast it
+    // EXPLICITLY so the full-vector re-attach join never depends on the
+    // auto-broadcast threshold seeing through the index lineage: the
+    // corpus side must stream map-side, its wide vectors never shuffling
+    full.withColumnRenamed("vec_id", "neighbor_id")
+      .join(broadcast(cands), Seq("neighbor_id"))
       .join(broadcast(queriesF), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         V.qcosineFrom(V.qdot(col("qv"), col("v")), col("qn2"), col("n2"))

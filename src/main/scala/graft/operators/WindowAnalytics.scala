@@ -181,7 +181,7 @@ object WindowAnalytics {
     * the way a per-language corpus window would ([[Curation]]'s sharded
     * rank covers that regime).
     */
-  private def priorityIntervalHistoryOf(orders: DataFrame): DataFrame = {
+  private[graft] def priorityIntervalHistoryOf(orders: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("customer_key"))
       .orderBy(col("o_orderdate").asc, col("order_key").asc)
     val flagged = orders

@@ -500,6 +500,32 @@ class ScalePostureSpec extends SparkSpec {
     }
   }
 
+  test("ivfpq re-rank: candidates broadcast by hint, corpus vectors never shuffle") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    // warm the memoized ADC-ranked candidate frame first so the plan
+    // below reads the cached index instead of re-planning its build
+    graft.operators.Similarity.ivfpqTop5(spark, sf).count()
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    // the claim is that the re-rank does NOT depend on the auto-broadcast
+    // threshold: the |Q|·20 candidate key set carries an explicit hint.
+    // AQE off for inspection only — AdaptiveSparkPlanExec is opaque to
+    // plan.collect (the same pattern as the bucketed-layout tests)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.operators.Similarity.ivfpqRerankTop5(spark, sf)
+        .queryExecution.executedPlan
+      assert(plan.collect { case j: BroadcastHashJoinExec => j }.size >= 2,
+        s"re-rank joins must broadcast (candidates + queries):\n${plan.toString.take(900)}")
+      assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
+        s"re-rank must never sort-merge-shuffle the vector corpus:\n${plan.toString.take(900)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("fact_totals_bucketed_merge: degenerate CDC nights (empty state, empty delta)" +
       " still merge to the rebuild") {
     // day-one bootstrap: cutover before all orders → state table is EMPTY,

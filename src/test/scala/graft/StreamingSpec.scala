@@ -161,6 +161,45 @@ class StreamingSpec extends SparkSpec {
     assert(want.exceptAll(streamed).count() == 0)
   }
 
+  test("foreachBatch SCD2 apply-changes maintains the dimension to the from-scratch build") {
+    import graft.operators.WindowAnalytics
+    val orders = Tables.orders(spark, sf)
+    // history = pre-1996 state; CDC arrives as two date-ranged files
+    // driven one-per-trigger, so batch 2 folds into a state batch 1
+    // already advanced — the cross-generation path, and the append-only
+    // contract check runs against the ADVANCED state
+    val (cut1, cut2) = ("1996-07-01", "1998-07-01")
+    val history0 = WindowAnalytics.priorityIntervalHistoryOf(
+      orders.filter(col("o_orderdate") < cut1))
+    val cdcDir = java.nio.file.Files.createTempDirectory("graft-scd2cdc")
+    def stage(pred: org.apache.spark.sql.Column, name: String, ageSec: Long): Unit = {
+      val d = cdcDir.resolve(name)
+      orders.filter(pred).coalesce(1).write.parquet(d.toString)
+      // deterministic trigger order: the file source orders by mod time
+      java.nio.file.Files.walk(d).forEach(p =>
+        p.toFile.setLastModified(System.currentTimeMillis() - ageSec * 1000))
+    }
+    stage(col("o_orderdate") >= cut1 && col("o_orderdate") < cut2, "b1", 60)
+    stage(col("o_orderdate") >= cut2, "b2", 30)
+    val stream = spark.readStream
+      .schema(orders.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$cdcDir/*")
+    assert(stream.isStreaming)
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-scd2state").toString
+    val query = streaming.EventStream.scd2ApplyChangesStream(stream, history0, stateDir)
+    try query.processAllAvailable() finally query.stop()
+    val latest = streaming.EventStream.scd2StateLatest(spark, stateDir)
+    // two CDC files → generations v0, v1, v2
+    assert(latest.inputFiles.exists(_.contains("/v2/")), "expected two folds")
+    val want = WindowAnalytics.priorityIntervalHistoryOf(orders)
+    val cols = Seq("customer_key", "island", "priority", "valid_from",
+      "valid_to", "valid_until", "n_orders").map(col)
+    assert(latest.select(cols: _*).exceptAll(want.select(cols: _*)).count() == 0)
+    assert(want.select(cols: _*).exceptAll(latest.select(cols: _*)).count() == 0)
+    assert(latest.count() == want.count() && want.count() > 0)
+  }
+
   test("stateful mapGroupsWithState latest-per-user equals the batch query") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream2")
     java.nio.file.Files.copy(
