@@ -226,18 +226,10 @@ object Layout {
     * dividing double op, mirroring [[StarSchema.factProductTotalsIncremental]].
     */
   private[graft] def bucketedMergeRead(spark: SparkSession, sfDir: String,
-      suffix: String = ""): DataFrame = {
-    val s = spark.table(bucketTable(sfDir, s"totals_state$suffix")).alias("s")
-    val d = spark.table(bucketTable(sfDir, s"totals_delta$suffix")).alias("d")
-    s.join(d, Seq("product_key"), "full_outer")
-      .select(col("product_key"),
-        ((coalesce(col("s.q2"), lit(0L)) + coalesce(col("d.q2"), lit(0L)))
-          / lit(1e2)).cast("double").alias("total_quantity_sold"),
-        ((coalesce(col("s.r4"), lit(0L)) + coalesce(col("d.r4"), lit(0L)))
-          / lit(1e4)).cast("double").alias("total_revenue"),
-        (coalesce(col("s.n"), lit(0L)) + coalesce(col("d.n"), lit(0L)))
-          .alias("n_lines"))
-  }
+      suffix: String = ""): DataFrame =
+    StarSchema.finalizeTotals(StarSchema.mergeTotalsPartials(
+      spark.table(bucketTable(sfDir, s"totals_state$suffix")),
+      spark.table(bucketTable(sfDir, s"totals_delta$suffix"))))
 
   val oracles: Map[String, String] = Map(
     "fact_totals_bucketed_merge" ->

@@ -188,16 +188,46 @@ object StarSchema {
       pred: Column): DataFrame = {
     val l = Tables.lineitem(spark, sfDir).alias("l")
     val o = Tables.orders(spark, sfDir).alias("o")
-    l.join(o, col("l.l_orderkey") === col("o.o_orderkey"), "inner")
-      .filter(pred)
-      .select(col("l.l_partkey").alias("product_key"),
-        col("l.l_quantity").alias("qty"),
-        (col("l.l_extendedprice") * (lit(1.0) - col("l.l_discount"))).alias("line_total"))
+    totalsPartialsOfDetail(
+      l.join(o, col("l.l_orderkey") === col("o.o_orderkey"), "inner")
+        .filter(pred))
+  }
+
+  /** The partial-aggregation step alone, over any frame carrying detail
+    * columns (`l_partkey`, `l_quantity`, `l_extendedprice`,
+    * `l_discount`) — shared with the streaming maintenance fold, whose
+    * micro-batch IS such a frame.
+    */
+  private[graft] def totalsPartialsOfDetail(detail: DataFrame): DataFrame =
+    detail
+      .select(col("l_partkey").alias("product_key"),
+        col("l_quantity").alias("qty"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).alias("line_total"))
       .groupBy(col("product_key"))
       .agg(sum(Deterministic.quantize(col("qty"), 2)).alias("q2"),
         sum(Deterministic.quantize(col("line_total"), 4)).alias("r4"),
         count(lit(1)).alias("n"))
-  }
+
+  /** Merge two partial-state frames by key (full-outer + long addition)
+    * — the MERGEABLE-STATE operation every consumer of the totals state
+    * runs; stays in integer partials so folds compose associatively.
+    */
+  private[graft] def mergeTotalsPartials(state: DataFrame, delta: DataFrame): DataFrame =
+    state.alias("s").join(delta.alias("d"), Seq("product_key"), "full_outer")
+      .select(col("product_key"),
+        (coalesce(col("s.q2"), lit(0L)) + coalesce(col("d.q2"), lit(0L))).alias("q2"),
+        (coalesce(col("s.r4"), lit(0L)) + coalesce(col("d.r4"), lit(0L))).alias("r4"),
+        (coalesce(col("s.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).alias("n"))
+
+  /** Divide the integer partials back to the published schema — ONCE,
+    * after all merges, so the result is bit-identical to the one-shot
+    * aggregate (summing already-divided doubles would not be).
+    */
+  private[graft] def finalizeTotals(partials: DataFrame): DataFrame =
+    partials.select(col("product_key"),
+      (col("q2") / lit(1e2)).cast("double").alias("total_quantity_sold"),
+      (col("r4") / lit(1e4)).cast("double").alias("total_revenue"),
+      col("n").alias("n_lines"))
 
   def factProductTotalsIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     def partials(pred: Column): DataFrame =

@@ -275,8 +275,48 @@ object EventStream {
       .start()
   }
 
+  /** STREAMING AGGREGATE MAINTENANCE via `foreachBatch` — the streaming
+    * form of the `fact_product_totals_incremental` gate, completing the
+    * set: all three incremental "≡ rebuild" gates (MinHash index-probe,
+    * SCD2 apply-changes, aggregate maintenance) now run under Structured
+    * Streaming. The per-product totals live as INTEGER PARTIAL state
+    * (quantized-long sums — mergeable, associative, so folds compose
+    * across any batch split); each micro-batch of sales-detail rows
+    * aggregates to its own partials
+    * ([[graft.operators.StarSchema.totalsPartialsOfDetail]] — map-side
+    * partial aggregation, shuffle at batch scale only) and full-outer
+    * merges into the state ([[graft.operators.StarSchema.mergeTotalsPartials]]);
+    * generations write-new-then-advance like [[scd2ApplyChangesStream]].
+    * Dividing back to doubles happens only at READ
+    * ([[graft.operators.StarSchema.finalizeTotals]]), so the maintained
+    * table is bit-identical to the one-shot aggregate no matter how the
+    * stream was batched — the parity StreamingSpec pins.
+    *
+    * 100 TB posture: the state table would be the bucketed layout
+    * `fact_totals_bucketed_merge` proves exchange-free; the nightly
+    * stream pays only its own batch's aggregation shuffle.
+    */
+  def totalsMaintenanceStream(detailStream: DataFrame, initialState: DataFrame,
+      stateDir: String): StreamingQuery = {
+    val spark = detailStream.sparkSession
+    initialState.write.mode("overwrite").parquet(s"$stateDir/v0")
+    val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+    detailStream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val cur = spark.read.parquet(s"$stateDir/v${gen.get()}")
+        graft.operators.StarSchema.mergeTotalsPartials(cur,
+            graft.operators.StarSchema.totalsPartialsOfDetail(batch.toDF()))
+          .write.mode("overwrite").parquet(s"$stateDir/v${gen.get() + 1}")
+        gen.incrementAndGet()
+        ()
+      }
+      .start()
+  }
+
   /** The newest state generation under `stateDir` (see
-    * [[scd2ApplyChangesStream]]).
+    * [[scd2ApplyChangesStream]] / [[totalsMaintenanceStream]]).
     */
   def scd2StateLatest(spark: SparkSession, stateDir: String): DataFrame = {
     val latest = new java.io.File(stateDir).list()

@@ -200,6 +200,41 @@ class StreamingSpec extends SparkSpec {
     assert(latest.count() == want.count() && want.count() > 0)
   }
 
+  test("foreachBatch totals maintenance equals the one-shot aggregate bit-exactly") {
+    import graft.operators.StarSchema
+    val detail = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("o_orderdate"))
+    val (cut1, cut2) = ("1996-07-01", "1998-07-01")
+    val state0 = StarSchema.totalsPartialsOfDetail(
+      detail.filter(col("o_orderdate") < cut1))
+    val cdcDir = java.nio.file.Files.createTempDirectory("graft-totalscdc")
+    def stage(pred: org.apache.spark.sql.Column, name: String, ageSec: Long): Unit = {
+      val d = cdcDir.resolve(name)
+      detail.filter(pred).coalesce(1).write.parquet(d.toString)
+      java.nio.file.Files.walk(d).forEach(p =>
+        p.toFile.setLastModified(System.currentTimeMillis() - ageSec * 1000))
+    }
+    stage(col("o_orderdate") >= cut1 && col("o_orderdate") < cut2, "b1", 60)
+    stage(col("o_orderdate") >= cut2, "b2", 30)
+    val stream = spark.readStream
+      .schema(detail.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$cdcDir/*")
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-totalsstate").toString
+    val query = streaming.EventStream.totalsMaintenanceStream(stream, state0, stateDir)
+    try query.processAllAvailable() finally query.stop()
+    val latest = streaming.EventStream.scd2StateLatest(spark, stateDir)
+    assert(latest.inputFiles.exists(_.contains("/v2/")), "expected two folds")
+    // bit-exact against the registered rebuild gate, including the
+    // divided doubles — the whole point of keeping integer partials
+    val got = StarSchema.finalizeTotals(latest)
+      .orderBy("product_key").collect().toSeq
+    val want = q("fact_product_totals_incremental").collect().toSeq
+    assert(got == want && want.nonEmpty)
+  }
+
   test("stateful mapGroupsWithState latest-per-user equals the batch query") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream2")
     java.nio.file.Files.copy(
