@@ -96,6 +96,85 @@ object TextAnalysis {
         size(array_distinct(col("sub"))).alias("n_unique_subtokens"))
       .orderBy("doc_id")
 
+  /** BPE MERGE LEARNING — tokenizer TRAINING, not just application (the
+    * [[bpeTokens]] segmenter's missing half): learn the first
+    * [[BpeMergeRounds]] byte-pair merges from the corpus exactly the way
+    * HF/SentencePiece BPE trainers do. One corpus-sized pass builds the
+    * word histogram (the only big-data step — at 100 TB this is a plain
+    * token groupBy); every training round then runs on the VOCABULARY
+    * grain (distinct words × max word length — many orders of magnitude
+    * smaller): count adjacent symbol pairs weighted by word frequency,
+    * take the argmax pair (count desc, pair asc — the deterministic
+    * tie-break both engines share), and re-segment every word by the
+    * GREEDY LEFT-TO-RIGHT merge fold (a skip-carry `aggregate` HOF over
+    * the symbol array — one emitted merge consumes its right neighbour,
+    * the textbook BPE application step). The per-round argmax is a
+    * bounded single-row collect — the [[Similarity.kmeansIterate]]
+    * convergence-probe precedent: the merge RULE is a scalar the next
+    * round's plan embeds.
+    *
+    * The DuckDB oracle replays the IDENTICAL training run — word
+    * histogram, per-round weighted pair counts, argmax, and the greedy
+    * fold spelled as a recursive CTE carrying (pos, out, skip) — so the
+    * learned merge table is an exact cross-engine gate fact, not a
+    * smoke check. (A `replace`-until-fixpoint spelling is NOT
+    * equivalent: on a run of ≥ 5 identical symbols it merges different
+    * occurrences than the greedy fold — found while building the
+    * oracle, which is why both engines spell the fold explicitly.)
+    *
+    * Round plans re-derive from the persisted histogram (vocabulary
+    * grain, 3 rounds — plan growth is bounded); a production trainer
+    * running hundreds of rounds would checkpoint the symbol table every
+    * few rounds exactly like [[Similarity.kmeansIterate]]'s generation
+    * rotation.
+    */
+  def bpeLearnedMerges(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoized(s"textanalysis.bpeMerges:$sfDir")(
+      bpeLearnedMergesBuild(spark, sfDir))
+
+  private val BpeMergeRounds = 3
+
+  private def bpeLearnedMergesBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = Tables.loadSpread(spark, sfDir, "documents")
+      .select(explode(TextFunctions.tokens(col("text"))).alias("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).alias("freq"))
+      .transform(graft.CacheLifecycle.sessionPersist)
+    var sym = words.select(col("w"), col("freq"),
+      expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias("s"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (round <- 1 to BpeMergeRounds) {
+      val top = sym.filter(size(col("s")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(s) - 1), " +
+            "j -> struct(element_at(s, j) AS l, element_at(s, j + 1) AS r))"))
+          .alias("p"))
+        .groupBy(col("p.l").alias("l"), col("p.r").alias("r"))
+        .agg(sum(col("freq")).alias("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()(0)
+      val (l, r, c) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((round, l, r, c))
+      val (le, re) = (l.replace("'", "''"), r.replace("'", "''"))
+      sym = sym.select(col("w"), col("freq"), expr(
+        s"""aggregate(sequence(1, size(s)),
+           |  named_struct('out', cast(array() as array<string>), 'skip', false),
+           |  (acc, i) -> CASE
+           |    WHEN acc.skip THEN named_struct('out', acc.out, 'skip', false)
+           |    WHEN i < size(s) AND element_at(s, i) = '$le'
+           |         AND element_at(s, i + 1) = '$re'
+           |      THEN named_struct(
+           |        'out', concat(acc.out, array(element_at(s, i) || element_at(s, i + 1))),
+           |        'skip', true)
+           |    ELSE named_struct('out', concat(acc.out, array(element_at(s, i))),
+           |                      'skip', false) END,
+           |  acc -> acc.out)""".stripMargin).alias("s"))
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left_sym", "right_sym", "pair_count")
+      .orderBy("rank")
+  }
+
   /** Top-5 word bigrams per language, positional (every occurrence counts,
     * unlike the distinct shingles of the dedup tier). The token array is
     * materialized in its own projection BEFORE the index-walk — an inline
@@ -385,6 +464,35 @@ object TextAnalysis {
 
   private val toksSql = "string_split(text, ' ')"
 
+  /** One BPE training round as DuckDB CTEs (keep in sync with the round
+    * body in [[bpeLearnedMergesBuild]]): weighted pair counts over
+    * `sym{i-1}`, argmax `m{i}`, and the greedy left-to-right merge fold
+    * as a recursive CTE carrying (pos, out, skip) — the same fold the
+    * Spark side spells as an `aggregate` HOF.
+    */
+  private def bpeRoundSql(i: Int): String =
+    s"""pc$i AS (
+       |  SELECT p.l, p.r, CAST(sum(freq) AS BIGINT) AS c
+       |  FROM sym${i - 1} t, unnest(list_transform(range(1, len(t.s)),
+       |    j -> struct_pack(l := t.s[CAST(j AS INT)], r := t.s[CAST(j AS INT) + 1]))) AS u(p)
+       |  GROUP BY 1, 2),
+       |m$i AS (SELECT l, r, c FROM pc$i ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+       |r$i(w, freq, s, pos, out, skip) AS (
+       |  SELECT w, freq, s, 1, CAST([] AS VARCHAR[]), false FROM sym${i - 1}
+       |  UNION ALL
+       |  SELECT w, freq, s, pos + 1,
+       |    CASE WHEN skip THEN out
+       |         WHEN pos < len(s) AND s[pos] = (SELECT l FROM m$i)
+       |              AND s[pos + 1] = (SELECT r FROM m$i)
+       |           THEN list_append(out, s[pos] || s[pos + 1])
+       |         ELSE list_append(out, s[pos]) END,
+       |    CASE WHEN skip THEN false
+       |         WHEN pos < len(s) AND s[pos] = (SELECT l FROM m$i)
+       |              AND s[pos + 1] = (SELECT r FROM m$i) THEN true
+       |         ELSE false END
+       |  FROM r$i WHERE pos <= len(s)),
+       |sym$i AS (SELECT w, freq, out AS s FROM r$i WHERE pos = len(s) + 1)""".stripMargin
+
   /** DuckDB spelling of Spark's `Percentile` interpolation, PINNED to the
     * exact arithmetic `Percentile.getPercentile` performs — pos =
     * (n−1)·q, lo = floor(pos), hi = ceil(pos), and the interpolated
@@ -407,6 +515,26 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_bpe_learned_merges" ->
+      s"""WITH RECURSIVE
+         |words AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest($toksSql) AS w FROM documents)
+         |  WHERE w != '' GROUP BY 1),
+         |sym0 AS (
+         |  SELECT w, freq,
+         |         list_transform(range(1, len(w) + 1),
+         |           i -> substring(w, CAST(i AS INT), 1)) AS s
+         |  FROM words),
+         |${bpeRoundSql(1)},
+         |${bpeRoundSql(2)},
+         |${bpeRoundSql(3)}
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS INT) AS rank, l AS left_sym, r AS right_sym,
+         |         c AS pair_count FROM m1
+         |  UNION ALL SELECT 2, l, r, c FROM m2
+         |  UNION ALL SELECT 3, l, r, c FROM m3)
+         |ORDER BY rank""".stripMargin,
     "docs_length_profile" ->
       s"""WITH t AS (
          |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -586,6 +714,7 @@ object TextAnalysis {
     "docs_length_profile" -> lengthProfile _,
     "text_token_stats"  -> tokenStats _,
     "text_bpe_tokens"   -> bpeTokens _,
+    "text_bpe_learned_merges" -> bpeLearnedMerges _,
     "text_langid_ngram" -> langIdNgram _,
     "top_bigrams_per_lang" -> topBigramsPerLang _,
     "text_rare_bigram_ratio" -> rareBigramRatio _,

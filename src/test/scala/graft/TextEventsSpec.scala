@@ -4,6 +4,44 @@ import org.apache.spark.sql.functions._
 
 class TextEventsSpec extends SparkSpec {
 
+  test("text_bpe_learned_merges matches a driver-side BPE training recomputation") {
+    import org.apache.spark.sql.functions.col
+    // the full trainer re-implemented imperatively: word histogram, then
+    // per round weighted pair counts → argmax → greedy left-to-right fold
+    val freq = scala.collection.mutable.Map[String, Long]()
+    Tables.documents(spark, sf).select(col("text")).collect().foreach { r =>
+      r.getString(0).split(" ", -1).filter(_.nonEmpty)
+        .foreach(w => freq(w) = freq.getOrElse(w, 0L) + 1L)
+    }
+    val vocab = scala.collection.mutable.Map[String, Vector[String]](
+      freq.keys.map(w => w -> w.toVector.map(_.toString)).toSeq: _*)
+    val want = (1 to 3).map { round =>
+      val pc = scala.collection.mutable.Map[(String, String), Long]()
+      for ((w, s) <- vocab; i <- 0 until s.length - 1)
+        pc((s(i), s(i + 1))) = pc.getOrElse((s(i), s(i + 1)), 0L) + freq(w)
+      val ((l, r), c) = pc.minBy { case ((l, r), c) => (-c, l, r) }
+      for ((w, s) <- vocab) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i < s.length - 1 && s(i) == l && s(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += s(i); i += 1 }
+        }
+        vocab(w) = out.result()
+      }
+      (round, l, r, c)
+    }
+    val got = q("text_bpe_learned_merges").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == want, s"got $got\nwant $want")
+    // the merges must actually be learned from pair statistics, not
+    // degenerate: counts strictly positive and non-increasing is NOT
+    // guaranteed (a merge can create a more frequent pair), but every
+    // count must be positive and pairs distinct
+    assert(got.map(m => (m._2, m._3)).distinct.size == 3 && got.forall(_._4 > 0))
+  }
+
   test("text_quality: n_chars matches the documents table's own column") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("n_chars").alias("expected"))
     val bad = q("text_quality").join(docs, "doc_id")
