@@ -134,16 +134,36 @@ object TextAnalysis {
 
   private val BpeMergeRounds = 3
 
-  private def bpeLearnedMergesBuild(spark: SparkSession, sfDir: String): DataFrame = {
-    val words = Tables.loadSpread(spark, sfDir, "documents")
+  /** The corpus word histogram every BPE consumer trains on — the one
+    * corpus-sized pass; session-persisted so the merges and vocabulary
+    * queries share it.
+    */
+  private def bpeWords(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.loadSpread(spark, sfDir, "documents")
       .select(explode(TextFunctions.tokens(col("text"))).alias("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).alias("freq"))
       .transform(graft.CacheLifecycle.sessionPersist)
+
+  private def bpeLearnedMergesBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    val (merges, _) = bpeTrainOn(bpeWords(spark, sfDir), BpeMergeRounds)
+    import spark.implicits._
+    merges.toDF("rank", "left_sym", "right_sym", "pair_count").orderBy("rank")
+  }
+
+  /** The BPE training loop proper over any word-histogram frame
+    * (`w`, `freq`) — factored so specs can train on PLANTED vocabularies
+    * (symbol runs ≥ 5 distinguish the greedy fold from lookalike
+    * spellings; quoted symbols exercise the literal escaping). Returns
+    * the learned merges and the final segmented symbol frame
+    * (`w`, `freq`, `s`).
+    */
+  private[graft] def bpeTrainOn(words: DataFrame, rounds: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     var sym = words.select(col("w"), col("freq"),
       expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias("s"))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    for (round <- 1 to BpeMergeRounds) {
+    for (round <- 1 to rounds) {
       val top = sym.filter(size(col("s")) >= 2)
         .select(col("freq"), explode(expr(
           "transform(sequence(1, size(s) - 1), " +
@@ -170,10 +190,27 @@ object TextAnalysis {
            |                      'skip', false) END,
            |  acc -> acc.out)""".stripMargin).alias("s"))
     }
-    import spark.implicits._
-    merges.toSeq.toDF("rank", "left_sym", "right_sym", "pair_count")
-      .orderBy("rank")
+    (merges.toSeq, sym)
   }
+
+  /** The TRAINED-TOKENIZER VOCABULARY — every corpus word segmented by
+    * the [[BpeMergeRounds]] learned merges, with its frequency and
+    * symbol count: the artifact a tokenizer build publishes beside the
+    * merge table (and the direct input to a token-count estimate under
+    * the new vocabulary). Same training loop as [[bpeLearnedMerges]]
+    * over the shared persisted histogram; the oracle replays training
+    * and reads the final symbol table, so the SEGMENTATIONS themselves
+    * — not just the merge rules — are the gate fact (symbols join to a
+    * string because the harness hash-compares scalars, not arrays).
+    */
+  def bpeVocab(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoized(s"textanalysis.bpeVocab:$sfDir") {
+      val (_, sym) = bpeTrainOn(bpeWords(spark, sfDir), BpeMergeRounds)
+      sym.select(col("w"), col("freq"),
+        size(col("s")).alias("n_sym"),
+        array_join(col("s"), " ").alias("segmented"))
+        .orderBy("w")
+    }
 
   /** Top-5 word bigrams per language, positional (every occurrence counts,
     * unlike the distinct shingles of the dedup tier). The token array is
@@ -535,6 +572,23 @@ object TextAnalysis {
          |  UNION ALL SELECT 2, l, r, c FROM m2
          |  UNION ALL SELECT 3, l, r, c FROM m3)
          |ORDER BY rank""".stripMargin,
+    "text_bpe_vocab" ->
+      s"""WITH RECURSIVE
+         |words AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest($toksSql) AS w FROM documents)
+         |  WHERE w != '' GROUP BY 1),
+         |sym0 AS (
+         |  SELECT w, freq,
+         |         list_transform(range(1, len(w) + 1),
+         |           i -> substring(w, CAST(i AS INT), 1)) AS s
+         |  FROM words),
+         |${bpeRoundSql(1)},
+         |${bpeRoundSql(2)},
+         |${bpeRoundSql(3)}
+         |SELECT w, freq, CAST(len(s) AS INT) AS n_sym,
+         |       array_to_string(s, ' ') AS segmented
+         |FROM sym3 ORDER BY w""".stripMargin,
     "docs_length_profile" ->
       s"""WITH t AS (
          |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -715,6 +769,7 @@ object TextAnalysis {
     "text_token_stats"  -> tokenStats _,
     "text_bpe_tokens"   -> bpeTokens _,
     "text_bpe_learned_merges" -> bpeLearnedMerges _,
+    "text_bpe_vocab" -> bpeVocab _,
     "text_langid_ngram" -> langIdNgram _,
     "top_bigrams_per_lang" -> topBigramsPerLang _,
     "text_rare_bigram_ratio" -> rareBigramRatio _,

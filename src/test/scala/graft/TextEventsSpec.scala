@@ -42,6 +42,28 @@ class TextEventsSpec extends SparkSpec {
     assert(got.map(m => (m._2, m._3)).distinct.size == 3 && got.forall(_._4 > 0))
   }
 
+  test("BPE trainer: planted vocabulary pins greedy-fold semantics and symbol escaping") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // "aaaaa" is THE distinguishing case: greedy left-to-right merging of
+    // (a,a) yields [aa, aa, a]; a replace-until-fixpoint lookalike yields
+    // [aa, a, aa]. "o'x" plants a quote in the symbol alphabet so round
+    // 3's fold must escape its injected literal. freqs force merge
+    // order: (a,a)=12, then (a,b)=5, then round 3 is a 4-vs-4 tie of
+    // (o,') and (',x) against (aa,aa)=(aa,a)=3 — broken lexicographically
+    // to (', x), the quoted symbol.
+    val words = Seq(("aaaaa", 3L), ("ab", 5L), ("o'x", 4L)).toDF("w", "freq")
+    val (merges, sym) = graft.operators.TextAnalysis.bpeTrainOn(words, 3)
+    assert(merges == Seq((1, "a", "a", 12L), (2, "a", "b", 5L), (3, "'", "x", 4L)),
+      s"merges: $merges")
+    val seg = sym.select(col("w"),
+        org.apache.spark.sql.functions.array_join(col("s"), "|").alias("seg"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(seg("aaaaa") == "aa|aa|a", s"greedy fold broken: ${seg("aaaaa")}")
+    assert(seg("ab") == "ab")
+    assert(seg("o'x") == "o|'x", s"quote symbol mishandled: ${seg("o'x")}")
+  }
+
   test("text_quality: n_chars matches the documents table's own column") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("n_chars").alias("expected"))
     val bad = q("text_quality").join(docs, "doc_id")
