@@ -200,6 +200,44 @@ class StreamingSpec extends SparkSpec {
     assert(latest.count() == want.count() && want.count() > 0)
   }
 
+  test("foreachBatch SCD2 apply-changes fails loudly on an out-of-order CDC batch") {
+    import graft.operators.WindowAnalytics
+    val orders = Tables.orders(spark, sf)
+    val (cut1, cut2) = ("1996-07-01", "1998-07-01")
+    val history0 = WindowAnalytics.priorityIntervalHistoryOf(
+      orders.filter(col("o_orderdate") < cut1))
+    val cdcDir = java.nio.file.Files.createTempDirectory("graft-scd2ooo")
+    def stage(pred: org.apache.spark.sql.Column, name: String, ageSec: Long): Unit = {
+      val d = cdcDir.resolve(name)
+      orders.filter(pred).coalesce(1).write.parquet(d.toString)
+      java.nio.file.Files.walk(d).forEach(p =>
+        p.toFile.setLastModified(System.currentTimeMillis() - ageSec * 1000))
+    }
+    // REVERSED mod times: the late range arrives first, so the second
+    // batch's rows predate state the first batch already folded — the
+    // append-only contract must kill the query, not corrupt the dimension
+    stage(col("o_orderdate") >= cut2, "late", 60)
+    stage(col("o_orderdate") >= cut1 && col("o_orderdate") < cut2, "early", 30)
+    val stream = spark.readStream
+      .schema(orders.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$cdcDir/*")
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-scd2ooos").toString
+    val query = streaming.EventStream.scd2ApplyChangesStream(stream, history0, stateDir)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try query.processAllAvailable() finally query.stop()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(c =>
+        Option(c.getMessage).exists(_.contains("append-only CDC contract violated"))),
+      s"wrong failure: $e")
+    // the violating batch must NOT have advanced the state: only v0 (the
+    // seed) and v1 (the first, valid fold) exist
+    val gens = new java.io.File(stateDir).list().filter(_.matches("v\\d+")).sorted
+    assert(gens.sameElements(Array("v0", "v1")), s"generations: ${gens.mkString(",")}")
+  }
+
   test("foreachBatch totals maintenance equals the one-shot aggregate bit-exactly") {
     import graft.operators.StarSchema
     val detail = Tables.lineitem(spark, sf)
