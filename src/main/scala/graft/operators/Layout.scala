@@ -131,7 +131,13 @@ object Layout {
       bucketedJoinRead(spark, sfDir).orderBy("o_orderkey")
     }
 
-  private[graft] def writeBucketedTables(spark: SparkSession, sfDir: String): Unit = {
+  /** `suffix` exists for specs (same rationale as
+    * [[writeTotalsStateTables]]): rewriting the DEFAULT tables would
+    * strand the registered query's durable-memoized frame on a stale
+    * part-file listing.
+    */
+  private[graft] def writeBucketedTables(spark: SparkSession, sfDir: String,
+      suffix: String = ""): Unit = {
     def write(df: DataFrame, t: String, key: String): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS ${bucketTable(sfDir, t)}")
       df.write.mode("overwrite")
@@ -142,10 +148,10 @@ object Layout {
     }
     write(Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_orderpriority")),
-      "orders", "o_orderkey")
+      s"orders$suffix", "o_orderkey")
     write(Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
-      "lineitem", "l_orderkey")
+      s"lineitem$suffix", "l_orderkey")
   }
 
   /** The join + rollup over already-written bucketed tables, pre-sort —
@@ -155,9 +161,10 @@ object Layout {
     * stable ~1/17 sample of orders; Catalyst pushes it below the join
     * into the orders scan and infers the twin predicate on lineitem.
     */
-  private[graft] def bucketedJoinRead(spark: SparkSession, sfDir: String): DataFrame = {
-    val o = spark.table(bucketTable(sfDir, "orders"))
-    val l = spark.table(bucketTable(sfDir, "lineitem"))
+  private[graft] def bucketedJoinRead(spark: SparkSession, sfDir: String,
+      suffix: String = ""): DataFrame = {
+    val o = spark.table(bucketTable(sfDir, s"orders$suffix"))
+    val l = spark.table(bucketTable(sfDir, s"lineitem$suffix"))
     o.join(l, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderpriority"))
       .agg(

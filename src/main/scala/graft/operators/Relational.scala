@@ -542,7 +542,7 @@ object Relational {
     * part's components are its key halved and thirded — strictly
     * DECREASING keys, so the graph is acyclic by construction and every
     * path bottoms out at key 1; edge quantities derive from key
-    * residues), walked from the `% 20 == 0` root assemblies with
+    * residues), walked from the `% 50 == 0` root assemblies with
     * per-path QUANTITY MULTIPLICATION, then aggregated to the classic
     * BOM answer: total required quantity of each component per unit of
     * each root = Σ over paths Π edge quantities. Path multiplicity is
@@ -564,34 +564,43 @@ object Relational {
     * production knob for deeper walks — the library does not mutate
     * session conf behind the caller's back). With the cap, sf0.1 walks
     * ~350k path rows across 400 roots. Scale shape: each level joins
-    * the CURRENT FRONTIER against the bounded edge relation (≤ 2 edges
-    * per part — derived once from the part scan), per-level work
-    * proportional to live paths, never corpus-resident state; the final
-    * rollup is one hash aggregate over the path rows.
+    * the CURRENT FRONTIER against the bounded edge relation — derived
+    * ONCE and session-persisted (an inline `edges` CTE would re-scan
+    * the part table and re-derive every level, the
+    * [[customerOrderChainSql]] per-level-recompute lesson applied here
+    * from the start) — per-level work proportional to live paths, never
+    * corpus-resident state; the final rollup is one hash aggregate over
+    * the path rows.
     */
   private val BomDepthCap = 9
 
   def partBomExplosionSql(spark: SparkSession, sfDir: String): DataFrame = {
-    // invocation-scoped view, dropped before returning — same catalog
+    // invocation-scoped views, dropped before returning — same catalog
     // hygiene as [[customerOrderChainSql]]
-    val view = s"graft_bom_parts_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    Tables.part(spark, sfDir).select(col("p_partkey")).createOrReplaceTempView(view)
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val partsView = s"graft_bom_parts_$tag"
+    val edgesView = s"graft_bom_edges_$tag"
+    val part = Tables.part(spark, sfDir).select(col("p_partkey"))
+    part.createOrReplaceTempView(partsView)
+    val edges = part.select(col("p_partkey").alias("parent"),
+        expr("p_partkey div 2").alias("component"),
+        expr("p_partkey % 3 + 1").alias("qty"))
+      .filter(col("component") >= 1)
+      .unionAll(part.select(col("p_partkey").alias("parent"),
+          expr("p_partkey div 3").alias("component"),
+          expr("p_partkey % 5 + 1").alias("qty"))
+        .filter(col("component") >= 1 &&
+          expr("p_partkey div 3") =!= expr("p_partkey div 2")))
+      .transform(graft.CacheLifecycle.sessionPersist)
+    edges.createOrReplaceTempView(edgesView)
     try spark.sql(
       s"""WITH RECURSIVE
-         |edges AS (
-         |  SELECT p_partkey AS parent, p_partkey div 2 AS component,
-         |         p_partkey % 3 + 1 AS qty
-         |  FROM $view WHERE p_partkey div 2 >= 1
-         |  UNION ALL
-         |  SELECT p_partkey, p_partkey div 3, p_partkey % 5 + 1
-         |  FROM $view WHERE p_partkey div 3 >= 1
-         |    AND p_partkey div 3 != p_partkey div 2),
          |bom(root_key, part_key, qty, lvl) AS (
          |  SELECT p_partkey, p_partkey, CAST(1 AS BIGINT), 0
-         |  FROM $view WHERE p_partkey % 50 = 0
+         |  FROM $partsView WHERE p_partkey % 50 = 0
          |  UNION ALL
          |  SELECT b.root_key, e.component, b.qty * e.qty, b.lvl + 1
-         |  FROM bom b JOIN edges e ON b.part_key = e.parent
+         |  FROM bom b JOIN $edgesView e ON b.part_key = e.parent
          |  WHERE b.lvl < $BomDepthCap)
          |SELECT root_key, part_key,
          |       CAST(count(*) AS BIGINT) AS n_paths,
@@ -600,7 +609,10 @@ object Relational {
          |FROM bom WHERE lvl > 0
          |GROUP BY root_key, part_key
          |ORDER BY root_key, part_key""".stripMargin)
-    finally spark.catalog.dropTempView(view)
+    finally {
+      spark.catalog.dropTempView(partsView)
+      spark.catalog.dropTempView(edgesView)
+    }
   }
 
   val oracles: Map[String, String] = Map(

@@ -146,9 +146,31 @@ object TextAnalysis {
       .transform(graft.CacheLifecycle.sessionPersist)
 
   private def bpeLearnedMergesBuild(spark: SparkSession, sfDir: String): DataFrame = {
-    val (merges, _) = bpeTrainOn(bpeWords(spark, sfDir), BpeMergeRounds)
+    val (merges, _) = bpeTrained(spark, sfDir)
     import spark.implicits._
     merges.toDF("rank", "left_sym", "right_sym", "pair_count").orderBy("rank")
+  }
+
+  /** One training run per session serving BOTH registered artifacts
+    * (merges table + segmented vocabulary) — [[bpeTrainOn]] returns the
+    * pair, so training twice under two memo keys would double the
+    * vocab-grain jobs and driver argmaxes for nothing. Dead-session
+    * entries are dropped and rebuilt, mirroring
+    * [[graft.CacheLifecycle.memoized]]; a benign double-build under a
+    * concurrent race is acceptable (the result is deterministic).
+    */
+  private val bpeTrainedCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(Int, String, String, Long)], DataFrame)]()
+
+  private def bpeTrained(spark: SparkSession,
+      sfDir: String): (Seq[(Int, String, String, Long)], DataFrame) = {
+    val hit = bpeTrainedCache.get(sfDir)
+    if (hit != null && !hit._2.sparkSession.sparkContext.isStopped) hit
+    else {
+      val trained = bpeTrainOn(bpeWords(spark, sfDir), BpeMergeRounds)
+      bpeTrainedCache.put(sfDir, trained)
+      trained
+    }
   }
 
   /** The BPE training loop proper over any word-histogram frame
@@ -163,8 +185,16 @@ object TextAnalysis {
     var sym = words.select(col("w"), col("freq"),
       expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias("s"))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    for (round <- 1 to rounds) {
-      val top = sym.filter(size(col("s")) >= 2)
+    // Spark SQL string-literal escaping for the injected merge symbols:
+    // backslash doubles (the default parser processes \x escapes) and a
+    // single quote doubles (SQL-standard; differential-pinned by the
+    // planted-vocabulary spec). The DuckDB oracle needs neither — it
+    // reads the merge pair through scalar subqueries, no injection.
+    def esc(x: String): String = x.replace("\\", "\\\\").replace("'", "''")
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      val topRows = sym.filter(size(col("s")) >= 2)
         .select(col("freq"), explode(expr(
           "transform(sequence(1, size(s) - 1), " +
             "j -> struct(element_at(s, j) AS l, element_at(s, j + 1) AS r))"))
@@ -172,10 +202,17 @@ object TextAnalysis {
         .groupBy(col("p.l").alias("l"), col("p.r").alias("r"))
         .agg(sum(col("freq")).alias("c"))
         .orderBy(col("c").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()(0)
+        .limit(1).collect()
+      if (topRows.isEmpty) {
+        // every word is a single symbol — the vocabulary is fully merged
+        // before the requested round count; a normal terminal state for
+        // a trainer (tiny vocab or large `rounds`), not an error
+        exhausted = true
+      } else {
+      val top = topRows(0)
       val (l, r, c) = (top.getString(0), top.getString(1), top.getLong(2))
       merges += ((round, l, r, c))
-      val (le, re) = (l.replace("'", "''"), r.replace("'", "''"))
+      val (le, re) = (esc(l), esc(r))
       sym = sym.select(col("w"), col("freq"), expr(
         s"""aggregate(sequence(1, size(s)),
            |  named_struct('out', cast(array() as array<string>), 'skip', false),
@@ -189,6 +226,8 @@ object TextAnalysis {
            |    ELSE named_struct('out', concat(acc.out, array(element_at(s, i))),
            |                      'skip', false) END,
            |  acc -> acc.out)""".stripMargin).alias("s"))
+      round += 1
+      }
     }
     (merges.toSeq, sym)
   }
@@ -205,7 +244,7 @@ object TextAnalysis {
     */
   def bpeVocab(spark: SparkSession, sfDir: String): DataFrame =
     graft.CacheLifecycle.memoized(s"textanalysis.bpeVocab:$sfDir") {
-      val (_, sym) = bpeTrainOn(bpeWords(spark, sfDir), BpeMergeRounds)
+      val (_, sym) = bpeTrained(spark, sfDir)
       sym.select(col("w"), col("freq"),
         size(col("s")).alias("n_sym"),
         array_join(col("s"), " ").alias("segmented"))

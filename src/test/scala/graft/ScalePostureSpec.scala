@@ -436,8 +436,10 @@ class ScalePostureSpec extends SparkSpec {
     // the join, hiding the distribution property the layout exists for
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      graft.operators.Layout.writeBucketedTables(spark, sf)
-      val df = graft.operators.Layout.bucketedJoinRead(spark, sf)
+      // own table suffix — see the bucketed-merge test: the DEFAULT
+      // tables back the registered query's durable-memoized frame
+      graft.operators.Layout.writeBucketedTables(spark, sf, suffix = "_spec")
+      val df = graft.operators.Layout.bucketedJoinRead(spark, sf, suffix = "_spec")
       val plan = df.queryExecution.executedPlan
       assert(plan.collect { case j: SortMergeJoinExec => j }.nonEmpty,
         s"expected a SortMergeJoin over the bucketed scans:\n$plan")
@@ -477,8 +479,12 @@ class ScalePostureSpec extends SparkSpec {
     // the outer join, hiding the co-partitioning the layout exists for
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      graft.operators.Layout.writeTotalsStateTables(spark, sf)
-      val df = graft.operators.Layout.bucketedMergeRead(spark, sf)
+      // own table suffix: rewriting the DEFAULT tables here would strand
+      // the registered query's durable-memoized frame on a stale file
+      // listing (it resolves its part files at build) — the exact hazard
+      // the suffix parameter exists to prevent
+      graft.operators.Layout.writeTotalsStateTables(spark, sf, suffix = "_spec")
+      val df = graft.operators.Layout.bucketedMergeRead(spark, sf, suffix = "_spec")
       val plan = df.queryExecution.executedPlan
       assert(plan.collect { case j: SortMergeJoinExec => j }.nonEmpty,
         s"expected a SortMergeJoin over the bucketed partial-state scans:\n$plan")

@@ -62,6 +62,19 @@ class TextEventsSpec extends SparkSpec {
     assert(seg("aaaaa") == "aa|aa|a", s"greedy fold broken: ${seg("aaaaa")}")
     assert(seg("ab") == "ab")
     assert(seg("o'x") == "o|'x", s"quote symbol mishandled: ${seg("o'x")}")
+    // backslash in the symbol alphabet: the winning merge's injected
+    // literal must escape it for Spark's default \x-processing parser
+    val bs = Seq(("q\\z", 7L)).toDF("w", "freq")
+    val (bm, bsym) = graft.operators.TextAnalysis.bpeTrainOn(bs, 2)
+    assert(bm == Seq((1, "\\", "z", 7L), (2, "q", "\\z", 7L)), s"merges: $bm")
+    val bseg = bsym.select(org.apache.spark.sql.functions.array_join(col("s"), "|"))
+      .collect()(0).getString(0)
+    assert(bseg == "q\\z", s"backslash symbol mishandled: $bseg")
+    // vocabulary exhaustion: asking for more rounds than pairs exist must
+    // stop cleanly with the merges actually learnable, not throw
+    val (em, _) = graft.operators.TextAnalysis.bpeTrainOn(
+      Seq(("ab", 1L)).toDF("w", "freq"), 5)
+    assert(em == Seq((1, "a", "b", 1L)), s"exhaustion merges: $em")
   }
 
   test("text_quality: n_chars matches the documents table's own column") {
