@@ -169,6 +169,14 @@ object TextAnalysis {
     else {
       val trained = bpeTrainOn(bpeWords(spark, sfDir), BpeMergeRounds)
       bpeTrainedCache.put(sfDir, trained)
+      // evict with the session caches: a cache surviving unpersistAll
+      // would let bench loops skip re-training after their reset,
+      // breaking the loops-measure-steady-state-rebuild discipline every
+      // other memoized stage follows (CacheLifecycle.memoized entries
+      // are cleared there; this private two-artifact cache must match)
+      graft.CacheLifecycle.trackedRelease(() => {
+        bpeTrainedCache.remove(sfDir); ()
+      })
       trained
     }
   }
