@@ -200,6 +200,45 @@ class StreamingSpec extends SparkSpec {
     assert(latest.count() == want.count() && want.count() > 0)
   }
 
+  test("foreachBatch MinHash ingest-dedup tolerates a shingle-free micro-batch") {
+    import spark.implicits._
+    // a batch whose every document is too short to shingle (3-grams need
+    // ≥3 tokens) must fold as a clean no-op — empty band probe, empty
+    // verified append — and leave the index able to serve later batches
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream9")
+    val docs = Tables.documents(spark, sf)
+    val maxId = docs.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+      .collect()(0).getLong(0)
+    // batch 1: planted short docs with fresh ids; batch 2: the real increment
+    // column order matches the documents schema: doc_id, text, lang,
+    // source, n_chars
+    Seq((maxId + 1, "one two", "en", "srcX", 7L),
+        (maxId + 2, "xy", "en", "srcX", 2L))
+      .toDF(docs.columns: _*)
+      .coalesce(1).write.parquet(dir.resolve("b1").toString)
+    docs.filter(col("doc_id") % 10 === 9)
+      .coalesce(1).write.parquet(dir.resolve("b2").toString)
+    java.nio.file.Files.walk(dir.resolve("b1")).forEach(p =>
+      p.toFile.setLastModified(System.currentTimeMillis() - 60000))
+    java.nio.file.Files.walk(dir.resolve("b2")).forEach(p =>
+      p.toFile.setLastModified(System.currentTimeMillis() - 30000))
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    val history = docs.filter(col("doc_id") % 10 =!= 9)
+    val out = java.nio.file.Files.createTempDirectory("graft-stream9-out")
+      .resolve("pairs").toString
+    val query = streaming.EventStream.minhashIngestDedup(stream, history, out)
+    try query.processAllAvailable() finally query.stop()
+    val streamed = spark.read.parquet(out)
+    val batchOnly = (c: org.apache.spark.sql.Column) => c % 10 === 9
+    val want = q("dedup_minhash_lsh")
+      .filter(batchOnly(col("doc_a")) || batchOnly(col("doc_b")))
+    // the short docs contribute no pairs; the real increment's parity is
+    // untouched by the no-op batch that preceded it
+    assert(streamed.count() == want.count() && want.count() > 0)
+    assert(streamed.exceptAll(want).count() == 0)
+  }
+
   test("foreachBatch SCD2 apply-changes fails loudly on an out-of-order CDC batch") {
     import graft.operators.WindowAnalytics
     val orders = Tables.orders(spark, sf)
