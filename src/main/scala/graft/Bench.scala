@@ -64,9 +64,20 @@ object Bench {
     // landing on one loop otherwise corrupts the artifact unrecoverably.
     // Caches are reset between loops, so loop 2 rebuilds the
     // session-cached intermediates exactly like loop 1.
+    // A failing query must not masquerade as a fast timing: round 13's
+    // uncapped BOM walk threw RECURSION_ROW_LIMIT_EXCEEDED inside the
+    // loop and its ~1.9 s failure time read as a normal entry for a full
+    // bench run before BenchOrder surfaced it. Failures still count
+    // toward the loop total (the loop did spend that time) but are named
+    // in the artifact so a red query can never hide in a green-looking
+    // number.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def timedLoop(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
+      try { materialize(fn(spark, sfDir)) } catch { case t: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${t.getClass.getSimpleName}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val loop1 = timedLoop()
@@ -93,9 +104,12 @@ object Bench {
     // queries only, up to a fixed character budget; the complete maps go to
     // bench_full.json beside the repo for inspection.
     val sortedDesc = results.toSeq.sortBy(-_._2)
+    val failedJson =
+      if (failed.isEmpty) ""
+      else s""","failed":[${failed.map("\"" + _ + "\"").mkString(",")}]"""
     val header = s""""metric":"total","value":${num(total)},"unit":"sec","bench_schema":4,""" +
       s""""min_total":${num(minTotal)},"n_queries":${results.size},""" +
-      s""""loop_totals":[${num(loop1Total)},${num(loop2Total)}]"""
+      s""""loop_totals":[${num(loop1Total)},${num(loop2Total)}]$failedJson"""
     val fullJson = {
       def qmap(m: Map[String, Double]): String =
         sortedDesc.map { case (k, _) => entry(k, m(k)) }.mkString("{", ",", "}")
