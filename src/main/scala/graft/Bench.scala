@@ -55,7 +55,8 @@ object Bench {
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     SparkEntry.queries.valuesIterator.foreach(fn =>
-      try materialize(fn(spark, sfDir)) catch { case _: Throwable => })
+      try materialize(fn(spark, sfDir))
+      catch { case scala.util.control.NonFatal(_) => })
     CacheLifecycle.unpersistAll()
     spark.catalog.clearCache()
     // Two timed loops. Rationale: the recorded round-5 total (264 s) was
@@ -70,11 +71,17 @@ object Bench {
     // bench run before BenchOrder surfaced it. Failures still count
     // toward the loop total (the loop did spend that time) but are named
     // in the artifact so a red query can never hide in a green-looking
-    // number.
+    // number. NonFatal only: an OutOfMemoryError or other fatal error
+    // must abort the run — a "timing" produced by a dying JVM is not a
+    // measurement, and swallowing the error would record it as one.
+    // (The optional "failed" field under bench_schema 4 is documented in
+    // BENCH_NOTES.md — absent on a clean run, present naming the red
+    // queries otherwise.)
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def timedLoop(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { materialize(fn(spark, sfDir)) } catch { case t: Throwable =>
+      try { materialize(fn(spark, sfDir)) }
+      catch { case scala.util.control.NonFatal(t) =>
         failed += name
         System.err.println(s"[bench] $name FAILED: ${t.getClass.getSimpleName}")
       }
@@ -118,7 +125,7 @@ object Bench {
     try {
       val w = new java.io.PrintWriter("bench_full.json")
       try w.println(fullJson) finally w.close()
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
     val budget = 1400 // chars for the queries map; keeps the whole line well under the 2000-char tail
     // stop at the FIRST entry that no longer fits, so the printed map is a
     // true slowest-prefix — a greedy fill would skip a slow long-named

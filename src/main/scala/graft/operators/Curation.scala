@@ -835,9 +835,33 @@ object Curation {
     // bounded final rows; warm, consumers read 4 partitions instead of
     // 32. ~56 leg tasks total replace ~350.
     val LegParts = 4
-    def tag(df: DataFrame, name: String, v: Column): DataFrame =
+    // REQUIRED invariant for every leg (the coalesce's safety argument):
+    // the source frame must terminate in an exchange or cached read —
+    // an orderBy's range exchange, an aggregate/join/window's shuffle,
+    // or a persisted InMemoryRelation — so the coalesce narrows only the
+    // bounded post-exchange tail. A leg built on a PURE-NARROW frame
+    // (project/filter straight over a scan) would silently have its
+    // entire map-side computation squeezed onto LegParts tasks; this
+    // check turns that silent distribution bug into a build-time error.
+    def requireExchangeTerminated(df: DataFrame, name: String): Unit = {
+      import org.apache.spark.sql.catalyst.plans.{logical => lp}
+      import org.apache.spark.sql.execution.columnar.InMemoryRelation
+      val ok = df.queryExecution.optimizedPlan.exists {
+        case s: lp.Sort => s.global
+        case _: lp.Aggregate | _: lp.Join | _: lp.Window | _: lp.Deduplicate => true
+        case _: lp.RepartitionOperation => true
+        case _: InMemoryRelation => true
+        case _ => false
+      }
+      require(ok, s"curation leg '$name' is not exchange-terminated or cached: " +
+        "coalescing it would narrow its whole map-side computation to " +
+        s"$LegParts tasks — persist the stage frame or end it in a shuffle")
+    }
+    def tag(df: DataFrame, name: String, v: Column): DataFrame = {
+      requireExchangeTerminated(df, name)
       df.select(col("doc_id"), lit(name).alias("sig"), v.cast("long").alias("v"))
         .coalesce(LegParts)
+    }
     // the four PII counts ride ONE stack leg (4 rows per doc from one
     // cached scan) instead of four union legs — a quarter of the task
     // submissions for the same (doc_id, sig, v) rows
@@ -850,9 +874,12 @@ object Curation {
     // last exchange and still runs at full map width on the cold build;
     // the coalesce narrows only the bounded post-exchange tail each leg
     // reads
-    val piiLeg = piiRedacted(spark, sfDir)
-      .selectExpr("doc_id", s"stack(${PiiRules.size}, $piiPairs) as (sig, v)")
-      .coalesce(LegParts)
+    val piiLeg = {
+      val src = piiRedacted(spark, sfDir)
+      requireExchangeTerminated(src, "pii")
+      src.selectExpr("doc_id", s"stack(${PiiRules.size}, $piiPairs) as (sig, v)")
+        .coalesce(LegParts)
+    }
     val signals = Seq(
       tag(Dedup.minhashLsh(spark, sfDir)
         .select(col("doc_b").alias("doc_id")).distinct(), "is_dup", lit(1L)),

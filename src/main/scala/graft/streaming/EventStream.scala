@@ -236,6 +236,84 @@ object EventStream {
       .start()
   }
 
+  /** Generation numbers currently on disk under `stateDir` (ascending).
+    * LOCAL-FILESYSTEM assumption (shared by every generation helper
+    * here): the state dirs are `java.io.File` paths — the test-run form;
+    * a production deployment swaps these listings for table-format
+    * snapshot metadata, which is the durable spelling of the same
+    * write-new-then-advance dance.
+    */
+  private def stateGenerations(stateDir: String): Seq[Int] = {
+    val listed = new java.io.File(stateDir).list()
+    if (listed == null) Seq.empty
+    else listed.toSeq.filter(_.matches("v\\d+")).map(_.drop(1).toInt).sorted
+  }
+
+  /** Marker file recording which streaming batchId produced a generation
+    * — the idempotence token: a re-delivered batch (restart/retry replays
+    * the last uncommitted micro-batch) finds its marker and no-ops
+    * instead of double-folding. Written AFTER the generation's parquet
+    * commit, so a crash between the two replays the fold into the same
+    * generation number (overwrite — still exactly-once in effect).
+    */
+  private def batchMarker(stateDir: String, gen: Int, batchId: Long): java.io.File =
+    new java.io.File(s"$stateDir/v$gen/_batch_$batchId")
+
+  private def batchAlreadyApplied(stateDir: String, batchId: Long): Boolean =
+    stateGenerations(stateDir).exists(g => batchMarker(stateDir, g, batchId).exists())
+
+  /** Seed `stateDir/v0` from `initial` unless generations already exist
+    * (a RESTARTED stream resumes from the newest on-disk generation —
+    * the state, not the caller's argument, is authoritative then).
+    * Returns the newest generation number.
+    */
+  private def seedOrResume(initial: DataFrame, stateDir: String): Int = {
+    val gens = stateGenerations(stateDir)
+    if (gens.isEmpty) {
+      initial.write.mode("overwrite").parquet(s"$stateDir/v0")
+      0
+    } else gens.max
+  }
+
+  /** The shared read-fold-write generation advance both maintenance
+    * streams run per micro-batch: skip a re-delivered batch (marker
+    * check), fold `fold(current, batch)` into `v(n+1)`, then commit the
+    * batch marker. `retain` (if set) drops all but the newest `retain`
+    * generations AFTER the advance — see [[retainStateGenerations]].
+    */
+  private def advanceState(stateDir: String, batchId: Long,
+      fold: DataFrame => DataFrame, spark: SparkSession,
+      retain: Option[Int]): Unit = {
+    if (!batchAlreadyApplied(stateDir, batchId)) {
+      val cur = stateGenerations(stateDir).max
+      fold(spark.read.parquet(s"$stateDir/v$cur"))
+        .write.mode("overwrite").parquet(s"$stateDir/v${cur + 1}")
+      batchMarker(stateDir, cur + 1, batchId).createNewFile()
+      retain.foreach(k => retainStateGenerations(stateDir, k))
+    }
+  }
+
+  /** RETENTION — the vacuum half of the write-new-then-advance snapshot
+    * dance: keep the newest `keep` generations, delete the rest. Runs
+    * strictly AFTER a new generation is committed, so a reader of
+    * [[scd2StateLatest]] is never pointed at a deleted dir (the newest
+    * generation is by definition retained). Returns the deleted
+    * generation numbers. Production table formats call this VACUUM /
+    * expire_snapshots; the local-dir form carries the same contract —
+    * retention must never touch the newest generation.
+    */
+  def retainStateGenerations(stateDir: String, keep: Int): Seq[Int] = {
+    require(keep >= 1, s"retention must keep at least the newest generation (got $keep)")
+    val gens = stateGenerations(stateDir)
+    val drop = gens.dropRight(keep)
+    drop.foreach { g =>
+      val dir = new java.io.File(s"$stateDir/v$g")
+      dir.listFiles().foreach(_.delete())
+      dir.delete()
+    }
+    drop
+  }
+
   /** STREAMING SCD2 DIMENSION MAINTENANCE via `foreachBatch` — the
     * streaming form of the `dim_customer_scd2_incremental` gate: the
     * versioned dimension lives as a parquet table, and each CDC
@@ -247,30 +325,32 @@ object EventStream {
     * corrupting the dimension). State generations write to
     * `stateDir/v{n}` — write-new-then-advance, never overwrite-in-place
     * while reading, the standard table-format dance that e.g. a
-    * lakehouse MERGE INTO performs transactionally. StreamingSpec pins
-    * the parity: after two micro-batches the latest generation is
-    * ROW-IDENTICAL to the from-scratch interval build over all orders.
+    * lakehouse MERGE INTO performs transactionally. Each generation
+    * carries the batchId that produced it ([[batchMarker]]), so a
+    * re-delivered batch is a NO-OP and a restarted stream resumes from
+    * the newest on-disk generation instead of re-seeding v0
+    * ([[seedOrResume]]). StreamingSpec pins the parity: after two
+    * micro-batches the latest generation is ROW-IDENTICAL to the
+    * from-scratch interval build over all orders.
     *
     * 100 TB posture: each fold re-sorts only the RUN grain of AFFECTED
     * keys plus the batch (the apply-changes scale shape); unaffected
     * keys ride the carried anti-join untouched. The generation dirs
     * stand in for table-format snapshots; production replaces the
-    * read-fold-write with MERGE INTO against the same plan.
+    * read-fold-write with MERGE INTO against the same plan. `retain`
+    * bounds the generation history ([[retainStateGenerations]]).
     */
   def scd2ApplyChangesStream(ordersStream: DataFrame, initialHistory: DataFrame,
-      stateDir: String): StreamingQuery = {
+      stateDir: String, retain: Option[Int] = None): StreamingQuery = {
     val spark = ordersStream.sparkSession
-    initialHistory.write.mode("overwrite").parquet(s"$stateDir/v0")
-    val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+    seedOrResume(initialHistory, stateDir)
     ordersStream.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val cur = spark.read.parquet(s"$stateDir/v${gen.get()}")
-        graft.operators.WindowAnalytics.scd2ApplyChanges(cur, batch.toDF())
-          .write.mode("overwrite").parquet(s"$stateDir/v${gen.get() + 1}")
-        gen.incrementAndGet()
-        ()
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        advanceState(stateDir, batchId,
+          cur => graft.operators.WindowAnalytics.scd2ApplyChanges(cur, batch.toDF()),
+          spark, retain)
       }
       .start()
   }
@@ -297,31 +377,31 @@ object EventStream {
     * stream pays only its own batch's aggregation shuffle.
     */
   def totalsMaintenanceStream(detailStream: DataFrame, initialState: DataFrame,
-      stateDir: String): StreamingQuery = {
+      stateDir: String, retain: Option[Int] = None): StreamingQuery = {
     val spark = detailStream.sparkSession
-    initialState.write.mode("overwrite").parquet(s"$stateDir/v0")
-    val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+    seedOrResume(initialState, stateDir)
     detailStream.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val cur = spark.read.parquet(s"$stateDir/v${gen.get()}")
-        graft.operators.StarSchema.mergeTotalsPartials(cur,
-            graft.operators.StarSchema.totalsPartialsOfDetail(batch.toDF()))
-          .write.mode("overwrite").parquet(s"$stateDir/v${gen.get() + 1}")
-        gen.incrementAndGet()
-        ()
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        advanceState(stateDir, batchId,
+          cur => graft.operators.StarSchema.mergeTotalsPartials(cur,
+            graft.operators.StarSchema.totalsPartialsOfDetail(batch.toDF())),
+          spark, retain)
       }
       .start()
   }
 
   /** The newest state generation under `stateDir` (see
-    * [[scd2ApplyChangesStream]] / [[totalsMaintenanceStream]]).
+    * [[scd2ApplyChangesStream]] / [[totalsMaintenanceStream]]); fails
+    * with a named error — not an NPE/empty-max — when `stateDir` is
+    * missing or holds no `v*` generations. Local-filesystem listing,
+    * like all generation helpers here (see [[stateGenerations]]).
     */
   def scd2StateLatest(spark: SparkSession, stateDir: String): DataFrame = {
-    val latest = new java.io.File(stateDir).list()
-      .filter(_.matches("v\\d+")).map(_.drop(1).toInt).max
-    spark.read.parquet(s"$stateDir/v$latest")
+    val gens = stateGenerations(stateDir)
+    require(gens.nonEmpty, s"no state generations (v0, v1, ...) under $stateDir")
+    spark.read.parquet(s"$stateDir/v${gens.max}")
   }
 
   /** Drive a streaming aggregation to a named in-memory table and process

@@ -312,6 +312,96 @@ class StreamingSpec extends SparkSpec {
     assert(got == want && want.nonEmpty)
   }
 
+  test("state generation retention keeps the newest k and never breaks the latest reader") {
+    import graft.operators.StarSchema
+    val detail = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("o_orderdate"))
+    val (cut1, cut2) = ("1996-07-01", "1998-07-01")
+    val state0 = StarSchema.totalsPartialsOfDetail(
+      detail.filter(col("o_orderdate") < cut1))
+    val cdcDir = java.nio.file.Files.createTempDirectory("graft-retaincdc")
+    def stage(pred: org.apache.spark.sql.Column, name: String, ageSec: Long): Unit = {
+      val d = cdcDir.resolve(name)
+      detail.filter(pred).coalesce(1).write.parquet(d.toString)
+      java.nio.file.Files.walk(d).forEach(p =>
+        p.toFile.setLastModified(System.currentTimeMillis() - ageSec * 1000))
+    }
+    stage(col("o_orderdate") >= cut1 && col("o_orderdate") < cut2, "b1", 60)
+    stage(col("o_orderdate") >= cut2, "b2", 30)
+    val stream = spark.readStream.schema(detail.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$cdcDir/*")
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-retainstate").toString
+    // retain=1: after each advance only the newest generation survives
+    val query = streaming.EventStream.totalsMaintenanceStream(
+      stream, state0, stateDir, retain = Some(1))
+    try query.processAllAvailable() finally query.stop()
+    val gens = new java.io.File(stateDir).list().filter(_.matches("v\\d+")).sorted
+    assert(gens.sameElements(Array("v2")), s"generations: ${gens.mkString(",")}")
+    // the reader of `latest` is unaffected by the vacuumed history
+    val got = StarSchema.finalizeTotals(
+        streaming.EventStream.scd2StateLatest(spark, stateDir))
+      .orderBy("product_key").collect().toSeq
+    val want = q("fact_product_totals_incremental").collect().toSeq
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("a re-delivered micro-batch is a no-op and a restarted stream resumes from disk") {
+    import graft.operators.StarSchema
+    val detail = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("o_orderdate"))
+    val (cut1, cut2) = ("1996-07-01", "1998-07-01")
+    val state0 = StarSchema.totalsPartialsOfDetail(
+      detail.filter(col("o_orderdate") < cut1))
+    val cdcDir = java.nio.file.Files.createTempDirectory("graft-redelivercdc")
+    def stage(pred: org.apache.spark.sql.Column, name: String, ageSec: Long): Unit = {
+      val d = cdcDir.resolve(name)
+      detail.filter(pred).coalesce(1).write.parquet(d.toString)
+      java.nio.file.Files.walk(d).forEach(p =>
+        p.toFile.setLastModified(System.currentTimeMillis() - ageSec * 1000))
+    }
+    stage(col("o_orderdate") >= cut1 && col("o_orderdate") < cut2, "b1", 60)
+    stage(col("o_orderdate") >= cut2, "b2", 30)
+    def newStream() = spark.readStream.schema(detail.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$cdcDir/*")
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-redeliverstate").toString
+    val q1 = streaming.EventStream.totalsMaintenanceStream(newStream(), state0, stateDir)
+    try q1.processAllAvailable() finally q1.stop()
+    val gensAfterFirst = new java.io.File(stateDir).list().filter(_.matches("v\\d+")).sorted
+    assert(gensAfterFirst.sameElements(Array("v0", "v1", "v2")))
+    // a SECOND stream over the same files replays batchIds 0 and 1 (fresh
+    // checkpoint, same mod-time order) — the worst-case redelivery: every
+    // batch arrives again. The batch markers must make both folds no-ops:
+    // no new generations, and the state still equals the one-shot rebuild
+    // (a double-fold would double-count every post-cutover line).
+    // initialState is ignored on resume — on-disk state is authoritative.
+    val q2 = streaming.EventStream.totalsMaintenanceStream(newStream(), state0, stateDir)
+    try q2.processAllAvailable() finally q2.stop()
+    val gensAfterSecond = new java.io.File(stateDir).list().filter(_.matches("v\\d+")).sorted
+    assert(gensAfterSecond.sameElements(Array("v0", "v1", "v2")),
+      s"redelivery advanced state: ${gensAfterSecond.mkString(",")}")
+    val got = StarSchema.finalizeTotals(
+        streaming.EventStream.scd2StateLatest(spark, stateDir))
+      .orderBy("product_key").collect().toSeq
+    val want = q("fact_product_totals_incremental").collect().toSeq
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("scd2StateLatest names the stateDir in its failure instead of an opaque NPE") {
+    val missing = intercept[IllegalArgumentException] {
+      streaming.EventStream.scd2StateLatest(spark, "/tmp/graft-no-such-state-dir")
+    }
+    assert(missing.getMessage.contains("/tmp/graft-no-such-state-dir"))
+    val empty = java.nio.file.Files.createTempDirectory("graft-emptystate").toString
+    val e2 = intercept[IllegalArgumentException] {
+      streaming.EventStream.scd2StateLatest(spark, empty)
+    }
+    assert(e2.getMessage.contains("no state generations"))
+  }
+
   test("stateful mapGroupsWithState latest-per-user equals the batch query") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream2")
     java.nio.file.Files.copy(
