@@ -392,6 +392,146 @@ object EventStream {
       .start()
   }
 
+  /** Bucket count for [[totalsMaintenanceStreamBucketed]] — small
+    * because the fixtures are small; production sizes this to
+    * executor-heap-sized bucket partitions (e.g. 4096 over a 100 TB
+    * state table), exactly like [[graft.operators.Layout]]'s tables.
+    */
+  private[graft] val StateBuckets = 8
+
+  /** The bucket-derived PARTITION column the streaming state table is
+    * laid out by: `pmod(hash(product_key), StateBuckets)`. Hash (not
+    * plain mod) so sequential key ranges spread; the column is a real
+    * partition directory (`bucket=k/`), so a filter on it PRUNES at the
+    * file listing — the mechanism that lets a micro-batch read and
+    * rewrite only the buckets it touches.
+    */
+  private def withStateBucket(df: DataFrame): DataFrame =
+    df.withColumn("bucket", pmod(hash(col("product_key")), lit(StateBuckets)))
+
+  /** Read schema of the bucketed totals state — explicit so an
+    * empty-seeded state table (day-one bootstrap writes zero partition
+    * dirs) reads as an empty frame instead of failing schema inference.
+    */
+  private val totalsStateSchema = StructType(Seq(
+    StructField("product_key", LongType),
+    StructField("q2", LongType),
+    StructField("r4", LongType),
+    StructField("n", LongType),
+    StructField("bucket", IntegerType)))
+
+  private def bucketedStatePath(stateDir: String): String = s"$stateDir/state"
+
+  /** The full bucketed state table (integer partials; finalize at read
+    * with [[graft.operators.StarSchema.finalizeTotals]]).
+    */
+  def bucketedStateRead(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.schema(totalsStateSchema)
+      .parquet(bucketedStatePath(stateDir))
+
+  /** The partition-pruned read of ONLY the given buckets — the per-batch
+    * state scan [[totalsMaintenanceStreamBucketed]] runs. Exposed for
+    * ScalePostureSpec, which pins that `inputFiles` lists exclusively
+    * `bucket=k` dirs for k ∈ `touched` (the pruning IS the scale claim:
+    * at 100 TB a batch touching 3 of 4096 buckets reads 3 buckets).
+    */
+  private[graft] def bucketedStateTouchedRead(spark: SparkSession,
+      stateDir: String, touched: Seq[Int]): DataFrame =
+    bucketedStateRead(spark, stateDir)
+      .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+
+  /** STREAMING AGGREGATE MAINTENANCE WITH PARTIAL STATE REWRITE — the
+    * composition of [[totalsMaintenanceStream]] (read-fold-write
+    * maintenance of integer partials) with the bucketed layout
+    * [[graft.operators.Layout.bucketedIncrementalMerge]] proves
+    * exchange-free: the state lives as ONE parquet table partitioned by
+    * a key-derived bucket column, and each micro-batch
+    *
+    *   1. aggregates its own rows to partials (batch-scale shuffle only),
+    *   2. collects the distinct buckets those partials land in (bounded
+    *      by [[StateBuckets]] — a driver-side list, never data-sized),
+    *   3. reads ONLY those bucket partitions of the state (partition
+    *      pruning at the file listing — [[bucketedStateTouchedRead]]),
+    *   4. merges (full-outer join + long addition, both sides bucket-
+    *      aligned), and
+    *   5. rewrites ONLY the touched partitions via dynamic-partition
+    *      overwrite — untouched bucket directories are never listed,
+    *      read, or rewritten (ScalePostureSpec pins their files
+    *      byte-identical across a fold).
+    *
+    * This is the plan shape a lakehouse MERGE INTO actually executes:
+    * the history pays nothing for a night it isn't touched by. Versus
+    * the v{n}-generation form, the full-state rewrite per batch is gone
+    * — the one place the 100 TB story was previously argued rather than
+    * shown.
+    *
+    * Idempotence: batch markers under `stateDir/_batches` make a
+    * re-delivered batch a no-op, and a restarted stream resumes against
+    * the existing table ([[seedOrResume]] semantics). CAVEAT (the
+    * transactional residue a table format closes): the dynamic
+    * overwrite's job commit and the marker write are two steps — a crash
+    * BETWEEN them would re-fold the batch's buckets on replay. The
+    * generation form overwrites an immutable target and doesn't carry
+    * this window; production MERGE INTO commits data + idempotence token
+    * in one snapshot. Documented trade for rewriting 1/[[StateBuckets]]
+    * of the state instead of all of it.
+    */
+  def totalsMaintenanceStreamBucketed(detailStream: DataFrame,
+      initialState: DataFrame, stateDir: String): StreamingQuery = {
+    val spark = detailStream.sparkSession
+    val statePath = bucketedStatePath(stateDir)
+    if (!new java.io.File(statePath).exists()) {
+      withStateBucket(initialState)
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(statePath)
+    }
+    val batchesDir = new java.io.File(s"$stateDir/_batches")
+    batchesDir.mkdirs()
+    detailStream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val marker = new java.io.File(batchesDir, batchId.toString)
+        if (!marker.exists()) {
+          val batchPartials = withStateBucket(
+              graft.operators.StarSchema.totalsPartialsOfDetail(batch.toDF()))
+            .persist()
+          try {
+            val touched = batchPartials.select(col("bucket")).distinct()
+              .collect().map(_.getInt(0)).toSeq.sorted
+            if (touched.nonEmpty) {
+              // materialize the touched buckets BEFORE overwriting them:
+              // Spark (rightly) refuses a write whose plan still reads
+              // the target path, and a merge's read-before-write is the
+              // semantic anyway. localCheckpoint truncates the lineage
+              // to the materialized blocks — sized to the touched
+              // buckets, not the state table; released after the commit.
+              val current = bucketedStateTouchedRead(spark, stateDir, touched)
+                .localCheckpoint(true)
+              try {
+                graft.operators.StarSchema.mergeTotalsPartials(
+                    current.drop("bucket"), batchPartials.drop("bucket"))
+                  .transform(withStateBucket)
+                  .repartition(col("bucket"))
+                  .write.mode("overwrite")
+                  .option("partitionOverwriteMode", "dynamic")
+                  .partitionBy("bucket")
+                  .parquet(statePath)
+              } finally {
+                org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(current)
+              }
+            }
+            marker.createNewFile()
+            ()
+          } finally {
+            batchPartials.unpersist()
+            ()
+          }
+        }
+      }
+      .start()
+  }
+
   /** The newest state generation under `stateDir` (see
     * [[scd2ApplyChangesStream]] / [[totalsMaintenanceStream]]); fails
     * with a named error — not an NPE/empty-max — when `stateDir` is

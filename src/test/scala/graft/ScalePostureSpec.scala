@@ -506,6 +506,106 @@ class ScalePostureSpec extends SparkSpec {
     }
   }
 
+  test("bucketed streaming state: a fold rewrites ONLY the buckets the batch touches") {
+    import graft.operators.StarSchema
+    val detail = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("o_orderdate"))
+    val cut = "1996-07-01"
+    val state0 = StarSchema.totalsPartialsOfDetail(
+      detail.filter(col("o_orderdate") < cut))
+    // the batch: post-cutover rows restricted to product keys landing in
+    // ONE bucket (the same key-derived bucket expression the state table
+    // partitions by), so every other bucket must come through untouched
+    val buckets = streaming.EventStream.StateBuckets
+    val bucketOf = pmod(hash(col("l_partkey")), lit(buckets))
+    val TargetBucket = 3
+    val batchRows = detail.filter(col("o_orderdate") >= cut)
+      .filter(bucketOf === TargetBucket)
+    assert(batchRows.count() > 0, "fixture has no rows in the target bucket")
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-bktposture").toString
+    // run 1 over an EMPTY source dir: seeds the partitioned state table,
+    // folds nothing — the clean point to snapshot the bucket files
+    val emptyDir = java.nio.file.Files.createTempDirectory("graft-bktempty")
+    val q0 = streaming.EventStream.totalsMaintenanceStreamBucketed(
+      spark.readStream.schema(detail.schema).parquet(emptyDir.toString),
+      state0, stateDir)
+    try q0.processAllAvailable() finally q0.stop()
+    def md5(p: java.nio.file.Path): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      new java.math.BigInteger(1, d.digest(java.nio.file.Files.readAllBytes(p)))
+        .toString(16)
+    }
+    def snapshot(): Map[String, (Long, String)] = {
+      val base = java.nio.file.Paths.get(s"$stateDir/state")
+      val out = scala.collection.mutable.Map.empty[String, (Long, String)]
+      java.nio.file.Files.walk(base).forEach { p =>
+        val rel = base.relativize(p).toString
+        if (rel.contains("bucket=") && p.toFile.isFile && !rel.endsWith("_SUCCESS"))
+          out(rel) = (java.nio.file.Files.size(p), md5(p))
+      }
+      out.toMap
+    }
+    val before = snapshot()
+    assert(before.keys.exists(!_.startsWith(s"bucket=$TargetBucket/")),
+      "seeded state has no untouched-bucket files to compare")
+    // run 2: one staged file = one micro-batch touching exactly one bucket
+    val cdcDir = java.nio.file.Files.createTempDirectory("graft-bktcdc2")
+    batchRows.coalesce(1).write.mode("overwrite")
+      .parquet(cdcDir.resolve("b1").toString)
+    val q1 = streaming.EventStream.totalsMaintenanceStreamBucketed(
+      spark.readStream.schema(detail.schema).parquet(s"$cdcDir/*"),
+      state0, stateDir)
+    try q1.processAllAvailable() finally q1.stop()
+    val after = snapshot()
+    // THE claim: every untouched bucket's files are byte-identical — same
+    // names, same sizes, same checksums — i.e. the fold never rewrote them
+    val beforeUntouched = before.view.filterKeys(!_.startsWith(s"bucket=$TargetBucket/")).toMap
+    val afterUntouched = after.view.filterKeys(!_.startsWith(s"bucket=$TargetBucket/")).toMap
+    assert(beforeUntouched == afterUntouched,
+      s"untouched buckets were rewritten:\nbefore=$beforeUntouched\nafter=$afterUntouched")
+    // the touched bucket DID advance
+    assert(before.view.filterKeys(_.startsWith(s"bucket=$TargetBucket/")).toMap !=
+      after.view.filterKeys(_.startsWith(s"bucket=$TargetBucket/")).toMap,
+      "target bucket files unchanged — the fold did nothing")
+    // the per-batch state scan partition-prunes to the touched bucket:
+    // the bucket predicate must land in PartitionFilters (catalog-level
+    // pruning) and the executed scan must read ONLY that bucket's files
+    // (Dataset.inputFiles ignores partition filters — the metric is the
+    // proof)
+    locally {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val pruned = streaming.EventStream.bucketedStateTouchedRead(
+          spark, stateDir, Seq(TargetBucket))
+        // collect() executes pruned's OWN QueryExecution — count() would
+        // plan a separate query and leave these scan metrics at zero
+        assert(pruned.collect().nonEmpty)
+        val scans = pruned.queryExecution.executedPlan.collect {
+          case s: FileSourceScanExec => s }
+        assert(scans.nonEmpty, "expected a FileSourceScanExec over the state")
+        val pf = scans.map(_.metadata("PartitionFilters")).mkString
+        assert(pf.contains("bucket"), s"bucket predicate not a partition filter: $pf")
+        val readFiles = scans.map(_.metrics("numFiles").value).sum
+        val totalFiles = after.keys.count(_.endsWith(".parquet"))
+        assert(readFiles > 0 && readFiles * 2 < totalFiles,
+          s"state scan read $readFiles of $totalFiles files — pruning missing")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+    // and the maintained state equals the from-scratch rebuild over
+    // history + the one-bucket batch
+    val got = StarSchema.finalizeTotals(
+        streaming.EventStream.bucketedStateRead(spark, stateDir).drop("bucket"))
+      .orderBy("product_key").collect().toSeq
+    val want = StarSchema.finalizeTotals(StarSchema.totalsPartialsOfDetail(
+        detail.filter(col("o_orderdate") < cut).unionAll(batchRows)))
+      .orderBy("product_key").collect().toSeq
+    assert(got == want && want.nonEmpty)
+  }
+
   test("ivfpq re-rank: candidates broadcast by hint, corpus vectors never shuffle") {
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
     // warm the memoized ADC-ranked candidate frame first so the plan
