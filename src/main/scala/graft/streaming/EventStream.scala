@@ -185,53 +185,123 @@ object EventStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Shingle-table read schema for the parquet-backed ingest-dedup index
+    * — explicit schemas everywhere a state dir could legitimately be
+    * empty or freshly seeded (the same discipline as
+    * [[totalsStateSchema]]).
+    */
+  private val ingestShinglesSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sh", ArrayType(StringType))))
+
+  private val ingestBandsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("band", StringType)))
+
+  private val ingestPairsSchema = StructType(Seq(
+    StructField("doc_a", LongType),
+    StructField("doc_b", LongType),
+    StructField("n_common", LongType),
+    StructField("n_a", IntegerType),
+    StructField("n_b", IntegerType),
+    StructField("jaccard", DoubleType)))
+
+  /** Read an index/output table laid out as per-batch SUBDIRS (`seed/`,
+    * `b0/`, `b1/`, …): recursive file lookup, no partition inference —
+    * the subdirs are idempotent WRITE UNITS (a re-delivered batch
+    * overwrites its own subdir instead of double-appending), not
+    * partition values.
+    */
+  private def batchDirsRead(spark: SparkSession, dir: String,
+      schema: StructType): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").schema(schema).parquet(dir)
+
+  /** The verified near-dup pairs an ingest-dedup run has emitted so far
+    * (union of the per-batch output subdirs under `pairsOutDir`).
+    */
+  def ingestPairsRead(spark: SparkSession, pairsOutDir: String): DataFrame =
+    batchDirsRead(spark, pairsOutDir, ingestPairsSchema)
+
   /** INGESTION-TIME MinHash dedup via `foreachBatch` — the streaming form
     * of the batch `dedup_minhash_incremental` gate, i.e. what a live
     * crawl actually runs: each micro-batch of documents shingles ONLY its
     * own rows, computes their MinHash band keys, probes the STORED band
     * index (history bands for new↔old plus its own bands for new↔new),
-    * exact-Jaccard-verifies the candidates, appends the verified pairs to
-    * `pairsOutDir`, and folds its own shingles+bands into the index state
-    * for the next batch. StreamingSpec pins the parity: over any batch
-    * split, the union of emitted pairs plus the pre-existing
-    * history↔history pairs equals the from-scratch batch
-    * `dedup_minhash_lsh` pair set.
+    * exact-Jaccard-verifies the candidates, writes the verified pairs,
+    * and folds its own shingles+bands into the index for the next batch.
+    * StreamingSpec pins the parity: over any batch split, the union of
+    * emitted pairs plus the pre-existing history↔history pairs equals
+    * the from-scratch batch `dedup_minhash_lsh` pair set.
     *
-    * State discipline: the index generations are driver-held DataFrames,
-    * each persisted and tracked via [[graft.CacheLifecycle]]; the plan
-    * grows by one union node per micro-batch — fine for a bounded test
-    * run, while production swaps the vars for a storage-backed index
-    * table (append the batch's band/shingle rows, probe by equi-join),
-    * which is the identical plan shape with the state durable. At 100 TB
-    * the probe is a band-key equi-join of the SMALL batch against the
-    * stored index — the corpus is never re-banded, which is what makes
-    * ingestion-time dedup affordable at all.
+    * The index is STORAGE-BACKED (`indexDir/bands`, `indexDir/shingles`
+    * as parquet tables): the probe re-reads the table each batch, so the
+    * plan never grows with batch count, and the index SURVIVES the
+    * session — a new stream over the same `indexDir` resumes serving it
+    * (the restart-resume StreamingSpec case). Every write unit is a
+    * per-batch subdir committed under a batch marker, so a re-delivered
+    * batch overwrites its own subdir and is a no-op — never a
+    * double-append. Pass `checkpointDir` to also keep Spark's source
+    * offsets across restarts (without it, a fresh stream re-reads all
+    * files and relies on the markers alone to skip re-delivered work).
+    *
+    * At 100 TB the probe is a band-key equi-join of the SMALL batch
+    * against the stored index — the corpus is never re-banded, which is
+    * what makes ingestion-time dedup affordable at all; the per-batch
+    * subdirs are the append-only commit shape an object store serves
+    * directly.
     */
   def minhashIngestDedup(docsStream: DataFrame, historyDocs: DataFrame,
-      pairsOutDir: String): StreamingQuery = {
+      pairsOutDir: String, indexDir: String,
+      checkpointDir: Option[String] = None): StreamingQuery = {
     import graft.operators.Dedup
-    var idxSh = graft.CacheLifecycle.sessionPersist(Dedup.shingleDocs(historyDocs))
-    var idxBands = graft.CacheLifecycle.sessionPersist(Dedup.bandIndex(idxSh))
-    docsStream.writeStream
+    val spark = docsStream.sparkSession
+    val shDir = s"$indexDir/shingles"
+    val bandsDir = s"$indexDir/bands"
+    if (!new java.io.File(shDir).exists()) {
+      val histSh = Dedup.shingleDocs(historyDocs).persist()
+      try {
+        histSh.write.mode("overwrite").parquet(s"$shDir/seed")
+        Dedup.bandIndex(histSh).write.mode("overwrite").parquet(s"$bandsDir/seed")
+      } finally {
+        histSh.unpersist()
+        ()
+      }
+    }
+    val batchesDir = new java.io.File(s"$indexDir/_batches")
+    batchesDir.mkdirs()
+    val writer = docsStream.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val batchSh = graft.CacheLifecycle.sessionPersist(
-          Dedup.shingleDocs(batch.toDF()))
-        val batchBands = graft.CacheLifecycle.sessionPersist(
-          Dedup.bandIndex(batchSh))
-        // probe the full index: history bands (new↔old) + own bands
-        // (new↔new); canonical (least, greatest) so a pair lands once
-        val cands = batchBands.alias("a")
-          .join(idxBands.unionAll(batchBands).alias("b"),
-            col("a.band") === col("b.band") && col("a.doc_id") =!= col("b.doc_id"))
-          .select(least(col("a.doc_id"), col("b.doc_id")).alias("doc_a"),
-            greatest(col("a.doc_id"), col("b.doc_id")).alias("doc_b"))
-          .distinct()
-        Dedup.verifyPairs(idxSh.unionAll(batchSh), cands)
-          .write.mode("append").parquet(pairsOutDir)
-        idxSh = idxSh.unionAll(batchSh)
-        idxBands = idxBands.unionAll(batchBands)
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val marker = new java.io.File(batchesDir, batchId.toString)
+        if (!marker.exists()) {
+          val batchSh = Dedup.shingleDocs(batch.toDF()).persist()
+          val batchBands = Dedup.bandIndex(batchSh).persist()
+          try {
+            // probe the full index: stored bands (new↔old) + own bands
+            // (new↔new); canonical (least, greatest) so a pair lands once
+            val storedBands = batchDirsRead(spark, bandsDir, ingestBandsSchema)
+            val cands = batchBands.alias("a")
+              .join(storedBands.unionAll(batchBands).alias("b"),
+                col("a.band") === col("b.band") && col("a.doc_id") =!= col("b.doc_id"))
+              .select(least(col("a.doc_id"), col("b.doc_id")).alias("doc_a"),
+                greatest(col("a.doc_id"), col("b.doc_id")).alias("doc_b"))
+              .distinct()
+            val storedSh = batchDirsRead(spark, shDir, ingestShinglesSchema)
+            Dedup.verifyPairs(storedSh.unionAll(batchSh), cands)
+              .write.mode("overwrite").parquet(s"$pairsOutDir/b$batchId")
+            batchSh.write.mode("overwrite").parquet(s"$shDir/b$batchId")
+            batchBands.write.mode("overwrite").parquet(s"$bandsDir/b$batchId")
+            marker.createNewFile()
+            ()
+          } finally {
+            batchSh.unpersist()
+            batchBands.unpersist()
+            ()
+          }
+        }
       }
       .start()
   }

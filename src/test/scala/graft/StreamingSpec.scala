@@ -145,11 +145,12 @@ class StreamingSpec extends SparkSpec {
       .parquet(dir.toString)
     assert(docsStream.isStreaming)
     val history = docs.filter(col("doc_id") % 10 =!= 9)
-    val out = java.nio.file.Files.createTempDirectory("graft-stream8-out")
-      .resolve("pairs").toString
-    val query = streaming.EventStream.minhashIngestDedup(docsStream, history, out)
+    val outBase = java.nio.file.Files.createTempDirectory("graft-stream8-out")
+    val out = outBase.resolve("pairs").toString
+    val idx = outBase.resolve("index").toString
+    val query = streaming.EventStream.minhashIngestDedup(docsStream, history, out, idx)
     try query.processAllAvailable() finally query.stop()
-    val streamed = spark.read.parquet(out)
+    val streamed = streaming.EventStream.ingestPairsRead(spark, out)
     // expected: every verified near-dup pair involving an increment doc —
     // the from-scratch LSH pair set minus its history↔history rows
     val batchOnly = (c: org.apache.spark.sql.Column) => c % 10 === 9
@@ -225,11 +226,12 @@ class StreamingSpec extends SparkSpec {
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
     val history = docs.filter(col("doc_id") % 10 =!= 9)
-    val out = java.nio.file.Files.createTempDirectory("graft-stream9-out")
-      .resolve("pairs").toString
-    val query = streaming.EventStream.minhashIngestDedup(stream, history, out)
+    val outBase = java.nio.file.Files.createTempDirectory("graft-stream9-out")
+    val out = outBase.resolve("pairs").toString
+    val idx = outBase.resolve("index").toString
+    val query = streaming.EventStream.minhashIngestDedup(stream, history, out, idx)
     try query.processAllAvailable() finally query.stop()
-    val streamed = spark.read.parquet(out)
+    val streamed = streaming.EventStream.ingestPairsRead(spark, out)
     val batchOnly = (c: org.apache.spark.sql.Column) => c % 10 === 9
     val want = q("dedup_minhash_lsh")
       .filter(batchOnly(col("doc_a")) || batchOnly(col("doc_b")))
@@ -237,6 +239,48 @@ class StreamingSpec extends SparkSpec {
     // untouched by the no-op batch that preceded it
     assert(streamed.count() == want.count() && want.count() > 0)
     assert(streamed.exceptAll(want).count() == 0)
+  }
+
+  test("ingest-dedup restart: a new stream over the existing index dirs resumes serving") {
+    // the increment arrives in TWO separate stream RUNS (not two
+    // micro-batches of one run): run 1 indexes the first half, run 2 is
+    // a brand-new StreamingQuery with the SAME checkpoint + index dirs —
+    // the storage-backed index must carry the first half's bands across
+    // the restart, and the checkpointed source must not re-emit run 1's
+    // file. Driver-held index state (the pre-r14 form) cannot pass this:
+    // it died with the query.
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream10")
+    val docs = Tables.documents(spark, sf)
+    val outBase = java.nio.file.Files.createTempDirectory("graft-stream10-out")
+    val out = outBase.resolve("pairs").toString
+    val idx = outBase.resolve("index").toString
+    val ckpt = outBase.resolve("ckpt").toString
+    val history = docs.filter(col("doc_id") % 10 =!= 9)
+    def run(): Unit = {
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      val query = streaming.EventStream.minhashIngestDedup(
+        stream, history, out, idx, checkpointDir = Some(ckpt))
+      try query.processAllAvailable() finally query.stop()
+    }
+    docs.filter(col("doc_id") % 20 === 9)
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    run()
+    val afterFirst = streaming.EventStream.ingestPairsRead(spark, out).count()
+    docs.filter(col("doc_id") % 20 === 19)
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    run()
+    val streamed = streaming.EventStream.ingestPairsRead(spark, out)
+    val batchOnly = (c: org.apache.spark.sql.Column) => c % 10 === 9
+    val want = q("dedup_minhash_lsh")
+      .filter(batchOnly(col("doc_a")) || batchOnly(col("doc_b")))
+    assert(want.count() > 0, "fixture has no increment-involved pairs")
+    // run 2 found MORE pairs than run 1 alone (so it genuinely probed an
+    // index run 1 extended), and the union equals the from-scratch set
+    assert(streamed.count() > afterFirst)
+    assert(streamed.count() == want.count())
+    assert(streamed.exceptAll(want).count() == 0)
+    assert(want.exceptAll(streamed).count() == 0)
   }
 
   test("foreachBatch SCD2 apply-changes fails loudly on an out-of-order CDC batch") {
