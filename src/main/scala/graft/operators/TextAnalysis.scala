@@ -188,17 +188,44 @@ object TextAnalysis {
     * the learned merges and the final segmented symbol frame
     * (`w`, `freq`, `s`).
     */
+  /** Spark SQL string-literal escaping for injected merge symbols:
+    * backslash doubles (the default parser processes \x escapes) and a
+    * single quote doubles (SQL-standard; differential-pinned by the
+    * planted-vocabulary spec). The DuckDB oracle needs neither — it
+    * reads the merge pair through scalar subqueries, no injection.
+    */
+  private def escSym(x: String): String =
+    x.replace("\\", "\\\\").replace("'", "''")
+
+  /** The GREEDY LEFT-TO-RIGHT merge fold as a SQL fragment over the
+    * symbol array `arr` (a column name or lambda variable): one emitted
+    * merge consumes its right neighbour via the skip carry — the
+    * textbook BPE application step, shared verbatim between training
+    * ([[bpeTrainOn]] folds the vocabulary) and corpus tokenization
+    * ([[bpeTokenIds]] folds every document word). `arr` must be a BOUND
+    * value (attribute or lambda var), never a textually-substituted
+    * expression — it is referenced several times.
+    */
+  private def greedyMergeFoldSql(arr: String, le: String, re: String): String =
+    s"""aggregate(sequence(1, size($arr)),
+       |  named_struct('out', cast(array() as array<string>), 'skip', false),
+       |  (acc, i) -> CASE
+       |    WHEN acc.skip THEN named_struct('out', acc.out, 'skip', false)
+       |    WHEN i < size($arr) AND element_at($arr, i) = '$le'
+       |         AND element_at($arr, i + 1) = '$re'
+       |      THEN named_struct(
+       |        'out', concat(acc.out, array(element_at($arr, i) || element_at($arr, i + 1))),
+       |        'skip', true)
+       |    ELSE named_struct('out', concat(acc.out, array(element_at($arr, i))),
+       |                      'skip', false) END,
+       |  acc -> acc.out)""".stripMargin
+
   private[graft] def bpeTrainOn(words: DataFrame, rounds: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     var sym = words.select(col("w"), col("freq"),
       expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias("s"))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    // Spark SQL string-literal escaping for the injected merge symbols:
-    // backslash doubles (the default parser processes \x escapes) and a
-    // single quote doubles (SQL-standard; differential-pinned by the
-    // planted-vocabulary spec). The DuckDB oracle needs neither — it
-    // reads the merge pair through scalar subqueries, no injection.
-    def esc(x: String): String = x.replace("\\", "\\\\").replace("'", "''")
+    def esc(x: String): String = escSym(x)
     var round = 1
     var exhausted = false
     while (round <= rounds && !exhausted) {
@@ -220,20 +247,8 @@ object TextAnalysis {
       val top = topRows(0)
       val (l, r, c) = (top.getString(0), top.getString(1), top.getLong(2))
       merges += ((round, l, r, c))
-      val (le, re) = (esc(l), esc(r))
-      sym = sym.select(col("w"), col("freq"), expr(
-        s"""aggregate(sequence(1, size(s)),
-           |  named_struct('out', cast(array() as array<string>), 'skip', false),
-           |  (acc, i) -> CASE
-           |    WHEN acc.skip THEN named_struct('out', acc.out, 'skip', false)
-           |    WHEN i < size(s) AND element_at(s, i) = '$le'
-           |         AND element_at(s, i + 1) = '$re'
-           |      THEN named_struct(
-           |        'out', concat(acc.out, array(element_at(s, i) || element_at(s, i + 1))),
-           |        'skip', true)
-           |    ELSE named_struct('out', concat(acc.out, array(element_at(s, i))),
-           |                      'skip', false) END,
-           |  acc -> acc.out)""".stripMargin).alias("s"))
+      sym = sym.select(col("w"), col("freq"),
+        expr(greedyMergeFoldSql("s", esc(l), esc(r))).alias("s"))
       round += 1
       }
     }
@@ -258,6 +273,84 @@ object TextAnalysis {
         array_join(col("s"), " ").alias("segmented"))
         .orderBy("w")
     }
+
+  /** CORPUS TOKENIZATION UNDER THE TRAINED VOCABULARY — the application
+    * half that closes the training → tokenization loop: every document
+    * is segmented with the LEARNED merges (the same
+    * [[greedyMergeFoldSql]] fold training ran on the vocabulary, now run
+    * on each document word), and the resulting symbols map to dense
+    * vocabulary ids, so downstream packing/budget queries can count REAL
+    * trained-tokenizer tokens instead of whitespace words.
+    *
+    * Mechanics (the shape a production tokenizer job has):
+    *   - the merge rules and the id table are DRIVER-HELD SCALARS from
+    *     the shared training run ([[bpeTrained]] — one per session):
+    *     3 merge pairs plus the final vocabulary (bounded by
+    *     |alphabet| + merge rounds — a few dozen entries), embedded in
+    *     the plan as literals / a map literal. This is exactly how real
+    *     tokenizers scale: broadcast the tiny rule table, map the corpus
+    *     — the corpus-sized work is ONE narrow codegen'd pass, no joins,
+    *     no shuffles beyond the verification sort.
+    *   - ids are assigned by SYMBOL SORT ORDER (0-based) — the
+    *     deterministic cross-engine rule, like the argmax tie-break.
+    *   - each fold's input array is a bound lambda variable (successive
+    *     `transform`s over the per-word symbol arrays), never a
+    *     substituted expression — see [[greedyMergeFoldSql]]'s contract.
+    *   - OOV rule: a symbol outside the trained vocabulary maps to id
+    *     -1. Applying the tokenizer to its own training corpus can never
+    *     produce one (the vocabulary IS the union of final
+    *     segmentations) — the planted-document spec exercises the rule.
+    *
+    * The oracle replays training as the recursive CTE ([[bpeRoundSql]]),
+    * assigns ids by the same sort rule, segments the distinct-WORD grain
+    * and joins documents' positional tokens to it — word-grain
+    * segmentation ≡ per-occurrence folding because segmentation is a
+    * pure function of the word. Documents with no non-empty tokens are
+    * excluded on both sides.
+    */
+  def bpeTokenIds(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoized(s"textanalysis.bpeTokenIds:$sfDir") {
+      val (merges, sym) = bpeTrained(spark, sfDir)
+      val docs = Tables.loadSpread(spark, sfDir, "documents")
+        .select(col("doc_id"),
+          filter(TextFunctions.tokens(col("text")), w => w =!= "").alias("t"))
+      bpeTokenIdsOf(docs, merges, trainedVocabIds(sym))
+        .orderBy("doc_id")
+    }
+
+  /** The trained vocabulary in id order: distinct final symbols, sorted
+    * — a bounded driver-side list (|alphabet| + merge rounds).
+    */
+  private[graft] def trainedVocabIds(sym: DataFrame): Seq[String] =
+    sym.select(explode(col("s")).alias("sym")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+
+  /** Segment a (`doc_id`, `t`: array of non-empty words) frame under
+    * `merges` + `vocab` — factored so specs can tokenize PLANTED
+    * documents (multi-merge words end-to-end, the OOV id) under planted
+    * rules.
+    */
+  private[graft] def bpeTokenIdsOf(docs: DataFrame,
+      merges: Seq[(Int, String, String, Long)], vocab: Seq[String]): DataFrame = {
+    val idMap = map(vocab.zipWithIndex.flatMap {
+      case (s, i) => Seq(lit(s), lit(i)) }: _*)
+    val chars = docs.withColumn("seg",
+      transform(col("t"), w =>
+        transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))))
+    val folded = merges.foldLeft(chars) { case (df, (_, l, r, _)) =>
+      df.withColumn("seg", expr(
+        s"transform(seg, s -> ${greedyMergeFoldSql("s", escSym(l), escSym(r))})"))
+    }
+    folded
+      .withColumn("flat", flatten(transform(col("seg"),
+        sy => transform(sy, x => coalesce(element_at(idMap, x), lit(-1))))))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"),
+        size(col("t")).cast("long").alias("n_words"),
+        size(col("flat")).cast("long").alias("n_bpe_tokens"),
+        array_join(transform(col("flat"), i => i.cast("string")), " ")
+          .alias("token_ids"))
+  }
 
   /** Top-5 word bigrams per language, positional (every occurrence counts,
     * unlike the distinct shingles of the dedup tier). The token array is
@@ -636,6 +729,49 @@ object TextAnalysis {
          |SELECT w, freq, CAST(len(s) AS INT) AS n_sym,
          |       array_to_string(s, ' ') AS segmented
          |FROM sym3 ORDER BY w""".stripMargin,
+    // ids by symbol sort order: DuckDB's default binary collation and
+    // Scala's string ordering agree on the fixture's ASCII vocabulary —
+    // the same cross-engine assumption every ORDER BY in this file makes
+    "docs_bpe_token_ids" ->
+      s"""WITH RECURSIVE
+         |words AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest($toksSql) AS w FROM documents)
+         |  WHERE w != '' GROUP BY 1),
+         |sym0 AS (
+         |  SELECT w, freq,
+         |         list_transform(range(1, len(w) + 1),
+         |           i -> substring(w, CAST(i AS INT), 1)) AS s
+         |  FROM words),
+         |${bpeRoundSql(1)},
+         |${bpeRoundSql(2)},
+         |${bpeRoundSql(3)},
+         |vocab AS (
+         |  SELECT sym, CAST(row_number() OVER (ORDER BY sym) - 1 AS INT) AS id
+         |  FROM (SELECT DISTINCT unnest(s) AS sym FROM sym3)),
+         |word_sym AS (
+         |  SELECT t.w, u.p.spos AS spos, u.p.sym AS sym
+         |  FROM sym3 t, unnest(list_transform(range(1, len(t.s) + 1),
+         |    j -> struct_pack(spos := j, sym := t.s[CAST(j AS INT)]))) AS u(p)),
+         |word_ids AS (
+         |  SELECT w,
+         |         string_agg(CAST(coalesce(v.id, -1) AS VARCHAR), ' ' ORDER BY spos) AS ids_str,
+         |         CAST(count(*) AS BIGINT) AS n_sym
+         |  FROM word_sym ws LEFT JOIN vocab v ON ws.sym = v.sym
+         |  GROUP BY w),
+         |doctoks AS (
+         |  SELECT d.doc_id, u.p.pos AS pos, u.p.w AS w
+         |  FROM (SELECT doc_id, $toksSql AS t FROM documents) d,
+         |    unnest(list_transform(range(1, len(d.t) + 1),
+         |      i -> struct_pack(pos := i, w := d.t[CAST(i AS INT)]))) AS u(p)
+         |  WHERE u.p.w != '')
+         |SELECT doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+         |       string_agg(ids_str, ' ' ORDER BY pos) AS token_ids
+         |FROM doctoks JOIN word_ids USING (w)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
     "docs_length_profile" ->
       s"""WITH t AS (
          |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -817,6 +953,7 @@ object TextAnalysis {
     "text_bpe_tokens"   -> bpeTokens _,
     "text_bpe_learned_merges" -> bpeLearnedMerges _,
     "text_bpe_vocab" -> bpeVocab _,
+    "docs_bpe_token_ids" -> bpeTokenIds _,
     "text_langid_ngram" -> langIdNgram _,
     "top_bigrams_per_lang" -> topBigramsPerLang _,
     "text_rare_bigram_ratio" -> rareBigramRatio _,

@@ -77,6 +77,48 @@ class TextEventsSpec extends SparkSpec {
     assert(em == Seq((1, "a", "b", 1L)), s"exhaustion merges: $em")
   }
 
+  test("trained-tokenizer application: planted multi-merge word end-to-end plus the OOV id") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // the trainer-spec vocabulary: merges (a,a) → (a,b) → (',x); final
+    // segmentations aaaaa → [aa,aa,a], ab → [ab], o'x → [o,'x]
+    val words = Seq(("aaaaa", 3L), ("ab", 5L), ("o'x", 4L)).toDF("w", "freq")
+    val (merges, sym) = graft.operators.TextAnalysis.bpeTrainOn(words, 3)
+    val vocab = graft.operators.TextAnalysis.trainedVocabIds(sym)
+    // ids by symbol sort order, 0-based — the cross-engine rule
+    assert(vocab == Seq("'x", "a", "aa", "ab", "o"), s"vocab: $vocab")
+    val docs = Seq(
+      (1L, Seq("aaaaa", "ab")), // the multi-merge word, applied per occurrence
+      (2L, Seq("o'x", "aaaaa")), // quoted symbol rides the injected fold literal
+      (3L, Seq("zzz"))) // OOV: 'z' never trained — every symbol maps to -1
+      .toDF("doc_id", "t")
+    val got = graft.operators.TextAnalysis.bpeTokenIdsOf(docs, merges, vocab)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got(0) == ((1L, 2L, 4L, "2 2 1 3")), s"doc 1: ${got(0)}")
+    assert(got(1) == ((2L, 2L, 5L, "4 0 2 2 1")), s"doc 2: ${got(1)}")
+    assert(got(2) == ((3L, 1L, 3L, "-1 -1 -1")), s"doc 3: ${got(2)}")
+  }
+
+  test("docs_bpe_token_ids: per-doc totals agree with the trained vocabulary table") {
+    import org.apache.spark.sql.functions._
+    // every document's n_bpe_tokens must equal the sum of its words'
+    // n_sym in text_bpe_vocab — application ≡ the word-grain training
+    // artifact (the oracle pins the ids; this pins internal consistency)
+    val vocabSyms = q("text_bpe_vocab").select(col("w"), col("n_sym"))
+    val docWords = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).alias("w"))
+      .filter(col("w") =!= "")
+    val expected = docWords.join(vocabSyms, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).alias("e_words"), sum(col("n_sym")).alias("e_bpe"))
+    val bad = q("docs_bpe_token_ids")
+      .join(expected, "doc_id")
+      .filter(col("n_words") =!= col("e_words") || col("n_bpe_tokens") =!= col("e_bpe"))
+    assert(bad.count() == 0)
+    assert(q("docs_bpe_token_ids").count() == expected.count())
+  }
+
   test("text_quality: n_chars matches the documents table's own column") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("n_chars").alias("expected"))
     val bad = q("text_quality").join(docs, "doc_id")
