@@ -373,8 +373,16 @@ object Similarity {
     * shape: broadcast N·C assignment, (cell, dim) integer-sum shuffle.
     * Empty cells drop (their centroid attracts nothing).
     */
-  private[graft] def lloydRefinedCentroids(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = quantized(spark, sfDir)
+  private[graft] def lloydRefinedCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    lloydRefinedCentroidsOf(quantized(spark, sfDir))
+
+  /** The same two unrolled Lloyd rounds over an ARBITRARY quantized base
+    * (`vec_id`, `v`, `n2`) — factored so the incremental-maintenance gate
+    * can train frozen centroids on the HISTORY subset only (training
+    * must never see the incoming batch). Seeds: `vec_id % 97 == 0`
+    * within the base.
+    */
+  private[graft] def lloydRefinedCentroidsOf(base: DataFrame): DataFrame = {
     var cents = base.filter(col("vec_id") % 97 === 0)
       .select(col("vec_id").alias("c_id"), col("v").alias("cv"), col("n2").alias("cn2"))
     val w0 = Window.partitionBy(col("vec_id"))
@@ -409,18 +417,27 @@ object Similarity {
     * [[ivfAnnNprobe2]] registers the probe-width knob; SimilaritySpec
     * asserts the refinement's mean-recall effect against the subsample.
     */
-  def ivfRecallRefined(spark: SparkSession, sfDir: String): DataFrame = {
-    val cents = lloydRefinedCentroids(spark, sfDir)
-    val base = quantized(spark, sfDir)
+  /** One cosine-argmax assignment of `base` against a centroid frame
+    * (`c_id`, `cv`, `cn2`) — the N·C broadcast scoring every IVF rung
+    * runs; factored so the maintenance gate can assign history and batch
+    * SEPARATELY against the same frozen centroids.
+    */
+  private[graft] def assignCellsTo(base: DataFrame, cents: DataFrame): DataFrame = {
     val w0 = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_score").desc, col("c_id").asc)
-    val cells = base.join(broadcast(cents))
+    base.join(broadcast(cents))
       .select(col("vec_id"), col("v"), col("n2"), col("c_id"),
         V.qcosineFrom(V.qdot(col("v"), col("cv")), col("n2"), col("cn2"))
           .alias("c_score"))
       .withColumn("rn", row_number().over(w0))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("n2"), col("c_id").alias("cell"))
+  }
+
+  def ivfRecallRefined(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = lloydRefinedCentroids(spark, sfDir)
+    val base = quantized(spark, sfDir)
+    val cells = assignCellsTo(base, cents)
       // read twice below (corpus side + query probes) — one assignment pass
       .transform(graft.CacheLifecycle.sessionPersist)
     val probes = cells.filter(col("vec_id") < 10)
@@ -636,7 +653,10 @@ object Similarity {
 
   /** The m=8 8-dim subvector decomposition every PQ rung shares. */
   private def pqSubvectors(spark: SparkSession, sfDir: String): DataFrame =
-    quantized(spark, sfDir).select(col("vec_id"), col("n2"),
+    pqSubvectorsOf(quantized(spark, sfDir))
+
+  private def pqSubvectorsOf(q: DataFrame): DataFrame =
+    q.select(col("vec_id"), col("n2"),
       posexplode(expr("transform(sequence(0, 7), j -> slice(v, j * 8 + 1, 8))"))
         .as(Seq("j", "sv")))
 
@@ -657,8 +677,16 @@ object Similarity {
     graft.CacheLifecycle.memoized(s"similarity.pqRefinedCodebooks:$sfDir")(
       pqRefinedCodebooksBuild(spark, sfDir))
 
-  private def pqRefinedCodebooksBuild(spark: SparkSession, sfDir: String): DataFrame = {
-    val subs = pqSubvectors(spark, sfDir)
+  private def pqRefinedCodebooksBuild(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.sessionPersist(
+      pqRefinedCodebooksOf(pqSubvectors(spark, sfDir)))
+
+  /** The same two unrolled per-subspace Lloyd rounds over an ARBITRARY
+    * subvector frame — factored for history-only training like
+    * [[lloydRefinedCentroidsOf]]. Seeds: `vec_id % 499 == 0` within the
+    * frame. Unpersisted — callers persist/memoize.
+    */
+  private[graft] def pqRefinedCodebooksOf(subs: DataFrame): DataFrame = {
     var cb = subs.filter(col("vec_id") % 499 === 0)
       .select(col("j"), col("vec_id").alias("c_id"), col("sv").alias("cv"))
     val w0 = Window.partitionBy(col("vec_id"), col("j"))
@@ -682,7 +710,7 @@ object Similarity {
           x => x.getField("cq")).alias("cv"))
         .select(col("j"), col("cell").alias("c_id"), col("cv"))
     }
-    graft.CacheLifecycle.sessionPersist(cb)
+    cb
   }
 
   /** The corpus PQ-encoded against the REFINED codebooks — the stored
@@ -806,11 +834,19 @@ object Similarity {
       graft.CacheLifecycle.sessionPersist(ivfpqAdcRankedBuild(spark, sfDir))
     }
 
-  private def ivfpqAdcRankedBuild(spark: SparkSession, sfDir: String): DataFrame = {
-    val cells = assignedCells(spark, sfDir)
-    val subs = pqSubvectors(spark, sfDir)
-    val cb = pqRefinedCodebooks(spark, sfDir)
-    val codes = refinedCodes(spark, sfDir)
+  private def ivfpqAdcRankedBuild(spark: SparkSession, sfDir: String): DataFrame =
+    ivfpqAdcRankedOver(spark, sfDir,
+      assignedCells(spark, sfDir), pqSubvectors(spark, sfDir),
+      pqRefinedCodebooks(spark, sfDir), refinedCodes(spark, sfDir))
+
+  /** The IVF-PQ probe → LUT → ADC → rank pipeline over an ARBITRARY
+    * (cells, subs, codebook, codes) index — factored so the maintained
+    * index ([[ivfpqMaintainedRecallAt5]]) serves through the identical
+    * plan as the full-corpus one.
+    */
+  private def ivfpqAdcRankedOver(spark: SparkSession, sfDir: String,
+      cells: DataFrame, subs: DataFrame, cb: DataFrame,
+      codes: DataFrame): DataFrame = {
     val probes = cells.filter(col("vec_id") < 10)
       .select(col("vec_id").alias("query_id"), col("cell").alias("qcell"))
     val cand = cells.select(col("vec_id"), col("cell"))
@@ -898,6 +934,109 @@ object Similarity {
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("neighbor_id"))
   }
+
+  /** The daily-crawl split of the INCREMENTAL ANN MAINTENANCE gate —
+    * `vec_id % 10 == 9` plays the incoming batch, the rest the
+    * already-indexed history (the exact split `dedup_minhash_incremental`
+    * uses for documents).
+    */
+  private def maintainedHistory(spark: SparkSession, sfDir: String): DataFrame =
+    quantized(spark, sfDir).filter(col("vec_id") % 10 =!= 9)
+
+  private[graft] def maintainedBatch(spark: SparkSession, sfDir: String): DataFrame =
+    quantized(spark, sfDir).filter(col("vec_id") % 10 === 9)
+
+  /** FROZEN index parameters, trained on HISTORY ONLY — the point of the
+    * maintenance gate: the batch arrives after training, so folding it in
+    * must not retrain anything. Lloyd-refined centroids and per-subspace
+    * codebooks over the history subset (seeds are the deterministic
+    * residue classes WITHIN history), memoized + persisted once for the
+    * gate's consumers (cells, codes, the spec's assertions).
+    */
+  private[graft] def maintainedCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoized(s"similarity.maintCents:$sfDir")(
+      graft.CacheLifecycle.sessionPersist(
+        lloydRefinedCentroidsOf(maintainedHistory(spark, sfDir))))
+
+  private[graft] def maintainedCodebooks(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoized(s"similarity.maintCb:$sfDir")(
+      graft.CacheLifecycle.sessionPersist(
+        pqRefinedCodebooksOf(pqSubvectorsOf(maintainedHistory(spark, sfDir)))))
+
+  /** The MAINTAINED cell table: history assigned at index-build time,
+    * tonight's batch assigned against the SAME frozen centroids and
+    * APPENDED — the union is the maintenance operation (at 100 TB the
+    * history leg is the stored cell table, never re-scored; only the
+    * batch pays the N_batch·C broadcast assignment).
+    */
+  private[graft] def maintainedCells(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoized(s"similarity.maintCells:$sfDir") {
+      val cents = maintainedCentroids(spark, sfDir)
+      graft.CacheLifecycle.sessionPersist(
+        assignCellsTo(maintainedHistory(spark, sfDir), cents)
+          .unionAll(assignCellsTo(maintainedBatch(spark, sfDir), cents)))
+    }
+
+  /** The MAINTAINED code table: history encoded at index-build time,
+    * the batch encoded with the frozen codebooks and appended — same
+    * union-is-the-maintenance shape as [[maintainedCells]].
+    */
+  private[graft] def maintainedCodes(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoized(s"similarity.maintCodes:$sfDir") {
+      val cb = maintainedCodebooks(spark, sfDir)
+      graft.CacheLifecycle.sessionPersist(
+        pqCodesFor(pqSubvectorsOf(maintainedHistory(spark, sfDir)), cb)
+          .unionAll(pqCodesFor(pqSubvectorsOf(maintainedBatch(spark, sfDir)), cb)))
+    }
+
+  /** INCREMENTAL ANN INDEX MAINTENANCE — the FOURTH "incremental ≡
+    * rebuild" gate (after MinHash index-probe, SCD2 apply-changes,
+    * aggregate maintenance), closing the embeddings tier's daily-crawl
+    * story: new vectors no longer force an index rebuild. The index
+    * parameters (Lloyd-refined centroids + PQ codebooks) are trained on
+    * HISTORY only and FROZEN; the incoming batch folds in by per-vector
+    * assignment + encoding against them ([[maintainedCells]] /
+    * [[maintainedCodes]]); queries — including a batch vector (vec_id 9
+    * is in the query set) — are served through the maintained index by
+    * the identical probe → LUT → ADC plan as [[ivfpqRecallAt5]]
+    * ([[ivfpqAdcRankedOver]]).
+    *
+    * Registered number: recall@5 vs [[knnBrute]] over the FULL corpus
+    * (history + batch — the batch is searchable the moment it folds in).
+    * The DuckDB oracle replays the history-only training, the frozen-
+    * parameter fold, and the serving path end-to-end. SimilaritySpec
+    * pins the gate theorem — maintained cells/codes are ROW-IDENTICAL to
+    * a from-scratch frozen-parameter rebuild over the union (assignment
+    * and encoding are per-vector maps, so fold-then-union ≡
+    * union-then-fold) — and that a batch vector lands in its true
+    * nearest frozen centroid's cell by an independent argmax spelling.
+    *
+    * Scale shape: training reads history once (the same N·C / N·m·k
+    * broadcast passes as the full-corpus index); the nightly fold costs
+    * only the batch's assignment + encoding; serving is unchanged. Raw
+    * vectors never shuffle.
+    */
+  def ivfpqMaintainedRecallAt5(spark: SparkSession, sfDir: String): DataFrame =
+    recallAt5Against(spark, sfDir, ivfpqMaintainedTop5(spark, sfDir),
+      countName = "n_exact")
+
+  private[graft] def ivfpqMaintainedTop5(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoized(s"similarity.maintTop5:$sfDir") {
+      graft.CacheLifecycle.sessionPersist(
+        ivfpqAdcRankedOver(spark, sfDir,
+          maintainedCells(spark, sfDir), pqSubvectors(spark, sfDir),
+          maintainedCodebooks(spark, sfDir), maintainedCodes(spark, sfDir))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("neighbor_id")))
+    }
+
+  /** The from-scratch frozen-parameter code rebuild over the full union
+    * — the comparison side of the SimilaritySpec maintained ≡ rebuild
+    * assertion (spec-only; the registry serves [[maintainedCodes]]).
+    */
+  private[graft] def maintainedCodesRebuilt(spark: SparkSession, sfDir: String): DataFrame =
+    pqCodesFor(pqSubvectorsOf(quantized(spark, sfDir)),
+      maintainedCodebooks(spark, sfDir))
 
   /** Squared Euclidean distance between two double arrays — narrow
     * higher-order expressions (rewritten to the codegen'd dot-product
@@ -1253,13 +1392,14 @@ object Similarity {
     * oracle chains; keep in sync with the assignment spelling in
     * [[lloydRefinedCentroids]]/[[ivfRecallRefined]].
     */
-  private def refineAssignSql(cteName: String, centsName: String): String =
+  private def refineAssignSql(cteName: String, centsName: String,
+      from: String = "qn"): String =
     s"""${cteName}_r AS (
        |  SELECT a.vec_id, a.v, a.n2, c.c_id,
        |         row_number() OVER (PARTITION BY a.vec_id ORDER BY
        |           ${V.qdotSql("a.v", "c.cv", Dim)} / (sqrt(a.n2) * sqrt(c.cn2)) DESC,
        |           c.c_id ASC) AS rn
-       |  FROM qn a CROSS JOIN $centsName c),
+       |  FROM $from a CROSS JOIN $centsName c),
        |$cteName AS (
        |  SELECT vec_id, v, n2, c_id AS cell FROM ${cteName}_r WHERE rn = 1)""".stripMargin
 
@@ -1285,14 +1425,15 @@ object Similarity {
     * CTE (`j`, `c_id`, `cv`) — twin of the encoder/assignment in
     * [[pqRefinedCodebooks]] (assumes `subs` is in scope).
     */
-  private def pqRefineAssignSql(cteName: String, cbName: String): String =
+  private def pqRefineAssignSql(cteName: String, cbName: String,
+      from: String = "subs"): String =
     s"""${cteName}_r AS (
        |  SELECT s.vec_id, s.j, s.sv, c.c_id,
        |         row_number() OVER (PARTITION BY s.vec_id, s.j
        |           ORDER BY ${V.qnorm2Sql("c.cv", 8)}
        |                      - 2 * ${V.qdotSql("s.sv", "c.cv", 8)} ASC,
        |                    c.c_id ASC) AS rn
-       |  FROM subs s JOIN $cbName c ON s.j = c.j),
+       |  FROM $from s JOIN $cbName c ON s.j = c.j),
        |$cteName AS (
        |  SELECT vec_id, j, sv, c_id AS cell FROM ${cteName}_r WHERE rn = 1)""".stripMargin
 
@@ -1756,6 +1897,73 @@ object Similarity {
          |FROM brute b LEFT JOIN rr r
          |  ON b.query_id = r.query_id AND b.neighbor_id = r.neighbor_id
          |GROUP BY 1 ORDER BY query_id""".stripMargin,
+    // the maintained index: train on history only (hq / hsubs), freeze,
+    // assign + encode EVERYTHING (per-vector fold ≡ union rebuild), serve
+    "ivfpq_maintained_recall_at_5" ->
+      s"""WITH $quantizedSql,
+         |hq AS (SELECT * FROM qn WHERE vec_id % 10 != 9),
+         |cents0 AS (
+         |  SELECT vec_id AS c_id, v AS cv, n2 AS cn2 FROM hq WHERE vec_id % 97 = 0),
+         |${refineAssignSql("masg1", "cents0", from = "hq")},
+         |${refineCentsSql("mcents1", "masg1")},
+         |${refineAssignSql("masg2", "mcents1", from = "hq")},
+         |${refineCentsSql("mcents2", "masg2")},
+         |${refineAssignSql("cellsm", "mcents2", from = "qn")},
+         |subs AS (
+         |  SELECT vec_id, n2, CAST(j AS INT) AS j,
+         |         list_slice(v, CAST(j AS INT) * 8 + 1, CAST(j AS INT) * 8 + 8) AS sv
+         |  FROM qn, range(8) t(j)),
+         |hsubs AS (SELECT * FROM subs WHERE vec_id % 10 != 9),
+         |cb0 AS (
+         |  SELECT j, vec_id AS c_id, sv AS cv FROM hsubs WHERE vec_id % 499 = 0),
+         |${pqRefineAssignSql("mpqasg1", "cb0", from = "hsubs")},
+         |${pqRefineCentsSql("mpqcents1", "mpqasg1")},
+         |${pqRefineAssignSql("mpqasg2", "mpqcents1", from = "hsubs")},
+         |${pqRefineCentsSql("mpqcents2", "mpqasg2")},
+         |enc AS (
+         |  SELECT s.vec_id, s.j, c.c_id,
+         |         row_number() OVER (PARTITION BY s.vec_id, s.j
+         |           ORDER BY ${V.qnorm2Sql("c.cv", 8)}
+         |                      - 2 * ${V.qdotSql("s.sv", "c.cv", 8)} ASC,
+         |                    c.c_id ASC) AS rn
+         |  FROM subs s JOIN mpqcents2 c ON s.j = c.j),
+         |codes AS (SELECT vec_id, j, c_id AS code FROM enc WHERE rn = 1),
+         |lut AS (
+         |  SELECT q.vec_id AS query_id, c.j, c.c_id AS code,
+         |         ${V.qdotSql("q.sv", "c.cv", 8)} AS pdot,
+         |         ${V.qnorm2Sql("c.cv", 8)} AS cn2
+         |  FROM subs q JOIN mpqcents2 c ON q.j = c.j
+         |  WHERE q.vec_id < 10),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cell AS qcell FROM cellsm WHERE vec_id < 10),
+         |cand AS (
+         |  SELECT p.query_id, c.vec_id FROM cellsm c JOIN probes p
+         |    ON c.cell = p.qcell AND c.vec_id != p.query_id),
+         |adc AS (
+         |  SELECT d.query_id, k.vec_id,
+         |         CAST(sum(pdot) AS BIGINT) AS adc_dot,
+         |         CAST(sum(cn2) AS BIGINT) AS recon_n2
+         |  FROM codes k
+         |  JOIN cand d ON k.vec_id = d.vec_id
+         |  JOIN lut l ON k.j = l.j AND k.code = l.code AND l.query_id = d.query_id
+         |  GROUP BY 1, 2),
+         |ivfpq AS (
+         |  SELECT query_id, vec_id AS neighbor_id FROM (
+         |    SELECT a.query_id, a.vec_id,
+         |           row_number() OVER (PARTITION BY a.query_id
+         |             ORDER BY CAST(a.adc_dot AS DOUBLE)
+         |                        / (sqrt(q.n2) * sqrt(a.recon_n2)) DESC,
+         |                      a.vec_id ASC) AS rank
+         |    FROM adc a JOIN qn q ON q.vec_id = a.query_id)
+         |  WHERE rank <= 5),
+         |$bruteTop5Cte
+         |SELECT b.query_id AS query_id,
+         |       CAST(count(*) AS BIGINT) AS n_exact,
+         |       CAST(count(p.neighbor_id) AS BIGINT) AS n_hits,
+         |       CAST(count(p.neighbor_id) AS DOUBLE) / count(*) AS recall_at_5
+         |FROM brute b LEFT JOIN ivfpq p
+         |  ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+         |GROUP BY 1 ORDER BY query_id""".stripMargin,
     "pq_adc_recall_at_5" -> pqAdcOracleSql(cbName = "cb", extraCtes = ""),
     "pq_recall_refined" -> pqAdcOracleSql(cbName = "pqcents2", extraCtes =
       s"""${pqRefineAssignSql("pqasg1", "cb")},
@@ -1879,6 +2087,7 @@ object Similarity {
     "pq_recall_refined"       -> pqRecallRefined _,
     "ivfpq_recall_at_5"       -> ivfpqRecallAt5 _,
     "ivfpq_rerank_recall_at_5" -> ivfpqRerankRecallAt5 _,
+    "ivfpq_maintained_recall_at_5" -> ivfpqMaintainedRecallAt5 _,
     "mrl_truncation_recall_at_5" -> mrlRecallAt5 _,
     "mrl_rerank_recall_at_5"  -> mrlRerankRecallAt5 _,
   )

@@ -75,7 +75,9 @@ class PlanHygieneSpec extends SparkSpec {
       // (deliberate N·C assignment) and is measured against the same
       // embedded brute baseline
       "pq_adc_recall_at_5", "pq_recall_refined", "ivfpq_recall_at_5",
-      "ivfpq_rerank_recall_at_5",
+      // ...the maintained-index gate trains and assigns with the same
+      // deliberate N·C / N·m·k broadcasts and embeds the brute baseline
+      "ivfpq_rerank_recall_at_5", "ivfpq_maintained_recall_at_5",
       // semantic dedup reads the IVF cell assignment, which shares the
       // deliberate broadcast N·C centroid scoring of ivf_ann_cosine
       "semantic_dedup",

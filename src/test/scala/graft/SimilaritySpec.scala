@@ -301,6 +301,57 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("maintained ANN index: fold-then-union equals the frozen-parameter rebuild," +
+      " and a batch vector lands in its true nearest cell") {
+    import operators.Similarity
+    // THE GATE THEOREM (incremental ≡ rebuild): assignment and encoding
+    // are per-vector maps under FROZEN parameters, so the maintained
+    // tables (history indexed at build + batch folded in) must be
+    // row-identical to assigning/encoding the whole union from scratch
+    // with the same frozen centroids/codebooks
+    val cents = Similarity.maintainedCentroids(spark, sf)
+    val batch = Similarity.maintainedBatch(spark, sf)
+    assert(batch.count() > 0, "fixture has no batch vectors")
+    val maintCells = Similarity.maintainedCells(spark, sf)
+    val maintCodes = Similarity.maintainedCodes(spark, sf)
+    val union = maintCells.select(col("vec_id"), col("v"), col("n2"))
+    val rebuildCells = Similarity.assignCellsTo(union, cents)
+    assert(maintCells.exceptAll(rebuildCells).count() == 0)
+    assert(rebuildCells.exceptAll(maintCells).count() == 0)
+    val rebuildCodes = Similarity.maintainedCodesRebuilt(spark, sf)
+    assert(maintCodes.exceptAll(rebuildCodes).count() == 0)
+    assert(rebuildCodes.exceptAll(maintCodes).count() == 0)
+    // the batch rows are genuinely IN the maintained index
+    val batchIds = batch.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val cellIds = maintCells.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(batchIds.subsetOf(cellIds), "batch vectors missing from the cell table")
+    assert(maintCodes.filter(col("vec_id").isin(batchIds.toSeq.map(Long.box): _*))
+      .count() == batchIds.size * 8, "batch vectors missing PQ codes")
+    // independent argmax spelling: every batch vector's assigned cell is
+    // its TRUE nearest frozen centroid (score desc, centroid id asc) —
+    // max(struct(score, -c_id)) picks exactly that without a window
+    val expected = batch.join(broadcast(cents))
+      .select(col("vec_id"), col("c_id"),
+        graft.functions.VectorFunctions.qcosineFrom(
+          graft.functions.VectorFunctions.qdot(col("v"), col("cv")),
+          col("n2"), col("cn2")).alias("s"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("s"), (-col("c_id")).alias("nc"))).alias("m"))
+      .select(col("vec_id"), (-col("m.nc")).alias("true_cell"))
+    val wrong = maintCells.join(expected, "vec_id")
+      .filter(col("cell") =!= col("true_cell"))
+    assert(wrong.count() == 0,
+      s"batch vectors assigned off their nearest centroid: ${wrong.collect().mkString(",")}")
+    // the registered report: well-formed, queries include the folded
+    // batch vector (vec_id 9 probes THROUGH the maintained index)
+    val rows = q("ivfpq_maintained_recall_at_5").collect()
+    assert(rows.length == 10 && rows.exists(_.getLong(0) == 9L))
+    rows.foreach { r =>
+      assert(r.getLong(1) == 5L && r.getLong(2) <= 5L)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("exact-vector pre-collapse bounds the cell join on a planted 10³-copy mass") {
     import spark.implicits._
     // adversarial input: 1000 byte-identical vectors (mirror-crawl shape)
