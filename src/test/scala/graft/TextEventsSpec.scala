@@ -88,16 +88,21 @@ class TextEventsSpec extends SparkSpec {
     // ids by symbol sort order, 0-based — the cross-engine rule
     assert(vocab == Seq("'x", "a", "aa", "ab", "o"), s"vocab: $vocab")
     val docs = Seq(
-      (1L, Seq("aaaaa", "ab")), // the multi-merge word, applied per occurrence
-      (2L, Seq("o'x", "aaaaa")), // quoted symbol rides the injected fold literal
-      (3L, Seq("zzz"))) // OOV: 'z' never trained — every symbol maps to -1
+      (1L, Seq("aaaaa", "ab")), // the multi-merge word through the dictionary
+      (2L, Seq("o'x", "aaaaa")), // quoted symbol in the segmentation dictionary
+      (3L, Seq("zzz")), // OOV: char fallback, 'z' unknown — every char to -1
+      // OOV with mergeable content: the RULE is char fallback, NOT
+      // fold-then-map — "aaz" maps per char (a=1, a=1, z=-1), never [aa, z]
+      (4L, Seq("aaz")))
       .toDF("doc_id", "t")
-    val got = graft.operators.TextAnalysis.bpeTokenIdsOf(docs, merges, vocab)
+    assert(merges.nonEmpty) // the fold learned something to apply
+    val got = graft.operators.TextAnalysis.bpeTokenIdsOf(docs, sym, vocab)
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     assert(got(0) == ((1L, 2L, 4L, "2 2 1 3")), s"doc 1: ${got(0)}")
     assert(got(1) == ((2L, 2L, 5L, "4 0 2 2 1")), s"doc 2: ${got(1)}")
     assert(got(2) == ((3L, 1L, 3L, "-1 -1 -1")), s"doc 3: ${got(2)}")
+    assert(got(3) == ((4L, 1L, 3L, "1 1 -1")), s"doc 4: ${got(3)}")
   }
 
   test("docs_bpe_token_ids: per-doc totals agree with the trained vocabulary table") {
