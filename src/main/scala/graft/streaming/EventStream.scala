@@ -477,7 +477,7 @@ object EventStream {
     * rewrite only the buckets it touches.
     */
   private def withStateBucket(df: DataFrame): DataFrame =
-    df.withColumn("bucket", pmod(hash(col("product_key")), lit(StateBuckets)))
+    df.withColumn("bucket", stateBucketOf(col("product_key")))
 
   /** Read schema of the bucketed totals state — explicit so an
     * empty-seeded state table (day-one bootstrap writes zero partition
@@ -492,12 +492,20 @@ object EventStream {
 
   private def bucketedStatePath(stateDir: String): String = s"$stateDir/state"
 
-  /** The full bucketed state table (integer partials; finalize at read
-    * with [[graft.operators.StarSchema.finalizeTotals]]).
+  /** The key → partition-bucket derivation shared by every bucketed
+    * state table here (see [[withStateBucket]]).
     */
-  def bucketedStateRead(spark: SparkSession, stateDir: String): DataFrame =
-    spark.read.schema(totalsStateSchema)
-      .parquet(bucketedStatePath(stateDir))
+  private def stateBucketOf(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(hash(key), lit(StateBuckets))
+
+  /** The full bucketed state table. `schema` defaults to the totals
+    * partial-state layout; the SCD2 stream passes its own (explicit
+    * schemas everywhere so an empty-seeded table reads as empty instead
+    * of failing inference).
+    */
+  def bucketedStateRead(spark: SparkSession, stateDir: String,
+      schema: StructType = totalsStateSchema): DataFrame =
+    spark.read.schema(schema).parquet(bucketedStatePath(stateDir))
 
   /** The partition-pruned read of ONLY the given buckets — the per-batch
     * state scan [[totalsMaintenanceStreamBucketed]] runs. Exposed for
@@ -506,8 +514,9 @@ object EventStream {
     * at 100 TB a batch touching 3 of 4096 buckets reads 3 buckets).
     */
   private[graft] def bucketedStateTouchedRead(spark: SparkSession,
-      stateDir: String, touched: Seq[Int]): DataFrame =
-    bucketedStateRead(spark, stateDir)
+      stateDir: String, touched: Seq[Int],
+      schema: StructType = totalsStateSchema): DataFrame =
+    bucketedStateRead(spark, stateDir, schema)
       .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
 
   /** STREAMING AGGREGATE MAINTENANCE WITH PARTIAL STATE REWRITE — the
@@ -597,6 +606,82 @@ object EventStream {
             batchPartials.unpersist()
             ()
           }
+        }
+      }
+      .start()
+  }
+
+  /** STREAMING SCD2 MAINTENANCE WITH PARTIAL STATE REWRITE — the
+    * [[totalsMaintenanceStreamBucketed]] composition applied to the
+    * second stateful gate: the versioned dimension lives as ONE parquet
+    * table partitioned by `pmod(hash(customer_key), StateBuckets)`, and
+    * each CDC micro-batch
+    *
+    *   1. collects the buckets its AFFECTED KEYS hash into (bounded by
+    *      [[StateBuckets]] — driver-side, never data-sized),
+    *   2. reads ONLY those bucket partitions of the dimension,
+    *   3. folds the batch through the same
+    *      [[graft.operators.WindowAnalytics.scd2ApplyChanges]] as the
+    *      generation-based stream (gaps-and-islands compaction, boundary
+    *      merge, append-only contract ENFORCED — a violating batch
+    *      throws before anything is written, leaving state and marker
+    *      untouched), and
+    *   4. dynamic-partition-overwrites only the touched buckets.
+    *
+    * Correctness of the restriction: every key the fold can change is
+    * in the batch's affected-key set, and each key's ENTIRE history
+    * lives in its hash bucket — so the untouched buckets are exactly
+    * the keys `scd2ApplyChanges` would have carried through its
+    * anti-join unchanged; skipping their read/rewrite is the
+    * partition-pruned form of that carry. At 100 TB this is the
+    * difference between rewriting the whole dimension nightly and
+    * rewriting the few buckets tonight's keys hash to.
+    *
+    * Same idempotence/retention contract as the totals stream (batch
+    * markers; the commit/marker crash window is the documented
+    * table-format residue).
+    */
+  def scd2MaintenanceStreamBucketed(ordersStream: DataFrame,
+      initialHistory: DataFrame, stateDir: String): StreamingQuery = {
+    val spark = ordersStream.sparkSession
+    val statePath = bucketedStatePath(stateDir)
+    val schema = StructType(
+      initialHistory.schema.fields :+ StructField("bucket", IntegerType))
+    if (!new java.io.File(statePath).exists()) {
+      initialHistory
+        .withColumn("bucket", stateBucketOf(col("customer_key")))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(statePath)
+    }
+    val batchesDir = new java.io.File(s"$stateDir/_batches")
+    batchesDir.mkdirs()
+    ordersStream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val marker = new java.io.File(batchesDir, batchId.toString)
+        if (!marker.exists()) {
+          val touched = batch.toDF()
+            .select(stateBucketOf(col("o_custkey")).alias("bucket"))
+            .distinct().collect().map(_.getInt(0)).toSeq.sorted
+          if (touched.nonEmpty) {
+            val current = bucketedStateTouchedRead(spark, stateDir, touched, schema)
+              .localCheckpoint(true)
+            try {
+              graft.operators.WindowAnalytics
+                .scd2ApplyChanges(current.drop("bucket"), batch.toDF())
+                .withColumn("bucket", stateBucketOf(col("customer_key")))
+                .repartition(col("bucket"))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(statePath)
+            } finally {
+              org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(current)
+            }
+          }
+          marker.createNewFile()
+          ()
         }
       }
       .start()

@@ -474,6 +474,119 @@ class StreamingSpec extends SparkSpec {
     assert(finalized() == want)
   }
 
+  test("bucketed SCD2 maintenance: parity across runs, untouched buckets never rewritten") {
+    import graft.operators.WindowAnalytics
+    val orders = Tables.orders(spark, sf)
+    val (cut1, cut2) = ("1996-07-01", "1998-07-01")
+    val buckets = streaming.EventStream.StateBuckets
+    val bucketOf = pmod(hash(col("o_custkey")), lit(buckets))
+    val TargetBucket = 3
+    // input universe: all orders before cut2, plus post-cut2 orders of
+    // keys hashing to ONE bucket — so run 2's fold must leave every
+    // other bucket byte-identical while parity holds over the universe
+    val b1 = orders.filter(col("o_orderdate") >= cut1 && col("o_orderdate") < cut2)
+    val b2 = orders.filter(col("o_orderdate") >= cut2 && bucketOf === TargetBucket)
+    assert(b2.count() > 0, "fixture has no post-cutover rows in the target bucket")
+    val history0 = WindowAnalytics.priorityIntervalHistoryOf(
+      orders.filter(col("o_orderdate") < cut1))
+    val cdcDir = java.nio.file.Files.createTempDirectory("graft-scd2bkt")
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-scd2bktstate").toString
+    def run(): Unit = {
+      val stream = spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$cdcDir/*")
+      val query = streaming.EventStream.scd2MaintenanceStreamBucketed(
+        stream, history0, stateDir)
+      try query.processAllAvailable() finally query.stop()
+    }
+    def snapshot(): Map[String, Long] = {
+      val base = java.nio.file.Paths.get(s"$stateDir/state")
+      val out = scala.collection.mutable.Map.empty[String, Long]
+      java.nio.file.Files.walk(base).forEach { p =>
+        val rel = base.relativize(p).toString
+        if (rel.contains("bucket=") && p.toFile.isFile && !rel.endsWith("_SUCCESS"))
+          out(rel) = java.nio.file.Files.size(p)
+      }
+      out.toMap
+    }
+    b1.coalesce(1).write.parquet(cdcDir.resolve("b1").toString)
+    run()
+    val between = snapshot()
+    b2.coalesce(1).write.parquet(cdcDir.resolve("b2").toString)
+    // deterministic order for the resumed stream: b1 older than b2
+    java.nio.file.Files.walk(cdcDir.resolve("b1")).forEach(p =>
+      p.toFile.setLastModified(System.currentTimeMillis() - 60000))
+    run() // resume: b1 replays as batch 0 (marker no-op), b2 folds as batch 1
+    val after = snapshot()
+    val untouchedBefore = between.view.filterKeys(!_.startsWith(s"bucket=$TargetBucket/")).toMap
+    val untouchedAfter = after.view.filterKeys(!_.startsWith(s"bucket=$TargetBucket/")).toMap
+    assert(untouchedBefore == untouchedAfter,
+      s"untouched dimension buckets rewritten:\n$untouchedBefore\nvs\n$untouchedAfter")
+    assert(between.view.filterKeys(_.startsWith(s"bucket=$TargetBucket/")).toMap !=
+      after.view.filterKeys(_.startsWith(s"bucket=$TargetBucket/")).toMap,
+      "target bucket unchanged — the fold did nothing")
+    // parity: the maintained dimension equals the from-scratch interval
+    // build over the whole input universe
+    val latest = streaming.EventStream.bucketedStateRead(spark, stateDir,
+      org.apache.spark.sql.types.StructType(history0.schema.fields :+
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.IntegerType))).drop("bucket")
+    val want = WindowAnalytics.priorityIntervalHistoryOf(
+      orders.filter(col("o_orderdate") < cut2)
+        .unionAll(b2))
+    val cols = Seq("customer_key", "island", "priority", "valid_from",
+      "valid_to", "valid_until", "n_orders").map(col)
+    assert(latest.select(cols: _*).exceptAll(want.select(cols: _*)).count() == 0)
+    assert(want.select(cols: _*).exceptAll(latest.select(cols: _*)).count() == 0)
+    assert(latest.count() == want.count() && want.count() > 0)
+  }
+
+  test("bucketed SCD2 maintenance: an out-of-order batch fails loudly and advances nothing") {
+    import graft.operators.WindowAnalytics
+    val orders = Tables.orders(spark, sf)
+    val (cut1, cut2) = ("1996-07-01", "1998-07-01")
+    val history0 = WindowAnalytics.priorityIntervalHistoryOf(
+      orders.filter(col("o_orderdate") < cut1))
+    val cdcDir = java.nio.file.Files.createTempDirectory("graft-scd2bktooo")
+    def stage(pred: org.apache.spark.sql.Column, name: String, ageSec: Long): Unit = {
+      val d = cdcDir.resolve(name)
+      orders.filter(pred).coalesce(1).write.parquet(d.toString)
+      java.nio.file.Files.walk(d).forEach(p =>
+        p.toFile.setLastModified(System.currentTimeMillis() - ageSec * 1000))
+    }
+    // REVERSED: the late range arrives first; the second batch's rows
+    // predate state the first already folded
+    stage(col("o_orderdate") >= cut2, "late", 60)
+    stage(col("o_orderdate") >= cut1 && col("o_orderdate") < cut2, "early", 30)
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-scd2bktooos").toString
+    val stream = spark.readStream.schema(orders.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$cdcDir/*")
+    val query = streaming.EventStream.scd2MaintenanceStreamBucketed(
+      stream, history0, stateDir)
+    def snapshot(): Map[String, Long] = {
+      val base = java.nio.file.Paths.get(s"$stateDir/state")
+      val out = scala.collection.mutable.Map.empty[String, Long]
+      java.nio.file.Files.walk(base).forEach { p =>
+        val rel = base.relativize(p).toString
+        if (rel.contains("bucket=") && p.toFile.isFile)
+          out(rel) = java.nio.file.Files.size(p)
+      }
+      out.toMap
+    }
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try query.processAllAvailable() finally query.stop()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(c =>
+        Option(c.getMessage).exists(_.contains("append-only CDC contract violated"))),
+      s"wrong failure: $e")
+    // batch 0 (the late file) folded and was marked; the violating batch
+    // 1 must have left NO marker, so a restart retries it (and fails
+    // again) instead of silently skipping a half-applied batch
+    val markers = new java.io.File(s"$stateDir/_batches").list().sorted
+    assert(markers.sameElements(Array("0")), s"markers: ${markers.mkString(",")}")
+  }
+
   test("scd2StateLatest names the stateDir in its failure instead of an opaque NPE") {
     val missing = intercept[IllegalArgumentException] {
       streaming.EventStream.scd2StateLatest(spark, "/tmp/graft-no-such-state-dir")
