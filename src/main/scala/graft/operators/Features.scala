@@ -130,7 +130,7 @@ object Features {
       .orderBy("doc_id", "chunk_id")
   }
 
-  private val PackBudget = 256
+  private[operators] val PackBudget = 256
 
   /** Streaming token packing: documents in doc_id order are assigned to
     * fixed-capacity bins by the bin their FIRST token falls into
@@ -147,12 +147,19 @@ object Features {
     * result to `sum() OVER (ORDER BY doc_id)` (which remains the oracle
     * spelling), but the only single-partition step touches `Shards` rows.
     */
-  def docsTokenPacking(spark: SparkSession, sfDir: String): DataFrame = {
+  def docsTokenPacking(spark: SparkSession, sfDir: String): DataFrame =
+    tokenPackingOf(Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).alias("n_tokens")))
+
+  /** The distributed-prefix-sum packing over ANY (`doc_id`, `n_tokens`)
+    * sizing frame — factored so the trained-tokenizer variant
+    * ([[TextAnalysis.bpeTokenPacking]]) packs by REAL model tokens
+    * through the identical machinery.
+    */
+  private[operators] def tokenPackingOf(sized: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val Shards = 16
-    val sized = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        size(graft.functions.TextFunctions.tokens(col("text"))).alias("n_tokens"))
     // deterministic arithmetic range sharding (sampling-based
     // repartitionByRange boundaries would not be reproducible)
     val maxId = sized.agg(max(col("doc_id"))).head().getLong(0)

@@ -359,6 +359,23 @@ object TextAnalysis {
           x => x.getField("ids_str")), " ").alias("token_ids"))
   }
 
+  /** TOKEN PACKING UNDER THE TRAINED TOKENIZER — the downstream consumer
+    * that makes [[bpeTokenIds]]'s point concrete: the bin-packing step a
+    * training-data pipeline runs sizes documents by MODEL tokens, and
+    * with the tokenizer applied those counts exist — this query is
+    * `docs_token_packing`'s exact distributed-prefix-sum machinery
+    * ([[Features.tokenPackingOf]]) fed by `n_bpe_tokens` instead of the
+    * whitespace word count. Rides the memoized tokenization frame, so
+    * the marginal cost is the packing cumsum alone. Documents with no
+    * non-empty tokens are absent (as in [[bpeTokenIds]]); the oracle
+    * replays training + the word-grain count join + the same window
+    * cumsum.
+    */
+  def bpeTokenPacking(spark: SparkSession, sfDir: String): DataFrame =
+    Features.tokenPackingOf(
+      bpeTokenIds(spark, sfDir)
+        .select(col("doc_id"), col("n_bpe_tokens").alias("n_tokens")))
+
   /** Top-5 word bigrams per language, positional (every occurrence counts,
     * unlike the distinct shingles of the dedup tier). The token array is
     * materialized in its own projection BEFORE the index-walk — an inline
@@ -779,6 +796,34 @@ object TextAnalysis {
          |FROM doctoks JOIN word_ids USING (w)
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+    "docs_token_packing_bpe" ->
+      s"""WITH RECURSIVE
+         |words AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest($toksSql) AS w FROM documents)
+         |  WHERE w != '' GROUP BY 1),
+         |sym0 AS (
+         |  SELECT w, freq,
+         |         list_transform(range(1, len(w) + 1),
+         |           i -> substring(w, CAST(i AS INT), 1)) AS s
+         |  FROM words),
+         |${bpeRoundSql(1)},
+         |${bpeRoundSql(2)},
+         |${bpeRoundSql(3)},
+         |wn AS (SELECT w, CAST(len(s) AS BIGINT) AS n_sym FROM sym3),
+         |dt AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest($toksSql) AS w FROM documents)
+         |  WHERE w != ''),
+         |sized AS (
+         |  SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS n_tokens
+         |  FROM dt JOIN wn USING (w) GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         |       CAST(sum(n_tokens) OVER (ORDER BY doc_id
+         |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+         |       CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |             - n_tokens) // ${Features.PackBudget} AS BIGINT) AS bin_id
+         |FROM sized ORDER BY doc_id""".stripMargin,
     "docs_length_profile" ->
       s"""WITH t AS (
          |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -961,6 +1006,7 @@ object TextAnalysis {
     "text_bpe_learned_merges" -> bpeLearnedMerges _,
     "text_bpe_vocab" -> bpeVocab _,
     "docs_bpe_token_ids" -> bpeTokenIds _,
+    "docs_token_packing_bpe" -> bpeTokenPacking _,
     "text_langid_ngram" -> langIdNgram _,
     "top_bigrams_per_lang" -> topBigramsPerLang _,
     "text_rare_bigram_ratio" -> rareBigramRatio _,

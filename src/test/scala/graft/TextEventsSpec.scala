@@ -124,6 +124,22 @@ class TextEventsSpec extends SparkSpec {
     assert(q("docs_bpe_token_ids").count() == expected.count())
   }
 
+  test("docs_token_packing_bpe: sized by the tokenizer frame, bins consistent") {
+    import org.apache.spark.sql.functions._
+    val packed = q("docs_token_packing_bpe")
+    val ids = q("docs_bpe_token_ids").select(col("doc_id"),
+      col("n_bpe_tokens"), col("n_words"))
+    val joined = packed.join(ids, "doc_id")
+    assert(joined.count() == packed.count() && packed.count() > 0)
+    // the packing's sizes ARE the trained-tokenizer counts, and BPE can
+    // only split words — never fewer tokens than words
+    assert(joined.filter(col("n_tokens") =!= col("n_bpe_tokens")).count() == 0)
+    assert(joined.filter(col("n_tokens") < col("n_words")).count() == 0)
+    // bin arithmetic: bin of the doc's FIRST token, exclusive cumsum
+    assert(packed.filter(
+      col("bin_id") =!= floor((col("cum_tokens") - col("n_tokens")) / 256)).count() == 0)
+  }
+
   test("text_quality: n_chars matches the documents table's own column") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("n_chars").alias("expected"))
     val bad = q("text_quality").join(docs, "doc_id")
