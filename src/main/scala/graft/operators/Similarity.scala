@@ -935,12 +935,30 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
   }
 
+  /** Encode a quantized vector frame against a codebook — the
+    * subvector-decompose + nearest-entry argmin pipeline, opened to the
+    * streaming maintenance fold (which encodes each micro-batch with the
+    * FROZEN codebooks).
+    */
+  private[graft] def pqEncodeWith(q: DataFrame, cb: DataFrame): DataFrame =
+    pqCodesFor(pqSubvectorsOf(q), cb)
+
+  /** Serve top-5 through an arbitrary (cells, codes, codebook) index —
+    * the probe/LUT/ADC plan opened to the streaming-maintenance parity
+    * spec (which serves through the parquet-backed index tables).
+    */
+  private[graft] def ivfpqServeTop5(spark: SparkSession, sfDir: String,
+      cells: DataFrame, codes: DataFrame, cb: DataFrame): DataFrame =
+    ivfpqAdcRankedOver(spark, sfDir, cells, pqSubvectors(spark, sfDir), cb, codes)
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"))
+
   /** The daily-crawl split of the INCREMENTAL ANN MAINTENANCE gate —
     * `vec_id % 10 == 9` plays the incoming batch, the rest the
     * already-indexed history (the exact split `dedup_minhash_incremental`
     * uses for documents).
     */
-  private def maintainedHistory(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def maintainedHistory(spark: SparkSession, sfDir: String): DataFrame =
     quantized(spark, sfDir).filter(col("vec_id") % 10 =!= 9)
 
   private[graft] def maintainedBatch(spark: SparkSession, sfDir: String): DataFrame =

@@ -587,6 +587,49 @@ class StreamingSpec extends SparkSpec {
     assert(markers.sameElements(Array("0")), s"markers: ${markers.mkString(",")}")
   }
 
+  test("foreachBatch ANN index maintenance serves identically to the batch-maintained gate") {
+    import graft.operators.Similarity
+    // frozen history-trained parameters — the same ones the registered
+    // maintained gate uses, so parity is end-to-end
+    val cents = Similarity.maintainedCentroids(spark, sf)
+    val cb = Similarity.maintainedCodebooks(spark, sf)
+    val history = Similarity.maintainedHistory(spark, sf)
+    val batch = Similarity.maintainedBatch(spark, sf)
+    assert(batch.count() >= 2, "need at least two batch vectors for two micro-batches")
+    val historyCells = Similarity.assignCellsTo(history, cents)
+    val historyCodes = Similarity.pqEncodeWith(history, cb)
+    // the crawl increment arrives as TWO files driven one-per-trigger,
+    // so the second fold appends to tables the first already extended
+    val vecDir = java.nio.file.Files.createTempDirectory("graft-annstream")
+    batch.filter(col("vec_id") % 2 === 0).coalesce(1)
+      .write.parquet(vecDir.resolve("b1").toString)
+    batch.filter(col("vec_id") % 2 === 1).coalesce(1)
+      .write.parquet(vecDir.resolve("b2").toString)
+    java.nio.file.Files.walk(vecDir.resolve("b1")).forEach(p =>
+      p.toFile.setLastModified(System.currentTimeMillis() - 60000))
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$vecDir/*")
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-annindex").toString
+    val query = streaming.EventStream.annIndexMaintenanceStream(
+      stream, historyCells, historyCodes, cents, cb, indexDir)
+    try query.processAllAvailable() finally query.stop()
+    // the appended tables are row-identical to the batch-maintained index
+    val cells = streaming.EventStream.annIndexCellsRead(spark, indexDir)
+    val codes = streaming.EventStream.annIndexCodesRead(spark, indexDir)
+    val wantCells = Similarity.maintainedCells(spark, sf)
+    val wantCodes = Similarity.maintainedCodes(spark, sf)
+    assert(cells.exceptAll(wantCells).count() == 0)
+    assert(wantCells.exceptAll(cells).count() == 0)
+    assert(codes.exceptAll(wantCodes).count() == 0)
+    assert(wantCodes.exceptAll(codes).count() == 0)
+    // and SERVING through the parquet-backed tables returns the same
+    // top-5 the registered gate serves
+    val served = Similarity.ivfpqServeTop5(spark, sf, cells, codes, cb)
+    val want = Similarity.ivfpqMaintainedTop5(spark, sf)
+    assert(served.count() == want.count() && want.count() > 0)
+    assert(served.exceptAll(want).count() == 0)
+  }
+
   test("scd2StateLatest names the stateDir in its failure instead of an opaque NPE") {
     val missing = intercept[IllegalArgumentException] {
       streaming.EventStream.scd2StateLatest(spark, "/tmp/graft-no-such-state-dir")
