@@ -310,13 +310,18 @@ object TextAnalysis {
     * Documents with no non-empty tokens are excluded on both sides.
     */
   def bpeTokenIds(spark: SparkSession, sfDir: String): DataFrame =
+    // memoized + persisted (the maintainedCells pattern): the packing
+    // consumer and this query's own materialization would otherwise each
+    // re-run the corpus-sized dictionary join — the memo alone caches
+    // only the frame object, not its blocks
     graft.CacheLifecycle.memoized(s"textanalysis.bpeTokenIds:$sfDir") {
       val (_, sym) = bpeTrained(spark, sfDir)
       val docs = Tables.loadSpread(spark, sfDir, "documents")
         .select(col("doc_id"),
           filter(TextFunctions.tokens(col("text")), w => w =!= "").alias("t"))
-      bpeTokenIdsOf(docs, sym, trainedVocabIds(sym))
-        .orderBy("doc_id")
+      graft.CacheLifecycle.sessionPersist(
+        bpeTokenIdsOf(docs, sym, trainedVocabIds(sym))
+          .orderBy("doc_id"))
     }
 
   /** The trained vocabulary in id order: distinct final symbols, sorted

@@ -240,9 +240,12 @@ object EventStream {
     * (the restart-resume StreamingSpec case). Every write unit is a
     * per-batch subdir committed under a batch marker, so a re-delivered
     * batch overwrites its own subdir and is a no-op — never a
-    * double-append. Pass `checkpointDir` to also keep Spark's source
-    * offsets across restarts (without it, a fresh stream re-reads all
-    * files and relies on the markers alone to skip re-delivered work).
+    * double-append. Pass `checkpointDir` for cross-restart exactly-once:
+    * without it a fresh stream re-reads all files, and the markers skip
+    * the replays ONLY while the batchId↔files mapping is unchanged —
+    * new files arriving before a checkpoint-less restart would be
+    * re-batched into already-marked ids and silently skipped (the
+    * [[maintenanceWriter]] contract).
     *
     * At 100 TB the probe is a band-key equi-join of the SMALL batch
     * against the stored index — the corpus is never re-banded, which is
@@ -257,7 +260,9 @@ object EventStream {
     val spark = docsStream.sparkSession
     val shDir = s"$indexDir/shingles"
     val bandsDir = s"$indexDir/bands"
-    if (!new java.io.File(shDir).exists()) {
+    // guard on the LAST seed's commit evidence — see
+    // [[annIndexMaintenanceStream]]'s two-table seed note
+    if (!new java.io.File(s"$bandsDir/seed/_SUCCESS").exists()) {
       val histSh = Dedup.shingleDocs(historyDocs).persist()
       try {
         histSh.write.mode("overwrite").parquet(s"$shDir/seed")
@@ -269,11 +274,7 @@ object EventStream {
     }
     val batchesDir = new java.io.File(s"$indexDir/_batches")
     batchesDir.mkdirs()
-    val writer = docsStream.writeStream
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
-    writer
+    maintenanceWriter(docsStream, checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val marker = new java.io.File(batchesDir, batchId.toString)
         if (!marker.exists()) {
@@ -319,43 +320,87 @@ object EventStream {
     else listed.toSeq.filter(_.matches("v\\d+")).map(_.drop(1).toInt).sorted
   }
 
-  /** Marker file recording which streaming batchId produced a generation
-    * — the idempotence token: a re-delivered batch (restart/retry replays
-    * the last uncommitted micro-batch) finds its marker and no-ops
-    * instead of double-folding. Written AFTER the generation's parquet
-    * commit, so a crash between the two replays the fold into the same
-    * generation number (overwrite — still exactly-once in effect).
+  /** Marker files recording which streaming batchId produced which
+    * generation — the idempotence tokens, kept in their OWN directory
+    * (`stateDir/_batches/b{batchId}_v{gen}`), never inside a generation
+    * dir: retention deletes old generations but must never delete the
+    * evidence a batch was applied. A marker is written strictly AFTER
+    * its generation's parquet commit.
     */
-  private def batchMarker(stateDir: String, gen: Int, batchId: Long): java.io.File =
-    new java.io.File(s"$stateDir/v$gen/_batch_$batchId")
+  /** The common `foreachBatch` writer for every maintenance stream:
+    * AvailableNow trigger, optional DURABLE checkpoint. The batch
+    * markers alone guard REDELIVERY of an unchanged batchId↔files
+    * mapping (Spark's retry-within-a-run, or a restart over the same
+    * file set); they cannot guard a checkpoint-less restart that sees
+    * NEW files, because the file source then re-batches everything and
+    * a marked batchId may swallow never-processed files. Pass
+    * `checkpointDir` for cross-restart exactly-once — the checkpoint
+    * pins the batchId↔files mapping, and the markers close the
+    * commit-vs-checkpoint race per batch.
+    */
+  private def maintenanceWriter(stream: DataFrame,
+      checkpointDir: Option[String]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val w = stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    w
+  }
+
+  private def markersDir(stateDir: String): java.io.File =
+    new java.io.File(s"$stateDir/_batches")
+
+  private def markerNames(stateDir: String): Seq[String] = {
+    val listed = markersDir(stateDir).list()
+    if (listed == null) Seq.empty else listed.toSeq
+  }
+
+  private def batchMarker(stateDir: String, gen: Int, batchId: Long): java.io.File = {
+    markersDir(stateDir).mkdirs()
+    new java.io.File(markersDir(stateDir), s"b${batchId}_v$gen")
+  }
 
   private def batchAlreadyApplied(stateDir: String, batchId: Long): Boolean =
-    stateGenerations(stateDir).exists(g => batchMarker(stateDir, g, batchId).exists())
+    markerNames(stateDir).exists(_.startsWith(s"b${batchId}_"))
 
-  /** Seed `stateDir/v0` from `initial` unless generations already exist
-    * (a RESTARTED stream resumes from the newest on-disk generation —
-    * the state, not the caller's argument, is authoritative then).
-    * Returns the newest generation number.
+  /** The newest APPLIED generation: the highest generation a batch
+    * marker (or the v0 seed) vouches for. A bare `v*` dir with no marker
+    * is a CRASHED fold — the commit landed but the marker did not — and
+    * is deliberately ignored: the replayed batch re-folds from the last
+    * applied generation and OVERWRITES the orphan, which is what makes
+    * the fold exactly-once (deriving from the raw dir max instead would
+    * read the half-applied generation and double-fold the batch).
     */
-  private def seedOrResume(initial: DataFrame, stateDir: String): Int = {
-    val gens = stateGenerations(stateDir)
-    if (gens.isEmpty) {
-      initial.write.mode("overwrite").parquet(s"$stateDir/v0")
-      0
-    } else gens.max
+  private def latestApplied(stateDir: String): Option[Int] = {
+    val marked = markerNames(stateDir)
+      .flatMap(n => "_v(\\d+)$".r.findFirstMatchIn(n).map(_.group(1).toInt))
+    val seed = if (new java.io.File(s"$stateDir/v0").exists()) Seq(0) else Seq.empty
+    (marked ++ seed).reduceOption(_ max _)
   }
+
+  /** Seed `stateDir/v0` from `initial` unless applied state already
+    * exists (a RESTARTED stream resumes from the newest applied
+    * generation — the state, not the caller's argument, is
+    * authoritative then).
+    */
+  private def seedOrResume(initial: DataFrame, stateDir: String): Unit =
+    if (latestApplied(stateDir).isEmpty) {
+      initial.write.mode("overwrite").parquet(s"$stateDir/v0")
+    }
 
   /** The shared read-fold-write generation advance both maintenance
     * streams run per micro-batch: skip a re-delivered batch (marker
-    * check), fold `fold(current, batch)` into `v(n+1)`, then commit the
-    * batch marker. `retain` (if set) drops all but the newest `retain`
-    * generations AFTER the advance — see [[retainStateGenerations]].
+    * check), fold `fold(current)` from the newest APPLIED generation
+    * into the next number, then commit the batch marker. `retain` (if
+    * set) drops all but the newest `retain` generations AFTER the
+    * advance — see [[retainStateGenerations]].
     */
   private def advanceState(stateDir: String, batchId: Long,
       fold: DataFrame => DataFrame, spark: SparkSession,
       retain: Option[Int]): Unit = {
     if (!batchAlreadyApplied(stateDir, batchId)) {
-      val cur = stateGenerations(stateDir).max
+      val cur = latestApplied(stateDir).getOrElse(
+        throw new IllegalStateException(s"no applied state generations under $stateDir"))
       fold(spark.read.parquet(s"$stateDir/v$cur"))
         .write.mode("overwrite").parquet(s"$stateDir/v${cur + 1}")
       batchMarker(stateDir, cur + 1, batchId).createNewFile()
@@ -367,8 +412,11 @@ object EventStream {
     * dance: keep the newest `keep` generations, delete the rest. Runs
     * strictly AFTER a new generation is committed, so a reader of
     * [[scd2StateLatest]] is never pointed at a deleted dir (the newest
-    * generation is by definition retained). Returns the deleted
-    * generation numbers. Production table formats call this VACUUM /
+    * generation is by definition retained), and batch markers live
+    * OUTSIDE the generation dirs, so vacuuming history never erases the
+    * idempotence evidence — a batch older than the retention horizon
+    * still no-ops on redelivery. Returns the deleted generation
+    * numbers. Production table formats call this VACUUM /
     * expire_snapshots; the local-dir form carries the same contract —
     * retention must never touch the newest generation.
     */
@@ -411,12 +459,11 @@ object EventStream {
     * bounds the generation history ([[retainStateGenerations]]).
     */
   def scd2ApplyChangesStream(ordersStream: DataFrame, initialHistory: DataFrame,
-      stateDir: String, retain: Option[Int] = None): StreamingQuery = {
+      stateDir: String, retain: Option[Int] = None,
+      checkpointDir: Option[String] = None): StreamingQuery = {
     val spark = ordersStream.sparkSession
     seedOrResume(initialHistory, stateDir)
-    ordersStream.writeStream
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
+    maintenanceWriter(ordersStream, checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         advanceState(stateDir, batchId,
           cur => graft.operators.WindowAnalytics.scd2ApplyChanges(cur, batch.toDF()),
@@ -447,12 +494,11 @@ object EventStream {
     * stream pays only its own batch's aggregation shuffle.
     */
   def totalsMaintenanceStream(detailStream: DataFrame, initialState: DataFrame,
-      stateDir: String, retain: Option[Int] = None): StreamingQuery = {
+      stateDir: String, retain: Option[Int] = None,
+      checkpointDir: Option[String] = None): StreamingQuery = {
     val spark = detailStream.sparkSession
     seedOrResume(initialState, stateDir)
-    detailStream.writeStream
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
+    maintenanceWriter(detailStream, checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         advanceState(stateDir, batchId,
           cur => graft.operators.StarSchema.mergeTotalsPartials(cur,
@@ -556,19 +602,21 @@ object EventStream {
     * of the state instead of all of it.
     */
   def totalsMaintenanceStreamBucketed(detailStream: DataFrame,
-      initialState: DataFrame, stateDir: String): StreamingQuery = {
+      initialState: DataFrame, stateDir: String,
+      checkpointDir: Option[String] = None): StreamingQuery = {
     val spark = detailStream.sparkSession
     val statePath = bucketedStatePath(stateDir)
-    if (!new java.io.File(statePath).exists()) {
+    // guard on the COMMIT evidence (_SUCCESS), not bare dir existence:
+    // a crash mid-seed leaves a partial dir a bare-existence check would
+    // accept forever; the overwrite re-seed is idempotent
+    if (!new java.io.File(statePath, "_SUCCESS").exists()) {
       withStateBucket(initialState)
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(statePath)
     }
     val batchesDir = new java.io.File(s"$stateDir/_batches")
     batchesDir.mkdirs()
-    detailStream.writeStream
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
+    maintenanceWriter(detailStream, checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val marker = new java.io.File(batchesDir, batchId.toString)
         if (!marker.exists()) {
@@ -642,12 +690,14 @@ object EventStream {
     * table-format residue).
     */
   def scd2MaintenanceStreamBucketed(ordersStream: DataFrame,
-      initialHistory: DataFrame, stateDir: String): StreamingQuery = {
+      initialHistory: DataFrame, stateDir: String,
+      checkpointDir: Option[String] = None): StreamingQuery = {
     val spark = ordersStream.sparkSession
     val statePath = bucketedStatePath(stateDir)
     val schema = StructType(
       initialHistory.schema.fields :+ StructField("bucket", IntegerType))
-    if (!new java.io.File(statePath).exists()) {
+    // commit-evidence seed guard — see [[totalsMaintenanceStreamBucketed]]
+    if (!new java.io.File(statePath, "_SUCCESS").exists()) {
       initialHistory
         .withColumn("bucket", stateBucketOf(col("customer_key")))
         .repartition(col("bucket"))
@@ -655,9 +705,7 @@ object EventStream {
     }
     val batchesDir = new java.io.File(s"$stateDir/_batches")
     batchesDir.mkdirs()
-    ordersStream.writeStream
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
+    maintenanceWriter(ordersStream, checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val marker = new java.io.File(batchesDir, batchId.toString)
         if (!marker.exists()) {
@@ -730,20 +778,22 @@ object EventStream {
     */
   def annIndexMaintenanceStream(vectorsStream: DataFrame,
       historyCells: DataFrame, historyCodes: DataFrame,
-      cents: DataFrame, cb: DataFrame, indexDir: String): StreamingQuery = {
+      cents: DataFrame, cb: DataFrame, indexDir: String,
+      checkpointDir: Option[String] = None): StreamingQuery = {
     import graft.operators.Similarity
     val spark = vectorsStream.sparkSession
     val cellsDir = s"$indexDir/cells"
     val codesDir = s"$indexDir/codes"
-    if (!new java.io.File(cellsDir).exists()) {
+    // guard on the LAST seed's commit evidence: a crash between the two
+    // seed writes must re-seed BOTH (overwrite — idempotent), never
+    // leave a half-seeded index a first-dir existence check would accept
+    if (!new java.io.File(s"$codesDir/seed/_SUCCESS").exists()) {
       historyCells.write.mode("overwrite").parquet(s"$cellsDir/seed")
       historyCodes.write.mode("overwrite").parquet(s"$codesDir/seed")
     }
     val batchesDir = new java.io.File(s"$indexDir/_batches")
     batchesDir.mkdirs()
-    vectorsStream.writeStream
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
+    maintenanceWriter(vectorsStream, checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val marker = new java.io.File(batchesDir, batchId.toString)
         if (!marker.exists()) {
@@ -764,16 +814,18 @@ object EventStream {
       .start()
   }
 
-  /** The newest state generation under `stateDir` (see
-    * [[scd2ApplyChangesStream]] / [[totalsMaintenanceStream]]); fails
-    * with a named error — not an NPE/empty-max — when `stateDir` is
-    * missing or holds no `v*` generations. Local-filesystem listing,
-    * like all generation helpers here (see [[stateGenerations]]).
+  /** The newest APPLIED state generation under `stateDir` (see
+    * [[scd2ApplyChangesStream]] / [[totalsMaintenanceStream]]) — a
+    * crashed, marker-less fold is never served ([[latestApplied]]);
+    * fails with a named error — not an NPE/empty-max — when `stateDir`
+    * is missing or holds no applied generations. Local-filesystem
+    * listing, like all generation helpers here (see
+    * [[stateGenerations]]).
     */
   def scd2StateLatest(spark: SparkSession, stateDir: String): DataFrame = {
-    val gens = stateGenerations(stateDir)
-    require(gens.nonEmpty, s"no state generations (v0, v1, ...) under $stateDir")
-    spark.read.parquet(s"$stateDir/v${gens.max}")
+    val latest = latestApplied(stateDir)
+    require(latest.nonEmpty, s"no state generations (v0, v1, ...) under $stateDir")
+    spark.read.parquet(s"$stateDir/v${latest.get}")
   }
 
   /** Drive a streaming aggregation to a named in-memory table and process

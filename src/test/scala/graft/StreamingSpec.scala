@@ -374,21 +374,31 @@ class StreamingSpec extends SparkSpec {
     }
     stage(col("o_orderdate") >= cut1 && col("o_orderdate") < cut2, "b1", 60)
     stage(col("o_orderdate") >= cut2, "b2", 30)
-    val stream = spark.readStream.schema(detail.schema)
+    def newStream() = spark.readStream.schema(detail.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$cdcDir/*")
     val stateDir = java.nio.file.Files.createTempDirectory("graft-retainstate").toString
     // retain=1: after each advance only the newest generation survives
     val query = streaming.EventStream.totalsMaintenanceStream(
-      stream, state0, stateDir, retain = Some(1))
+      newStream(), state0, stateDir, retain = Some(1))
     try query.processAllAvailable() finally query.stop()
     val gens = new java.io.File(stateDir).list().filter(_.matches("v\\d+")).sorted
     assert(gens.sameElements(Array("v2")), s"generations: ${gens.mkString(",")}")
     // the reader of `latest` is unaffected by the vacuumed history
-    val got = StarSchema.finalizeTotals(
+    def finalized() = StarSchema.finalizeTotals(
         streaming.EventStream.scd2StateLatest(spark, stateDir))
       .orderBy("product_key").collect().toSeq
     val want = q("fact_product_totals_incremental").collect().toSeq
-    assert(got == want && want.nonEmpty)
+    assert(finalized() == want && want.nonEmpty)
+    // redelivery AFTER retention: the batch markers live outside the
+    // generation dirs, so vacuuming v0/v1 must not erase the evidence —
+    // a full replay of both batches is still a no-op, never a re-fold
+    val q2 = streaming.EventStream.totalsMaintenanceStream(
+      newStream(), state0, stateDir, retain = Some(1))
+    try q2.processAllAvailable() finally q2.stop()
+    val gens2 = new java.io.File(stateDir).list().filter(_.matches("v\\d+")).sorted
+    assert(gens2.sameElements(Array("v2")),
+      s"replay after retention advanced state: ${gens2.mkString(",")}")
+    assert(finalized() == want)
   }
 
   test("a re-delivered micro-batch is a no-op and a restarted stream resumes from disk") {
@@ -628,6 +638,53 @@ class StreamingSpec extends SparkSpec {
     val want = Similarity.ivfpqMaintainedTop5(spark, sf)
     assert(served.count() == want.count() && want.count() > 0)
     assert(served.exceptAll(want).count() == 0)
+  }
+
+  test("a crashed marker-less fold is never served and replay overwrites it") {
+    import graft.operators.StarSchema
+    val detail = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("o_orderdate"))
+    val cut = "1996-07-01"
+    val state0 = StarSchema.totalsPartialsOfDetail(
+      detail.filter(col("o_orderdate") < cut))
+    val (cut1, cut2) = (cut, "1998-07-01")
+    val cdcDir = java.nio.file.Files.createTempDirectory("graft-crashcdc")
+    detail.filter(col("o_orderdate") >= cut1 && col("o_orderdate") < cut2)
+      .coalesce(1).write.parquet(cdcDir.resolve("b1").toString)
+    java.nio.file.Files.walk(cdcDir.resolve("b1")).forEach(p =>
+      p.toFile.setLastModified(System.currentTimeMillis() - 60000))
+    def newStream() = spark.readStream.schema(detail.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$cdcDir/*")
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-crashstate").toString
+    val q1 = streaming.EventStream.totalsMaintenanceStream(newStream(), state0, stateDir)
+    try q1.processAllAvailable() finally q1.stop()
+    def finalized() = StarSchema.finalizeTotals(
+        streaming.EventStream.scd2StateLatest(spark, stateDir))
+      .orderBy("product_key").collect().toSeq
+    val wantMid = StarSchema.finalizeTotals(StarSchema.totalsPartialsOfDetail(
+        detail.filter(col("o_orderdate") < cut2)))
+      .orderBy("product_key").collect().toSeq
+    assert(finalized() == wantMid && wantMid.nonEmpty)
+    // simulate the crash window for batch 2: its parquet commit landed
+    // as v2 but the JVM died before the batch marker — the orphan holds
+    // a state a raw dir-max reader would serve; the latest-APPLIED
+    // reader must keep serving v1
+    val b2rows = detail.filter(col("o_orderdate") >= cut2)
+    StarSchema.mergeTotalsPartials(spark.read.parquet(s"$stateDir/v1"),
+        StarSchema.totalsPartialsOfDetail(b2rows))
+      .write.mode("overwrite").parquet(s"$stateDir/v2")
+    assert(finalized() == wantMid, "a marker-less orphan generation was served")
+    // the restarted stream replays batch 0 (marked — no-op) and
+    // re-delivers batch 1: the fold reads v1 (the last APPLIED
+    // generation, not the orphan) and overwrites v2 — exactly-once, no
+    // double count of the b2 rows
+    b2rows.coalesce(1).write.parquet(cdcDir.resolve("b2").toString)
+    val q2 = streaming.EventStream.totalsMaintenanceStream(newStream(), state0, stateDir)
+    try q2.processAllAvailable() finally q2.stop()
+    val want = q("fact_product_totals_incremental").collect().toSeq
+    assert(finalized() == want && want.nonEmpty)
   }
 
   test("scd2StateLatest names the stateDir in its failure instead of an opaque NPE") {
