@@ -272,11 +272,9 @@ object EventStream {
         ()
       }
     }
-    val batchesDir = new java.io.File(s"$indexDir/_batches")
-    batchesDir.mkdirs()
     maintenanceWriter(docsStream, checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val marker = new java.io.File(batchesDir, batchId.toString)
+        val marker = batchMarkerPlain(indexDir, batchId)
         if (!marker.exists()) {
           val batchSh = Dedup.shingleDocs(batch.toDF()).persist()
           val batchBands = Dedup.bandIndex(batchSh).persist()
@@ -320,13 +318,6 @@ object EventStream {
     else listed.toSeq.filter(_.matches("v\\d+")).map(_.drop(1).toInt).sorted
   }
 
-  /** Marker files recording which streaming batchId produced which
-    * generation — the idempotence tokens, kept in their OWN directory
-    * (`stateDir/_batches/b{batchId}_v{gen}`), never inside a generation
-    * dir: retention deletes old generations but must never delete the
-    * evidence a batch was applied. A marker is written strictly AFTER
-    * its generation's parquet commit.
-    */
   /** The common `foreachBatch` writer for every maintenance stream:
     * AvailableNow trigger, optional DURABLE checkpoint. The batch
     * markers alone guard REDELIVERY of an unchanged batchId↔files
@@ -347,6 +338,13 @@ object EventStream {
     w
   }
 
+  /** Marker files recording which streaming batchId produced which
+    * generation — the idempotence tokens, kept in their OWN directory
+    * (`stateDir/_batches/b{batchId}_v{gen}`), never inside a generation
+    * dir: retention deletes old generations but must never delete the
+    * evidence a batch was applied. A marker is written strictly AFTER
+    * its generation's parquet commit.
+    */
   private def markersDir(stateDir: String): java.io.File =
     new java.io.File(s"$stateDir/_batches")
 
@@ -356,8 +354,18 @@ object EventStream {
   }
 
   private def batchMarker(stateDir: String, gen: Int, batchId: Long): java.io.File = {
-    markersDir(stateDir).mkdirs()
-    new java.io.File(markersDir(stateDir), s"b${batchId}_v$gen")
+    val d = markersDir(stateDir)
+    d.mkdirs()
+    new java.io.File(d, s"b${batchId}_v$gen")
+  }
+
+  /** Plain batchId marker for the single-table streams (bucketed state,
+    * append-only index tables) — no generation component to record.
+    */
+  private def batchMarkerPlain(stateDir: String, batchId: Long): java.io.File = {
+    val d = markersDir(stateDir)
+    d.mkdirs()
+    new java.io.File(d, batchId.toString)
   }
 
   private def batchAlreadyApplied(stateDir: String, batchId: Long): Boolean =
@@ -565,6 +573,62 @@ object EventStream {
     bucketedStateRead(spark, stateDir, schema)
       .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
 
+  /** Write state rows bucketed by `keyCol` with dynamic-partition
+    * overwrite — replaces ONLY the bucket partitions present in `df`
+    * (the fold's partial rewrite; the SEED uses a plain overwrite
+    * instead — see [[seedBucketedState]] for why the two commits must
+    * differ). Shared by both bucketed maintenance streams.
+    */
+  private def writeBucketed(df: DataFrame, keyCol: String, statePath: String): Unit =
+    df.withColumn("bucket", stateBucketOf(col(keyCol)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(statePath)
+
+  /** Seed the bucketed state table unless COMMIT evidence exists —
+    * `_SUCCESS`, not bare dir existence: a crash mid-seed leaves a
+    * partial dir a bare-existence check would accept forever; the
+    * re-seed overwrite is idempotent. The seed MUST be a PLAIN overwrite
+    * (not [[writeBucketed]]'s dynamic form): only the standard commit
+    * writes the root `_SUCCESS` this guard reads — a dynamic-partition
+    * commit moves partition dirs without one, so a dynamic seed would
+    * re-seed on every restart, silently erasing every fold since
+    * (caught by the restart specs when the round's cleanup tried to
+    * unify the two writes).
+    */
+  private def seedBucketedState(initial: DataFrame, keyCol: String,
+      stateDir: String): Unit = {
+    val statePath = bucketedStatePath(stateDir)
+    if (!new java.io.File(statePath, "_SUCCESS").exists()) {
+      initial.withColumn("bucket", stateBucketOf(col(keyCol)))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(statePath)
+    }
+  }
+
+  /** Read-fold-rewrite one micro-batch against the bucketed state: read
+    * ONLY `touched` — MATERIALIZED before the overwrite (Spark rightly
+    * refuses a write whose plan still reads the target path, and a
+    * merge's read-before-write is the semantic anyway; localCheckpoint
+    * truncates the lineage to blocks sized to the touched buckets,
+    * released after the commit) — apply `fold` to the un-bucketed
+    * current rows, and dynamic-overwrite only the touched partitions.
+    */
+  private def foldBucketedState(spark: SparkSession, stateDir: String,
+      schema: StructType, touched: Seq[Int], keyCol: String)(
+      fold: DataFrame => DataFrame): Unit = {
+    val current = bucketedStateTouchedRead(spark, stateDir, touched, schema)
+      .localCheckpoint(true)
+    try {
+      writeBucketed(fold(current.drop("bucket")), keyCol,
+        bucketedStatePath(stateDir))
+    } finally {
+      org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(current)
+    }
+  }
+
   /** STREAMING AGGREGATE MAINTENANCE WITH PARTIAL STATE REWRITE — the
     * composition of [[totalsMaintenanceStream]] (read-fold-write
     * maintenance of integer partials) with the bucketed layout
@@ -605,20 +669,10 @@ object EventStream {
       initialState: DataFrame, stateDir: String,
       checkpointDir: Option[String] = None): StreamingQuery = {
     val spark = detailStream.sparkSession
-    val statePath = bucketedStatePath(stateDir)
-    // guard on the COMMIT evidence (_SUCCESS), not bare dir existence:
-    // a crash mid-seed leaves a partial dir a bare-existence check would
-    // accept forever; the overwrite re-seed is idempotent
-    if (!new java.io.File(statePath, "_SUCCESS").exists()) {
-      withStateBucket(initialState)
-        .repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(statePath)
-    }
-    val batchesDir = new java.io.File(s"$stateDir/_batches")
-    batchesDir.mkdirs()
+    seedBucketedState(initialState, "product_key", stateDir)
     maintenanceWriter(detailStream, checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val marker = new java.io.File(batchesDir, batchId.toString)
+        val marker = batchMarkerPlain(stateDir, batchId)
         if (!marker.exists()) {
           val batchPartials = withStateBucket(
               graft.operators.StarSchema.totalsPartialsOfDetail(batch.toDF()))
@@ -627,25 +681,10 @@ object EventStream {
             val touched = batchPartials.select(col("bucket")).distinct()
               .collect().map(_.getInt(0)).toSeq.sorted
             if (touched.nonEmpty) {
-              // materialize the touched buckets BEFORE overwriting them:
-              // Spark (rightly) refuses a write whose plan still reads
-              // the target path, and a merge's read-before-write is the
-              // semantic anyway. localCheckpoint truncates the lineage
-              // to the materialized blocks — sized to the touched
-              // buckets, not the state table; released after the commit.
-              val current = bucketedStateTouchedRead(spark, stateDir, touched)
-                .localCheckpoint(true)
-              try {
+              foldBucketedState(spark, stateDir, totalsStateSchema, touched,
+                  "product_key") { cur =>
                 graft.operators.StarSchema.mergeTotalsPartials(
-                    current.drop("bucket"), batchPartials.drop("bucket"))
-                  .transform(withStateBucket)
-                  .repartition(col("bucket"))
-                  .write.mode("overwrite")
-                  .option("partitionOverwriteMode", "dynamic")
-                  .partitionBy("bucket")
-                  .parquet(statePath)
-              } finally {
-                org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(current)
+                  cur, batchPartials.drop("bucket"))
               }
             }
             marker.createNewFile()
@@ -693,39 +732,20 @@ object EventStream {
       initialHistory: DataFrame, stateDir: String,
       checkpointDir: Option[String] = None): StreamingQuery = {
     val spark = ordersStream.sparkSession
-    val statePath = bucketedStatePath(stateDir)
     val schema = StructType(
       initialHistory.schema.fields :+ StructField("bucket", IntegerType))
-    // commit-evidence seed guard — see [[totalsMaintenanceStreamBucketed]]
-    if (!new java.io.File(statePath, "_SUCCESS").exists()) {
-      initialHistory
-        .withColumn("bucket", stateBucketOf(col("customer_key")))
-        .repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(statePath)
-    }
-    val batchesDir = new java.io.File(s"$stateDir/_batches")
-    batchesDir.mkdirs()
+    seedBucketedState(initialHistory, "customer_key", stateDir)
     maintenanceWriter(ordersStream, checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val marker = new java.io.File(batchesDir, batchId.toString)
+        val marker = batchMarkerPlain(stateDir, batchId)
         if (!marker.exists()) {
           val touched = batch.toDF()
             .select(stateBucketOf(col("o_custkey")).alias("bucket"))
             .distinct().collect().map(_.getInt(0)).toSeq.sorted
           if (touched.nonEmpty) {
-            val current = bucketedStateTouchedRead(spark, stateDir, touched, schema)
-              .localCheckpoint(true)
-            try {
-              graft.operators.WindowAnalytics
-                .scd2ApplyChanges(current.drop("bucket"), batch.toDF())
-                .withColumn("bucket", stateBucketOf(col("customer_key")))
-                .repartition(col("bucket"))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("bucket")
-                .parquet(statePath)
-            } finally {
-              org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(current)
+            foldBucketedState(spark, stateDir, schema, touched,
+                "customer_key") { cur =>
+              graft.operators.WindowAnalytics.scd2ApplyChanges(cur, batch.toDF())
             }
           }
           marker.createNewFile()
@@ -791,11 +811,9 @@ object EventStream {
       historyCells.write.mode("overwrite").parquet(s"$cellsDir/seed")
       historyCodes.write.mode("overwrite").parquet(s"$codesDir/seed")
     }
-    val batchesDir = new java.io.File(s"$indexDir/_batches")
-    batchesDir.mkdirs()
     maintenanceWriter(vectorsStream, checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val marker = new java.io.File(batchesDir, batchId.toString)
+        val marker = batchMarkerPlain(indexDir, batchId)
         if (!marker.exists()) {
           val b = batch.toDF().persist()
           try {

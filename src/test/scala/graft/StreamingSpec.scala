@@ -6,6 +6,25 @@ import graft.streaming.EventStream
 
 class StreamingSpec extends SparkSpec {
 
+  /** The sales-detail frame the totals-maintenance tests fold (lineitem
+    * ⋈ orders with the CDC date column).
+    */
+  private def detailFrame = Tables.lineitem(spark, sf)
+    .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+    .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+      col("l_discount"), col("o_orderdate"))
+
+  /** Stage one micro-batch file with a pinned age — the file source
+    * orders by mod time, so ages make the trigger order deterministic.
+    */
+  private def stageFile(df: org.apache.spark.sql.DataFrame,
+      dir: java.nio.file.Path, name: String, ageSec: Long): Unit = {
+    val d = dir.resolve(name)
+    df.coalesce(1).write.parquet(d.toString)
+    java.nio.file.Files.walk(d).forEach(p =>
+      p.toFile.setLastModified(System.currentTimeMillis() - ageSec * 1000))
+  }
+
   test("streaming hourly counts equal the batch events_hourly result") {
     // file stream sources require a directory — stage the fixture file
     val dir = java.nio.file.Files.createTempDirectory("graft-stream")
@@ -290,12 +309,8 @@ class StreamingSpec extends SparkSpec {
     val history0 = WindowAnalytics.priorityIntervalHistoryOf(
       orders.filter(col("o_orderdate") < cut1))
     val cdcDir = java.nio.file.Files.createTempDirectory("graft-scd2ooo")
-    def stage(pred: org.apache.spark.sql.Column, name: String, ageSec: Long): Unit = {
-      val d = cdcDir.resolve(name)
-      orders.filter(pred).coalesce(1).write.parquet(d.toString)
-      java.nio.file.Files.walk(d).forEach(p =>
-        p.toFile.setLastModified(System.currentTimeMillis() - ageSec * 1000))
-    }
+    def stage(pred: org.apache.spark.sql.Column, name: String, ageSec: Long): Unit =
+      stageFile(orders.filter(pred), cdcDir, name, ageSec)
     // REVERSED mod times: the late range arrives first, so the second
     // batch's rows predate state the first batch already folded — the
     // append-only contract must kill the query, not corrupt the dimension
@@ -323,20 +338,13 @@ class StreamingSpec extends SparkSpec {
 
   test("foreachBatch totals maintenance equals the one-shot aggregate bit-exactly") {
     import graft.operators.StarSchema
-    val detail = Tables.lineitem(spark, sf)
-      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
-        col("l_discount"), col("o_orderdate"))
+    val detail = detailFrame
     val (cut1, cut2) = ("1996-07-01", "1998-07-01")
     val state0 = StarSchema.totalsPartialsOfDetail(
       detail.filter(col("o_orderdate") < cut1))
     val cdcDir = java.nio.file.Files.createTempDirectory("graft-totalscdc")
-    def stage(pred: org.apache.spark.sql.Column, name: String, ageSec: Long): Unit = {
-      val d = cdcDir.resolve(name)
-      detail.filter(pred).coalesce(1).write.parquet(d.toString)
-      java.nio.file.Files.walk(d).forEach(p =>
-        p.toFile.setLastModified(System.currentTimeMillis() - ageSec * 1000))
-    }
+    def stage(pred: org.apache.spark.sql.Column, name: String, ageSec: Long): Unit =
+      stageFile(detail.filter(pred), cdcDir, name, ageSec)
     stage(col("o_orderdate") >= cut1 && col("o_orderdate") < cut2, "b1", 60)
     stage(col("o_orderdate") >= cut2, "b2", 30)
     val stream = spark.readStream
@@ -358,20 +366,13 @@ class StreamingSpec extends SparkSpec {
 
   test("state generation retention keeps the newest k and never breaks the latest reader") {
     import graft.operators.StarSchema
-    val detail = Tables.lineitem(spark, sf)
-      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
-        col("l_discount"), col("o_orderdate"))
+    val detail = detailFrame
     val (cut1, cut2) = ("1996-07-01", "1998-07-01")
     val state0 = StarSchema.totalsPartialsOfDetail(
       detail.filter(col("o_orderdate") < cut1))
     val cdcDir = java.nio.file.Files.createTempDirectory("graft-retaincdc")
-    def stage(pred: org.apache.spark.sql.Column, name: String, ageSec: Long): Unit = {
-      val d = cdcDir.resolve(name)
-      detail.filter(pred).coalesce(1).write.parquet(d.toString)
-      java.nio.file.Files.walk(d).forEach(p =>
-        p.toFile.setLastModified(System.currentTimeMillis() - ageSec * 1000))
-    }
+    def stage(pred: org.apache.spark.sql.Column, name: String, ageSec: Long): Unit =
+      stageFile(detail.filter(pred), cdcDir, name, ageSec)
     stage(col("o_orderdate") >= cut1 && col("o_orderdate") < cut2, "b1", 60)
     stage(col("o_orderdate") >= cut2, "b2", 30)
     def newStream() = spark.readStream.schema(detail.schema)
@@ -403,20 +404,13 @@ class StreamingSpec extends SparkSpec {
 
   test("a re-delivered micro-batch is a no-op and a restarted stream resumes from disk") {
     import graft.operators.StarSchema
-    val detail = Tables.lineitem(spark, sf)
-      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
-        col("l_discount"), col("o_orderdate"))
+    val detail = detailFrame
     val (cut1, cut2) = ("1996-07-01", "1998-07-01")
     val state0 = StarSchema.totalsPartialsOfDetail(
       detail.filter(col("o_orderdate") < cut1))
     val cdcDir = java.nio.file.Files.createTempDirectory("graft-redelivercdc")
-    def stage(pred: org.apache.spark.sql.Column, name: String, ageSec: Long): Unit = {
-      val d = cdcDir.resolve(name)
-      detail.filter(pred).coalesce(1).write.parquet(d.toString)
-      java.nio.file.Files.walk(d).forEach(p =>
-        p.toFile.setLastModified(System.currentTimeMillis() - ageSec * 1000))
-    }
+    def stage(pred: org.apache.spark.sql.Column, name: String, ageSec: Long): Unit =
+      stageFile(detail.filter(pred), cdcDir, name, ageSec)
     stage(col("o_orderdate") >= cut1 && col("o_orderdate") < cut2, "b1", 60)
     stage(col("o_orderdate") >= cut2, "b2", 30)
     def newStream() = spark.readStream.schema(detail.schema)
@@ -446,20 +440,13 @@ class StreamingSpec extends SparkSpec {
 
   test("bucketed totals maintenance equals the one-shot aggregate and survives redelivery") {
     import graft.operators.StarSchema
-    val detail = Tables.lineitem(spark, sf)
-      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
-        col("l_discount"), col("o_orderdate"))
+    val detail = detailFrame
     val (cut1, cut2) = ("1996-07-01", "1998-07-01")
     val state0 = StarSchema.totalsPartialsOfDetail(
       detail.filter(col("o_orderdate") < cut1))
     val cdcDir = java.nio.file.Files.createTempDirectory("graft-bktcdc")
-    def stage(pred: org.apache.spark.sql.Column, name: String, ageSec: Long): Unit = {
-      val d = cdcDir.resolve(name)
-      detail.filter(pred).coalesce(1).write.parquet(d.toString)
-      java.nio.file.Files.walk(d).forEach(p =>
-        p.toFile.setLastModified(System.currentTimeMillis() - ageSec * 1000))
-    }
+    def stage(pred: org.apache.spark.sql.Column, name: String, ageSec: Long): Unit =
+      stageFile(detail.filter(pred), cdcDir, name, ageSec)
     stage(col("o_orderdate") >= cut1 && col("o_orderdate") < cut2, "b1", 60)
     stage(col("o_orderdate") >= cut2, "b2", 30)
     def newStream() = spark.readStream.schema(detail.schema)
@@ -557,12 +544,8 @@ class StreamingSpec extends SparkSpec {
     val history0 = WindowAnalytics.priorityIntervalHistoryOf(
       orders.filter(col("o_orderdate") < cut1))
     val cdcDir = java.nio.file.Files.createTempDirectory("graft-scd2bktooo")
-    def stage(pred: org.apache.spark.sql.Column, name: String, ageSec: Long): Unit = {
-      val d = cdcDir.resolve(name)
-      orders.filter(pred).coalesce(1).write.parquet(d.toString)
-      java.nio.file.Files.walk(d).forEach(p =>
-        p.toFile.setLastModified(System.currentTimeMillis() - ageSec * 1000))
-    }
+    def stage(pred: org.apache.spark.sql.Column, name: String, ageSec: Long): Unit =
+      stageFile(orders.filter(pred), cdcDir, name, ageSec)
     // REVERSED: the late range arrives first; the second batch's rows
     // predate state the first already folded
     stage(col("o_orderdate") >= cut2, "late", 60)
@@ -642,10 +625,7 @@ class StreamingSpec extends SparkSpec {
 
   test("a crashed marker-less fold is never served and replay overwrites it") {
     import graft.operators.StarSchema
-    val detail = Tables.lineitem(spark, sf)
-      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
-        col("l_discount"), col("o_orderdate"))
+    val detail = detailFrame
     val cut = "1996-07-01"
     val state0 = StarSchema.totalsPartialsOfDetail(
       detail.filter(col("o_orderdate") < cut))
