@@ -591,21 +591,27 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count() >= 2, "need at least two batch vectors for two micro-batches")
     val historyCells = Similarity.assignCellsTo(history, cents)
     val historyCodes = Similarity.pqEncodeWith(history, cb)
-    // the crawl increment arrives as TWO files driven one-per-trigger,
-    // so the second fold appends to tables the first already extended
+    // the crawl increment arrives in TWO separate stream RUNS over the
+    // same checkpoint + index dirs — each run is one micro-batch, and
+    // run 2 is a brand-new StreamingQuery that must RESUME against the
+    // tables run 1 appended (the restart path the scaladoc claims)
     val vecDir = java.nio.file.Files.createTempDirectory("graft-annstream")
-    batch.filter(col("vec_id") % 2 === 0).coalesce(1)
-      .write.parquet(vecDir.resolve("b1").toString)
-    batch.filter(col("vec_id") % 2 === 1).coalesce(1)
-      .write.parquet(vecDir.resolve("b2").toString)
-    java.nio.file.Files.walk(vecDir.resolve("b1")).forEach(p =>
-      p.toFile.setLastModified(System.currentTimeMillis() - 60000))
-    val stream = spark.readStream.schema(batch.schema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$vecDir/*")
     val indexDir = java.nio.file.Files.createTempDirectory("graft-annindex").toString
-    val query = streaming.EventStream.annIndexMaintenanceStream(
-      stream, historyCells, historyCodes, cents, cb, indexDir)
-    try query.processAllAvailable() finally query.stop()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-annckpt").toString
+    def run(): Unit = {
+      val stream = spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1").parquet(vecDir.toString)
+      val query = streaming.EventStream.annIndexMaintenanceStream(
+        stream, historyCells, historyCodes, cents, cb, indexDir,
+        checkpointDir = Some(ckpt))
+      try query.processAllAvailable() finally query.stop()
+    }
+    batch.filter(col("vec_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(vecDir.toString)
+    run()
+    batch.filter(col("vec_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(vecDir.toString)
+    run()
     // the appended tables are row-identical to the batch-maintained index
     val cells = streaming.EventStream.annIndexCellsRead(spark, indexDir)
     val codes = streaming.EventStream.annIndexCodesRead(spark, indexDir)
