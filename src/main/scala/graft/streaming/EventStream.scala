@@ -276,6 +276,13 @@ object EventStream {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val marker = batchMarkerPlain(indexDir, batchId)
         if (!marker.exists()) {
+          // a crashed prior attempt may have left partial b$batchId
+          // subdirs; remove them BEFORE probing, or the stored-index
+          // reads would count this batch's own leftovers as history
+          // (duplicate shingle rows would emit duplicate verified pairs)
+          Seq(s"$pairsOutDir/b$batchId", s"$shDir/b$batchId",
+              s"$bandsDir/b$batchId")
+            .foreach(d => deleteRecursively(new java.io.File(d)))
           val batchSh = Dedup.shingleDocs(batch.toDF()).persist()
           val batchBands = Dedup.bandIndex(batchSh).persist()
           try {
@@ -345,6 +352,13 @@ object EventStream {
     * evidence a batch was applied. A marker is written strictly AFTER
     * its generation's parquet commit.
     */
+  private def deleteRecursively(f: java.io.File): Unit =
+    if (f.exists()) {
+      if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+      f.delete()
+      ()
+    }
+
   private def markersDir(stateDir: String): java.io.File =
     new java.io.File(s"$stateDir/_batches")
 

@@ -260,6 +260,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(want).count() == 0)
   }
 
+  test("ingest-dedup replay cleans a crashed attempt's partial subdirs before probing") {
+    import graft.operators.Dedup
+    // simulate the crash window: a prior attempt at batch 0 wrote its
+    // shingle/band subdirs (and half its pairs) but died before the
+    // marker — the replay must NOT read those leftovers as stored
+    // history, or every batch shingle row would be duplicated in the
+    // verify join and pairs would double
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream11")
+    val docs = Tables.documents(spark, sf)
+    val increment = docs.filter(col("doc_id") % 10 === 9)
+    increment.coalesce(1).write.mode("append").parquet(dir.toString)
+    val history = docs.filter(col("doc_id") % 10 =!= 9)
+    val outBase = java.nio.file.Files.createTempDirectory("graft-stream11-out")
+    val out = outBase.resolve("pairs").toString
+    val idx = outBase.resolve("index").toString
+    // plant the crashed attempt's leftovers (full copies — the worst case)
+    val incSh = Dedup.shingleDocs(increment)
+    incSh.write.parquet(s"$idx/shingles/b0")
+    Dedup.bandIndex(incSh).write.parquet(s"$idx/bands/b0")
+    // seed dirs must also exist for the planted state to be read at all;
+    // the stream's own seeding would write them — let it (no _SUCCESS
+    // planted, so seeding runs normally and overwrites nothing of ours)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val query = streaming.EventStream.minhashIngestDedup(stream, history, out, idx)
+    try query.processAllAvailable() finally query.stop()
+    val streamed = streaming.EventStream.ingestPairsRead(spark, out)
+    val batchOnly = (c: org.apache.spark.sql.Column) => c % 10 === 9
+    val want = q("dedup_minhash_lsh")
+      .filter(batchOnly(col("doc_a")) || batchOnly(col("doc_b")))
+    assert(want.count() > 0)
+    // exact multiset equality — duplicated pairs would fail the count
+    assert(streamed.count() == want.count())
+    assert(streamed.exceptAll(want).count() == 0)
+    assert(want.exceptAll(streamed).count() == 0)
+  }
+
   test("ingest-dedup restart: a new stream over the existing index dirs resumes serving") {
     // the increment arrives in TWO separate stream RUNS (not two
     // micro-batches of one run): run 1 indexes the first half, run 2 is
