@@ -222,6 +222,55 @@ object EventStream {
   def ingestPairsRead(spark: SparkSession, pairsOutDir: String): DataFrame =
     batchDirsRead(spark, pairsOutDir, ingestPairsSchema)
 
+  /** COMPACT one per-batch-subdir table: rewrite the whole tree (seed +
+    * every `b*` subdir) as one consolidated dir and swap it in — the
+    * OPTIMIZE half of the append-only index story. A long-run stream
+    * otherwise accumulates one small-file subdir per micro-batch, and
+    * at 100 TB the per-batch file count — not the data — becomes the
+    * probe's listing cost. The consolidated dir is named `seed/` because
+    * that is exactly what it IS — the new baseline the next batches
+    * build on — and because the streams' seed-presence guard reads
+    * `seed/_SUCCESS`: any other name would make a post-compaction
+    * restart re-seed the original history ALONGSIDE the compacted rows,
+    * silently duplicating every history row in the probe (caught by the
+    * restart spec when the first spelling used `compacted/`). Batch
+    * markers are NOT touched: idempotence evidence must outlive
+    * compaction, so a re-delivered pre-compaction batch still no-ops.
+    * Rows are identical before and after (spec'd); readers are
+    * unaffected because both layouts serve the same recursive-lookup
+    * read.
+    *
+    * Crash discipline (the local-dir form of a table-format OPTIMIZE
+    * commit): the consolidated copy is fully WRITTEN AND COMMITTED into
+    * a sibling `<dir>_next` before the old tree is removed, so a crash
+    * during the write leaves the live table untouched (a re-run
+    * overwrites the orphan). The delete-then-rename swap at the end is
+    * the non-transactional residue a real table format closes with a
+    * snapshot pointer — documented, same class as the fold-vs-marker
+    * window.
+    */
+  private def compactBatchDirs(spark: SparkSession, dir: String,
+      schema: StructType): Unit = {
+    val next = s"${dir}_next"
+    batchDirsRead(spark, dir, schema)
+      .write.mode("overwrite").parquet(s"$next/seed")
+    deleteRecursively(new java.io.File(dir))
+    require(new java.io.File(next).renameTo(new java.io.File(dir)),
+      s"compaction swap failed: could not rename $next to $dir")
+  }
+
+  /** Compact the ingest-dedup index tables (see [[compactBatchDirs]]). */
+  def compactIngestIndex(spark: SparkSession, indexDir: String): Unit = {
+    compactBatchDirs(spark, s"$indexDir/shingles", ingestShinglesSchema)
+    compactBatchDirs(spark, s"$indexDir/bands", ingestBandsSchema)
+  }
+
+  /** Compact the maintained ANN index tables (see [[compactBatchDirs]]). */
+  def compactAnnIndex(spark: SparkSession, indexDir: String): Unit = {
+    compactBatchDirs(spark, s"$indexDir/cells", annCellsSchema)
+    compactBatchDirs(spark, s"$indexDir/codes", annCodesSchema)
+  }
+
   /** INGESTION-TIME MinHash dedup via `foreachBatch` — the streaming form
     * of the batch `dedup_minhash_incremental` gate, i.e. what a live
     * crawl actually runs: each micro-batch of documents shingles ONLY its

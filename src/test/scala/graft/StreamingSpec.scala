@@ -323,6 +323,12 @@ class StreamingSpec extends SparkSpec {
       .coalesce(1).write.mode("append").parquet(dir.toString)
     run()
     val afterFirst = streaming.EventStream.ingestPairsRead(spark, out).count()
+    // COMPACT between the runs: the consolidated index must serve run 2
+    // exactly as the subdir layout would, and the small-file subdirs
+    // collapse to the one compacted dir
+    streaming.EventStream.compactIngestIndex(spark, idx)
+    val shDirs = new java.io.File(s"$idx/shingles").list().sorted
+    assert(shDirs.sameElements(Array("seed")), s"shingles: ${shDirs.mkString(",")}")
     docs.filter(col("doc_id") % 20 === 19)
       .coalesce(1).write.mode("append").parquet(dir.toString)
     run()
@@ -664,6 +670,17 @@ class StreamingSpec extends SparkSpec {
     val want = Similarity.ivfpqMaintainedTop5(spark, sf)
     assert(served.count() == want.count() && want.count() > 0)
     assert(served.exceptAll(want).count() == 0)
+    // compaction collapses the per-batch subdirs and changes NOTHING
+    // the index serves
+    streaming.EventStream.compactAnnIndex(spark, indexDir)
+    val cellDirs = new java.io.File(s"$indexDir/cells").list().sorted
+    assert(cellDirs.sameElements(Array("seed")), s"cells: ${cellDirs.mkString(",")}")
+    val cells2 = streaming.EventStream.annIndexCellsRead(spark, indexDir)
+    val codes2 = streaming.EventStream.annIndexCodesRead(spark, indexDir)
+    assert(cells2.exceptAll(wantCells).count() == 0)
+    assert(wantCells.exceptAll(cells2).count() == 0)
+    assert(codes2.exceptAll(wantCodes).count() == 0)
+    assert(wantCodes.exceptAll(codes2).count() == 0)
   }
 
   test("a crashed marker-less fold is never served and replay overwrites it") {
