@@ -198,16 +198,38 @@ object Multimodal {
     */
   private[graft] def phashSigs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.loadSpread(spark, sfDir, "documents")
-      // the block-sum fold runs as the codegen'd graft.plans.PHash60
-      // expression — the interpreted HOF spelling (kept verbatim in the
-      // DuckDB oracle and in [[phashSigsHof]], differential-tested in
-      // ExpressionPropertySpec) walks a lambda per block per row
       .select(col("doc_id").alias("media_id"),
-        graft.plans.GraftFunctions.pHash60(col("text").cast("binary"))
-          .alias("phash"))
+        col("text").cast("binary").alias("payload"))
+      .transform(phashSigsOf)
       // shared by both sides of the banded self-join — one hashing pass
       // per session; tracked for release
       .transform(graft.CacheLifecycle.sessionPersist)
+
+  /** Hash any (media_id, payload binary) frame — the per-row step alone,
+    * shared with the streaming ingest path, which hashes ONLY its own
+    * micro-batch ([[graft.streaming.EventStream.phashIngestDedup]]).
+    * The block-sum fold runs as the codegen'd [[graft.plans.PHash60]]
+    * expression — the interpreted HOF spelling (kept verbatim in the
+    * DuckDB oracle and in [[phashSigsHof]], differential-tested in
+    * ExpressionPropertySpec) walks a lambda per block per row.
+    */
+  private[graft] def phashSigsOf(media: DataFrame): DataFrame =
+    media.select(col("media_id"),
+      graft.plans.GraftFunctions.pHash60(col("payload")).alias("phash"))
+
+  /** 4×15-bit band keys of a (media_id, phash) frame — the pigeonhole
+    * decomposition [[phashDupes]] self-joins on; the streaming index
+    * stores exactly these rows (phash carried alongside so the Hamming
+    * verify reads no second table). ≤3 differing bits touch ≤3 of the 4
+    * bands, so every qualifying pair shares ≥1 exact band — lossless.
+    */
+  private[graft] def phashBandsOf(sigs: DataFrame): DataFrame =
+    sigs.select(col("media_id"), col("phash"),
+      explode(expr(
+        "transform(sequence(0, 3), b -> struct(b AS band, (phash div CAST(pow(2, b * 15) AS BIGINT)) % 32768 AS v))"))
+        .alias("bv"))
+      .select(col("media_id"), col("phash"),
+        col("bv.band").alias("band"), col("bv.v").alias("v"))
 
   /** The higher-order-function spelling of [[phashSigs]] — the exact
     * in-Spark twin of the DuckDB oracle CTE, kept as the differential
@@ -242,13 +264,7 @@ object Multimodal {
     * cross product.
     */
   def phashDupes(spark: SparkSession, sfDir: String): DataFrame = {
-    val sigs = phashSigs(spark, sfDir)
-    val banded = sigs.select(col("media_id"), col("phash"),
-      explode(expr(
-        "transform(sequence(0, 3), b -> struct(b AS band, (phash div CAST(pow(2, b * 15) AS BIGINT)) % 32768 AS v))"))
-        .alias("bv"))
-      .select(col("media_id"), col("phash"),
-        col("bv.band").alias("band"), col("bv.v").alias("v"))
+    val banded = phashBandsOf(phashSigs(spark, sfDir))
     banded.alias("a")
       .join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.v") === col("b.v") &&

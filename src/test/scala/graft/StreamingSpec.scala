@@ -619,8 +619,185 @@ class StreamingSpec extends SparkSpec {
     // batch 0 (the late file) folded and was marked; the violating batch
     // 1 must have left NO marker, so a restart retries it (and fails
     // again) instead of silently skipping a half-applied batch
-    val markers = new java.io.File(s"$stateDir/_batches").list().sorted
+    // markers are written through the Hadoop FileSystem API; the local
+    // ChecksumFileSystem adds hidden `.N.crc` sidecars a raw listing sees
+    val markers = new java.io.File(s"$stateDir/_batches").list()
+      .filter(!_.startsWith(".")).sorted
     assert(markers.sameElements(Array("0")), s"markers: ${markers.mkString(",")}")
+  }
+
+  /** md5 snapshot of every data file under the bucketed state table —
+    * the byte-identity witness the crash-replay specs compare.
+    */
+  private def bucketSnapshot(stateDir: String): Map[String, (Long, String)] = {
+    def md5(p: java.nio.file.Path): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      new java.math.BigInteger(1, d.digest(java.nio.file.Files.readAllBytes(p)))
+        .toString(16)
+    }
+    val base = java.nio.file.Paths.get(s"$stateDir/state")
+    val out = scala.collection.mutable.Map.empty[String, (Long, String)]
+    java.nio.file.Files.walk(base).forEach { p =>
+      val rel = base.relativize(p).toString
+      if (rel.contains("bucket=") && p.toFile.isFile && !rel.endsWith("_SUCCESS"))
+        out(rel) = (java.nio.file.Files.size(p), md5(p))
+    }
+    out.toMap
+  }
+
+  test("bucketed totals: a replay after crashing before the marker is a bit-exact no-op") {
+    import graft.operators.StarSchema
+    // the r14-verdict top ask: the dynamic overwrite's job commit and the
+    // marker write are two steps — this spec dies BETWEEN them
+    // (commitMarker = false) and replays the batch; the per-bucket
+    // last_batch watermark must make the replay touch NOTHING
+    val detail = detailFrame
+    val cut = "1996-07-01"
+    val state0 = StarSchema.totalsPartialsOfDetail(
+      detail.filter(col("o_orderdate") < cut))
+    val batch = detail.filter(col("o_orderdate") >= cut)
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-wmtotals").toString
+    streaming.EventStream.seedBucketedState(state0, "product_key", stateDir)
+    // the fold commits its overwrite, then "crashes" before the marker
+    streaming.EventStream.totalsFoldBatchBucketed(
+      spark, stateDir, batch, 0L, commitMarker = false)
+    val markers0 = Option(new java.io.File(s"$stateDir/_batches").list())
+      .getOrElse(Array.empty[String]).filter(!_.startsWith("."))
+    assert(markers0.isEmpty, s"crash simulation left markers: ${markers0.mkString(",")}")
+    val afterCrash = bucketSnapshot(stateDir)
+    // the replay re-enters the fold (no marker to skip on) — the
+    // watermark excludes every already-applied bucket from the read,
+    // the fold, and the rewrite: every state file stays byte-identical
+    streaming.EventStream.totalsFoldBatchBucketed(spark, stateDir, batch, 0L)
+    assert(bucketSnapshot(stateDir) == afterCrash,
+      "replay rewrote state a crashed-but-committed fold already applied")
+    val markers1 = new java.io.File(s"$stateDir/_batches").list()
+      .filter(!_.startsWith("."))
+    assert(markers1.sameElements(Array("0")), "replay did not commit the marker")
+    // and the state matches the one-shot aggregate bit-exactly
+    val got = StarSchema.finalizeTotals(
+        streaming.EventStream.bucketedStateRead(spark, stateDir).drop("bucket"))
+      .orderBy("product_key").collect().toSeq
+    val want = q("fact_product_totals_incremental").collect().toSeq
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("bucketed SCD2: a replay after crashing before the marker is a bit-exact no-op") {
+    import graft.operators.WindowAnalytics
+    val orders = Tables.orders(spark, sf)
+    val cut = "1996-07-01"
+    val history0 = WindowAnalytics.priorityIntervalHistoryOf(
+      orders.filter(col("o_orderdate") < cut))
+    val batch = orders.filter(col("o_orderdate") >= cut)
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-wmscd2").toString
+    val schema = streaming.EventStream.scd2BucketedSchema(history0.schema)
+    streaming.EventStream.seedBucketedState(history0, "customer_key", stateDir)
+    streaming.EventStream.scd2FoldBatchBucketed(
+      spark, stateDir, schema, batch, 0L, commitMarker = false)
+    val afterCrash = bucketSnapshot(stateDir)
+    // the replay must ALSO not trip the append-only contract on state
+    // the crashed fold itself advanced: the watermark excludes those
+    // buckets before scd2ApplyChanges ever sees them
+    streaming.EventStream.scd2FoldBatchBucketed(spark, stateDir, schema, batch, 0L)
+    assert(bucketSnapshot(stateDir) == afterCrash,
+      "replay rewrote dimension buckets a crashed-but-committed fold already applied")
+    val latest = streaming.EventStream.bucketedStateRead(spark, stateDir, schema)
+      .drop("bucket", "last_batch")
+    val want = WindowAnalytics.priorityIntervalHistoryOf(orders)
+    val cols = Seq("customer_key", "island", "priority", "valid_from",
+      "valid_to", "valid_until", "n_orders").map(col)
+    assert(latest.select(cols: _*).exceptAll(want.select(cols: _*)).count() == 0)
+    assert(want.select(cols: _*).exceptAll(latest.select(cols: _*)).count() == 0)
+    assert(latest.count() == want.count() && want.count() > 0)
+  }
+
+  test("index compaction recovers a crash between the swap renames") {
+    import graft.operators.Dedup
+    // build a real two-layout index (seed + one batch subdir), compact it,
+    // then reconstruct the exact crash state between the two swap renames:
+    // live dir moved aside, committed `_next` never renamed in
+    val dir = java.nio.file.Files.createTempDirectory("graft-swapcrash")
+    val docs = Tables.documents(spark, sf)
+    docs.filter(col("doc_id") % 10 === 9)
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    val history = docs.filter(col("doc_id") % 10 =!= 9)
+    val outBase = java.nio.file.Files.createTempDirectory("graft-swapcrash-out")
+    val out = outBase.resolve("pairs").toString
+    val idx = outBase.resolve("index").toString
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val query = streaming.EventStream.minhashIngestDedup(stream, history, out, idx)
+    try query.processAllAvailable() finally query.stop()
+    streaming.EventStream.compactIngestIndex(spark, idx)
+    def shingleRows() = spark.read
+      .option("recursiveFileLookup", "true").parquet(s"$idx/shingles")
+      .select(col("doc_id"), explode(col("sh")).alias("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val before = shingleRows()
+    assert(before.nonEmpty)
+    // the crash state: rename(dir, old) happened, rename(next, dir) did
+    // not — live missing, committed next present, old left behind
+    val sh = java.nio.file.Paths.get(s"$idx/shingles")
+    java.nio.file.Files.move(sh, java.nio.file.Paths.get(s"$idx/shingles_old"))
+    // the committed replacement IS the compacted layout (seed/_SUCCESS)
+    java.nio.file.Files.move(java.nio.file.Paths.get(s"$idx/shingles_old"),
+      java.nio.file.Paths.get(s"$idx/shingles_next"))
+    // plant a stale `_old` leftover too — recovery must vacuum it
+    val old = java.nio.file.Paths.get(s"$idx/shingles_old")
+    java.nio.file.Files.createDirectories(old)
+    java.nio.file.Files.write(old.resolve("stale"), Array[Byte](1))
+    streaming.EventStream.compactIngestIndex(spark, idx)
+    assert(java.nio.file.Files.exists(sh), "recovery did not restore the live dir")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx/shingles_next")))
+    assert(!java.nio.file.Files.exists(old), "recovery left the stale _old dir")
+    assert(shingleRows() == before, "recovery changed the table's rows")
+  }
+
+  test("foreachBatch phash ingest-dedup equals the batch pair set across restarted runs") {
+    // the BINARY twin of the text ingest-dedup gate: the media increment
+    // arrives in TWO separate stream RUNS over the same checkpoint +
+    // index dirs (restart-resume), with a compaction between them — the
+    // union of emitted pairs must equal the from-scratch batch
+    // multimodal_phash_dupes pair set minus its history↔history rows
+    val docs = Tables.documents(spark, sf)
+    def media(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id").alias("media_id"),
+        col("text").cast("binary").alias("payload"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-phstream")
+    val outBase = java.nio.file.Files.createTempDirectory("graft-phstream-out")
+    val out = outBase.resolve("pairs").toString
+    val idx = outBase.resolve("index").toString
+    val ckpt = outBase.resolve("ckpt").toString
+    val history = media(docs.filter(col("doc_id") % 10 =!= 9))
+    val mediaSchema = media(docs).schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      val query = streaming.EventStream.phashIngestDedup(
+        stream, history, out, idx, checkpointDir = Some(ckpt))
+      try query.processAllAvailable() finally query.stop()
+    }
+    media(docs.filter(col("doc_id") % 20 === 9))
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    run()
+    assert(streaming.EventStream.phashPairsRead(spark, out).count() > 0,
+      "run 1 emitted no pairs — fixture drift?")
+    // compact between the runs: run 2 must probe the consolidated index
+    // exactly as it would the subdir layout
+    streaming.EventStream.compactPhashIndex(spark, idx)
+    val bandDirs = new java.io.File(s"$idx/bands").list().sorted
+    assert(bandDirs.sameElements(Array("seed")), s"bands: ${bandDirs.mkString(",")}")
+    media(docs.filter(col("doc_id") % 20 === 19))
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    run()
+    val streamed = streaming.EventStream.phashPairsRead(spark, out)
+    val batchOnly = (c: org.apache.spark.sql.Column) => c % 10 === 9
+    val want = q("multimodal_phash_dupes")
+      .filter(batchOnly(col("media_a")) || batchOnly(col("media_b")))
+    assert(want.count() > 0, "fixture has no increment-involved phash pairs")
+    assert(streamed.count() == want.count())
+    assert(streamed.exceptAll(want).count() == 0)
+    assert(want.exceptAll(streamed).count() == 0)
   }
 
   test("foreachBatch ANN index maintenance serves identically to the batch-maintained gate") {
