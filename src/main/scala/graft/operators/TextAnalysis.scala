@@ -640,6 +640,96 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The fixed retrieval query set [[bm25TopDocs]] ranks against —
+    * data-plausible multi-term queries over the fixture vocabulary,
+    * including the rare term (`dup`) whose idf dominates where it hits.
+    * A production run swaps in the live query table; the engine shape
+    * (broadcast query terms probing the tf index) is identical.
+    */
+  private[graft] val Bm25Queries: Seq[(Int, String)] = Seq(
+    1 -> "window merge sort",
+    2 -> "dup scan",
+    3 -> "customer join filter",
+    4 -> "vector stream batch")
+
+  /** RANKED RETRIEVAL — BM25 top-5 documents per query, the
+    * query→documents shape an LLM data pipeline runs constantly
+    * (hard-negative mining, eval-contamination lookups) and the one
+    * scoring tier (TF-IDF, surprisal, rare-bigram) never closed: these
+    * SCORE documents; this RETRIEVES them.
+    *
+    * Exactness discipline (the `lineitem_corr` / [[tfidfTopTerms]]
+    * precedent): no float transcendentals anywhere. The idf factor is
+    * the LINEAR `n_docs / df` ([[tfidfTopTerms]]'s variant — `ln` is
+    * monotone in it for a fixed term, and the fixture's 31-word
+    * vocabulary makes a floor-log2 idf degenerate), kept as an exact
+    * rational. The BM25 tf-saturation factor with k1 = 6/5, b = 3/4 and
+    * `avgdl = T/N` cross-multiplies to one integer ratio:
+    *
+    *   idf · tf·(k1+1) / (tf + k1·(1−b+b·dl·N/T))
+    *     = (N·22·tf·T) / (df·(10·tf·T + 3·T + 9·dl·N))
+    *
+    * — numerator and denominator are exact longs (< 2^53 at every
+    * fixture scale, so their doubles are exact), the single division is
+    * IEEE exactly-rounded and therefore bit-identical on any engine,
+    * and the per-term score is pinned to integer MILLIONTHS before the
+    * cross-term sum, so summation order cannot drift the total (the
+    * `Deterministic.exactSum` pattern).
+    *
+    * Scale shape: query terms are a BROADCAST probe into the tf index
+    * (the only corpus-sized frames are tf/df/dl, all one tokenize-once
+    * shuffle — shared shape with [[tfidfTopTerms]]); per-query top-5 is
+    * one window over the hit set, never the corpus.
+    */
+  def bm25TopDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val queries = Bm25Queries.toDF("query_id", "q_text")
+    bm25TopDocsOf(Tables.loadSpread(spark, sfDir, "documents"), queries)
+  }
+
+  /** [[bm25TopDocs]] over any (doc_id, text) + (query_id, q_text) pair
+    * of frames — the planted-relevance spec drives this directly.
+    */
+  private[graft] def bm25TopDocsOf(docs: DataFrame, queries: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).alias("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).alias("tf"))
+    // df and dl both derive from tf — the corpus is tokenized ONCE and
+    // one (doc, term) shuffle feeds every statistic
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).alias("df"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).alias("dl"))
+    val tot = tf.agg(sum(col("tf")).alias("t_tokens"))
+    val nd = docs.agg(count(lit(1)).alias("n_docs"))
+    val qterms = queries
+      .select(col("query_id"), explode(TextFunctions.tokens(col("q_text"))).alias("term"))
+      .distinct()
+    val termScores = tf
+      .join(broadcast(qterms), Seq("term"))
+      .join(dfreq, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(nd))
+      .withColumn("term_m",
+        floor((col("n_docs") * lit(22L) * col("tf") * col("t_tokens")).cast("double")
+            / (col("df") * (lit(10L) * col("tf") * col("t_tokens")
+              + lit(3L) * col("t_tokens")
+              + lit(9L) * col("dl") * col("n_docs"))).cast("double")
+          * lit(1000000.0)).cast("long"))
+    val byDoc = termScores.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_m")).alias("score_m"),
+        count(lit(1)).alias("n_hit_terms"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_m").desc, col("doc_id").asc)
+    byDoc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        col("n_hit_terms"), col("score_m"),
+        (col("score_m").cast("double") / lit(1000000.0)).alias("bm25"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Order-sensitive rolling-hash document fingerprint + full-text md5 —
     * the compact dedup/fingerprint keys a 100 TB pipeline carries instead
     * of raw text.
@@ -982,6 +1072,42 @@ object TextAnalysis {
         |         / sum(tf) AS mean_bits
         |FROM tf JOIN dfreq USING (term) CROSS JOIN nd
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "bm25_top_docs" -> {
+      val values = Bm25Queries.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+      s"""WITH queries(query_id, q_text) AS (VALUES $values),
+         |qterms AS (
+         |  SELECT DISTINCT query_id, unnest(string_split(q_text, ' ')) AS term
+         |  FROM queries),
+         |toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS t_tokens FROM tf),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |term_scores AS (
+         |  SELECT query_id, doc_id,
+         |         CAST(floor(CAST(n_docs * 22 * tf * t_tokens AS DOUBLE)
+         |           / CAST(df * (10 * tf * t_tokens + 3 * t_tokens + 9 * dl * n_docs) AS DOUBLE)
+         |           * 1000000.0) AS BIGINT) AS term_m
+         |  FROM tf JOIN qterms USING (term) JOIN dfreq USING (term)
+         |       JOIN dl USING (doc_id) CROSS JOIN tot CROSS JOIN nd),
+         |by_doc AS (
+         |  SELECT query_id, doc_id, CAST(sum(term_m) AS BIGINT) AS score_m,
+         |         CAST(count(*) AS BIGINT) AS n_hit_terms
+         |  FROM term_scores GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, doc_id, score_m, n_hit_terms,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY score_m DESC, doc_id ASC) AS INT) AS rank
+         |  FROM by_doc)
+         |SELECT query_id, doc_id, rank, n_hit_terms, score_m,
+         |       CAST(score_m AS DOUBLE) / 1000000.0 AS bm25
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
     "text_tfidf_top_terms" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -1020,6 +1146,7 @@ object TextAnalysis {
     "text_langid"       -> langId _,
     "text_fingerprint"  -> fingerprint _,
     "text_tfidf_top_terms" -> tfidfTopTerms _,
+    "bm25_top_docs" -> bm25TopDocs _,
     "text_surprisal_quality" -> surprisalQuality _,
   )
 }

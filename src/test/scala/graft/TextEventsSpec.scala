@@ -264,4 +264,41 @@ class TextEventsSpec extends SparkSpec {
       assert(r.getDouble(5) == pct(xs, 0.99), s"${r.getString(0)} p99")
     }
   }
+
+  test("bm25_top_docs: planted relevance ranks as BM25 must") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // four planted documents, one query — the ordering is the theorem:
+    //  d1: 'zebra' three times in a SHORT doc  → highest score
+    //  d2: 'zebra' once, same short length     → below d1 (tf saturation
+    //      grows, never shrinks, with tf at fixed dl)
+    //  d3: 'zebra' once in a LONG doc          → below d2 (length
+    //      normalization penalizes dl > avgdl)
+    //  d4: no query term                       → absent from the result
+    val docs = Seq(
+      (1L, "zebra zebra zebra pad"),
+      (2L, "zebra pad pad pad"),
+      (3L, "zebra " + Seq.fill(20)("pad").mkString(" ")),
+      (4L, "pad pad pad pad")).toDF("doc_id", "text")
+    val queries = Seq((7, "zebra")).toDF("query_id", "q_text")
+    val got = TextAnalysis.bm25TopDocsOf(docs, queries)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("n_hit_terms"),
+        col("score_m")).collect()
+    assert(got.map(_.getLong(2)).toSeq == Seq(1L, 2L, 3L),
+      s"wrong ranking: ${got.mkString(", ")}")
+    assert(got.forall(_.getInt(0) == 7))
+    assert(got.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+    assert(got.forall(_.getLong(3) == 1L), "each doc hits exactly one query term")
+    val scores = got.map(_.getLong(4)).toSeq
+    assert(scores == scores.sorted.reverse && scores.distinct == scores,
+      s"scores not strictly descending: $scores")
+    // and a multi-term query accumulates per-term millionths exactly:
+    // a doc hitting both terms outranks the same doc hitting one
+    val q2 = Seq((9, "zebra pad")).toDF("query_id", "q_text")
+    val both = TextAnalysis.bm25TopDocsOf(docs, q2)
+      .filter(col("doc_id") === 1L).collect()(0)
+    assert(both.getLong(3) == 2L)
+    assert(both.getLong(4) > got.head.getLong(4),
+      "adding a second matched term must add score")
+  }
 }
