@@ -366,6 +366,80 @@ object Relational {
       .agg(count(lit(1)).alias("n_orders"))
   }
 
+  /** Quantization scale of [[copurchasePagerank]]: ranks are longs in
+    * TRILLIONTHS of a unit of rank mass (initial rank = 1.0 = 10¹²).
+    * Headroom argument: an unnormalized-PR hub's fixpoint is ≲ 0.46·k·Q
+    * for k spokes, so even a 10⁶-degree hub stays below 10¹⁸ and the
+    * 85× product below overflow; at the fixture scales every
+    * intermediate is < 2⁵³.
+    */
+  private[graft] val PagerankQ = 1000000000000L
+
+  private[graft] val PagerankIters = 5
+
+  /** FIXED-ITERATION PAGERANK over the support-≥2 co-purchase graph —
+    * the canonical iterate-k-times graph workload (source-graph
+    * weighting for corpus mixtures, influence ranking) beyond the
+    * converge-until-fixpoint CC the dedup tier runs. Damping 0.85 with
+    * the unnormalized per-node teleport 0.15, spelled ENTIRELY in
+    * quantized-long arithmetic so five chained float sums cannot drift
+    * the oracle: each contribution is `(85·rank) div (100·outdeg)` —
+    * exact integer floor division on both engines — and the per-node
+    * fold is a long sum. The published double is one exact final divide.
+    *
+    * Shape per iteration: one equi-join of the rank frame against the
+    * degree-annotated edge list (checkpointed ONCE as a leaf — the CC
+    * edges lesson) and one key aggregation; generations rotate through
+    * [[graft.CacheLifecycle.materializeGeneration]] with
+    * localCheckpointDepth = 2, so the logical plan never compounds
+    * across rounds. At 100 TB both sides shuffle on the node key and
+    * the iteration count is fixed — 5 passes of the standard
+    * rank-propagation join, no driver-side graph state.
+    */
+  def copurchasePagerank(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoized(s"relational.copurchasePagerank:$sfDir") {
+      val pairs = basketPairCounts(Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_partkey")))
+        .filter(col("n_orders") >= 2)
+        .select(col("part_a"), col("part_b"))
+      pagerankOf(pairs)
+        .orderBy(col("rank_q").desc, col("part_key").asc)
+        .limit(25)
+    }
+
+  /** [[copurchasePagerank]]'s core over any undirected (part_a, part_b)
+    * edge frame — the planted hub-and-spoke spec drives this directly.
+    */
+  private[graft] def pagerankOf(pairs: DataFrame): DataFrame = {
+    val Teleport = PagerankQ * 15L / 100L
+    val edges = pairs.select(explode(array(
+        struct(col("part_a").alias("src"), col("part_b").alias("dst")),
+        struct(col("part_b").alias("src"), col("part_a").alias("dst")))).alias("e"))
+      .select(col("e.src").alias("src"), col("e.dst").alias("dst"))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).alias("outdeg"))
+    // the per-round join's static side, degree attached; checkpointed
+    // once so every round's plan sees a leaf, not the basket lineage
+    val (ewd, _) = graft.CacheLifecycle.materializeGeneration(
+      edges.join(deg, Seq("src")), 2, 2)
+    var (rank, release) = graft.CacheLifecycle.materializeGeneration(
+      deg.select(col("src").alias("node"), lit(PagerankQ).alias("rank_q")), 0, 2)
+    for (i <- 1 to PagerankIters) {
+      val next0 = ewd.join(rank, col("src") === col("node"))
+        .select(col("dst"), expr("(85 * rank_q) div (100 * outdeg)").alias("contrib"))
+        .groupBy(col("dst"))
+        .agg((lit(Teleport) + sum(col("contrib"))).alias("rank_q"))
+        .select(col("dst").alias("node"), col("rank_q"))
+      val (next, nextRelease) =
+        graft.CacheLifecycle.materializeGeneration(next0, i, 2)
+      next.count() // materialize the round; truncates the checkpoint lineage
+      release()
+      rank = next
+      release = nextRelease
+    }
+    rank.select(col("node").alias("part_key"), col("rank_q"),
+      (col("rank_q").cast("double") / lit(1.0e12)).alias("pagerank"))
+  }
+
   /** TRIANGLE CENSUS of the support-≥2 co-purchase graph — the standard
     * graph-analytics step after pair mining: wedge and triangle counts
     * plus the global clustering coefficient (3·triangles / wedges), which
@@ -686,6 +760,32 @@ object Relational {
         |       CASE WHEN (SELECT n_wedges FROM w) = 0 THEN NULL
         |            ELSE 3.0 * (SELECT n_triangles FROM tri)
         |                   / (SELECT n_wedges FROM w) END AS clustering_coeff""".stripMargin,
+    "copurchase_pagerank" -> {
+      val iters = (1 to PagerankIters).map { i =>
+        s"""r$i AS (
+           |  SELECT e.dst AS node,
+           |         CAST(150000000000 + sum((85 * r.rank_q) // (100 * e.outdeg)) AS BIGINT) AS rank_q
+           |  FROM ewd e JOIN r${i - 1} r ON e.src = r.node
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |pc AS (
+         |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+         |  FROM items a JOIN items b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |edges AS (SELECT part_a AS src, part_b AS dst FROM pc
+         |          UNION ALL SELECT part_b, part_a FROM pc),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1),
+         |ewd AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)),
+         |r0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS rank_q FROM deg),
+         |$iters
+         |SELECT node AS part_key, rank_q,
+         |       CAST(rank_q AS DOUBLE) / 1000000000000.0 AS pagerank
+         |FROM r$PagerankIters
+         |ORDER BY rank_q DESC, part_key ASC
+         |LIMIT 25""".stripMargin
+    },
     "copurchase_part_pairs" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
@@ -881,6 +981,7 @@ object Relational {
     "copurchase_part_pairs"    -> copurchasePartPairs _,
     "orders_above_customer_avg" -> ordersAboveCustomerAvg _,
     "copurchase_triangles"     -> copurchaseTriangles _,
+    "copurchase_pagerank"      -> copurchasePagerank _,
     "customer_order_chain_sql" -> customerOrderChainSql _,
     "part_bom_explosion_sql"   -> partBomExplosionSql _,
   )

@@ -74,4 +74,33 @@ class RelationalSpec extends SparkSpec {
     assert(enumerated < 20L,
       s"enumerated $enumerated wedges; id-orientation would pay >= $undirected")
   }
+
+  test("copurchase_pagerank: planted hub-and-spoke matches the exact integer recurrence") {
+    import spark.implicits._
+    // a 6-spoke star plus a disconnected pair: the hub must dominate, the
+    // spokes must tie EXACTLY (quantized arithmetic — no float jitter),
+    // and every rank must equal a driver-side replay of the integer
+    // recurrence rank' = 0.15Q + Σ (85·rank) div (100·outdeg)
+    val edgeList = (1 to 6).map(i => (100L, i.toLong)) :+ (200L, 201L)
+    val got = graft.operators.Relational.pagerankOf(
+        edgeList.toDF("part_a", "part_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val adj = scala.collection.mutable.Map[Long, List[Long]]().withDefaultValue(Nil)
+    edgeList.foreach { case (a, b) =>
+      adj(a) = b :: adj(a); adj(b) = a :: adj(b)
+    }
+    val Q = 1000000000000L
+    var rank = adj.keys.map(_ -> Q).toMap
+    for (_ <- 1 to 5) {
+      val in = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((u, ns) <- adj; v <- ns)
+        in(v) = in(v) + (85L * rank(u)) / (100L * ns.size)
+      rank = adj.keys.map(k => k -> (Q * 15L / 100L + in(k))).toMap
+    }
+    assert(got == rank, s"got $got\nwant $rank")
+    assert(got(100L) == got.values.max, "hub must carry the highest rank")
+    assert((1 to 6).map(i => got(i.toLong)).distinct.size == 1, "spokes must tie exactly")
+    assert(got(200L) == got(201L), "the isolated pair must tie exactly")
+    assert(got(100L) > got(1L) && got(1L) != got(200L))
+  }
 }
