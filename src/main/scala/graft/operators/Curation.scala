@@ -331,32 +331,30 @@ object Curation {
     graft.CacheLifecycle.memoized(s"curation.repetitionQuality:$sfDir")(
       repetitionQualityBuild(spark, sfDir))
 
-  private def repetitionQualityBuild(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = Tables.loadSpread(spark, sfDir, "documents")
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).alias("t"))
-    val top = base.select(col("doc_id"), explode(col("t")).alias("token"))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).alias("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).alias("top_token_n"))
-    val metrics = base.select(col("doc_id"),
-      size(col("t")).alias("n_tokens"),
-      size(array_distinct(col("t"))).alias("n_distinct"),
-      size(TextFunctions.shingles(col("t"), 2)).alias("n_distinct_bigrams"))
-    metrics.join(top, Seq("doc_id"))
-      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_token_n"),
-        (col("n_distinct") / col("n_tokens")).alias("distinct_ratio"),
-        (col("top_token_n") / col("n_tokens")).alias("top_token_frac"),
+  /** The repetition ratio/verdict columns over the fused signal frame —
+    * shared spelling between [[repetitionQuality]] and [[qualityGate]]
+    * (which now recomputes `rep_keep` as a narrow expression instead of
+    * joining the repetition frame on doc_id).
+    */
+  private def withRepetitionMetrics(ds: DataFrame): DataFrame =
+    ds.withColumn("distinct_ratio", col("n_distinct") / col("n_tokens"))
+      .withColumn("top_token_frac", col("top_token_n") / col("n_tokens"))
+      .withColumn("dup_bigram_frac",
         when(col("n_tokens") >= 2,
             lit(1.0) - col("n_distinct_bigrams") / (col("n_tokens") - 1))
-          .otherwise(lit(0.0)).alias("dup_bigram_frac"))
-      .withColumn("keep",
+          .otherwise(lit(0.0)))
+      .withColumn("rep_keep",
         col("distinct_ratio") >= QualityDistinctRatioMin &&
           col("top_token_frac") <= QualityTopTokenFracMax &&
           col("dup_bigram_frac") <= QualityDupBigramFracMax)
+
+  private def repetitionQualityBuild(spark: SparkSession, sfDir: String): DataFrame =
+    // narrow projection of the one-pass signal frame (persisted there)
+    withRepetitionMetrics(TextAnalysis.docSignals(spark, sfDir))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_token_n"),
+        col("distinct_ratio"), col("top_token_frac"), col("dup_bigram_frac"),
+        col("rep_keep").alias("keep"))
       .orderBy("doc_id")
-      // three registered consumers (own row, pipeline, funnel) — the
-      // token-level quality pass runs once per session; tracked for release
-      .transform(graft.CacheLifecycle.sessionPersist)
-  }
 
   /** Denylist terms masked before training (the same stateless-map shape
     * as PII scrubbing — swap the alternation for email/phone patterns on
@@ -413,30 +411,22 @@ object Curation {
     graft.CacheLifecycle.memoized(s"curation.qualityGate:$sfDir")(
       qualityGateBuild(spark, sfDir))
 
-  private def qualityGateBuild(spark: SparkSession, sfDir: String): DataFrame = {
-    val rep = repetitionQuality(spark, sfDir)
-      .select(col("doc_id"), col("keep").alias("rep_ok"), col("n_tokens"))
-    val rare = TextAnalysis.rareBigramRatio(spark, sfDir)
-      .select(col("doc_id"), col("n_bigrams"), col("n_rare"))
-    val langBest = TextAnalysis.langIdNgram(spark, sfDir)
-      .select(col("doc_id"),
-        greatest(col("g_en"), col("g_es"), col("g_de"), col("g_fr"))
-          .alias("lang_best"))
-    rep
-      .join(rare, Seq("doc_id"), "left")
-      .join(langBest, Seq("doc_id"))
-      .select(col("doc_id"), col("rep_ok"),
+  private def qualityGateBuild(spark: SparkSession, sfDir: String): DataFrame =
+    // all four signals are now columns of the one-pass fused frame —
+    // the gate is a narrow projection plus boolean math, ZERO joins
+    // (r14-verdict ask #6: the per-signal doc_id joins are gone)
+    withRepetitionMetrics(TextAnalysis.docSignals(spark, sfDir))
+      .select(col("doc_id"), col("rep_keep").alias("rep_ok"),
         (col("n_tokens") >= GateMinTokens).alias("len_ok"),
         coalesce(col("n_rare") * GateRareMult <= col("n_bigrams"), lit(true))
           .alias("rare_ok"),
-        (col("lang_best") >= GateLangConfMin).alias("lang_ok"))
+        (greatest(col("g_en"), col("g_es"), col("g_de"), col("g_fr"))
+          >= GateLangConfMin).alias("lang_ok"))
       .withColumn("quality_score",
         col("rep_ok").cast("int") + col("len_ok").cast("int")
           + col("rare_ok").cast("int") + col("lang_ok").cast("int"))
       .withColumn("keep", col("quality_score") >= GateKeepMin)
       .orderBy("doc_id")
-      .transform(graft.CacheLifecycle.sessionPersist)
-  }
 
   /** DuckDB literal lists for the language profiles — same spelling as
     * the `text_langid_ngram` oracle.

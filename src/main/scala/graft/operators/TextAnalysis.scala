@@ -423,28 +423,70 @@ object TextAnalysis {
     // key-memoized (see Dedup.shingled): own registry row + the
     // quality gate both invoke this; one analysis, one frame
     graft.CacheLifecycle.memoized(s"textanalysis.rareBigramRatio:$sfDir")(
-      rareBigramRatioBuild(spark, sfDir))
+      docSignals(spark, sfDir)
+        // docs too short for bigrams have NO bigram rows in the original
+        // build — the fused frame's left join carries them as nulls;
+        // dropping them here keeps this query's row set identical
+        .filter(col("n_bigrams").isNotNull)
+        .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
+          (col("n_rare") / col("n_bigrams")).alias("rare_ratio"))
+        .orderBy("doc_id"))
 
-  private def rareBigramRatioBuild(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Tables.loadSpread(spark, sfDir, "documents")
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).alias("toks"))
-    val docBigrams = toks.select(col("doc_id"),
-      explode(when(size(col("toks")) >= 2,
-        array_distinct(transform(sequence(lit(1), size(col("toks")) - 1),
-          i => concat_ws(" ", element_at(col("toks"), i),
-            element_at(col("toks"), i + 1)))))
+  /** ONE-PASS PER-DOCUMENT SIGNAL FRAME — the shared build behind the
+    * four quality-gate signals (repetition metrics, length, rare-bigram
+    * counts, language-ID profile scores). The r13/r14 rounds built each
+    * signal as its own scan → shuffle → sort → persist and joined them
+    * in the gate; the signals share the tokenize-once lineage, so this
+    * frame computes ALL of them in one pass: one documents scan, the two
+    * irreducible shuffles (per-doc top-token count; bigram document
+    * frequency), the narrow per-row metrics and profile scores, and ONE
+    * session persist. [[rareBigramRatio]], [[langIdNgram]],
+    * `Curation.repetitionQuality`, and `Curation.qualityGate` are now
+    * cheap narrow projections of this frame — the gate's three
+    * doc_id-keyed joins are gone entirely.
+    *
+    * At 100 TB the fusion matters more, not less: each retired signal
+    * frame was a full corpus scan plus its own shuffle spill and cache
+    * copy; the fused frame pays the corpus once and the join it retains
+    * (top/rare onto the narrow row) is the same key, co-partitioned.
+    */
+  private[operators] def docSignals(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoized(s"textanalysis.docSignals:$sfDir")(
+      docSignalsBuild(spark, sfDir))
+
+  private def docSignalsBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.loadSpread(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"),
+        TextFunctions.tokens(col("text")).alias("t"))
+    val top = base.select(col("doc_id"), explode(col("t")).alias("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).alias("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).alias("top_token_n"))
+    val docBigrams = base.select(col("doc_id"),
+      explode(when(size(col("t")) >= 2,
+        array_distinct(transform(sequence(lit(1), size(col("t")) - 1),
+          i => concat_ws(" ", element_at(col("t"), i),
+            element_at(col("t"), i + 1)))))
         .otherwise(array().cast("array<string>"))).alias("bigram"))
     val dfreq = docBigrams.groupBy(col("bigram"))
       .agg(count(lit(1)).alias("df"))
-    docBigrams.join(dfreq, Seq("bigram"))
+    val rare = docBigrams.join(dfreq, Seq("bigram"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).alias("n_bigrams"),
         sum(when(col("df") <= 2, 1L).otherwise(0L)).alias("n_rare"))
-      .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
-        (col("n_rare") / col("n_bigrams")).alias("rare_ratio"))
-      .orderBy("doc_id")
-      // two registered consumers (own row, Curation.qualityGate) — the
-      // bigram-df shuffle runs once per session; tracked for release
+    val scoreCols = bigramProfiles.map { case (l, prof) =>
+      prof.map(b => when(col("text").contains(b), 1).otherwise(0))
+        .reduce(_ + _).alias(s"g_$l")
+    }
+    val narrow = base.select(
+      Seq(col("doc_id"), col("lang").alias("actual_lang"),
+        size(col("t")).alias("n_tokens"),
+        size(array_distinct(col("t"))).alias("n_distinct"),
+        size(TextFunctions.shingles(col("t"), 2)).alias("n_distinct_bigrams"))
+        ++ scoreCols: _*)
+    narrow.join(top, Seq("doc_id"))
+      .join(rare, Seq("doc_id"), "left")
+      // four registered consumers project from this one frame; tracked
+      // for release
       .transform(graft.CacheLifecycle.sessionPersist)
   }
 
@@ -549,12 +591,8 @@ object TextAnalysis {
       langIdNgramBuild(spark, sfDir))
 
   private def langIdNgramBuild(spark: SparkSession, sfDir: String): DataFrame = {
-    val scoreCols = bigramProfiles.map { case (l, prof) =>
-      prof.map(b => when(col("text").contains(b), 1).otherwise(0))
-        .reduce(_ + _).alias(s"g_$l")
-    }
-    val scored = Tables.documents(spark, sfDir).select(
-      Seq(col("doc_id"), col("lang").alias("actual_lang")) ++ scoreCols: _*)
+    // the profile scores ride the fused one-pass signal frame
+    val scored = docSignals(spark, sfDir)
     val best = greatest(bigramProfiles.map { case (l, _) => col(s"g_$l") }: _*)
     scored.select(
       col("doc_id"), col("actual_lang"),
@@ -565,9 +603,7 @@ object TextAnalysis {
         .when(col("g_de") === best, lit("de"))
         .otherwise(lit("fr")).alias("predicted_lang"))
       .orderBy("doc_id")
-      // two registered consumers (own row, Curation.qualityGate) — the
-      // per-row profile scoring runs once per session; tracked for release
-      .transform(graft.CacheLifecycle.sessionPersist)
+      // narrow projection over the persisted fused frame — no second cache
   }
 
   /** Top-3 TF-IDF terms per document. The idf factor is the LINEAR
