@@ -458,9 +458,9 @@ object TextAnalysis {
     val base = Tables.loadSpread(spark, sfDir, "documents")
       .select(col("doc_id"), col("lang"), col("text"),
         TextFunctions.tokens(col("text")).alias("t"))
-    val top = base.select(col("doc_id"), explode(col("t")).alias("token"))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).alias("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).alias("top_token_n"))
+    // top-token count derives from the SHARED (doc, term) tf frame
+    val top = termFreqs(spark, sfDir)
+      .groupBy(col("doc_id")).agg(max(col("tf")).alias("top_token_n"))
     val docBigrams = base.select(col("doc_id"),
       explode(when(size(col("t")) >= 2,
         array_distinct(transform(sequence(lit(1), size(col("t")) - 1),
@@ -621,12 +621,26 @@ object TextAnalysis {
     * corpus-size singleton rides a broadcast; the final top-k is one
     * window shuffle on doc_id.
     */
+  /** The SHARED (doc_id, term, tf) term-frequency frame — ONE corpus
+    * tokenize + explode + (doc, term) shuffle per session, consumed by
+    * [[tfidfTopTerms]], [[surprisalQuality]], [[bm25TopDocs]], and the
+    * fused [[docSignals]] top-token metric (df, dl, and top-token all
+    * derive from it by cheap aggregations over the cached blocks). At
+    * 100 TB this is THE token-cache table a text pipeline materializes
+    * once per corpus snapshot; four consumers re-shuffling the raw
+    * corpus was the r15 bench's most repeated work.
+    */
+  private[operators] def termFreqs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoized(s"textanalysis.termFreqs:$sfDir")(
+      Tables.loadSpread(spark, sfDir, "documents")
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).alias("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).alias("tf"))
+        .transform(graft.CacheLifecycle.sessionPersist))
+
   def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables.loadSpread(spark, sfDir, "documents")
-      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).alias("term"))
-    val tf = toks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).alias("tf"))
+    val tf = termFreqs(spark, sfDir)
     // df derives from tf — (doc, term) is unique there, so the distinct
     // count collapses to a row count and the corpus is tokenized ONCE
     // (tf feeds both branches of the join through one shuffle output)
@@ -658,10 +672,7 @@ object TextAnalysis {
     * join, no document windows.
     */
   def surprisalQuality(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Tables.loadSpread(spark, sfDir, "documents")
-      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).alias("term"))
-    val tf = toks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).alias("tf"))
+    val tf = termFreqs(spark, sfDir)
     val dfreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).alias("df"))
     val nd = Tables.documents(spark, sfDir).agg(count(lit(1)).alias("n_docs"))
@@ -720,24 +731,30 @@ object TextAnalysis {
   def bm25TopDocs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val queries = Bm25Queries.toDF("query_id", "q_text")
-    bm25TopDocsOf(Tables.loadSpread(spark, sfDir, "documents"), queries)
+    // rides the SHARED session term-frequency frame ([[termFreqs]])
+    bm25FromTf(termFreqs(spark, sfDir),
+      Tables.documents(spark, sfDir).agg(count(lit(1)).alias("n_docs")),
+      queries)
   }
 
   /** [[bm25TopDocs]] over any (doc_id, text) + (query_id, q_text) pair
     * of frames — the planted-relevance spec drives this directly.
     */
-  private[graft] def bm25TopDocsOf(docs: DataFrame, queries: DataFrame): DataFrame = {
+  private[graft] def bm25TopDocsOf(docs: DataFrame, queries: DataFrame): DataFrame =
+    bm25FromTf(
+      docs.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).alias("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).alias("tf")),
+      docs.agg(count(lit(1)).alias("n_docs")),
+      queries)
+
+  private def bm25FromTf(tf: DataFrame, nd: DataFrame,
+      queries: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs
-      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).alias("term"))
-    val tf = toks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).alias("tf"))
     // df and dl both derive from tf — the corpus is tokenized ONCE and
     // one (doc, term) shuffle feeds every statistic
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).alias("df"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).alias("dl"))
     val tot = tf.agg(sum(col("tf")).alias("t_tokens"))
-    val nd = docs.agg(count(lit(1)).alias("n_docs"))
     val qterms = queries
       .select(col("query_id"), explode(TextFunctions.tokens(col("q_text"))).alias("term"))
       .distinct()
