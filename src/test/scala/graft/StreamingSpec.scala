@@ -682,6 +682,56 @@ class StreamingSpec extends SparkSpec {
     assert(got == want && want.nonEmpty)
   }
 
+  test("bucketed totals: a TORN overwrite commit heals on replay — old buckets re-fold, new ones skip") {
+    import graft.operators.StarSchema
+    // stronger than the clean crash case: a dynamic-partition overwrite's
+    // job commit is not atomic ACROSS partitions, so a crash mid-commit
+    // can leave SOME touched buckets on new data and some on old. The
+    // per-bucket watermark must heal exactly that: stale buckets (old
+    // watermark) re-fold, committed buckets (new watermark) are excluded
+    // byte-for-byte.
+    val detail = detailFrame
+    val cut = "1996-07-01"
+    val state0 = StarSchema.totalsPartialsOfDetail(
+      detail.filter(col("o_orderdate") < cut))
+    val batch = detail.filter(col("o_orderdate") >= cut)
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-torn").toString
+    streaming.EventStream.seedBucketedState(state0, "product_key", stateDir)
+    // the batch touches every bucket at this fixture scale — pick one to tear
+    val TornBucket = 3
+    val bucketDir = java.nio.file.Paths.get(s"$stateDir/state/bucket=$TornBucket")
+    assert(java.nio.file.Files.exists(bucketDir), "fixture bucket missing")
+    val backup = java.nio.file.Files.createTempDirectory("graft-torn-bak")
+    java.nio.file.Files.list(bucketDir).forEach(p =>
+      java.nio.file.Files.copy(p, backup.resolve(p.getFileName.toString)))
+    // fold commits, marker never lands (the crash window)...
+    streaming.EventStream.totalsFoldBatchBucketed(
+      spark, stateDir, batch, 0L, commitMarker = false)
+    // ...and the torn bucket's partition reverts to its PRE-FOLD files
+    // (the part of the job commit that never happened)
+    java.nio.file.Files.list(bucketDir).forEach(p => java.nio.file.Files.delete(p))
+    java.nio.file.Files.list(backup).forEach(p =>
+      java.nio.file.Files.copy(p, bucketDir.resolve(p.getFileName.toString)))
+    val afterTear = bucketSnapshot(stateDir)
+    // the replay: the torn bucket's watermark is still -1 → re-folds;
+    // every committed bucket's watermark is 0 → excluded untouched
+    streaming.EventStream.totalsFoldBatchBucketed(spark, stateDir, batch, 0L)
+    val healed = bucketSnapshot(stateDir)
+    val committedBefore = afterTear.view.filterKeys(!_.startsWith(s"bucket=$TornBucket/")).toMap
+    val committedAfter = healed.view.filterKeys(!_.startsWith(s"bucket=$TornBucket/")).toMap
+    assert(committedBefore == committedAfter,
+      "replay rewrote buckets whose commit had survived the tear")
+    assert(afterTear.view.filterKeys(_.startsWith(s"bucket=$TornBucket/")).toMap !=
+      healed.view.filterKeys(_.startsWith(s"bucket=$TornBucket/")).toMap,
+      "the torn bucket was not re-folded")
+    // and the healed state equals the one-shot aggregate bit-exactly
+    val got = StarSchema.finalizeTotals(
+        streaming.EventStream.bucketedStateRead(spark, stateDir).drop("bucket"))
+      .orderBy("product_key").collect().toSeq
+    val want = q("fact_product_totals_incremental").collect().toSeq
+    assert(got == want && want.nonEmpty)
+  }
+
   test("bucketed SCD2: a replay after crashing before the marker is a bit-exact no-op") {
     import graft.operators.WindowAnalytics
     val orders = Tables.orders(spark, sf)
