@@ -207,14 +207,28 @@ object EventStream {
     StructField("jaccard", DoubleType)))
 
   /** Read an index/output table laid out as per-batch SUBDIRS (`seed/`,
-    * `b0/`, `b1/`, …): recursive file lookup, no partition inference —
-    * the subdirs are idempotent WRITE UNITS (a re-delivered batch
-    * overwrites its own subdir instead of double-appending), not
-    * partition values.
+    * `b0/`, `b1/`, …). The subdirs are idempotent WRITE UNITS (a
+    * re-delivered batch overwrites its own subdir instead of
+    * double-appending), not partition values — and ONLY COMMITTED
+    * subdirs are served: each is written through the standard file
+    * committer, whose job commit writes the subdir's `_SUCCESS`, so a
+    * crashed partial write (files landed, commit didn't) is invisible
+    * to every reader — the probe, the compactor, and the external
+    * serving reads — until the replay overwrites it (the fold
+    * additionally pre-cleans such leftovers before probing). Without
+    * this gate a torn append was readable between crash and replay,
+    * the one reader-side residue the r15 idempotence work left open.
     */
   private def batchDirsRead(spark: SparkSession, dir: String,
-      schema: StructType): DataFrame =
-    spark.read.option("recursiveFileLookup", "true").schema(schema).parquet(dir)
+      schema: StructType): DataFrame = {
+    val committed = StateFs.list(spark, dir)
+      .filter(d => StateFs.exists(spark, s"$dir/$d/_SUCCESS"))
+      .sorted
+      .map(d => s"$dir/$d")
+    if (committed.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(committed: _*)
+  }
 
   /** The verified near-dup pairs an ingest-dedup run has emitted so far
     * (union of the per-batch output subdirs under `pairsOutDir`).
@@ -239,6 +253,13 @@ object EventStream {
     * Rows are identical before and after (spec'd); readers are
     * unaffected because both layouts serve the same recursive-lookup
     * read.
+    *
+    * Run compaction on a QUIESCED stream (between runs, as the specs
+    * do): it folds the committed subdirs as of its read — a fold
+    * crashed mid-batch replays into fresh `b*` subdirs either way, but
+    * compacting concurrently with that replay would race the replay's
+    * pre-clean. Same contract as a table format's OPTIMIZE, which
+    * likewise serializes against writers via its snapshot log.
     *
     * Crash discipline (the local-dir form of a table-format OPTIMIZE
     * commit): the consolidated copy is fully WRITTEN AND COMMITTED into

@@ -803,6 +803,34 @@ class StreamingSpec extends SparkSpec {
     assert(shingleRows() == before, "recovery changed the table's rows")
   }
 
+  test("index reads serve only COMMITTED per-batch subdirs") {
+    // a torn subdir write (files landed, job commit's _SUCCESS did not)
+    // must be invisible to readers until the replay overwrites it
+    val dir = java.nio.file.Files.createTempDirectory("graft-torn-read")
+    val docs = Tables.documents(spark, sf)
+    docs.filter(col("doc_id") % 10 === 9)
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    val history = docs.filter(col("doc_id") % 10 =!= 9)
+    val outBase = java.nio.file.Files.createTempDirectory("graft-torn-read-out")
+    val out = outBase.resolve("pairs").toString
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val query = streaming.EventStream.minhashIngestDedup(
+      stream, history, out, outBase.resolve("index").toString)
+    try query.processAllAvailable() finally query.stop()
+    val committed = streaming.EventStream.ingestPairsRead(spark, out).count()
+    assert(committed > 0)
+    // plant the torn subdir: a full copy of b0's files WITHOUT _SUCCESS
+    val b0 = java.nio.file.Paths.get(s"$out/b0")
+    val torn = java.nio.file.Paths.get(s"$out/b99")
+    java.nio.file.Files.createDirectories(torn)
+    java.nio.file.Files.list(b0)
+      .filter(p => !p.getFileName.toString.startsWith("_"))
+      .forEach(p => java.nio.file.Files.copy(p, torn.resolve(p.getFileName.toString)))
+    assert(streaming.EventStream.ingestPairsRead(spark, out).count() == committed,
+      "a torn (uncommitted) subdir was served to readers")
+  }
+
   test("foreachBatch phash ingest-dedup equals the batch pair set across restarted runs") {
     // the BINARY twin of the text ingest-dedup gate: the media increment
     // arrives in TWO separate stream RUNS over the same checkpoint +
