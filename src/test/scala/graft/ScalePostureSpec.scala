@@ -677,4 +677,41 @@ class ScalePostureSpec extends SparkSpec {
     assert(plan.contains("partial_sum") || plan.contains("Partial"),
       s"AMS sketch lost map-side partial aggregation:\n${plan.take(600)}")
   }
+
+  test("bm25: query terms broadcast-probe the tf index, independent of the threshold") {
+    // the claim: the query-term probe does not depend on the auto
+    // broadcast threshold — the tiny query set carries an explicit hint
+    // (at 100 TB the tf index is corpus-sized; the query set is not)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = q("bm25_top_docs").queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"query-term probe lost its broadcast:\n${plan.take(800)}")
+      assert(!plan.contains("CartesianProduct"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  test("pagerank: round lineage is truncated — the final plan reads a checkpointed leaf") {
+    import spark.implicits._
+    // without the materializeGeneration rotation each round's plan would
+    // contain its predecessor's (join + agg) twice over — 5 rounds of
+    // compounding; the pin is that the returned frame's analyzed plan is
+    // a handful of nodes over LogicalRDD leaves (the CC lesson)
+    val pairs = ((1 to 6).map(i => (100L, i.toLong)) :+ (200L, 201L))
+      .toDF("part_a", "part_b")
+    val ranked = graft.operators.Relational.pagerankOf(pairs)
+    val analyzed = ranked.queryExecution.analyzed
+    val leaves = analyzed.collectLeaves()
+    assert(leaves.nonEmpty && leaves.forall(
+        _.getClass.getSimpleName.contains("LogicalRDD")),
+      s"expected checkpointed LogicalRDD leaves, got: ${leaves.map(_.getClass.getSimpleName)}")
+    val nodes = analyzed.collect { case p => p }.size
+    assert(nodes < 20, s"pagerank plan grew with rounds: $nodes nodes")
+  }
 }
