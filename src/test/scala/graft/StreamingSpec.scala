@@ -803,6 +803,41 @@ class StreamingSpec extends SparkSpec {
     assert(shingleRows() == before, "recovery changed the table's rows")
   }
 
+  test("phash ingest-dedup replay cleans a crashed attempt's committed leftovers") {
+    import graft.operators.Multimodal
+    // the binary twin of the text gate's planted-leftover case: a prior
+    // attempt at batch 0 COMMITTED its band subdir (full copy — worst
+    // case) but died before the marker; the replay must pre-clean it or
+    // every batch band row doubles in the probe and pairs duplicate
+    val docs = Tables.documents(spark, sf)
+    def media(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id").alias("media_id"),
+        col("text").cast("binary").alias("payload"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-phleft")
+    val increment = media(docs.filter(col("doc_id") % 10 === 9))
+    increment.coalesce(1).write.mode("append").parquet(dir.toString)
+    val history = media(docs.filter(col("doc_id") % 10 =!= 9))
+    val outBase = java.nio.file.Files.createTempDirectory("graft-phleft-out")
+    val out = outBase.resolve("pairs").toString
+    val idx = outBase.resolve("index").toString
+    // the committed leftover (Spark write → _SUCCESS present, so the
+    // read-gating alone cannot hide it — the pre-clean must)
+    Multimodal.phashBandsOf(Multimodal.phashSigsOf(increment))
+      .write.parquet(s"$idx/bands/b0")
+    val stream = spark.readStream.schema(increment.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val query = streaming.EventStream.phashIngestDedup(stream, history, out, idx)
+    try query.processAllAvailable() finally query.stop()
+    val streamed = streaming.EventStream.phashPairsRead(spark, out)
+    val batchOnly = (c: org.apache.spark.sql.Column) => c % 10 === 9
+    val want = q("multimodal_phash_dupes")
+      .filter(batchOnly(col("media_a")) || batchOnly(col("media_b")))
+    assert(want.count() > 0)
+    assert(streamed.count() == want.count())
+    assert(streamed.exceptAll(want).count() == 0)
+    assert(want.exceptAll(streamed).count() == 0)
+  }
+
   test("index reads serve only COMMITTED per-batch subdirs") {
     // a torn subdir write (files landed, job commit's _SUCCESS did not)
     // must be invisible to readers until the replay overwrites it
