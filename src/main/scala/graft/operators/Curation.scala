@@ -349,8 +349,12 @@ object Curation {
           col("dup_bigram_frac") <= QualityDupBigramFracMax)
 
   private def repetitionQualityBuild(spark: SparkSession, sfDir: String): DataFrame =
-    // narrow projection of the one-pass signal frame (persisted there)
+    // narrow projection of the one-pass signal frame (persisted there);
+    // the top_token_n filter restores this query's original inner-join
+    // row set (a NULL-text doc has no token rows — it was never scored
+    // here, though langIdNgram keeps it)
     withRepetitionMetrics(TextAnalysis.docSignals(spark, sfDir))
+      .filter(col("top_token_n").isNotNull)
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_token_n"),
         col("distinct_ratio"), col("top_token_frac"), col("dup_bigram_frac"),
         col("rep_keep").alias("keep"))
@@ -416,6 +420,7 @@ object Curation {
     // the gate is a narrow projection plus boolean math, ZERO joins
     // (r14-verdict ask #6: the per-signal doc_id joins are gone)
     withRepetitionMetrics(TextAnalysis.docSignals(spark, sfDir))
+      .filter(col("top_token_n").isNotNull) // the gate's original row set
       .select(col("doc_id"), col("rep_keep").alias("rep_ok"),
         (col("n_tokens") >= GateMinTokens).alias("len_ok"),
         coalesce(col("n_rare") * GateRareMult <= col("n_bigrams"), lit(true))

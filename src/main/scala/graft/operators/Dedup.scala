@@ -497,12 +497,7 @@ object Dedup {
     // (cluster reps) replays the whole loop for a plan-identical result
     graft.CacheLifecycle.memoized(s"dedup.clusters:$sfDir") {
       val pairs = minhashLsh(spark, sfDir).select(col("doc_a"), col("doc_b"))
-      // both directions via one explode, NOT union(pairs, pairs.reversed):
-      // a union would evaluate the whole LSH candidate pipeline twice
-      val edges = pairs.select(explode(array(
-          struct(col("doc_a").alias("src"), col("doc_b").alias("dst")),
-          struct(col("doc_b").alias("src"), col("doc_a").alias("dst")))).alias("e"))
-        .select(col("e.src").alias("src"), col("e.dst").alias("dst"))
+      val edges = undirectedEdges(pairs, "doc_a", "doc_b")
         .transform(graft.CacheLifecycle.sessionPersist)
       val (labels, _) = connectedComponents(edges)
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
@@ -560,6 +555,19 @@ object Dedup {
     * should swap in reliable `checkpoint` against a checkpoint dir at the
     * cost of one write per round. Rounds-to-convergence is logged (stderr).
     */
+  /** Symmetrize an undirected pair frame into a directed (src, dst) edge
+    * list via ONE explode — not `union(pairs, pairs.reversed)`, which
+    * would evaluate the pair pipeline twice. The shared graph primitive
+    * behind every CC/PageRank consumer (text clusters, media clusters,
+    * embedding clusters, co-purchase rank).
+    */
+  private[graft] def undirectedEdges(pairs: DataFrame,
+      a: String, b: String): DataFrame =
+    pairs.select(explode(array(
+        struct(col(a).alias("src"), col(b).alias("dst")),
+        struct(col(b).alias("src"), col(a).alias("dst")))).alias("e"))
+      .select(col("e.src").alias("src"), col("e.dst").alias("dst"))
+
   private[graft] def connectedComponents(edges: DataFrame,
       maxRounds: Int = 50, localCheckpointDepth: Int = 2): (DataFrame, Int) = {
     // Round 0 folds initialization and the first propagation hop into ONE

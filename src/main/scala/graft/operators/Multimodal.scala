@@ -263,17 +263,36 @@ object Multimodal {
     * shuffles on small int band keys — never the payload, never the
     * cross product.
     */
+  /** The verified-near-dup Hamming threshold — ONE definition feeding
+    * the batch operator, the streaming ingest gate, and (interpolated)
+    * both DuckDB oracles, so the pigeonhole-losslessness argument
+    * (≤ [[PhashHammingMax]] differing bits touch ≤ that many of the 4
+    * bands) can never drift out of sync with the verify filter.
+    */
+  private[graft] val PhashHammingMax = 3
+
+  /** Band-join + exact Hamming verify between two band frames — the ONE
+    * spelling of the phash candidate/verify step, shared by the batch
+    * self-join ([[phashDupes]]) and the streaming probe
+    * ([[graft.streaming.EventStream.phashIngestDedup]]). Pairs are
+    * canonicalized (least, greatest) and deduped, so a self-join
+    * (`probe` = `index`) and an asymmetric probe both land each
+    * qualifying pair exactly once.
+    */
+  private[graft] def phashVerifiedPairs(probe: DataFrame, index: DataFrame): DataFrame =
+    probe.alias("a")
+      .join(index.alias("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.media_id") =!= col("b.media_id"))
+      .select(least(col("a.media_id"), col("b.media_id")).alias("media_a"),
+        greatest(col("a.media_id"), col("b.media_id")).alias("media_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).alias("hamming"))
+      .filter(col("hamming") <= PhashHammingMax)
+      .distinct() // a pair can share several bands (and a self-join both orders)
+
   def phashDupes(spark: SparkSession, sfDir: String): DataFrame = {
     val banded = phashBandsOf(phashSigs(spark, sfDir))
-    banded.alias("a")
-      .join(banded.alias("b"),
-        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
-          col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").alias("media_a"),
-        col("b.media_id").alias("media_b"),
-        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).alias("hamming"))
-      .filter(col("hamming") <= 3)
-      .distinct() // a pair can share several bands
+    phashVerifiedPairs(banded, banded)
       .orderBy("media_a", "media_b")
   }
 
@@ -291,10 +310,7 @@ object Multimodal {
   def phashClusters(spark: SparkSession, sfDir: String): DataFrame =
     graft.CacheLifecycle.memoized(s"multimodal.phashClusters:$sfDir") {
       val pairs = phashDupes(spark, sfDir).select(col("media_a"), col("media_b"))
-      val edges = pairs.select(explode(array(
-          struct(col("media_a").alias("src"), col("media_b").alias("dst")),
-          struct(col("media_b").alias("src"), col("media_a").alias("dst")))).alias("e"))
-        .select(col("e.src").alias("src"), col("e.dst").alias("dst"))
+      val edges = Dedup.undirectedEdges(pairs, "media_a", "media_b")
         .transform(graft.CacheLifecycle.sessionPersist)
       val (labels, _) = Dedup.connectedComponents(edges)
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
@@ -329,7 +345,7 @@ object Multimodal {
          |pp AS (
          |  SELECT a.media_id AS media_a, b.media_id AS media_b
          |  FROM psig a JOIN psig b ON a.media_id < b.media_id
-         |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+         |  WHERE bit_count(xor(a.phash, b.phash)) <= $PhashHammingMax),
          |edges AS (
          |  SELECT media_a AS src, media_b AS dst FROM pp
          |  UNION SELECT media_b, media_a FROM pp),
@@ -347,7 +363,7 @@ object Multimodal {
          |SELECT a.media_id AS media_a, b.media_id AS media_b,
          |       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
          |FROM psig a JOIN psig b ON a.media_id < b.media_id
-         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+         |WHERE bit_count(xor(a.phash, b.phash)) <= $PhashHammingMax
          |ORDER BY media_a, media_b""".stripMargin,
     "multimodal_frame_sample" ->
       s"""WITH base AS (

@@ -367,13 +367,17 @@ object Relational {
   }
 
   /** Quantization scale of [[copurchasePagerank]]: ranks are longs in
-    * TRILLIONTHS of a unit of rank mass (initial rank = 1.0 = 10¹²).
-    * Headroom argument: an unnormalized-PR hub's fixpoint is ≲ 0.46·k·Q
-    * for k spokes, so even a 10⁶-degree hub stays below 10¹⁸ and the
-    * 85× product below overflow; at the fixture scales every
-    * intermediate is < 2⁵³.
+    * BILLIONTHS of a unit of rank mass (initial rank = 1.0 = 10⁹).
+    * Headroom: the binding constraint is the `85·rank` product staying
+    * under Long.MaxValue ≈ 9.2·10¹⁸ at the worst TRANSIENT, which for a
+    * k-spoke hub is the round-1 rank ≈ 0.85·k·Q (the fixpoint is lower,
+    * ≈ 0.46·k·Q) — at Q = 10⁹ that is safe to hub degree ≈ 1.3·10⁸,
+    * a plausible 100 TB-graph hub. (The first spelling used Q = 10¹²,
+    * which silently wraps past degree ~1.3·10⁵ — Spark's non-ANSI long
+    * multiply does not raise.) At the fixture scales every intermediate
+    * is < 2⁵³, so the oracle's doubles are exact too.
     */
-  private[graft] val PagerankQ = 1000000000000L
+  private[graft] val PagerankQ = 1000000000L
 
   private[graft] val PagerankIters = 5
 
@@ -412,10 +416,7 @@ object Relational {
     */
   private[graft] def pagerankOf(pairs: DataFrame): DataFrame = {
     val Teleport = PagerankQ * 15L / 100L
-    val edges = pairs.select(explode(array(
-        struct(col("part_a").alias("src"), col("part_b").alias("dst")),
-        struct(col("part_b").alias("src"), col("part_a").alias("dst")))).alias("e"))
-      .select(col("e.src").alias("src"), col("e.dst").alias("dst"))
+    val edges = Dedup.undirectedEdges(pairs, "part_a", "part_b")
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).alias("outdeg"))
     // the per-round join's static side, degree attached; checkpointed
     // once so every round's plan sees a leaf, not the basket lineage
@@ -437,7 +438,7 @@ object Relational {
       release = nextRelease
     }
     rank.select(col("node").alias("part_key"), col("rank_q"),
-      (col("rank_q").cast("double") / lit(1.0e12)).alias("pagerank"))
+      (col("rank_q").cast("double") / lit(1.0e9)).alias("pagerank"))
   }
 
   /** TRIANGLE CENSUS of the support-≥2 co-purchase graph — the standard
@@ -764,7 +765,7 @@ object Relational {
       val iters = (1 to PagerankIters).map { i =>
         s"""r$i AS (
            |  SELECT e.dst AS node,
-           |         CAST(150000000000 + sum((85 * r.rank_q) // (100 * e.outdeg)) AS BIGINT) AS rank_q
+           |         CAST(150000000 + sum((85 * r.rank_q) // (100 * e.outdeg)) AS BIGINT) AS rank_q
            |  FROM ewd e JOIN r${i - 1} r ON e.src = r.node
            |  GROUP BY 1)""".stripMargin
       }.mkString(",\n")
@@ -778,10 +779,10 @@ object Relational {
          |          UNION ALL SELECT part_b, part_a FROM pc),
          |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1),
          |ewd AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)),
-         |r0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS rank_q FROM deg),
+         |r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS rank_q FROM deg),
          |$iters
          |SELECT node AS part_key, rank_q,
-         |       CAST(rank_q AS DOUBLE) / 1000000000000.0 AS pagerank
+         |       CAST(rank_q AS DOUBLE) / 1000000000.0 AS pagerank
          |FROM r$PagerankIters
          |ORDER BY rank_q DESC, part_key ASC
          |LIMIT 25""".stripMargin

@@ -1368,10 +1368,7 @@ object Similarity {
 
   private def semanticDedupBuild(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = semanticDupPairs(spark, sfDir)
-    val edges = pairs.select(explode(array(
-        struct(col("vec_a").alias("src"), col("vec_b").alias("dst")),
-        struct(col("vec_b").alias("src"), col("vec_a").alias("dst")))).alias("e"))
-      .select(col("e.src").alias("src"), col("e.dst").alias("dst"))
+    val edges = Dedup.undirectedEdges(pairs, "vec_a", "vec_b")
       .transform(graft.CacheLifecycle.sessionPersist)
     val (labels, _) = Dedup.connectedComponents(edges)
     val byOutlier = Window.partitionBy(col("cluster_id"))

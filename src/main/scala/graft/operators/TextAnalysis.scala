@@ -483,7 +483,12 @@ object TextAnalysis {
         size(array_distinct(col("t"))).alias("n_distinct"),
         size(TextFunctions.shingles(col("t"), 2)).alias("n_distinct_bigrams"))
         ++ scoreCols: _*)
-    narrow.join(top, Seq("doc_id"))
+    // BOTH joins are LEFT: a NULL-text document has no token rows at all
+    // (explode drops it from tf), but langIdNgram historically scored it
+    // per-row (profiles 0 → 'und') — the fused frame must keep every
+    // document; the repetition/gate projections re-apply their original
+    // inner-join row set by filtering top_token_n
+    narrow.join(top, Seq("doc_id"), "left")
       .join(rare, Seq("doc_id"), "left")
       // four registered consumers project from this one frame; tracked
       // for release

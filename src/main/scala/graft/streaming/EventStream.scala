@@ -219,16 +219,20 @@ object EventStream {
     * this gate a torn append was readable between crash and replay,
     * the one reader-side residue the r15 idempotence work left open.
     */
-  private def batchDirsRead(spark: SparkSession, dir: String,
-      schema: StructType): DataFrame = {
-    val committed = StateFs.list(spark, dir)
+  private def committedBatchDirs(spark: SparkSession, dir: String): Seq[String] =
+    StateFs.list(spark, dir)
       .filter(d => StateFs.exists(spark, s"$dir/$d/_SUCCESS"))
       .sorted
-      .map(d => s"$dir/$d")
-    if (committed.isEmpty)
+
+  private def readSubdirs(spark: SparkSession, dir: String,
+      subdirs: Seq[String], schema: StructType): DataFrame =
+    if (subdirs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(committed: _*)
-  }
+    else spark.read.schema(schema).parquet(subdirs.map(d => s"$dir/$d"): _*)
+
+  private def batchDirsRead(spark: SparkSession, dir: String,
+      schema: StructType): DataFrame =
+    readSubdirs(spark, dir, committedBatchDirs(spark, dir), schema)
 
   /** The verified near-dup pairs an ingest-dedup run has emitted so far
     * (union of the per-batch output subdirs under `pairsOutDir`).
@@ -255,11 +259,22 @@ object EventStream {
     * read.
     *
     * Run compaction on a QUIESCED stream (between runs, as the specs
-    * do): it folds the committed subdirs as of its read — a fold
-    * crashed mid-batch replays into fresh `b*` subdirs either way, but
-    * compacting concurrently with that replay would race the replay's
-    * pre-clean. Same contract as a table format's OPTIMIZE, which
-    * likewise serializes against writers via its snapshot log.
+    * do): compacting concurrently with an active fold would race the
+    * fold's writes and pre-clean. Same contract as a table format's
+    * OPTIMIZE, which likewise serializes against writers via its
+    * snapshot log.
+    *
+    * Only MARKED batches fold into the new seed: a subdir whose write
+    * committed but whose batch marker never landed (a fold crashed in
+    * the marker window) is a batch the stream WILL replay — folding it
+    * into the seed would hide it from the replay's pre-clean and serve
+    * the batch's rows as history beside the replay's rewrite, doubling
+    * them permanently (the duplicate-pairs bug the marker-blind first
+    * spelling carried). Such unmarked subdirs are dropped with the old
+    * tree; the replay regenerates them from the checkpointed batch.
+    * The committed `seed` must exist — compacting a half-seeded table
+    * would otherwise publish an EMPTY committed seed and the seed
+    * guard would then skip history seeding forever.
     *
     * Crash discipline (the local-dir form of a table-format OPTIMIZE
     * commit): the consolidated copy is fully WRITTEN AND COMMITTED into
@@ -277,7 +292,7 @@ object EventStream {
     * same protocol (see [[StateFs]]).
     */
   private def compactBatchDirs(spark: SparkSession, dir: String,
-      schema: StructType): Unit = {
+      schema: StructType, markersRoot: String): Unit = {
     val next = s"${dir}_next"
     val old = s"${dir}_old"
     if (!StateFs.exists(spark, dir) &&
@@ -293,8 +308,17 @@ object EventStream {
       // and `_old` may then be the only surviving copy
       require(StateFs.exists(spark, dir),
         s"compaction: live table $dir missing and no committed $next to recover")
+      require(StateFs.exists(spark, s"$dir/seed/_SUCCESS"),
+        s"compaction: $dir has no committed seed — compacting a " +
+          "half-seeded table would publish an empty seed the seed guard trusts")
+      val foldable = committedBatchDirs(spark, dir).filter {
+        case "seed" => true
+        case b if b.matches("b\\d+") =>
+          plainMarkerApplied(spark, markersRoot, b.drop(1).toLong)
+        case _ => false
+      }
       StateFs.deleteRecursively(spark, old)
-      batchDirsRead(spark, dir, schema)
+      readSubdirs(spark, dir, foldable, schema)
         .write.mode("overwrite").parquet(s"$next/seed")
       StateFs.rename(spark, dir, old)
       StateFs.rename(spark, next, dir)
@@ -304,14 +328,14 @@ object EventStream {
 
   /** Compact the ingest-dedup index tables (see [[compactBatchDirs]]). */
   def compactIngestIndex(spark: SparkSession, indexDir: String): Unit = {
-    compactBatchDirs(spark, s"$indexDir/shingles", ingestShinglesSchema)
-    compactBatchDirs(spark, s"$indexDir/bands", ingestBandsSchema)
+    compactBatchDirs(spark, s"$indexDir/shingles", ingestShinglesSchema, indexDir)
+    compactBatchDirs(spark, s"$indexDir/bands", ingestBandsSchema, indexDir)
   }
 
   /** Compact the maintained ANN index tables (see [[compactBatchDirs]]). */
   def compactAnnIndex(spark: SparkSession, indexDir: String): Unit = {
-    compactBatchDirs(spark, s"$indexDir/cells", annCellsSchema)
-    compactBatchDirs(spark, s"$indexDir/codes", annCodesSchema)
+    compactBatchDirs(spark, s"$indexDir/cells", annCellsSchema, indexDir)
+    compactBatchDirs(spark, s"$indexDir/codes", annCodesSchema, indexDir)
   }
 
   /** Band-table read schema for the parquet-backed phash ingest-dedup
@@ -337,7 +361,7 @@ object EventStream {
 
   /** Compact the phash ingest-dedup band index (see [[compactBatchDirs]]). */
   def compactPhashIndex(spark: SparkSession, indexDir: String): Unit =
-    compactBatchDirs(spark, s"$indexDir/bands", phashBandsSchema)
+    compactBatchDirs(spark, s"$indexDir/bands", phashBandsSchema, indexDir)
 
   /** INGESTION-TIME PERCEPTUAL-HASH DEDUP via `foreachBatch` — the BINARY
     * twin of [[minhashIngestDedup]], closing the r14-verdict composition
@@ -384,15 +408,9 @@ object EventStream {
             Multimodal.phashSigsOf(batch.toDF())).persist()
           try {
             val stored = batchDirsRead(spark, bandsDir, phashBandsSchema)
-            batchBands.alias("a")
-              .join(stored.unionAll(batchBands).alias("b"),
-                col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
-                  col("a.media_id") =!= col("b.media_id"))
-              .select(least(col("a.media_id"), col("b.media_id")).alias("media_a"),
-                greatest(col("a.media_id"), col("b.media_id")).alias("media_b"),
-                bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).alias("hamming"))
-              .filter(col("hamming") <= 3)
-              .distinct() // a pair can share several bands
+            // the ONE shared candidate/verify spelling (Multimodal):
+            // history bands give new↔old, own bands give new↔new
+            Multimodal.phashVerifiedPairs(batchBands, stored.unionAll(batchBands))
               .write.mode("overwrite").parquet(s"$pairsOutDir/b$batchId")
             batchBands.write.mode("overwrite").parquet(s"$bandsDir/b$batchId")
             commitPlainMarker(spark, indexDir, batchId)
@@ -821,22 +839,25 @@ object EventStream {
   private def foldBucketedState(spark: SparkSession, stateDir: String,
       schema: StructType, touched: Seq[Int], keyCol: String, batchId: Long)(
       fold: (DataFrame, Seq[Int]) => DataFrame): Unit = {
-    val current = bucketedStateTouchedRead(spark, stateDir, touched, schema)
-      .localCheckpoint(true)
-    try {
-      val watermarks = current.groupBy(col("bucket"))
-        .agg(max(col("last_batch")).alias("wm"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val todo = touched.filter(b => watermarks.getOrElse(b, -1L) < batchId)
-      if (todo.nonEmpty) {
-        val curTodo = current
-          .filter(col("bucket").isin(todo.map(Integer.valueOf): _*))
-          .drop("bucket", "last_batch")
-        writeBucketed(fold(curTodo, todo).withColumn("last_batch", lit(batchId)),
+    // watermark probe FIRST, on a plain column-pruned read — a fully
+    // applied replay (the crash window) learns it has nothing to do
+    // without materializing any bucket's rows
+    val watermarks = bucketedStateTouchedRead(spark, stateDir, touched, schema)
+      .groupBy(col("bucket"))
+      .agg(max(col("last_batch")).alias("wm"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val todo = touched.filter(b => watermarks.getOrElse(b, -1L) < batchId)
+    if (todo.nonEmpty) {
+      val current = bucketedStateTouchedRead(spark, stateDir, todo, schema)
+        .localCheckpoint(true)
+      try {
+        writeBucketed(
+          fold(current.drop("bucket", "last_batch"), todo)
+            .withColumn("last_batch", lit(batchId)),
           keyCol, bucketedStatePath(stateDir))
+      } finally {
+        org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(current)
       }
-    } finally {
-      org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(current)
     }
   }
 

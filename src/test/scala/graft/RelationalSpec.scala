@@ -89,7 +89,7 @@ class RelationalSpec extends SparkSpec {
     edgeList.foreach { case (a, b) =>
       adj(a) = b :: adj(a); adj(b) = a :: adj(b)
     }
-    val Q = 1000000000000L
+    val Q = 1000000000L
     var rank = adj.keys.map(_ -> Q).toMap
     for (_ <- 1 to 5) {
       val in = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)

@@ -866,6 +866,59 @@ class StreamingSpec extends SparkSpec {
       "a torn (uncommitted) subdir was served to readers")
   }
 
+  test("compaction folds only MARKED batches; a committed-but-unmarked subdir is left for replay") {
+    import graft.operators.Dedup
+    // the review-caught window: a fold's subdir write COMMITTED
+    // (_SUCCESS present) but the batch marker never landed. Folding it
+    // into the seed would hide it from the replay's pre-clean — the
+    // batch's rows would be served as history beside the replay's
+    // rewrite, doubling every involved pair permanently. Compaction
+    // must fold marked batches only and DROP the unmarked subdir (the
+    // checkpointed replay regenerates it).
+    val dir = java.nio.file.Files.createTempDirectory("graft-unmk")
+    val docs = Tables.documents(spark, sf)
+    docs.filter(col("doc_id") % 20 === 9)
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    val history = docs.filter(col("doc_id") % 10 =!= 9)
+    val outBase = java.nio.file.Files.createTempDirectory("graft-unmk-out")
+    val out = outBase.resolve("pairs").toString
+    val idx = outBase.resolve("index").toString
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val query = streaming.EventStream.minhashIngestDedup(stream, history, out, idx)
+    try query.processAllAvailable() finally query.stop()
+    def shingleRows() = spark.read
+      .option("recursiveFileLookup", "true").parquet(s"$idx/shingles")
+      .select(col("doc_id"), explode(col("sh")).alias("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val marked = shingleRows()
+    // the crashed fold's committed-but-unmarked leftovers (batch 1 never
+    // got its marker): full shingle+band copies, Spark-committed
+    val b1docs = docs.filter(col("doc_id") % 20 === 19)
+    val b1sh = Dedup.shingleDocs(b1docs)
+    b1sh.write.parquet(s"$idx/shingles/b1")
+    Dedup.bandIndex(b1sh).write.parquet(s"$idx/bands/b1")
+    streaming.EventStream.compactIngestIndex(spark, idx)
+    val dirs = new java.io.File(s"$idx/shingles").list().sorted
+    assert(dirs.sameElements(Array("seed")), s"shingles: ${dirs.mkString(",")}")
+    assert(shingleRows() == marked,
+      "compaction folded an unmarked batch's rows into the seed")
+  }
+
+  test("compacting a half-seeded index fails loudly instead of publishing an empty seed") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-halfseed").toString
+    // the crash state: seed dir exists, no _SUCCESS (write died mid-job)
+    val seed = java.nio.file.Paths.get(s"$idx/shingles/seed")
+    java.nio.file.Files.createDirectories(seed)
+    java.nio.file.Files.write(seed.resolve("part-00000"), Array[Byte](1, 2, 3))
+    val e = intercept[IllegalArgumentException] {
+      streaming.EventStream.compactIngestIndex(spark, idx)
+    }
+    assert(e.getMessage.contains("no committed seed"), s"wrong failure: $e")
+    // the uncommitted data was not destroyed
+    assert(java.nio.file.Files.exists(seed.resolve("part-00000")))
+  }
+
   test("foreachBatch phash ingest-dedup equals the batch pair set across restarted runs") {
     // the BINARY twin of the text ingest-dedup gate: the media increment
     // arrives in TWO separate stream RUNS over the same checkpoint +
