@@ -571,6 +571,29 @@ object EventStream {
       batchId: Long): Boolean =
     markerNames(spark, stateDir).exists(_.startsWith(s"b${batchId}_"))
 
+  /** VACUUM plain batch markers strictly below `horizonBatchId` — the
+    * retention half of the marker story: a long-running stream otherwise
+    * accumulates one marker file per micro-batch forever, and at one
+    * batch a minute that is the `_batches` listing cost after a year,
+    * not the data. CONTRACT (the caller asserts it, the code cannot):
+    * `horizonBatchId` must be ≤ the last batchId COMMITTED to the
+    * stream's durable checkpoint + 1 — the checkpoint guarantees those
+    * batchIds can never be re-delivered, so their idempotence evidence
+    * is dead weight. Without a durable checkpoint there is NO safe
+    * horizon: the markers are then the only replay guard
+    * ([[maintenanceWriter]]'s contract). The bucketed folds' in-band
+    * `last_batch` watermark is unaffected either way — even a vacuumed
+    * batch replays as a no-op there. Returns the vacuumed batch ids.
+    */
+  def vacuumPlainMarkers(spark: SparkSession, stateDir: String,
+      horizonBatchId: Long): Seq[Long] = {
+    val drop = markerNames(spark, stateDir)
+      .filter(_.matches("\\d+")).map(_.toLong)
+      .filter(_ < horizonBatchId).sorted
+    drop.foreach(id => StateFs.deleteRecursively(spark, s"$stateDir/_batches/$id"))
+    drop
+  }
+
   /** The newest APPLIED generation: the highest generation a batch
     * marker (or the v0 seed) vouches for. A bare `v*` dir with no marker
     * is a CRASHED fold — the commit landed but the marker did not — and
