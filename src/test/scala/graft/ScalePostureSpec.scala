@@ -678,6 +678,36 @@ class ScalePostureSpec extends SparkSpec {
       s"AMS sketch lost map-side partial aggregation:\n${plan.take(600)}")
   }
 
+  test("bucketed-state watermark probe is column-pruned to the watermark") {
+    import graft.operators.StarSchema
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // the no-op-replay claim: a fully-applied replay learns it has
+    // nothing to do by reading per-bucket max(last_batch) — that read
+    // must not haul the state's data columns off disk
+    val detail = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("o_orderdate"))
+    val state0 = StarSchema.totalsPartialsOfDetail(detail)
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-wmprune").toString
+    streaming.EventStream.seedBucketedState(state0, "product_key", stateDir)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probe = streaming.EventStream.bucketedStateTouchedRead(
+          spark, stateDir, Seq(0, 1, 2))
+        .groupBy(col("bucket")).agg(max(col("last_batch")).alias("wm"))
+      assert(probe.collect().nonEmpty)
+      val scans = probe.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty)
+      val readSchema = scans.map(_.metadata("ReadSchema")).mkString
+      assert(readSchema.contains("last_batch"), s"ReadSchema: $readSchema")
+      assert(!readSchema.contains("q2") && !readSchema.contains("r4"),
+        s"watermark probe reads data columns: $readSchema")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("bm25: query terms broadcast-probe the tf index, independent of the threshold") {
     // the claim: the query-term probe does not depend on the auto
     // broadcast threshold — the tiny query set carries an explicit hint
