@@ -308,9 +308,14 @@ object EventStream {
       // and `_old` may then be the only surviving copy
       require(StateFs.exists(spark, dir),
         s"compaction: live table $dir missing and no committed $next to recover")
-      require(StateFs.exists(spark, s"$dir/seed/_SUCCESS"),
-        s"compaction: $dir has no committed seed — compacting a " +
-          "half-seeded table would publish an empty seed the seed guard trusts")
+      // a PRESENT seed dir must be committed — compacting a half-seeded
+      // index would publish an empty seed its seed guard then trusts
+      // forever. A table with NO seed subdir at all is legitimate: the
+      // pairs OUTPUT tables start at b0 and gain their first seed here.
+      require(!StateFs.exists(spark, s"$dir/seed") ||
+          StateFs.exists(spark, s"$dir/seed/_SUCCESS"),
+        s"compaction: $dir/seed exists without commit evidence — " +
+          "a half-written seed must be re-seeded, not compacted")
       val foldable = committedBatchDirs(spark, dir).filter {
         case "seed" => true
         case b if b.matches("b\\d+") =>
@@ -362,6 +367,24 @@ object EventStream {
   /** Compact the phash ingest-dedup band index (see [[compactBatchDirs]]). */
   def compactPhashIndex(spark: SparkSession, indexDir: String): Unit =
     compactBatchDirs(spark, s"$indexDir/bands", phashBandsSchema, indexDir)
+
+  /** Compact the verified-pairs OUTPUT tables — the served side of the
+    * ingest-dedup gates accumulates the same one-subdir-per-batch
+    * layout as the indexes, and every [[ingestPairsRead]] /
+    * [[phashPairsRead]] pays its listing; batch markers live under the
+    * INDEX dir (one marker covers a batch's pairs + index writes), so
+    * the pairs compactor takes both paths. Same marker gating, swap
+    * protocol, and quiesced-stream contract as [[compactBatchDirs]];
+    * the first compaction CREATES the table's seed (pairs tables start
+    * at `b0` — no history seed exists).
+    */
+  def compactIngestPairs(spark: SparkSession, pairsOutDir: String,
+      indexDir: String): Unit =
+    compactBatchDirs(spark, pairsOutDir, ingestPairsSchema, indexDir)
+
+  def compactPhashPairs(spark: SparkSession, pairsOutDir: String,
+      indexDir: String): Unit =
+    compactBatchDirs(spark, pairsOutDir, phashPairsSchema, indexDir)
 
   /** INGESTION-TIME PERCEPTUAL-HASH DEDUP via `foreachBatch` — the BINARY
     * twin of [[minhashIngestDedup]], closing the r14-verdict composition
@@ -557,11 +580,27 @@ object EventStream {
     StateFs.touch(spark, s"$stateDir/_batches/b${batchId}_v$gen")
 
   /** Plain batchId markers for the single-table streams (bucketed state,
-    * append-only index tables) — no generation component to record.
+    * append-only index tables) — no generation component to record. A
+    * batch below the VACUUM HORIZON counts as applied without its
+    * marker file: [[vacuumPlainMarkers]] records the horizon before
+    * deleting the evidence, so a vacuumed batch still no-ops on a
+    * (contract-impossible, but defended) replay, and compaction still
+    * folds its subdirs instead of mistaking them for crashed writes.
     */
   private def plainMarkerApplied(spark: SparkSession, stateDir: String,
       batchId: Long): Boolean =
-    StateFs.exists(spark, s"$stateDir/_batches/$batchId")
+    batchId < vacuumedHorizon(spark, stateDir) ||
+      StateFs.exists(spark, s"$stateDir/_batches/$batchId")
+
+  private def horizonPath(stateDir: String): String =
+    s"$stateDir/_batches/_horizon"
+
+  /** The highest marker-vacuum horizon recorded so far (0 = none):
+    * every batchId strictly below it was once marker-applied.
+    */
+  private def vacuumedHorizon(spark: SparkSession, stateDir: String): Long =
+    StateFs.readString(spark, horizonPath(stateDir))
+      .map(_.trim.toLong).getOrElse(0L)
 
   private def commitPlainMarker(spark: SparkSession, stateDir: String,
       batchId: Long): Unit =
@@ -583,13 +622,25 @@ object EventStream {
     * horizon: the markers are then the only replay guard
     * ([[maintenanceWriter]]'s contract). The bucketed folds' in-band
     * `last_batch` watermark is unaffected either way — even a vacuumed
-    * batch replays as a no-op there. Returns the vacuumed batch ids.
+    * batch replays as a no-op there. The horizon itself is RECORDED
+    * (`_batches/_horizon`, written before any deletion) and
+    * [[plainMarkerApplied]] honors it, so index compaction still folds
+    * a vacuumed batch's subdirs as applied history instead of
+    * mistaking them for crashed writes and dropping them — the
+    * vacuum-then-compact composition loses nothing. Returns the
+    * vacuumed batch ids.
     */
   def vacuumPlainMarkers(spark: SparkSession, stateDir: String,
       horizonBatchId: Long): Seq[Long] = {
+    // record the horizon BEFORE deleting the per-batch evidence — a
+    // crash between the two leaves both forms of evidence, never
+    // neither; the horizon is monotone (a lower re-run must not
+    // resurrect vacuumed batches as "unapplied")
+    val horizon = math.max(horizonBatchId, vacuumedHorizon(spark, stateDir))
+    StateFs.writeString(spark, horizonPath(stateDir), horizon.toString)
     val drop = markerNames(spark, stateDir)
       .filter(_.matches("\\d+")).map(_.toLong)
-      .filter(_ < horizonBatchId).sorted
+      .filter(_ < horizon).sorted
     drop.foreach(id => StateFs.deleteRecursively(spark, s"$stateDir/_batches/$id"))
     drop
   }
@@ -605,7 +656,11 @@ object EventStream {
   private def latestApplied(spark: SparkSession, stateDir: String): Option[Int] = {
     val marked = markerNames(spark, stateDir)
       .flatMap(n => "_v(\\d+)$".r.findFirstMatchIn(n).map(_.group(1).toInt))
-    val seed = if (StateFs.exists(spark, s"$stateDir/v0")) Seq(0) else Seq.empty
+    // v0 counts only with COMMIT EVIDENCE — a bare v0 dir is a seed
+    // write that died mid job-commit, and accepting it would skip the
+    // re-seed forever and fold batches onto a truncated baseline (the
+    // same bare-existence bug [[seedBucketedState]] documents)
+    val seed = if (StateFs.exists(spark, s"$stateDir/v0/_SUCCESS")) Seq(0) else Seq.empty
     (marked ++ seed).reduceOption(_ max _)
   }
 
@@ -654,8 +709,16 @@ object EventStream {
   def retainStateGenerations(spark: SparkSession, stateDir: String,
       keep: Int): Seq[Int] = {
     require(keep >= 1, s"retention must keep at least the newest generation (got $keep)")
-    val gens = stateGenerations(spark, stateDir)
-    val drop = gens.dropRight(keep)
+    // retention counts APPLIED generations only: a marker-less orphan
+    // above the latest applied (a fold crashed before its marker) must
+    // neither burn a keep slot nor shield the applied baseline from
+    // the count — otherwise keep=1 beside an orphan would delete the
+    // only applied generation while latestApplied (and the replay's
+    // fold source) still point at it. Orphans are left for the replay
+    // to overwrite.
+    val horizon = latestApplied(spark, stateDir).getOrElse(Int.MinValue)
+    val applied = stateGenerations(spark, stateDir).filter(_ <= horizon)
+    val drop = applied.dropRight(keep)
     drop.foreach(g => StateFs.deleteRecursively(spark, s"$stateDir/v$g"))
     drop
   }
@@ -1097,22 +1160,28 @@ object EventStream {
     val spark = vectorsStream.sparkSession
     val cellsDir = s"$indexDir/cells"
     val codesDir = s"$indexDir/codes"
-    // guard on the LAST seed's commit evidence: a crash between the two
-    // seed writes must re-seed BOTH (overwrite — idempotent), never
-    // leave a half-seeded index a first-dir existence check would accept
-    if (!StateFs.exists(spark, s"$codesDir/seed/_SUCCESS")) {
-      historyCells.write.mode("overwrite").parquet(s"$cellsDir/seed")
+    // CODES BEFORE CELLS, guard on the LAST write's commit evidence: a
+    // crash between the two writes must re-seed BOTH (overwrite —
+    // idempotent). The order is load-bearing for what a torn state
+    // SERVES in the crash-to-replay window: candidates come from the
+    // cells table and are ranked by their codes, so codes-without-cells
+    // rows are invisible dead weight, while cells-without-codes would
+    // propose candidates that cannot be ranked — the served top-k
+    // would silently diverge until the replay.
+    if (!StateFs.exists(spark, s"$cellsDir/seed/_SUCCESS")) {
       historyCodes.write.mode("overwrite").parquet(s"$codesDir/seed")
+      historyCells.write.mode("overwrite").parquet(s"$cellsDir/seed")
     }
     maintenanceWriter(vectorsStream, checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!plainMarkerApplied(spark, indexDir, batchId)) {
           val b = batch.toDF().persist()
           try {
-            Similarity.assignCellsTo(b, cents)
-              .write.mode("overwrite").parquet(s"$cellsDir/b$batchId")
+            // codes before cells — see the seed-order note above
             Similarity.pqEncodeWith(b, cb)
               .write.mode("overwrite").parquet(s"$codesDir/b$batchId")
+            Similarity.assignCellsTo(b, cents)
+              .write.mode("overwrite").parquet(s"$cellsDir/b$batchId")
             commitPlainMarker(spark, indexDir, batchId)
           } finally {
             b.unpersist()

@@ -18,8 +18,13 @@ import org.apache.spark.sql.SparkSession
   */
 private[streaming] object StateFs {
 
+  // the SHARED driver Hadoop conf, read-only here — `newHadoopConf()`
+  // would CLONE the full SparkConf+Hadoop conf on every marker probe,
+  // and committedBatchDirs multiplies that by one exists() per subdir;
+  // the shared instance also keys Hadoop's FileSystem cache, so repeat
+  // calls reuse one client per scheme
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
-    p.getFileSystem(spark.sessionState.newHadoopConf())
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   def exists(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
@@ -61,5 +66,34 @@ private[streaming] object StateFs {
     val s = new Path(src)
     require(fsOf(spark, s).rename(s, new Path(dst)),
       s"rename failed: $src -> $dst")
+  }
+
+  /** Write a small UTF-8 control-file (overwrite), parents included —
+    * the vacuum-horizon record. Tiny metadata only, never data.
+    */
+  def writeString(spark: SparkSession, path: String, content: String): Unit = {
+    val p = new Path(path)
+    val fs = fsOf(spark, p)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read a small UTF-8 control-file; None when missing. */
+  def readString(spark: SparkSession, path: String): Option[String] = {
+    val p = new Path(path)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    }
   }
 }

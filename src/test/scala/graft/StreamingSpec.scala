@@ -665,8 +665,10 @@ class StreamingSpec extends SparkSpec {
       try query.processAllAvailable() finally query.stop()
     }
     run() // batches 0 and 1, both checkpointed and marked
+    // numeric marker files only — the vacuum also leaves its `_horizon`
+    // record in `_batches`
     def markers() = new java.io.File(s"$stateDir/_batches").list()
-      .filter(!_.startsWith(".")).sorted.toSeq
+      .filter(_.matches("\\d+")).sorted.toSeq
     assert(markers() == Seq("0", "1"))
     // both batches are committed to the durable checkpoint → horizon 2
     assert(streaming.EventStream.vacuumPlainMarkers(spark, stateDir, 2L) == Seq(0L, 1L))
@@ -944,6 +946,123 @@ class StreamingSpec extends SparkSpec {
       "compaction folded an unmarked batch's rows into the seed")
   }
 
+  test("marker vacuum then compaction loses nothing: the recorded horizon marks batches applied") {
+    import graft.operators.Dedup
+    // the composition the second review pass caught: after a valid
+    // marker vacuum (batches checkpoint-committed), compaction must NOT
+    // treat the now-markerless batch subdirs as crashed writes and drop
+    // them — the recorded horizon is the surviving evidence
+    val dir = java.nio.file.Files.createTempDirectory("graft-vaccomp")
+    val docs = Tables.documents(spark, sf)
+    docs.filter(col("doc_id") % 10 === 9)
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    val history = docs.filter(col("doc_id") % 10 =!= 9)
+    val outBase = java.nio.file.Files.createTempDirectory("graft-vaccomp-out")
+    val out = outBase.resolve("pairs").toString
+    val idx = outBase.resolve("index").toString
+    val ckpt = outBase.resolve("ckpt").toString
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val query = streaming.EventStream.minhashIngestDedup(
+      stream, history, out, idx, checkpointDir = Some(ckpt))
+    try query.processAllAvailable() finally query.stop()
+    def shingleRows() = spark.read
+      .option("recursiveFileLookup", "true").parquet(s"$idx/shingles")
+      .select(col("doc_id"), explode(col("sh")).alias("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val before = shingleRows()
+    val pairsBefore = streaming.EventStream.ingestPairsRead(spark, out)
+      .collect().map(_.toSeq).toSet
+    // batch 0 is checkpoint-committed → horizon 1 is valid; vacuum it
+    assert(streaming.EventStream.vacuumPlainMarkers(spark, idx, 1L) == Seq(0L))
+    streaming.EventStream.compactIngestIndex(spark, idx)
+    assert(shingleRows() == before,
+      "compaction dropped a vacuumed (applied) batch's index rows")
+    // and the pairs OUTPUT table compacts the same way (first seed here)
+    streaming.EventStream.compactIngestPairs(spark, out, idx)
+    val pairDirs = new java.io.File(out).list().filter(!_.startsWith("_")).sorted
+    assert(pairDirs.sameElements(Array("seed")), s"pairs: ${pairDirs.mkString(",")}")
+    assert(streaming.EventStream.ingestPairsRead(spark, out)
+      .collect().map(_.toSeq).toSet == pairsBefore)
+  }
+
+  test("a torn v0 seed (no commit evidence) is re-seeded, not served") {
+    import graft.operators.StarSchema
+    val detail = detailFrame
+    val cut = "1996-07-01"
+    val state0 = StarSchema.totalsPartialsOfDetail(
+      detail.filter(col("o_orderdate") < cut))
+    val cdcDir = java.nio.file.Files.createTempDirectory("graft-tornseed")
+    stageFile(detail.filter(col("o_orderdate") >= cut), cdcDir, "b1", 60)
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-tornseedstate").toString
+    // the crash state: v0 dir exists with partial files, NO _SUCCESS —
+    // a bare-existence reader would serve/fold this truncated baseline
+    val v0 = java.nio.file.Paths.get(s"$stateDir/v0")
+    java.nio.file.Files.createDirectories(v0)
+    java.nio.file.Files.write(v0.resolve("part-junk"), Array[Byte](1, 2, 3))
+    val stream = spark.readStream.schema(detail.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$cdcDir/*")
+    val q1 = streaming.EventStream.totalsMaintenanceStream(stream, state0, stateDir)
+    try q1.processAllAvailable() finally q1.stop()
+    val got = StarSchema.finalizeTotals(
+        streaming.EventStream.scd2StateLatest(spark, stateDir))
+      .orderBy("product_key").collect().toSeq
+    val want = q("fact_product_totals_incremental").collect().toSeq
+    assert(got == want && want.nonEmpty,
+      "stream served a torn v0 seed instead of re-seeding")
+  }
+
+  test("generation retention never deletes the newest APPLIED generation beside an orphan") {
+    import graft.operators.StarSchema
+    val detail = detailFrame
+    val cut = "1996-07-01"
+    val state0 = StarSchema.totalsPartialsOfDetail(
+      detail.filter(col("o_orderdate") < cut))
+    val cdcDir = java.nio.file.Files.createTempDirectory("graft-orphret")
+    stageFile(detail.filter(col("o_orderdate") >= cut), cdcDir, "b1", 60)
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-orphretstate").toString
+    val stream = spark.readStream.schema(detail.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$cdcDir/*")
+    val q1 = streaming.EventStream.totalsMaintenanceStream(stream, state0, stateDir)
+    try q1.processAllAvailable() finally q1.stop()
+    // applied: v0 (seed), v1 (batch 0). Plant a marker-less orphan v2 —
+    // a fold that crashed before its marker
+    spark.read.parquet(s"$stateDir/v1").write.parquet(s"$stateDir/v2")
+    // keep=1 must keep the newest APPLIED generation (v1), not count
+    // the orphan toward the keep slot and delete v1 under it
+    val dropped = streaming.EventStream.retainStateGenerations(spark, stateDir, 1)
+    assert(dropped == Seq(0), s"dropped: $dropped")
+    val latest = streaming.EventStream.scd2StateLatest(spark, stateDir)
+    assert(latest.inputFiles.exists(_.contains("/v1/")),
+      "latest applied generation was deleted or not served")
+    assert(latest.count() > 0)
+  }
+
+  test("a torn ANN batch (codes committed, cells missing) serves unchanged until replay") {
+    import graft.operators.Similarity
+    val cents = Similarity.maintainedCentroids(spark, sf)
+    val cb = Similarity.maintainedCodebooks(spark, sf)
+    val history = Similarity.maintainedHistory(spark, sf)
+    val batch = Similarity.maintainedBatch(spark, sf)
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-anntorn").toString
+    // seed the index directly (the stream's own seed shape)
+    Similarity.pqEncodeWith(history, cb).write.parquet(s"$indexDir/codes/seed")
+    Similarity.assignCellsTo(history, cents).write.parquet(s"$indexDir/cells/seed")
+    val served0 = Similarity.ivfpqServeTop5(spark, sf,
+      streaming.EventStream.annIndexCellsRead(spark, indexDir),
+      streaming.EventStream.annIndexCodesRead(spark, indexDir), cb)
+      .collect().map(_.toSeq).toSet
+    // the torn state the write ORDER guarantees: codes/b99 committed,
+    // cells/b99 never written (crash between the two writes)
+    Similarity.pqEncodeWith(batch, cb).write.parquet(s"$indexDir/codes/b99")
+    val served1 = Similarity.ivfpqServeTop5(spark, sf,
+      streaming.EventStream.annIndexCellsRead(spark, indexDir),
+      streaming.EventStream.annIndexCodesRead(spark, indexDir), cb)
+      .collect().map(_.toSeq).toSet
+    assert(served1 == served0,
+      "codes-without-cells rows changed what the index serves")
+  }
+
   test("compacting a half-seeded index fails loudly instead of publishing an empty seed") {
     val idx = java.nio.file.Files.createTempDirectory("graft-halfseed").toString
     // the crash state: seed dir exists, no _SUCCESS (write died mid-job)
@@ -953,7 +1072,7 @@ class StreamingSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       streaming.EventStream.compactIngestIndex(spark, idx)
     }
-    assert(e.getMessage.contains("no committed seed"), s"wrong failure: $e")
+    assert(e.getMessage.contains("without commit evidence"), s"wrong failure: $e")
     // the uncommitted data was not destroyed
     assert(java.nio.file.Files.exists(seed.resolve("part-00000")))
   }
