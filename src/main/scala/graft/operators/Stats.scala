@@ -271,6 +271,37 @@ object Stats {
       .orderBy("doc_id")
   }
 
+  private val ReservoirK = 5
+
+  /** Fixed-size deterministic per-stratum sample — the "show me k
+    * documents from each source" spot-check a corpus-curation run emits
+    * beside the rate-based [[docsStratifiedSample]]: the `k` documents
+    * whose md5₆₀(doc_id) sorts smallest within each source, with rank.
+    * Selection is reproducible from ids alone (no RNG state, stable
+    * under retries and engine changes — the split/sample discipline of
+    * this module).
+    *
+    * Runs as the bounded mergeable aggregate
+    * [[graft.plans.MinKByHash]] rather than a rank window: the window
+    * spelling (the DuckDB oracle, verbatim) shuffles and FULLY SORTS
+    * every stratum to keep five rows, while the aggregate's partial
+    * state is ≤ k pairs per partition×source and the exchange carries
+    * ≤ k·|sources| pairs total — at 100 TB the difference between a
+    * corpus sort and a metadata shuffle.
+    */
+  def docsReservoirSample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("source"),
+        TextFunctions.md5Hash60(col("doc_id").cast("string")).alias("h"),
+        col("doc_id"))
+      .groupBy(col("source"))
+      .agg(graft.plans.MinKByHash.minKByHash(col("h"), col("doc_id"), ReservoirK)
+        .alias("sample"))
+      .select(col("source"), posexplode(col("sample")))
+      .select(col("source"), (col("pos") + 1).cast(LongType).alias("rank"),
+        col("col.h").alias("h"), col("col.id").alias("doc_id"))
+      .orderBy("source", "rank")
+
   /** Skew-resilient fact-dim join: brand revenue through
     * [[graft.functions.Skew.saltedJoin]] — the probe (lineitem) scatters
     * each row across 8 salt buckets, the tiny build side (part)
@@ -396,6 +427,19 @@ object Stats {
          |         / sum(count(*)) OVER (PARTITION BY lang) AS share_pct
          |FROM s GROUP BY lang, split
          |ORDER BY lang, split""".stripMargin
+    },
+    "docs_reservoir_sample" -> {
+      // the rank-window spelling the aggregate replaces, verbatim
+      val h = TextFunctions.md5Hash60Sql("CAST(doc_id AS VARCHAR)")
+      s"""WITH hashed AS (
+         |  SELECT source, $h AS h, doc_id FROM documents),
+         |ranked AS (
+         |  SELECT source, h, doc_id,
+         |         row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+         |           AS rank
+         |  FROM hashed)
+         |SELECT source, rank, h, doc_id FROM ranked
+         |WHERE rank <= 5 ORDER BY source, rank""".stripMargin
     },
     "bloom_pruned_order_items" ->
       s"""SELECT l_returnflag AS return_flag, CAST(count(*) AS BIGINT) AS n_items,
@@ -591,6 +635,7 @@ object Stats {
     "lineitem_corr"          -> lineitemCorr _,
     "sales_grouping_sets"    -> salesGroupingSets _,
     "docs_stratified_sample" -> docsStratifiedSample _,
+    "docs_reservoir_sample"  -> docsReservoirSample _,
     "skew_join_brand_revenue" -> skewJoinBrandRevenue _,
     "bloom_pruned_order_items" -> bloomPrunedOrderItems _,
     "lineitem_moments"        -> lineitemMoments _,

@@ -95,3 +95,10 @@ trait BinarySingleInputType
     extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   override def inputTypes: Seq[types.AbstractDataType] = Seq(types.BinaryType)
 }
+
+/** `(bigint, bigint)` input declaration (hash + payload aggregate args). */
+trait LongPairInputTypes
+    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[types.AbstractDataType] =
+    Seq(types.LongType, types.LongType)
+}

@@ -311,4 +311,53 @@ class ExpressionPropertySpec extends SparkSpec {
              |     THEN 1 ELSE 0 END))""".stripMargin).alias("hof")).head
     assert(r.isNullAt(0) && !r.isNullAt(1) && r.getLong(1) == 0L)
   }
+
+  test("MinKByHash ≡ rank window on random grouped data (ties, nulls, short groups, merges)") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // narrow hash range [0, 25] forces plenty of ties (id tiebreak),
+    // 22 groups over 800 rows leaves some groups smaller than k, and
+    // repartition(7) forces real partial-buffer merges
+    val rows = Gen.listOfN(800,
+        Gen.zip(Gen.chooseNum(0, 21),
+          Gen.frequency(
+            9 -> Gen.chooseNum(0L, 25L).map(Some(_)),
+            1 -> Gen.const(Option.empty[Long])),
+          Gen.chooseNum(0L, 10000L)))
+      .apply(Gen.Parameters.default, Seed(67L)).get
+    val df = rows.map { case (g, h, id) => (g, h.map(Long.box).orNull, id) }
+      .toDF("g", "h", "id").repartition(7)
+    for (k <- Seq(1, 3, 5)) {
+      val agg = df.groupBy(col("g"))
+        .agg(graft.plans.MinKByHash.minKByHash(col("h"), col("id"), k).alias("s"))
+        .select(col("g"), posexplode(col("s")))
+        .select(col("g"), (col("pos") + 1).alias("rank"),
+          col("col.h").alias("h"), col("col.id").alias("id"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      val win = df.filter(col("h").isNotNull)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("g")).orderBy(col("h"), col("id"))))
+        .filter(col("rank") <= k)
+        .select(col("g"), col("rank"), col("h"), col("id"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      assert(agg.toSet == win.toSet, s"k=$k")
+      // groups with any non-null row appear with min(k, group size) rows
+      assert(agg.length == win.length, s"k=$k cardinality")
+    }
+  }
+
+  test("MinKByHash survives serialize/deserialize round trips (sort-based fallback shape)") {
+    import spark.implicits._
+    val e = graft.plans.MinKByHash(
+      org.apache.spark.sql.GraftSqlBridge.expression(col("h")),
+      org.apache.spark.sql.GraftSqlBridge.expression(col("id")), 3)
+    val buf = e.createAggregationBuffer()
+    Seq((5L, 1L), (2L, 9L), (2L, 3L), (7L, 0L), (1L, 4L)).foreach { p =>
+      buf.enqueue(p); if (buf.size > 3) buf.dequeue()
+    }
+    val rt = e.deserialize(e.serialize(buf))
+    assert(rt.toArray.sorted.toSeq == buf.toArray.sorted.toSeq)
+    // an empty buffer round-trips to an empty buffer
+    assert(e.deserialize(e.serialize(e.createAggregationBuffer())).isEmpty)
+  }
 }

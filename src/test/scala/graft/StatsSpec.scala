@@ -418,4 +418,25 @@ class StatsSpec extends SparkSpec {
       }
     }
   }
+
+  test("reservoir sample: k rows per source, dense ranks, no window in the plan") {
+    val rows = q("docs_reservoir_sample").collect()
+    val perSource = Tables.documents(spark, sf)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bySource = rows.groupBy(_.getString(0))
+    assert(bySource.keySet == perSource.keySet)
+    for ((s, rs) <- bySource) {
+      assert(rs.length == math.min(5L, perSource(s)), s"source $s")
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length).toSeq)
+      // ranks follow the (h, doc_id) sort order
+      val sorted = rs.sortBy(_.getLong(1)).map(r => (r.getLong(2), r.getLong(3)))
+      assert(sorted.toSeq == sorted.sorted.toSeq)
+    }
+    // the scale contract: two-phase bounded aggregate, no per-stratum
+    // window sort anywhere in the physical plan
+    val plan = q("docs_reservoir_sample").queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(500))
+    assert(!plan.contains("Window"), "window sort crept into the sample plan")
+  }
 }
