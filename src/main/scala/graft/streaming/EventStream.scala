@@ -832,6 +832,25 @@ object EventStream {
     StructField("last_batch", LongType),
     StructField("bucket", IntegerType)))
 
+  /** Bucketed term-statistics state layout — the maintained (term, df,
+    * tf_sum) table of [[termStatsMaintenanceStreamBucketed]], keyed and
+    * bucketed by TERM (a string key: `stateBucketOf`'s `hash()` takes
+    * any type).
+    */
+  private val termStatsStateSchema = StructType(Seq(
+    StructField("term", StringType),
+    StructField("df", LongType),
+    StructField("tf_sum", LongType),
+    StructField("last_batch", LongType),
+    StructField("bucket", IntegerType)))
+
+  /** The maintained term-statistics table, reader-shaped (bucket and
+    * watermark columns dropped) — what a BM25/TF-IDF serving join reads.
+    */
+  def termStatsRead(spark: SparkSession, stateDir: String): DataFrame =
+    bucketedStateRead(spark, stateDir, termStatsStateSchema)
+      .drop("bucket", "last_batch")
+
   private def bucketedStatePath(stateDir: String): String = s"$stateDir/state"
 
   /** The key → partition-bucket derivation shared by every bucketed
@@ -1108,6 +1127,67 @@ object EventStream {
         }
       }
       if (commitMarker) commitPlainMarker(spark, stateDir, batchId)
+    }
+  }
+
+  /** STREAMING TERM-STATISTICS MAINTENANCE — the text tier's bucketed
+    * fold: the (term, df, tf_sum) table BM25/TF-IDF statistics join on
+    * lives as ONE parquet table partitioned by `pmod(hash(term),
+    * StateBuckets)`, and each micro-batch of documents tokenizes ONLY
+    * its own rows (the exact [[graft.operators.TextAnalysis.termFreqsOf]]
+    * lineage the batch queries ride), aggregates them to a term-keyed
+    * delta, and folds the delta in through
+    * [[graft.operators.TextAnalysis.mergeTermStats]] — the operator the
+    * `text_df_incremental` oracle certifies. Same partial-rewrite /
+    * partition-pruning / watermark-idempotence contract as the totals
+    * and SCD2 folds ([[foldBucketedState]]): only the buckets the
+    * batch's terms hash into are read or rewritten.
+    *
+    * 100 TB posture: a nightly crawl pays one batch-scale tokenize +
+    * shuffle; the stored statistics table is touched only in the
+    * buckets the batch's vocabulary lands in — df maintenance without
+    * re-tokenizing the corpus, which is what makes nightly BM25 index
+    * refresh affordable.
+    */
+  def termStatsMaintenanceStreamBucketed(docsStream: DataFrame,
+      initialStats: DataFrame, stateDir: String,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val spark = docsStream.sparkSession
+    seedBucketedState(initialStats, "term", stateDir)
+    maintenanceWriter(docsStream, checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        termStatsFoldBatchBucketed(spark, stateDir, batch.toDF(), batchId)
+      }
+      .start()
+  }
+
+  /** One term-stats micro-batch against the bucketed table — see
+    * [[totalsFoldBatchBucketed]] for the `commitMarker` test hook.
+    */
+  private[graft] def termStatsFoldBatchBucketed(spark: SparkSession,
+      stateDir: String, batch: DataFrame, batchId: Long,
+      commitMarker: Boolean = true): Unit = {
+    if (!plainMarkerApplied(spark, stateDir, batchId)) {
+      val delta = graft.operators.TextAnalysis
+        .termStatsOf(graft.operators.TextAnalysis.termFreqsOf(batch))
+        .withColumn("bucket", stateBucketOf(col("term")))
+        .persist()
+      try {
+        val touched = delta.select(col("bucket")).distinct()
+          .collect().map(_.getInt(0)).toSeq.sorted
+        if (touched.nonEmpty) {
+          foldBucketedState(spark, stateDir, termStatsStateSchema, touched,
+              "term", batchId) { (cur, todo) =>
+            graft.operators.TextAnalysis.mergeTermStats(cur,
+              delta.filter(col("bucket").isin(todo.map(Integer.valueOf): _*))
+                .drop("bucket"))
+          }
+        }
+        if (commitMarker) commitPlainMarker(spark, stateDir, batchId)
+      } finally {
+        delta.unpersist()
+        ()
+      }
     }
   }
 

@@ -1038,6 +1038,39 @@ class StreamingSpec extends SparkSpec {
     assert(latest.count() > 0)
   }
 
+  test("streaming term-stats maintenance equals the batch rebuild (term-keyed bucketed fold)") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf)
+    val isBatch = col("doc_id") % 10 === 9
+    val state0 = TextAnalysis.termStatsOf(TextAnalysis.termFreqsOf(docs.filter(!isBatch)))
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-termstats")
+    stageFile(docs.filter(isBatch && col("doc_id") % 20 === 9), stageDir, "b1", 60)
+    stageFile(docs.filter(isBatch && col("doc_id") % 20 =!= 9), stageDir, "b2", 30)
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-termstate").toString
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$stageDir/*")
+    val q1 = streaming.EventStream.termStatsMaintenanceStreamBucketed(
+      stream, state0, stateDir)
+    try q1.processAllAvailable() finally q1.stop()
+    def stats(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = stats(streaming.EventStream.termStatsRead(spark, stateDir))
+    val want = stats(TextAnalysis.termStatsOf(TextAnalysis.termFreqsOf(docs)))
+    assert(got == want && want.nonEmpty,
+      "maintained term statistics diverged from the full-corpus rebuild")
+    // the registered batch gate lands on the same table (its oracle
+    // certifies the same mergeTermStats operator the fold just ran)
+    assert(stats(q("text_df_incremental")) == want)
+    // a replayed fold with the marker withheld (crash between overwrite
+    // job commit and marker write) is a no-op — watermark idempotence
+    // holds for the term-keyed fold too
+    val replay = docs.filter(isBatch && col("doc_id") % 20 =!= 9)
+    streaming.EventStream.termStatsFoldBatchBucketed(
+      spark, stateDir, replay, 1L, commitMarker = false)
+    assert(stats(streaming.EventStream.termStatsRead(spark, stateDir)) == want,
+      "replayed term-stats fold double-counted")
+  }
+
   test("a torn ANN batch (codes committed, cells missing) serves unchanged until replay") {
     import graft.operators.Similarity
     val cents = Similarity.maintainedCentroids(spark, sf)
