@@ -806,7 +806,10 @@ object TextAnalysis {
   private[graft] def bm25TopDocsOf(docs: DataFrame, queries: DataFrame): DataFrame =
     bm25FromTf(termFreqsOf(docs), docs.agg(count(lit(1)).alias("n_docs")), queries)
 
-  private def bm25FromTf(tf: DataFrame, nd: DataFrame,
+  // private[graft]: the streaming tf-index parity spec serves BM25 from
+  // the MAINTAINED index through this exact plan (n_docs supplied as the
+  // additively-maintained document counter)
+  private[graft] def bm25FromTf(tf: DataFrame, nd: DataFrame,
       queries: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // df and dl both derive from tf — the corpus is tokenized ONCE and

@@ -1191,6 +1191,59 @@ object EventStream {
     }
   }
 
+  private val tfIndexSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("term", StringType),
+    StructField("tf", LongType)))
+
+  /** The maintained token-cache (tf) index on disk — the read side of
+    * [[tfIndexMaintenanceStream]] (seed + committed per-batch subdirs).
+    */
+  def tfIndexRead(spark: SparkSession, indexDir: String): DataFrame =
+    batchDirsRead(spark, s"$indexDir/tf", tfIndexSchema)
+
+  /** Compact the tf index's per-batch subdirs — same marker gating,
+    * swap protocol, and quiesced-stream contract as [[compactBatchDirs]].
+    */
+  def compactTfIndex(spark: SparkSession, indexDir: String): Unit =
+    compactBatchDirs(spark, s"$indexDir/tf", tfIndexSchema, indexDir)
+
+  /** STREAMING BM25 INDEX MAINTENANCE — the retrieval tier's nightly
+    * refresh, completing the term-stats gate's story: documents are
+    * append-only, so the (doc_id, term, tf) token-cache table the
+    * retrieval queries probe ([[graft.operators.TextAnalysis]]'s
+    * `termFreqs` shape) maintains by APPEND, not fold — each micro-batch
+    * tokenizes only its own documents and writes one committed subdir
+    * (the [[annIndexMaintenanceStream]] commit shape: seed + idempotent
+    * per-batch overwrite dirs under batch markers; [[compactTfIndex]] is
+    * the OPTIMIZE half). Serving reads the union and runs the identical
+    * BM25 probe plan — StreamingSpec pins served top-k parity with the
+    * batch `bm25_top_docs` after two micro-batches, through compaction,
+    * with `n_docs` supplied as the trivially-additive document counter.
+    * Beside it, [[termStatsMaintenanceStreamBucketed]] maintains the
+    * AGGREGATE (term-keyed df/tf_sum) view of the same lineage by fold —
+    * append for the per-doc grain, fold for the statistic, the two
+    * shapes a 100 TB text index actually runs nightly.
+    */
+  def tfIndexMaintenanceStream(docsStream: DataFrame, historyDocs: DataFrame,
+      indexDir: String, checkpointDir: Option[String] = None): StreamingQuery = {
+    val spark = docsStream.sparkSession
+    val tfDir = s"$indexDir/tf"
+    if (!StateFs.exists(spark, s"$tfDir/seed/_SUCCESS")) {
+      graft.operators.TextAnalysis.termFreqsOf(historyDocs)
+        .write.mode("overwrite").parquet(s"$tfDir/seed")
+    }
+    maintenanceWriter(docsStream, checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!plainMarkerApplied(spark, indexDir, batchId)) {
+          graft.operators.TextAnalysis.termFreqsOf(batch.toDF())
+            .write.mode("overwrite").parquet(s"$tfDir/b$batchId")
+          commitPlainMarker(spark, indexDir, batchId)
+        }
+      }
+      .start()
+  }
+
   private val annCellsSchema = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("v", ArrayType(LongType)),

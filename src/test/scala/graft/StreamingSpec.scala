@@ -1071,6 +1071,39 @@ class StreamingSpec extends SparkSpec {
       "replayed term-stats fold double-counted")
   }
 
+  test("BM25 served from the maintained tf index equals the batch retrieval query") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val isBatch = col("doc_id") % 10 === 9
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-tfidx")
+    stageFile(docs.filter(isBatch && col("doc_id") % 20 === 9), stageDir, "b1", 60)
+    stageFile(docs.filter(isBatch && col("doc_id") % 20 =!= 9), stageDir, "b2", 30)
+    val outBase = java.nio.file.Files.createTempDirectory("graft-tfidx-out")
+    val indexDir = outBase.resolve("index").toString
+    val ckpt = outBase.resolve("ckpt").toString
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$stageDir/*")
+    val q1 = streaming.EventStream.tfIndexMaintenanceStream(
+      stream, docs.filter(!isBatch), indexDir, checkpointDir = Some(ckpt))
+    try q1.processAllAvailable() finally q1.stop()
+    val queries = TextAnalysis.Bm25Queries.toDF("query_id", "q_text")
+    // n_docs is the trivially-additive maintained counter: history + batch
+    def serve() = TextAnalysis.bm25FromTf(
+        streaming.EventStream.tfIndexRead(spark, indexDir),
+        docs.agg(count(lit(1)).alias("n_docs")), queries)
+      .collect().map(_.toSeq).toSeq
+    val want = q("bm25_top_docs").collect().map(_.toSeq).toSeq
+    assert(serve() == want && want.nonEmpty,
+      "maintained-index BM25 diverged from the batch retrieval query")
+    // compaction consolidates the subdirs without changing what serves
+    streaming.EventStream.compactTfIndex(spark, indexDir)
+    val dirs = new java.io.File(s"$indexDir/tf").list()
+      .filter(!_.startsWith("_")).sorted
+    assert(dirs.sameElements(Array("seed")), s"tf dirs: ${dirs.mkString(",")}")
+    assert(serve() == want, "compaction changed the served BM25 top-k")
+  }
+
   test("a torn ANN batch (codes committed, cells missing) serves unchanged until replay") {
     import graft.operators.Similarity
     val cents = Similarity.maintainedCentroids(spark, sf)
