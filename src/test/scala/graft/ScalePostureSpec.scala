@@ -744,4 +744,53 @@ class ScalePostureSpec extends SparkSpec {
     val nodes = analyzed.collect { case p => p }.size
     assert(nodes < 20, s"pagerank plan grew with rounds: $nodes nodes")
   }
+
+  test("term-stats fold rewrites only the buckets the batch's terms hash into (string key)") {
+    import graft.operators.TextAnalysis
+    // the totals/SCD2 partial-rewrite pins run on LONG keys; this
+    // re-proves the byte-identity claim for the STRING-keyed term fold:
+    // a batch whose vocabulary is ONE term must leave every bucket that
+    // term does not hash into byte-identical on disk
+    val docs = Tables.documents(spark, sf)
+    val state0 = TextAnalysis.termStatsOf(TextAnalysis.termFreqsOf(docs))
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-termprune").toString
+    streaming.EventStream.seedBucketedState(state0, "term", stateDir)
+    def md5(p: java.nio.file.Path): String =
+      java.util.HexFormat.of.formatHex(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(java.nio.file.Files.readAllBytes(p)))
+    def snapshot(): Map[String, (Long, String)] = {
+      val base = java.nio.file.Paths.get(s"$stateDir/state")
+      val out = scala.collection.mutable.Map.empty[String, (Long, String)]
+      java.nio.file.Files.walk(base).forEach { p =>
+        val rel = base.relativize(p).toString
+        if (rel.contains("bucket=") && p.toFile.isFile && !rel.endsWith("_SUCCESS"))
+          out(rel) = (java.nio.file.Files.size(p), md5(p))
+      }
+      out.toMap
+    }
+    val before = snapshot()
+    val targetBucket = spark.range(1)
+      .select(pmod(hash(lit("window")), lit(8))).head.getInt(0)
+    assert(before.keys.exists(!_.startsWith(s"bucket=$targetBucket/")),
+      "seeded state has no untouched-bucket files to compare")
+    val batch = spark.range(1).select(
+      lit(999999L).alias("doc_id"), lit("window window window").alias("text"))
+    streaming.EventStream.termStatsFoldBatchBucketed(spark, stateDir, batch, 0L)
+    val after = snapshot()
+    assert(
+      before.view.filterKeys(!_.startsWith(s"bucket=$targetBucket/")).toMap ==
+        after.view.filterKeys(!_.startsWith(s"bucket=$targetBucket/")).toMap,
+      "buckets outside the batch vocabulary were rewritten")
+    assert(
+      before.view.filterKeys(_.startsWith(s"bucket=$targetBucket/")).toMap !=
+        after.view.filterKeys(_.startsWith(s"bucket=$targetBucket/")).toMap,
+      "the term's bucket was not rewritten — the fold did nothing")
+    // and the fold landed the delta exactly
+    val got = streaming.EventStream.termStatsRead(spark, stateDir)
+      .filter(col("term") === "window").head()
+    val base = state0.filter(col("term") === "window").head()
+    assert(got.getLong(1) == base.getLong(1) + 1L, "df delta wrong")
+    assert(got.getLong(2) == base.getLong(2) + 3L, "tf_sum delta wrong")
+  }
 }
