@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{VectorFunctions => V}
+
+/** HYBRID RETRIEVAL — reciprocal-rank fusion (RRF) of a lexical BM25 arm
+  * and a semantic embedding-cosine arm, the two-tower serving shape every
+  * production retrieval stack runs (lexical recall for exact terms,
+  * embedding recall for paraphrase) and the composition the registry's
+  * two retrieval tiers ([[TextAnalysis.bm25TopDocs]],
+  * [[Similarity.knnBrute]]) individually stop short of. No reference
+  * analog (north-star tier — the reference is a star-schema ETL).
+  *
+  * Semantics: each arm independently ranks documents to depth
+  * [[ArmDepth]]; a document's fused score is Σ over arms of
+  * 1/(k + rank) with k = [[RrfK]] = 60 (the constant from the original
+  * RRF paper, Cormack et al. SIGIR'09), missing-arm contributions are 0;
+  * the top 5 by fused score are served. Query encoding is an INPUT: a
+  * production run supplies (q_text, q_vec) pairs from its query encoder —
+  * the fixture derives q_vec as the stored embedding whose vec_id equals
+  * the query id (the `vec_id ≡ doc_id` fixture convention, see
+  * [[Curation]]), which stands in for the encoder deterministically.
+  *
+  * Exactness discipline (the `lineitem_corr` / BM25 precedent): the
+  * reciprocal term is quantized to integer billionths BEFORE the
+  * cross-arm sum — `Q div (k + rank)` with Q = 10⁹ is exact integer
+  * division on both engines, so fused scores are longs and summation
+  * order cannot drift them. Arm ranks themselves are integer
+  * row_numbers over deterministic orderings (exact-long BM25 millionths;
+  * the exactly-rounded quantized cosine), ties broken by doc_id.
+  *
+  * Scale shape: the lexical arm rides the session (doc, term)
+  * term-frequency frame (one tokenize-once shuffle, broadcast query-term
+  * probe — [[TextAnalysis.bm25Ranked]]); the semantic arm rides the
+  * session-persisted quantized embeddings and scores |Q|·N pairs via a
+  * broadcast of the query vectors (the brute baseline shape — at 100 TB
+  * this arm swaps to the IVF-PQ candidate path, [[Similarity]]'s ladder,
+  * with the SAME fusion downstream); the fusion itself joins two
+  * ≤ |Q|·depth row lists — metadata-sized at any corpus scale.
+  */
+object Retrieval {
+
+  /** Per-arm list depth fed into fusion (deeper than either arm serves
+    * alone — RRF's value is rescuing docs ranked moderately by both arms).
+    */
+  private[operators] val ArmDepth = 20
+
+  /** The RRF smoothing constant (60, per the original paper). */
+  private[operators] val RrfK = 60
+
+  /** Reciprocal terms are pinned to integer billionths: Q div (k+rank). */
+  private[operators] val RrfQ = 1000000000L
+
+  /** One fused arm contribution: Q div (k + rank), 0 when the arm missed
+    * the document (NULL rank).
+    */
+  private def rrfTerm(rank: Column): Column =
+    coalesce((lit(RrfQ) / (lit(RrfK) + rank.cast("long"))).cast("long"), lit(0L))
+
+  /** RRF fusion of two ranked arms over any (query_id, doc_id, rank)
+    * pair of frames — the spec drives this directly with planted lists.
+    * Full-outer on (query_id, doc_id): a document surfaced by one arm
+    * only still competes, with the other arm contributing 0.
+    */
+  private[graft] def rrfFuse(lex: DataFrame, sem: DataFrame): DataFrame = {
+    val fused = lex.select(col("query_id"), col("doc_id"), col("rank").alias("lex_rank"))
+      .join(sem.select(col("query_id"), col("doc_id"), col("rank").alias("sem_rank")),
+        Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_m", rrfTerm(col("lex_rank")) + rrfTerm(col("sem_rank")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_m").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"), col("sem_rank"),
+        col("rrf_m"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The semantic arm: cosine rank of every corpus vector against each
+    * broadcast query vector, to `depth`. Self-inclusion is deliberate:
+    * queries are NOT corpus members semantically (the id-aligned fixture
+    * vector stands in for a query encoder), so no pair is excluded.
+    */
+  private[graft] def cosineRanked(corpus: DataFrame, queryVecs: DataFrame,
+      depth: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queryVecs))
+      .select(col("query_id"), col("vec_id").alias("doc_id"),
+        V.qcosineFrom(V.qdot(col("qv"), col("v")), col("qn2"), col("n2"))
+          .alias("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= depth)
+  }
+
+  def hybridRrfTopDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val queries = TextAnalysis.Bm25Queries.toDF("query_id", "q_text")
+    val lex = TextAnalysis.bm25Ranked(
+      TextAnalysis.termFreqs(spark, sfDir),
+      Tables.documents(spark, sfDir).agg(count(lit(1)).alias("n_docs")),
+      queries, ArmDepth)
+    val corpus = Similarity.quantized(spark, sfDir)
+    val queryVecs = corpus
+      .filter(col("vec_id").between(1, TextAnalysis.Bm25Queries.size))
+      .select(col("vec_id").cast("int").alias("query_id"),
+        col("v").alias("qv"), col("n2").alias("qn2"))
+    rrfFuse(lex, cosineRanked(corpus, queryVecs, ArmDepth))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "hybrid_rrf_top_docs" ->
+      s"""WITH ${TextAnalysis.bm25RankedCte},
+         |lex AS (SELECT query_id, doc_id, rank AS lex_rank
+         |        FROM ranked WHERE rank <= $ArmDepth),
+         |${Similarity.quantizedSql},
+         |qv AS (
+         |  SELECT CAST(vec_id AS INT) AS query_id, v AS qv, n2 AS qn2
+         |  FROM qn WHERE vec_id BETWEEN 1 AND ${TextAnalysis.Bm25Queries.size}),
+         |sem_scored AS (
+         |  SELECT qv.query_id, b.vec_id AS doc_id,
+         |         CAST(row_number() OVER (PARTITION BY qv.query_id
+         |           ORDER BY ${V.qdotSql("qv.qv", "b.v", 64)}
+         |                      / (sqrt(qv.qn2) * sqrt(b.n2)) DESC,
+         |                    b.vec_id ASC) AS INT) AS sem_rank
+         |  FROM qn b CROSS JOIN qv),
+         |sem AS (SELECT query_id, doc_id, sem_rank
+         |        FROM sem_scored WHERE sem_rank <= $ArmDepth),
+         |fused AS (
+         |  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+         |         COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         |         l.lex_rank, s.sem_rank,
+         |         CAST(COALESCE(CAST($RrfQ AS BIGINT) // ($RrfK + l.lex_rank), 0)
+         |            + COALESCE(CAST($RrfQ AS BIGINT) // ($RrfK + s.sem_rank), 0)
+         |           AS BIGINT) AS rrf_m
+         |  FROM lex l FULL JOIN sem s
+         |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id),
+         |rrf_ranked AS (
+         |  SELECT query_id, doc_id, lex_rank, sem_rank, rrf_m,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY rrf_m DESC, doc_id ASC) AS INT) AS rank
+         |  FROM fused)
+         |SELECT query_id, doc_id, lex_rank, sem_rank, rrf_m, rank
+         |FROM rrf_ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hybrid_rrf_top_docs" -> hybridRrfTopDocs _,
+  )
+}

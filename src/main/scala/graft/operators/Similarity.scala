@@ -37,8 +37,11 @@ object Similarity {
 
   private[operators] val Dim = 64
 
-  /** Quantized embeddings with integer squared norms. */
-  private def quantized(spark: SparkSession, sfDir: String): DataFrame =
+  /** Quantized embeddings with integer squared norms. Opened to the
+    * operators package for [[Retrieval]]'s semantic arm, which rides this
+    * exact session-persisted frame (zero marginal quantization cost).
+    */
+  private[operators] def quantized(spark: SparkSession, sfDir: String): DataFrame =
     // key-memoized (see Dedup.shingled): shared by every similarity
     // consumer; re-invocations must not re-analyze the plan per call
     graft.CacheLifecycle.memoized(s"similarity.quantized:$sfDir")(

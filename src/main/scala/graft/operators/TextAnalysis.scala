@@ -762,6 +762,46 @@ object TextAnalysis {
     3 -> "customer join filter",
     4 -> "vector stream batch")
 
+  /** DuckDB CTE chain for the BM25 ranking arm over [[Bm25Queries]],
+    * ending in `ranked` (query_id, doc_id, score_m, n_hit_terms, rank) —
+    * the twin of [[bm25Ranked]], shared by the `bm25_top_docs` oracle
+    * (rank ≤ 5) and the hybrid-fusion oracle's lexical arm (rank ≤ 20)
+    * so the arm definition cannot drift between them. Keep the arithmetic
+    * in sync with [[bm25Ranked]].
+    */
+  private[operators] lazy val bm25RankedCte: String = {
+    val values = Bm25Queries.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+    s"""queries(query_id, q_text) AS (VALUES $values),
+       |qterms AS (
+       |  SELECT DISTINCT query_id, unnest(string_split(q_text, ' ')) AS term
+       |  FROM queries),
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM toks GROUP BY 1, 2),
+       |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS t_tokens FROM tf),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |term_scores AS (
+       |  SELECT query_id, doc_id,
+       |         CAST(floor(CAST(n_docs * 22 * tf * t_tokens AS DOUBLE)
+       |           / CAST(df * (10 * tf * t_tokens + 3 * t_tokens + 9 * dl * n_docs) AS DOUBLE)
+       |           * 1000000.0) AS BIGINT) AS term_m
+       |  FROM tf JOIN qterms USING (term) JOIN dfreq USING (term)
+       |       JOIN dl USING (doc_id) CROSS JOIN tot CROSS JOIN nd),
+       |by_doc AS (
+       |  SELECT query_id, doc_id, CAST(sum(term_m) AS BIGINT) AS score_m,
+       |         CAST(count(*) AS BIGINT) AS n_hit_terms
+       |  FROM term_scores GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score_m, n_hit_terms,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY score_m DESC, doc_id ASC) AS INT) AS rank
+       |  FROM by_doc)""".stripMargin
+  }
+
   /** RANKED RETRIEVAL — BM25 top-5 documents per query, the
     * query→documents shape an LLM data pipeline runs constantly
     * (hard-negative mining, eval-contamination lookups) and the one
@@ -810,7 +850,23 @@ object TextAnalysis {
   // the MAINTAINED index through this exact plan (n_docs supplied as the
   // additively-maintained document counter)
   private[graft] def bm25FromTf(tf: DataFrame, nd: DataFrame,
-      queries: DataFrame): DataFrame = {
+      queries: DataFrame): DataFrame =
+    bm25Ranked(tf, nd, queries, depth = 5)
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        col("n_hit_terms"), col("score_m"),
+        (col("score_m").cast("double") / lit(1000000.0)).alias("bm25"))
+      .orderBy("query_id", "rank")
+
+  /** The BM25 ranking ARM at an arbitrary list depth — the shared core of
+    * [[bm25FromTf]] (depth 5, the registered retrieval query) and the
+    * lexical arm of [[Retrieval.hybridRrfTopDocs]] (depth 20: fusion
+    * wants deeper per-arm lists than either arm would serve alone). The
+    * rank filter sits directly on the row_number window so Spark's
+    * WindowGroupLimit keeps per-partition state at `depth` rows instead
+    * of sorting every hit.
+    */
+  private[operators] def bm25Ranked(tf: DataFrame, nd: DataFrame,
+      queries: DataFrame, depth: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // df and dl both derive from tf — the corpus is tokenized ONCE and
     // one (doc, term) shuffle feeds every statistic
@@ -838,11 +894,7 @@ object TextAnalysis {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_m").desc, col("doc_id").asc)
     byDoc.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("doc_id"), col("rank"),
-        col("n_hit_terms"), col("score_m"),
-        (col("score_m").cast("double") / lit(1000000.0)).alias("bm25"))
-      .orderBy("query_id", "rank")
+      .filter(col("rank") <= depth)
   }
 
   /** Order-sensitive rolling-hash document fingerprint + full-text md5 —
@@ -1194,42 +1246,12 @@ object TextAnalysis {
         |         / sum(tf) AS mean_bits
         |FROM tf JOIN dfreq USING (term) CROSS JOIN nd
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
-    "bm25_top_docs" -> {
-      val values = Bm25Queries.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
-      s"""WITH queries(query_id, q_text) AS (VALUES $values),
-         |qterms AS (
-         |  SELECT DISTINCT query_id, unnest(string_split(q_text, ' ')) AS term
-         |  FROM queries),
-         |toks AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-         |tf AS (
-         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-         |  FROM toks GROUP BY 1, 2),
-         |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-         |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS t_tokens FROM tf),
-         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
-         |term_scores AS (
-         |  SELECT query_id, doc_id,
-         |         CAST(floor(CAST(n_docs * 22 * tf * t_tokens AS DOUBLE)
-         |           / CAST(df * (10 * tf * t_tokens + 3 * t_tokens + 9 * dl * n_docs) AS DOUBLE)
-         |           * 1000000.0) AS BIGINT) AS term_m
-         |  FROM tf JOIN qterms USING (term) JOIN dfreq USING (term)
-         |       JOIN dl USING (doc_id) CROSS JOIN tot CROSS JOIN nd),
-         |by_doc AS (
-         |  SELECT query_id, doc_id, CAST(sum(term_m) AS BIGINT) AS score_m,
-         |         CAST(count(*) AS BIGINT) AS n_hit_terms
-         |  FROM term_scores GROUP BY 1, 2),
-         |ranked AS (
-         |  SELECT query_id, doc_id, score_m, n_hit_terms,
-         |         CAST(row_number() OVER (PARTITION BY query_id
-         |           ORDER BY score_m DESC, doc_id ASC) AS INT) AS rank
-         |  FROM by_doc)
+    "bm25_top_docs" ->
+      s"""WITH $bm25RankedCte
          |SELECT query_id, doc_id, rank, n_hit_terms, score_m,
          |       CAST(score_m AS DOUBLE) / 1000000.0 AS bm25
          |FROM ranked WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin
-    },
+         |ORDER BY query_id, rank""".stripMargin,
     "text_tfidf_top_terms" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

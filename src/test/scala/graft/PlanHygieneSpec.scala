@@ -97,7 +97,11 @@ class PlanHygieneSpec extends SparkSpec {
       // MRL truncation recall scores its own |Q|·N truncated pairs by
       // design AND embeds the brute baseline it is measured against;
       // the re-rank rung runs the same stage-1 truncated scan
-      "mrl_truncation_recall_at_5", "mrl_rerank_recall_at_5")
+      "mrl_truncation_recall_at_5", "mrl_rerank_recall_at_5",
+      // hybrid fusion: the lexical arm rides BM25's two single-row
+      // broadcasts; the semantic arm deliberately scores all |Q|·N pairs
+      // (the brute baseline shape — the 100 TB arm is the IVF-PQ ladder)
+      "hybrid_rrf_top_docs")
     for ((name, plan) <- executedPlans if !allowed(name)) {
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name unexpectedly plans a BroadcastNestedLoopJoin:\n${plan.take(800)}")

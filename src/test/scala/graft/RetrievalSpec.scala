@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Retrieval, TextAnalysis}
+import graft.functions.{VectorFunctions => V}
+
+class RetrievalSpec extends SparkSpec {
+
+  test("rrfFuse: planted lists fuse by quantized reciprocal rank, missing arm = 0") {
+    import spark.implicits._
+    // q1: lexical serves A(1), B(2); semantic serves B(1), C(2).
+    val lex = Seq((1, 100L, 1), (1, 200L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val sem = Seq((1, 200L, 1), (1, 300L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(lex, sem)
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"), col("rrf_m"), col("rank"))
+      .collect()
+    val r61 = 1000000000L / 61 // = Q div (60 + 1), exact integer division
+    val r62 = 1000000000L / 62
+    // B hits both arms and must outrank either single-arm doc; ordering
+    // then B(both), A(lex 1), C(sem 2)
+    assert(got.map(_.getLong(0)).toSeq == Seq(200L, 100L, 300L),
+      s"wrong fusion order: ${got.mkString(", ")}")
+    assert(got.map(_.getLong(3)).toSeq == Seq(r62 + r61, r61, r62))
+    // the single-arm docs carry a NULL rank for the arm that missed them
+    assert(got(1).isNullAt(2) && got(2).isNullAt(1))
+    assert(got.map(_.getInt(4)).toSeq == Seq(1, 2, 3))
+  }
+
+  test("rrfFuse: equal fused scores break ties by doc_id ascending") {
+    import spark.implicits._
+    val lex = Seq((2, 900L, 1)).toDF("query_id", "doc_id", "rank")
+    val sem = Seq((2, 50L, 1)).toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(lex, sem).select(col("doc_id")).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(50L, 900L))
+  }
+
+  test("cosineRanked: planted vectors rank self, orthogonal, opposite") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(1000L, 0L, 0L, 0L)),
+      (2L, Seq(0L, 1000L, 0L, 0L)),
+      (3L, Seq(-1000L, 0L, 0L, 0L)))
+      .toDF("vec_id", "v")
+      .withColumn("n2", V.qnorm2(col("v")))
+    val queryVecs = corpus.filter(col("vec_id") === 1L)
+      .select(col("vec_id").cast("int").alias("query_id"),
+        col("v").alias("qv"), col("n2").alias("qn2"))
+    val got = Retrieval.cosineRanked(corpus, queryVecs, depth = 3)
+      .select(col("doc_id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq.sortBy(_._2)
+    assert(got == Seq((1L, 1), (2L, 2), (3L, 3)), s"got $got")
+  }
+
+  test("hybrid_rrf_top_docs: per-query top-5, scores recompute from arm ranks") {
+    val rows = q("hybrid_rrf_top_docs").collect()
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_.getInt(0))
+    assert(byQuery.keySet == TextAnalysis.Bm25Queries.map(_._1).toSet)
+    for ((qid, rs) <- byQuery) {
+      assert(rs.map(_.getInt(5)).toSeq.sorted == (1 to 5).toSeq,
+        s"query $qid must serve exactly ranks 1..5")
+      for (r <- rs) {
+        val lexTerm = if (r.isNullAt(2)) 0L else 1000000000L / (60L + r.getInt(2))
+        val semTerm = if (r.isNullAt(3)) 0L else 1000000000L / (60L + r.getInt(3))
+        assert(r.getLong(4) == lexTerm + semTerm,
+          s"rrf_m must be the sum of the quantized reciprocal terms: $r")
+      }
+    }
+  }
+
+  test("hybrid lexical arm agrees with the registered bm25_top_docs ranking") {
+    val hybrid = q("hybrid_rrf_top_docs").collect()
+      .filter(r => !r.isNullAt(2) && r.getInt(2) <= 5)
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val bm25 = q("bm25_top_docs").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(hybrid.nonEmpty, "fixture should surface lexical top-5 docs in the fusion")
+    for ((key, lexRank) <- hybrid)
+      assert(bm25.get(key).contains(lexRank),
+        s"hybrid lex_rank disagrees with bm25_top_docs at $key: " +
+          s"hybrid=$lexRank bm25=${bm25.get(key)}")
+  }
+}
