@@ -300,6 +300,37 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  /** SPLIT-LEAKAGE REPORT: verified near-dup pairs whose endpoints land
+    * in DIFFERENT train/val/test splits — the release-blocking leakage a
+    * benchmark-honest pipeline must drain to zero (a test document with a
+    * train-side near-duplicate inflates eval scores; the reason dedup
+    * runs BEFORE the split). Composes the two registered facts it audits:
+    * the verified pair set ([[minhashLsh]], session-persisted) and the
+    * md5-residue split assignment (`docs_train_val_test_split` — the
+    * same bucket spelling, so this report certifies THAT split, not a
+    * twin). Decontamination twin: `docs_decontaminate_*` measure overlap
+    * against an EXTERNAL eval set; this measures internal cross-split
+    * leakage. Scale shape: two key-only joins of the tiny pair set
+    * against a map-side hash column — the corpus never reshuffles; at
+    * 100 TB the pair set is the dedup run's own output table.
+    */
+  def splitLeakageReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = pmod(TextFunctions.md5Hash60(col("doc_id").cast("string")), lit(100L))
+    val split = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").alias("split"))
+    minhashLsh(spark, sfDir)
+      .join(split.select(col("doc_id").alias("doc_a"), col("split").alias("split_a")),
+        Seq("doc_a"))
+      .join(split.select(col("doc_id").alias("doc_b"), col("split").alias("split_b")),
+        Seq("doc_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+        col("n_common"), col("n_a"), col("n_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** PREFIX-FILTERED exact Jaccard join (the ppjoin/ssjoin family) — a
     * second scale path beside MinHash+LSH that is LOSSLESS BY THEOREM,
     * not by probability: order every document's shingles by a global
@@ -894,6 +925,36 @@ object Dedup {
          |FROM ps GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
     // lossless by the prefix-filter theorem — same oracle, no caveat
     "dedup_prefix_filter" -> exhaustivePairsSql,
+    "split_leakage_report" -> {
+      // the same md5-residue bucket spelling as docs_train_val_test_split
+      // — this report must certify THAT split, not a drifted twin
+      val bucket = TextFunctions.md5Hash60Sql("CAST(doc_id AS VARCHAR)") + " % 100"
+      s"""WITH $shingleCte,
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(count(*) AS BIGINT) AS n_common
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |vpairs AS (
+         |  SELECT doc_a, doc_b, n_common,
+         |         CAST(sa.n AS INT) AS n_a, CAST(sb.n AS INT) AS n_b,
+         |         n_common / (sa.n + sb.n - n_common) AS jaccard
+         |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+         |             JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE n_common / (sa.n + sb.n - n_common) >= $JaccardThreshold),
+         |spl AS (
+         |  SELECT doc_id,
+         |         CASE WHEN $bucket < 80 THEN 'train'
+         |              WHEN $bucket < 90 THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT doc_a, doc_b, a.split AS split_a, b.split AS split_b,
+         |       n_common, n_a, n_b, jaccard
+         |FROM vpairs JOIN spl a ON doc_a = a.doc_id
+         |            JOIN spl b ON doc_b = b.doc_id
+         |WHERE a.split != b.split
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     "dedup_containment" ->
       s"""WITH $shingleCte,
          |inter AS (
@@ -954,6 +1015,7 @@ object Dedup {
     "dedup_minhash_lsh"   -> minhashLsh _,
     "dedup_cross_source_pairs" -> crossSourcePairs _,
     "dedup_prefix_filter" -> prefixFilterJaccard _,
+    "split_leakage_report" -> splitLeakageReport _,
     "dedup_survivors"     -> survivors _,
     "dedup_simhash"       -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,

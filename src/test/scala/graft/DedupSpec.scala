@@ -186,4 +186,30 @@ class DedupSpec extends SparkSpec {
     assert(untouched.nonEmpty)
     untouched.foreach { case (id, _, _, h) => assert(h == md5hex(textMd5(id))) }
   }
+
+  test("split leakage report = verified pairs whose endpoints straddle the" +
+      " md5-residue split, with the exact split labels of the release audit") {
+    // the split labels recomputed driver-side with the same bucket rule
+    def splitOf(docId: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(docId.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      val bucket = java.lang.Long.parseLong(hex.substring(17, 32), 16) % 100
+      if (bucket < 80) "train" else if (bucket < 90) "val" else "test"
+    }
+    val pairs = q("dedup_minhash_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.nonEmpty, "fixture must carry verified near-dup pairs")
+    val expected = pairs
+      .map { case (a, b) => (a, b, splitOf(a), splitOf(b)) }
+      .filter { case (_, _, sa, sb) => sa != sb }
+      .sortBy { case (a, b, _, _) => (a, b) }
+    val got = q("split_leakage_report").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSeq
+    assert(got == expected, s"got $got\nwant $expected")
+    // the report is a SUBSET of the verified pair set (it composes the
+    // registered fact, never re-derives pairs of its own)
+    val pairSet = pairs.toSet
+    got.foreach { case (a, b, _, _) => assert(pairSet((a, b))) }
+  }
 }
