@@ -90,4 +90,43 @@ class SourcesSpec extends SparkSpec {
     assert(s.writerOptions == Map(
       "table" -> "dataset.dim_customer", "temporaryGcsBucket" -> "staging-bucket"))
   }
+
+  test("readJsonLines quarantines malformed lines and parses the rest" +
+      " with the enforced schema — no inference pass") {
+    val dir = Files.createTempDirectory("graft-jsonl").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/part-0.json"),
+      """{"doc_id": 1, "text": "alpha beta", "n": 10}
+        |not json at all {{{
+        |{"doc_id": 2, "text": "gamma", "n": 20}
+        |{"doc_id": "THREE", "text": "type drift", "n": 30}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("n", LongType)))
+    val got = TextSources.readJsonLines(spark, dir, schema)
+    // the read schema is exactly what was supplied plus the quarantine
+    // column — schema enforced, never inferred
+    assert(got.schema.fieldNames.toSeq ==
+      Seq("doc_id", "text", "n", "_corrupt_record"))
+    val rows = got.collect()
+    assert(rows.length == 4)
+    val bad = rows.filter(!_.isNullAt(3))
+    // the garbage line AND the type-drifted line are both quarantined
+    // verbatim; neither kills the job nor silently disappears
+    assert(bad.length == 2)
+    assert(bad.exists(_.getString(3).startsWith("not json")))
+    assert(bad.exists(_.getString(3).contains("THREE")))
+    val good = rows.filter(_.isNullAt(3)).sortBy(_.getLong(0))
+    assert(good.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "alpha beta", 10L), (2L, "gamma", 20L)))
+  }
+
+  test("docs_jsonl_roundtrip serves the parquet original row for row") {
+    val got = q("docs_jsonl_roundtrip").collect()
+    val want = Tables.documents(spark, sf)
+      .orderBy("doc_id").collect()
+    assert(got.length == want.length)
+    assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
+  }
 }
