@@ -387,6 +387,40 @@ object WindowAnalytics {
   def customerPriorityIntervals(spark: SparkSession, sfDir: String): DataFrame =
     priorityIntervalHistory(spark, sfDir).orderBy("customer_key", "island")
 
+  /** RIGHT-TO-BE-FORGOTTEN over the versioned dimension — the registered
+    * face of [[graft.streaming.EventStream.forgetKeys]]: the SCD2
+    * dimension is seeded as a bucketed state table (the streaming
+    * maintenance layout), every version of the customers in the erasure
+    * list (`customer_key % 97 == 3` — the fixture's stand-in for a GDPR
+    * request queue) is deleted with a partial rewrite of only the buckets
+    * those keys hash into, and the SERVED table is what this query
+    * returns. The oracle is the from-scratch dimension SQL with the
+    * erasure predicate — so the gate proves delete-propagation ≡
+    * filter-rebuild, the erasure twin of the incremental gates'
+    * maintain ≡ rebuild theorem. Byte-identity of untouched buckets and
+    * emptied-bucket clearing are spec'd in StreamingSpec.
+    *
+    * Memoized durably (the [[scd2SnapshotPrunedScan]] discipline): seed +
+    * erase run once per JVM; the returned lineage is only the state-table
+    * scan. Idempotent end-to-end — a second JVM re-runs the erasure
+    * against an already-erased table as a provable no-op.
+    */
+  def dimCustomerForgetKeys(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoizedDurable(s"windowanalytics.scd2Forget:$sfDir") {
+      import graft.streaming.EventStream
+      val stateDir = s"${sys.props("java.io.tmpdir")}/graft-scd2forget-" +
+        sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val dim = dimCustomerScd2(spark, sfDir)
+      val schema = EventStream.scd2BucketedSchema(dim.schema)
+      EventStream.seedBucketedState(dim, "customer_key", stateDir)
+      EventStream.forgetKeys(spark, stateDir, schema, "customer_key",
+        dim.select(col("customer_key")).distinct()
+          .filter(pmod(col("customer_key"), lit(97L)) === 3L))
+      EventStream.bucketedStateRead(spark, stateDir, schema)
+        .drop("bucket", "last_batch")
+        .orderBy("customer_sk")
+    }
+
   /** SCD-TYPE-2 DIMENSION BUILD — the versioned `dim_customer_scd2` the
     * standard warehouse pattern produces from a change history: one row
     * per (customer, attribute version) carrying the static customer
@@ -548,6 +582,26 @@ object WindowAnalytics {
          |JOIN customer ON customer_key = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |ORDER BY customer_sk""".stripMargin,
+    // the erasure gate: delete-propagation through the bucketed state
+    // table must equal the from-scratch dimension with the erasure
+    // predicate — a version surviving for a forgotten key, or lost for a
+    // kept one, fails the hash
+    "dim_customer_forget_keys" ->
+      s"""WITH $priorityIntervalCtes
+         |SELECT customer_key * 1048576 + island AS customer_sk,
+         |       customer_key,
+         |       c_name AS customer_name,
+         |       c_mktsegment AS mkt_segment,
+         |       n_name AS nation,
+         |       priority,
+         |       island AS version,
+         |       valid_from, valid_to, valid_until,
+         |       valid_until IS NULL AS is_current
+         |FROM hist
+         |JOIN customer ON customer_key = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE customer_key % 97 != 3
+         |ORDER BY customer_sk""".stripMargin,
     "customer_next_order_gap" ->
       """WITH base AS (
         |  SELECT o_orderkey AS order_key, o_custkey AS customer_key,
@@ -635,5 +689,6 @@ object WindowAnalytics {
     "dim_customer_scd2_incremental" -> dimCustomerScd2Incremental _,
     "dim_customer_snapshot"        -> dimCustomerSnapshot _,
     "scd2_snapshot_pruned_scan"    -> scd2SnapshotPrunedScan _,
+    "dim_customer_forget_keys"     -> dimCustomerForgetKeys _,
   )
 }

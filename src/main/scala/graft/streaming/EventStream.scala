@@ -1103,6 +1103,75 @@ object EventStream {
       StructField("last_batch", LongType) :+
       StructField("bucket", IntegerType))
 
+  /** RIGHT-TO-BE-FORGOTTEN DELETE PROPAGATION over a bucketed state
+    * table — the privacy-erasure pass every lakehouse deployment must
+    * run (GDPR art. 17 / CCPA): remove EVERY row whose `keyCol` is in
+    * `keys`, rewriting only the bucket partitions those keys hash into.
+    * The partial-rewrite machinery is [[foldBucketedState]]'s read side
+    * reused for a different mutation: touched buckets come from hashing
+    * the (bounded) delete list, the pruned read materializes only those
+    * partitions, an anti-join drops the forgotten keys, and a
+    * dynamic-partition overwrite replaces the touched buckets. Untouched
+    * buckets are never read or rewritten (byte-identical — spec'd), so
+    * at 100 TB the erasure run costs a few buckets, not a dimension
+    * rewrite.
+    *
+    * Two contracts the fold machinery does NOT have:
+    *  - surviving rows keep their OWN `last_batch` watermark (erasure is
+    *    not a fold; stamping a fresh batch id would make a later replayed
+    *    micro-batch skip folding a bucket it never folded), and
+    *  - a bucket whose every row is forgotten is cleared by an explicit
+    *    FS delete of its partition dir: a dynamic overwrite only
+    *    replaces partitions PRESENT in the written frame, so an emptied
+    *    bucket would otherwise silently keep its old rows — the
+    *    one-sided failure a deletion audit exists to catch.
+    *
+    * Idempotent end-to-end, BYTE-exact (the watermark-probe discipline):
+    * before rewriting anything, a semi-join probe finds the buckets that
+    * actually HOLD a forgotten key — a re-run (or the crash window
+    * between the overwrite and the empty-dir delete, closed by
+    * re-running; erasure jobs run until success by regulation anyway)
+    * probes an already-erased table, hits nothing, and leaves every file
+    * byte-identical. Run on a quiesced stream (same discipline as
+    * compaction).
+    */
+  def forgetKeys(spark: SparkSession, stateDir: String, schema: StructType,
+      keyCol: String, keys: DataFrame): Unit = {
+    val statePath = bucketedStatePath(stateDir)
+    val delKeys = keys.select(col(keyCol)).distinct()
+    val touched = delKeys.select(stateBucketOf(col(keyCol)).alias("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.nonEmpty) {
+      val current = bucketedStateTouchedRead(spark, stateDir, touched, schema)
+        .localCheckpoint(true)
+      try {
+        // probe FIRST: only buckets that actually hold a forgotten key are
+        // rewritten — an already-erased table is a byte-exact no-op
+        val hit = current.join(delKeys, Seq(keyCol), "left_semi")
+          .select(col("bucket")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        if (hit.nonEmpty) {
+          val remaining = current
+            .filter(col("bucket").isin(hit.toSeq.map(Integer.valueOf): _*))
+            .join(delKeys, Seq(keyCol), "left_anti")
+          val kept = remaining.select(col("bucket")).distinct()
+            .collect().map(_.getInt(0)).toSet
+          // every hit bucket emptied (e.g. re-running after a crash that
+          // committed the overwrite but not the dir delete): nothing to
+          // write — a zero-row dynamic overwrite replaces no partitions
+          if (kept.nonEmpty) {
+            writeBucketed(remaining.drop("bucket"), keyCol, statePath)
+          }
+          (hit -- kept).toSeq.sorted.foreach { b =>
+            StateFs.deleteRecursively(spark, s"$statePath/bucket=$b")
+          }
+        }
+      } finally {
+        org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(current)
+      }
+    }
+  }
+
   /** One SCD2 micro-batch against the bucketed dimension — see
     * [[totalsFoldBatchBucketed]] for the `commitMarker` test hook.
     * The append-only contract check runs INSIDE the fold on the

@@ -91,6 +91,34 @@ class SourcesSpec extends SparkSpec {
       "table" -> "dataset.dim_customer", "temporaryGcsBucket" -> "staging-bucket"))
   }
 
+  test("schema evolution: mergeSchema unions generations, old files null-fill" +
+      " the new column, and pushdown still reaches the scan") {
+    // the add-a-column migration every long-lived table goes through:
+    // generation 1 lacks `quality`, generation 2 carries it — a reader
+    // over both must see the union schema with nulls for gen-1 rows,
+    // and predicates on pre-existing columns must still push down
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    import spark.implicits._
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/gen=1")
+    Seq((3L, "gamma", 0.9), (4L, "delta", 0.2))
+      .toDF("doc_id", "text", "quality")
+      .write.parquet(s"$dir/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.schema.fieldNames.toSet == Set("doc_id", "text", "quality", "gen"))
+    val rows = merged.orderBy("doc_id").collect()
+    assert(rows.length == 4)
+    assert(rows.take(2).forall(_.isNullAt(rows.head.fieldIndex("quality"))),
+      "gen-1 rows must null-fill the evolved column")
+    assert(rows.drop(2).forall(!_.isNullAt(rows.head.fieldIndex("quality"))))
+    val filtered = merged.filter(col("doc_id") >= 3L)
+    val scan = filtered.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("PushedFilters"))
+    assert(scan.isDefined && scan.get.contains("GreaterThanOrEqual(doc_id"),
+      scan.getOrElse("no scan line"))
+    assert(filtered.count() == 2)
+  }
+
   test("readJsonLines quarantines malformed lines and parses the rest" +
       " with the enforced schema — no inference pass") {
     val dir = Files.createTempDirectory("graft-jsonl").toString

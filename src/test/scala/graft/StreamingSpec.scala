@@ -723,6 +723,60 @@ class StreamingSpec extends SparkSpec {
     assert(got == want && want.nonEmpty)
   }
 
+  test("forgetKeys: erasure rewrites only hit buckets, clears emptied ones," +
+      " preserves survivor watermarks, and re-runs as a byte-exact no-op") {
+    import spark.implicits._
+    import graft.operators.StarSchema
+    val state0 = StarSchema.totalsPartialsOfDetail(detailFrame)
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-forget").toString
+    streaming.EventStream.seedBucketedState(state0, "product_key", stateDir)
+    val schema = streaming.EventStream.bucketedStateRead(spark, stateDir).schema
+    val st0 = streaming.EventStream.bucketedStateRead(spark, stateDir)
+      .collect().map(r => (r.getAs[Long]("product_key"),
+        r.getAs[Long]("last_batch"), r.getAs[Int]("bucket")))
+    val byBucket = st0.groupBy(_._3).map { case (b, rs) => b -> rs.map(_._1).toSeq }
+    assert(byBucket.size >= 3, "fixture must spread keys over several buckets")
+    // forget EVERY key of one bucket (it must be cleared) plus ONE key of
+    // another (partial rewrite); the rest must stay byte-identical
+    val emptyB = byBucket.keys.min
+    val partialB = byBucket.keys.max
+    val keys = byBucket(emptyB) ++ byBucket(partialB).take(1)
+    val before = bucketSnapshot(stateDir)
+    streaming.EventStream.forgetKeys(spark, stateDir, schema, "product_key",
+      keys.toDF("product_key"))
+    // forgotten keys gone, every other row intact with its OWN watermark
+    val after = streaming.EventStream.bucketedStateRead(spark, stateDir)
+      .collect().map(r => (r.getAs[Long]("product_key"),
+        r.getAs[Long]("last_batch"), r.getAs[Int]("bucket")))
+    assert(after.toSet == st0.filterNot(r => keys.contains(r._1)).toSet,
+      "erasure must drop exactly the forgotten keys and preserve last_batch")
+    // the emptied bucket's partition dir is GONE (a dynamic overwrite
+    // alone would have silently kept it)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$stateDir/state/bucket=$emptyB")))
+    // untouched buckets: files byte-identical
+    val snap1 = bucketSnapshot(stateDir)
+    val touched = Set(emptyB, partialB)
+    val untouchedBefore = before.filter { case (rel, _) =>
+      !touched.exists(b => rel.startsWith(s"bucket=$b/")) }
+    untouchedBefore.foreach { case (rel, sig) =>
+      assert(snap1.get(rel).contains(sig), s"untouched file rewritten: $rel") }
+    // re-running the same erasure probes, hits nothing, rewrites nothing
+    streaming.EventStream.forgetKeys(spark, stateDir, schema, "product_key",
+      keys.toDF("product_key"))
+    assert(bucketSnapshot(stateDir) == snap1,
+      "a re-run erasure must be a byte-exact no-op")
+    // the kept-empty path (every hit bucket fully emptied — the shape a
+    // crash-window re-run sees): no write happens, the dir is cleared
+    val wipeB = (byBucket.keySet - emptyB - partialB).min
+    streaming.EventStream.forgetKeys(spark, stateDir, schema, "product_key",
+      byBucket(wipeB).toDF("product_key"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$stateDir/state/bucket=$wipeB")))
+    assert(streaming.EventStream.bucketedStateRead(spark, stateDir)
+      .filter(col("bucket") === wipeB).count() == 0)
+  }
+
   test("bucketed totals: a TORN overwrite commit heals on replay — old buckets re-fold, new ones skip") {
     import graft.operators.StarSchema
     // stronger than the clean crash case: a dynamic-partition overwrite's
