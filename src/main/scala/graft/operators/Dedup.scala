@@ -315,11 +315,8 @@ object Dedup {
     * 100 TB the pair set is the dedup run's own output table.
     */
   def splitLeakageReport(spark: SparkSession, sfDir: String): DataFrame = {
-    val bucket = pmod(TextFunctions.md5Hash60(col("doc_id").cast("string")), lit(100L))
     val split = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        when(bucket < 80, "train").when(bucket < 90, "val")
-          .otherwise("test").alias("split"))
+      .select(col("doc_id"), Stats.splitOf(col("doc_id")).alias("split"))
     minhashLsh(spark, sfDir)
       .join(split.select(col("doc_id").alias("doc_a"), col("split").alias("split_a")),
         Seq("doc_a"))
@@ -781,19 +778,32 @@ object Dedup {
        |comp AS (
        |  SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1)""".stripMargin
 
-  private val exhaustivePairsSql =
-    s"""WITH $shingleCte,
-       |inter AS (
+  /** The verified-pair CTE chain (assumes `sh`/`sizes` from
+    * [[shingleCte]] are in scope), ending in `vpairs` with the full
+    * output projection — ONE spelling of the Jaccard-threshold pair rule
+    * shared by the exhaustive oracle, the cross-source matrix, and the
+    * split-leakage report, so a threshold or shingle change cannot leave
+    * one consumer certifying a different pair set.
+    */
+  private def vpairsCte =
+    s"""inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |         CAST(count(*) AS BIGINT) AS n_common
        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT doc_a, doc_b, n_common,
-       |       CAST(sa.n AS INT) AS n_a, CAST(sb.n AS INT) AS n_b,
-       |       n_common / (sa.n + sb.n - n_common) AS jaccard
-       |FROM inter JOIN sizes sa ON doc_a = sa.doc_id
-       |           JOIN sizes sb ON doc_b = sb.doc_id
-       |WHERE n_common / (sa.n + sb.n - n_common) >= $JaccardThreshold
+       |  GROUP BY 1, 2),
+       |vpairs AS (
+       |  SELECT doc_a, doc_b, n_common,
+       |         CAST(sa.n AS INT) AS n_a, CAST(sb.n AS INT) AS n_b,
+       |         n_common / (sa.n + sb.n - n_common) AS jaccard
+       |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+       |             JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE n_common / (sa.n + sb.n - n_common) >= $JaccardThreshold)""".stripMargin
+
+  private val exhaustivePairsSql =
+    s"""WITH $shingleCte,
+       |$vpairsCte
+       |SELECT doc_a, doc_b, n_common, n_a, n_b, jaccard
+       |FROM vpairs
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Non-overlapping 32-token chunk windows per document. */
@@ -906,15 +916,7 @@ object Dedup {
          |GROUP BY bin ORDER BY bin""".stripMargin,
     "dedup_cross_source_pairs" ->
       s"""WITH $shingleCte,
-         |inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |vpairs AS (
-         |  SELECT doc_a, doc_b
-         |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
-         |             JOIN sizes sb ON doc_b = sb.doc_id
-         |  WHERE n_common / (sa.n + sb.n - n_common) >= $JaccardThreshold),
+         |$vpairsCte,
          |ps AS (
          |  SELECT least(da.source, db.source) AS source_a,
          |         greatest(da.source, db.source) AS source_b
@@ -925,36 +927,22 @@ object Dedup {
          |FROM ps GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
     // lossless by the prefix-filter theorem — same oracle, no caveat
     "dedup_prefix_filter" -> exhaustivePairsSql,
-    "split_leakage_report" -> {
-      // the same md5-residue bucket spelling as docs_train_val_test_split
-      // — this report must certify THAT split, not a drifted twin
-      val bucket = TextFunctions.md5Hash60Sql("CAST(doc_id AS VARCHAR)") + " % 100"
+    // the split CTE is the SHARED Stats.splitCaseSql spelling and the
+    // pair CTE the shared vpairsCte — the report certifies the split and
+    // pair set the registry actually ships, structurally
+    "split_leakage_report" ->
       s"""WITH $shingleCte,
-         |inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |         CAST(count(*) AS BIGINT) AS n_common
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |vpairs AS (
-         |  SELECT doc_a, doc_b, n_common,
-         |         CAST(sa.n AS INT) AS n_a, CAST(sb.n AS INT) AS n_b,
-         |         n_common / (sa.n + sb.n - n_common) AS jaccard
-         |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
-         |             JOIN sizes sb ON doc_b = sb.doc_id
-         |  WHERE n_common / (sa.n + sb.n - n_common) >= $JaccardThreshold),
+         |$vpairsCte,
          |spl AS (
          |  SELECT doc_id,
-         |         CASE WHEN $bucket < 80 THEN 'train'
-         |              WHEN $bucket < 90 THEN 'val'
-         |              ELSE 'test' END AS split
+         |         ${Stats.splitCaseSql("CAST(doc_id AS VARCHAR)")} AS split
          |  FROM documents)
          |SELECT doc_a, doc_b, a.split AS split_a, b.split AS split_b,
          |       n_common, n_a, n_b, jaccard
          |FROM vpairs JOIN spl a ON doc_a = a.doc_id
          |            JOIN spl b ON doc_b = b.doc_id
          |WHERE a.split != b.split
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_containment" ->
       s"""WITH $shingleCte,
          |inter AS (

@@ -31,8 +31,17 @@ object Layout {
   private[graft] val DayLo = epochDay(DateLo)
   private[graft] val DayHi = epochDay(DateHi)
 
+  /** Canonical tmp path for a per-sfDir durable side-effect dir — ONE
+    * spelling of the tmpdir + sanitized-sfDir idiom (shared by the
+    * z-order/bucketed layouts here, the SCD2 layouts/erasure state in
+    * [[WindowAnalytics]], and the JSONL round trip in
+    * [[graft.sources.TextSources]]).
+    */
+  private[graft] def tmpPath(prefix: String, sfDir: String): String =
+    s"${sys.props("java.io.tmpdir")}/$prefix-${ident(sfDir)}"
+
   private[graft] def layoutDir(sfDir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft-zlayout-${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+    tmpPath("graft-zlayout", sfDir)
 
   /** Z-ORDERED SCAN: write `orders` re-clustered on
     * morton(custkey, epoch-day) — both dimensions a lakehouse slices
@@ -98,7 +107,7 @@ object Layout {
     sfDir.replaceAll("[^A-Za-z0-9]", "_")
 
   private[graft] def bucketDir(sfDir: String, t: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft-bucketed-$t-${ident(sfDir)}"
+    tmpPath(s"graft-bucketed-$t", sfDir)
 
   private def bucketTable(sfDir: String, t: String): String =
     s"graft_bkt_${t}_${ident(sfDir)}"

@@ -105,12 +105,17 @@ object Retrieval {
       Tables.documents(spark, sfDir).agg(count(lit(1)).alias("n_docs")),
       queries, ArmDepth)
     val corpus = Similarity.quantized(spark, sfDir)
+    // select by the ACTUAL query-id set, not a 1..n range: a non-contiguous
+    // Bm25Queries edit must re-align the semantic arm, not silently drop it
     val queryVecs = corpus
-      .filter(col("vec_id").between(1, TextAnalysis.Bm25Queries.size))
+      .filter(col("vec_id").isin(TextAnalysis.Bm25Queries.map(_._1.toLong): _*))
       .select(col("vec_id").cast("int").alias("query_id"),
         col("v").alias("qv"), col("n2").alias("qn2"))
     rrfFuse(lex, cosineRanked(corpus, queryVecs, ArmDepth))
   }
+
+  private def queryIdListSql: String =
+    TextAnalysis.Bm25Queries.map(_._1).mkString(", ")
 
   val oracles: Map[String, String] = Map(
     "hybrid_rrf_top_docs" ->
@@ -120,7 +125,7 @@ object Retrieval {
          |${Similarity.quantizedSql},
          |qv AS (
          |  SELECT CAST(vec_id AS INT) AS query_id, v AS qv, n2 AS qn2
-         |  FROM qn WHERE vec_id BETWEEN 1 AND ${TextAnalysis.Bm25Queries.size}),
+         |  FROM qn WHERE vec_id IN ($queryIdListSql)),
          |sem_scored AS (
          |  SELECT qv.query_id, b.vec_id AS doc_id,
          |         CAST(row_number() OVER (PARTITION BY qv.query_id

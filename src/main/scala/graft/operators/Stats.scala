@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
@@ -415,12 +415,9 @@ object Stats {
 
   val oracles: Map[String, String] = Map(
     "docs_train_val_test_split" -> {
-      val bucket = TextFunctions.md5Hash60Sql("CAST(doc_id AS VARCHAR)") + " % 100"
       s"""WITH s AS (
          |  SELECT lang,
-         |         CASE WHEN $bucket < 80 THEN 'train'
-         |              WHEN $bucket < 90 THEN 'val'
-         |              ELSE 'test' END AS split
+         |         ${splitCaseSql("CAST(doc_id AS VARCHAR)")} AS split
          |  FROM documents)
          |SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(count(*) * 100 AS DOUBLE)
@@ -610,12 +607,28 @@ object Stats {
     * engines derive identical buckets. Scale: one map-side hash +
     * bounded (lang × 3) aggregate.
     */
+  /** THE release split rule — 100 md5-residue buckets, 80/10/10. One
+    * definition shared by `docs_train_val_test_split` and
+    * [[Dedup.splitLeakageReport]] (and their oracles via [[splitCaseSql]])
+    * so the leakage report certifies THIS split structurally: a future
+    * rate or hash change cannot leave the auditor certifying a split
+    * nobody ships.
+    */
+  private[operators] def splitOf(idCol: Column): Column = {
+    val bucket = pmod(TextFunctions.md5Hash60(idCol.cast("string")), lit(100L))
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+  }
+
+  /** DuckDB twin of [[splitOf]] — keep in sync. */
+  private[operators] def splitCaseSql(idExpr: String): String = {
+    val bucket = TextFunctions.md5Hash60Sql(idExpr) + " % 100"
+    s"CASE WHEN $bucket < 80 THEN 'train' WHEN $bucket < 90 THEN 'val' " +
+      "ELSE 'test' END"
+  }
+
   def docsTrainValTestSplit(spark: SparkSession, sfDir: String): DataFrame = {
-    val bucket = pmod(TextFunctions.md5Hash60(col("doc_id").cast("string")), lit(100L))
     Tables.documents(spark, sfDir)
-      .select(col("lang"),
-        when(bucket < 80, "train").when(bucket < 90, "val")
-          .otherwise("test").alias("split"))
+      .select(col("lang"), splitOf(col("doc_id")).alias("split"))
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).alias("n_docs"))
       .withColumn("share_pct",

@@ -311,7 +311,7 @@ object WindowAnalytics {
   private val PrunedSnapshotDate = "2000-06-01"
 
   private[graft] def scd2LayoutDir(sfDir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft-scd2layout-${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+    Layout.tmpPath("graft-scd2layout", sfDir)
 
   /** PARTITION-PRUNED SCD2 SNAPSHOT — [[dimCustomerSnapshot]]'s scaladoc
     * names the layout a versioned dimension prunes on at scale; this
@@ -408,13 +408,14 @@ object WindowAnalytics {
   def dimCustomerForgetKeys(spark: SparkSession, sfDir: String): DataFrame =
     graft.CacheLifecycle.memoizedDurable(s"windowanalytics.scd2Forget:$sfDir") {
       import graft.streaming.EventStream
-      val stateDir = s"${sys.props("java.io.tmpdir")}/graft-scd2forget-" +
-        sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val stateDir = Layout.tmpPath("graft-scd2forget", sfDir)
       val dim = dimCustomerScd2(spark, sfDir)
       val schema = EventStream.scd2BucketedSchema(dim.schema)
       EventStream.seedBucketedState(dim, "customer_key", stateDir)
+      // no distinct here: forgetKeys distincts its list itself, and
+      // filter-before-anything avoids aggregating every dimension key
       EventStream.forgetKeys(spark, stateDir, schema, "customer_key",
-        dim.select(col("customer_key")).distinct()
+        dim.select(col("customer_key"))
           .filter(pmod(col("customer_key"), lit(97L)) === 3L))
       EventStream.bucketedStateRead(spark, stateDir, schema)
         .drop("bucket", "last_batch")

@@ -41,8 +41,7 @@ object TextSources {
       .json(path)
 
   private def roundtripDir(sfDir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft-jsonl-docs-" +
-      sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    graft.operators.Layout.tmpPath("graft-jsonl-docs", sfDir)
 
   /** JSONL ROUND-TRIP GATE: write the documents table through
     * [[JsonSink]], read it back through [[readJsonLines]] with the

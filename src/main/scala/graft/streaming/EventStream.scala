@@ -1138,37 +1138,55 @@ object EventStream {
   def forgetKeys(spark: SparkSession, stateDir: String, schema: StructType,
       keyCol: String, keys: DataFrame): Unit = {
     val statePath = bucketedStatePath(stateDir)
-    val delKeys = keys.select(col(keyCol)).distinct()
-    val touched = delKeys.select(stateBucketOf(col(keyCol)).alias("bucket"))
-      .distinct().collect().map(_.getInt(0)).toSeq.sorted
-    if (touched.nonEmpty) {
-      val current = bucketedStateTouchedRead(spark, stateDir, touched, schema)
-        .localCheckpoint(true)
-      try {
-        // probe FIRST: only buckets that actually hold a forgotten key are
-        // rewritten — an already-erased table is a byte-exact no-op
-        val hit = current.join(delKeys, Seq(keyCol), "left_semi")
-          .select(col("bucket")).distinct()
-          .collect().map(_.getInt(0)).toSet
-        if (hit.nonEmpty) {
-          val remaining = current
-            .filter(col("bucket").isin(hit.toSeq.map(Integer.valueOf): _*))
-            .join(delKeys, Seq(keyCol), "left_anti")
-          val kept = remaining.select(col("bucket")).distinct()
+    // cast the delete list to the STATE's key type before anything hashes
+    // it: hash(int 3) != hash(long 3), so an uncast IntegerType list
+    // against a LongType table would derive the WRONG buckets and return
+    // having erased nothing (the probe join coerces and finds no rows in
+    // the mis-chosen buckets) — a silent non-erasure. Checkpointed once:
+    // the list may carry an expensive lineage and is consumed by four
+    // jobs below.
+    val delKeys = keys.select(col(keyCol).cast(schema(keyCol).dataType))
+      .distinct().localCheckpoint(true)
+    try {
+      val touched = delKeys.select(stateBucketOf(col(keyCol)).alias("bucket"))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      if (touched.nonEmpty) {
+        val current = bucketedStateTouchedRead(spark, stateDir, touched, schema)
+          .localCheckpoint(true)
+        try {
+          // probe FIRST: only buckets that actually hold a forgotten key are
+          // rewritten — an already-erased table is a byte-exact no-op
+          val hit = current.join(delKeys, Seq(keyCol), "left_semi")
+            .select(col("bucket")).distinct()
             .collect().map(_.getInt(0)).toSet
-          // every hit bucket emptied (e.g. re-running after a crash that
-          // committed the overwrite but not the dir delete): nothing to
-          // write — a zero-row dynamic overwrite replaces no partitions
-          if (kept.nonEmpty) {
-            writeBucketed(remaining.drop("bucket"), keyCol, statePath)
+          if (hit.nonEmpty) {
+            // checkpointed: consumed twice (kept-bucket collect + write)
+            val remaining = current
+              .filter(col("bucket").isin(hit.toSeq.map(Integer.valueOf): _*))
+              .join(delKeys, Seq(keyCol), "left_anti")
+              .localCheckpoint(true)
+            try {
+              val kept = remaining.select(col("bucket")).distinct()
+                .collect().map(_.getInt(0)).toSet
+              // every hit bucket emptied (e.g. re-running after a crash that
+              // committed the overwrite but not the dir delete): nothing to
+              // write — a zero-row dynamic overwrite replaces no partitions
+              if (kept.nonEmpty) {
+                writeBucketed(remaining.drop("bucket"), keyCol, statePath)
+              }
+              (hit -- kept).toSeq.sorted.foreach { b =>
+                StateFs.deleteRecursively(spark, s"$statePath/bucket=$b")
+              }
+            } finally {
+              org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(remaining)
+            }
           }
-          (hit -- kept).toSeq.sorted.foreach { b =>
-            StateFs.deleteRecursively(spark, s"$statePath/bucket=$b")
-          }
+        } finally {
+          org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(current)
         }
-      } finally {
-        org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(current)
       }
+    } finally {
+      org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(delKeys)
     }
   }
 

@@ -71,6 +71,16 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("the arm-depth rank filters plan as WindowGroupLimit, not full sorts") {
+    // the scaladoc's scale claim: `filter(rank <= depth)` adjacent to the
+    // row_number window lets Spark keep per-partition state at depth rows
+    // instead of sorting every hit/candidate — pin it so a refactor that
+    // separates filter from window (losing the rewrite) fails here
+    val plan = q("hybrid_rrf_top_docs").queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-depth filters no longer plan as WindowGroupLimit:\n${plan.take(900)}")
+  }
+
   test("hybrid lexical arm agrees with the registered bm25_top_docs ranking") {
     val hybrid = q("hybrid_rrf_top_docs").collect()
       .filter(r => !r.isNullAt(2) && r.getInt(2) <= 5)

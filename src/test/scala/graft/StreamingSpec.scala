@@ -775,6 +775,16 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$stateDir/state/bucket=$wipeB")))
     assert(streaming.EventStream.bucketedStateRead(spark, stateDir)
       .filter(col("bucket") === wipeB).count() == 0)
+    // a delete list arriving with a NARROWER key type must still erase:
+    // hash(int k) != hash(long k), so without the cast-to-state-type the
+    // wrong buckets would be probed and the key silently survive
+    val intVictim = streaming.EventStream.bucketedStateRead(spark, stateDir)
+      .select(col("product_key")).head().getLong(0)
+    streaming.EventStream.forgetKeys(spark, stateDir, schema, "product_key",
+      Seq(intVictim.toInt).toDF("product_key"))
+    assert(streaming.EventStream.bucketedStateRead(spark, stateDir)
+      .filter(col("product_key") === intVictim).count() == 0,
+      "an IntegerType delete list against a LongType table must still erase")
   }
 
   test("bucketed totals: a TORN overwrite commit heals on replay — old buckets re-fold, new ones skip") {
