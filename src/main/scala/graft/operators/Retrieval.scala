@@ -117,6 +117,33 @@ object Retrieval {
   private def queryIdListSql: String =
     TextAnalysis.Bm25Queries.map(_._1).mkString(", ")
 
+  /** The INDEX-BACKED hybrid — [[hybridRrfTopDocs]] with its scale-path
+    * claim made a GATE FACT: the semantic arm is the production serving
+    * stack ([[Similarity.ivfpqRerankRanked]] — IVF-probed PQ-ADC top-20
+    * candidates, full-precision re-rank) instead of the brute |Q|·N scan,
+    * with the IDENTICAL fusion downstream. At 100 TB this is the query
+    * the stack actually serves: the index never stores full vectors, the
+    * full vectors never ride a scan, the fusion joins two ≤ |Q|·depth
+    * lists. Differences from the brute-arm twin are exactly the index's:
+    * candidates come from probed cells only (recall < 1 by design — the
+    * registered `ivfpq_rerank_recall_at_5` measures that loss) and the
+    * query's own row is excluded (index serving convention). The oracle
+    * replays index training + serving + fusion end-to-end in DuckDB.
+    */
+  def hybridRrfIvfTopDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val queries = TextAnalysis.Bm25Queries.toDF("query_id", "q_text")
+    val lex = TextAnalysis.bm25Ranked(
+      TextAnalysis.termFreqs(spark, sfDir),
+      Tables.documents(spark, sfDir).agg(count(lit(1)).alias("n_docs")),
+      queries, ArmDepth)
+    val sem = Similarity.ivfpqRerankRanked(spark, sfDir, ArmDepth)
+      .filter(col("query_id").isin(TextAnalysis.Bm25Queries.map(_._1.toLong): _*))
+      .select(col("query_id").cast("int").alias("query_id"),
+        col("neighbor_id").alias("doc_id"), col("rank"))
+    rrfFuse(lex, sem)
+  }
+
   val oracles: Map[String, String] = Map(
     "hybrid_rrf_top_docs" ->
       s"""WITH ${TextAnalysis.bm25RankedCte},
@@ -152,9 +179,42 @@ object Retrieval {
          |SELECT query_id, doc_id, lex_rank, sem_rank, rrf_m, rank
          |FROM rrf_ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+    // the index-backed twin: the semantic arm is the full IVF-PQ serving
+    // chain (shared CTEs — the index definition cannot drift from the
+    // recall reports), re-ranked full-precision to the arm depth
+    "hybrid_rrf_ivf_top_docs" ->
+      s"""WITH ${TextAnalysis.bm25RankedCte},
+         |lex AS (SELECT query_id, doc_id, rank AS lex_rank
+         |        FROM ranked WHERE rank <= $ArmDepth),
+         |${Similarity.quantizedSql},
+         |${Similarity.cellsSql},
+         |${Similarity.ivfpqAdcCte},
+         |${Similarity.ivfpqRerankCte(ArmDepth)},
+         |sem AS (
+         |  SELECT CAST(query_id AS INT) AS query_id, neighbor_id AS doc_id,
+         |         rank AS sem_rank
+         |  FROM rr WHERE query_id IN ($queryIdListSql)),
+         |fused AS (
+         |  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+         |         COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         |         l.lex_rank, s.sem_rank,
+         |         CAST(COALESCE(CAST($RrfQ AS BIGINT) // ($RrfK + l.lex_rank), 0)
+         |            + COALESCE(CAST($RrfQ AS BIGINT) // ($RrfK + s.sem_rank), 0)
+         |           AS BIGINT) AS rrf_m
+         |  FROM lex l FULL JOIN sem s
+         |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id),
+         |rrf_ranked AS (
+         |  SELECT query_id, doc_id, lex_rank, sem_rank, rrf_m,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY rrf_m DESC, doc_id ASC) AS INT) AS rank
+         |  FROM fused)
+         |SELECT query_id, doc_id, lex_rank, sem_rank, rrf_m, rank
+         |FROM rrf_ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hybrid_rrf_top_docs" -> hybridRrfTopDocs _,
+    "hybrid_rrf_ivf_top_docs" -> hybridRrfIvfTopDocs _,
   )
 }

@@ -912,7 +912,17 @@ object Similarity {
   /** The re-ranked top-5 pair set — shared by the registered recall
     * report and the SimilaritySpec per-query dominance assertion.
     */
-  private[graft] def ivfpqRerankTop5(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def ivfpqRerankTop5(spark: SparkSession, sfDir: String): DataFrame =
+    ivfpqRerankRanked(spark, sfDir, depth = 5)
+      .select(col("query_id"), col("neighbor_id"))
+
+  /** The full-precision re-rank over the ADC top-20 candidates at an
+    * arbitrary served depth — depth 5 is the recall report's serving cut;
+    * depth [[Retrieval.ArmDepth]] (= the whole candidate list, exactly
+    * re-ordered) is the semantic arm of the index-backed hybrid fusion.
+    */
+  private[operators] def ivfpqRerankRanked(spark: SparkSession, sfDir: String,
+      depth: Int): DataFrame = {
     val cands = ivfpqAdcRanked(spark, sfDir)
       .filter(col("rank") <= IvfpqRerankCandidates)
       .select(col("query_id"), col("neighbor_id"))
@@ -934,8 +944,7 @@ object Similarity {
         V.qcosineFrom(V.qdot(col("qv"), col("v")), col("qn2"), col("n2"))
           .alias("cos_full"))
       .withColumn("rank", row_number().over(wFull))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("neighbor_id"))
+      .filter(col("rank") <= depth)
   }
 
   /** Encode a quantized vector frame against a codebook — the
@@ -1405,6 +1414,80 @@ object Similarity {
        |    FROM qn a JOIN qn b ON a.vec_id < 10 AND b.vec_id != a.vec_id)
        |  WHERE rank <= 5)""".stripMargin
 
+  /** The IVF-PQ index chain as DuckDB CTEs, ending in `adc` (assumes
+    * `qn` + `cells` in scope): subvector decomposition, two Lloyd
+    * codebook-refinement rounds, encoding, per-query LUT, probed-cell
+    * candidates, ADC accumulation. ONE spelling shared by
+    * `ivfpq_recall_at_5`, `ivfpq_rerank_recall_at_5`, and the
+    * hybrid-fusion oracle ([[Retrieval]]) — the index definition cannot
+    * drift between its consumers. Keep in sync with
+    * [[ivfpqAdcRankedBuild]].
+    */
+  private[operators] lazy val ivfpqAdcCte: String =
+    s"""subs AS (
+       |  SELECT vec_id, n2, CAST(j AS INT) AS j,
+       |         list_slice(v, CAST(j AS INT) * 8 + 1, CAST(j AS INT) * 8 + 8) AS sv
+       |  FROM qn, range(8) t(j)),
+       |cb AS (
+       |  SELECT j, vec_id AS c_id, sv AS cv FROM subs WHERE vec_id % 499 = 0),
+       |${pqRefineAssignSql("pqasg1", "cb")},
+       |${pqRefineCentsSql("pqcents1", "pqasg1")},
+       |${pqRefineAssignSql("pqasg2", "pqcents1")},
+       |${pqRefineCentsSql("pqcents2", "pqasg2")},
+       |enc AS (
+       |  SELECT s.vec_id, s.j, c.c_id,
+       |         row_number() OVER (PARTITION BY s.vec_id, s.j
+       |           ORDER BY ${V.qnorm2Sql("c.cv", 8)}
+       |                      - 2 * ${V.qdotSql("s.sv", "c.cv", 8)} ASC,
+       |                    c.c_id ASC) AS rn
+       |  FROM subs s JOIN pqcents2 c ON s.j = c.j),
+       |codes AS (SELECT vec_id, j, c_id AS code FROM enc WHERE rn = 1),
+       |lut AS (
+       |  SELECT q.vec_id AS query_id, c.j, c.c_id AS code,
+       |         ${V.qdotSql("q.sv", "c.cv", 8)} AS pdot,
+       |         ${V.qnorm2Sql("c.cv", 8)} AS cn2
+       |  FROM subs q JOIN pqcents2 c ON q.j = c.j
+       |  WHERE q.vec_id < 10),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cell AS qcell FROM cells WHERE vec_id < 10),
+       |cand AS (
+       |  SELECT p.query_id, c.vec_id FROM cells c JOIN probes p
+       |    ON c.cell = p.qcell AND c.vec_id != p.query_id),
+       |adc AS (
+       |  SELECT d.query_id, k.vec_id,
+       |         CAST(sum(pdot) AS BIGINT) AS adc_dot,
+       |         CAST(sum(cn2) AS BIGINT) AS recon_n2
+       |  FROM codes k
+       |  JOIN cand d ON k.vec_id = d.vec_id
+       |  JOIN lut l ON k.j = l.j AND k.code = l.code AND l.query_id = d.query_id
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** The serving-stack tail over [[ivfpqAdcCte]]: ADC top-20 candidates
+    * (`idxcand`) re-ranked full-precision to `rr` (query_id, neighbor_id,
+    * rank ≤ `depth`). Twin of [[ivfpqRerankRanked]].
+    */
+  private[operators] def ivfpqRerankCte(depth: Int): String =
+    s"""idxcand AS (
+       |  SELECT query_id, vec_id AS neighbor_id FROM (
+       |    SELECT a.query_id, a.vec_id,
+       |           row_number() OVER (PARTITION BY a.query_id
+       |             ORDER BY CAST(a.adc_dot AS DOUBLE)
+       |                        / (sqrt(q.n2) * sqrt(a.recon_n2)) DESC,
+       |                      a.vec_id ASC) AS rank
+       |    FROM adc a JOIN qn q ON q.vec_id = a.query_id)
+       |  WHERE rank <= $IvfpqRerankCandidates),
+       |rr AS (
+       |  SELECT query_id, neighbor_id, rank FROM (
+       |    SELECT c.query_id, c.neighbor_id,
+       |           CAST(row_number() OVER (PARTITION BY c.query_id
+       |             ORDER BY ${V.qdotSql("q.v", "n.v", Dim)}
+       |                        / (sqrt(q.n2) * sqrt(n.n2)) DESC,
+       |                      c.neighbor_id ASC) AS INT) AS rank
+       |    FROM idxcand c
+       |    JOIN qn q ON q.vec_id = c.query_id
+       |    JOIN qn n ON n.vec_id = c.neighbor_id)
+       |  WHERE rank <= $depth)""".stripMargin
+
   /** DuckDB CTE pair for one cosine-argmax assignment against a centroid
     * CTE (`c_id`, `cv`, `cn2`) — the building block the refined-IVF
     * oracle chains; keep in sync with the assignment spelling in
@@ -1793,43 +1876,7 @@ object Similarity {
     "ivfpq_recall_at_5" ->
       s"""WITH $quantizedSql,
          |$cellsSql,
-         |subs AS (
-         |  SELECT vec_id, n2, CAST(j AS INT) AS j,
-         |         list_slice(v, CAST(j AS INT) * 8 + 1, CAST(j AS INT) * 8 + 8) AS sv
-         |  FROM qn, range(8) t(j)),
-         |cb AS (
-         |  SELECT j, vec_id AS c_id, sv AS cv FROM subs WHERE vec_id % 499 = 0),
-         |${pqRefineAssignSql("pqasg1", "cb")},
-         |${pqRefineCentsSql("pqcents1", "pqasg1")},
-         |${pqRefineAssignSql("pqasg2", "pqcents1")},
-         |${pqRefineCentsSql("pqcents2", "pqasg2")},
-         |enc AS (
-         |  SELECT s.vec_id, s.j, c.c_id,
-         |         row_number() OVER (PARTITION BY s.vec_id, s.j
-         |           ORDER BY ${V.qnorm2Sql("c.cv", 8)}
-         |                      - 2 * ${V.qdotSql("s.sv", "c.cv", 8)} ASC,
-         |                    c.c_id ASC) AS rn
-         |  FROM subs s JOIN pqcents2 c ON s.j = c.j),
-         |codes AS (SELECT vec_id, j, c_id AS code FROM enc WHERE rn = 1),
-         |lut AS (
-         |  SELECT q.vec_id AS query_id, c.j, c.c_id AS code,
-         |         ${V.qdotSql("q.sv", "c.cv", 8)} AS pdot,
-         |         ${V.qnorm2Sql("c.cv", 8)} AS cn2
-         |  FROM subs q JOIN pqcents2 c ON q.j = c.j
-         |  WHERE q.vec_id < 10),
-         |probes AS (
-         |  SELECT vec_id AS query_id, cell AS qcell FROM cells WHERE vec_id < 10),
-         |cand AS (
-         |  SELECT p.query_id, c.vec_id FROM cells c JOIN probes p
-         |    ON c.cell = p.qcell AND c.vec_id != p.query_id),
-         |adc AS (
-         |  SELECT d.query_id, k.vec_id,
-         |         CAST(sum(pdot) AS BIGINT) AS adc_dot,
-         |         CAST(sum(cn2) AS BIGINT) AS recon_n2
-         |  FROM codes k
-         |  JOIN cand d ON k.vec_id = d.vec_id
-         |  JOIN lut l ON k.j = l.j AND k.code = l.code AND l.query_id = d.query_id
-         |  GROUP BY 1, 2),
+         |$ivfpqAdcCte,
          |ivfpq AS (
          |  SELECT query_id, vec_id AS neighbor_id FROM (
          |    SELECT a.query_id, a.vec_id,
@@ -1850,63 +1897,8 @@ object Similarity {
     "ivfpq_rerank_recall_at_5" ->
       s"""WITH $quantizedSql,
          |$cellsSql,
-         |subs AS (
-         |  SELECT vec_id, n2, CAST(j AS INT) AS j,
-         |         list_slice(v, CAST(j AS INT) * 8 + 1, CAST(j AS INT) * 8 + 8) AS sv
-         |  FROM qn, range(8) t(j)),
-         |cb AS (
-         |  SELECT j, vec_id AS c_id, sv AS cv FROM subs WHERE vec_id % 499 = 0),
-         |${pqRefineAssignSql("pqasg1", "cb")},
-         |${pqRefineCentsSql("pqcents1", "pqasg1")},
-         |${pqRefineAssignSql("pqasg2", "pqcents1")},
-         |${pqRefineCentsSql("pqcents2", "pqasg2")},
-         |enc AS (
-         |  SELECT s.vec_id, s.j, c.c_id,
-         |         row_number() OVER (PARTITION BY s.vec_id, s.j
-         |           ORDER BY ${V.qnorm2Sql("c.cv", 8)}
-         |                      - 2 * ${V.qdotSql("s.sv", "c.cv", 8)} ASC,
-         |                    c.c_id ASC) AS rn
-         |  FROM subs s JOIN pqcents2 c ON s.j = c.j),
-         |codes AS (SELECT vec_id, j, c_id AS code FROM enc WHERE rn = 1),
-         |lut AS (
-         |  SELECT q.vec_id AS query_id, c.j, c.c_id AS code,
-         |         ${V.qdotSql("q.sv", "c.cv", 8)} AS pdot,
-         |         ${V.qnorm2Sql("c.cv", 8)} AS cn2
-         |  FROM subs q JOIN pqcents2 c ON q.j = c.j
-         |  WHERE q.vec_id < 10),
-         |probes AS (
-         |  SELECT vec_id AS query_id, cell AS qcell FROM cells WHERE vec_id < 10),
-         |cand AS (
-         |  SELECT p.query_id, c.vec_id FROM cells c JOIN probes p
-         |    ON c.cell = p.qcell AND c.vec_id != p.query_id),
-         |adc AS (
-         |  SELECT d.query_id, k.vec_id,
-         |         CAST(sum(pdot) AS BIGINT) AS adc_dot,
-         |         CAST(sum(cn2) AS BIGINT) AS recon_n2
-         |  FROM codes k
-         |  JOIN cand d ON k.vec_id = d.vec_id
-         |  JOIN lut l ON k.j = l.j AND k.code = l.code AND l.query_id = d.query_id
-         |  GROUP BY 1, 2),
-         |idxcand AS (
-         |  SELECT query_id, vec_id AS neighbor_id FROM (
-         |    SELECT a.query_id, a.vec_id,
-         |           row_number() OVER (PARTITION BY a.query_id
-         |             ORDER BY CAST(a.adc_dot AS DOUBLE)
-         |                        / (sqrt(q.n2) * sqrt(a.recon_n2)) DESC,
-         |                      a.vec_id ASC) AS rank
-         |    FROM adc a JOIN qn q ON q.vec_id = a.query_id)
-         |  WHERE rank <= $IvfpqRerankCandidates),
-         |rr AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT c.query_id, c.neighbor_id,
-         |           row_number() OVER (PARTITION BY c.query_id
-         |             ORDER BY ${V.qdotSql("q.v", "n.v", Dim)}
-         |                        / (sqrt(q.n2) * sqrt(n.n2)) DESC,
-         |                      c.neighbor_id ASC) AS rank
-         |    FROM idxcand c
-         |    JOIN qn q ON q.vec_id = c.query_id
-         |    JOIN qn n ON n.vec_id = c.neighbor_id)
-         |  WHERE rank <= 5),
+         |$ivfpqAdcCte,
+         |${ivfpqRerankCte(5)},
          |$bruteTop5Cte
          |SELECT b.query_id AS query_id,
          |       CAST(count(*) AS BIGINT) AS n_exact,

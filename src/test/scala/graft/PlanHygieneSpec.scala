@@ -101,7 +101,10 @@ class PlanHygieneSpec extends SparkSpec {
       // hybrid fusion: the lexical arm rides BM25's two single-row
       // broadcasts; the semantic arm deliberately scores all |Q|·N pairs
       // (the brute baseline shape — the 100 TB arm is the IVF-PQ ladder)
-      "hybrid_rrf_top_docs")
+      "hybrid_rrf_top_docs",
+      // ...and the index-backed twin embeds the IVF-PQ index itself
+      // (deliberate N·C assignment broadcasts, as ivfpq_recall_at_5)
+      "hybrid_rrf_ivf_top_docs")
     for ((name, plan) <- executedPlans if !allowed(name)) {
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name unexpectedly plans a BroadcastNestedLoopJoin:\n${plan.take(800)}")

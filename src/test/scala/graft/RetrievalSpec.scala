@@ -81,6 +81,28 @@ class RetrievalSpec extends SparkSpec {
       s"rank-depth filters no longer plan as WindowGroupLimit:\n${plan.take(900)}")
   }
 
+  test("index-backed hybrid: sem arm top-5 IS the registered serving stack's" +
+      " top-5, and fused scores recompute from the arm ranks") {
+    import graft.operators.Similarity
+    val rows = q("hybrid_rrf_ivf_top_docs").collect()
+    assert(rows.nonEmpty)
+    // sem ranks ≤ 5 must agree pair-for-pair with ivfpqRerankTop5 (the
+    // frame the ivfpq_rerank_recall_at_5 gate certifies)
+    val served = Similarity.ivfpqRerankTop5(spark, sf).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1))).toSet
+    val semTop5 = rows.filter(r => !r.isNullAt(3) && r.getInt(3) <= 5)
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(semTop5.nonEmpty, "fixture should surface index top-5 docs in the fusion")
+    semTop5.foreach { p =>
+      assert(served(p), s"hybrid sem arm served a pair the index stack does not: $p")
+    }
+    for (r <- rows) {
+      val lexTerm = if (r.isNullAt(2)) 0L else 1000000000L / (60L + r.getInt(2))
+      val semTerm = if (r.isNullAt(3)) 0L else 1000000000L / (60L + r.getInt(3))
+      assert(r.getLong(4) == lexTerm + semTerm)
+    }
+  }
+
   test("hybrid lexical arm agrees with the registered bm25_top_docs ranking") {
     val hybrid = q("hybrid_rrf_top_docs").collect()
       .filter(r => !r.isNullAt(2) && r.getInt(2) <= 5)
