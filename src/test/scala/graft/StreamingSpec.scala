@@ -787,6 +787,53 @@ class StreamingSpec extends SparkSpec {
       "an IntegerType delete list against a LongType table must still erase")
   }
 
+  test("forgetKeys composes with the maintenance stream: erased keys fold" +
+      " from ZERO on later data, survivors keep full history") {
+    import spark.implicits._
+    import graft.operators.StarSchema
+    // erasure semantics under continued ingestion: forgetting a key wipes
+    // its HISTORY, not its future — a later micro-batch that mentions it
+    // folds from an absent state row (the full-outer merge's null side),
+    // never from the erased aggregates
+    val detail = detailFrame
+    val c1 = "1996-01-01"
+    val c2 = "1997-01-01"
+    val d01 = detail.filter(col("o_orderdate") < c2)
+    val d2 = detail.filter(col("o_orderdate") >= c2)
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-forgetstream").toString
+    streaming.EventStream.seedBucketedState(
+      StarSchema.totalsPartialsOfDetail(detail.filter(col("o_orderdate") < c1)),
+      "product_key", stateDir)
+    streaming.EventStream.totalsFoldBatchBucketed(spark, stateDir,
+      detail.filter(col("o_orderdate") >= c1 && col("o_orderdate") < c2), 0L)
+    val schema = streaming.EventStream.bucketedStateRead(spark, stateDir).schema
+    // victims: keys with history AND future rows — the interesting case
+    val victims = d01.select(col("l_partkey")).distinct()
+      .join(d2.select(col("l_partkey")).distinct(), Seq("l_partkey"), "left_semi")
+      .limit(3).collect().map(_.getLong(0)).toSeq
+    assert(victims.nonEmpty)
+    streaming.EventStream.forgetKeys(spark, stateDir, schema, "product_key",
+      victims.toDF("product_key"))
+    streaming.EventStream.totalsFoldBatchBucketed(spark, stateDir, d2, 1L)
+    val state = streaming.EventStream.bucketedStateRead(spark, stateDir)
+      .drop("bucket", "last_batch")
+    // victims carry ONLY their post-erasure contributions...
+    val gotVictims = state.filter(col("product_key").isin(victims: _*))
+      .collect().map(_.toSeq).toSet
+    val wantVictims = StarSchema.totalsPartialsOfDetail(
+        d2.filter(col("l_partkey").isin(victims: _*)))
+      .collect().map(_.toSeq).toSet
+    assert(gotVictims == wantVictims,
+      "erased keys must re-accumulate from zero, not from erased history")
+    // ...while every survivor's totals equal the full-history fold
+    val gotRest = state.filter(!col("product_key").isin(victims: _*))
+      .collect().map(_.toSeq).toSet
+    val wantRest = StarSchema.totalsPartialsOfDetail(
+        detail.filter(!col("l_partkey").isin(victims: _*)))
+      .collect().map(_.toSeq).toSet
+    assert(gotRest == wantRest)
+  }
+
   test("bucketed totals: a TORN overwrite commit heals on replay — old buckets re-fold, new ones skip") {
     import graft.operators.StarSchema
     // stronger than the clean crash case: a dynamic-partition overwrite's
