@@ -701,6 +701,38 @@ object TextAnalysis {
       .orderBy("term")
   }
 
+  /** ERASURE IN AGGREGATE SPACE — the term-statistics half of the
+    * right-to-be-forgotten story ([[graft.streaming.EventStream.forgetKeys]]
+    * is the ROW half): forgetting documents from a maintained df/tf_sum
+    * index is not a row deletion — the statistics are SUMS over documents,
+    * so erasure means tokenizing ONLY the forgotten docs and folding their
+    * delta in NEGATED through the exact same additive merge the
+    * maintenance stream applies ([[mergeTermStats]] — additivity works in
+    * both directions over disjoint doc sets). The `df > 0` drop is
+    * load-bearing, not cosmetic: a term occurring ONLY in forgotten
+    * documents must VANISH from the index, not linger at df = 0 — the
+    * term's very existence can be the private datum (a name, an id), and
+    * a zero-count tombstone still discloses it.
+    *
+    * The oracle recomputes the statistics from scratch over the surviving
+    * documents, so the driver gate proves subtract-fold ≡ rebuild — the
+    * erasure twin of `text_df_incremental`'s maintain ≡ rebuild. Scale
+    * shape: only the FORGOTTEN docs tokenize (at 100 TB the erasure batch
+    * pays its own size, never a corpus re-scan); the fold is the
+    * term-keyed full-outer merge the bucketed streaming state already
+    * runs, so the same partial-rewrite machinery serves it.
+    */
+  def dfForgetDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = termFreqs(spark, sfDir)
+    val isForgotten = col("doc_id") % 10 === 7
+    val negDelta = termStatsOf(tf.filter(isForgotten))
+      .select(col("term"), (-col("df")).alias("df"),
+        (-col("tf_sum")).alias("tf_sum"))
+    mergeTermStats(termStatsOf(tf), negDelta)
+      .filter(col("df") > 0)
+      .orderBy("term")
+  }
+
   def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = termFreqs(spark, sfDir)
@@ -1182,6 +1214,16 @@ object TextAnalysis {
          |      FROM (SELECT doc_id, unnest($toksSql) AS w FROM documents)
          |      GROUP BY doc_id, w)
          |GROUP BY w ORDER BY term""".stripMargin,
+    // the erasure gate: subtract-fold ≡ rebuild over the SURVIVING docs —
+    // a term living only in forgotten documents must be absent entirely
+    "text_df_forget_docs" ->
+      s"""SELECT w AS term, CAST(count(*) AS BIGINT) AS df,
+         |       CAST(sum(c) AS BIGINT) AS tf_sum
+         |FROM (SELECT doc_id, w, count(*) AS c
+         |      FROM (SELECT doc_id, unnest($toksSql) AS w FROM documents
+         |            WHERE doc_id % 10 != 7)
+         |      GROUP BY doc_id, w)
+         |GROUP BY w ORDER BY term""".stripMargin,
     "text_vocab_approx" ->
       """SELECT lang,
         |       CAST(count(DISTINCT token) AS BIGINT) AS vocab_exact,
@@ -1287,6 +1329,7 @@ object TextAnalysis {
     "text_rare_bigram_ratio" -> rareBigramRatio _,
     "text_vocab_approx" -> vocabApprox _,
     "text_df_incremental" -> dfIncremental _,
+    "text_df_forget_docs" -> dfForgetDocs _,
     "text_quality"      -> quality _,
     "text_langid"       -> langId _,
     "text_fingerprint"  -> fingerprint _,

@@ -301,4 +301,32 @@ class TextEventsSpec extends SparkSpec {
     assert(both.getLong(4) > got.head.getLong(4),
       "adding a second matched term must add score")
   }
+
+  test("dfForgetDocs: a term living only in forgotten docs VANISHES;" +
+      " shared terms decrement exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // doc_id % 10 == 7 marks the erasure set (7, 17); `secretname`
+    // occurs ONLY there — after erasure it must be gone entirely, not
+    // tombstoned at df = 0 (the term itself is the private datum)
+    val docs = Seq(
+      (7L, "secretname shared"),
+      (17L, "secretname shared shared"),
+      (1L, "shared other"),
+      (2L, "other other")).toDF("doc_id", "text")
+    val tf = operators.TextAnalysis.termFreqsOf(docs)
+    val neg = operators.TextAnalysis.termStatsOf(
+        tf.filter(col("doc_id") % 10 === 7))
+      .select(col("term"), (-col("df")).alias("df"),
+        (-col("tf_sum")).alias("tf_sum"))
+    val got = operators.TextAnalysis.mergeTermStats(
+        operators.TextAnalysis.termStatsOf(tf), neg)
+      .filter(col("df") > 0)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!got.contains("secretname"),
+      "a term occurring only in forgotten docs must vanish from the index")
+    assert(got("shared") == (1L, 1L),
+      "shared term must decrement by exactly the forgotten contributions")
+    assert(got("other") == (2L, 3L), "untouched term must be unchanged")
+  }
 }
