@@ -572,6 +572,40 @@ object TextAnalysis {
         l -> words.flatMap(w => w.sliding(2).filter(_.length == 2)).distinct.sorted
     }
 
+  /** DuckDB CTE chain ending in `pred` (doc_id, actual_lang, g_*,
+    * predicted_lang) — the n-gram language-ID prediction shared by the
+    * `text_langid_ngram` oracle and the `langid_confusion` eval report,
+    * so the matrix summarizes exactly the predictions the per-doc query
+    * serves. Keeps the independent array-intersect spelling (the
+    * differential check on the Spark probe-sum rewrite).
+    */
+  private lazy val langIdNgramPredCte: String = {
+    val profLists = bigramProfiles.map { case (l, prof) =>
+      l -> prof.map(b => s"'$b'").mkString("[", ", ", "]")
+    }.toMap
+    s"""bg AS (
+       |  SELECT doc_id, lang AS actual_lang,
+       |         list_distinct(list_transform(
+       |           generate_series(1, greatest(length(text) - 1, 1)),
+       |           i -> substr(text, i, 2))) AS b
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id, actual_lang,
+       |         CAST(len(list_intersect(b, ${profLists("en")})) AS INT) AS g_en,
+       |         CAST(len(list_intersect(b, ${profLists("es")})) AS INT) AS g_es,
+       |         CAST(len(list_intersect(b, ${profLists("de")})) AS INT) AS g_de,
+       |         CAST(len(list_intersect(b, ${profLists("fr")})) AS INT) AS g_fr
+       |  FROM bg),
+       |pred AS (
+       |  SELECT doc_id, actual_lang, g_en, g_es, g_de, g_fr,
+       |         CASE WHEN greatest(g_en, g_es, g_de, g_fr) = 0 THEN 'und'
+       |              WHEN g_en = greatest(g_en, g_es, g_de, g_fr) THEN 'en'
+       |              WHEN g_es = greatest(g_en, g_es, g_de, g_fr) THEN 'es'
+       |              WHEN g_de = greatest(g_en, g_es, g_de, g_fr) THEN 'de'
+       |              ELSE 'fr' END AS predicted_lang
+       |  FROM scored)""".stripMargin
+  }
+
   /** N-gram-heuristic language ID: score = |doc char-bigrams ∩ language
     * profile| (the classic character-n-gram profile method, reduced to
     * set overlap so the oracle is exact); argmax with the same CASE
@@ -609,6 +643,28 @@ object TextAnalysis {
         .otherwise(lit("fr")).alias("predicted_lang"))
       .orderBy("doc_id")
       // narrow projection over the persisted fused frame — no second cache
+  }
+
+  /** CLASSIFIER EVAL REPORT — the (actual, predicted) confusion matrix
+    * with per-actual share, over the n-gram language-ID predictions: the
+    * accuracy audit a pipeline emits whenever a heuristic classifier
+    * gates data (here: is the langid trustworthy enough to stratify the
+    * mixture by?). The `lang` column is the ground-truth label the
+    * fixture carries, so the eval needs no side channel. Rides the
+    * memoized [[langIdNgram]] frame — one bounded (≤ |langs|·(|langs|+1))
+    * aggregate over the persisted signal projection; the oracle shares
+    * the prediction CTE with `text_langid_ngram`, so the matrix cannot
+    * drift from the per-doc predictions it summarizes.
+    */
+  def langIdConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    langIdNgram(spark, sfDir)
+      .groupBy(col("actual_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).alias("n_docs"))
+      .withColumn("share_pct",
+        (col("n_docs") * lit(100)).cast("double")
+          / sum(col("n_docs")).over(Window.partitionBy(col("actual_lang"))))
+      .orderBy("actual_lang", "predicted_lang")
   }
 
   /** Top-3 TF-IDF terms per document. The idf factor is the LINEAR
@@ -717,10 +773,13 @@ object TextAnalysis {
     * The oracle recomputes the statistics from scratch over the surviving
     * documents, so the driver gate proves subtract-fold ≡ rebuild — the
     * erasure twin of `text_df_incremental`'s maintain ≡ rebuild. Scale
-    * shape: only the FORGOTTEN docs tokenize (at 100 TB the erasure batch
-    * pays its own size, never a corpus re-scan); the fold is the
-    * term-keyed full-outer merge the bucketed streaming state already
-    * runs, so the same partial-rewrite machinery serves it.
+    * shape: HERE the delta filters the session [[termFreqs]] frame (no
+    * second tokenize — the frame already exists for the ranking
+    * consumers); at 100 TB, where no corpus-wide frame is live, the
+    * delta reads the forgotten docs' rows from the STORED (doc, term)
+    * tf index by key — either way the erasure pays batch-sized work,
+    * never a corpus re-scan, and the fold is the term-keyed full-outer
+    * merge the bucketed streaming state already runs.
     */
   def dfForgetDocs(spark: SparkSession, sfDir: String): DataFrame = {
     val tf = termFreqs(spark, sfDir)
@@ -1182,31 +1241,20 @@ object TextAnalysis {
         |         ORDER BY n DESC, bigram ASC) AS INT) AS rank
         |FROM counts QUALIFY rank <= 5
         |ORDER BY lang, rank""".stripMargin,
-    "text_langid_ngram" -> {
-      val profLists = bigramProfiles.map { case (l, prof) =>
-        l -> prof.map(b => s"'$b'").mkString("[", ", ", "]")
-      }.toMap
-      s"""WITH bg AS (
-         |  SELECT doc_id, lang AS actual_lang,
-         |         list_distinct(list_transform(
-         |           generate_series(1, greatest(length(text) - 1, 1)),
-         |           i -> substr(text, i, 2))) AS b
-         |  FROM documents),
-         |scored AS (
-         |  SELECT doc_id, actual_lang,
-         |         CAST(len(list_intersect(b, ${profLists("en")})) AS INT) AS g_en,
-         |         CAST(len(list_intersect(b, ${profLists("es")})) AS INT) AS g_es,
-         |         CAST(len(list_intersect(b, ${profLists("de")})) AS INT) AS g_de,
-         |         CAST(len(list_intersect(b, ${profLists("fr")})) AS INT) AS g_fr
-         |  FROM bg)
-         |SELECT doc_id, actual_lang, g_en, g_es, g_de, g_fr,
-         |       CASE WHEN greatest(g_en, g_es, g_de, g_fr) = 0 THEN 'und'
-         |            WHEN g_en = greatest(g_en, g_es, g_de, g_fr) THEN 'en'
-         |            WHEN g_es = greatest(g_en, g_es, g_de, g_fr) THEN 'es'
-         |            WHEN g_de = greatest(g_en, g_es, g_de, g_fr) THEN 'de'
-         |            ELSE 'fr' END AS predicted_lang
-         |FROM scored ORDER BY doc_id""".stripMargin
-    },
+    "text_langid_ngram" ->
+      s"""WITH $langIdNgramPredCte
+         |SELECT doc_id, actual_lang, g_en, g_es, g_de, g_fr, predicted_lang
+         |FROM pred ORDER BY doc_id""".stripMargin,
+    // the eval report over the same shared prediction CTE — the matrix
+    // cannot drift from the per-doc predictions it summarizes
+    "langid_confusion" ->
+      s"""WITH $langIdNgramPredCte
+         |SELECT actual_lang, predicted_lang,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(*) * 100 AS DOUBLE)
+         |         / sum(count(*)) OVER (PARTITION BY actual_lang) AS share_pct
+         |FROM pred GROUP BY actual_lang, predicted_lang
+         |ORDER BY actual_lang, predicted_lang""".stripMargin,
     "text_df_incremental" ->
       s"""SELECT w AS term, CAST(count(*) AS BIGINT) AS df,
          |       CAST(sum(c) AS BIGINT) AS tf_sum
@@ -1325,6 +1373,7 @@ object TextAnalysis {
     "docs_bpe_token_ids" -> bpeTokenIds _,
     "docs_token_packing_bpe" -> bpeTokenPacking _,
     "text_langid_ngram" -> langIdNgram _,
+    "langid_confusion" -> langIdConfusion _,
     "top_bigrams_per_lang" -> topBigramsPerLang _,
     "text_rare_bigram_ratio" -> rareBigramRatio _,
     "text_vocab_approx" -> vocabApprox _,

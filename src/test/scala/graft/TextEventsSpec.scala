@@ -302,6 +302,25 @@ class TextEventsSpec extends SparkSpec {
       "adding a second matched term must add score")
   }
 
+  test("langid_confusion cells recompute from the per-doc predictions and" +
+      " shares sum to 100 per actual language") {
+    import org.apache.spark.sql.functions.col
+    val preds = q("text_langid_ngram").collect()
+      .map(r => (r.getString(1), r.getString(6)))
+    val want = preds.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val got = q("langid_confusion").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want, s"matrix disagrees with per-doc predictions")
+    // total = corpus size; shares sum to 100 within each actual language
+    assert(got.values.sum == preds.length)
+    q("langid_confusion").collect()
+      .groupBy(_.getString(0))
+      .foreach { case (lang, rows) =>
+        val share = rows.map(_.getDouble(3)).sum
+        assert(math.abs(share - 100.0) < 1e-9, s"$lang shares sum to $share")
+      }
+  }
+
   test("dfForgetDocs: a term living only in forgotten docs VANISHES;" +
       " shared terms decrement exactly") {
     import spark.implicits._
