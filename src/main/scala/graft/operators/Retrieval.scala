@@ -97,13 +97,19 @@ object Retrieval {
       .filter(col("rank") <= depth)
   }
 
-  def hybridRrfTopDocs(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The shared lexical arm — ONE spelling for both hybrids (an edit to
+    * depth or the corpus-count source must move them together).
+    */
+  private def lexArm(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val queries = TextAnalysis.Bm25Queries.toDF("query_id", "q_text")
-    val lex = TextAnalysis.bm25Ranked(
+    TextAnalysis.bm25Ranked(
       TextAnalysis.termFreqs(spark, sfDir),
       Tables.documents(spark, sfDir).agg(count(lit(1)).alias("n_docs")),
-      queries, ArmDepth)
+      TextAnalysis.Bm25Queries.toDF("query_id", "q_text"), ArmDepth)
+  }
+
+  def hybridRrfTopDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val lex = lexArm(spark, sfDir)
     val corpus = Similarity.quantized(spark, sfDir)
     // select by the ACTUAL query-id set, not a 1..n range: a non-contiguous
     // Bm25Queries edit must re-align the semantic arm, not silently drop it
@@ -116,6 +122,31 @@ object Retrieval {
 
   private def queryIdListSql: String =
     TextAnalysis.Bm25Queries.map(_._1).mkString(", ")
+
+  /** The fusion tail as DuckDB SQL — full-outer join of `lex`
+    * (query_id, doc_id, lex_rank) and `sem` (query_id, doc_id, sem_rank),
+    * quantized reciprocal-rank sum, top-5 cut. ONE spelling shared by
+    * both hybrid oracles: only the sem arm may differ between them, never
+    * the fusion rule. Twin of [[rrfFuse]].
+    */
+  private def fusionTailSql: String =
+    s"""fused AS (
+       |  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+       |         COALESCE(l.doc_id, s.doc_id) AS doc_id,
+       |         l.lex_rank, s.sem_rank,
+       |         CAST(COALESCE(CAST($RrfQ AS BIGINT) // ($RrfK + l.lex_rank), 0)
+       |            + COALESCE(CAST($RrfQ AS BIGINT) // ($RrfK + s.sem_rank), 0)
+       |           AS BIGINT) AS rrf_m
+       |  FROM lex l FULL JOIN sem s
+       |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id),
+       |rrf_ranked AS (
+       |  SELECT query_id, doc_id, lex_rank, sem_rank, rrf_m,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY rrf_m DESC, doc_id ASC) AS INT) AS rank
+       |  FROM fused)
+       |SELECT query_id, doc_id, lex_rank, sem_rank, rrf_m, rank
+       |FROM rrf_ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
 
   /** The INDEX-BACKED hybrid — [[hybridRrfTopDocs]] with its scale-path
     * claim made a GATE FACT: the semantic arm is the production serving
@@ -131,12 +162,14 @@ object Retrieval {
     * replays index training + serving + fusion end-to-end in DuckDB.
     */
   def hybridRrfIvfTopDocs(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val queries = TextAnalysis.Bm25Queries.toDF("query_id", "q_text")
-    val lex = TextAnalysis.bm25Ranked(
-      TextAnalysis.termFreqs(spark, sfDir),
-      Tables.documents(spark, sfDir).agg(count(lit(1)).alias("n_docs")),
-      queries, ArmDepth)
+    // the IVF stack serves the fixture query domain vec_id < 10 (probes,
+    // LUT, and re-rank queries all filter on it, Spark AND oracle) — a
+    // Bm25Queries id outside it would silently lose its semantic arm on
+    // BOTH sides, invisibly to the gate. Fail loudly at plan build.
+    require(TextAnalysis.Bm25Queries.forall(_._1 < 10),
+      "hybrid_rrf_ivf_top_docs: every query id must lie in the IVF " +
+        s"stack's query domain (vec_id < 10); got ${TextAnalysis.Bm25Queries.map(_._1)}")
+    val lex = lexArm(spark, sfDir)
     val sem = Similarity.ivfpqRerankRanked(spark, sfDir, ArmDepth)
       .filter(col("query_id").isin(TextAnalysis.Bm25Queries.map(_._1.toLong): _*))
       .select(col("query_id").cast("int").alias("query_id"),
@@ -162,23 +195,7 @@ object Retrieval {
          |  FROM qn b CROSS JOIN qv),
          |sem AS (SELECT query_id, doc_id, sem_rank
          |        FROM sem_scored WHERE sem_rank <= $ArmDepth),
-         |fused AS (
-         |  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
-         |         COALESCE(l.doc_id, s.doc_id) AS doc_id,
-         |         l.lex_rank, s.sem_rank,
-         |         CAST(COALESCE(CAST($RrfQ AS BIGINT) // ($RrfK + l.lex_rank), 0)
-         |            + COALESCE(CAST($RrfQ AS BIGINT) // ($RrfK + s.sem_rank), 0)
-         |           AS BIGINT) AS rrf_m
-         |  FROM lex l FULL JOIN sem s
-         |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id),
-         |rrf_ranked AS (
-         |  SELECT query_id, doc_id, lex_rank, sem_rank, rrf_m,
-         |         CAST(row_number() OVER (PARTITION BY query_id
-         |           ORDER BY rrf_m DESC, doc_id ASC) AS INT) AS rank
-         |  FROM fused)
-         |SELECT query_id, doc_id, lex_rank, sem_rank, rrf_m, rank
-         |FROM rrf_ranked WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin,
+         |$fusionTailSql""".stripMargin,
     // the index-backed twin: the semantic arm is the full IVF-PQ serving
     // chain (shared CTEs — the index definition cannot drift from the
     // recall reports), re-ranked full-precision to the arm depth
@@ -194,23 +211,7 @@ object Retrieval {
          |  SELECT CAST(query_id AS INT) AS query_id, neighbor_id AS doc_id,
          |         rank AS sem_rank
          |  FROM rr WHERE query_id IN ($queryIdListSql)),
-         |fused AS (
-         |  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
-         |         COALESCE(l.doc_id, s.doc_id) AS doc_id,
-         |         l.lex_rank, s.sem_rank,
-         |         CAST(COALESCE(CAST($RrfQ AS BIGINT) // ($RrfK + l.lex_rank), 0)
-         |            + COALESCE(CAST($RrfQ AS BIGINT) // ($RrfK + s.sem_rank), 0)
-         |           AS BIGINT) AS rrf_m
-         |  FROM lex l FULL JOIN sem s
-         |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id),
-         |rrf_ranked AS (
-         |  SELECT query_id, doc_id, lex_rank, sem_rank, rrf_m,
-         |         CAST(row_number() OVER (PARTITION BY query_id
-         |           ORDER BY rrf_m DESC, doc_id ASC) AS INT) AS rank
-         |  FROM fused)
-         |SELECT query_id, doc_id, lex_rank, sem_rank, rrf_m, rank
-         |FROM rrf_ranked WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin,
+         |$fusionTailSql""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -781,15 +781,22 @@ object TextAnalysis {
     * never a corpus re-scan, and the fold is the term-keyed full-outer
     * merge the bucketed streaming state already runs.
     */
-  def dfForgetDocs(spark: SparkSession, sfDir: String): DataFrame = {
-    val tf = termFreqs(spark, sfDir)
-    val isForgotten = col("doc_id") % 10 === 7
+  def dfForgetDocs(spark: SparkSession, sfDir: String): DataFrame =
+    dfForgetDocsOf(termFreqs(spark, sfDir), col("doc_id") % 10 === 7)
+      .orderBy("term")
+
+  /** [[dfForgetDocs]] over any (doc_id, term, tf) frame and erasure
+    * predicate — the planted vanish-not-tombstone spec drives THIS, so
+    * the property is pinned against the production operator, not a
+    * re-spelling.
+    */
+  private[graft] def dfForgetDocsOf(tf: DataFrame,
+      isForgotten: org.apache.spark.sql.Column): DataFrame = {
     val negDelta = termStatsOf(tf.filter(isForgotten))
       .select(col("term"), (-col("df")).alias("df"),
         (-col("tf_sum")).alias("tf_sum"))
     mergeTermStats(termStatsOf(tf), negDelta)
       .filter(col("df") > 0)
-      .orderBy("term")
   }
 
   def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {

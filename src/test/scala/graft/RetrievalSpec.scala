@@ -93,6 +93,12 @@ class RetrievalSpec extends SparkSpec {
     val semTop5 = rows.filter(r => !r.isNullAt(3) && r.getInt(3) <= 5)
       .map(r => (r.getInt(0), r.getLong(1)))
     assert(semTop5.nonEmpty, "fixture should surface index top-5 docs in the fusion")
+    // EVERY query must carry a live semantic arm — a query id outside the
+    // index's query domain would lose it silently on both engines
+    val semQueries = rows.filter(!_.isNullAt(3)).map(_.getInt(0)).toSet
+    assert(semQueries == TextAnalysis.Bm25Queries.map(_._1).toSet,
+      s"queries missing their semantic arm: " +
+        s"${TextAnalysis.Bm25Queries.map(_._1).toSet -- semQueries}")
     semTop5.foreach { p =>
       assert(served(p), s"hybrid sem arm served a pair the index stack does not: $p")
     }

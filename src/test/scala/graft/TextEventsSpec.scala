@@ -333,14 +333,10 @@ class TextEventsSpec extends SparkSpec {
       (17L, "secretname shared shared"),
       (1L, "shared other"),
       (2L, "other other")).toDF("doc_id", "text")
-    val tf = operators.TextAnalysis.termFreqsOf(docs)
-    val neg = operators.TextAnalysis.termStatsOf(
-        tf.filter(col("doc_id") % 10 === 7))
-      .select(col("term"), (-col("df")).alias("df"),
-        (-col("tf_sum")).alias("tf_sum"))
-    val got = operators.TextAnalysis.mergeTermStats(
-        operators.TextAnalysis.termStatsOf(tf), neg)
-      .filter(col("df") > 0)
+    // drives the PRODUCTION operator body (dfForgetDocsOf), not a
+    // re-spelling — the vanish/decrement properties pin the real code
+    val got = operators.TextAnalysis.dfForgetDocsOf(
+        operators.TextAnalysis.termFreqsOf(docs), col("doc_id") % 10 === 7)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(!got.contains("secretname"),
       "a term occurring only in forgotten docs must vanish from the index")
