@@ -292,7 +292,8 @@ object EventStream {
     * same protocol (see [[StateFs]]).
     */
   private def compactBatchDirs(spark: SparkSession, dir: String,
-      schema: StructType, markersRoot: String): Unit = {
+      schema: StructType, markersRoot: String,
+      transform: DataFrame => DataFrame = identity): Unit = {
     val next = s"${dir}_next"
     val old = s"${dir}_old"
     if (!StateFs.exists(spark, dir) &&
@@ -323,7 +324,7 @@ object EventStream {
         case _ => false
       }
       StateFs.deleteRecursively(spark, old)
-      readSubdirs(spark, dir, foldable, schema)
+      transform(readSubdirs(spark, dir, foldable, schema))
         .write.mode("overwrite").parquet(s"$next/seed")
       StateFs.rename(spark, dir, old)
       StateFs.rename(spark, next, dir)
@@ -1294,6 +1295,40 @@ object EventStream {
     */
   def compactTfIndex(spark: SparkSession, indexDir: String): Unit =
     compactBatchDirs(spark, s"$indexDir/tf", tfIndexSchema, indexDir)
+
+  /** RIGHT-TO-BE-FORGOTTEN over the maintained tf INDEX — the retrieval
+    * half of the erasure story beside the dimension-row half
+    * ([[forgetKeys]]) and the statistics half
+    * ([[graft.operators.TextAnalysis.dfForgetDocs]]): every
+    * (doc_id, term, tf) row of the forgotten documents leaves the served
+    * token cache by ERASURE-AS-COMPACTION — the committed tree is read,
+    * anti-joined against the delete list, and published as a new seed
+    * through [[compactBatchDirs]]' crash-safe swap. The swap matters
+    * more here than for plain compaction: a per-subdir
+    * `mode(overwrite)` rewrite deletes the target at job START, so a
+    * crash mid-write would destroy the only copy of the NON-forgotten
+    * rows in that subdir — the swap never moves the live tree until the
+    * replacement has committed.
+    *
+    * The quiesced contract is load-bearing beyond the compaction
+    * reason: an unmarked subdir pending replay is dropped here and
+    * would be REGENERATED WITH the forgotten docs by the checkpointed
+    * batch — quiesce (all markers landed) before erasing, and re-run
+    * the erasure after any replay (erasure jobs run until success by
+    * regulation anyway). Serving parity after erasure — BM25 over the
+    * erased index ≡ the batch query over the surviving documents — is
+    * spec'd in StreamingSpec.
+    */
+  def forgetDocsFromTfIndex(spark: SparkSession, indexDir: String,
+      docs: DataFrame): Unit = {
+    val ids = docs.select(col("doc_id")).distinct().localCheckpoint(true)
+    try {
+      compactBatchDirs(spark, s"$indexDir/tf", tfIndexSchema, indexDir,
+        _.join(ids, Seq("doc_id"), "left_anti"))
+    } finally {
+      org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(ids)
+    }
+  }
 
   /** STREAMING BM25 INDEX MAINTENANCE — the retrieval tier's nightly
     * refresh, completing the term-stats gate's story: documents are

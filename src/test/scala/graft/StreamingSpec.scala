@@ -1213,6 +1213,24 @@ class StreamingSpec extends SparkSpec {
       .filter(!_.startsWith("_")).sorted
     assert(dirs.sameElements(Array("seed")), s"tf dirs: ${dirs.mkString(",")}")
     assert(serve() == want, "compaction changed the served BM25 top-k")
+    // ERASURE THROUGH SERVING: forget a doc slice from the index
+    // (quiesced, all markers landed) — the served BM25 must equal the
+    // batch query over the SURVIVING documents, and no forgotten row may
+    // remain in the token cache
+    val isForgotten = col("doc_id") % 10 === 3
+    streaming.EventStream.forgetDocsFromTfIndex(spark, indexDir,
+      docs.filter(isForgotten).select(col("doc_id")))
+    val tfAfter = streaming.EventStream.tfIndexRead(spark, indexDir)
+    assert(tfAfter.filter(col("doc_id") % 10 === 3).count() == 0,
+      "forgotten docs still present in the served token cache")
+    val survivors = docs.filter(!isForgotten)
+    val servedAfter = TextAnalysis.bm25FromTf(tfAfter,
+        survivors.agg(count(lit(1)).alias("n_docs")), queries)
+      .collect().map(_.toSeq).toSeq
+    val wantAfter = TextAnalysis.bm25TopDocsOf(survivors, queries)
+      .collect().map(_.toSeq).toSeq
+    assert(servedAfter == wantAfter && wantAfter.nonEmpty,
+      "post-erasure served BM25 diverged from the surviving-docs rebuild")
   }
 
   test("a torn ANN batch (codes committed, cells missing) serves unchanged until replay") {
