@@ -299,11 +299,18 @@ object EventStream {
     if (!StateFs.exists(spark, dir) &&
         StateFs.exists(spark, s"$next/seed/_SUCCESS")) {
       // crashed mid-swap: the live dir was moved aside but the committed
-      // replacement never renamed in — finish the swap; the recovered
-      // dir IS the fully compacted table, nothing left to do
+      // replacement never renamed in — finish the swap, then FALL
+      // THROUGH to the normal pass below. The recovered dir is the PRIOR
+      // operation's outcome; returning here would silently skip THIS
+      // call's `transform` — an erasure that first finishes someone
+      // else's crashed swap must still erase (the silent-non-erasure
+      // class the forgetKeys key-type finding named). For a plain
+      // compaction the fall-through merely re-consolidates an
+      // already-compacted seed — idempotent, and recovery is rare.
       StateFs.rename(spark, next, dir)
       StateFs.deleteRecursively(spark, old)
-    } else {
+    }
+    {
       // vacuum a post-swap leftover only when the live dir is present:
       // live missing without commit evidence is a loud failure below,
       // and `_old` may then be the only surviving copy

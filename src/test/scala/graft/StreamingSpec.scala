@@ -1233,6 +1233,61 @@ class StreamingSpec extends SparkSpec {
       "post-erasure served BM25 diverged from the surviving-docs rebuild")
   }
 
+  test("tf-index erasure works on the uncompacted multi-subdir tree and" +
+      " through a crashed-swap recovery entry") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val isBatch = col("doc_id") % 10 === 9
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-tfidx2")
+    stageFile(docs.filter(isBatch && col("doc_id") % 20 === 9), stageDir, "b1", 60)
+    stageFile(docs.filter(isBatch && col("doc_id") % 20 =!= 9), stageDir, "b2", 30)
+    val outBase = java.nio.file.Files.createTempDirectory("graft-tfidx2-out")
+    val indexDir = outBase.resolve("index").toString
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$stageDir/*")
+    val q1 = streaming.EventStream.tfIndexMaintenanceStream(
+      stream, docs.filter(!isBatch), indexDir,
+      checkpointDir = Some(outBase.resolve("ckpt").toString))
+    try q1.processAllAvailable() finally q1.stop()
+    // the tree is seed + b0 + b1 — erase directly on the MULTI-SUBDIR
+    // layout (the marker-gated foldable path under a transform)
+    val preDirs = new java.io.File(s"$indexDir/tf").list()
+      .filter(!_.startsWith("_")).sorted
+    assert(preDirs.length > 1, s"fixture should be uncompacted: ${preDirs.mkString(",")}")
+    val isForgotten = col("doc_id") % 10 === 9
+    streaming.EventStream.forgetDocsFromTfIndex(spark, indexDir,
+      docs.filter(isForgotten).select(col("doc_id")))
+    val tf1 = streaming.EventStream.tfIndexRead(spark, indexDir)
+    assert(tf1.filter(col("doc_id") % 10 === 9).count() == 0,
+      "multi-subdir erasure left forgotten rows")
+    val survivors = docs.filter(!isForgotten)
+    assert(tf1.collect().map(_.toSeq).toSet ==
+      TextAnalysis.termFreqsOf(survivors).collect().map(_.toSeq).toSet,
+      "erased multi-subdir tree must equal the surviving-docs tokenization")
+    // crashed-swap recovery entry: live tree moved aside, committed
+    // replacement parked at _next — an erasure entering HERE must first
+    // finish the swap and STILL erase (a recovery-then-return would be a
+    // silent non-erasure with no error to trigger the regulatory re-run)
+    val tfDir = s"$indexDir/tf"
+    spark.read.parquet(s"$tfDir/seed")
+      .write.mode("overwrite").parquet(s"${tfDir}_next/seed")
+    // local-FS delete of the live tree (the crash left it moved aside)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(tfDir))
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator().asScala.foreach(java.nio.file.Files.delete)
+    val forgetMore = col("doc_id") % 10 === 4
+    streaming.EventStream.forgetDocsFromTfIndex(spark, indexDir,
+      docs.filter(forgetMore).select(col("doc_id")))
+    val tf2 = streaming.EventStream.tfIndexRead(spark, indexDir)
+    assert(tf2.filter(col("doc_id") % 10 === 4).count() == 0,
+      "erasure through the crashed-swap recovery entry erased nothing")
+    assert(tf2.collect().map(_.toSeq).toSet ==
+      TextAnalysis.termFreqsOf(survivors.filter(!forgetMore))
+        .collect().map(_.toSeq).toSet)
+  }
+
   test("a torn ANN batch (codes committed, cells missing) serves unchanged until replay") {
     import graft.operators.Similarity
     val cents = Similarity.maintainedCentroids(spark, sf)
