@@ -206,33 +206,80 @@ object EventStream {
     StructField("n_b", IntegerType),
     StructField("jaccard", DoubleType)))
 
-  /** Read an index/output table laid out as per-batch SUBDIRS (`seed/`,
-    * `b0/`, `b1/`, …). The subdirs are idempotent WRITE UNITS (a
-    * re-delivered batch overwrites its own subdir instead of
-    * double-appending), not partition values — and ONLY COMMITTED
-    * subdirs are served: each is written through the standard file
-    * committer, whose job commit writes the subdir's `_SUCCESS`, so a
-    * crashed partial write (files landed, commit didn't) is invisible
-    * to every reader — the probe, the compactor, and the external
-    * serving reads — until the replay overwrites it (the fold
-    * additionally pre-cleans such leftovers before probing). Without
-    * this gate a torn append was readable between crash and replay,
-    * the one reader-side residue the r15 idempotence work left open.
+  /** PUBLISHED-TREE (snapshot pointer) LAYOUT — every per-batch-subdir
+    * table lives inside a numbered TREE (`<dir>/t0`, `<dir>/t1`, …)
+    * whose `_published` marker file is the snapshot pointer: the LIVE
+    * tree is the highest-numbered published one, resolved by listing —
+    * never a directory convention a half-done swap could leave
+    * missing. Publishing is ONE single-object create, atomic on local,
+    * HDFS, AND copy-rename object stores alike (the r15 residue
+    * StateFs documented: `rename` is copy-based on S3-likes, so the
+    * old two-rename swap's crash exposure was bounded but nonzero
+    * there — and between its two renames even an HDFS reader briefly
+    * saw NO live dir and served an empty index). Compaction/erasure
+    * now build the replacement tree beside the live one and commit by
+    * touching its marker: a reader racing the swap resolves either the
+    * old tree or the new one, both complete, and an UNPUBLISHED tree —
+    * a crashed build — is invisible to every reader and overwritten or
+    * vacuumed by the next compaction entry. This is the table-format
+    * snapshot-pointer protocol spelled with create-only control files.
+    *
+    * Within the live tree the layout is unchanged: `seed/` plus
+    * idempotent per-batch WRITE UNITS (`b0/`, `b1/`, …; a re-delivered
+    * batch overwrites its own subdir, never double-appends), and ONLY
+    * COMMITTED subdirs are served — each is written through the
+    * standard file committer whose job commit writes `_SUCCESS`, so a
+    * torn append (files landed, commit didn't) is invisible to the
+    * probe, the compactor, and external serving reads until the replay
+    * overwrites it.
     */
-  private def committedBatchDirs(spark: SparkSession, dir: String): Seq[String] =
-    StateFs.list(spark, dir)
-      .filter(d => StateFs.exists(spark, s"$dir/$d/_SUCCESS"))
+  private def treeNumbers(spark: SparkSession, dir: String): Seq[Int] =
+    StateFs.list(spark, dir).filter(_.matches("t\\d+")).map(_.drop(1).toInt).sorted
+
+  private def publishedTrees(spark: SparkSession, dir: String): Seq[Int] =
+    treeNumbers(spark, dir)
+      .filter(n => StateFs.exists(spark, s"$dir/t$n/_published"))
+
+  /** The live (= highest published) tree's path; None for a table that
+    * was never written. Read-side resolver — creates nothing.
+    */
+  private[graft] def liveTreeOpt(spark: SparkSession, dir: String): Option[String] =
+    publishedTrees(spark, dir).lastOption.map(n => s"$dir/t$n")
+
+  /** The live tree's path, creating and publishing an empty `t0` when
+    * the table does not exist yet — the write-side resolver every
+    * seed write and batch fold goes through. Resolved PER BATCH, not
+    * per stream: a between-runs compaction advances the live tree and
+    * the next fold must land its subdir there.
+    */
+  private[graft] def ensureLiveTree(spark: SparkSession, dir: String): String =
+    liveTreeOpt(spark, dir).getOrElse {
+      StateFs.touch(spark, s"$dir/t0/_published")
+      s"$dir/t0"
+    }
+
+  /** Committed (job-commit `_SUCCESS` present) subdirs of one tree —
+    * the `_published` marker is a file, never matches.
+    */
+  private def committedSubdirs(spark: SparkSession, treePath: String): Seq[String] =
+    StateFs.list(spark, treePath)
+      .filter(d => StateFs.exists(spark, s"$treePath/$d/_SUCCESS"))
       .sorted
 
-  private def readSubdirs(spark: SparkSession, dir: String,
+  private def readSubdirs(spark: SparkSession, treePath: String,
       subdirs: Seq[String], schema: StructType): DataFrame =
     if (subdirs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(subdirs.map(d => s"$dir/$d"): _*)
+    else spark.read.schema(schema).parquet(subdirs.map(d => s"$treePath/$d"): _*)
 
   private def batchDirsRead(spark: SparkSession, dir: String,
       schema: StructType): DataFrame =
-    readSubdirs(spark, dir, committedBatchDirs(spark, dir), schema)
+    liveTreeOpt(spark, dir) match {
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case Some(tree) =>
+        readSubdirs(spark, tree, committedSubdirs(spark, tree), schema)
+    }
 
   /** The verified near-dup pairs an ingest-dedup run has emitted so far
     * (union of the per-batch output subdirs under `pairsOutDir`).
@@ -240,115 +287,110 @@ object EventStream {
   def ingestPairsRead(spark: SparkSession, pairsOutDir: String): DataFrame =
     batchDirsRead(spark, pairsOutDir, ingestPairsSchema)
 
-  /** COMPACT one per-batch-subdir table: rewrite the whole tree (seed +
-    * every `b*` subdir) as one consolidated dir and swap it in — the
-    * OPTIMIZE half of the append-only index story. A long-run stream
-    * otherwise accumulates one small-file subdir per micro-batch, and
-    * at 100 TB the per-batch file count — not the data — becomes the
-    * probe's listing cost. The consolidated dir is named `seed/` because
-    * that is exactly what it IS — the new baseline the next batches
-    * build on — and because the streams' seed-presence guard reads
+  /** COMPACT one per-batch-subdir table: fold the live tree (seed +
+    * every MARKED `b*` subdir) into one consolidated `seed/` inside a
+    * NEW tree and publish it — the OPTIMIZE half of the append-only
+    * index story. A long-run stream otherwise accumulates one
+    * small-file subdir per micro-batch, and at 100 TB the per-batch
+    * file count — not the data — becomes the probe's listing cost. The
+    * consolidated dir is named `seed/` because that is exactly what it
+    * IS — the new baseline the next batches build on — and because the
+    * streams' seed-presence guard reads the live tree's
     * `seed/_SUCCESS`: any other name would make a post-compaction
     * restart re-seed the original history ALONGSIDE the compacted rows,
     * silently duplicating every history row in the probe (caught by the
     * restart spec when the first spelling used `compacted/`). Batch
     * markers are NOT touched: idempotence evidence must outlive
     * compaction, so a re-delivered pre-compaction batch still no-ops.
-    * Rows are identical before and after (spec'd); readers are
-    * unaffected because both layouts serve the same recursive-lookup
-    * read.
+    * Rows are identical before and after (spec'd).
     *
     * Run compaction on a QUIESCED stream (between runs, as the specs
     * do): compacting concurrently with an active fold would race the
-    * fold's writes and pre-clean. Same contract as a table format's
-    * OPTIMIZE, which likewise serializes against writers via its
-    * snapshot log.
+    * fold's writes. Same contract as a table format's OPTIMIZE, which
+    * likewise serializes against writers via its snapshot log.
     *
     * Only MARKED batches fold into the new seed: a subdir whose write
     * committed but whose batch marker never landed (a fold crashed in
     * the marker window) is a batch the stream WILL replay — folding it
     * into the seed would hide it from the replay's pre-clean and serve
     * the batch's rows as history beside the replay's rewrite, doubling
-    * them permanently (the duplicate-pairs bug the marker-blind first
-    * spelling carried). Such unmarked subdirs are dropped with the old
-    * tree; the replay regenerates them from the checkpointed batch.
-    * The committed `seed` must exist — compacting a half-seeded table
-    * would otherwise publish an EMPTY committed seed and the seed
-    * guard would then skip history seeding forever.
+    * them permanently. Such unmarked subdirs are simply not copied into
+    * the new tree; the replay regenerates them there from the
+    * checkpointed batch. With `requireSeed` (the index tables, whose
+    * streams seed history) a MISSING seed fails loudly too: compacting
+    * a never-seeded index would publish an empty committed seed and the
+    * seed guard would then skip history seeding forever. Output tables
+    * (`requireSeed = false`) legitimately start at `b0` and gain their
+    * first seed here.
     *
-    * Crash discipline (the local-dir form of a table-format OPTIMIZE
-    * commit): the consolidated copy is fully WRITTEN AND COMMITTED into
-    * a sibling `<dir>_next` before anything live moves, so a crash
-    * during the write leaves the live table untouched (a re-run
-    * overwrites the orphan). The swap itself is two RENAMES — live →
-    * `<dir>_old`, then `<dir>_next` → live — never a recursive delete of
-    * the live tree (a crash mid-delete would truncate history with no
-    * recovery evidence). Each entry point first RECOVERS a crashed swap:
-    * live missing + committed `<dir>_next/seed/_SUCCESS` → finish the
-    * second rename (the r14-verdict exposure, now closed and spec'd);
-    * a leftover `<dir>_old` from a crash after the swap is vacuumed.
-    * Renames are atomic on local/HDFS; on copy-based object stores a
-    * table format's snapshot pointer is the production spelling of the
-    * same protocol (see [[StateFs]]).
+    * Crash discipline (see the layout note above [[treeNumbers]]): the
+    * consolidated copy is fully written and committed into the next
+    * tree BEFORE the single `_published` create that makes it live, so
+    * a crash anywhere leaves either the old snapshot (unpublished
+    * build — invisible, vacuumed/overwritten on the next entry) or the
+    * new one — never a torn table, and never a window where readers
+    * resolve NO tree. Each entry first vacuums every non-live tree:
+    * crashed builds above the live number and superseded snapshots
+    * below it. The superseded tree this call creates is NOT deleted on
+    * the way out (except under `vacuumSuperseded`) — it is the grace
+    * snapshot an in-flight reader that resolved before the publish can
+    * still finish against, exactly a table format's
+    * expire-snapshots-later discipline. Erasure passes
+    * `vacuumSuperseded = true`: the superseded tree holds the forgotten
+    * rows, and leaving them readable would defeat the deletion.
     */
   private def compactBatchDirs(spark: SparkSession, dir: String,
       schema: StructType, markersRoot: String,
-      transform: DataFrame => DataFrame = identity): Unit = {
-    val next = s"${dir}_next"
-    val old = s"${dir}_old"
-    if (!StateFs.exists(spark, dir) &&
-        StateFs.exists(spark, s"$next/seed/_SUCCESS")) {
-      // crashed mid-swap: the live dir was moved aside but the committed
-      // replacement never renamed in — finish the swap, then FALL
-      // THROUGH to the normal pass below. The recovered dir is the PRIOR
-      // operation's outcome; returning here would silently skip THIS
-      // call's `transform` — an erasure that first finishes someone
-      // else's crashed swap must still erase (the silent-non-erasure
-      // class the forgetKeys key-type finding named). For a plain
-      // compaction the fall-through merely re-consolidates an
-      // already-compacted seed — idempotent, and recovery is rare.
-      StateFs.rename(spark, next, dir)
-      StateFs.deleteRecursively(spark, old)
+      transform: DataFrame => DataFrame = identity,
+      requireSeed: Boolean = false,
+      vacuumSuperseded: Boolean = false): Unit = {
+    val pub = publishedTrees(spark, dir)
+    require(pub.nonEmpty,
+      s"compaction: no published tree under $dir — the table was never written")
+    val live = pub.last
+    val livePath = s"$dir/t$live"
+    // entry vacuum: everything but the live tree is either a superseded
+    // snapshot whose grace window has ended or a crashed, never-published
+    // build — both unreferenced by every reader
+    treeNumbers(spark, dir).filterNot(_ == live)
+      .foreach(n => StateFs.deleteRecursively(spark, s"$dir/t$n"))
+    require(!StateFs.exists(spark, s"$livePath/seed") ||
+        StateFs.exists(spark, s"$livePath/seed/_SUCCESS"),
+      s"compaction: $livePath/seed exists without commit evidence — " +
+        "a half-written seed must be re-seeded, not compacted")
+    if (requireSeed)
+      require(StateFs.exists(spark, s"$livePath/seed/_SUCCESS"),
+        s"compaction: $livePath has no seed at all — an index table " +
+          "whose history seed never landed must be re-seeded, not compacted " +
+          "into an empty baseline")
+    val foldable = committedSubdirs(spark, livePath).filter {
+      case "seed" => true
+      case b if b.matches("b\\d+") =>
+        plainMarkerApplied(spark, markersRoot, b.drop(1).toLong)
+      case _ => false
     }
-    {
-      // vacuum a post-swap leftover only when the live dir is present:
-      // live missing without commit evidence is a loud failure below,
-      // and `_old` may then be the only surviving copy
-      require(StateFs.exists(spark, dir),
-        s"compaction: live table $dir missing and no committed $next to recover")
-      // a PRESENT seed dir must be committed — compacting a half-seeded
-      // index would publish an empty seed its seed guard then trusts
-      // forever. A table with NO seed subdir at all is legitimate: the
-      // pairs OUTPUT tables start at b0 and gain their first seed here.
-      require(!StateFs.exists(spark, s"$dir/seed") ||
-          StateFs.exists(spark, s"$dir/seed/_SUCCESS"),
-        s"compaction: $dir/seed exists without commit evidence — " +
-          "a half-written seed must be re-seeded, not compacted")
-      val foldable = committedBatchDirs(spark, dir).filter {
-        case "seed" => true
-        case b if b.matches("b\\d+") =>
-          plainMarkerApplied(spark, markersRoot, b.drop(1).toLong)
-        case _ => false
-      }
-      StateFs.deleteRecursively(spark, old)
-      transform(readSubdirs(spark, dir, foldable, schema))
-        .write.mode("overwrite").parquet(s"$next/seed")
-      StateFs.rename(spark, dir, old)
-      StateFs.rename(spark, next, dir)
-      StateFs.deleteRecursively(spark, old)
-    }
+    val nextPath = s"$dir/t${live + 1}"
+    transform(readSubdirs(spark, livePath, foldable, schema))
+      .write.mode("overwrite").parquet(s"$nextPath/seed")
+    // THE commit: one create-only marker makes the new tree live
+    StateFs.touch(spark, s"$nextPath/_published")
+    if (vacuumSuperseded) StateFs.deleteRecursively(spark, livePath)
   }
 
   /** Compact the ingest-dedup index tables (see [[compactBatchDirs]]). */
   def compactIngestIndex(spark: SparkSession, indexDir: String): Unit = {
-    compactBatchDirs(spark, s"$indexDir/shingles", ingestShinglesSchema, indexDir)
-    compactBatchDirs(spark, s"$indexDir/bands", ingestBandsSchema, indexDir)
+    compactBatchDirs(spark, s"$indexDir/shingles", ingestShinglesSchema, indexDir,
+      requireSeed = true)
+    compactBatchDirs(spark, s"$indexDir/bands", ingestBandsSchema, indexDir,
+      requireSeed = true)
   }
 
   /** Compact the maintained ANN index tables (see [[compactBatchDirs]]). */
   def compactAnnIndex(spark: SparkSession, indexDir: String): Unit = {
-    compactBatchDirs(spark, s"$indexDir/cells", annCellsSchema, indexDir)
-    compactBatchDirs(spark, s"$indexDir/codes", annCodesSchema, indexDir)
+    compactBatchDirs(spark, s"$indexDir/cells", annCellsSchema, indexDir,
+      requireSeed = true)
+    compactBatchDirs(spark, s"$indexDir/codes", annCodesSchema, indexDir,
+      requireSeed = true)
   }
 
   /** Band-table read schema for the parquet-backed phash ingest-dedup
@@ -374,7 +416,8 @@ object EventStream {
 
   /** Compact the phash ingest-dedup band index (see [[compactBatchDirs]]). */
   def compactPhashIndex(spark: SparkSession, indexDir: String): Unit =
-    compactBatchDirs(spark, s"$indexDir/bands", phashBandsSchema, indexDir)
+    compactBatchDirs(spark, s"$indexDir/bands", phashBandsSchema, indexDir,
+      requireSeed = true)
 
   /** Compact the verified-pairs OUTPUT tables — the served side of the
     * ingest-dedup gates accumulates the same one-subdir-per-batch
@@ -425,15 +468,19 @@ object EventStream {
     import graft.operators.Multimodal
     val spark = mediaStream.sparkSession
     val bandsDir = s"$indexDir/bands"
-    if (!StateFs.exists(spark, s"$bandsDir/seed/_SUCCESS")) {
+    if (!StateFs.exists(spark, s"${ensureLiveTree(spark, bandsDir)}/seed/_SUCCESS")) {
       Multimodal.phashBandsOf(Multimodal.phashSigsOf(historyMedia))
-        .write.mode("overwrite").parquet(s"$bandsDir/seed")
+        .write.mode("overwrite").parquet(s"${ensureLiveTree(spark, bandsDir)}/seed")
     }
     maintenanceWriter(mediaStream, checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!plainMarkerApplied(spark, indexDir, batchId)) {
+          // the live trees are resolved PER BATCH — a between-runs
+          // compaction advances them
+          val (pairsTree, bandsTree) =
+            (ensureLiveTree(spark, pairsOutDir), ensureLiveTree(spark, bandsDir))
           // crashed-attempt pre-clean — same reasoning as the text gate
-          Seq(s"$pairsOutDir/b$batchId", s"$bandsDir/b$batchId")
+          Seq(s"$pairsTree/b$batchId", s"$bandsTree/b$batchId")
             .foreach(d => StateFs.deleteRecursively(spark, d))
           val batchBands = Multimodal.phashBandsOf(
             Multimodal.phashSigsOf(batch.toDF())).persist()
@@ -442,8 +489,8 @@ object EventStream {
             // the ONE shared candidate/verify spelling (Multimodal):
             // history bands give new↔old, own bands give new↔new
             Multimodal.phashVerifiedPairs(batchBands, stored.unionAll(batchBands))
-              .write.mode("overwrite").parquet(s"$pairsOutDir/b$batchId")
-            batchBands.write.mode("overwrite").parquet(s"$bandsDir/b$batchId")
+              .write.mode("overwrite").parquet(s"$pairsTree/b$batchId")
+            batchBands.write.mode("overwrite").parquet(s"$bandsTree/b$batchId")
             commitPlainMarker(spark, indexDir, batchId)
           } finally {
             batchBands.unpersist()
@@ -494,11 +541,13 @@ object EventStream {
     val bandsDir = s"$indexDir/bands"
     // guard on the LAST seed's commit evidence — see
     // [[annIndexMaintenanceStream]]'s two-table seed note
-    if (!StateFs.exists(spark, s"$bandsDir/seed/_SUCCESS")) {
+    if (!StateFs.exists(spark, s"${ensureLiveTree(spark, bandsDir)}/seed/_SUCCESS")) {
       val histSh = Dedup.shingleDocs(historyDocs).persist()
       try {
-        histSh.write.mode("overwrite").parquet(s"$shDir/seed")
-        Dedup.bandIndex(histSh).write.mode("overwrite").parquet(s"$bandsDir/seed")
+        histSh.write.mode("overwrite")
+          .parquet(s"${ensureLiveTree(spark, shDir)}/seed")
+        Dedup.bandIndex(histSh).write.mode("overwrite")
+          .parquet(s"${ensureLiveTree(spark, bandsDir)}/seed")
       } finally {
         histSh.unpersist()
         ()
@@ -507,12 +556,17 @@ object EventStream {
     maintenanceWriter(docsStream, checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!plainMarkerApplied(spark, indexDir, batchId)) {
+          // live trees resolved per batch (a between-runs compaction
+          // advances them)
+          val pairsTree = ensureLiveTree(spark, pairsOutDir)
+          val shTree = ensureLiveTree(spark, shDir)
+          val bandsTree = ensureLiveTree(spark, bandsDir)
           // a crashed prior attempt may have left partial b$batchId
           // subdirs; remove them BEFORE probing, or the stored-index
           // reads would count this batch's own leftovers as history
           // (duplicate shingle rows would emit duplicate verified pairs)
-          Seq(s"$pairsOutDir/b$batchId", s"$shDir/b$batchId",
-              s"$bandsDir/b$batchId")
+          Seq(s"$pairsTree/b$batchId", s"$shTree/b$batchId",
+              s"$bandsTree/b$batchId")
             .foreach(d => StateFs.deleteRecursively(spark, d))
           val batchSh = Dedup.shingleDocs(batch.toDF()).persist()
           val batchBands = Dedup.bandIndex(batchSh).persist()
@@ -528,9 +582,9 @@ object EventStream {
               .distinct()
             val storedSh = batchDirsRead(spark, shDir, ingestShinglesSchema)
             Dedup.verifyPairs(storedSh.unionAll(batchSh), cands)
-              .write.mode("overwrite").parquet(s"$pairsOutDir/b$batchId")
-            batchSh.write.mode("overwrite").parquet(s"$shDir/b$batchId")
-            batchBands.write.mode("overwrite").parquet(s"$bandsDir/b$batchId")
+              .write.mode("overwrite").parquet(s"$pairsTree/b$batchId")
+            batchSh.write.mode("overwrite").parquet(s"$shTree/b$batchId")
+            batchBands.write.mode("overwrite").parquet(s"$bandsTree/b$batchId")
             commitPlainMarker(spark, indexDir, batchId)
           } finally {
             batchSh.unpersist()
@@ -600,15 +654,33 @@ object EventStream {
     batchId < vacuumedHorizon(spark, stateDir) ||
       StateFs.exists(spark, s"$stateDir/_batches/$batchId")
 
-  private def horizonPath(stateDir: String): String =
-    s"$stateDir/_batches/_horizon"
-
   /** The highest marker-vacuum horizon recorded so far (0 = none):
-    * every batchId strictly below it was once marker-applied.
+    * every batchId strictly below it was once marker-applied. The
+    * horizon value lives in the marker FILE NAME (`_horizon_{v}`,
+    * content empty), never in file content: a content-bearing record
+    * would be written by create-truncate-write, and a crash mid-write
+    * after earlier markers were already vacuumed leaves an empty or
+    * prefix-truncated value — compaction would then drop committed,
+    * applied batches as crashed writes (permanent loss) or every fold
+    * would die parsing it. A name-encoded marker is created in ONE
+    * atomic operation on any store (local, HDFS, S3-likes), so a crash
+    * anywhere leaves at worst the PREVIOUS horizon visible — never a
+    * torn one. Multiple markers (crash between create and the
+    * old-marker cleanup) resolve by max. A `_horizon*` entry whose name
+    * does not parse is evidence of outside interference and fails with
+    * a named error instead of a NumberFormatException deep in a fold.
     */
-  private def vacuumedHorizon(spark: SparkSession, stateDir: String): Long =
-    StateFs.readString(spark, horizonPath(stateDir))
-      .map(_.trim.toLong).getOrElse(0L)
+  private def vacuumedHorizon(spark: SparkSession, stateDir: String): Long = {
+    val hs = markerNames(spark, stateDir).filter(_.startsWith("_horizon"))
+    hs.map {
+      case horizonName(v) => v.toLong
+      case bad => throw new IllegalStateException(
+        s"unparseable vacuum-horizon marker '$bad' under $stateDir/_batches — " +
+          "expected _horizon_<batchId>; refusing to guess which batches were vacuumed")
+    }.reduceOption(_ max _).getOrElse(0L)
+  }
+
+  private val horizonName = "_horizon_(\\d+)".r
 
   private def commitPlainMarker(spark: SparkSession, stateDir: String,
       batchId: Long): Unit =
@@ -643,9 +715,18 @@ object EventStream {
     // record the horizon BEFORE deleting the per-batch evidence — a
     // crash between the two leaves both forms of evidence, never
     // neither; the horizon is monotone (a lower re-run must not
-    // resurrect vacuumed batches as "unapplied")
-    val horizon = math.max(horizonBatchId, vacuumedHorizon(spark, stateDir))
-    StateFs.writeString(spark, horizonPath(stateDir), horizon.toString)
+    // resurrect vacuumed batches as "unapplied"). The new name-encoded
+    // marker is created first, superseded markers are deleted after —
+    // see [[vacuumedHorizon]] for why the value rides the name.
+    val prior = vacuumedHorizon(spark, stateDir)
+    val horizon = math.max(horizonBatchId, prior)
+    if (horizon > prior)
+      StateFs.touch(spark, s"$stateDir/_batches/_horizon_$horizon")
+    markerNames(spark, stateDir).foreach {
+      case horizonName(v) if v.toLong < horizon =>
+        StateFs.deleteRecursively(spark, s"$stateDir/_batches/_horizon_$v")
+      case _ => ()
+    }
     val drop = markerNames(spark, stateDir)
       .filter(_.matches("\\d+")).map(_.toLong)
       .filter(_ < horizon).sorted
@@ -1298,10 +1379,12 @@ object EventStream {
     batchDirsRead(spark, s"$indexDir/tf", tfIndexSchema)
 
   /** Compact the tf index's per-batch subdirs — same marker gating,
-    * swap protocol, and quiesced-stream contract as [[compactBatchDirs]].
+    * publish protocol, and quiesced-stream contract as
+    * [[compactBatchDirs]].
     */
   def compactTfIndex(spark: SparkSession, indexDir: String): Unit =
-    compactBatchDirs(spark, s"$indexDir/tf", tfIndexSchema, indexDir)
+    compactBatchDirs(spark, s"$indexDir/tf", tfIndexSchema, indexDir,
+      requireSeed = true)
 
   /** RIGHT-TO-BE-FORGOTTEN over the maintained tf INDEX — the retrieval
     * half of the erasure story beside the dimension-row half
@@ -1309,13 +1392,16 @@ object EventStream {
     * ([[graft.operators.TextAnalysis.dfForgetDocs]]): every
     * (doc_id, term, tf) row of the forgotten documents leaves the served
     * token cache by ERASURE-AS-COMPACTION — the committed tree is read,
-    * anti-joined against the delete list, and published as a new seed
-    * through [[compactBatchDirs]]' crash-safe swap. The swap matters
-    * more here than for plain compaction: a per-subdir
+    * anti-joined against the delete list, and published as a new tree
+    * through [[compactBatchDirs]]' snapshot-pointer protocol. The
+    * protocol matters more here than for plain compaction: a per-subdir
     * `mode(overwrite)` rewrite deletes the target at job START, so a
     * crash mid-write would destroy the only copy of the NON-forgotten
-    * rows in that subdir — the swap never moves the live tree until the
-    * replacement has committed.
+    * rows in that subdir — the publish never touches the live tree
+    * until the replacement has committed. Unlike plain compaction the
+    * superseded tree is vacuumed IMMEDIATELY (`vacuumSuperseded`): it
+    * holds the forgotten rows, and a grace snapshot would defeat the
+    * deletion.
     *
     * The quiesced contract is load-bearing beyond the compaction
     * reason: an unmarked subdir pending replay is dropped here and
@@ -1331,7 +1417,8 @@ object EventStream {
     val ids = docs.select(col("doc_id")).distinct().localCheckpoint(true)
     try {
       compactBatchDirs(spark, s"$indexDir/tf", tfIndexSchema, indexDir,
-        _.join(ids, Seq("doc_id"), "left_anti"))
+        _.join(ids, Seq("doc_id"), "left_anti"),
+        requireSeed = true, vacuumSuperseded = true)
     } finally {
       org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(ids)
     }
@@ -1358,15 +1445,16 @@ object EventStream {
       indexDir: String, checkpointDir: Option[String] = None): StreamingQuery = {
     val spark = docsStream.sparkSession
     val tfDir = s"$indexDir/tf"
-    if (!StateFs.exists(spark, s"$tfDir/seed/_SUCCESS")) {
+    if (!StateFs.exists(spark, s"${ensureLiveTree(spark, tfDir)}/seed/_SUCCESS")) {
       graft.operators.TextAnalysis.termFreqsOf(historyDocs)
-        .write.mode("overwrite").parquet(s"$tfDir/seed")
+        .write.mode("overwrite").parquet(s"${ensureLiveTree(spark, tfDir)}/seed")
     }
     maintenanceWriter(docsStream, checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!plainMarkerApplied(spark, indexDir, batchId)) {
           graft.operators.TextAnalysis.termFreqsOf(batch.toDF())
-            .write.mode("overwrite").parquet(s"$tfDir/b$batchId")
+            .write.mode("overwrite")
+            .parquet(s"${ensureLiveTree(spark, tfDir)}/b$batchId")
           commitPlainMarker(spark, indexDir, batchId)
         }
       }
@@ -1383,6 +1471,84 @@ object EventStream {
     StructField("vec_id", LongType),
     StructField("j", IntegerType),
     StructField("code", LongType)))
+
+  /** RIGHT-TO-BE-FORGOTTEN over the maintained ANN INDEX — the
+    * embeddings half of the erasure story: the stored cells/codes
+    * tables hold PER-ITEM DERIVED DATA (an embedding is personal data
+    * under GDPR exactly as the text that produced it is), so a deletion
+    * request must reach them, not only the raw vectors. Every row of
+    * the forgotten `vec_id`s leaves both tables by erasure-as-compaction
+    * ([[forgetDocsFromTfIndex]]'s shape): read the committed tree,
+    * anti-join the delete list, publish as a new tree through
+    * [[compactBatchDirs]]' snapshot-pointer protocol with the
+    * superseded tree vacuumed immediately (it holds the forgotten
+    * rows).
+    *
+    * CELLS are erased FIRST — the mirror of the maintenance stream's
+    * codes-before-cells write order, and for the same serving reason:
+    * candidates come from the cells table and are ranked by their
+    * codes, so in the crash window between the two erasures a
+    * cells-erased vector can no longer be PROPOSED (its leftover codes
+    * rows are invisible dead weight), whereas erasing codes first would
+    * leave the vector proposable but unrankable. Idempotent: a re-run
+    * anti-joins rows that are already gone (erasure jobs run until
+    * success by regulation anyway). Quiesced-stream contract as always;
+    * re-run after any replay regenerates a pre-erasure batch.
+    *
+    * Served-side guarantee (spec'd in StreamingSpec + the registered
+    * `ann_forget_vectors` gate): after erasure a forgotten vector can
+    * never be served as a neighbor, and serving over the erased index
+    * equals serving over an index rebuilt with the SAME frozen
+    * parameters from the surviving vectors only — erasure ≡
+    * filter-rebuild through serving.
+    */
+  def forgetVectorsFromAnnIndex(spark: SparkSession, indexDir: String,
+      vecIds: DataFrame): Unit = {
+    val ids = vecIds.select(col("vec_id").cast(LongType)).distinct()
+      .localCheckpoint(true)
+    try {
+      compactBatchDirs(spark, s"$indexDir/cells", annCellsSchema, indexDir,
+        _.join(ids, Seq("vec_id"), "left_anti"),
+        requireSeed = true, vacuumSuperseded = true)
+      compactBatchDirs(spark, s"$indexDir/codes", annCodesSchema, indexDir,
+        _.join(ids, Seq("vec_id"), "left_anti"),
+        requireSeed = true, vacuumSuperseded = true)
+    } finally {
+      org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(ids)
+    }
+  }
+
+  /** RIGHT-TO-BE-FORGOTTEN over the phash MEDIA index — the binary
+    * tier's erasure: a perceptual hash is derived biometric-adjacent
+    * data, so a forgotten asset must leave BOTH the band index (or it
+    * keeps matching future ingest batches as a ghost neighbor) and the
+    * served verified-pairs table (or the pair itself keeps publishing
+    * the asset's near-dup relationships). Pairs are erased FIRST — they
+    * are the externally SERVED surface, the bands only feed future
+    * probes — each through the snapshot-pointer publish with immediate
+    * vacuum of the superseded tree. A pair is dropped when EITHER
+    * endpoint is forgotten. Idempotent; quiesced-stream contract; the
+    * registered `phash_forget_media` gate proves erasure ≡
+    * filter-rebuild through the pair-serving plan.
+    */
+  def forgetMediaFromPhashIndex(spark: SparkSession, indexDir: String,
+      pairsOutDir: String, mediaIds: DataFrame): Unit = {
+    val ids = mediaIds.select(col("media_id").cast(LongType)).distinct()
+      .localCheckpoint(true)
+    try {
+      compactBatchDirs(spark, pairsOutDir, phashPairsSchema, indexDir,
+        _.join(ids.select(col("media_id").alias("media_a")),
+            Seq("media_a"), "left_anti")
+          .join(ids.select(col("media_id").alias("media_b")),
+            Seq("media_b"), "left_anti"),
+        vacuumSuperseded = true)
+      compactBatchDirs(spark, s"$indexDir/bands", phashBandsSchema, indexDir,
+        _.join(ids, Seq("media_id"), "left_anti"),
+        requireSeed = true, vacuumSuperseded = true)
+    } finally {
+      org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(ids)
+    }
+  }
 
   /** The maintained ANN index tables on disk (cells + PQ codes) — the
     * read side of [[annIndexMaintenanceStream]].
@@ -1430,9 +1596,11 @@ object EventStream {
     // rows are invisible dead weight, while cells-without-codes would
     // propose candidates that cannot be ranked — the served top-k
     // would silently diverge until the replay.
-    if (!StateFs.exists(spark, s"$cellsDir/seed/_SUCCESS")) {
-      historyCodes.write.mode("overwrite").parquet(s"$codesDir/seed")
-      historyCells.write.mode("overwrite").parquet(s"$cellsDir/seed")
+    if (!StateFs.exists(spark, s"${ensureLiveTree(spark, cellsDir)}/seed/_SUCCESS")) {
+      historyCodes.write.mode("overwrite")
+        .parquet(s"${ensureLiveTree(spark, codesDir)}/seed")
+      historyCells.write.mode("overwrite")
+        .parquet(s"${ensureLiveTree(spark, cellsDir)}/seed")
     }
     maintenanceWriter(vectorsStream, checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -1441,9 +1609,11 @@ object EventStream {
           try {
             // codes before cells — see the seed-order note above
             Similarity.pqEncodeWith(b, cb)
-              .write.mode("overwrite").parquet(s"$codesDir/b$batchId")
+              .write.mode("overwrite")
+              .parquet(s"${ensureLiveTree(spark, codesDir)}/b$batchId")
             Similarity.assignCellsTo(b, cents)
-              .write.mode("overwrite").parquet(s"$cellsDir/b$batchId")
+              .write.mode("overwrite")
+              .parquet(s"${ensureLiveTree(spark, cellsDir)}/b$batchId")
             commitPlainMarker(spark, indexDir, batchId)
           } finally {
             b.unpersist()

@@ -10,11 +10,15 @@ import org.apache.spark.sql.SparkSession
   * paths in the sandbox and `hdfs:` / object-store URIs in a deployment;
   * the `java.io.File` forms these replace could never leave a local
   * disk, which made the 100 TB durability story a caveat instead of a
-  * property. Object-store note (documented, not hidden): `rename` is
-  * atomic on local/HDFS but copy-based on S3-like stores — a table
-  * format's snapshot pointer is the production closure there; the
-  * recovery protocol in `EventStream.compactBatchDirs` bounds the
-  * exposure either way.
+  * property. Object-store posture: every CONTROL operation the state
+  * machinery commits through is a single-object create (batch markers,
+  * horizon markers, tree `_published` markers) — atomic on local,
+  * HDFS, and S3-like stores alike. `rename` (atomic on local/HDFS,
+  * copy-based on S3-likes) appears nowhere on a commit path anymore:
+  * the index compaction/erasure swap publishes a NEW tree and flips
+  * readers to it with one marker create
+  * (`EventStream.compactBatchDirs`), the table-format snapshot-pointer
+  * discipline.
   */
 private[streaming] object StateFs {
 
@@ -58,42 +62,4 @@ private[streaming] object StateFs {
     ()
   }
 
-  /** Rename `src` onto a non-existent `dst`; fails loudly — a swap that
-    * half-happens silently is exactly the corruption the compaction
-    * protocol exists to prevent.
-    */
-  def rename(spark: SparkSession, src: String, dst: String): Unit = {
-    val s = new Path(src)
-    require(fsOf(spark, s).rename(s, new Path(dst)),
-      s"rename failed: $src -> $dst")
-  }
-
-  /** Write a small UTF-8 control-file (overwrite), parents included —
-    * the vacuum-horizon record. Tiny metadata only, never data.
-    */
-  def writeString(spark: SparkSession, path: String, content: String): Unit = {
-    val p = new Path(path)
-    val fs = fsOf(spark, p)
-    fs.mkdirs(p.getParent)
-    val out = fs.create(p, true)
-    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
-
-  /** Read a small UTF-8 control-file; None when missing. */
-  def readString(spark: SparkSession, path: String): Option[String] = {
-    val p = new Path(path)
-    val fs = fsOf(spark, p)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val bytes = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](4096)
-        var n = in.read(buf)
-        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-        Some(new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
-      } finally in.close()
-    }
-  }
 }

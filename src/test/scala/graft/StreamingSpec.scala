@@ -25,6 +25,20 @@ class StreamingSpec extends SparkSpec {
       p.toFile.setLastModified(System.currentTimeMillis() - ageSec * 1000))
   }
 
+  /** The live (published) tree of a per-batch-subdir table — where
+    * planted crash states and listing assertions must aim under the
+    * snapshot-pointer layout.
+    */
+  private def liveTree(dir: String): String =
+    EventStream.ensureLiveTree(spark, dir)
+
+  /** Data subdir names of the live tree (control files filtered: the
+    * `_published` marker plus Hadoop `.crc` sidecars).
+    */
+  private def treeDirs(dir: String): Seq[String] =
+    new java.io.File(liveTree(dir)).list()
+      .filter(n => !n.startsWith(".") && !n.startsWith("_")).sorted.toSeq
+
   test("streaming hourly counts equal the batch events_hourly result") {
     // file stream sources require a directory — stage the fixture file
     val dir = java.nio.file.Files.createTempDirectory("graft-stream")
@@ -275,10 +289,11 @@ class StreamingSpec extends SparkSpec {
     val outBase = java.nio.file.Files.createTempDirectory("graft-stream11-out")
     val out = outBase.resolve("pairs").toString
     val idx = outBase.resolve("index").toString
-    // plant the crashed attempt's leftovers (full copies — the worst case)
+    // plant the crashed attempt's leftovers (full copies — the worst
+    // case) inside the live trees the replay will resolve
     val incSh = Dedup.shingleDocs(increment)
-    incSh.write.parquet(s"$idx/shingles/b0")
-    Dedup.bandIndex(incSh).write.parquet(s"$idx/bands/b0")
+    incSh.write.parquet(s"${liveTree(s"$idx/shingles")}/b0")
+    Dedup.bandIndex(incSh).write.parquet(s"${liveTree(s"$idx/bands")}/b0")
     // seed dirs must also exist for the planted state to be read at all;
     // the stream's own seeding would write them — let it (no _SUCCESS
     // planted, so seeding runs normally and overwrites nothing of ours)
@@ -327,8 +342,8 @@ class StreamingSpec extends SparkSpec {
     // exactly as the subdir layout would, and the small-file subdirs
     // collapse to the one compacted dir
     streaming.EventStream.compactIngestIndex(spark, idx)
-    val shDirs = new java.io.File(s"$idx/shingles").list().sorted
-    assert(shDirs.sameElements(Array("seed")), s"shingles: ${shDirs.mkString(",")}")
+    val shDirs = treeDirs(s"$idx/shingles")
+    assert(shDirs == Seq("seed"), s"shingles: ${shDirs.mkString(",")}")
     docs.filter(col("doc_id") % 20 === 19)
       .coalesce(1).write.mode("append").parquet(dir.toString)
     run()
@@ -913,17 +928,19 @@ class StreamingSpec extends SparkSpec {
     assert(latest.count() == want.count() && want.count() > 0)
   }
 
-  test("index compaction recovers a crash between the swap renames") {
-    import graft.operators.Dedup
-    // build a real two-layout index (seed + one batch subdir), compact it,
-    // then reconstruct the exact crash state between the two swap renames:
-    // live dir moved aside, committed `_next` never renamed in
-    val dir = java.nio.file.Files.createTempDirectory("graft-swapcrash")
+  test("readers never see a half-published tree; the one-marker publish flips them atomically") {
+    // the snapshot-pointer protocol's core contract (the r15-verdict #2
+    // ask): a compaction/erasure crash leaves at worst a fully-written
+    // but UNPUBLISHED tree, which no reader resolves; the single
+    // `_published` create is the whole commit, and a racing reader sees
+    // either the old snapshot or the new one — never an empty table,
+    // never a mixture
+    val dir = java.nio.file.Files.createTempDirectory("graft-pubcrash")
     val docs = Tables.documents(spark, sf)
     docs.filter(col("doc_id") % 10 === 9)
       .coalesce(1).write.mode("append").parquet(dir.toString)
     val history = docs.filter(col("doc_id") % 10 =!= 9)
-    val outBase = java.nio.file.Files.createTempDirectory("graft-swapcrash-out")
+    val outBase = java.nio.file.Files.createTempDirectory("graft-pubcrash-out")
     val out = outBase.resolve("pairs").toString
     val idx = outBase.resolve("index").toString
     val stream = spark.readStream.schema(docs.schema)
@@ -931,28 +948,35 @@ class StreamingSpec extends SparkSpec {
     val query = streaming.EventStream.minhashIngestDedup(stream, history, out, idx)
     try query.processAllAvailable() finally query.stop()
     streaming.EventStream.compactIngestIndex(spark, idx)
+    val sh = s"$idx/shingles"
     def shingleRows() = spark.read
-      .option("recursiveFileLookup", "true").parquet(s"$idx/shingles")
+      .option("recursiveFileLookup", "true").parquet(liveTree(sh))
       .select(col("doc_id"), explode(col("sh")).alias("s"))
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     val before = shingleRows()
     assert(before.nonEmpty)
-    // the crash state: rename(dir, old) happened, rename(next, dir) did
-    // not — live missing, committed next present, old left behind
-    val sh = java.nio.file.Paths.get(s"$idx/shingles")
-    java.nio.file.Files.move(sh, java.nio.file.Paths.get(s"$idx/shingles_old"))
-    // the committed replacement IS the compacted layout (seed/_SUCCESS)
-    java.nio.file.Files.move(java.nio.file.Paths.get(s"$idx/shingles_old"),
-      java.nio.file.Paths.get(s"$idx/shingles_next"))
-    // plant a stale `_old` leftover too — recovery must vacuum it
-    val old = java.nio.file.Paths.get(s"$idx/shingles_old")
-    java.nio.file.Files.createDirectories(old)
-    java.nio.file.Files.write(old.resolve("stale"), Array[Byte](1))
+    // the crash state: a replacement tree fully WRITTEN AND COMMITTED
+    // (its seed has _SUCCESS) with clearly different rows, but the
+    // publish marker never landed
+    spark.read.parquet(s"${liveTree(sh)}/seed").limit(1)
+      .write.parquet(s"$sh/t9/seed")
+    assert(shingleRows() == before,
+      "a reader resolved an unpublished (crashed) tree")
+    // the next compaction entry vacuums the crashed build and proceeds
     streaming.EventStream.compactIngestIndex(spark, idx)
-    assert(java.nio.file.Files.exists(sh), "recovery did not restore the live dir")
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx/shingles_next")))
-    assert(!java.nio.file.Files.exists(old), "recovery left the stale _old dir")
-    assert(shingleRows() == before, "recovery changed the table's rows")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$sh/t9")),
+      "compaction entry left the crashed unpublished build")
+    assert(shingleRows() == before, "compaction changed the table's rows")
+    // and the publish IS the atomic flip: plant a one-row tree again,
+    // touch its marker, and readers resolve it immediately
+    val tiny = spark.read.parquet(s"${liveTree(sh)}/seed").limit(1)
+    tiny.write.parquet(s"$sh/t9/seed")
+    val tinyRows = tiny
+      .select(col("doc_id"), explode(col("sh")).alias("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$sh/t9/_published"))
+    assert(shingleRows() == tinyRows,
+      "the publish marker did not flip readers to the new tree")
   }
 
   test("phash ingest-dedup replay cleans a crashed attempt's committed leftovers") {
@@ -975,7 +999,7 @@ class StreamingSpec extends SparkSpec {
     // the committed leftover (Spark write → _SUCCESS present, so the
     // read-gating alone cannot hide it — the pre-clean must)
     Multimodal.phashBandsOf(Multimodal.phashSigsOf(increment))
-      .write.parquet(s"$idx/bands/b0")
+      .write.parquet(s"${liveTree(s"$idx/bands")}/b0")
     val stream = spark.readStream.schema(increment.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)
     val query = streaming.EventStream.phashIngestDedup(stream, history, out, idx)
@@ -1008,8 +1032,8 @@ class StreamingSpec extends SparkSpec {
     val committed = streaming.EventStream.ingestPairsRead(spark, out).count()
     assert(committed > 0)
     // plant the torn subdir: a full copy of b0's files WITHOUT _SUCCESS
-    val b0 = java.nio.file.Paths.get(s"$out/b0")
-    val torn = java.nio.file.Paths.get(s"$out/b99")
+    val b0 = java.nio.file.Paths.get(s"${liveTree(out)}/b0")
+    val torn = java.nio.file.Paths.get(s"${liveTree(out)}/b99")
     java.nio.file.Files.createDirectories(torn)
     java.nio.file.Files.list(b0)
       .filter(p => !p.getFileName.toString.startsWith("_"))
@@ -1040,7 +1064,7 @@ class StreamingSpec extends SparkSpec {
     val query = streaming.EventStream.minhashIngestDedup(stream, history, out, idx)
     try query.processAllAvailable() finally query.stop()
     def shingleRows() = spark.read
-      .option("recursiveFileLookup", "true").parquet(s"$idx/shingles")
+      .option("recursiveFileLookup", "true").parquet(liveTree(s"$idx/shingles"))
       .select(col("doc_id"), explode(col("sh")).alias("s"))
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     val marked = shingleRows()
@@ -1048,11 +1072,11 @@ class StreamingSpec extends SparkSpec {
     // got its marker): full shingle+band copies, Spark-committed
     val b1docs = docs.filter(col("doc_id") % 20 === 19)
     val b1sh = Dedup.shingleDocs(b1docs)
-    b1sh.write.parquet(s"$idx/shingles/b1")
-    Dedup.bandIndex(b1sh).write.parquet(s"$idx/bands/b1")
+    b1sh.write.parquet(s"${liveTree(s"$idx/shingles")}/b1")
+    Dedup.bandIndex(b1sh).write.parquet(s"${liveTree(s"$idx/bands")}/b1")
     streaming.EventStream.compactIngestIndex(spark, idx)
-    val dirs = new java.io.File(s"$idx/shingles").list().sorted
-    assert(dirs.sameElements(Array("seed")), s"shingles: ${dirs.mkString(",")}")
+    val dirs = treeDirs(s"$idx/shingles")
+    assert(dirs == Seq("seed"), s"shingles: ${dirs.mkString(",")}")
     assert(shingleRows() == marked,
       "compaction folded an unmarked batch's rows into the seed")
   }
@@ -1078,7 +1102,7 @@ class StreamingSpec extends SparkSpec {
       stream, history, out, idx, checkpointDir = Some(ckpt))
     try query.processAllAvailable() finally query.stop()
     def shingleRows() = spark.read
-      .option("recursiveFileLookup", "true").parquet(s"$idx/shingles")
+      .option("recursiveFileLookup", "true").parquet(liveTree(s"$idx/shingles"))
       .select(col("doc_id"), explode(col("sh")).alias("s"))
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     val before = shingleRows()
@@ -1091,8 +1115,8 @@ class StreamingSpec extends SparkSpec {
       "compaction dropped a vacuumed (applied) batch's index rows")
     // and the pairs OUTPUT table compacts the same way (first seed here)
     streaming.EventStream.compactIngestPairs(spark, out, idx)
-    val pairDirs = new java.io.File(out).list().filter(!_.startsWith("_")).sorted
-    assert(pairDirs.sameElements(Array("seed")), s"pairs: ${pairDirs.mkString(",")}")
+    val pairDirs = treeDirs(out)
+    assert(pairDirs == Seq("seed"), s"pairs: ${pairDirs.mkString(",")}")
     assert(streaming.EventStream.ingestPairsRead(spark, out)
       .collect().map(_.toSeq).toSet == pairsBefore)
   }
@@ -1209,9 +1233,8 @@ class StreamingSpec extends SparkSpec {
       "maintained-index BM25 diverged from the batch retrieval query")
     // compaction consolidates the subdirs without changing what serves
     streaming.EventStream.compactTfIndex(spark, indexDir)
-    val dirs = new java.io.File(s"$indexDir/tf").list()
-      .filter(!_.startsWith("_")).sorted
-    assert(dirs.sameElements(Array("seed")), s"tf dirs: ${dirs.mkString(",")}")
+    val dirs = treeDirs(s"$indexDir/tf")
+    assert(dirs == Seq("seed"), s"tf dirs: ${dirs.mkString(",")}")
     assert(serve() == want, "compaction changed the served BM25 top-k")
     // ERASURE THROUGH SERVING: forget a doc slice from the index
     // (quiesced, all markers landed) — the served BM25 must equal the
@@ -1234,7 +1257,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("tf-index erasure works on the uncompacted multi-subdir tree and" +
-      " through a crashed-swap recovery entry") {
+      " beside a crashed unpublished build") {
     import graft.operators.TextAnalysis
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
@@ -1250,10 +1273,10 @@ class StreamingSpec extends SparkSpec {
       stream, docs.filter(!isBatch), indexDir,
       checkpointDir = Some(outBase.resolve("ckpt").toString))
     try q1.processAllAvailable() finally q1.stop()
-    // the tree is seed + b0 + b1 — erase directly on the MULTI-SUBDIR
-    // layout (the marker-gated foldable path under a transform)
-    val preDirs = new java.io.File(s"$indexDir/tf").list()
-      .filter(!_.startsWith("_")).sorted
+    // the live tree is seed + b0 + b1 — erase directly on the
+    // MULTI-SUBDIR layout (the marker-gated foldable path under a
+    // transform)
+    val preDirs = treeDirs(s"$indexDir/tf")
     assert(preDirs.length > 1, s"fixture should be uncompacted: ${preDirs.mkString(",")}")
     val isForgotten = col("doc_id") % 10 === 9
     streaming.EventStream.forgetDocsFromTfIndex(spark, indexDir,
@@ -1265,24 +1288,28 @@ class StreamingSpec extends SparkSpec {
     assert(tf1.collect().map(_.toSeq).toSet ==
       TextAnalysis.termFreqsOf(survivors).collect().map(_.toSeq).toSet,
       "erased multi-subdir tree must equal the surviving-docs tokenization")
-    // crashed-swap recovery entry: live tree moved aside, committed
-    // replacement parked at _next — an erasure entering HERE must first
-    // finish the swap and STILL erase (a recovery-then-return would be a
-    // silent non-erasure with no error to trigger the regulatory re-run)
+    // erasure must VACUUM the superseded tree — the forgotten rows'
+    // directory is the very thing the deletion request targets, so the
+    // grace-snapshot discipline of plain compaction does not apply
     val tfDir = s"$indexDir/tf"
-    spark.read.parquet(s"$tfDir/seed")
-      .write.mode("overwrite").parquet(s"${tfDir}_next/seed")
-    // local-FS delete of the live tree (the crash left it moved aside)
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(java.nio.file.Paths.get(tfDir))
-      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .iterator().asScala.foreach(java.nio.file.Files.delete)
+    val treesAfter = new java.io.File(tfDir).list().filter(_.startsWith("t")).sorted
+    assert(treesAfter.length == 1,
+      s"erasure left the superseded (forgotten-rows) tree: ${treesAfter.mkString(",")}")
+    // a crashed unpublished build parked beside the live tree (the new
+    // protocol's only crash residue) must not stop a later erasure, and
+    // the erasure must STILL erase — a recovery path that skipped the
+    // caller's transform would be a silent non-erasure with no error to
+    // trigger the regulatory re-run
+    spark.read.parquet(s"${liveTree(tfDir)}/seed")
+      .write.parquet(s"$tfDir/t90/seed")
     val forgetMore = col("doc_id") % 10 === 4
     streaming.EventStream.forgetDocsFromTfIndex(spark, indexDir,
       docs.filter(forgetMore).select(col("doc_id")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tfDir/t90")),
+      "erasure entry left the crashed unpublished build (holding forgotten rows)")
     val tf2 = streaming.EventStream.tfIndexRead(spark, indexDir)
     assert(tf2.filter(col("doc_id") % 10 === 4).count() == 0,
-      "erasure through the crashed-swap recovery entry erased nothing")
+      "erasure beside a crashed build erased nothing")
     assert(tf2.collect().map(_.toSeq).toSet ==
       TextAnalysis.termFreqsOf(survivors.filter(!forgetMore))
         .collect().map(_.toSeq).toSet)
@@ -1296,15 +1323,18 @@ class StreamingSpec extends SparkSpec {
     val batch = Similarity.maintainedBatch(spark, sf)
     val indexDir = java.nio.file.Files.createTempDirectory("graft-anntorn").toString
     // seed the index directly (the stream's own seed shape)
-    Similarity.pqEncodeWith(history, cb).write.parquet(s"$indexDir/codes/seed")
-    Similarity.assignCellsTo(history, cents).write.parquet(s"$indexDir/cells/seed")
+    Similarity.pqEncodeWith(history, cb)
+      .write.parquet(s"${liveTree(s"$indexDir/codes")}/seed")
+    Similarity.assignCellsTo(history, cents)
+      .write.parquet(s"${liveTree(s"$indexDir/cells")}/seed")
     val served0 = Similarity.ivfpqServeTop5(spark, sf,
       streaming.EventStream.annIndexCellsRead(spark, indexDir),
       streaming.EventStream.annIndexCodesRead(spark, indexDir), cb)
       .collect().map(_.toSeq).toSet
     // the torn state the write ORDER guarantees: codes/b99 committed,
     // cells/b99 never written (crash between the two writes)
-    Similarity.pqEncodeWith(batch, cb).write.parquet(s"$indexDir/codes/b99")
+    Similarity.pqEncodeWith(batch, cb)
+      .write.parquet(s"${liveTree(s"$indexDir/codes")}/b99")
     val served1 = Similarity.ivfpqServeTop5(spark, sf,
       streaming.EventStream.annIndexCellsRead(spark, indexDir),
       streaming.EventStream.annIndexCodesRead(spark, indexDir), cb)
@@ -1315,8 +1345,9 @@ class StreamingSpec extends SparkSpec {
 
   test("compacting a half-seeded index fails loudly instead of publishing an empty seed") {
     val idx = java.nio.file.Files.createTempDirectory("graft-halfseed").toString
-    // the crash state: seed dir exists, no _SUCCESS (write died mid-job)
-    val seed = java.nio.file.Paths.get(s"$idx/shingles/seed")
+    // the crash state: seed dir exists in the live tree, no _SUCCESS
+    // (write died mid-job)
+    val seed = java.nio.file.Paths.get(s"${liveTree(s"$idx/shingles")}/seed")
     java.nio.file.Files.createDirectories(seed)
     java.nio.file.Files.write(seed.resolve("part-00000"), Array[Byte](1, 2, 3))
     val e = intercept[IllegalArgumentException] {
@@ -1325,6 +1356,22 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("without commit evidence"), s"wrong failure: $e")
     // the uncommitted data was not destroyed
     assert(java.nio.file.Files.exists(seed.resolve("part-00000")))
+  }
+
+  test("compacting a never-seeded index table fails loudly (requireSeed)") {
+    // the ADVICE-named window: an index whose history seed crashed
+    // before its dir landed (or was never seeded) must not be compacted
+    // into an empty committed seed the seed guard then trusts forever —
+    // the seedless layout is legitimate only for OUTPUT (pairs) tables
+    val idx = java.nio.file.Files.createTempDirectory("graft-noseed").toString
+    // a published tree with one committed batch subdir but NO seed
+    Tables.documents(spark, sf).limit(1).select(
+        col("doc_id"), array(col("text")).alias("sh"))
+      .write.parquet(s"${liveTree(s"$idx/shingles")}/b0")
+    val e = intercept[IllegalArgumentException] {
+      streaming.EventStream.compactIngestIndex(spark, idx)
+    }
+    assert(e.getMessage.contains("no seed at all"), s"wrong failure: $e")
   }
 
   test("foreachBatch phash ingest-dedup equals the batch pair set across restarted runs") {
@@ -1359,8 +1406,8 @@ class StreamingSpec extends SparkSpec {
     // compact between the runs: run 2 must probe the consolidated index
     // exactly as it would the subdir layout
     streaming.EventStream.compactPhashIndex(spark, idx)
-    val bandDirs = new java.io.File(s"$idx/bands").list().sorted
-    assert(bandDirs.sameElements(Array("seed")), s"bands: ${bandDirs.mkString(",")}")
+    val bandDirs = treeDirs(s"$idx/bands")
+    assert(bandDirs == Seq("seed"), s"bands: ${bandDirs.mkString(",")}")
     media(docs.filter(col("doc_id") % 20 === 19))
       .coalesce(1).write.mode("append").parquet(dir.toString)
     run()
@@ -1424,8 +1471,8 @@ class StreamingSpec extends SparkSpec {
     // compaction collapses the per-batch subdirs and changes NOTHING
     // the index serves
     streaming.EventStream.compactAnnIndex(spark, indexDir)
-    val cellDirs = new java.io.File(s"$indexDir/cells").list().sorted
-    assert(cellDirs.sameElements(Array("seed")), s"cells: ${cellDirs.mkString(",")}")
+    val cellDirs = treeDirs(s"$indexDir/cells")
+    assert(cellDirs == Seq("seed"), s"cells: ${cellDirs.mkString(",")}")
     val cells2 = streaming.EventStream.annIndexCellsRead(spark, indexDir)
     val codes2 = streaming.EventStream.annIndexCodesRead(spark, indexDir)
     assert(cells2.exceptAll(wantCells).count() == 0)
