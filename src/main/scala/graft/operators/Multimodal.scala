@@ -296,6 +296,63 @@ object Multimodal {
       .orderBy("media_a", "media_b")
   }
 
+  /** The phash erasure rule — every tenth asset plays the deletion
+    * queue; ONE spelling for the Spark side and (interpolated) the
+    * DuckDB oracle. The residue class intersects the fixture's planted
+    * near-dup endpoints, so the gate provably DELETES pairs rather than
+    * filtering nothing (MultimodalSpec pins both directions).
+    */
+  private[graft] def phashForgottenRule(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c % 10 === 0
+
+  /** RIGHT-TO-BE-FORGOTTEN THROUGH THE MEDIA INDEX — the binary tier's
+    * erasure gate beside the ANN one (`ann_forget_vectors`): the stored
+    * band index and the served verified-pairs table a completed
+    * [[graft.streaming.EventStream.phashIngestDedup]] run leaves on disk
+    * are seeded from the full corpus, the deletion list
+    * ([[phashForgottenRule]]) is propagated through
+    * [[graft.streaming.EventStream.forgetMediaFromPhashIndex]]
+    * (pairs first — the served surface; a pair dies when EITHER endpoint
+    * is forgotten — then bands, each an anti-join republished through
+    * the snapshot-pointer protocol with the superseded tree vacuumed),
+    * and the SERVED pair set is what this query returns.
+    *
+    * The oracle is the exhaustive all-pairs scan over SURVIVING media
+    * only — so the gate proves erasure ≡ filter-rebuild through the
+    * pair-serving plan, riding the already-proven pigeonhole
+    * losslessness of the banding. Band-side erasure (a forgotten asset
+    * must never match a FUTURE ingest batch as a ghost neighbor) is
+    * pinned in MultimodalSpec by probing the erased index with a fresh
+    * batch.
+    *
+    * Memoized durably behind a committed-seed guard (the
+    * `dim_customer_forget_keys` discipline): a second JVM skips
+    * re-seeding and re-runs the erasure against the erased tables as a
+    * no-op.
+    */
+  def phashForgetMedia(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoizedDurable(s"multimodal.phashForget:$sfDir") {
+      import graft.streaming.EventStream
+      val base = Layout.tmpPath("graft-phforget", sfDir)
+      val indexDir = s"$base/index"
+      val pairsDir = s"$base/pairs"
+      if (!EventStream.hasCommittedSeed(spark, s"$indexDir/bands")) {
+        // pairs first, bands second, guard on the LAST write — a crash
+        // between the two re-seeds both (the two-table seed discipline
+        // of the maintenance streams)
+        val bands = phashBandsOf(phashSigs(spark, sfDir))
+        phashVerifiedPairs(bands, bands).write.mode("overwrite")
+          .parquet(s"${EventStream.ensureLiveTree(spark, pairsDir)}/seed")
+        bands.write.mode("overwrite")
+          .parquet(s"${EventStream.ensureLiveTree(spark, s"$indexDir/bands")}/seed")
+      }
+      EventStream.forgetMediaFromPhashIndex(spark, indexDir, pairsDir,
+        phashSigs(spark, sfDir).filter(phashForgottenRule(col("media_id")))
+          .select(col("media_id")))
+      EventStream.phashPairsRead(spark, pairsDir)
+        .orderBy("media_a", "media_b")
+    }
+
   /** Perceptual near-dup CLUSTERS: connected components over the verified
     * phash pair graph — the "keep one asset per duplicate group" step a
     * media pipeline runs after [[phashDupes]], exactly the text tier's
@@ -339,6 +396,20 @@ object Multimodal {
       |                > b[g + 1].s * b[g + 2].l THEN 1 ELSE 0 END)) AS phash
       |  FROM bsums)""".stripMargin
 
+  /** The exhaustive verified-pair oracle, parameterized by the erasure
+    * predicate — ONE spelling behind `multimodal_phash_dupes` (TRUE) and
+    * `phash_forget_media`, so the pair definition cannot drift between
+    * the dedup gate and its erasure twin.
+    */
+  private def phashPairsOracleSql(pred: String): String =
+    s"""WITH $phashCteSql
+       |SELECT a.media_id AS media_a, b.media_id AS media_b,
+       |       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+       |FROM psig a JOIN psig b ON a.media_id < b.media_id
+       |WHERE bit_count(xor(a.phash, b.phash)) <= $PhashHammingMax
+       |  AND $pred
+       |ORDER BY media_a, media_b""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "multimodal_phash_clusters" ->
       s"""WITH RECURSIVE $phashCteSql,
@@ -358,13 +429,12 @@ object Multimodal {
          |SELECT media_id, cluster_id,
          |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
          |FROM comp ORDER BY media_id""".stripMargin,
-    "multimodal_phash_dupes" ->
-      s"""WITH $phashCteSql
-         |SELECT a.media_id AS media_a, b.media_id AS media_b,
-         |       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
-         |FROM psig a JOIN psig b ON a.media_id < b.media_id
-         |WHERE bit_count(xor(a.phash, b.phash)) <= $PhashHammingMax
-         |ORDER BY media_a, media_b""".stripMargin,
+    "multimodal_phash_dupes" -> phashPairsOracleSql("TRUE"),
+    // the erasure gate: the SAME exhaustive pair spelling restricted to
+    // surviving media on BOTH endpoints — erasure ≡ filter-rebuild
+    // through the pair-serving plan
+    "phash_forget_media" ->
+      phashPairsOracleSql("a.media_id % 10 != 0 AND b.media_id % 10 != 0"),
     "multimodal_frame_sample" ->
       s"""WITH base AS (
          |  SELECT doc_id AS media_id, text AS payload,
@@ -397,5 +467,6 @@ object Multimodal {
     "multimodal_frame_sample" -> frameSample _,
     "multimodal_phash_dupes" -> phashDupes _,
     "multimodal_phash_clusters" -> phashClusters _,
+    "phash_forget_media" -> phashForgetMedia _,
   )
 }

@@ -467,7 +467,16 @@ object Similarity {
     */
   private def recallAt5Against(spark: SparkSession, sfDir: String,
       approxTop5: DataFrame, countName: String): DataFrame =
-    knnBrute(spark, sfDir).select(col("query_id"), col("neighbor_id"))
+    recallTailAgainst(
+      knnBrute(spark, sfDir).select(col("query_id"), col("neighbor_id")),
+      approxTop5, countName)
+
+  /** The recall tail over an arbitrary baseline pair set — opened up for
+    * the erasure gate, whose baseline is brute top-5 over SURVIVORS.
+    */
+  private def recallTailAgainst(base: DataFrame,
+      approxTop5: DataFrame, countName: String): DataFrame =
+    base
       .join(approxTop5.withColumn("hit", lit(1L)),
         Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
@@ -476,6 +485,25 @@ object Similarity {
       .select(col("query_id"), col(countName), col("n_hits"),
         (col("n_hits").cast("double") / col(countName)).alias("recall_at_5"))
       .orderBy("query_id")
+
+  /** Brute-force top-5 PAIRS over an arbitrary corpus frame (queries =
+    * its `vec_id < 10` rows) — [[knnBrute]]'s scoring opened to the
+    * erasure gate's survivor corpus.
+    */
+  private def bruteTop5PairsOver(corpus: DataFrame): DataFrame = {
+    val queryVecs = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").alias("query_id"), col("v").alias("qv"),
+        col("n2").alias("qn2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    corpus.join(broadcast(queryVecs), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").alias("neighbor_id"),
+        V.qcosineFrom(V.qdot(col("qv"), col("v")), col("qn2"), col("n2"))
+          .alias("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"))
+  }
 
   /** INT8 SCALAR QUANTIZATION (SQ8) of the verified integer embeddings:
     * per-vector scale s = max|x| (floored at 1 so a zero vector maps to
@@ -1068,6 +1096,70 @@ object Similarity {
     pqCodesFor(pqSubvectorsOf(quantized(spark, sfDir)),
       maintainedCodebooks(spark, sfDir))
 
+  /** The erasure rule of the ANN forget gate — corpus vectors only
+    * (query ids < 10 are never in a delete list here, so the oracle's
+    * probe set is untouched), residue class 3 mod 17 playing the GDPR
+    * request queue. ONE spelling for the Spark side and (via
+    * [[AnnForgetKeepSql]]) the DuckDB oracle.
+    */
+  private[graft] def annForgottenRule(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c >= 10 && c % 17 === 3
+
+  private val AnnForgetKeepSql = "NOT (vec_id >= 10 AND vec_id % 17 = 3)"
+
+  /** RIGHT-TO-BE-FORGOTTEN THROUGH THE SERVED ANN INDEX — the r15
+    * verdict's top ask, completing the erasure story across every
+    * maintained state class (rows, aggregates, tf index, and now the
+    * embeddings tier): the maintained IVF-PQ index (frozen
+    * history-trained parameters, the `ivfpq_maintained_recall_at_5`
+    * state) is written to disk as the stored cells/codes tables a
+    * maintenance run leaves behind, the erasure list
+    * ([[annForgottenRule]]) is propagated through
+    * [[graft.streaming.EventStream.forgetVectorsFromAnnIndex]]
+    * (anti-join + snapshot-pointer republish, superseded tree vacuumed),
+    * and the SERVED result — the identical probe → LUT → ADC plan over
+    * the erased stored tables — is reported as recall@5 against the
+    * brute top-5 over SURVIVING vectors only.
+    *
+    * The oracle ([[maintainedServeOracleSql]] with the erasure
+    * predicate) retrains the frozen parameters on history, restricts
+    * the index AND the brute baseline to survivors, and replays serving
+    * end-to-end — so the gate proves erasure ≡ filter-rebuild THROUGH
+    * SERVING, and a forgotten vector surviving anywhere in the index
+    * surfaces as a hash mismatch (it would perturb candidates or
+    * ranks). SimilaritySpec additionally pins that no forgotten id is
+    * ever served as a neighbor and that the erased tables are
+    * row-identical to the filter-rebuild.
+    *
+    * Memoized durably (the `dim_customer_forget_keys` discipline): seed
+    * + erase run once per JVM behind a committed-seed guard, so a second
+    * JVM re-runs the erasure against the already-erased table as a
+    * no-op instead of re-seeding pre-erasure rows.
+    */
+  def annForgetVectors(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoizedDurable(s"similarity.annForget:$sfDir") {
+      import graft.streaming.EventStream
+      val indexDir = Layout.tmpPath("graft-annforget", sfDir)
+      if (!EventStream.hasCommittedSeed(spark, s"$indexDir/cells")) {
+        // codes before cells — the maintenance stream's torn-state order
+        maintainedCodes(spark, sfDir).write.mode("overwrite")
+          .parquet(s"${EventStream.ensureLiveTree(spark, s"$indexDir/codes")}/seed")
+        maintainedCells(spark, sfDir).write.mode("overwrite")
+          .parquet(s"${EventStream.ensureLiveTree(spark, s"$indexDir/cells")}/seed")
+      }
+      EventStream.forgetVectorsFromAnnIndex(spark, indexDir,
+        quantized(spark, sfDir).filter(annForgottenRule(col("vec_id")))
+          .select(col("vec_id")))
+      val served = ivfpqServeTop5(spark, sfDir,
+        EventStream.annIndexCellsRead(spark, indexDir),
+        EventStream.annIndexCodesRead(spark, indexDir),
+        maintainedCodebooks(spark, sfDir))
+      recallTailAgainst(
+        bruteTop5PairsOver(quantized(spark, sfDir)
+          .filter(!annForgottenRule(col("vec_id")))),
+        served, countName = "n_exact")
+    }
+
   /** Squared Euclidean distance between two double arrays — narrow
     * higher-order expressions (rewritten to the codegen'd dot-product
     * expression where the graft extensions are installed).
@@ -1487,6 +1579,94 @@ object Similarity {
        |    JOIN qn q ON q.vec_id = c.query_id
        |    JOIN qn n ON n.vec_id = c.neighbor_id)
        |  WHERE rank <= $depth)""".stripMargin
+
+  /** The MAINTAINED-INDEX serving oracle, parameterized by the corpus
+    * predicate erasure applies — ONE spelling behind
+    * `ivfpq_maintained_recall_at_5` (predicate TRUE) and
+    * `ann_forget_vectors` (the erasure rule), the shared-CTE discipline
+    * that keeps twin consumers from drifting apart: train on history
+    * only (hq / hsubs), freeze, assign + encode everything (per-vector
+    * fold ≡ union rebuild), restrict the stored index rows to
+    * `corpusPred` survivors, serve through the identical
+    * probe → LUT → ADC plan, and report recall@5 against the brute
+    * top-5 whose NEIGHBOR side honors the same predicate (a forgotten
+    * vector is not a legal answer for the baseline either — erasure ≡
+    * filter-rebuild through serving).
+    */
+  private def maintainedServeOracleSql(corpusPred: String): String =
+    s"""WITH $quantizedSql,
+       |hq AS (SELECT * FROM qn WHERE vec_id % 10 != 9),
+       |cents0 AS (
+       |  SELECT vec_id AS c_id, v AS cv, n2 AS cn2 FROM hq WHERE vec_id % 97 = 0),
+       |${refineAssignSql("masg1", "cents0", from = "hq")},
+       |${refineCentsSql("mcents1", "masg1")},
+       |${refineAssignSql("masg2", "mcents1", from = "hq")},
+       |${refineCentsSql("mcents2", "masg2")},
+       |${refineAssignSql("cellsm", "mcents2", from = "qn")},
+       |cellsx AS (SELECT * FROM cellsm WHERE $corpusPred),
+       |subs AS (
+       |  SELECT vec_id, n2, CAST(j AS INT) AS j,
+       |         list_slice(v, CAST(j AS INT) * 8 + 1, CAST(j AS INT) * 8 + 8) AS sv
+       |  FROM qn, range(8) t(j)),
+       |hsubs AS (SELECT * FROM subs WHERE vec_id % 10 != 9),
+       |cb0 AS (
+       |  SELECT j, vec_id AS c_id, sv AS cv FROM hsubs WHERE vec_id % 499 = 0),
+       |${pqRefineAssignSql("mpqasg1", "cb0", from = "hsubs")},
+       |${pqRefineCentsSql("mpqcents1", "mpqasg1")},
+       |${pqRefineAssignSql("mpqasg2", "mpqcents1", from = "hsubs")},
+       |${pqRefineCentsSql("mpqcents2", "mpqasg2")},
+       |enc AS (
+       |  SELECT s.vec_id, s.j, c.c_id,
+       |         row_number() OVER (PARTITION BY s.vec_id, s.j
+       |           ORDER BY ${V.qnorm2Sql("c.cv", 8)}
+       |                      - 2 * ${V.qdotSql("s.sv", "c.cv", 8)} ASC,
+       |                    c.c_id ASC) AS rn
+       |  FROM subs s JOIN mpqcents2 c ON s.j = c.j),
+       |codes AS (SELECT vec_id, j, c_id AS code FROM enc WHERE rn = 1),
+       |codesx AS (SELECT * FROM codes WHERE $corpusPred),
+       |lut AS (
+       |  SELECT q.vec_id AS query_id, c.j, c.c_id AS code,
+       |         ${V.qdotSql("q.sv", "c.cv", 8)} AS pdot,
+       |         ${V.qnorm2Sql("c.cv", 8)} AS cn2
+       |  FROM subs q JOIN mpqcents2 c ON q.j = c.j
+       |  WHERE q.vec_id < 10),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cell AS qcell FROM cellsx WHERE vec_id < 10),
+       |cand AS (
+       |  SELECT p.query_id, c.vec_id FROM cellsx c JOIN probes p
+       |    ON c.cell = p.qcell AND c.vec_id != p.query_id),
+       |adc AS (
+       |  SELECT d.query_id, k.vec_id,
+       |         CAST(sum(pdot) AS BIGINT) AS adc_dot,
+       |         CAST(sum(cn2) AS BIGINT) AS recon_n2
+       |  FROM codesx k
+       |  JOIN cand d ON k.vec_id = d.vec_id
+       |  JOIN lut l ON k.j = l.j AND k.code = l.code AND l.query_id = d.query_id
+       |  GROUP BY 1, 2),
+       |ivfpq AS (
+       |  SELECT query_id, vec_id AS neighbor_id FROM (
+       |    SELECT a.query_id, a.vec_id,
+       |           row_number() OVER (PARTITION BY a.query_id
+       |             ORDER BY CAST(a.adc_dot AS DOUBLE)
+       |                        / (sqrt(q.n2) * sqrt(a.recon_n2)) DESC,
+       |                      a.vec_id ASC) AS rank
+       |    FROM adc a JOIN qn q ON q.vec_id = a.query_id)
+       |  WHERE rank <= 5),
+       |brute AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |             ORDER BY $qdotAB / (sqrt(a.n2) * sqrt(b.n2)) DESC,
+       |                      b.vec_id ASC) AS rank
+       |    FROM qn a JOIN cellsx b ON a.vec_id < 10 AND b.vec_id != a.vec_id)
+       |  WHERE rank <= 5)
+       |SELECT b.query_id AS query_id,
+       |       CAST(count(*) AS BIGINT) AS n_exact,
+       |       CAST(count(p.neighbor_id) AS BIGINT) AS n_hits,
+       |       CAST(count(p.neighbor_id) AS DOUBLE) / count(*) AS recall_at_5
+       |FROM brute b LEFT JOIN ivfpq p
+       |  ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+       |GROUP BY 1 ORDER BY query_id""".stripMargin
 
   /** DuckDB CTE pair for one cosine-argmax assignment against a centroid
     * CTE (`c_id`, `cv`, `cn2`) — the building block the refined-IVF
@@ -1909,71 +2089,11 @@ object Similarity {
          |GROUP BY 1 ORDER BY query_id""".stripMargin,
     // the maintained index: train on history only (hq / hsubs), freeze,
     // assign + encode EVERYTHING (per-vector fold ≡ union rebuild), serve
-    "ivfpq_maintained_recall_at_5" ->
-      s"""WITH $quantizedSql,
-         |hq AS (SELECT * FROM qn WHERE vec_id % 10 != 9),
-         |cents0 AS (
-         |  SELECT vec_id AS c_id, v AS cv, n2 AS cn2 FROM hq WHERE vec_id % 97 = 0),
-         |${refineAssignSql("masg1", "cents0", from = "hq")},
-         |${refineCentsSql("mcents1", "masg1")},
-         |${refineAssignSql("masg2", "mcents1", from = "hq")},
-         |${refineCentsSql("mcents2", "masg2")},
-         |${refineAssignSql("cellsm", "mcents2", from = "qn")},
-         |subs AS (
-         |  SELECT vec_id, n2, CAST(j AS INT) AS j,
-         |         list_slice(v, CAST(j AS INT) * 8 + 1, CAST(j AS INT) * 8 + 8) AS sv
-         |  FROM qn, range(8) t(j)),
-         |hsubs AS (SELECT * FROM subs WHERE vec_id % 10 != 9),
-         |cb0 AS (
-         |  SELECT j, vec_id AS c_id, sv AS cv FROM hsubs WHERE vec_id % 499 = 0),
-         |${pqRefineAssignSql("mpqasg1", "cb0", from = "hsubs")},
-         |${pqRefineCentsSql("mpqcents1", "mpqasg1")},
-         |${pqRefineAssignSql("mpqasg2", "mpqcents1", from = "hsubs")},
-         |${pqRefineCentsSql("mpqcents2", "mpqasg2")},
-         |enc AS (
-         |  SELECT s.vec_id, s.j, c.c_id,
-         |         row_number() OVER (PARTITION BY s.vec_id, s.j
-         |           ORDER BY ${V.qnorm2Sql("c.cv", 8)}
-         |                      - 2 * ${V.qdotSql("s.sv", "c.cv", 8)} ASC,
-         |                    c.c_id ASC) AS rn
-         |  FROM subs s JOIN mpqcents2 c ON s.j = c.j),
-         |codes AS (SELECT vec_id, j, c_id AS code FROM enc WHERE rn = 1),
-         |lut AS (
-         |  SELECT q.vec_id AS query_id, c.j, c.c_id AS code,
-         |         ${V.qdotSql("q.sv", "c.cv", 8)} AS pdot,
-         |         ${V.qnorm2Sql("c.cv", 8)} AS cn2
-         |  FROM subs q JOIN mpqcents2 c ON q.j = c.j
-         |  WHERE q.vec_id < 10),
-         |probes AS (
-         |  SELECT vec_id AS query_id, cell AS qcell FROM cellsm WHERE vec_id < 10),
-         |cand AS (
-         |  SELECT p.query_id, c.vec_id FROM cellsm c JOIN probes p
-         |    ON c.cell = p.qcell AND c.vec_id != p.query_id),
-         |adc AS (
-         |  SELECT d.query_id, k.vec_id,
-         |         CAST(sum(pdot) AS BIGINT) AS adc_dot,
-         |         CAST(sum(cn2) AS BIGINT) AS recon_n2
-         |  FROM codes k
-         |  JOIN cand d ON k.vec_id = d.vec_id
-         |  JOIN lut l ON k.j = l.j AND k.code = l.code AND l.query_id = d.query_id
-         |  GROUP BY 1, 2),
-         |ivfpq AS (
-         |  SELECT query_id, vec_id AS neighbor_id FROM (
-         |    SELECT a.query_id, a.vec_id,
-         |           row_number() OVER (PARTITION BY a.query_id
-         |             ORDER BY CAST(a.adc_dot AS DOUBLE)
-         |                        / (sqrt(q.n2) * sqrt(a.recon_n2)) DESC,
-         |                      a.vec_id ASC) AS rank
-         |    FROM adc a JOIN qn q ON q.vec_id = a.query_id)
-         |  WHERE rank <= 5),
-         |$bruteTop5Cte
-         |SELECT b.query_id AS query_id,
-         |       CAST(count(*) AS BIGINT) AS n_exact,
-         |       CAST(count(p.neighbor_id) AS BIGINT) AS n_hits,
-         |       CAST(count(p.neighbor_id) AS DOUBLE) / count(*) AS recall_at_5
-         |FROM brute b LEFT JOIN ivfpq p
-         |  ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
-         |GROUP BY 1 ORDER BY query_id""".stripMargin,
+    // — one parameterized spelling shared with the erasure gate
+    "ivfpq_maintained_recall_at_5" -> maintainedServeOracleSql("TRUE"),
+    // the erasure gate: same frozen training, index AND brute baseline
+    // restricted to survivors — erasure ≡ filter-rebuild through serving
+    "ann_forget_vectors" -> maintainedServeOracleSql(AnnForgetKeepSql),
     "pq_adc_recall_at_5" -> pqAdcOracleSql(cbName = "cb", extraCtes = ""),
     "pq_recall_refined" -> pqAdcOracleSql(cbName = "pqcents2", extraCtes =
       s"""${pqRefineAssignSql("pqasg1", "cb")},
@@ -2098,6 +2218,7 @@ object Similarity {
     "ivfpq_recall_at_5"       -> ivfpqRecallAt5 _,
     "ivfpq_rerank_recall_at_5" -> ivfpqRerankRecallAt5 _,
     "ivfpq_maintained_recall_at_5" -> ivfpqMaintainedRecallAt5 _,
+    "ann_forget_vectors"      -> annForgetVectors _,
     "mrl_truncation_recall_at_5" -> mrlRecallAt5 _,
     "mrl_rerank_recall_at_5"  -> mrlRerankRecallAt5 _,
   )

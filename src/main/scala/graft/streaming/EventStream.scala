@@ -258,6 +258,17 @@ object EventStream {
       s"$dir/t0"
     }
 
+  /** Commit evidence for a table's history seed — the guard the
+    * registered erasure gates use to make their seed-then-erase builds
+    * idempotent across JVMs (the [[seedBucketedState]] discipline for
+    * tree-layout tables): a second run finds the committed seed, skips
+    * re-seeding the erased table with pre-erasure rows, and re-runs the
+    * erasure as a no-op.
+    */
+  private[graft] def hasCommittedSeed(spark: SparkSession, dir: String): Boolean =
+    liveTreeOpt(spark, dir)
+      .exists(t => StateFs.exists(spark, s"$t/seed/_SUCCESS"))
+
   /** Committed (job-commit `_SUCCESS` present) subdirs of one tree —
     * the `_published` marker is a file, never matches.
     */
@@ -413,6 +424,13 @@ object EventStream {
     */
   def phashPairsRead(spark: SparkSession, pairsOutDir: String): DataFrame =
     batchDirsRead(spark, pairsOutDir, phashPairsSchema)
+
+  /** The stored phash band index — the read side of
+    * [[phashIngestDedup]]'s probe (and the erasure spec's ghost-probe
+    * witness).
+    */
+  def phashBandsRead(spark: SparkSession, indexDir: String): DataFrame =
+    batchDirsRead(spark, s"$indexDir/bands", phashBandsSchema)
 
   /** Compact the phash ingest-dedup band index (see [[compactBatchDirs]]). */
   def compactPhashIndex(spark: SparkSession, indexDir: String): Unit =

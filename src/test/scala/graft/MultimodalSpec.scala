@@ -123,4 +123,41 @@ class MultimodalSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
       s"unrelated payload paired: $pairs")
   }
+
+  test("phash_forget_media: erasure deletes real pairs, survivors are exact," +
+      " and a fresh probe never matches a forgotten asset's ghost") {
+    import graft.streaming.EventStream
+    val rule = (c: org.apache.spark.sql.Column) => Multimodal.phashForgottenRule(c)
+    val all = q("multimodal_phash_dupes")
+    val after = q("phash_forget_media")
+    // erasure actually DELETED pairs (the rule intersects planted
+    // near-dup endpoints) while real survivors remain
+    assert(all.count() > after.count(),
+      "erasure rule deleted no pairs — fixture drift?")
+    assert(after.count() > 0, "erasure deleted every pair — fixture drift?")
+    assert(after.filter(rule(col("media_a")) || rule(col("media_b"))).count() == 0,
+      "a pair naming a forgotten asset survived erasure")
+    // survivors ≡ the filtered pair set, exactly
+    val want = all.filter(!rule(col("media_a")) && !rule(col("media_b")))
+    assert(after.exceptAll(want).count() == 0)
+    assert(want.exceptAll(after).count() == 0)
+    // band-side erasure THROUGH THE PROBE: re-ingest the byte-identical
+    // payload of a forgotten asset under a fresh id and probe the ERASED
+    // index (the ingest stream's candidate/verify plan) — it must pair
+    // only with SURVIVORS: the forgotten original, whose hash it matches
+    // at Hamming 0, must be gone from the bands (no ghost neighbor)
+    val indexDir = s"${operators.Layout.tmpPath("graft-phforget", sf)}/index"
+    val stored = EventStream.phashBandsRead(spark, indexDir)
+    assert(stored.filter(rule(col("media_id"))).count() == 0,
+      "forgotten assets still present in the stored band index")
+    val ghostSrc = Tables.documents(spark, sf)
+      .filter(rule(col("doc_id"))).orderBy("doc_id").limit(1)
+      .select(lit(1000001L).alias("media_id"),
+        col("text").cast("binary").alias("payload"))
+    val probe = Multimodal.phashBandsOf(Multimodal.phashSigsOf(ghostSrc))
+    val probePairs = Multimodal.phashVerifiedPairs(probe, stored)
+    assert(probePairs
+      .filter(rule(col("media_a")) || rule(col("media_b"))).count() == 0,
+      "a fresh probe paired with a forgotten asset's ghost")
+  }
 }

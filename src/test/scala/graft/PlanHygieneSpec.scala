@@ -104,7 +104,11 @@ class PlanHygieneSpec extends SparkSpec {
       "hybrid_rrf_top_docs",
       // ...and the index-backed twin embeds the IVF-PQ index itself
       // (deliberate N·C assignment broadcasts, as ivfpq_recall_at_5)
-      "hybrid_rrf_ivf_top_docs")
+      "hybrid_rrf_ivf_top_docs",
+      // the ANN erasure gate embeds the brute survivor baseline it is
+      // measured against (|Q|·N by definition) — serving itself reads
+      // the stored erased index through equi-joins
+      "ann_forget_vectors")
     for ((name, plan) <- executedPlans if !allowed(name)) {
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name unexpectedly plans a BroadcastNestedLoopJoin:\n${plan.take(800)}")

@@ -352,6 +352,47 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ann_forget_vectors: forgotten vectors are never served and the" +
+      " erased index equals the frozen-parameter filter-rebuild") {
+    import operators.Similarity
+    import graft.streaming.EventStream
+    val forgotten = Similarity.annForgottenRule(col("vec_id"))
+    // the erasure list is genuinely non-empty at this fixture scale
+    val nVictims = Similarity.maintainedCells(spark, sf).filter(forgotten).count()
+    assert(nVictims > 0, "erasure rule matches no vectors — fixture drift?")
+    // run the registered gate (seeds + erases the stored index tables)
+    val report = q("ann_forget_vectors").collect()
+    assert(report.length == 10)
+    report.foreach { r =>
+      assert(r.getLong(1) == 5L && r.getLong(2) <= 5L)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    val indexDir = operators.Layout.tmpPath("graft-annforget", sf)
+    val cells = EventStream.annIndexCellsRead(spark, indexDir)
+    val codes = EventStream.annIndexCodesRead(spark, indexDir)
+    // no forgotten row survives in EITHER stored table
+    assert(cells.filter(forgotten).count() == 0,
+      "forgotten vectors still present in the stored cell table")
+    assert(codes.filter(forgotten).count() == 0,
+      "forgotten vectors still present in the stored code table")
+    // erasure ≡ filter-rebuild at the TABLE level: the erased tables are
+    // row-identical to assigning/encoding the survivors with the same
+    // frozen parameters
+    val wantCells = Similarity.maintainedCells(spark, sf).filter(!forgotten)
+    assert(cells.exceptAll(wantCells).count() == 0)
+    assert(wantCells.exceptAll(cells).count() == 0)
+    val wantCodes = Similarity.maintainedCodes(spark, sf).filter(!forgotten)
+    assert(codes.exceptAll(wantCodes).count() == 0)
+    assert(wantCodes.exceptAll(codes).count() == 0)
+    // ...and THROUGH SERVING: the probe/LUT/ADC plan over the erased
+    // tables never returns a forgotten id as a neighbor
+    val served = Similarity.ivfpqServeTop5(spark, sf, cells, codes,
+      Similarity.maintainedCodebooks(spark, sf))
+    assert(served.count() > 0)
+    assert(served.filter(Similarity.annForgottenRule(col("neighbor_id")))
+      .count() == 0, "a forgotten vector was served as a neighbor")
+  }
+
   test("exact-vector pre-collapse bounds the cell join on a planted 10³-copy mass") {
     import spark.implicits._
     // adversarial input: 1000 byte-identical vectors (mirror-crawl shape)
