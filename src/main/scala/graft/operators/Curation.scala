@@ -95,6 +95,15 @@ object Curation {
        |aug AS (
        |  SELECT doc_id, ${piiAugSql("text", "doc_id")} AS aug_text
        |  FROM documents),
+       |haug AS (
+       |  SELECT doc_id, ${htmlAugSql("text", "doc_id")} AS haug_text
+       |  FROM documents),
+       |hclean AS (
+       |  SELECT doc_id, haug_text, ${htmlCleanSql("haug_text")} AS clean_text
+       |  FROM haug),
+       |caug AS (
+       |  SELECT doc_id, ${piiAugSql("clean_text", "doc_id")} AS caug_text
+       |  FROM hclean),
        |$gateSignalCtes,
        |gate_keep AS (
        |  SELECT doc_id FROM gate_final WHERE quality_score >= $GateKeepMin),
@@ -484,6 +493,145 @@ object Curation {
        |           + CAST(rare_ok AS INT) + CAST(lang_ok AS INT) AS quality_score
        |  FROM gate_scored)""".stripMargin
 
+  /** HTML strip rules in APPLICATION ORDER (name, pattern, replacement)
+    * — the raw-crawl pipeline's FIRST operator, spelled entirely with
+    * codegen `regexp_replace` in the Java-regex ∩ RE2 subset (the
+    * [[PiiRules]] discipline: inline `(?s)`/`(?m)` flags, `\b`, lazy
+    * quantifiers — all common; no lookaround, no backreferences), so
+    * Spark and the DuckDB oracle execute the same automaton. Order is
+    * load-bearing: script/style BLOCKS go first (their contents must
+    * not survive as text), the nav-line rule runs while anchors are
+    * still tags (link density is only visible pre-strip), then the
+    * generic tag strip.
+    */
+  private[graft] val HtmlStripRules: Seq[(String, String, String)] = Seq(
+    ("script", "(?s)<script\\b.*?</script>", " "),
+    ("style", "(?s)<style\\b.*?</style>", " "),
+    // a line consisting ONLY of anchor tags and separators — the
+    // nav-bar/link-farm boilerplate rule (jusText/trafilatura's
+    // link-density heuristic at density 1)
+    ("navline", "(?m)^\\s*(<a\\b[^>]*>[^<]*</a>\\s*\\|?\\s*)+$", ""),
+    ("tag", "<[^>]*>", " "))
+
+  /** Entity decode table in APPLICATION ORDER — `&amp;` LAST is
+    * load-bearing: decoding it first would turn the literal text
+    * `&amp;lt;` into `&lt;` and then a later rule into `<` (double
+    * decode); amp-last yields the correct single-pass `&lt;`.
+    */
+  private[graft] val HtmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Post-strip tidy rules: short-line boilerplate (≤ 12 chars — menu
+    * crumbs, "ok"-grade residue), whitespace-run collapse, line-edge
+    * trims, blank-line collapse, end trims. `\s+$`-style patterns
+    * deliberately CONSUME the trailing newline rather than anchoring
+    * before it — Java's bare `$` matches before a final line
+    * terminator where RE2's does not, and consuming the terminator is
+    * the spelling on which both engines agree.
+    */
+  private[graft] val HtmlTidyRules: Seq[(String, String)] = Seq(
+    ("(?m)^.{0,12}$", ""),
+    ("[ \\t]+", " "),
+    ("(?m)^ ", ""),
+    ("(?m) $", ""),
+    ("\\n{2,}", "\n"),
+    ("^\\s+|\\s+$", ""))
+
+  /** The full cleaning fold: strip → decode → tidy. Pure narrow per-row
+    * codegen work (chained `regexp_replace`/`replace`, no UDF, no
+    * shuffle) — composable onto any text column, exactly the
+    * [[piiRedact]] shape.
+    */
+  private[graft] def htmlClean(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val stripped = HtmlStripRules.foldLeft(c) { case (acc, (_, pat, rep)) =>
+      regexp_replace(acc, pat, rep) }
+    val decoded = HtmlEntities.foldLeft(stripped) { case (acc, (e, ch)) =>
+      replace(acc, lit(e), lit(ch)) }
+    HtmlTidyRules.foldLeft(decoded) { case (acc, (pat, rep)) =>
+      regexp_replace(acc, pat, rep) }
+  }
+
+  private def htmlCleanSql(inner: String): String = {
+    val stripped = HtmlStripRules.foldLeft(inner) { case (acc, (_, pat, rep)) =>
+      s"regexp_replace($acc, '$pat', '$rep', 'g')" }
+    val decoded = HtmlEntities.foldLeft(stripped) { case (acc, (e, ch)) =>
+      val chSql = if (ch == "'") "''''" else s"'$ch'"
+      s"replace($acc, '$e', $chSql)" }
+    HtmlTidyRules.foldLeft(decoded) { case (acc, (pat, rep)) =>
+      s"regexp_replace($acc, '$pat', '$rep', 'g')" }
+  }
+
+  /** HTML-bearing demo text (the [[piiAugmented]] discipline): the
+    * fixture vocabulary has no markup, so the cleaning stage plants
+    * DETERMINISTIC wrappers derived from doc_id — residue classes give
+    * every strip rule independent coverage (a multiline script block
+    * exercising `(?s)`, a style block, a paragraph wrap, raw entities,
+    * a nav line for the link-density rule, a short boilerplate line)
+    * plus overlap combinations, and docs hitting NO residue stay
+    * markup-free so the `changed` flag is informative. On a real crawl
+    * the stage runs directly on `text`; the augmentation is the demo's
+    * input, not part of the operator.
+    */
+  private[graft] def htmlAugmented(text: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      when(pmod(id, lit(3)) === 0,
+        lit("<html><body><script type=\"text/javascript\">\nvar x = 1;\n</script>"))
+        .otherwise(lit("")),
+      when(pmod(id, lit(4)) === 0, lit("<style>\np { color: red }\n</style>"))
+        .otherwise(lit("")),
+      when(pmod(id, lit(3)) === 1, concat(lit("<p>"), text, lit("</p>")))
+        .otherwise(text),
+      when(pmod(id, lit(5)) === 0,
+        lit(" a &amp; b &lt;x&gt; &quot;q&quot; &#39;s&#39; &nbsp;end"))
+        .otherwise(lit("")),
+      when(pmod(id, lit(7)) === 0,
+        lit("\n<a href=\"/h\">Home</a> | <a href=\"/a\">About</a>"))
+        .otherwise(lit("")),
+      when(pmod(id, lit(11)) === 0, lit("\nok")).otherwise(lit("")),
+      when(pmod(id, lit(3)) === 0, lit("</body></html>")).otherwise(lit("")))
+
+  // ONE line on purpose — the piiAugSql stripMargin-splice discipline
+  private def htmlAugSql(text: String, id: String): String = Seq(
+    s"CASE WHEN $id % 3 = 0 THEN '<html><body><script type=\"text/javascript\">' || chr(10) || 'var x = 1;' || chr(10) || '</script>' ELSE '' END",
+    s"CASE WHEN $id % 4 = 0 THEN '<style>' || chr(10) || 'p { color: red }' || chr(10) || '</style>' ELSE '' END",
+    s"CASE WHEN $id % 3 = 1 THEN '<p>' || $text || '</p>' ELSE $text END",
+    s"CASE WHEN $id % 5 = 0 THEN ' a &amp; b &lt;x&gt; &quot;q&quot; &#39;s&#39; &nbsp;end' ELSE '' END",
+    s"CASE WHEN $id % 7 = 0 THEN chr(10) || '<a href=\"/h\">Home</a> | <a href=\"/a\">About</a>' ELSE '' END",
+    s"CASE WHEN $id % 11 = 0 THEN chr(10) || 'ok' ELSE '' END",
+    s"CASE WHEN $id % 3 = 0 THEN '</body></html>' ELSE '' END"
+  ).mkString(" || ")
+
+  /** HTML/BOILERPLATE CLEANING — the raw-corpus pipeline's first
+    * operator (the r15-verdict #3 ask): tag/script/style stripping,
+    * entity decoding, line-level boilerplate removal. Per-document
+    * diagnostics (tag/entity counts on the raw text) plus the md5 of
+    * the cleaned text and the `changed` flag the funnel counts. Pure
+    * per-row regex work; no shuffle beyond the verification sort.
+    */
+  def htmlCleaned(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoized(s"curation.htmlCleaned:$sfDir")(
+      htmlCleanedBuild(spark, sfDir))
+
+  private def htmlCleanedBuild(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.loadSpread(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        htmlAugmented(col("text"), col("doc_id")).alias("haug"))
+      .select(col("doc_id"), col("haug"),
+        htmlClean(col("haug")).alias("clean"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("haug"), lit("<[^>]*>"), lit(0)))
+          .alias("n_tags"),
+        size(regexp_extract_all(col("haug"),
+          lit("&(amp|lt|gt|quot|nbsp|#39);"), lit(0))).alias("n_entities"),
+        (col("clean") =!= col("haug")).alias("changed"),
+        md5(col("clean")).alias("clean_md5"))
+      .orderBy("doc_id")
+      // two registered consumers (own row, funnel flag leg) — the regex
+      // pass runs once per session; tracked for release
+      .transform(graft.CacheLifecycle.sessionPersist)
+
   /** PII rules in APPLICATION ORDER (name, pattern, replacement) — the
     * order is load-bearing: the credit-card rule must fire before the
     * phone rule so a partially-consumed card number can never be
@@ -773,14 +921,18 @@ object Curation {
       .join(contaminated, Seq("doc_id"), "left_anti")
       .join(qualityKeep, Seq("doc_id"), "left_semi")
       .join(gateKeep, Seq("doc_id"), "left_semi")
-      // the post-filter map stage every surviving document passes through
-      // before tokenization: PII redaction (narrow per-row regex work on
-      // the rows that survived the key-only joins — redacting dropped
-      // documents would be wasted compute, which is why the stage
-      // composes HERE and not upstream); the md5 keeps the verified
-      // output narrow
+      // the map stages every surviving document passes through before
+      // tokenization, in crawl order: HTML/boilerplate cleaning FIRST
+      // (the raw-crawl pre-filter map — on this fixture the upstream
+      // signal stages already see clean text, so composing the cleaner
+      // here is where it does its work without forking every stage
+      // frame onto a second text column), then PII redaction (narrow
+      // per-row regex work on the rows that survived the key-only
+      // joins — cleaning/redacting dropped documents would be wasted
+      // compute); the md5 keeps the verified output narrow
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-        md5(piiRedact(piiAugmented(col("text"), col("doc_id"))))
+        md5(piiRedact(piiAugmented(
+          htmlClean(htmlAugmented(col("text"), col("doc_id"))), col("doc_id"))))
           .alias("text_redacted_md5"))
       .orderBy("doc_id")
       // two registered consumers (own row, funnel n_final) — the anti/
@@ -883,11 +1035,12 @@ object Curation {
       tag(decontaminateSemantic(spark, sfDir), "contam_sem", lit(1L)),
       tag(repetitionQuality(spark, sfDir), "qual_keep", col("keep").cast("long")),
       tag(qualityGate(spark, sfDir), "gate_keep", col("keep").cast("long")),
+      tag(htmlCleaned(spark, sfDir), "html_changed", col("changed").cast("long")),
       piiLeg)
     val aggs =
       Seq("is_dup", "contam_ratio", "contam_exact", "contam_sem").map(s =>
         max(when(col("sig") === s, col("v"))).isNotNull.alias(s)) ++
-      Seq("qual_keep", "gate_keep").map(s =>
+      Seq("qual_keep", "gate_keep", "html_changed").map(s =>
         coalesce(max(when(col("sig") === s, col("v"))) === 1L, lit(false)).alias(s)) ++
       PiiRules.map { case (name, _, _) =>
         max(when(col("sig") === s"pii_$name", col("v"))).alias(s"n_$name") }
@@ -902,7 +1055,7 @@ object Curation {
         (col("source") === BenchmarkSource).alias("is_bench"))
       .join(agged, Seq("doc_id"), "left")
       .na.fill(false, Seq("is_dup", "contam_ratio", "contam_exact", "contam_sem",
-        "qual_keep", "gate_keep"))
+        "qual_keep", "gate_keep", "html_changed"))
       .withColumn("kept",
         !col("is_bench") && !col("is_dup") &&
           !col("contam_ratio") && !col("contam_exact") && !col("contam_sem") &&
@@ -935,6 +1088,7 @@ object Curation {
       n(col("contam_sem"), "n_contaminated_semantic"),
       n(!coalesce(col("qual_keep"), lit(false)), "n_quality_fail"),
       n(!coalesce(col("gate_keep"), lit(false)), "n_gate_fail"),
+      n(col("html_changed"), "n_html_changed_docs"),
       n(col("kept"), "n_final")) ++
       PiiRules.map { case (name, _, _) =>
         n(col(s"n_$name") > 0, s"n_pii_${name}_docs") }
@@ -1013,7 +1167,7 @@ object Curation {
     "docs_curation_pipeline" ->
       s"""WITH $pipelineCtes
          |SELECT doc_id, lang, source, n_chars,
-         |       md5(${piiRedactSql("(SELECT aug_text FROM aug WHERE aug.doc_id = documents.doc_id)")})
+         |       md5(${piiRedactSql("(SELECT caug_text FROM caug WHERE caug.doc_id = documents.doc_id)")})
          |         AS text_redacted_md5
          |FROM documents
          |WHERE $pipelineKeepWhere
@@ -1030,6 +1184,8 @@ object Curation {
          |         - (SELECT count(*) FROM quality_keep) AS n_quality_fail,
          |       (SELECT count(*) FROM gate_final
          |        WHERE quality_score < $GateKeepMin) AS n_gate_fail,
+         |       (SELECT count(*) FROM hclean
+         |        WHERE clean_text != haug_text) AS n_html_changed_docs,
          |       (SELECT count(*) FROM documents
          |        WHERE $pipelineKeepWhere) AS n_final,
          |${PiiRules.map { case (name, pat, _) =>
@@ -1060,6 +1216,21 @@ object Curation {
          |SELECT doc_id, rep_ok, len_ok, rare_ok, lang_ok, quality_score,
          |       quality_score >= $GateKeepMin AS keep
          |FROM gate_final ORDER BY doc_id""".stripMargin,
+    // the md5 gate over the cleaned text: any divergence in the strip/
+    // decode/tidy automaton between engines fails the hash
+    "docs_html_cleaned" ->
+      s"""WITH haug AS (
+         |  SELECT doc_id, ${htmlAugSql("text", "doc_id")} AS haug_text
+         |  FROM documents),
+         |hc AS (
+         |  SELECT doc_id, haug_text, ${htmlCleanSql("haug_text")} AS clean_text
+         |  FROM haug)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(haug_text, '<[^>]*>')) AS INT) AS n_tags,
+         |       CAST(len(regexp_extract_all(haug_text, '&(amp|lt|gt|quot|nbsp|#39);')) AS INT) AS n_entities,
+         |       clean_text != haug_text AS changed,
+         |       md5(clean_text) AS clean_md5
+         |FROM hc ORDER BY doc_id""".stripMargin,
     "docs_pii_redacted" ->
       s"""WITH aug AS (
          |  SELECT doc_id, ${piiAugSql("text", "doc_id")} AS aug_text
@@ -1163,6 +1334,7 @@ object Curation {
     "docs_decontaminate_exact"  -> decontaminateExact _,
     "docs_decontaminate_semantic" -> decontaminateSemantic _,
     "docs_curation_pipeline"    -> curationPipeline _,
+    "docs_html_cleaned"         -> htmlCleaned _,
     "curation_funnel_report"    -> curationFunnelReport _,
     "curation_source_report"    -> curationSourceReport _,
     "text_repetition_quality"   -> repetitionQuality _,

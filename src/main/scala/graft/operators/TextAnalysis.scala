@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -848,6 +849,85 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The fixed phrase-query set [[phraseTopDocs]] ranks against —
+    * order-sensitive multi-term phrases over the fixture vocabulary,
+    * including a repeated-word run (`batch batch batch`) so the
+    * overlapping-occurrence arithmetic is exercised, not just spelled.
+    */
+  private[graft] val PhraseQueries: Seq[(Int, String)] = Seq(
+    1 -> "merge sort",
+    2 -> "window merge",
+    3 -> "batch batch batch",
+    4 -> "table scan")
+
+  /** POSITIONAL RETRIEVAL — exact-phrase top-5 documents per query, the
+    * order-sensitive rung above [[bm25TopDocs]]'s bag-of-words: an
+    * eval-contamination lookup or quote-detection pass needs "these
+    * words ADJACENT, in order", which no tf statistic can express. The
+    * tokenize-once lineage gains its positions grain
+    * ([[termPositionsOf]] — posexplode of the SAME whitespace
+    * tokenizer, so phrase matching and BM25 can never disagree on what
+    * a token is).
+    *
+    * The match is ONE broadcast join, not k self-joins: each corpus
+    * token matching ANY phrase word votes for the phrase START it would
+    * imply (`start = pos − k` for the k-th phrase word), and a start
+    * where the distinct-k vote count equals the phrase length is an
+    * exact occurrence — repeated phrase words (the `batch batch batch`
+    * run) and overlapping occurrences fall out of the same arithmetic
+    * (a token matching several k's votes for several starts; a run of
+    * r+k tokens yields r overlapping occurrences). Ranking: occurrence
+    * count desc, doc_id asc, top-5 per query with the rank filter
+    * directly on the window (WindowGroupLimit).
+    *
+    * Scale shape: phrase words ride a BROADCAST probe into the
+    * token-positions scan; only MATCHING tokens shuffle (on the
+    * (query, doc, start) key), never the corpus; the per-query top-5
+    * window sees only hit documents. At 100 TB this is the stored
+    * token-cache posture with a positions column — the standard
+    * positional-index layout.
+    */
+  def phraseTopDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    phraseTopDocsOf(Tables.loadSpread(spark, sfDir, "documents"),
+      PhraseQueries.toDF("query_id", "p_text"))
+  }
+
+  /** [[phraseTopDocs]] over any (doc_id, text) + (query_id, p_text)
+    * frames — the planted adjacent-vs-scattered spec drives this
+    * factored core directly.
+    */
+  private[graft] def phraseTopDocsOf(docs: DataFrame,
+      phrases: DataFrame): DataFrame = {
+    val qwords = phrases.select(col("query_id"),
+      size(TextFunctions.tokens(col("p_text"))).alias("len"),
+      posexplode(TextFunctions.tokens(col("p_text")))
+        .as(Seq("k", "term")))
+    val starts = termPositionsOf(docs)
+      .join(broadcast(qwords), Seq("term"))
+      .select(col("query_id"), col("doc_id"),
+        (col("pos") - col("k")).alias("start"), col("len"), col("k"))
+      .groupBy(col("query_id"), col("doc_id"), col("start"), col("len"))
+      .agg(countDistinct(col("k")).alias("nk"))
+      .filter(col("nk") === col("len"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_occurrences").desc, col("doc_id").asc)
+    starts.groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).alias("n_occurrences"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("doc_id"), col("rank"), col("n_occurrences"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The token-POSITIONS grain of the tokenize-once lineage — the same
+    * [[graft.functions.TextFunctions.tokens]] split as [[termFreqsOf]],
+    * exploded with ordinals.
+    */
+  private[graft] def termPositionsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "term")))
+
   /** The fixed retrieval query set [[bm25TopDocs]] ranks against —
     * data-plausible multi-term queries over the fixture vocabulary,
     * including the rare term (`dup`) whose idf dominates where it hits.
@@ -900,6 +980,17 @@ object TextAnalysis {
        |  FROM by_doc)""".stripMargin
   }
 
+  /** The registered top-5 report over `ranked` — ONE spelling behind
+    * `bm25_top_docs` (session tokenize) and `bm25_stored_top_docs`
+    * (stored-table serving), the shared-oracle discipline.
+    */
+  private lazy val bm25Top5OracleSql: String =
+    s"""WITH $bm25RankedCte
+       |SELECT query_id, doc_id, rank, n_hit_terms, score_m,
+       |       CAST(score_m AS DOUBLE) / 1000000.0 AS bm25
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   /** RANKED RETRIEVAL — BM25 top-5 documents per query, the
     * query→documents shape an LLM data pipeline runs constantly
     * (hard-negative mining, eval-contamination lookups) and the one
@@ -937,6 +1028,44 @@ object TextAnalysis {
       Tables.documents(spark, sfDir).agg(count(lit(1)).alias("n_docs")),
       queries)
   }
+
+  /** BM25 SERVED FROM THE STORED TOKEN-CACHE TABLE — the r15 verdict's
+    * "materialize the token cache" ask made a registered gate: the
+    * (doc_id, term, tf) index lives ON DISK as the maintained table
+    * [[graft.streaming.EventStream.tfIndexMaintenanceStream]] writes
+    * (history tokenized once into the seed; the nightly batch folded in
+    * as one committed subdir through the SAME marker-gated
+    * `tfIndexFoldBatch` the stream runs), and serving is
+    * [[bm25FromTf]] over [[graft.streaming.EventStream.tfIndexRead]] —
+    * a READ of the stored table, no session-frame tokenization
+    * anywhere in the returned lineage. The oracle is `bm25_top_docs`'s
+    * oracle VERBATIM: passing the gate proves stored-table serving ≡
+    * the session-frame retrieval query, i.e. the materialized token
+    * cache is a drop-in substitute for tokenize-at-query-time.
+    *
+    * 100 TB posture: this IS the production shape — the corpus is
+    * tokenized once per snapshot into the stored table; every retrieval
+    * query pays a broadcast probe into it, never a corpus re-tokenize.
+    * The session [[termFreqs]] frame remains the spelling for ad-hoc
+    * sessions without a maintained index.
+    *
+    * Memoized durably behind the index's own committed-seed guard: a
+    * second JVM skips the seed/fold writes (marker + `_SUCCESS`
+    * evidence) and pays only the stored-table read.
+    */
+  def bm25StoredTopDocs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoizedDurable(s"textanalysis.bm25Stored:$sfDir") {
+      import spark.implicits._
+      import graft.streaming.EventStream
+      val indexDir = Layout.tmpPath("graft-tfstore", sfDir)
+      val docs = Tables.documents(spark, sfDir)
+      val isBatch = col("doc_id") % 10 === 9
+      EventStream.tfIndexSeed(spark, indexDir, docs.filter(!isBatch))
+      EventStream.tfIndexFoldBatch(spark, indexDir, docs.filter(isBatch), 0L)
+      bm25FromTf(EventStream.tfIndexRead(spark, indexDir),
+        docs.agg(count(lit(1)).alias("n_docs")),
+        Bm25Queries.toDF("query_id", "q_text"))
+    }
 
   /** [[bm25TopDocs]] over any (doc_id, text) + (query_id, q_text) pair
     * of frames — the planted-relevance spec drives this directly.
@@ -1343,12 +1472,47 @@ object TextAnalysis {
         |         / sum(tf) AS mean_bits
         |FROM tf JOIN dfreq USING (term) CROSS JOIN nd
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
-    "bm25_top_docs" ->
-      s"""WITH $bm25RankedCte
-         |SELECT query_id, doc_id, rank, n_hit_terms, score_m,
-         |       CAST(score_m AS DOUBLE) / 1000000.0 AS bm25
+    "bm25_top_docs" -> bm25Top5OracleSql,
+    // the stored-table gate's oracle IS the session-frame query's oracle:
+    // passing both proves materialized-index serving ≡ tokenize-at-query
+    "bm25_stored_top_docs" -> bm25Top5OracleSql,
+    // the positional spelling replayed verbatim: zipped unnest gives the
+    // token/ordinal grain, the start-vote count(DISTINCT k) = len rule is
+    // the same arithmetic (DuckDB subscripts are 1-based; −1 aligns with
+    // posexplode's 0-based positions — start offsets then agree exactly)
+    "phrase_top_docs" -> {
+      val values = PhraseQueries.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+      s"""WITH phrases(query_id, p_text) AS (VALUES $values),
+         |pw0 AS (SELECT query_id, string_split(p_text, ' ') AS t FROM phrases),
+         |pw AS (
+         |  SELECT query_id,
+         |         unnest(range(len(t))) AS k,
+         |         unnest(t) AS term,
+         |         len(t) AS len
+         |  FROM pw0),
+         |tp0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |tp AS (
+         |  SELECT doc_id,
+         |         unnest(range(len(t))) AS pos,
+         |         unnest(t) AS term
+         |  FROM tp0),
+         |st AS (
+         |  SELECT query_id, doc_id, pos - k AS start, len,
+         |         count(DISTINCT k) AS nk
+         |  FROM tp JOIN pw USING (term)
+         |  GROUP BY 1, 2, 3, 4),
+         |occ AS (
+         |  SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+         |  FROM st WHERE nk = len GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, doc_id, n_occurrences,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY n_occurrences DESC, doc_id ASC) AS INT) AS rank
+         |  FROM occ)
+         |SELECT query_id, doc_id, rank, n_occurrences
          |FROM ranked WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin,
+         |ORDER BY query_id, rank""".stripMargin
+    },
     "text_tfidf_top_terms" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -1391,6 +1555,8 @@ object TextAnalysis {
     "text_fingerprint"  -> fingerprint _,
     "text_tfidf_top_terms" -> tfidfTopTerms _,
     "bm25_top_docs" -> bm25TopDocs _,
+    "bm25_stored_top_docs" -> bm25StoredTopDocs _,
+    "phrase_top_docs" -> phraseTopDocs _,
     "text_surprisal_quality" -> surprisalQuality _,
   )
 }

@@ -1462,22 +1462,40 @@ object EventStream {
   def tfIndexMaintenanceStream(docsStream: DataFrame, historyDocs: DataFrame,
       indexDir: String, checkpointDir: Option[String] = None): StreamingQuery = {
     val spark = docsStream.sparkSession
+    tfIndexSeed(spark, indexDir, historyDocs)
+    maintenanceWriter(docsStream, checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        tfIndexFoldBatch(spark, indexDir, batch.toDF(), batchId)
+      }
+      .start()
+  }
+
+  /** Seed the tf index from `historyDocs` unless commit evidence exists
+    * — the seed half of [[tfIndexMaintenanceStream]], opened to the
+    * registered stored-serving gate (`bm25_stored_top_docs`).
+    */
+  def tfIndexSeed(spark: SparkSession, indexDir: String,
+      historyDocs: DataFrame): Unit = {
     val tfDir = s"$indexDir/tf"
     if (!StateFs.exists(spark, s"${ensureLiveTree(spark, tfDir)}/seed/_SUCCESS")) {
       graft.operators.TextAnalysis.termFreqsOf(historyDocs)
         .write.mode("overwrite").parquet(s"${ensureLiveTree(spark, tfDir)}/seed")
     }
-    maintenanceWriter(docsStream, checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!plainMarkerApplied(spark, indexDir, batchId)) {
-          graft.operators.TextAnalysis.termFreqsOf(batch.toDF())
-            .write.mode("overwrite")
-            .parquet(s"${ensureLiveTree(spark, tfDir)}/b$batchId")
-          commitPlainMarker(spark, indexDir, batchId)
-        }
-      }
-      .start()
   }
+
+  /** One tf-index micro-batch — the exact `foreachBatch` body of
+    * [[tfIndexMaintenanceStream]] (marker-gated idempotent-overwrite
+    * subdir), opened to the registered stored-serving gate so both
+    * consumers run ONE fold spelling.
+    */
+  def tfIndexFoldBatch(spark: SparkSession, indexDir: String,
+      batch: DataFrame, batchId: Long): Unit =
+    if (!plainMarkerApplied(spark, indexDir, batchId)) {
+      graft.operators.TextAnalysis.termFreqsOf(batch)
+        .write.mode("overwrite")
+        .parquet(s"${ensureLiveTree(spark, s"$indexDir/tf")}/b$batchId")
+      commitPlainMarker(spark, indexDir, batchId)
+    }
 
   private val annCellsSchema = StructType(Seq(
     StructField("vec_id", LongType),

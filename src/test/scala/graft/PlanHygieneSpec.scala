@@ -57,8 +57,10 @@ class PlanHygieneSpec extends SparkSpec {
       // ...surprisal shares TF-IDF's single-row corpus-size broadcast
       "region_priority_matrix", "text_tfidf_top_terms", "text_surprisal_quality",
       // BM25 rides two single-row aggregates (corpus token total + doc
-      // count) on broadcasts — the same TF-IDF/ratio-to-report shape
-      "bm25_top_docs",
+      // count) on broadcasts — the same TF-IDF/ratio-to-report shape;
+      // the stored-table twin runs the identical probe plan over the
+      // materialized token cache
+      "bm25_top_docs", "bm25_stored_top_docs",
       "events_dau_wau", "docs_temperature_mix", "ann_recall_report",
       // funnel + source report read the flag frame, which embeds the
       // semantic-decon rung's deliberate IVF cell-assignment broadcast

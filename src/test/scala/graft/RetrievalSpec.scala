@@ -109,6 +109,35 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("phrase matching: adjacent counts, scattered/reversed do not," +
+      " repeated-word runs count overlapping occurrences") {
+    import spark.implicits._
+    // the planted adjacent-vs-scattered fixture driving the FACTORED
+    // production body (phraseTopDocsOf), not an inline re-spelling:
+    //  doc 1: one exact occurrence
+    //  doc 2: both words present but scattered — no occurrence
+    //  doc 3: two exact occurrences (outranks doc 1)
+    //  doc 4: reversed order — no occurrence
+    //  doc 5: a 4-token run of 'z' vs the 2-token phrase 'z z' —
+    //         THREE overlapping occurrences (starts 0, 1, 2)
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha gamma beta alpha"),
+      (3L, "alpha beta x alpha beta"),
+      (4L, "beta alpha"),
+      (5L, "z z z z")).toDF("doc_id", "text")
+    val phrases = Seq((1, "alpha beta"), (2, "z z")).toDF("query_id", "p_text")
+    val got = TextAnalysis.phraseTopDocsOf(docs, phrases)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1, 3L, 1, 2L), (1, 1L, 2, 1L),
+      (2, 5L, 1, 3L)), s"got: ${got.mkString(",")}")
+    // the registered query is non-degenerate: every phrase finds docs
+    val reg = q("phrase_top_docs").collect()
+    assert(TextAnalysis.PhraseQueries.map(_._1).toSet ==
+      reg.map(_.getInt(0)).toSet, "a registered phrase matched no document")
+  }
+
   test("hybrid lexical arm agrees with the registered bm25_top_docs ranking") {
     val hybrid = q("hybrid_rrf_top_docs").collect()
       .filter(r => !r.isNullAt(2) && r.getInt(2) <= 5)
