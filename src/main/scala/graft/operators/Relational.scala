@@ -421,15 +421,11 @@ object Relational {
     // the per-round join's static side, degree attached; checkpointed
     // once so every round's plan sees a leaf, not the basket lineage
     val (ewd, _) = graft.CacheLifecycle.materializeGeneration(
-      edges.join(deg, Seq("src")), 2, 2)
+      degreeAnnotatedEdges(edges, deg), 2, 2)
     var (rank, release) = graft.CacheLifecycle.materializeGeneration(
       deg.select(col("src").alias("node"), lit(PagerankQ).alias("rank_q")), 0, 2)
     for (i <- 1 to PagerankIters) {
-      val next0 = ewd.join(rank, col("src") === col("node"))
-        .select(col("dst"), expr("(85 * rank_q) div (100 * outdeg)").alias("contrib"))
-        .groupBy(col("dst"))
-        .agg((lit(Teleport) + sum(col("contrib"))).alias("rank_q"))
-        .select(col("dst").alias("node"), col("rank_q"))
+      val next0 = pagerankRound(ewd, rank, Teleport)
       val (next, nextRelease) =
         graft.CacheLifecycle.materializeGeneration(next0, i, 2)
       next.count() // materialize the round; truncates the checkpoint lineage
@@ -440,6 +436,47 @@ object Relational {
     rank.select(col("node").alias("part_key"), col("rank_q"),
       (col("rank_q").cast("double") / lit(1.0e9)).alias("pagerank"))
   }
+
+  /** The degree-annotated edge frame the rank-propagation rounds join,
+    * RESPREAD round-robin before it is materialized as the loop's leaf.
+    * The respread is the skew-posture lever (measured, not guessed):
+    * AQE's OptimizeSkewedJoin splits a hot reduce partition at MAP-CHUNK
+    * granularity, and the annotation join is itself keyed on `src` — so
+    * without the respread a power-law hub's entire edge set lands in ONE
+    * map output of the materialized leaf, the round join's hot partition
+    * has a single indivisible chunk, and the skew rule silently declines
+    * (ScalePostureSpec reproduced exactly this before the respread).
+    * Round-robin costs one exchange at leaf BUILD time only: the
+    * checkpoint erases partitioning metadata anyway, so every round's
+    * join re-exchanges the leaf regardless — the respread merely makes
+    * those exchanges' map outputs uniformly mixed, which is what makes
+    * the hot partition splittable.
+    */
+  private[graft] def degreeAnnotatedEdges(edges: DataFrame,
+      deg: DataFrame): DataFrame =
+    edges.join(deg, Seq("src"))
+      .repartition(edges.sparkSession.sparkContext.defaultParallelism)
+
+  /** ONE damping-0.85 rank-propagation round over a degree-annotated
+    * edge frame (`src`, `dst`, `outdeg`) and a rank frame (`node`,
+    * `rank_q`) — the shuffle-on-the-node-key join every PageRank
+    * iteration pays, factored so the iteration loop and the
+    * skew-posture spec drive the SAME body. Co-purchase graphs are
+    * power-law, so this join's src-keyed shuffle is exactly where a hub
+    * key concentrates a partition at scale; ScalePostureSpec plants a
+    * hub graph and pins that AQE's OptimizeSkewedJoin marks this join
+    * (split readers over the hot partition), which is why the round
+    * does not route through [[graft.functions.Skew.saltedJoin]] —
+    * salting stays the documented fallback for broadcast-ineligible
+    * skew at non-join operators or pre-AQE engines.
+    */
+  private[graft] def pagerankRound(ewd: DataFrame, rank: DataFrame,
+      teleport: Long): DataFrame =
+    ewd.join(rank, col("src") === col("node"))
+      .select(col("dst"), expr("(85 * rank_q) div (100 * outdeg)").alias("contrib"))
+      .groupBy(col("dst"))
+      .agg((lit(teleport) + sum(col("contrib"))).alias("rank_q"))
+      .select(col("dst").alias("node"), col("rank_q"))
 
   /** TRIANGLE CENSUS of the support-≥2 co-purchase graph — the standard
     * graph-analytics step after pair mining: wedge and triangle counts

@@ -118,6 +118,69 @@ class ScalePostureSpec extends SparkSpec {
     }
   }
 
+  test("AQE marks the PageRank per-round join on a planted hub graph (skew posture)") {
+    // the r15-verdict #6 ask: PageRank's rank-propagation join shuffles
+    // on the node key and co-purchase graphs are power-law — plant a
+    // hub whose src key owns most of the edge side and assert AQE's
+    // OptimizeSkewedJoin marks the FACTORED production round
+    // (Relational.pagerankRound — the body the registered query's loop
+    // runs), so the per-round join self-heals with split readers and no
+    // saltedJoin routing is needed
+    import spark.implicits._
+    import graft.operators.{Dedup, Relational}
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val previous = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // hub-and-spoke: node 7 touches every spoke, so after the
+      // undirected symmetrization src=7 owns half the edge rows — one
+      // hot shuffle partition against ~uniform singleton spokes
+      val nSpokes = 30000L
+      val pairs = spark.range(10, 10 + nSpokes)
+        .select(lit(7L).alias("part_a"), col("id").alias("part_b"))
+      val edges = Dedup.undirectedEdges(pairs, "part_a", "part_b")
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).alias("outdeg"))
+      // the production loop CHECKPOINTS the RESPREAD degree-annotated
+      // edge frame (degreeAnnotatedEdges + materializeGeneration) — the
+      // round join reads a leaf and pays a fresh src-keyed shuffle whose
+      // map outputs are round-robin mixed. Both halves are load-bearing:
+      // without the leaf the join reuses the annotation join's
+      // partitioning (no shuffle stage for the skew rule to split), and
+      // without the respread the hub's edges sit in ONE map output and
+      // the rule declines — the split is map-chunk-granular (this spec
+      // caught exactly that before degreeAnnotatedEdges gained its
+      // repartition)
+      val ewd = Relational.degreeAnnotatedEdges(edges, deg)
+        .localCheckpoint(true)
+      // the rank frame is ALSO a materialized generation in production
+      // (each round folds from a checkpointed leaf) — an un-materialized
+      // aggregate lineage here would sit between the shuffle stage and
+      // the join and take the plan outside the skew rule's
+      // sort-over-stage pattern
+      val rank0 = deg.select(col("src").alias("node"),
+        lit(1000000000L).alias("rank_q")).localCheckpoint(true)
+      val round = Relational.pagerankRound(ewd, rank0.hint("merge"),
+        teleport = 150000000L)
+      // collect(), not count() — count plans its own QueryExecution and
+      // leaves this one without its final AQE plan
+      assert(round.collect().length == nSpokes + 1)
+      val finalPlan = round.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"OptimizeSkewedJoin did not mark the PageRank round join:\n${finalPlan.take(1500)}")
+    } finally previous.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("Catalyst injects its own runtime bloom filter when thresholds allow") {
     // the automatic twin of functions/BloomPrune: with the application-side
     // size gate lowered, InjectRuntimeFilter plants a might_contain probe
