@@ -505,12 +505,16 @@ object Curation {
     * generic tag strip.
     */
   private[graft] val HtmlStripRules: Seq[(String, String, String)] = Seq(
-    ("script", "(?s)<script\\b.*?</script>", " "),
-    ("style", "(?s)<style\\b.*?</style>", " "),
+    // (?i): HTML tag names are case-insensitive and uppercase tags are
+    // common in older crawls — a case-sensitive script rule would leak
+    // <SCRIPT> contents into the corpus as text (both engines would
+    // agree, so no oracle gate could catch it; a spec pins it instead)
+    ("script", "(?is)<script\\b.*?</script>", " "),
+    ("style", "(?is)<style\\b.*?</style>", " "),
     // a line consisting ONLY of anchor tags and separators — the
     // nav-bar/link-farm boilerplate rule (jusText/trafilatura's
     // link-density heuristic at density 1)
-    ("navline", "(?m)^\\s*(<a\\b[^>]*>[^<]*</a>\\s*\\|?\\s*)+$", ""),
+    ("navline", "(?im)^\\s*(<a\\b[^>]*>[^<]*</a>\\s*\\|?\\s*)+$", ""),
     ("tag", "<[^>]*>", " "))
 
   /** Entity decode table in APPLICATION ORDER — `&amp;` LAST is

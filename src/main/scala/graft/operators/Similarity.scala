@@ -66,22 +66,31 @@ object Similarity {
   /** Exact top-5 cosine neighbors for each query vector (vec_id < 10),
     * self-pairs excluded, ties broken by neighbor id.
     */
-  def knnBrute(spark: SparkSession, sfDir: String): DataFrame = {
-    val corpus = quantized(spark, sfDir)
-    val queryVecs = quantized(spark, sfDir).filter(col("vec_id") < 10)
-      .select(col("vec_id").alias("query_id"), col("v").alias("qv"), col("n2").alias("qn2"))
-    val scored = corpus.join(broadcast(queryVecs), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").alias("neighbor_id"),
-        V.qcosineFrom(V.qdot(col("qv"), col("v")), col("qn2"), col("n2")).alias("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+  def knnBrute(spark: SparkSession, sfDir: String): DataFrame =
+    bruteRankedOver(quantized(spark, sfDir))
       .orderBy("query_id", "rank")
       // the brute baseline anchors every recall report (IVF, SQ8, PQ) as
       // well as its own registry row — persist the 50-row result so the
       // |Q|·N scoring pass runs once per session; tracked for release
       .transform(graft.CacheLifecycle.sessionPersist)
+
+  /** THE brute-force scoring spelling — queries are the corpus frame's
+    * `vec_id < 10` rows, every other vector scored by exact quantized
+    * cosine, top-5 by (cos desc, id asc). ONE body behind the registered
+    * [[knnBrute]] baseline and the erasure gate's survivor baseline
+    * ([[bruteTop5PairsOver]]), so the baseline definition cannot drift
+    * between its consumers.
+    */
+  private def bruteRankedOver(corpus: DataFrame): DataFrame = {
+    val queryVecs = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").alias("query_id"), col("v").alias("qv"), col("n2").alias("qn2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    corpus.join(broadcast(queryVecs), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").alias("neighbor_id"),
+        V.qcosineFrom(V.qdot(col("qv"), col("v")), col("qn2"), col("n2")).alias("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
   }
 
   /** Deterministic sign-random-projection plane weights (6 planes → 64
@@ -487,23 +496,11 @@ object Similarity {
       .orderBy("query_id")
 
   /** Brute-force top-5 PAIRS over an arbitrary corpus frame (queries =
-    * its `vec_id < 10` rows) — [[knnBrute]]'s scoring opened to the
-    * erasure gate's survivor corpus.
+    * its `vec_id < 10` rows) — [[bruteRankedOver]] projected to the
+    * pair columns the erasure gate's recall tail consumes.
     */
-  private def bruteTop5PairsOver(corpus: DataFrame): DataFrame = {
-    val queryVecs = corpus.filter(col("vec_id") < 10)
-      .select(col("vec_id").alias("query_id"), col("v").alias("qv"),
-        col("n2").alias("qn2"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    corpus.join(broadcast(queryVecs), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").alias("neighbor_id"),
-        V.qcosineFrom(V.qdot(col("qv"), col("v")), col("qn2"), col("n2"))
-          .alias("cos_sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("neighbor_id"))
-  }
+  private def bruteTop5PairsOver(corpus: DataFrame): DataFrame =
+    bruteRankedOver(corpus).select(col("query_id"), col("neighbor_id"))
 
   /** INT8 SCALAR QUANTIZATION (SQ8) of the verified integer embeddings:
     * per-vector scale s = max|x| (floored at 1 so a zero vector maps to

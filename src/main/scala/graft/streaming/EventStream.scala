@@ -240,11 +240,31 @@ object EventStream {
     treeNumbers(spark, dir)
       .filter(n => StateFs.exists(spark, s"$dir/t$n/_published"))
 
+  /** Refuse a table laid out in the pre-tree FLAT format (`<dir>/seed`,
+    * `<dir>/b*` directly under the table dir): silently resolving it as
+    * "no published tree" would serve an EMPTY table, re-seed history
+    * beside still-marker-applied batches, and permanently lose their
+    * rows — the loud-failure discipline every other unrecognizable
+    * state gets. Migration is mechanical (move the entries under a
+    * published `t0/`) and the error says so.
+    */
+  private def requireNoLegacyLayout(spark: SparkSession, dir: String): Unit = {
+    val legacy = StateFs.list(spark, dir)
+      .filter(d => d == "seed" || d.matches("b\\d+"))
+    require(legacy.isEmpty,
+      s"$dir holds pre-snapshot-pointer flat-layout entries " +
+        s"(${legacy.mkString(", ")}) — refusing to resolve them as an " +
+        "empty table. Migrate by moving seed/ and b*/ under a new tree: " +
+        s"mkdir $dir/t0, move the entries into it, create $dir/t0/_published")
+  }
+
   /** The live (= highest published) tree's path; None for a table that
     * was never written. Read-side resolver — creates nothing.
     */
-  private[graft] def liveTreeOpt(spark: SparkSession, dir: String): Option[String] =
+  private[graft] def liveTreeOpt(spark: SparkSession, dir: String): Option[String] = {
+    requireNoLegacyLayout(spark, dir)
     publishedTrees(spark, dir).lastOption.map(n => s"$dir/t$n")
+  }
 
   /** The live tree's path, creating and publishing an empty `t0` when
     * the table does not exist yet — the write-side resolver every
@@ -692,6 +712,10 @@ object EventStream {
     val hs = markerNames(spark, stateDir).filter(_.startsWith("_horizon"))
     hs.map {
       case horizonName(v) => v.toLong
+      case "_horizon" => throw new IllegalStateException(
+        s"$stateDir/_batches/_horizon is the pre-r16 CONTENT-bearing horizon " +
+          "record; this build records the value in the marker NAME. Migrate " +
+          "by creating _horizon_<its value> beside it and deleting _horizon")
       case bad => throw new IllegalStateException(
         s"unparseable vacuum-horizon marker '$bad' under $stateDir/_batches — " +
           "expected _horizon_<batchId>; refusing to guess which batches were vacuumed")
@@ -721,7 +745,8 @@ object EventStream {
     * ([[maintenanceWriter]]'s contract). The bucketed folds' in-band
     * `last_batch` watermark is unaffected either way — even a vacuumed
     * batch replays as a no-op there. The horizon itself is RECORDED
-    * (`_batches/_horizon`, written before any deletion) and
+    * (a name-encoded `_batches/_horizon_<v>` marker, created before any
+    * deletion — see [[vacuumedHorizon]]) and
     * [[plainMarkerApplied]] honors it, so index compaction still folds
     * a vacuumed batch's subdirs as applied history instead of
     * mistaking them for crashed writes and dropping them — the

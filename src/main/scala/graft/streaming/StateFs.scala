@@ -24,7 +24,7 @@ private[streaming] object StateFs {
 
   // the SHARED driver Hadoop conf, read-only here — `newHadoopConf()`
   // would CLONE the full SparkConf+Hadoop conf on every marker probe,
-  // and committedBatchDirs multiplies that by one exists() per subdir;
+  // and committedSubdirs multiplies that by one exists() per subdir;
   // the shared instance also keys Hadoop's FileSystem cache, so repeat
   // calls reuse one client per scheme
   private def fsOf(spark: SparkSession, p: Path): FileSystem =

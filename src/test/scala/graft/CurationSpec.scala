@@ -360,4 +360,31 @@ class CurationSpec extends SparkSpec {
       .select("o_orderkey").collect().map(_.getLong(0)).toSet
     assert(got == expected)
   }
+
+  test("htmlClean: uppercase tags strip, entity decode is single-pass," +
+      " boilerplate lines drop") {
+    import spark.implicits._
+    // the oracle gate cannot catch case-sensitivity (both engines would
+    // share the miss), so the (?i) rules are pinned here; doc 2 pins the
+    // amp-last decode order (the literal text '&amp;lt;' must decode to
+    // '&lt;' once, never to '<'); doc 3 pins the short-line and
+    // nav-line boilerplate rules
+    val docs = Seq(
+      (1L, "<SCRIPT>var leak = 1;</SCRIPT>real content line of text here"),
+      (2L, "before &amp;lt; after with longer padding text"),
+      (3L, "a long informative line of document text\nok\n" +
+        "<a href=\"/x\">Home</a> | <a href=\"/y\">About</a>"))
+      .toDF("doc_id", "text")
+    val got = docs
+      .select(col("doc_id"),
+        graft.operators.Curation.htmlClean(col("text")).alias("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!got(1L).contains("leak"),
+      s"uppercase script content leaked into the corpus: '${got(1L)}'")
+    assert(got(1L).contains("real content line of text here"))
+    assert(got(2L).contains("&lt;") && !got(2L).contains("&amp;") &&
+      !got(2L).contains("<"), s"entity decode order broke: '${got(2L)}'")
+    assert(got(3L) == "a long informative line of document text",
+      s"boilerplate lines survived: '${got(3L)}'")
+  }
 }

@@ -167,7 +167,10 @@ class ScalePostureSpec extends SparkSpec {
       // sort-over-stage pattern
       val rank0 = deg.select(col("src").alias("node"),
         lit(1000000000L).alias("rank_q")).localCheckpoint(true)
-      val round = Relational.pagerankRound(ewd, rank0.hint("merge"),
+      // no join hint: with broadcast disabled (as at 100 TB rank-side
+      // sizes) the planner picks SMJ on its own — the spec pins the plan
+      // the production loop actually produces, not a hint-forced one
+      val round = Relational.pagerankRound(ewd, rank0,
         teleport = 150000000L)
       // collect(), not count() — count plans its own QueryExecution and
       // leaves this one without its final AQE plan
