@@ -928,6 +928,77 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "term")))
 
+  /** The proximity-query set and window width for [[proximityTopDocs]].
+    * Query 1 is [[PhraseQueries]]' "merge sort" REVERSED — the case that
+    * separates proximity (order-free, still a hit) from exact-phrase
+    * matching; terms within a query are distinct (coverage semantics).
+    */
+  private[graft] val ProximityQueries: Seq[(Int, String)] = Seq(
+    1 -> "sort merge",
+    2 -> "customer filter",
+    3 -> "vector stream batch")
+
+  private[graft] val ProximityWindow = 8
+
+  /** PROXIMITY-WINDOW RETRIEVAL — the order-free rung between
+    * [[bm25TopDocs]]'s bag-of-words and [[phraseTopDocs]]' exact
+    * adjacency: a document scores where ALL query terms co-occur within
+    * a [[ProximityWindow]]-token window, in any order (the "near each
+    * other" predicate passage-retrieval and quote-paraphrase checks
+    * need). Score = number of ANCHORED covering windows: each matched
+    * token position p₀ is an anchor, and an anchor counts when every
+    * distinct query term appears in [p₀, p₀+W) — exact integer
+    * arithmetic, deterministic on both engines, monotone in how densely
+    * the terms co-occur.
+    *
+    * Shape: the same broadcast probe into the token-positions scan as
+    * the phrase query (only matching tokens survive), then a
+    * (query, doc)-keyed SELF-join of the small match set with the
+    * window residual — an equi-join with a bounded per-doc fan-out
+    * (matches-per-doc², matches per doc being a handful), never a
+    * corpus-sized or non-equi join.
+    */
+  def proximityTopDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    proximityTopDocsOf(Tables.loadSpread(spark, sfDir, "documents"),
+      ProximityQueries.toDF("query_id", "p_text"), ProximityWindow)
+  }
+
+  /** [[proximityTopDocs]] over any (doc_id, text) + (query_id, p_text)
+    * frames — the planted within-window / spread / reversed spec drives
+    * this factored core directly.
+    */
+  private[graft] def proximityTopDocsOf(docs: DataFrame, queries: DataFrame,
+      win: Int): DataFrame = {
+    val qterms = queries.select(col("query_id"),
+      explode(array_distinct(TextFunctions.tokens(col("p_text"))))
+        .alias("term"))
+    val nTerms = qterms.groupBy(col("query_id"))
+      .agg(count(lit(1)).alias("n_terms"))
+    val matches = termPositionsOf(docs)
+      .join(broadcast(qterms), Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("pos"), col("term"))
+      // read twice (anchor side + window side) — one probe pass
+      .transform(graft.CacheLifecycle.sessionPersist)
+    val anchors = matches
+      .select(col("query_id"), col("doc_id"), col("pos").alias("p0"))
+    val covered = anchors
+      .join(matches, Seq("query_id", "doc_id"))
+      .filter(col("pos") >= col("p0") && col("pos") < col("p0") + lit(win))
+      .groupBy(col("query_id"), col("doc_id"), col("p0"))
+      .agg(countDistinct(col("term")).alias("nt"))
+      .join(broadcast(nTerms), Seq("query_id"))
+      .filter(col("nt") === col("n_terms"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_windows").desc, col("doc_id").asc)
+    covered.groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).alias("n_windows"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("doc_id"), col("rank"), col("n_windows"))
+      .orderBy("query_id", "rank")
+  }
+
   /** The fixed retrieval query set [[bm25TopDocs]] ranks against —
     * data-plausible multi-term queries over the fixture vocabulary,
     * including the rare term (`dup`) whose idf dominates where it hits.
@@ -1480,6 +1551,47 @@ object TextAnalysis {
     // token/ordinal grain, the start-vote count(DISTINCT k) = len rule is
     // the same arithmetic (DuckDB subscripts are 1-based; −1 aligns with
     // posexplode's 0-based positions — start offsets then agree exactly)
+    // the anchored-covering-window spelling replayed verbatim: the match
+    // probe, the (query, doc)-keyed window self-join, coverage =
+    // count(DISTINCT term) per anchor, occurrences = qualifying anchors
+    "proximity_top_docs" -> {
+      val values = ProximityQueries.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+      s"""WITH qry(query_id, p_text) AS (VALUES $values),
+         |qt AS (
+         |  SELECT query_id,
+         |         unnest(list_distinct(string_split(p_text, ' '))) AS term
+         |  FROM qry),
+         |qcnt AS (
+         |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_terms
+         |  FROM qt GROUP BY 1),
+         |tp0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |tp AS (
+         |  SELECT doc_id,
+         |         unnest(range(len(t))) AS pos,
+         |         unnest(t) AS term
+         |  FROM tp0),
+         |m AS (
+         |  SELECT query_id, doc_id, pos, term FROM tp JOIN qt USING (term)),
+         |cov AS (
+         |  SELECT a.query_id, a.doc_id, a.pos AS p0,
+         |         count(DISTINCT b.term) AS nt
+         |  FROM m a JOIN m b
+         |    ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+         |   AND b.pos >= a.pos AND b.pos < a.pos + $ProximityWindow
+         |  GROUP BY 1, 2, 3),
+         |occ AS (
+         |  SELECT c.query_id, c.doc_id, CAST(count(*) AS BIGINT) AS n_windows
+         |  FROM cov c JOIN qcnt USING (query_id)
+         |  WHERE nt = n_terms GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, doc_id, n_windows,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY n_windows DESC, doc_id ASC) AS INT) AS rank
+         |  FROM occ)
+         |SELECT query_id, doc_id, rank, n_windows
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
     "phrase_top_docs" -> {
       val values = PhraseQueries.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
       s"""WITH phrases(query_id, p_text) AS (VALUES $values),
@@ -1557,6 +1669,7 @@ object TextAnalysis {
     "bm25_top_docs" -> bm25TopDocs _,
     "bm25_stored_top_docs" -> bm25StoredTopDocs _,
     "phrase_top_docs" -> phraseTopDocs _,
+    "proximity_top_docs" -> proximityTopDocs _,
     "text_surprisal_quality" -> surprisalQuality _,
   )
 }

@@ -138,6 +138,34 @@ class RetrievalSpec extends SparkSpec {
       reg.map(_.getInt(0)).toSet, "a registered phrase matched no document")
   }
 
+  test("proximity matching: order-free within the window, spread terms miss," +
+      " denser co-occurrence outranks") {
+    import spark.implicits._
+    // doc 1: both terms adjacent but REVERSED — proximity hits where the
+    //        phrase query would miss (one anchored window: 'beta' at 0
+    //        covers both; 'alpha' at 1 sees no later 'beta')
+    // doc 2: terms 8 tokens apart — outside the W=8 anchored window
+    // doc 3: dense co-occurrence — three covering anchors, outranks doc 1
+    // doc 4: only one of the terms — never covered
+    val docs = Seq(
+      (1L, "beta alpha filler filler filler filler filler filler filler"),
+      (2L, "alpha x1 x2 x3 x4 x5 x6 x7 beta"),
+      (3L, "alpha beta alpha beta filler"),
+      (4L, "alpha alpha alpha")).toDF("doc_id", "text")
+    val queries = Seq((1, "alpha beta")).toDF("query_id", "p_text")
+    val got = TextAnalysis.proximityTopDocsOf(docs, queries, win = 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    // doc 3 anchors: pos 0 (a) covers, pos 1 (b) covers via alpha@2,
+    // pos 2 (a) covers via beta@3, pos 3 (b) sees no later alpha → 3
+    assert(got.toSeq == Seq((1, 3L, 1, 3L), (1, 1L, 2, 1L)),
+      s"got: ${got.mkString(",")}")
+    // the registered query is non-degenerate: every proximity query
+    // finds documents (incl. the reversed-phrase query)
+    val reg = q("proximity_top_docs").collect()
+    assert(TextAnalysis.ProximityQueries.map(_._1).toSet ==
+      reg.map(_.getInt(0)).toSet, "a registered proximity query matched nothing")
+  }
+
   test("hybrid lexical arm agrees with the registered bm25_top_docs ranking") {
     val hybrid = q("hybrid_rrf_top_docs").collect()
       .filter(r => !r.isNullAt(2) && r.getInt(2) <= 5)

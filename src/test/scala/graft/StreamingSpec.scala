@@ -1481,6 +1481,72 @@ class StreamingSpec extends SparkSpec {
     assert(wantCodes.exceptAll(codes2).count() == 0)
   }
 
+  test("ANN erasure composes with the maintenance stream: forgotten vectors" +
+      " stay out of serving while later batches keep folding in") {
+    import graft.operators.Similarity
+    // the forgetKeys-composition discipline carried to the embeddings
+    // tier: erasure between two stream runs must wipe the victims from
+    // the stored index AND leave the stream fully operational — run 2's
+    // batch folds into the erased (republished) trees and serves
+    val cents = Similarity.maintainedCentroids(spark, sf)
+    val cb = Similarity.maintainedCodebooks(spark, sf)
+    val history = Similarity.maintainedHistory(spark, sf)
+    val batch = Similarity.maintainedBatch(spark, sf)
+    val historyCells = Similarity.assignCellsTo(history, cents)
+    val historyCodes = Similarity.pqEncodeWith(history, cb)
+    val vecDir = java.nio.file.Files.createTempDirectory("graft-annforgets")
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-annforgets-idx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-annforgets-ck").toString
+    def run(): Unit = {
+      val stream = spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1").parquet(vecDir.toString)
+      val query = streaming.EventStream.annIndexMaintenanceStream(
+        stream, historyCells, historyCodes, cents, cb, indexDir,
+        checkpointDir = Some(ckpt))
+      try query.processAllAvailable() finally query.stop()
+    }
+    // batch ids are all ===9 mod 10, so the two stream runs split on
+    // mod 20 (9, 29, ... vs 19, 39, ...)
+    batch.filter(col("vec_id") % 20 === 9).coalesce(1)
+      .write.mode("append").parquet(vecDir.toString)
+    run()
+    // victims: two history vectors plus one vector run 1 already folded
+    // (erasure must reach the per-batch subdirs, not only the seed)
+    val hv = history.filter(col("vec_id") >= 10).select(col("vec_id"))
+      .orderBy("vec_id").limit(2).collect().map(_.getLong(0)).toSeq
+    val bv = batch.filter(col("vec_id") % 20 === 9 && col("vec_id") >= 10)
+      .select(col("vec_id")).orderBy("vec_id").limit(1)
+      .collect().map(_.getLong(0)).toSeq
+    val victims = hv ++ bv
+    assert(victims.size == 3)
+    import spark.implicits._
+    streaming.EventStream.forgetVectorsFromAnnIndex(spark, indexDir,
+      victims.toDF("vec_id"))
+    // run 2 folds the remaining batch half into the ERASED index
+    batch.filter(col("vec_id") % 20 === 19).coalesce(1)
+      .write.mode("append").parquet(vecDir.toString)
+    run()
+    val cells = streaming.EventStream.annIndexCellsRead(spark, indexDir)
+    val codes = streaming.EventStream.annIndexCodesRead(spark, indexDir)
+    val vSet = victims.map(Long.box)
+    assert(cells.filter(col("vec_id").isin(vSet: _*)).count() == 0,
+      "forgotten vectors re-surfaced in the cell table after a later fold")
+    assert(codes.filter(col("vec_id").isin(vSet: _*)).count() == 0,
+      "forgotten vectors re-surfaced in the code table after a later fold")
+    // the surviving index is row-identical to the frozen-parameter
+    // rebuild over (history + batch) minus the victims
+    val wantCells = Similarity.maintainedCells(spark, sf)
+      .filter(!col("vec_id").isin(vSet: _*))
+    assert(cells.exceptAll(wantCells).count() == 0)
+    assert(wantCells.exceptAll(cells).count() == 0)
+    // and serving through the erased-then-extended index never returns a
+    // victim
+    val served = Similarity.ivfpqServeTop5(spark, sf, cells, codes, cb)
+    assert(served.count() > 0)
+    assert(served.filter(col("neighbor_id").isin(vSet: _*)).count() == 0,
+      "a forgotten vector was served as a neighbor after later ingestion")
+  }
+
   test("a crashed marker-less fold is never served and replay overwrites it") {
     import graft.operators.StarSchema
     val detail = detailFrame
