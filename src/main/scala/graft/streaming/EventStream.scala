@@ -475,6 +475,39 @@ object EventStream {
       indexDir: String): Unit =
     compactBatchDirs(spark, pairsOutDir, phashPairsSchema, indexDir)
 
+  /** RIGHT-TO-BE-FORGOTTEN over the MinHash ingest-dedup index — the
+    * text tier's stored shingle/band tables hold per-document DERIVED
+    * CONTENT (a shingle set reconstructs most of the text), so a
+    * deletion request must reach them exactly as it reaches the tf
+    * index. Pairs first (the served surface; a pair dies when EITHER
+    * endpoint is forgotten), then bands and shingles — each an
+    * anti-join republished through the snapshot-pointer protocol with
+    * the superseded tree vacuumed (it holds the forgotten rows).
+    * Idempotent; quiesced-stream contract; StreamingSpec pins that a
+    * forgotten document's byte-identical re-ingest under a fresh id
+    * never pairs with the ghost and that the erased index equals the
+    * surviving-docs rebuild.
+    */
+  def forgetDocsFromMinhashIndex(spark: SparkSession, indexDir: String,
+      pairsOutDir: String, docIds: DataFrame): Unit = {
+    val ids = docIds.select(col("doc_id").cast(LongType)).distinct()
+      .localCheckpoint(true)
+    try {
+      compactBatchDirs(spark, pairsOutDir, ingestPairsSchema, indexDir,
+        _.join(ids.select(col("doc_id").alias("doc_a")), Seq("doc_a"), "left_anti")
+          .join(ids.select(col("doc_id").alias("doc_b")), Seq("doc_b"), "left_anti"),
+        vacuumSuperseded = true)
+      compactBatchDirs(spark, s"$indexDir/bands", ingestBandsSchema, indexDir,
+        _.join(ids, Seq("doc_id"), "left_anti"),
+        requireSeed = true, vacuumSuperseded = true)
+      compactBatchDirs(spark, s"$indexDir/shingles", ingestShinglesSchema, indexDir,
+        _.join(ids, Seq("doc_id"), "left_anti"),
+        requireSeed = true, vacuumSuperseded = true)
+    } finally {
+      org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(ids)
+    }
+  }
+
   /** INGESTION-TIME PERCEPTUAL-HASH DEDUP via `foreachBatch` — the BINARY
     * twin of [[minhashIngestDedup]], closing the r14-verdict composition
     * gap: a daily media crawl must not re-band its whole asset corpus to

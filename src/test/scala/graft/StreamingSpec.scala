@@ -1481,6 +1481,84 @@ class StreamingSpec extends SparkSpec {
     assert(wantCodes.exceptAll(codes2).count() == 0)
   }
 
+  test("MinHash index erasure: pairs/bands/shingles all drop the victim," +
+      " a ghost re-ingest never pairs, later batches keep folding") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // a shingle set reconstructs most of a document — the MinHash index
+    // is derived personal content and must honor deletion exactly like
+    // the tf/ANN/phash tiers; the sharpest witness is the GHOST PROBE:
+    // a byte-identical re-ingest of the forgotten text under a fresh id
+    // sits at Jaccard 1 of the victim, so any surviving band/shingle row
+    // WOULD pair with it
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhforget")
+    val outBase = java.nio.file.Files.createTempDirectory("graft-mhforget-out")
+    val out = outBase.resolve("pairs").toString
+    val idx = outBase.resolve("index").toString
+    val ckpt = outBase.resolve("ckpt").toString
+    val history = docs.filter(col("doc_id") % 10 =!= 9)
+    def run(): Unit = {
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      val query = streaming.EventStream.minhashIngestDedup(
+        stream, history, out, idx, checkpointDir = Some(ckpt))
+      try query.processAllAvailable() finally query.stop()
+    }
+    docs.filter(col("doc_id") % 10 === 9)
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    run()
+    val pairs0 = streaming.EventStream.ingestPairsRead(spark, out)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs0.nonEmpty, "fixture emitted no pairs")
+    // victim: a HISTORY endpoint of an emitted pair (seed-table reach);
+    // erasure must provably delete that pair
+    val victim = pairs0.flatMap(p => Seq(p._1, p._2))
+      .find(_ % 10 != 9).getOrElse(fail("no history endpoint in pairs"))
+    streaming.EventStream.forgetDocsFromMinhashIndex(spark, idx, out,
+      Seq(victim).toDF("doc_id"))
+    val pairs1 = streaming.EventStream.ingestPairsRead(spark, out)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs1.length < pairs0.length, "erasure deleted no pairs")
+    assert(!pairs1.exists(p => p._1 == victim || p._2 == victim),
+      "a pair naming the forgotten document survived erasure")
+    // erasure vacuums the superseded (forgotten-rows) trees immediately
+    for (t <- Seq(s"$idx/shingles", s"$idx/bands", out)) {
+      val trees = new java.io.File(t).list().filter(_.startsWith("t")).sorted
+      assert(trees.length == 1, s"$t kept the superseded tree: ${trees.mkString(",")}")
+    }
+    // ghost probe THROUGH THE STREAM: run 2 ingests the victim's exact
+    // text under a fresh id — it must not pair with the victim's ghost
+    // (its bands/shingles are gone), and the stream keeps operating
+    // against the republished trees
+    docs.filter(col("doc_id") === victim)
+      .select(lit(1000001L).alias("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    run()
+    val pairs2 = streaming.EventStream.ingestPairsRead(spark, out)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!pairs2.exists(p => p._1 == victim || p._2 == victim),
+      "the ghost re-ingest paired with the forgotten document")
+    // the erased+extended shingle table equals the surviving-docs
+    // tokenization: history minus the victim, the folded batch, and the
+    // run-2 clone
+    val wantDocs = docs.filter(col("doc_id") =!= victim)
+      .unionByName(docs.filter(col("doc_id") === victim)
+        .select(lit(1000001L).alias("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars")))
+    val gotSh = spark.read
+      .option("recursiveFileLookup", "true")
+      .parquet(liveTree(s"$idx/shingles"))
+      .select(col("doc_id"), explode(col("sh")).alias("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val wantSh = Dedup.shingleDocs(wantDocs)
+      .select(col("doc_id"), explode(col("sh")).alias("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(gotSh == wantSh,
+      "erased index diverged from the surviving-docs shingle rebuild")
+  }
+
   test("ANN erasure composes with the maintenance stream: forgotten vectors" +
       " stay out of serving while later batches keep folding in") {
     import graft.operators.Similarity
