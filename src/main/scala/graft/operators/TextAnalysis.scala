@@ -893,17 +893,46 @@ object TextAnalysis {
       PhraseQueries.toDF("query_id", "p_text"))
   }
 
+  /** BM25's stored-table precedent carried to the POSITIONS grain: the
+    * phrase query served from the maintained on-disk positions index
+    * ([[graft.streaming.EventStream.posIndexRead]] — history tokenized
+    * once into the seed, the batch folded as one committed marker-gated
+    * subdir), no session tokenization in the returned lineage. Oracle =
+    * `phrase_top_docs`'s oracle VERBATIM, so the scaladoc claim "at
+    * 100 TB this is the stored positional-index layout" is a gate fact,
+    * not prose.
+    */
+  def phraseStoredTopDocs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoizedDurable(s"textanalysis.phraseStored:$sfDir") {
+      import spark.implicits._
+      import graft.streaming.EventStream
+      val indexDir = Layout.tmpPath("graft-posstore", sfDir)
+      val docs = Tables.documents(spark, sfDir)
+      val isBatch = col("doc_id") % 10 === 9
+      EventStream.posIndexSeed(spark, indexDir, docs.filter(!isBatch))
+      EventStream.posIndexFoldBatch(spark, indexDir, docs.filter(isBatch), 0L)
+      phraseTopDocsFromPositions(EventStream.posIndexRead(spark, indexDir),
+        PhraseQueries.toDF("query_id", "p_text"))
+    }
+
   /** [[phraseTopDocs]] over any (doc_id, text) + (query_id, p_text)
     * frames — the planted adjacent-vs-scattered spec drives this
     * factored core directly.
     */
   private[graft] def phraseTopDocsOf(docs: DataFrame,
+      phrases: DataFrame): DataFrame =
+    phraseTopDocsFromPositions(termPositionsOf(docs), phrases)
+
+  /** The phrase core over any (doc_id, pos, term) positions frame — ONE
+    * body behind the session query and the stored-index gate.
+    */
+  private[graft] def phraseTopDocsFromPositions(tp: DataFrame,
       phrases: DataFrame): DataFrame = {
     val qwords = phrases.select(col("query_id"),
       size(TextFunctions.tokens(col("p_text"))).alias("len"),
       posexplode(TextFunctions.tokens(col("p_text")))
         .as(Seq("k", "term")))
-    val starts = termPositionsOf(docs)
+    val starts = tp
       .join(broadcast(qwords), Seq("term"))
       .select(col("query_id"), col("doc_id"),
         (col("pos") - col("k")).alias("start"), col("len"), col("k"))
@@ -997,6 +1026,48 @@ object TextAnalysis {
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("doc_id"), col("rank"), col("n_windows"))
       .orderBy("query_id", "rank")
+  }
+
+  /** The registered phrase top-5 report — ONE spelling behind
+    * `phrase_top_docs` (session tokenize) and `phrase_stored_top_docs`
+    * (stored positions index), the shared-oracle discipline. The
+    * positional spelling replayed verbatim: zipped unnest gives the
+    * token/ordinal grain (0-based via `range(len(t))` — DuckDB's
+    * `generate_subscripts` is itself an unnest macro and would nest),
+    * the start-vote count(DISTINCT k) = len rule is the same arithmetic.
+    */
+  private lazy val phraseTop5OracleSql: String = {
+    val values = PhraseQueries.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+    s"""WITH phrases(query_id, p_text) AS (VALUES $values),
+       |pw0 AS (SELECT query_id, string_split(p_text, ' ') AS t FROM phrases),
+       |pw AS (
+       |  SELECT query_id,
+       |         unnest(range(len(t))) AS k,
+       |         unnest(t) AS term,
+       |         len(t) AS len
+       |  FROM pw0),
+       |tp0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |tp AS (
+       |  SELECT doc_id,
+       |         unnest(range(len(t))) AS pos,
+       |         unnest(t) AS term
+       |  FROM tp0),
+       |st AS (
+       |  SELECT query_id, doc_id, pos - k AS start, len,
+       |         count(DISTINCT k) AS nk
+       |  FROM tp JOIN pw USING (term)
+       |  GROUP BY 1, 2, 3, 4),
+       |occ AS (
+       |  SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+       |  FROM st WHERE nk = len GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, doc_id, n_occurrences,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY n_occurrences DESC, doc_id ASC) AS INT) AS rank
+       |  FROM occ)
+       |SELECT query_id, doc_id, rank, n_occurrences
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   /** The fixed retrieval query set [[bm25TopDocs]] ranks against —
@@ -1547,10 +1618,6 @@ object TextAnalysis {
     // the stored-table gate's oracle IS the session-frame query's oracle:
     // passing both proves materialized-index serving ≡ tokenize-at-query
     "bm25_stored_top_docs" -> bm25Top5OracleSql,
-    // the positional spelling replayed verbatim: zipped unnest gives the
-    // token/ordinal grain, the start-vote count(DISTINCT k) = len rule is
-    // the same arithmetic (DuckDB subscripts are 1-based; −1 aligns with
-    // posexplode's 0-based positions — start offsets then agree exactly)
     // the anchored-covering-window spelling replayed verbatim: the match
     // probe, the (query, doc)-keyed window self-join, coverage =
     // count(DISTINCT term) per anchor, occurrences = qualifying anchors
@@ -1592,39 +1659,10 @@ object TextAnalysis {
          |FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin
     },
-    "phrase_top_docs" -> {
-      val values = PhraseQueries.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
-      s"""WITH phrases(query_id, p_text) AS (VALUES $values),
-         |pw0 AS (SELECT query_id, string_split(p_text, ' ') AS t FROM phrases),
-         |pw AS (
-         |  SELECT query_id,
-         |         unnest(range(len(t))) AS k,
-         |         unnest(t) AS term,
-         |         len(t) AS len
-         |  FROM pw0),
-         |tp0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |tp AS (
-         |  SELECT doc_id,
-         |         unnest(range(len(t))) AS pos,
-         |         unnest(t) AS term
-         |  FROM tp0),
-         |st AS (
-         |  SELECT query_id, doc_id, pos - k AS start, len,
-         |         count(DISTINCT k) AS nk
-         |  FROM tp JOIN pw USING (term)
-         |  GROUP BY 1, 2, 3, 4),
-         |occ AS (
-         |  SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
-         |  FROM st WHERE nk = len GROUP BY 1, 2),
-         |ranked AS (
-         |  SELECT query_id, doc_id, n_occurrences,
-         |         CAST(row_number() OVER (PARTITION BY query_id
-         |           ORDER BY n_occurrences DESC, doc_id ASC) AS INT) AS rank
-         |  FROM occ)
-         |SELECT query_id, doc_id, rank, n_occurrences
-         |FROM ranked WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin
-    },
+    "phrase_top_docs" -> phraseTop5OracleSql,
+    // the stored-index gate's oracle IS the session query's oracle:
+    // passing both proves stored-positions serving ≡ tokenize-at-query
+    "phrase_stored_top_docs" -> phraseTop5OracleSql,
     "text_tfidf_top_terms" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -1669,6 +1707,7 @@ object TextAnalysis {
     "bm25_top_docs" -> bm25TopDocs _,
     "bm25_stored_top_docs" -> bm25StoredTopDocs _,
     "phrase_top_docs" -> phraseTopDocs _,
+    "phrase_stored_top_docs" -> phraseStoredTopDocs _,
     "proximity_top_docs" -> proximityTopDocs _,
     "text_surprisal_quality" -> surprisalQuality _,
   )

@@ -1555,6 +1555,71 @@ object EventStream {
       commitPlainMarker(spark, indexDir, batchId)
     }
 
+  private val posIndexSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("pos", IntegerType),
+    StructField("term", StringType)))
+
+  /** The maintained token-POSITIONS index on disk — the positional twin
+    * of the tf index ([[tfIndexRead]]): the (doc_id, pos, term) grain
+    * phrase/proximity retrieval probes, maintained by APPEND exactly
+    * like the tf table (documents are append-only; each batch tokenizes
+    * only its own rows). At 100 TB this is the standard
+    * positional-index layout a search tier stores beside the frequency
+    * index.
+    */
+  def posIndexRead(spark: SparkSession, indexDir: String): DataFrame =
+    batchDirsRead(spark, s"$indexDir/pos", posIndexSchema)
+
+  /** Seed the positions index from `historyDocs` unless commit evidence
+    * exists — the [[tfIndexSeed]] shape on the positions grain.
+    */
+  def posIndexSeed(spark: SparkSession, indexDir: String,
+      historyDocs: DataFrame): Unit = {
+    val posDir = s"$indexDir/pos"
+    if (!StateFs.exists(spark, s"${ensureLiveTree(spark, posDir)}/seed/_SUCCESS")) {
+      graft.operators.TextAnalysis.termPositionsOf(historyDocs)
+        .write.mode("overwrite").parquet(s"${ensureLiveTree(spark, posDir)}/seed")
+    }
+  }
+
+  /** One positions-index micro-batch — marker-gated idempotent-overwrite
+    * subdir, the [[tfIndexFoldBatch]] shape. Markers are shared with the
+    * tf index only if the caller passes the same `indexDir`; the
+    * registered gate uses its own dir.
+    */
+  def posIndexFoldBatch(spark: SparkSession, indexDir: String,
+      batch: DataFrame, batchId: Long): Unit =
+    if (!plainMarkerApplied(spark, indexDir, batchId)) {
+      graft.operators.TextAnalysis.termPositionsOf(batch)
+        .write.mode("overwrite")
+        .parquet(s"${ensureLiveTree(spark, s"$indexDir/pos")}/b$batchId")
+      commitPlainMarker(spark, indexDir, batchId)
+    }
+
+  /** Compact the positions index (see [[compactBatchDirs]]). */
+  def compactPosIndex(spark: SparkSession, indexDir: String): Unit =
+    compactBatchDirs(spark, s"$indexDir/pos", posIndexSchema, indexDir,
+      requireSeed = true)
+
+  /** RIGHT-TO-BE-FORGOTTEN over the positions index — token positions
+    * reconstruct the document verbatim (stronger than shingles), so the
+    * erasure story must reach this tier the moment it exists; same
+    * erasure-as-compaction shape as [[forgetDocsFromTfIndex]].
+    */
+  def forgetDocsFromPosIndex(spark: SparkSession, indexDir: String,
+      docs: DataFrame): Unit = {
+    val ids = docs.select(col("doc_id").cast(LongType)).distinct()
+      .localCheckpoint(true)
+    try {
+      compactBatchDirs(spark, s"$indexDir/pos", posIndexSchema, indexDir,
+        _.join(ids, Seq("doc_id"), "left_anti"),
+        requireSeed = true, vacuumSuperseded = true)
+    } finally {
+      org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(ids)
+    }
+  }
+
   private val annCellsSchema = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("v", ArrayType(LongType)),
