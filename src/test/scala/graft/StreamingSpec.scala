@@ -1559,6 +1559,51 @@ class StreamingSpec extends SparkSpec {
       "erased index diverged from the surviving-docs shingle rebuild")
   }
 
+  test("positions-index erasure serves the surviving-docs phrase ranking;" +
+      " plain compaction keeps a grace snapshot") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val isBatch = col("doc_id") % 10 === 9
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-posforget").toString
+    streaming.EventStream.posIndexSeed(spark, indexDir, docs.filter(!isBatch))
+    streaming.EventStream.posIndexFoldBatch(spark, indexDir,
+      docs.filter(isBatch), 0L)
+    val phrases = TextAnalysis.PhraseQueries.toDF("query_id", "p_text")
+    def serve() = TextAnalysis.phraseTopDocsFromPositions(
+        streaming.EventStream.posIndexRead(spark, indexDir), phrases)
+      .collect().map(_.toSeq).toSeq
+    assert(serve() == q("phrase_top_docs").collect().map(_.toSeq).toSeq,
+      "stored-positions serving diverged from the session phrase query")
+    // PLAIN compaction keeps the superseded tree as a grace snapshot —
+    // an in-flight reader that resolved before the publish can still
+    // materialize against it (the expire-snapshots-later discipline);
+    // erasure below must NOT
+    streaming.EventStream.compactPosIndex(spark, indexDir)
+    val afterCompact = new java.io.File(s"$indexDir/pos").list()
+      .filter(_.startsWith("t")).sorted
+    assert(afterCompact.length == 2,
+      s"plain compaction did not keep the grace snapshot: ${afterCompact.mkString(",")}")
+    assert(serve() == q("phrase_top_docs").collect().map(_.toSeq).toSeq)
+    // erasure: forgotten docs leave the stored positions (verbatim
+    // document content) and serving equals the surviving-docs ranking —
+    // with NO grace snapshot left behind
+    val isForgotten = col("doc_id") % 10 === 3
+    streaming.EventStream.forgetDocsFromPosIndex(spark, indexDir,
+      docs.filter(isForgotten).select(col("doc_id")))
+    val tp = streaming.EventStream.posIndexRead(spark, indexDir)
+    assert(tp.filter(col("doc_id") % 10 === 3).count() == 0,
+      "forgotten docs still present in the stored positions index")
+    val afterErase = new java.io.File(s"$indexDir/pos").list()
+      .filter(_.startsWith("t")).sorted
+    assert(afterErase.length == 1,
+      s"erasure left the superseded (forgotten-rows) tree: ${afterErase.mkString(",")}")
+    val want = TextAnalysis.phraseTopDocsOf(docs.filter(!isForgotten), phrases)
+      .collect().map(_.toSeq).toSeq
+    assert(serve() == want && want.nonEmpty,
+      "post-erasure phrase serving diverged from the surviving-docs rebuild")
+  }
+
   test("ANN erasure composes with the maintenance stream: forgotten vectors" +
       " stay out of serving while later batches keep folding in") {
     import graft.operators.Similarity
