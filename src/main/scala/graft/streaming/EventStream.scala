@@ -240,30 +240,30 @@ object EventStream {
     treeNumbers(spark, dir)
       .filter(n => StateFs.exists(spark, s"$dir/t$n/_published"))
 
-  /** Refuse a table laid out in the pre-tree FLAT format (`<dir>/seed`,
-    * `<dir>/b*` directly under the table dir): silently resolving it as
-    * "no published tree" would serve an EMPTY table, re-seed history
-    * beside still-marker-applied batches, and permanently lose their
-    * rows — the loud-failure discipline every other unrecognizable
-    * state gets. Migration is mechanical (move the entries under a
-    * published `t0/`) and the error says so.
+  // the flat pre-tree layout (`<dir>/seed`, `<dir>/b*` directly under
+  // the table dir) is refused INSIDE liveTreeOpt's single listing:
+  // silently resolving it as "no published tree" would serve an EMPTY
+  // table, re-seed history beside still-marker-applied batches, and
+  // permanently lose their rows — the loud-failure discipline every
+  // other unrecognizable state gets
+
+  /** The live (= highest published) tree's path; None for a table that
+    * was never written. Read-side resolver — creates nothing. ONE
+    * directory listing feeds both the legacy-layout guard and the tree
+    * scan (per-probe LIST round-trips are the dominant metadata cost on
+    * an object store — the [[StateFs]] shared-conf reasoning).
     */
-  private def requireNoLegacyLayout(spark: SparkSession, dir: String): Unit = {
-    val legacy = StateFs.list(spark, dir)
-      .filter(d => d == "seed" || d.matches("b\\d+"))
+  private[graft] def liveTreeOpt(spark: SparkSession, dir: String): Option[String] = {
+    val names = StateFs.list(spark, dir)
+    val legacy = names.filter(d => d == "seed" || d.matches("b\\d+"))
     require(legacy.isEmpty,
       s"$dir holds pre-snapshot-pointer flat-layout entries " +
         s"(${legacy.mkString(", ")}) — refusing to resolve them as an " +
         "empty table. Migrate by moving seed/ and b*/ under a new tree: " +
         s"mkdir $dir/t0, move the entries into it, create $dir/t0/_published")
-  }
-
-  /** The live (= highest published) tree's path; None for a table that
-    * was never written. Read-side resolver — creates nothing.
-    */
-  private[graft] def liveTreeOpt(spark: SparkSession, dir: String): Option[String] = {
-    requireNoLegacyLayout(spark, dir)
-    publishedTrees(spark, dir).lastOption.map(n => s"$dir/t$n")
+    names.filter(_.matches("t\\d+")).map(_.drop(1).toInt).sorted
+      .filter(n => StateFs.exists(spark, s"$dir/t$n/_published"))
+      .lastOption.map(n => s"$dir/t$n")
   }
 
   /** The live tree's path, creating and publishing an empty `t0` when
@@ -489,24 +489,18 @@ object EventStream {
     * surviving-docs rebuild.
     */
   def forgetDocsFromMinhashIndex(spark: SparkSession, indexDir: String,
-      pairsOutDir: String, docIds: DataFrame): Unit = {
-    val ids = docIds.select(col("doc_id").cast(LongType)).distinct()
-      .localCheckpoint(true)
-    try {
-      compactBatchDirs(spark, pairsOutDir, ingestPairsSchema, indexDir,
-        _.join(ids.select(col("doc_id").alias("doc_a")), Seq("doc_a"), "left_anti")
-          .join(ids.select(col("doc_id").alias("doc_b")), Seq("doc_b"), "left_anti"),
-        vacuumSuperseded = true)
-      compactBatchDirs(spark, s"$indexDir/bands", ingestBandsSchema, indexDir,
-        _.join(ids, Seq("doc_id"), "left_anti"),
-        requireSeed = true, vacuumSuperseded = true)
-      compactBatchDirs(spark, s"$indexDir/shingles", ingestShinglesSchema, indexDir,
-        _.join(ids, Seq("doc_id"), "left_anti"),
-        requireSeed = true, vacuumSuperseded = true)
-    } finally {
-      org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(ids)
+      pairsOutDir: String, docIds: DataFrame): Unit =
+    withForgetList(docIds, "doc_id") { ids =>
+      erasePairEndpoints(spark, pairsOutDir, ingestPairsSchema, indexDir,
+        ids, "doc_a", "doc_b")
+      // bands before shingles — the candidacy-gates-serving order (the
+      // ANN cells-first rule): a bands-erased victim can no longer be
+      // PROPOSED even while its shingles await their erasure
+      eraseKeysFromTable(spark, s"$indexDir/bands", ingestBandsSchema, indexDir,
+        ids, "doc_id")
+      eraseKeysFromTable(spark, s"$indexDir/shingles", ingestShinglesSchema,
+        indexDir, ids, "doc_id")
     }
-  }
 
   /** INGESTION-TIME PERCEPTUAL-HASH DEDUP via `foreachBatch` — the BINARY
     * twin of [[minhashIngestDedup]], closing the r14-verdict composition
@@ -1489,16 +1483,54 @@ object EventStream {
     * spec'd in StreamingSpec.
     */
   def forgetDocsFromTfIndex(spark: SparkSession, indexDir: String,
-      docs: DataFrame): Unit = {
-    val ids = docs.select(col("doc_id")).distinct().localCheckpoint(true)
-    try {
-      compactBatchDirs(spark, s"$indexDir/tf", tfIndexSchema, indexDir,
-        _.join(ids, Seq("doc_id"), "left_anti"),
-        requireSeed = true, vacuumSuperseded = true)
-    } finally {
-      org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(ids)
+      docs: DataFrame): Unit =
+    withForgetList(docs, "doc_id") { ids =>
+      eraseKeysFromTable(spark, s"$indexDir/tf", tfIndexSchema, indexDir,
+        ids, "doc_id")
     }
+
+  /** Checkpoint a delete list once (cast to the key type and
+    * deduplicated — the [[forgetKeys]] key-type lesson; the list may
+    * carry an expensive lineage and several table erasures consume it),
+    * run the per-table erasures, release. ONE wrapper behind every
+    * index-tier forget entry point, so the erasure protocol has one
+    * body to fix, not five.
+    */
+  private def withForgetList(list: DataFrame, keyCol: String)
+      (body: DataFrame => Unit): Unit = {
+    val ids = list.select(col(keyCol).cast(LongType)).distinct()
+      .localCheckpoint(true)
+    try body(ids)
+    finally org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(ids)
   }
+
+  /** ONE erasure-as-compaction body for a single-key index table:
+    * anti-join the (single-column) delete list against `joinCol` and
+    * republish through the snapshot-pointer protocol with the
+    * superseded tree vacuumed (it holds the forgotten rows).
+    */
+  private def eraseKeysFromTable(spark: SparkSession, dir: String,
+      schema: StructType, markersRoot: String, ids: DataFrame,
+      joinCol: String): Unit =
+    compactBatchDirs(spark, dir, schema, markersRoot,
+      _.join(ids.toDF(joinCol), Seq(joinCol), "left_anti"),
+      requireSeed = true, vacuumSuperseded = true)
+
+  /** Pair-table erasure: a pair dies when EITHER endpoint is forgotten.
+    * A pairs OUTPUT table that was never written (the stream seeded its
+    * index but no micro-batch ran yet) is a legitimate NO-OP, not an
+    * error — failing here would abort the whole erasure before the
+    * index tables holding the victim's derived content were reached,
+    * and regulation-mandated retries would keep failing identically.
+    */
+  private def erasePairEndpoints(spark: SparkSession, pairsDir: String,
+      schema: StructType, markersRoot: String, ids: DataFrame,
+      aCol: String, bCol: String): Unit =
+    if (liveTreeOpt(spark, pairsDir).nonEmpty)
+      compactBatchDirs(spark, pairsDir, schema, markersRoot,
+        _.join(ids.toDF(aCol), Seq(aCol), "left_anti")
+          .join(ids.toDF(bCol), Seq(bCol), "left_anti"),
+        vacuumSuperseded = true)
 
   /** STREAMING BM25 INDEX MAINTENANCE — the retrieval tier's nightly
     * refresh, completing the term-stats gate's story: documents are
@@ -1584,22 +1616,30 @@ object EventStream {
   }
 
   /** One positions-index micro-batch — marker-gated idempotent-overwrite
-    * subdir, the [[tfIndexFoldBatch]] shape. Markers are shared with the
-    * tf index only if the caller passes the same `indexDir`; the
-    * registered gate uses its own dir.
+    * subdir, the [[tfIndexFoldBatch]] shape. Markers live under the POS
+    * TABLE's own dir (`<indexDir>/pos/_batches`), NOT the shared
+    * `indexDir` root: a search tier stores this table beside the
+    * frequency index, and an unqualified shared marker would make
+    * whichever fold ran first silently swallow the other's batch (the
+    * review-caught composition trap). `_batches` never collides with
+    * the tree layout (`t\\d+` names only).
     */
   def posIndexFoldBatch(spark: SparkSession, indexDir: String,
-      batch: DataFrame, batchId: Long): Unit =
-    if (!plainMarkerApplied(spark, indexDir, batchId)) {
+      batch: DataFrame, batchId: Long): Unit = {
+    val posDir = s"$indexDir/pos"
+    if (!plainMarkerApplied(spark, posDir, batchId)) {
       graft.operators.TextAnalysis.termPositionsOf(batch)
         .write.mode("overwrite")
-        .parquet(s"${ensureLiveTree(spark, s"$indexDir/pos")}/b$batchId")
-      commitPlainMarker(spark, indexDir, batchId)
+        .parquet(s"${ensureLiveTree(spark, posDir)}/b$batchId")
+      commitPlainMarker(spark, posDir, batchId)
     }
+  }
 
-  /** Compact the positions index (see [[compactBatchDirs]]). */
+  /** Compact the positions index (see [[compactBatchDirs]]; markers
+    * live under the pos table itself — see [[posIndexFoldBatch]]).
+    */
   def compactPosIndex(spark: SparkSession, indexDir: String): Unit =
-    compactBatchDirs(spark, s"$indexDir/pos", posIndexSchema, indexDir,
+    compactBatchDirs(spark, s"$indexDir/pos", posIndexSchema, s"$indexDir/pos",
       requireSeed = true)
 
   /** RIGHT-TO-BE-FORGOTTEN over the positions index — token positions
@@ -1608,17 +1648,11 @@ object EventStream {
     * erasure-as-compaction shape as [[forgetDocsFromTfIndex]].
     */
   def forgetDocsFromPosIndex(spark: SparkSession, indexDir: String,
-      docs: DataFrame): Unit = {
-    val ids = docs.select(col("doc_id").cast(LongType)).distinct()
-      .localCheckpoint(true)
-    try {
-      compactBatchDirs(spark, s"$indexDir/pos", posIndexSchema, indexDir,
-        _.join(ids, Seq("doc_id"), "left_anti"),
-        requireSeed = true, vacuumSuperseded = true)
-    } finally {
-      org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(ids)
+      docs: DataFrame): Unit =
+    withForgetList(docs, "doc_id") { ids =>
+      eraseKeysFromTable(spark, s"$indexDir/pos", posIndexSchema,
+        s"$indexDir/pos", ids, "doc_id")
     }
-  }
 
   private val annCellsSchema = StructType(Seq(
     StructField("vec_id", LongType),
@@ -1662,20 +1696,13 @@ object EventStream {
     * filter-rebuild through serving.
     */
   def forgetVectorsFromAnnIndex(spark: SparkSession, indexDir: String,
-      vecIds: DataFrame): Unit = {
-    val ids = vecIds.select(col("vec_id").cast(LongType)).distinct()
-      .localCheckpoint(true)
-    try {
-      compactBatchDirs(spark, s"$indexDir/cells", annCellsSchema, indexDir,
-        _.join(ids, Seq("vec_id"), "left_anti"),
-        requireSeed = true, vacuumSuperseded = true)
-      compactBatchDirs(spark, s"$indexDir/codes", annCodesSchema, indexDir,
-        _.join(ids, Seq("vec_id"), "left_anti"),
-        requireSeed = true, vacuumSuperseded = true)
-    } finally {
-      org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(ids)
+      vecIds: DataFrame): Unit =
+    withForgetList(vecIds, "vec_id") { ids =>
+      eraseKeysFromTable(spark, s"$indexDir/cells", annCellsSchema, indexDir,
+        ids, "vec_id")
+      eraseKeysFromTable(spark, s"$indexDir/codes", annCodesSchema, indexDir,
+        ids, "vec_id")
     }
-  }
 
   /** RIGHT-TO-BE-FORGOTTEN over the phash MEDIA index — the binary
     * tier's erasure: a perceptual hash is derived biometric-adjacent
@@ -1691,23 +1718,13 @@ object EventStream {
     * filter-rebuild through the pair-serving plan.
     */
   def forgetMediaFromPhashIndex(spark: SparkSession, indexDir: String,
-      pairsOutDir: String, mediaIds: DataFrame): Unit = {
-    val ids = mediaIds.select(col("media_id").cast(LongType)).distinct()
-      .localCheckpoint(true)
-    try {
-      compactBatchDirs(spark, pairsOutDir, phashPairsSchema, indexDir,
-        _.join(ids.select(col("media_id").alias("media_a")),
-            Seq("media_a"), "left_anti")
-          .join(ids.select(col("media_id").alias("media_b")),
-            Seq("media_b"), "left_anti"),
-        vacuumSuperseded = true)
-      compactBatchDirs(spark, s"$indexDir/bands", phashBandsSchema, indexDir,
-        _.join(ids, Seq("media_id"), "left_anti"),
-        requireSeed = true, vacuumSuperseded = true)
-    } finally {
-      org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(ids)
+      pairsOutDir: String, mediaIds: DataFrame): Unit =
+    withForgetList(mediaIds, "media_id") { ids =>
+      erasePairEndpoints(spark, pairsOutDir, phashPairsSchema, indexDir,
+        ids, "media_a", "media_b")
+      eraseKeysFromTable(spark, s"$indexDir/bands", phashBandsSchema, indexDir,
+        ids, "media_id")
     }
-  }
 
   /** The maintained ANN index tables on disk (cells + PQ codes) — the
     * read side of [[annIndexMaintenanceStream]].
