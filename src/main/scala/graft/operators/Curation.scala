@@ -505,6 +505,17 @@ object Curation {
     * generic tag strip.
     */
   private[graft] val HtmlStripRules: Seq[(String, String, String)] = Seq(
+    // rule 0: LINE-ENDING NORMALIZATION. Every (?m) rule below relies
+    // on Java-regex and RE2 agreeing on what a "line" is, and they
+    // don't on raw crawl text: Java's `.`/`^`/`$` treat \r and
+    // U+2028/U+2029 as line terminators where RE2 recognizes only \n.
+    // Real crawls are CRLF-heavy, so without this rule the "same
+    // automaton on both engines" property held only for \n-only input
+    // like the fixture. Normalizing first (\r\n, bare \r, and the
+    // Unicode separators all → \n) makes every later line-anchored
+    // rule see identical line structure in both engines; \x{hhhh} is
+    // the escape spelling both regex dialects share.
+    ("newline", "\\r\\n?|\\x{2028}|\\x{2029}", "\n"),
     // (?i): HTML tag names are case-insensitive and uppercase tags are
     // common in older crawls — a case-sensitive script rule would leak
     // <SCRIPT> contents into the corpus as text (both engines would
@@ -526,16 +537,31 @@ object Curation {
     "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
     "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
 
-  /** Post-strip tidy rules: short-line boilerplate (≤ 12 chars — menu
-    * crumbs, "ok"-grade residue), whitespace-run collapse, line-edge
-    * trims, blank-line collapse, end trims. `\s+$`-style patterns
-    * deliberately CONSUME the trailing newline rather than anchoring
-    * before it — Java's bare `$` matches before a final line
-    * terminator where RE2's does not, and consuming the terminator is
-    * the spelling on which both engines agree.
+  /** Short-line drop threshold: lines of at most this many characters
+    * are removed by the first tidy rule. This is a TUNABLE with a real
+    * content-loss tradeoff, not a neutral cleanup: it targets menu
+    * crumbs and "ok"-grade navigation residue, but it also deletes
+    * legitimate short lines — headings, code lines, CJK text where 12
+    * characters is a whole sentence — and because BOTH engines apply
+    * the same rule, the oracle gate can never flag the loss. A
+    * deployment curating heading-dense or CJK-heavy sources should
+    * lower it (0 disables nothing — the rule always drops empty lines)
+    * or replace the rule with a link-density/markup-evidence gate;
+    * 12 is calibrated for the Latin-script boilerplate this fixture
+    * models.
+    */
+  private[graft] val HtmlShortLineMax = 12
+
+  /** Post-strip tidy rules: short-line boilerplate (≤
+    * [[HtmlShortLineMax]] chars — see its content-loss caveat),
+    * whitespace-run collapse, line-edge trims, blank-line collapse, end
+    * trims. `\s+$`-style patterns deliberately CONSUME the trailing
+    * newline rather than anchoring before it — Java's bare `$` matches
+    * before a final line terminator where RE2's does not, and consuming
+    * the terminator is the spelling on which both engines agree.
     */
   private[graft] val HtmlTidyRules: Seq[(String, String)] = Seq(
-    ("(?m)^.{0,12}$", ""),
+    (s"(?m)^.{0,$HtmlShortLineMax}$$", ""),
     ("[ \\t]+", " "),
     ("(?m)^ ", ""),
     ("(?m) $", ""),
@@ -556,14 +582,21 @@ object Curation {
       regexp_replace(acc, pat, rep) }
   }
 
+  /** A string as a DuckDB single-quoted literal — EVERY pattern,
+    * replacement, and entity splice goes through this, so a future rule
+    * containing a quote (an attribute-value pattern, say) generates
+    * correct oracle SQL instead of silently-broken SQL at a distance
+    * (only the `&#39;` entity decode used to handle its own quote).
+    */
+  private def sqlLit(s: String): String = s"'${s.replace("'", "''")}'"
+
   private def htmlCleanSql(inner: String): String = {
     val stripped = HtmlStripRules.foldLeft(inner) { case (acc, (_, pat, rep)) =>
-      s"regexp_replace($acc, '$pat', '$rep', 'g')" }
+      s"regexp_replace($acc, ${sqlLit(pat)}, ${sqlLit(rep)}, 'g')" }
     val decoded = HtmlEntities.foldLeft(stripped) { case (acc, (e, ch)) =>
-      val chSql = if (ch == "'") "''''" else s"'$ch'"
-      s"replace($acc, '$e', $chSql)" }
+      s"replace($acc, ${sqlLit(e)}, ${sqlLit(ch)})" }
     HtmlTidyRules.foldLeft(decoded) { case (acc, (pat, rep)) =>
-      s"regexp_replace($acc, '$pat', '$rep', 'g')" }
+      s"regexp_replace($acc, ${sqlLit(pat)}, ${sqlLit(rep)}, 'g')" }
   }
 
   /** HTML-bearing demo text (the [[piiAugmented]] discipline): the

@@ -274,7 +274,10 @@ object EventStream {
     */
   private[graft] def ensureLiveTree(spark: SparkSession, dir: String): String =
     liveTreeOpt(spark, dir).getOrElse {
-      StateFs.touch(spark, s"$dir/t0/_published")
+      // create-only: two writers racing to seed the same fresh table is
+      // a configuration error, and the loser must fail loudly rather
+      // than both proceeding as if they owned the table
+      StateFs.touchExclusive(spark, s"$dir/t0/_published")
       s"$dir/t0"
     }
 
@@ -370,42 +373,166 @@ object EventStream {
     * `vacuumSuperseded = true`: the superseded tree holds the forgotten
     * rows, and leaving them readable would defeat the deletion.
     */
+  private val treeClaimName = "_claim_(\\d+)".r
+
+  private def claimNumbers(spark: SparkSession, dir: String): Seq[Int] =
+    StateFs.list(spark, dir).collect { case treeClaimName(n) => n.toInt }.sorted
+
+  /** WRITER CLAIM for the snapshot-pointer protocol — serializes tree
+    * BUILDS, not only the publish: the `_published` create is atomic,
+    * but two concurrent compaction/erasure entries would otherwise race
+    * on the same `t{live+1}/seed` write and each entry's vacuum could
+    * delete the peer's in-flight build. Before building, a writer
+    * reserves the next tree number with ONE create-only claim file
+    * (`_claim_{n}` — the `_horizon_{v}` name-encoded-marker precedent):
+    * exactly one create succeeds, the loser fails loudly HERE, without
+    * having touched the winner's tree or vacuumed anything, and simply
+    * re-runs after the winner finishes (its fold then reads the
+    * winner's published tree — deterministic, so the re-run is
+    * byte-exact modulo the winner's fold). Stale claims — a writer that
+    * published but crashed before releasing — have numbers ≤ the live
+    * tree and are removed on entry; a claim ABOVE the live tree with no
+    * publish is an active or crashed writer and is never auto-expired:
+    * time-based lock breaking would split the brain when a slow writer
+    * is merely paused (GC, preemption), so crash recovery is the
+    * explicit operator decision [[breakTreeClaims]] is for, exactly
+    * HDFS's lease-recovery discipline.
+    */
+  private[graft] def acquireTreeClaim(spark: SparkSession, dir: String): Int = {
+    val pub = publishedTrees(spark, dir)
+    require(pub.nonEmpty,
+      s"tree claim: no published tree under $dir — the table was never written")
+    val live = pub.last
+    claimNumbers(spark, dir).filter(_ <= live)
+      .foreach(n => StateFs.deleteFile(spark, s"$dir/_claim_$n"))
+    val next = live + 1
+    try StateFs.touchExclusive(spark, s"$dir/_claim_$next")
+    catch {
+      case e: IllegalStateException =>
+        throw new IllegalStateException(
+          s"another compaction/erasure writer holds _claim_$next under $dir " +
+            "— tree builds are serialized by a create-only claim. If it is " +
+            "live, wait for it and re-run; if it crashed (verify no job is " +
+            "running against this table), break the claim with " +
+            "EventStream.breakTreeClaims and re-run", e)
+    }
+    next
+  }
+
+  private[graft] def releaseTreeClaim(spark: SparkSession, dir: String,
+      n: Int): Unit =
+    StateFs.deleteFile(spark, s"$dir/_claim_$n")
+
+  /** ADMINISTRATIVE claim recovery — deletes every outstanding claim
+    * under `dir` (see [[acquireTreeClaim]]). Run ONLY after verifying no
+    * writer is active against the table: breaking a live writer's claim
+    * re-opens the double-build race the claim exists to close. The
+    * crashed writer's unpublished tree (if any) is left for the next
+    * writer's entry vacuum.
+    */
+  def breakTreeClaims(spark: SparkSession, dir: String): Unit =
+    claimNumbers(spark, dir)
+      .foreach(n => StateFs.deleteFile(spark, s"$dir/_claim_$n"))
+
   private def compactBatchDirs(spark: SparkSession, dir: String,
       schema: StructType, markersRoot: String,
       transform: DataFrame => DataFrame = identity,
       requireSeed: Boolean = false,
       vacuumSuperseded: Boolean = false): Unit = {
-    val pub = publishedTrees(spark, dir)
-    require(pub.nonEmpty,
-      s"compaction: no published tree under $dir — the table was never written")
-    val live = pub.last
-    val livePath = s"$dir/t$live"
-    // entry vacuum: everything but the live tree is either a superseded
-    // snapshot whose grace window has ended or a crashed, never-published
-    // build — both unreferenced by every reader
-    treeNumbers(spark, dir).filterNot(_ == live)
-      .foreach(n => StateFs.deleteRecursively(spark, s"$dir/t$n"))
-    require(!StateFs.exists(spark, s"$livePath/seed") ||
-        StateFs.exists(spark, s"$livePath/seed/_SUCCESS"),
-      s"compaction: $livePath/seed exists without commit evidence — " +
-        "a half-written seed must be re-seeded, not compacted")
-    if (requireSeed)
-      require(StateFs.exists(spark, s"$livePath/seed/_SUCCESS"),
-        s"compaction: $livePath has no seed at all — an index table " +
-          "whose history seed never landed must be re-seeded, not compacted " +
-          "into an empty baseline")
-    val foldable = committedSubdirs(spark, livePath).filter {
-      case "seed" => true
-      case b if b.matches("b\\d+") =>
-        plainMarkerApplied(spark, markersRoot, b.drop(1).toLong)
-      case _ => false
+    // claim FIRST — from here to the release this writer is the only
+    // one allowed to vacuum, build, or publish under `dir`
+    val next = acquireTreeClaim(spark, dir)
+    try {
+      val live = next - 1
+      val livePath = s"$dir/t$live"
+      // entry vacuum — safe under the claim: everything but the live
+      // tree is either a superseded snapshot whose grace window has
+      // ended or a crashed, claim-broken build, both unreferenced by
+      // every reader and by any writer (a live peer would have failed
+      // at the claim, never reaching its own vacuum)
+      treeNumbers(spark, dir).filterNot(_ == live)
+        .foreach(n => StateFs.deleteRecursively(spark, s"$dir/t$n"))
+      require(!StateFs.exists(spark, s"$livePath/seed") ||
+          StateFs.exists(spark, s"$livePath/seed/_SUCCESS"),
+        s"compaction: $livePath/seed exists without commit evidence — " +
+          "a half-written seed must be re-seeded, not compacted")
+      if (requireSeed)
+        require(StateFs.exists(spark, s"$livePath/seed/_SUCCESS"),
+          s"compaction: $livePath has no seed at all — an index table " +
+            "whose history seed never landed must be re-seeded, not compacted " +
+            "into an empty baseline")
+      val foldable = committedSubdirs(spark, livePath).filter {
+        case "seed" => true
+        case b if b.matches("b\\d+") =>
+          plainMarkerApplied(spark, markersRoot, b.drop(1).toLong)
+        case _ => false
+      }
+      val nextPath = s"$dir/t$next"
+      transform(readSubdirs(spark, livePath, foldable, schema))
+        .write.mode("overwrite").parquet(s"$nextPath/seed")
+      // THE commit: one create-only marker makes the new tree live —
+      // exclusive, so even a protocol bug that let two writers reach
+      // here could never let both "succeed" silently
+      StateFs.touchExclusive(spark, s"$nextPath/_published")
+      if (vacuumSuperseded) StateFs.deleteRecursively(spark, livePath)
+    } finally {
+      // released on failure too: a CLEANLY failed build is no longer a
+      // writer, and its unpublished tree is vacuumed by the next entry;
+      // only a hard crash leaves the claim for breakTreeClaims
+      releaseTreeClaim(spark, dir, next)
     }
-    val nextPath = s"$dir/t${live + 1}"
-    transform(readSubdirs(spark, livePath, foldable, schema))
-      .write.mode("overwrite").parquet(s"$nextPath/seed")
-    // THE commit: one create-only marker makes the new tree live
-    StateFs.touch(spark, s"$nextPath/_published")
-    if (vacuumSuperseded) StateFs.deleteRecursively(spark, livePath)
+  }
+
+  /** AUTO-COMPACTION POLICY — compact one per-batch-subdir table when
+    * its live tree holds MORE THAN `maxBatchSubdirs` committed batch
+    * subdirs; a no-op below the threshold. At 100 TB the compaction
+    * trigger is file-count pressure, not a calendar: every probe of the
+    * table pays one LIST plus a footer read per subdir, so a
+    * long-running maintenance stream that never compacts converts its
+    * own uptime into per-batch metadata cost. Wired into the
+    * maintenance streams' fold path (each `foreachBatch` calls this
+    * AFTER its batch marker lands), which satisfies compaction's
+    * quiesced-writer contract BY CONSTRUCTION — the stream is the
+    * table's only writer and sits between folds. Batch-marker evidence
+    * is untouched (compaction never deletes markers — the horizon
+    * discipline), so redelivered pre-compaction batches still no-op.
+    * Returns whether a compaction ran (the spec's exactly-at-threshold
+    * probe).
+    */
+  private def compactIfCrowded(spark: SparkSession, dir: String,
+      schema: StructType, markersRoot: String, maxBatchSubdirs: Int,
+      requireSeed: Boolean): Boolean = {
+    require(maxBatchSubdirs >= 1,
+      s"auto-compaction threshold must be >= 1, got $maxBatchSubdirs")
+    val crowded = liveTreeOpt(spark, dir).exists { tree =>
+      committedSubdirs(spark, tree).count(_.matches("b\\d+")) > maxBatchSubdirs
+    }
+    if (crowded)
+      compactBatchDirs(spark, dir, schema, markersRoot, requireSeed = requireSeed)
+    crowded
+  }
+
+  /** [[compactIfCrowded]] over the tf index — the policy entry the tf
+    * maintenance stream runs per fold when `autoCompactAfter` is set.
+    */
+  def compactTfIndexIfCrowded(spark: SparkSession, indexDir: String,
+      maxBatchSubdirs: Int): Boolean =
+    compactIfCrowded(spark, s"$indexDir/tf", tfIndexSchema, indexDir,
+      maxBatchSubdirs, requireSeed = true)
+
+  /** [[compactIfCrowded]] over the MinHash ingest-dedup tables (shingle
+    * + band index tables and the pairs output table — the output table
+    * legitimately starts seedless).
+    */
+  def compactIngestIndexIfCrowded(spark: SparkSession, indexDir: String,
+      pairsOutDir: String, maxBatchSubdirs: Int): Boolean = {
+    val a = compactIfCrowded(spark, s"$indexDir/shingles", ingestShinglesSchema,
+      indexDir, maxBatchSubdirs, requireSeed = true)
+    val b = compactIfCrowded(spark, s"$indexDir/bands", ingestBandsSchema,
+      indexDir, maxBatchSubdirs, requireSeed = true)
+    val c = compactIfCrowded(spark, pairsOutDir, ingestPairsSchema,
+      indexDir, maxBatchSubdirs, requireSeed = false)
+    a || b || c
   }
 
   /** Compact the ingest-dedup index tables (see [[compactBatchDirs]]). */
@@ -599,7 +726,8 @@ object EventStream {
     */
   def minhashIngestDedup(docsStream: DataFrame, historyDocs: DataFrame,
       pairsOutDir: String, indexDir: String,
-      checkpointDir: Option[String] = None): StreamingQuery = {
+      checkpointDir: Option[String] = None,
+      autoCompactAfter: Option[Int] = None): StreamingQuery = {
     import graft.operators.Dedup
     val spark = docsStream.sparkSession
     val shDir = s"$indexDir/shingles"
@@ -657,6 +785,11 @@ object EventStream {
             ()
           }
         }
+        // policy AFTER the marker landed — quiesced by construction
+        // (see [[compactTfIndexIfCrowded]]); outside the marker gate so
+        // a replayed no-op batch still relieves file-count pressure
+        autoCompactAfter.foreach(k =>
+          compactIngestIndexIfCrowded(spark, indexDir, pairsOutDir, k))
       }
       .start()
   }
@@ -1550,12 +1683,17 @@ object EventStream {
     * shapes a 100 TB text index actually runs nightly.
     */
   def tfIndexMaintenanceStream(docsStream: DataFrame, historyDocs: DataFrame,
-      indexDir: String, checkpointDir: Option[String] = None): StreamingQuery = {
+      indexDir: String, checkpointDir: Option[String] = None,
+      autoCompactAfter: Option[Int] = None): StreamingQuery = {
     val spark = docsStream.sparkSession
     tfIndexSeed(spark, indexDir, historyDocs)
     maintenanceWriter(docsStream, checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         tfIndexFoldBatch(spark, indexDir, batch.toDF(), batchId)
+        // policy AFTER the marker landed: the fold is complete and the
+        // stream (the only writer) is between folds — quiesced by
+        // construction (see [[compactTfIndexIfCrowded]])
+        autoCompactAfter.foreach(k => compactTfIndexIfCrowded(spark, indexDir, k))
       }
       .start()
   }

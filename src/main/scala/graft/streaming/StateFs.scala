@@ -37,12 +37,47 @@ private[streaming] object StateFs {
 
   /** Create an empty marker file, parents included — idempotent (a
     * replayed commit overwrites the zero-byte marker with itself).
+    * For IDEMPOTENT batch markers only: a marker whose second create is
+    * evidence of a concurrent writer (tree `_published` publishes, tree
+    * claims) must go through [[touchExclusive]] instead.
     */
   def touch(spark: SparkSession, path: String): Unit = {
     val p = new Path(path)
     val fs = fsOf(spark, p)
     fs.mkdirs(p.getParent)
     fs.create(p, true).close()
+  }
+
+  /** CREATE-ONLY marker create — fails with a named error when the file
+    * already exists instead of silently overwriting it. This is the
+    * commit primitive of the snapshot-pointer protocol: two racing
+    * writers that both compute the same next tree number must not BOTH
+    * "successfully" publish (last-writer-wins would silently discard
+    * one writer's fold — an erasure, possibly), so the publish and the
+    * claim that serializes builds are exclusive creates, atomic on
+    * local, HDFS, and S3-likes (conditional-put) alike.
+    */
+  def touchExclusive(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    val fs = fsOf(spark, p)
+    fs.mkdirs(p.getParent)
+    try fs.create(p, false).close()
+    catch {
+      case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"create-only marker $path could not be created " +
+            "(a concurrent writer claimed or published it first)", e)
+    }
+  }
+
+  /** Delete a single file; a missing path is a no-op (stale-claim
+    * cleanup — recursive delete of a FILE would succeed too, but the
+    * intent here is never a directory).
+    */
+  def deleteFile(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    fsOf(spark, p).delete(p, false)
+    ()
   }
 
   /** Child names of `dir`; empty when the dir is missing (the java.io

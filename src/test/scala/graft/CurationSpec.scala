@@ -387,4 +387,31 @@ class CurationSpec extends SparkSpec {
     assert(got(3L) == "a long informative line of document text",
       s"boilerplate lines survived: '${got(3L)}'")
   }
+
+  test("htmlClean: CRLF and Unicode line separators normalize before the" +
+      " line-anchored rules") {
+    import spark.implicits._
+    // Java regex treats \r and U+2028/U+2029 as line terminators, RE2
+    // only \n — so every (?m) rule would diverge between the engines on
+    // CRLF crawl text if rule 0 didn't normalize endings first. The
+    // planted CRLF and U+2028 docs pin that the short-line and nav-line
+    // rules fire on non-\n-terminated lines, and that output carries
+    // no \r at all (the normalized form both engines then agree on).
+    val docs = Seq(
+      (1L, "a long informative line of document text\r\nok\r\n" +
+        "<a href=\"/x\">Home</a> | <a href=\"/y\">About</a>\r\n"),
+      (2L, "first informative long line of text\u2028ok\u2028" +
+        "second informative long line of text"))
+      .toDF("doc_id", "text")
+    val got = docs
+      .select(col("doc_id"),
+        graft.operators.Curation.htmlClean(col("text")).alias("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "a long informative line of document text",
+      s"CRLF boilerplate lines survived: '${got(1L)}'")
+    assert(got(2L) == "first informative long line of text\n" +
+      "second informative long line of text",
+      s"U+2028-separated short line survived: '${got(2L)}'")
+    assert(!got.values.exists(_.contains("\r")), "output still carries \\r")
+  }
 }

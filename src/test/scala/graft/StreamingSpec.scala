@@ -1315,6 +1315,161 @@ class StreamingSpec extends SparkSpec {
         .collect().map(_.toSeq).toSet)
   }
 
+  /** Seed a small tf index (history seed + two streamed batches) and
+    * return (indexDir, tfDir) — the fixture the writer-claim interleave
+    * tests race compaction/erasure writers over.
+    */
+  private def claimFixture(tag: String): (String, String) = {
+    val docs = Tables.documents(spark, sf)
+    val isBatch = col("doc_id") % 10 === 9
+    val stageDir = java.nio.file.Files.createTempDirectory(s"graft-$tag")
+    stageFile(docs.filter(isBatch && col("doc_id") % 20 === 9), stageDir, "b1", 60)
+    stageFile(docs.filter(isBatch && col("doc_id") % 20 =!= 9), stageDir, "b2", 30)
+    val outBase = java.nio.file.Files.createTempDirectory(s"graft-$tag-out")
+    val indexDir = outBase.resolve("index").toString
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$stageDir/*")
+    val q1 = streaming.EventStream.tfIndexMaintenanceStream(
+      stream, docs.filter(!isBatch), indexDir,
+      checkpointDir = Some(outBase.resolve("ckpt").toString))
+    try q1.processAllAvailable() finally q1.stop()
+    (indexDir, s"$indexDir/tf")
+  }
+
+  test("auto-compaction policy fires only past the subdir threshold and" +
+      " keeps marker evidence intact") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf)
+    val isBatch = col("doc_id") % 10 === 9
+    def run(tag: String, k: Int): String = {
+      val stageDir = java.nio.file.Files.createTempDirectory(s"graft-$tag")
+      stageFile(docs.filter(isBatch && col("doc_id") % 20 === 9), stageDir, "b1", 60)
+      stageFile(docs.filter(isBatch && col("doc_id") % 20 =!= 9), stageDir, "b2", 30)
+      val outBase = java.nio.file.Files.createTempDirectory(s"graft-$tag-out")
+      val indexDir = outBase.resolve("index").toString
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$stageDir/*")
+      val q1 = streaming.EventStream.tfIndexMaintenanceStream(
+        stream, docs.filter(!isBatch), indexDir,
+        checkpointDir = Some(outBase.resolve("ckpt").toString),
+        autoCompactAfter = Some(k))
+      try q1.processAllAvailable() finally q1.stop()
+      indexDir
+    }
+    // threshold 2 with exactly 2 batch subdirs: 2 > 2 is false — the
+    // policy must NOT fire AT the threshold, only past it
+    val atIdx = run("autocompact-at", 2)
+    assert(treeDirs(s"$atIdx/tf") == Seq("b0", "b1", "seed"),
+      "policy fired at (not past) the threshold")
+    // threshold 1: after b0 the count is 1 (no fire), after b1 it is 2 —
+    // the fold path compacts to one seed
+    val pastIdx = run("autocompact-past", 1)
+    assert(treeDirs(s"$pastIdx/tf") == Seq("seed"),
+      s"policy did not fire past the threshold: ${treeDirs(s"$pastIdx/tf")}")
+    // marker evidence outlives the auto-compaction (horizon discipline):
+    // a redelivered pre-compaction batch must still no-op
+    val markers = new java.io.File(s"$pastIdx/_batches").list()
+      .filter(!_.startsWith(".")).sorted.toSeq
+    assert(markers == Seq("0", "1"), s"markers: ${markers.mkString(",")}")
+    // both policies serve the identical full tokenization
+    val want = TextAnalysis.termFreqsOf(docs).collect().map(_.toSeq).toSet
+    for (idx <- Seq(atIdx, pastIdx))
+      assert(streaming.EventStream.tfIndexRead(spark, idx)
+        .collect().map(_.toSeq).toSet == want,
+        s"auto-compacted index under $idx serves wrong rows")
+  }
+
+  test("concurrent compaction writers serialize on the tree claim:" +
+      " loser errors, winner publishes, loser re-runs byte-exact") {
+    val (indexDir, tfDir) = claimFixture("tfclaim")
+    def served() = streaming.EventStream.tfIndexRead(spark, indexDir)
+      .collect().map(_.toSeq).toSet
+    val before = served()
+    val preDirs = treeDirs(tfDir)
+    assert(preDirs.length > 1, s"fixture should be uncompacted: $preDirs")
+    // writer A reserves the next tree (the first step of its build)...
+    val aClaim = streaming.EventStream.acquireTreeClaim(spark, tfDir)
+    // ...and writer B's whole compaction must fail loudly AT THE CLAIM —
+    // before vacuuming, building, or publishing anything
+    val e = intercept[IllegalStateException] {
+      streaming.EventStream.compactTfIndex(spark, indexDir)
+    }
+    assert(e.getMessage.contains("_claim_") &&
+      e.getMessage.contains("breakTreeClaims"),
+      s"loser's error must name the claim and the recovery API: ${e.getMessage}")
+    // the loser touched nothing: same subdirs, same served rows
+    assert(treeDirs(tfDir) == preDirs, "losing writer modified the live tree")
+    assert(served() == before, "losing writer changed what serves")
+    // a second claim attempt by anyone else keeps failing while A holds it
+    intercept[IllegalStateException] {
+      streaming.EventStream.acquireTreeClaim(spark, tfDir)
+    }
+    // winner A finishes its build and releases; its publish advances the
+    // live tree (compaction path under A's... A releases and compacts —
+    // the claim machinery is what compactTfIndex runs internally)
+    streaming.EventStream.releaseTreeClaim(spark, tfDir, aClaim)
+    streaming.EventStream.compactTfIndex(spark, indexDir)
+    assert(treeDirs(tfDir) == Seq("seed"), "winner's compaction did not fold")
+    assert(served() == before, "winner's compaction changed served rows")
+    // the loser re-runs against the winner's published tree — byte-exact
+    // rows, and the claim it acquires is a fresh number (no residue)
+    streaming.EventStream.compactTfIndex(spark, indexDir)
+    assert(served() == before, "loser's re-run changed served rows")
+    val claims = new java.io.File(tfDir).list().filter(_.startsWith("_claim"))
+    assert(claims.isEmpty, s"claims leaked: ${claims.mkString(",")}")
+  }
+
+  test("compactor-vs-erasure interleave: the erasure loses loudly while" +
+      " a claim is held, erases nothing, then re-runs to completion") {
+    val docs = Tables.documents(spark, sf)
+    val (indexDir, tfDir) = claimFixture("tfclaim2")
+    val victim = docs.filter(col("doc_id") % 10 === 3).select(col("doc_id"))
+    val held = streaming.EventStream.acquireTreeClaim(spark, tfDir)
+    // the erasure entry must fail at the claim — an erasure that half-ran
+    // under a racing compactor could be silently undone by the
+    // compactor's fold of the pre-erasure tree
+    intercept[IllegalStateException] {
+      streaming.EventStream.forgetDocsFromTfIndex(spark, indexDir, victim)
+    }
+    val tf = streaming.EventStream.tfIndexRead(spark, indexDir)
+    assert(tf.filter(col("doc_id") % 10 === 3).count() > 0,
+      "losing erasure must leave the table untouched (it will re-run)")
+    // the compactor (claim holder) completes; the erasure re-runs —
+    // regulation-mandated retries run until success
+    streaming.EventStream.releaseTreeClaim(spark, tfDir, held)
+    streaming.EventStream.compactTfIndex(spark, indexDir)
+    streaming.EventStream.forgetDocsFromTfIndex(spark, indexDir, victim)
+    val after = streaming.EventStream.tfIndexRead(spark, indexDir)
+    assert(after.filter(col("doc_id") % 10 === 3).count() == 0,
+      "re-run erasure left forgotten rows")
+    assert(after.collect().map(_.toSeq).toSet ==
+      graft.operators.TextAnalysis.termFreqsOf(
+        docs.filter(col("doc_id") % 10 =!= 3)).collect().map(_.toSeq).toSet,
+      "post-erasure table must equal the surviving-docs tokenization")
+  }
+
+  test("a crashed writer's claim blocks until breakTreeClaims; recovery" +
+      " then compacts normally") {
+    val (indexDir, tfDir) = claimFixture("tfclaim3")
+    def served() = streaming.EventStream.tfIndexRead(spark, indexDir)
+      .collect().map(_.toSeq).toSet
+    val before = served()
+    // the crashed writer left its claim AND a half-built unpublished tree
+    streaming.EventStream.acquireTreeClaim(spark, tfDir)
+    spark.read.parquet(s"${liveTree(tfDir)}/seed")
+      .write.parquet(s"$tfDir/t1/seed")
+    intercept[IllegalStateException] {
+      streaming.EventStream.compactTfIndex(spark, indexDir)
+    }
+    // claims never auto-expire (a paused writer is indistinguishable from
+    // a dead one) — the operator verifies the writer is dead and breaks
+    streaming.EventStream.breakTreeClaims(spark, tfDir)
+    streaming.EventStream.compactTfIndex(spark, indexDir)
+    assert(treeDirs(tfDir) == Seq("seed"), "recovery compaction did not fold")
+    assert(served() == before,
+      "recovery compaction changed served rows (crashed build leaked in?)")
+  }
+
   test("a torn ANN batch (codes committed, cells missing) serves unchanged until replay") {
     import graft.operators.Similarity
     val cents = Similarity.maintainedCentroids(spark, sf)
