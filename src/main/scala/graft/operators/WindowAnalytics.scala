@@ -422,6 +422,61 @@ object WindowAnalytics {
         .orderBy("customer_sk")
     }
 
+  /** The correction gate's retraction rule — orders voided after the
+    * fact (`customer_key % 7 == 2` from [[RetractCutoff]] on, the
+    * fixture's stand-in for a correction feed). ONE spelling for the
+    * Spark side and (via [[retractKeepSql]]) the DuckDB oracle.
+    */
+  private val RetractCutoff = "1998-01-01"
+
+  private def retractedRule(custkey: org.apache.spark.sql.Column,
+      orderdate: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(custkey, lit(7L)) === 2L &&
+      orderdate >= lit(RetractCutoff).cast("timestamp")
+
+  private val retractKeepSql =
+    s"NOT (o_custkey % 7 = 2 AND o_orderdate >= TIMESTAMP '$RetractCutoff')"
+
+  /** CDC CORRECTION / RETRACTION through the bucketed SCD2 state — the
+    * SIXTH incremental "≡ rebuild" gate (after MinHash index, SCD2
+    * append, totals, term stats, ANN index): [[scd2ApplyChanges]]
+    * rejects out-of-order batches by contract, and this is the path a
+    * real feed then takes — a retraction batch voids orders
+    * retroactively ([[retractedRule]]), the feed re-sends each affected
+    * key's full corrected order stream, and
+    * [[graft.streaming.EventStream.scd2CorrectKeysBucketed]] replaces
+    * exactly those keys' interval chains with a partial rewrite of only
+    * the buckets they hash into. The oracle is the from-scratch
+    * dimension SQL over the corrected order stream — correction ≡
+    * rebuild as a driver-gate fact. Untouched-bucket byte-identity and
+    * idempotent replay are spec'd in StreamingSpec.
+    *
+    * Memoized durably (the [[dimCustomerForgetKeys]] discipline): seed +
+    * correct run once per JVM behind the state table's commit evidence;
+    * a second JVM replays the correction as a marker-gated no-op.
+    */
+  def dimCustomerScd2Corrected(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoizedDurable(s"windowanalytics.scd2Correct:$sfDir") {
+      import graft.streaming.EventStream
+      val stateDir = Layout.tmpPath("graft-scd2correct", sfDir)
+      val orders = Tables.orders(spark, sfDir)
+      val hist = priorityIntervalHistory(spark, sfDir)
+      val schema = EventStream.scd2BucketedSchema(hist.schema)
+      EventStream.seedBucketedState(hist, "customer_key", stateDir)
+      val retracted = retractedRule(col("o_custkey"), col("o_orderdate"))
+      val affected = orders.filter(retracted)
+        .select(col("o_custkey").alias("customer_key")).distinct()
+      val corrected = orders
+        .join(affected, col("o_custkey") === col("customer_key"), "left_semi")
+        .filter(!retracted)
+      EventStream.scd2CorrectKeysBucketed(spark, stateDir, schema,
+        affected, corrected, batchId = 0L)
+      scd2Dimension(spark, sfDir,
+        EventStream.bucketedStateRead(spark, stateDir, schema)
+          .drop("bucket", "last_batch"))
+        .orderBy("customer_sk")
+    }
+
   /** SCD-TYPE-2 DIMENSION BUILD — the versioned `dim_customer_scd2` the
     * standard warehouse pattern produces from a change history: one row
     * per (customer, attribute version) carrying the static customer
@@ -478,16 +533,8 @@ object WindowAnalytics {
     * [[priorityIntervalHistory]]) — spliced into both the interval query
     * and the SCD2 dimension oracle so the island rule cannot drift.
     */
-  private val priorityIntervalCtes =
-    """seq AS (
-      |  SELECT o_custkey AS customer_key, o_orderkey AS order_key,
-      |         o_orderdate, o_orderpriority AS priority,
-      |         CASE WHEN lag(o_orderpriority) OVER w IS NULL
-      |                OR lag(o_orderpriority) OVER w <> o_orderpriority
-      |              THEN 1 ELSE 0 END AS chg
-      |  FROM orders
-      |  WINDOW w AS (PARTITION BY o_custkey
-      |               ORDER BY o_orderdate ASC, o_orderkey ASC)),
+  private val priorityIntervalTailCtes =
+    """
       |isl AS (
       |  SELECT *, CAST(sum(chg) OVER (PARTITION BY customer_key
       |         ORDER BY o_orderdate ASC, order_key ASC
@@ -506,7 +553,52 @@ object WindowAnalytics {
       |           ORDER BY island) AS valid_until
       |  FROM iv)""".stripMargin
 
+  /** The gaps-and-islands CTE chain over an arbitrary order source —
+    * `src` is the FROM clause body, so the correction gate runs the
+    * identical automaton over the retraction-filtered stream.
+    */
+  private def priorityIntervalCtesOver(src: String) =
+    s"""seq AS (
+      |  SELECT o_custkey AS customer_key, o_orderkey AS order_key,
+      |         o_orderdate, o_orderpriority AS priority,
+      |         CASE WHEN lag(o_orderpriority) OVER w IS NULL
+      |                OR lag(o_orderpriority) OVER w <> o_orderpriority
+      |              THEN 1 ELSE 0 END AS chg
+      |  FROM $src
+      |  WINDOW w AS (PARTITION BY o_custkey
+      |               ORDER BY o_orderdate ASC, o_orderkey ASC)),""".stripMargin +
+    priorityIntervalTailCtes
+
+  private val priorityIntervalCtes = priorityIntervalCtesOver("orders")
+
+  /** The SCD2 dimension SELECT every versioned-dimension oracle shares
+    * (projection + attribute joins + surrogate key), appended to a CTE
+    * chain ending at `hist`.
+    */
+  private def scd2DimensionSelectSql(where: String = "") =
+    s"""SELECT customer_key * 1048576 + island AS customer_sk,
+       |       customer_key,
+       |       c_name AS customer_name,
+       |       c_mktsegment AS mkt_segment,
+       |       n_name AS nation,
+       |       priority,
+       |       island AS version,
+       |       valid_from, valid_to, valid_until,
+       |       valid_until IS NULL AS is_current
+       |FROM hist
+       |JOIN customer ON customer_key = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |$where
+       |ORDER BY customer_sk""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // correction ≡ rebuild: the from-scratch dimension SQL over the
+    // RETRACTION-FILTERED order stream — a chain the correction failed
+    // to rewrite (or rewrote for an unaffected key) fails the hash
+    "dim_customer_scd2_corrected" ->
+      s"""WITH ${priorityIntervalCtesOver(
+             s"(SELECT * FROM orders WHERE $retractKeepSql)")}
+         |${scd2DimensionSelectSql()}""".stripMargin,
     "customer_priority_intervals" ->
       s"""WITH $priorityIntervalCtes
          |SELECT customer_key, island, priority, valid_from, valid_to,
@@ -691,5 +783,6 @@ object WindowAnalytics {
     "dim_customer_snapshot"        -> dimCustomerSnapshot _,
     "scd2_snapshot_pruned_scan"    -> scd2SnapshotPrunedScan _,
     "dim_customer_forget_keys"     -> dimCustomerForgetKeys _,
+    "dim_customer_scd2_corrected"  -> dimCustomerScd2Corrected _,
   )
 }

@@ -1509,6 +1509,76 @@ object EventStream {
     }
   }
 
+  /** CDC CORRECTION / RETRACTION fold for the bucketed SCD2 interval
+    * history — the out-of-order path [[scd2FoldBatchBucketed]]'s
+    * append-only contract deliberately rejects: a real feed eventually
+    * sends a correction (an order voided, a mis-keyed backfill), and
+    * "rebuild the dimension" is not an answer at 100 TB. The correction
+    * batch re-sends each affected key's FULL corrected order stream
+    * (the standard CDC snapshot-correction shape; a key whose every
+    * order is retracted appears in `affectedKeys` with no corrected
+    * rows), and the fold REPLACES exactly those keys' interval chains —
+    * the chain is a per-key-independent structure, so a wholesale
+    * per-key rebuild composes with neighbors sharing the bucket:
+    * carried rows are anti-joined out, the replacement chains come from
+    * the same gaps-and-islands compaction the from-scratch build runs,
+    * and only the buckets the affected keys hash into are read or
+    * rewritten ([[foldBucketedState]]'s pruned partial-rewrite, with
+    * its watermark idempotence).
+    *
+    * A bucket whose EVERY key is affected-and-fully-retracted produces
+    * no fold output, and a dynamic overwrite only replaces partitions
+    * present in the written frame — so the post-fold sweep deletes any
+    * touched bucket whose watermark still predates the batch (the
+    * [[forgetKeys]] emptied-bucket discipline; a watermark-skipped
+    * replay bucket reads ≥ batchId and is never swept). Idempotent
+    * end-to-end: marker-gated, and a crash anywhere re-runs the
+    * still-unapplied buckets only.
+    *
+    * The registered `dim_customer_scd2_corrected` gate proves
+    * correction ≡ rebuild: its oracle is the from-scratch dimension SQL
+    * over the corrected order stream.
+    */
+  def scd2CorrectKeysBucketed(spark: SparkSession, stateDir: String,
+      schema: StructType, affectedKeys: DataFrame, correctedOrders: DataFrame,
+      batchId: Long): Unit = {
+    if (!plainMarkerApplied(spark, stateDir, batchId)) {
+      val keys = affectedKeys.select(col("customer_key")
+          .cast(schema("customer_key").dataType))
+        .distinct().localCheckpoint(true)
+      try {
+        val touched = keys.select(stateBucketOf(col("customer_key")).alias("bucket"))
+          .distinct().collect().map(_.getInt(0)).toSeq.sorted
+        if (touched.nonEmpty) {
+          foldBucketedState(spark, stateDir, schema, touched,
+              "customer_key", batchId) { (cur, todo) =>
+            val todoKeys = keys.filter(stateBucketOf(col("customer_key"))
+              .isin(todo.map(Integer.valueOf): _*))
+            cur.join(todoKeys, Seq("customer_key"), "left_anti")
+              .unionByName(
+                graft.operators.WindowAnalytics.priorityIntervalHistoryOf(
+                  correctedOrders.filter(stateBucketOf(col("o_custkey"))
+                    .isin(todo.map(Integer.valueOf): _*))))
+          }
+          // emptied-bucket sweep: a touched bucket whose watermark still
+          // predates this batch got no rows from the fold — every key in
+          // it was retracted outright — and must be cleared explicitly
+          val wmAfter = bucketedStateTouchedRead(spark, stateDir, touched, schema)
+            .groupBy(col("bucket")).agg(max(col("last_batch")).alias("wm"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          touched.filter(b => wmAfter.getOrElse(b, Long.MinValue) < batchId)
+            .foreach { b =>
+              StateFs.deleteRecursively(spark,
+                s"${bucketedStatePath(stateDir)}/bucket=$b")
+            }
+        }
+        commitPlainMarker(spark, stateDir, batchId)
+      } finally {
+        org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(keys)
+      }
+    }
+  }
+
   /** STREAMING TERM-STATISTICS MAINTENANCE — the text tier's bucketed
     * fold: the (term, df, tf_sum) table BM25/TF-IDF statistics join on
     * lives as ONE parquet table partitioned by `pmod(hash(term),

@@ -802,6 +802,62 @@ class StreamingSpec extends SparkSpec {
       "an IntegerType delete list against a LongType table must still erase")
   }
 
+  test("SCD2 correction fold replaces only the affected keys' chains:" +
+      " partial rewrite, full retraction clears the key, replay no-ops") {
+    import spark.implicits._
+    import graft.operators.WindowAnalytics
+    val orders = Tables.orders(spark, sf)
+    val hist = WindowAnalytics.priorityIntervalHistoryOf(orders)
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-scd2corr").toString
+    streaming.EventStream.seedBucketedState(hist, "customer_key", stateDir)
+    val schema = streaming.EventStream.scd2BucketedSchema(hist.schema)
+    // keyA: its latest order is retracted (chain rewrites); keyB: every
+    // order retracted (chain must disappear entirely)
+    val multi = hist.groupBy("customer_key").agg(sum("n_orders").alias("n"))
+      .filter(col("n") >= 3).select("customer_key")
+      .orderBy("customer_key").limit(2).collect().map(_.getLong(0))
+    val (keyA, keyB) = (multi(0), multi(1))
+    val aMax = orders.filter(col("o_custkey") === keyA)
+      .agg(max("o_orderdate").cast("string")).head().getString(0)
+    val corrected = orders.filter(col("o_custkey") === keyA &&
+      col("o_orderdate") < lit(aMax).cast("timestamp"))
+    val affected = Seq(keyA, keyB).toDF("customer_key")
+    val before = bucketSnapshot(stateDir)
+    streaming.EventStream.scd2CorrectKeysBucketed(spark, stateDir, schema,
+      affected, corrected, batchId = 0L)
+    def rows() = streaming.EventStream.bucketedStateRead(spark, stateDir, schema)
+      .drop("bucket", "last_batch")
+    // keyB's chain is gone, keyA's equals the from-scratch build over its
+    // corrected stream, every other key's chain is untouched
+    assert(rows().filter(col("customer_key") === keyB).count() == 0,
+      "fully-retracted key's chain survived the correction")
+    assert(rows().filter(col("customer_key") === keyA)
+      .collect().map(_.toSeq).toSet ==
+      WindowAnalytics.priorityIntervalHistoryOf(corrected)
+        .collect().map(_.toSeq).toSet,
+      "corrected key's chain must equal the from-scratch build")
+    assert(rows().filter(col("customer_key") =!= keyA &&
+        col("customer_key") =!= keyB).collect().map(_.toSeq).toSet ==
+      hist.filter(col("customer_key") =!= keyA &&
+        col("customer_key") =!= keyB).collect().map(_.toSeq).toSet,
+      "unaffected keys' chains changed")
+    // untouched buckets: files byte-identical (the partial-rewrite claim)
+    val touched = Seq(keyA, keyB).toDF("customer_key")
+      .select(pmod(hash(col("customer_key")),
+        lit(streaming.EventStream.StateBuckets)).alias("b"))
+      .collect().map(_.getInt(0)).toSet
+    val snap1 = bucketSnapshot(stateDir)
+    before.filter { case (rel, _) =>
+      !touched.exists(b => rel.startsWith(s"bucket=$b/")) }
+      .foreach { case (rel, sig) =>
+        assert(snap1.get(rel).contains(sig), s"untouched file rewritten: $rel") }
+    // marker-gated replay: byte-exact no-op
+    streaming.EventStream.scd2CorrectKeysBucketed(spark, stateDir, schema,
+      affected, corrected, batchId = 0L)
+    assert(bucketSnapshot(stateDir) == snap1,
+      "a replayed correction batch must be a byte-exact no-op")
+  }
+
   test("forgetKeys composes with the maintenance stream: erased keys fold" +
       " from ZERO on later data, survivors keep full history") {
     import spark.implicits._
