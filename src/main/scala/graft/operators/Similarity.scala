@@ -1093,6 +1093,76 @@ object Similarity {
     pqCodesFor(pqSubvectorsOf(quantized(spark, sfDir)),
       maintainedCodebooks(spark, sfDir))
 
+  /** The drift gate's planted distribution shift: +[[DriftShiftQ]] on
+    * every quantized dimension — a constant translation, far outside the
+    * history's norm band (history components sit near ±1000/√Dim), so
+    * the shifted cohort's assignment distances must leave the history
+    * band entirely. Exact-integer end to end and trivially replayable
+    * by the oracle.
+    */
+  private[graft] val DriftShiftQ = 400L
+
+  private[graft] def driftShiftedBatch(spark: SparkSession, sfDir: String): DataFrame =
+    maintainedBatch(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("v"), x => x + lit(DriftShiftQ)).alias("v"))
+      .withColumn("n2", V.qnorm2(col("v")))
+
+  /** ANN INDEX DRIFT REPORT — the monitoring record that decides WHEN
+    * the maintained index retrains: the maintained IVF-PQ gate freezes
+    * history-trained parameters, and a batch whose distribution shifted
+    * silently decays recall (new-mode vectors sit far from every frozen
+    * centroid, so candidates stop being neighbors). The detectable
+    * symptom is assignment distance: per cohort — `history` (what the
+    * parameters were trained on), `batch` (tonight's in-distribution
+    * fold), `batch_shifted` (the same batch under a planted
+    * [[DriftShiftQ]] translation) — the report gives exact order
+    * statistics (p50/p90/max, index = (n−1)·p/100 floor, 1-based) of
+    * each vector's MIN squared euclidean distance to the frozen
+    * centroids: d2 = n2 − 2·dot + cn2, pure integers, so the quantiles
+    * are exact on both engines. An in-distribution batch reads inside
+    * the history band; the shifted cohort reads orders beyond it —
+    * SimilaritySpec pins both relations plus the recall
+    * degrade-and-retrain-recovers theorem the report exists to trigger.
+    *
+    * Scale shape: one N·C broadcast scoring pass per cohort (the exact
+    * assignment pass the maintenance fold already pays — a deployment
+    * computes d2 as a byproduct of assignment, for free), one bounded
+    * per-cohort sort for the order statistics. At 100 TB the exact
+    * order statistic would be a per-cohort `approx_percentile` sketch —
+    * here the exact spelling IS the gate (the
+    * `order_price_quantiles_approx` discipline inverted: the report is
+    * small enough to pin exactly).
+    */
+  def annDriftReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = maintainedCentroids(spark, sfDir)
+    def minD2(base: DataFrame, cohort: String): DataFrame =
+      base.select(col("vec_id"), col("v"), col("n2"))
+        .join(broadcast(cents))
+        .select(col("vec_id"),
+          (col("n2") - lit(2L) * V.qdot(col("v"), col("cv")) + col("cn2"))
+            .alias("ad2"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("ad2")).alias("d2"))
+        .withColumn("cohort", lit(cohort))
+    val rows = minD2(maintainedHistory(spark, sfDir), "history")
+      .unionByName(minD2(maintainedBatch(spark, sfDir), "batch"))
+      .unionByName(minD2(driftShiftedBatch(spark, sfDir), "batch_shifted"))
+    val w = Window.partitionBy(col("cohort"))
+      .orderBy(col("d2").asc, col("vec_id").asc)
+    rows.withColumn("rn", row_number().over(w))
+      .withColumn("n_vecs",
+        count(lit(1)).over(Window.partitionBy(col("cohort"))))
+      .groupBy(col("cohort"), col("n_vecs"))
+      .agg(
+        max(when(col("rn") === expr("((n_vecs - 1) * 5) div 10 + 1"),
+          col("d2"))).alias("d2_p50"),
+        max(when(col("rn") === expr("((n_vecs - 1) * 9) div 10 + 1"),
+          col("d2"))).alias("d2_p90"),
+        max(col("d2")).alias("d2_max"))
+      .orderBy("cohort")
+  }
+
   /** The erasure rule of the ANN forget gate — corpus vectors only
     * (query ids < 10 are never in a delete list here, so the oracle's
     * probe set is untouched), residue class 3 mod 17 playing the GDPR
@@ -1590,15 +1660,24 @@ object Similarity {
     * vector is not a legal answer for the baseline either — erasure ≡
     * filter-rebuild through serving).
     */
-  private def maintainedServeOracleSql(corpusPred: String): String =
-    s"""WITH $quantizedSql,
-       |hq AS (SELECT * FROM qn WHERE vec_id % 10 != 9),
+  /** History-only frozen-parameter TRAINING as DuckDB CTEs (assumes
+    * `qn` in scope; ends at `mcents2`, the frozen centroid frame) — ONE
+    * spelling shared by the maintained/erasure serving oracles and the
+    * drift report, so "the frozen parameters" cannot drift between the
+    * gates that all claim to use them.
+    */
+  private lazy val frozenCentsCtes: String =
+    s"""hq AS (SELECT * FROM qn WHERE vec_id % 10 != 9),
        |cents0 AS (
        |  SELECT vec_id AS c_id, v AS cv, n2 AS cn2 FROM hq WHERE vec_id % 97 = 0),
        |${refineAssignSql("masg1", "cents0", from = "hq")},
        |${refineCentsSql("mcents1", "masg1")},
        |${refineAssignSql("masg2", "mcents1", from = "hq")},
-       |${refineCentsSql("mcents2", "masg2")},
+       |${refineCentsSql("mcents2", "masg2")}""".stripMargin
+
+  private def maintainedServeOracleSql(corpusPred: String): String =
+    s"""WITH $quantizedSql,
+       |$frozenCentsCtes,
        |${refineAssignSql("cellsm", "mcents2", from = "qn")},
        |cellsx AS (SELECT * FROM cellsm WHERE $corpusPred),
        |subs AS (
@@ -2091,6 +2170,36 @@ object Similarity {
     // the erasure gate: same frozen training, index AND brute baseline
     // restricted to survivors — erasure ≡ filter-rebuild through serving
     "ann_forget_vectors" -> maintainedServeOracleSql(AnnForgetKeepSql),
+    // drift report: the SAME frozen-training CTEs as the maintained
+    // gates, then exact-integer min-d2 order statistics per cohort
+    "ann_drift_report" ->
+      s"""WITH $quantizedSql,
+         |$frozenCentsCtes,
+         |bq AS (SELECT vec_id, v, n2 FROM qn WHERE vec_id % 10 = 9),
+         |sqv AS (
+         |  SELECT vec_id, list_transform(v, x -> x + $DriftShiftQ) AS v FROM bq),
+         |sq AS (SELECT vec_id, v, ${V.qnorm2Sql("v", Dim)} AS n2 FROM sqv),
+         |coh AS (
+         |  SELECT 'history' AS cohort, vec_id, v, n2 FROM hq
+         |  UNION ALL SELECT 'batch' AS cohort, vec_id, v, n2 FROM bq
+         |  UNION ALL SELECT 'batch_shifted' AS cohort, vec_id, v, n2 FROM sq),
+         |d2s AS (
+         |  SELECT cohort, a.vec_id,
+         |         min(a.n2 - 2 * ${V.qdotSql("a.v", "c.cv", Dim)} + c.cn2) AS d2
+         |  FROM coh a CROSS JOIN mcents2 c GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT cohort, vec_id, d2,
+         |         row_number() OVER (PARTITION BY cohort
+         |           ORDER BY d2 ASC, vec_id ASC) AS rn,
+         |         CAST(count(*) OVER (PARTITION BY cohort) AS BIGINT) AS n_vecs
+         |  FROM d2s)
+         |SELECT cohort, n_vecs,
+         |       max(CASE WHEN rn = ((n_vecs - 1) * 5) // 10 + 1 THEN d2 END)
+         |         AS d2_p50,
+         |       max(CASE WHEN rn = ((n_vecs - 1) * 9) // 10 + 1 THEN d2 END)
+         |         AS d2_p90,
+         |       max(d2) AS d2_max
+         |FROM rk GROUP BY 1, 2 ORDER BY cohort""".stripMargin,
     "pq_adc_recall_at_5" -> pqAdcOracleSql(cbName = "cb", extraCtes = ""),
     "pq_recall_refined" -> pqAdcOracleSql(cbName = "pqcents2", extraCtes =
       s"""${pqRefineAssignSql("pqasg1", "cb")},
@@ -2216,6 +2325,7 @@ object Similarity {
     "ivfpq_rerank_recall_at_5" -> ivfpqRerankRecallAt5 _,
     "ivfpq_maintained_recall_at_5" -> ivfpqMaintainedRecallAt5 _,
     "ann_forget_vectors"      -> annForgetVectors _,
+    "ann_drift_report"        -> annDriftReport _,
     "mrl_truncation_recall_at_5" -> mrlRecallAt5 _,
     "mrl_rerank_recall_at_5"  -> mrlRerankRecallAt5 _,
   )

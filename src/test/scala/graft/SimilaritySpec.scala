@@ -352,6 +352,103 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ann drift report flags the shifted cohort; frozen-index recall" +
+      " degrades on a boundary-straddling batch and retraining recovers it") {
+    import operators.Similarity
+    import spark.implicits._
+    // 1) the report's decision relations: an in-distribution batch reads
+    // INSIDE the history band, the shifted cohort reads far beyond it
+    val rep = q("ann_drift_report").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val hMax = rep("history")._3
+    assert(rep("batch")._1 <= hMax,
+      "in-distribution batch p50 left the history band — the report would false-alarm")
+    assert(rep("batch_shifted")._1 > 5 * hMax,
+      s"shifted cohort p50 ${rep("batch_shifted")._1} not clearly beyond history max $hMax")
+    // 2) the recall theorem the report exists to trigger: a new-mode
+    // cluster STRADDLING a frozen Voronoi boundary loses its own
+    // neighbors at nprobe=1, and retraining on history+batch recovers
+    // them. The plant is built at runtime from the REAL frozen
+    // centroids: base direction between the two most-populated cells,
+    // alternating ±(c1−c2) side component (the straddle), and a
+    // three-class jitter so each vector's nearest neighbors span BOTH
+    // sides of the boundary.
+    val hist = Similarity.maintainedHistory(spark, sf)
+      .select(col("vec_id"), col("v"), col("n2"))
+    val cents = Similarity.maintainedCentroids(spark, sf)
+    val topCells = Similarity.assignCellsTo(hist, cents)
+      .groupBy(col("cell")).agg(count(lit(1)).alias("n"))
+      .orderBy(col("n").desc, col("cell").asc)
+      .limit(2).collect().map(_.getLong(0))
+    val centArr = cents.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val (c1, c2) = (centArr(topCells(0)), centArr(topCells(1)))
+    val dim = c1.length
+    // one planted id is ≡ 0 mod 97 so the retrain SEEDS inside the new
+    // mode (lloydRefinedCentroidsOf's seed rule)
+    val baseId = 97L * 11000
+    val planted = (0 until 12).map { i =>
+      val side = if (i % 2 == 0) 1L else -1L
+      val v = Array.tabulate(dim)(d => 8L * (c1(d) + c2(d)) + side * (c1(d) - c2(d)))
+      v(40 + (i % 3)) += 3000L
+      (baseId + i, v.toSeq)
+    }
+    val plantedDf = planted.toDF("vec_id", "v")
+      .withColumn("n2", V.qnorm2(col("v")))
+    val corpus = hist.unionByName(plantedDf)
+      .localCheckpoint(true)
+    val vecs = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val queryIds = planted.map(_._1).take(4)
+    def trueTop5(qid: Long): Set[Long] = vecs.toSeq
+      .filter(_._1 != qid)
+      .map { case (id, v) => (id, cos(vecs(qid), v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+    // serving at nprobe=1 through the PRODUCTION assignment
+    // (assignCellsTo): candidates are the query's own cell
+    def recallWith(c: org.apache.spark.sql.DataFrame): (Double, Map[Long, Long]) = {
+      val cells = Similarity.assignCellsTo(corpus, c)
+        .select(col("vec_id"), col("cell")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val recalls = queryIds.map { qid =>
+        val cands = cells.collect {
+          case (id, cell) if cell == cells(qid) && id != qid => id }
+        val served = cands.toSeq
+          .map(id => (id, cos(vecs(qid), vecs(id))))
+          .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+        (served intersect trueTop5(qid)).size / 5.0
+      }
+      (recalls.sum / recalls.length, cells.filter(k => planted.exists(_._1 == k._1)))
+    }
+    val (frozenRecall, frozenCells) = recallWith(cents)
+    // the plant's premise holds: the cluster genuinely straddles cells
+    assert(frozenCells.values.toSet.size >= 2,
+      s"planted cluster did not straddle a frozen boundary: $frozenCells")
+    // every planted vector's true neighbors are other planted vectors
+    // (the cluster is a genuinely NEW tight mode, not history noise)
+    queryIds.foreach { qid =>
+      assert(trueTop5(qid).subsetOf(planted.map(_._1).toSet),
+        s"planted cluster not tight enough: $qid's top-5 leaks into history")
+    }
+    val retrained = Similarity.lloydRefinedCentroidsOf(corpus)
+    val (retrainedRecall, _) = recallWith(retrained)
+    assert(frozenRecall < retrainedRecall,
+      s"frozen $frozenRecall !< retrained $retrainedRecall — drift did not degrade serving")
+    assert(retrainedRecall >= 0.9,
+      s"retraining failed to recover the new mode: recall $retrainedRecall")
+    org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(corpus)
+  }
+
   test("ann_forget_vectors: forgotten vectors are never served and the" +
       " erased index equals the frozen-parameter filter-rebuild") {
     import operators.Similarity
