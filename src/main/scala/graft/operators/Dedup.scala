@@ -847,28 +847,83 @@ object Dedup {
       .withColumnsRenamed(Map("pos" -> "chunk_id", "col" -> "chunk_text"))
   }
 
-  def chunkDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("h")).orderBy(col("doc_id"), col("chunk_id"))
-    chunksOf(Tables.loadSpread(spark, sfDir, "documents"))
-      .withColumn("h", md5(col("chunk_text")))
-      .withColumn("rn", row_number().over(w))
+  /** Per-document reassembly from a removal-flagged chunk frame
+    * (`doc_id`, `chunk_id`, `chunk_text`, `removed`) — ONE spelling
+    * shared by the batch [[chunkDedup]] and the streamed ingestion fold
+    * ([[graft.streaming.EventStream]]'s chunk-index probe), so the two
+    * consumers cannot drift on the reassembly arithmetic (the shared-
+    * production-body discipline).
+    */
+  private[graft] def chunkReassembly(flagged: DataFrame): DataFrame =
+    flagged
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).alias("n_chunks"),
-        sum(when(col("rn") > 1, 1L).otherwise(0L)).alias("n_removed"),
+        sum(when(col("removed"), 1L).otherwise(0L)).alias("n_removed"),
         sort_array(collect_list(struct(col("chunk_id"),
-          when(col("rn") === 1, col("chunk_text")).alias("kt")))).alias("cs"))
+          when(!col("removed"), col("chunk_text")).alias("kt")))).alias("cs"))
       .withColumn("kept", expr("transform(filter(cs, s -> s.kt IS NOT NULL), s -> s.kt)"))
       .select(col("doc_id"), col("n_chunks"), col("n_removed"),
         when(size(col("kept")) === 0, lit(null))
           .otherwise(md5(array_join(col("kept"), " "))).alias("kept_md5"))
+
+  /** Hashed chunk-occurrence rows (`h`, `doc_id`, `chunk_id`) — the
+    * GRAIN of the stored chunk index: every occurrence, not only the
+    * first, so index erasure by doc_id anti-join is EXACTLY the
+    * filter-rebuild over survivors (a first-occurrence-only index would
+    * lose a chunk entirely when its first holder is forgotten even
+    * though a surviving doc still carries it).
+    */
+  private[graft] def chunkHashesOf(docs: DataFrame): DataFrame =
+    chunksOf(docs).select(md5(col("chunk_text")).alias("h"),
+      col("doc_id"), col("chunk_id"))
+
+  def chunkDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc_id"), col("chunk_id"))
+    chunkReassembly(
+      chunksOf(Tables.loadSpread(spark, sfDir, "documents"))
+        .withColumn("h", md5(col("chunk_text")))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("removed", col("rn") > 1))
       .orderBy("doc_id")
   }
 
-  val oracles: Map[String, String] = Map(
-    "docs_chunk_dedup" ->
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  /** INGESTION-TIME (STORED-INDEX) CHUNK DEDUP — the streamed form of
+    * [[chunkDedup]] as a registered driver gate: the corpus arrives as
+    * two doc-id-ordered batches against an empty-seeded stored chunk
+    * index ([[graft.streaming.EventStream.chunkIngestFoldBatch]] — the
+    * exact foreachBatch body the streaming query runs; the stream form
+    * itself is pinned in StreamingSpec), each batch probing the spans
+    * every PRIOR batch folded in. The oracle is the batch
+    * `docs_chunk_dedup` SQL verbatim — streamed-over-batches ≡
+    * one-shot, the ingestion-dedup parity discipline
+    * (`dedup_minhash_incremental`'s shape at the span grain). Serving
+    * reads the per-batch output subdirs — near-zero marginal cost,
+    * exactly the 100 TB argument (the corpus is never re-chunked).
+    *
+    * Memoized durably: seed + folds are `_SUCCESS`/marker-gated, so a
+    * second JVM replays both batches as no-ops and re-reads the stored
+    * output.
+    */
+  def chunkDedupStreamed(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoizedDurable(s"dedup.chunkStream:$sfDir") {
+      import graft.streaming.EventStream
+      val base = Layout.tmpPath("graft-chunkstream", sfDir)
+      val (outDir, indexDir) = (s"$base/out", s"$base/index")
+      val docs = Tables.documents(spark, sfDir)
+      val mid = docs.agg((min(col("doc_id")) + max(col("doc_id"))) / 2)
+        .head().getDouble(0)
+      EventStream.chunkIndexSeed(spark, indexDir, docs.filter(lit(false)))
+      EventStream.chunkIngestFoldBatch(spark, outDir, indexDir,
+        docs.filter(col("doc_id") <= mid), 0L)
+      EventStream.chunkIngestFoldBatch(spark, outDir, indexDir,
+        docs.filter(col("doc_id") > mid), 1L)
+      EventStream.chunkOutRead(spark, outDir).orderBy("doc_id")
+    }
+
+  private val chunkDedupOracleSql =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          |chunks AS (
          |  SELECT doc_id,
          |         unnest(generate_series(0,
@@ -891,7 +946,12 @@ object Dedup {
          |       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
          |       md5(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' '
          |                      ORDER BY chunk_id)) AS kept_md5
-         |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "docs_chunk_dedup" -> chunkDedupOracleSql,
+    // streamed-over-batches == one-shot: the SAME oracle verbatim
+    "docs_chunk_dedup_streamed" -> chunkDedupOracleSql,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies,
         |       md5(text) AS text_md5
@@ -1010,6 +1070,7 @@ object Dedup {
     "dedup_clusters"      -> clusters _,
     "dedup_cluster_reps"  -> clusterReps _,
     "docs_chunk_dedup"    -> chunkDedup _,
+    "docs_chunk_dedup_streamed" -> chunkDedupStreamed _,
     "dedup_minhash_incremental" -> minhashIncremental _,
     "dedup_jaccard_histogram" -> jaccardHistogram _,
   )

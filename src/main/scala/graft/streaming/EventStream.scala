@@ -1795,6 +1795,152 @@ object EventStream {
       commitPlainMarker(spark, indexDir, batchId)
     }
 
+  private val chunkIndexSchema = StructType(Seq(
+    StructField("h", StringType),
+    StructField("doc_id", LongType),
+    StructField("chunk_id", IntegerType)))
+
+  private val chunkOutSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_chunks", LongType),
+    StructField("n_removed", LongType),
+    StructField("kept_md5", StringType)))
+
+  /** The stored chunk-hash index (`h`, `doc_id`, `chunk_id` — every
+    * occurrence; see [[graft.operators.Dedup.chunkHashesOf]] for why
+    * per-occurrence grain is the erasure-sound one) and the per-batch
+    * survivor output of [[chunkIngestDedup]].
+    */
+  def chunkIndexRead(spark: SparkSession, indexDir: String): DataFrame =
+    batchDirsRead(spark, s"$indexDir/chunks", chunkIndexSchema)
+
+  def chunkOutRead(spark: SparkSession, outDir: String): DataFrame =
+    batchDirsRead(spark, outDir, chunkOutSchema)
+
+  /** Compact the chunk index (markers live under the chunk table's own
+    * dir — the [[posIndexFoldBatch]] namespacing discipline).
+    */
+  def compactChunkIndex(spark: SparkSession, indexDir: String): Unit =
+    compactBatchDirs(spark, s"$indexDir/chunks", chunkIndexSchema,
+      s"$indexDir/chunks", requireSeed = true)
+
+  /** RIGHT-TO-BE-FORGOTTEN over the chunk index — chunk hashes plus
+    * positions reconstruct span structure (and the hashes are
+    * dictionary-attackable for short spans), so the erasure story must
+    * reach this tier; same erasure-as-compaction shape as
+    * [[forgetDocsFromPosIndex]]. Per-occurrence grain makes the
+    * anti-join EXACTLY the filter-rebuild: a chunk still carried by a
+    * surviving doc keeps that doc's rows and keeps matching future
+    * ingests, while a chunk only the forgotten doc carried stops
+    * matching — its ghost no longer dedups a re-submission
+    * (StreamingSpec's ghost-probe pins both directions).
+    */
+  def forgetDocsFromChunkIndex(spark: SparkSession, indexDir: String,
+      docs: DataFrame): Unit =
+    withForgetList(docs, "doc_id") { ids =>
+      eraseKeysFromTable(spark, s"$indexDir/chunks", chunkIndexSchema,
+        s"$indexDir/chunks", ids, "doc_id")
+    }
+
+  /** Seed the chunk index from `historyDocs` unless commit evidence
+    * exists — the [[tfIndexSeed]] shape on the chunk grain. An EMPTY
+    * history is legitimate (a crawl starting cold); the seed then
+    * commits an empty table the first batch builds on.
+    */
+  def chunkIndexSeed(spark: SparkSession, indexDir: String,
+      historyDocs: DataFrame): Unit = {
+    val chunksDir = s"$indexDir/chunks"
+    if (!StateFs.exists(spark, s"${ensureLiveTree(spark, chunksDir)}/seed/_SUCCESS")) {
+      graft.operators.Dedup.chunkHashesOf(historyDocs)
+        .write.mode("overwrite").parquet(s"${ensureLiveTree(spark, chunksDir)}/seed")
+    }
+  }
+
+  /** One chunk-ingestion micro-batch — the exact `foreachBatch` body of
+    * [[chunkIngestDedup]], opened to the registered stored-serving gate
+    * (`docs_chunk_dedup_streamed`) so both consumers run ONE fold
+    * spelling. A batch chunk is REMOVED when its hash already exists in
+    * the STORED index (any prior doc — history or an earlier batch) or
+    * earlier within its own batch (smaller `(doc_id, chunk_id)` — the
+    * batch [[graft.operators.Dedup.chunkDedup]] first-occurrence rule,
+    * which the streamed form reproduces exactly when batches arrive in
+    * doc-id order). Survivor reassembly is the SHARED
+    * [[graft.operators.Dedup.chunkReassembly]] body. Output subdir
+    * first, index subdir second, marker last: a crash between the two
+    * writes leaves the batch unmarked and the replay's pre-clean
+    * removes both.
+    *
+    * 100 TB shape: the probe is a hash equi-join of the SMALL batch's
+    * chunks against the stored index — the corpus is never re-chunked;
+    * repeated boilerplate SPANS are caught at ingestion, composing with
+    * the document-level MinHash probe ([[minhashIngestDedup]]) as the
+    * two dedup grains a crawl pipeline runs side by side.
+    */
+  def chunkIngestFoldBatch(spark: SparkSession, outDir: String,
+      indexDir: String, batch: DataFrame, batchId: Long): Unit = {
+    import graft.operators.Dedup
+    val chunksDir = s"$indexDir/chunks"
+    if (!plainMarkerApplied(spark, chunksDir, batchId)) {
+      val (outTree, idxTree) =
+        (ensureLiveTree(spark, outDir), ensureLiveTree(spark, chunksDir))
+      // crashed-attempt pre-clean — the minhashIngestDedup reasoning: a
+      // partial b$batchId index subdir would count this batch's own
+      // leftovers as prior art
+      Seq(s"$outTree/b$batchId", s"$idxTree/b$batchId")
+        .foreach(d => StateFs.deleteRecursively(spark, d))
+      val batchChunks = Dedup.chunksOf(batch)
+        .withColumn("h", md5(col("chunk_text"))).persist()
+      try {
+        val storedHashes = chunkIndexRead(spark, indexDir)
+          .select(col("h")).distinct()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("h")).orderBy(col("doc_id"), col("chunk_id"))
+        val flagged = batchChunks
+          .withColumn("rn", row_number().over(w))
+          .join(storedHashes.withColumn("seen", lit(1)), Seq("h"), "left")
+          .withColumn("removed", col("rn") > 1 || col("seen").isNotNull)
+        Dedup.chunkReassembly(flagged)
+          .write.mode("overwrite").parquet(s"$outTree/b$batchId")
+        batchChunks.select(col("h"), col("doc_id"), col("chunk_id"))
+          .write.mode("overwrite").parquet(s"$idxTree/b$batchId")
+        commitPlainMarker(spark, chunksDir, batchId)
+      } finally {
+        batchChunks.unpersist()
+        ()
+      }
+    }
+  }
+
+  /** INGESTION-TIME CHUNK (SPAN) DEDUP via `foreachBatch` — the stored-
+    * index form of the batch `docs_chunk_dedup` gate: each micro-batch
+    * chunks ONLY its own documents, probes the stored chunk-hash index
+    * for spans already seen (history or any earlier batch), emits the
+    * per-doc survivor record, and folds its own chunk rows in for the
+    * next batch. The [[minhashIngestDedup]] commit/restart/redelivery
+    * contract verbatim; StreamingSpec pins streamed-over-two-batches ≡
+    * the batch query over the union, redelivery no-op, and erasure
+    * through the index.
+    */
+  def chunkIngestDedup(docsStream: DataFrame, historyDocs: DataFrame,
+      outDir: String, indexDir: String,
+      checkpointDir: Option[String] = None,
+      autoCompactAfter: Option[Int] = None): StreamingQuery = {
+    val spark = docsStream.sparkSession
+    chunkIndexSeed(spark, indexDir, historyDocs)
+    maintenanceWriter(docsStream, checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        chunkIngestFoldBatch(spark, outDir, indexDir, batch.toDF(), batchId)
+        autoCompactAfter.foreach { k =>
+          compactIfCrowded(spark, s"$indexDir/chunks", chunkIndexSchema,
+            s"$indexDir/chunks", k, requireSeed = true)
+          compactIfCrowded(spark, outDir, chunkOutSchema,
+            s"$indexDir/chunks", k, requireSeed = false)
+          ()
+        }
+      }
+      .start()
+  }
+
   private val posIndexSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("pos", IntegerType),

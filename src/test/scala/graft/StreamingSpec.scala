@@ -1392,6 +1392,85 @@ class StreamingSpec extends SparkSpec {
     (indexDir, s"$indexDir/tf")
   }
 
+  test("foreachBatch chunk ingest-dedup equals the batch span dedup across" +
+      " micro-batches, restarts resume, and erasure un-ghosts forgotten spans") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val mid = docs.agg((min(col("doc_id")) + max(col("doc_id"))) / 2)
+      .head().getDouble(0)
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-chunkstr")
+    stageFile(docs.filter(col("doc_id") <= mid), stageDir, "b1", 60)
+    stageFile(docs.filter(col("doc_id") > mid), stageDir, "b2", 30)
+    val outBase = java.nio.file.Files.createTempDirectory("graft-chunkstr-out")
+    val outDir = outBase.resolve("out").toString
+    val indexDir = outBase.resolve("index").toString
+    val ckpt = outBase.resolve("ckpt").toString
+    def run(): Unit = {
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$stageDir/*")
+      val q1 = streaming.EventStream.chunkIngestDedup(
+        stream, docs.filter(lit(false)), outDir, indexDir,
+        checkpointDir = Some(ckpt))
+      try q1.processAllAvailable() finally q1.stop()
+    }
+    run()
+    // streamed-over-batches ≡ the one-shot batch query
+    val got = streaming.EventStream.chunkOutRead(spark, outDir)
+      .collect().map(_.toSeq).toSet
+    val want = q("docs_chunk_dedup").collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty,
+      "streamed chunk dedup diverged from the batch query over the union")
+    // the stored index equals the full-corpus chunk rows
+    assert(streaming.EventStream.chunkIndexRead(spark, indexDir)
+      .collect().map(_.toSeq).toSet ==
+      Dedup.chunkHashesOf(docs).collect().map(_.toSeq).toSet)
+    // a restarted stream over the same checkpoint re-delivers nothing
+    run()
+    assert(streaming.EventStream.chunkOutRead(spark, outDir)
+      .collect().map(_.toSeq).toSet == got, "restart re-folded a batch")
+    // ERASURE + GHOST-PROBE: forget the low half, then re-ingest one
+    // forgotten document byte-identically as a new doc_id — its spans
+    // must dedup ONLY against the SURVIVORS' chunks, never against its
+    // own erased history (right-to-be-forgotten means the ghost is gone)
+    val victims = docs.filter(col("doc_id") <= mid).select(col("doc_id"))
+    streaming.EventStream.forgetDocsFromChunkIndex(spark, indexDir, victims)
+    val idxAfter = streaming.EventStream.chunkIndexRead(spark, indexDir)
+    assert(idxAfter.filter(col("doc_id") <= mid).count() == 0,
+      "forgotten docs still present in the chunk index")
+    // per-occurrence grain: erased index ≡ filter-rebuild over survivors
+    assert(idxAfter.collect().map(_.toSeq).toSet ==
+      Dedup.chunkHashesOf(docs.filter(col("doc_id") > mid))
+        .collect().map(_.toSeq).toSet,
+      "erased chunk index must equal the surviving-docs rebuild")
+    val ghostSrc = docs.orderBy("doc_id").limit(1).collect()(0)
+    val ghostId = 900000L
+    val ghost = Seq((ghostId, ghostSrc.getAs[String]("text")))
+      .toDF("doc_id", "text")
+    streaming.EventStream.chunkIngestFoldBatch(spark, outDir, indexDir,
+      ghost, batchId = 77L)
+    val ghostOut = streaming.EventStream.chunkOutRead(spark, outDir)
+      .filter(col("doc_id") === ghostId).head()
+    // what the ghost SHOULD dedup against: survivors' chunk hashes only
+    val survivorHashes = Dedup.chunkHashesOf(docs.filter(col("doc_id") > mid))
+      .select(col("h")).distinct().collect().map(_.getString(0)).toSet
+    val ghostHashes = Dedup.chunkHashesOf(ghost)
+      .orderBy("chunk_id").select(col("h")).collect().map(_.getString(0))
+    // removed = survivor match OR an earlier occurrence within the ghost
+    // batch itself (the first-occurrence rule at the batch grain)
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expectRemoved = ghostHashes.count { h =>
+      val r = survivorHashes.contains(h) || seen.contains(h); seen += h; r
+    }
+    assert(ghostOut.getAs[Long]("n_removed") == expectRemoved,
+      s"ghost re-ingest removed ${ghostOut.getAs[Long]("n_removed")} spans, " +
+        s"expected $expectRemoved (survivor matches only — erased history " +
+        "must not ghost-match)")
+    assert(ghostHashes.length > expectRemoved,
+      "fixture degenerate: every ghost span also lives in survivors — " +
+        "the un-ghosting direction would be vacuous")
+  }
+
   test("auto-compaction policy fires only past the subdir threshold and" +
       " keeps marker evidence intact") {
     import graft.operators.TextAnalysis
