@@ -20,7 +20,7 @@ object Curation {
   /** The held-out "benchmark" source whose content must not leak into
     * training data; src0 is one of the fixture's 20 uniform sources.
     */
-  private val BenchmarkSource = "src0"
+  private[graft] val BenchmarkSource = "src0"
   private val ContaminationThreshold = 0.5
 
   /** Gopher-style repetition-quality thresholds — interpolated into BOTH
@@ -345,6 +345,68 @@ object Curation {
     * (which now recomputes `rep_keep` as a narrow expression instead of
     * joining the repetition frame on doc_id).
     */
+  /** Per-doc Gopher repetition verdict over an ARBITRARY document frame
+    * — the per-batch form the ingestion-time curation stream runs: the
+    * same [[withRepetitionMetrics]] body as the registered
+    * `text_repetition_quality`, fed from the batch's own tokenization
+    * (the [[graft.operators.TextAnalysis.termFreqsOf]] lineage, so the
+    * stream and the batch query can never disagree on tokens). Inner
+    * join on the tf frame deliberately drops token-less documents —
+    * they were never scored, so the pipeline's keep-semi-join drops
+    * them, exactly the batch `top_token_n IS NOT NULL` row set.
+    */
+  private[graft] def repetitionKeepOf(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).alias("t"))
+      .select(col("doc_id"),
+        size(col("t")).alias("n_tokens"),
+        size(array_distinct(col("t"))).alias("n_distinct"),
+        size(TextFunctions.shingles(col("t"), 2)).alias("n_distinct_bigrams"))
+    val top = TextAnalysis.termFreqsOf(docs)
+      .groupBy(col("doc_id")).agg(max(col("tf")).alias("top_token_n"))
+    withRepetitionMetrics(base.join(top, Seq("doc_id")))
+      .select(col("doc_id"), col("rep_keep"))
+  }
+
+  /** The held-out benchmark's distinct hashed 13-gram set — the STATIC
+    * side input of the streaming exact-decontamination probe (the
+    * benchmark is fixed before the crawl starts; at 100 TB this is a
+    * broadcast-sized table by premise).
+    */
+  private[graft] def benchHashes13Of(benchDocs: DataFrame): DataFrame =
+    benchDocs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).alias("t"))
+      .select(explode(TextFunctions.shingles(col("t"), 13)).alias("s"))
+      .select(TextFunctions.md5Hash60(col("s")).alias("hs"))
+      .distinct()
+
+  /** EXACT decontamination of an arbitrary document frame against a
+    * prepared benchmark 13-gram hash set ([[benchHashes13Of]]) — the
+    * per-batch body of the streaming pipeline's decon probe; the same
+    * shingle/hash lineage as the registered `docs_decontaminate_exact`.
+    */
+  private[graft] def exactContamIdsOf(docs: DataFrame,
+      benchHashes: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).alias("t"))
+      .select(col("doc_id"), explode(TextFunctions.shingles(col("t"), 13)).alias("s"))
+      .select(col("doc_id"), TextFunctions.md5Hash60(col("s")).alias("hs"))
+      .join(broadcast(benchHashes), Seq("hs"), "left_semi")
+      .select(col("doc_id")).distinct()
+
+  /** The pipeline's OUTPUT MAP over a survivor frame — HTML clean then
+    * PII redact (with the fixture's deterministic augmentation; see
+    * [[htmlAugmented]]/[[piiAugmented]]), md5 to keep the verified
+    * output narrow. ONE spelling shared by the batch
+    * [[curationPipeline]] and the ingestion-time stream, so the two
+    * cannot drift on the map chain.
+    */
+  private[graft] def redactedSurvivorOutput(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+      md5(piiRedact(piiAugmented(
+        htmlClean(htmlAugmented(col("text"), col("doc_id"))), col("doc_id"))))
+        .alias("text_redacted_md5"))
+
   private def withRepetitionMetrics(ds: DataFrame): DataFrame =
     ds.withColumn("distinct_ratio", col("n_distinct") / col("n_tokens"))
       .withColumn("top_token_frac", col("top_token_n") / col("n_tokens"))
@@ -967,16 +1029,50 @@ object Curation {
       // per-row regex work on the rows that survived the key-only
       // joins — cleaning/redacting dropped documents would be wasted
       // compute); the md5 keeps the verified output narrow
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-        md5(piiRedact(piiAugmented(
-          htmlClean(htmlAugmented(col("text"), col("doc_id"))), col("doc_id"))))
-          .alias("text_redacted_md5"))
+      .transform(redactedSurvivorOutput)
       .orderBy("doc_id")
       // two registered consumers (own row, funnel n_final) — the anti/
       // semi join chain and the redaction map run once per session;
       // tracked for release
       .transform(graft.CacheLifecycle.sessionPersist)
   }
+
+  /** INGESTION-TIME (STREAMED) CURATION as a registered gate — the
+    * corpus arrives as two doc-id-ordered batches against an
+    * empty-seeded band index, each batch running the per-arrival stage
+    * subset through [[graft.streaming.EventStream.curationIngestFoldBatch]]
+    * (the exact foreachBatch body of the streaming query; the stream
+    * form itself, plus redelivery/restart/funnel-additivity, is pinned
+    * in StreamingSpec): benchmark drop, stored-index MinHash dedup
+    * probe, exact 13-gram decon, per-doc repetition gate, and the
+    * shared clean+redact output map. The oracle is the from-scratch
+    * SQL over the SAME stage set (the existing pipeline CTEs minus the
+    * corpus-statistic stages) — streamed-over-batches ≡ one-shot,
+    * per-document, through the hash of the redacted text.
+    *
+    * Memoized durably: seed and folds are commit-/marker-gated, so a
+    * second JVM replays both batches as no-ops and re-reads the stored
+    * survivors.
+    */
+  def curationStreamed(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoizedDurable(s"curation.streamed:$sfDir") {
+      import graft.streaming.EventStream
+      val base = Layout.tmpPath("graft-curstream", sfDir)
+      val (outDir, funnelDir, indexDir) =
+        (s"$base/out", s"$base/funnel", s"$base/index")
+      val docs = Tables.documents(spark, sfDir)
+      val mid = docs.agg((min(col("doc_id")) + max(col("doc_id"))) / 2)
+        .head().getDouble(0)
+      EventStream.minhashIndexSeed(spark, indexDir, docs.filter(lit(false)))
+      val benchHashes = benchHashes13Of(
+        docs.filter(col("source") === BenchmarkSource))
+        .transform(graft.CacheLifecycle.sessionPersist)
+      EventStream.curationIngestFoldBatch(spark, outDir, funnelDir, indexDir,
+        benchHashes, docs.filter(col("doc_id") <= mid), 0L)
+      EventStream.curationIngestFoldBatch(spark, outDir, funnelDir, indexDir,
+        benchHashes, docs.filter(col("doc_id") > mid), 1L)
+      EventStream.curationStreamRead(spark, outDir).orderBy("doc_id")
+    }
 
   /** Per-document FLAG FRAME joining every curation stage's verdict onto
     * the document key: one narrow row per document with each rule's
@@ -1209,6 +1305,36 @@ object Curation {
          |FROM documents
          |WHERE $pipelineKeepWhere
          |ORDER BY doc_id""".stripMargin,
+    // the streamed gate: the SAME CTE pieces restricted to the
+    // per-arrival stage subset (no corpus-statistic stages) — streamed
+    // over batches ≡ this one-shot SQL, per document, through the
+    // redacted-text hash
+    "docs_curation_streamed" ->
+      s"""WITH ${Dedup.shingleCte},
+         |${Dedup.removalsCte},
+         |$contaminationCte,
+         |$qualityCte,
+         |quality_keep AS (
+         |  SELECT m.doc_id FROM m JOIN top ON m.doc_id = top.doc_id
+         |  WHERE $qualityKeepSql),
+         |haug AS (
+         |  SELECT doc_id, ${htmlAugSql("text", "doc_id")} AS haug_text
+         |  FROM documents),
+         |hclean AS (
+         |  SELECT doc_id, ${htmlCleanSql("haug_text")} AS clean_text
+         |  FROM haug),
+         |caug AS (
+         |  SELECT doc_id, ${piiAugSql("clean_text", "doc_id")} AS caug_text
+         |  FROM hclean)
+         |SELECT doc_id, lang, source, n_chars,
+         |       md5(${piiRedactSql("(SELECT caug_text FROM caug WHERE caug.doc_id = documents.doc_id)")})
+         |         AS text_redacted_md5
+         |FROM documents
+         |WHERE source != '$BenchmarkSource'
+         |  AND doc_id NOT IN (SELECT doc_id FROM removals)
+         |  AND doc_id NOT IN (SELECT doc_id FROM contam_exact)
+         |  AND doc_id IN (SELECT doc_id FROM quality_keep)
+         |ORDER BY doc_id""".stripMargin,
     "curation_funnel_report" ->
       s"""WITH $pipelineCtes
          |SELECT (SELECT count(*) FROM documents) AS n_documents,
@@ -1371,6 +1497,7 @@ object Curation {
     "docs_decontaminate_exact"  -> decontaminateExact _,
     "docs_decontaminate_semantic" -> decontaminateSemantic _,
     "docs_curation_pipeline"    -> curationPipeline _,
+    "docs_curation_streamed"    -> curationStreamed _,
     "docs_html_cleaned"         -> htmlCleaned _,
     "curation_funnel_report"    -> curationFunnelReport _,
     "curation_source_report"    -> curationSourceReport _,

@@ -724,16 +724,17 @@ object EventStream {
     * subdirs are the append-only commit shape an object store serves
     * directly.
     */
-  def minhashIngestDedup(docsStream: DataFrame, historyDocs: DataFrame,
-      pairsOutDir: String, indexDir: String,
-      checkpointDir: Option[String] = None,
-      autoCompactAfter: Option[Int] = None): StreamingQuery = {
+  /** Seed the MinHash ingest index tables from `historyDocs` unless the
+    * LAST-written table carries commit evidence (see
+    * [[annIndexMaintenanceStream]]'s two-table seed note) — factored
+    * out of [[minhashIngestDedup]] for the curation stream, which
+    * maintains the same band index.
+    */
+  def minhashIndexSeed(spark: SparkSession, indexDir: String,
+      historyDocs: DataFrame): Unit = {
     import graft.operators.Dedup
-    val spark = docsStream.sparkSession
     val shDir = s"$indexDir/shingles"
     val bandsDir = s"$indexDir/bands"
-    // guard on the LAST seed's commit evidence — see
-    // [[annIndexMaintenanceStream]]'s two-table seed note
     if (!StateFs.exists(spark, s"${ensureLiveTree(spark, bandsDir)}/seed/_SUCCESS")) {
       val histSh = Dedup.shingleDocs(historyDocs).persist()
       try {
@@ -746,6 +747,37 @@ object EventStream {
         ()
       }
     }
+  }
+
+  /** Probe the stored band index with one batch's shingles/bands and
+    * exact-Jaccard-verify the candidates — the ONE probe spelling
+    * [[minhashIngestDedup]] and the curation ingest stream share:
+    * stored bands give new↔old candidates, the batch's own bands give
+    * new↔new, canonical (least, greatest) so a pair lands once.
+    */
+  private def minhashProbeBatch(spark: SparkSession, indexDir: String,
+      batchSh: DataFrame, batchBands: DataFrame): DataFrame = {
+    import graft.operators.Dedup
+    val storedBands = batchDirsRead(spark, s"$indexDir/bands", ingestBandsSchema)
+    val cands = batchBands.alias("a")
+      .join(storedBands.unionAll(batchBands).alias("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).alias("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).alias("doc_b"))
+      .distinct()
+    val storedSh = batchDirsRead(spark, s"$indexDir/shingles", ingestShinglesSchema)
+    Dedup.verifyPairs(storedSh.unionAll(batchSh), cands)
+  }
+
+  def minhashIngestDedup(docsStream: DataFrame, historyDocs: DataFrame,
+      pairsOutDir: String, indexDir: String,
+      checkpointDir: Option[String] = None,
+      autoCompactAfter: Option[Int] = None): StreamingQuery = {
+    import graft.operators.Dedup
+    val spark = docsStream.sparkSession
+    val shDir = s"$indexDir/shingles"
+    val bandsDir = s"$indexDir/bands"
+    minhashIndexSeed(spark, indexDir, historyDocs)
     maintenanceWriter(docsStream, checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!plainMarkerApplied(spark, indexDir, batchId)) {
@@ -764,17 +796,7 @@ object EventStream {
           val batchSh = Dedup.shingleDocs(batch.toDF()).persist()
           val batchBands = Dedup.bandIndex(batchSh).persist()
           try {
-            // probe the full index: stored bands (new↔old) + own bands
-            // (new↔new); canonical (least, greatest) so a pair lands once
-            val storedBands = batchDirsRead(spark, bandsDir, ingestBandsSchema)
-            val cands = batchBands.alias("a")
-              .join(storedBands.unionAll(batchBands).alias("b"),
-                col("a.band") === col("b.band") && col("a.doc_id") =!= col("b.doc_id"))
-              .select(least(col("a.doc_id"), col("b.doc_id")).alias("doc_a"),
-                greatest(col("a.doc_id"), col("b.doc_id")).alias("doc_b"))
-              .distinct()
-            val storedSh = batchDirsRead(spark, shDir, ingestShinglesSchema)
-            Dedup.verifyPairs(storedSh.unionAll(batchSh), cands)
+            minhashProbeBatch(spark, indexDir, batchSh, batchBands)
               .write.mode("overwrite").parquet(s"$pairsTree/b$batchId")
             batchSh.write.mode("overwrite").parquet(s"$shTree/b$batchId")
             batchBands.write.mode("overwrite").parquet(s"$bandsTree/b$batchId")
@@ -790,6 +812,170 @@ object EventStream {
         // a replayed no-op batch still relieves file-count pressure
         autoCompactAfter.foreach(k =>
           compactIngestIndexIfCrowded(spark, indexDir, pairsOutDir, k))
+      }
+      .start()
+  }
+
+  private val curationOutSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType),
+    StructField("text_redacted_md5", StringType)))
+
+  private val curationFunnelSchema = StructType(Seq(
+    StructField("batch_id", LongType),
+    StructField("n_docs", LongType),
+    StructField("n_benchmark", LongType),
+    StructField("n_dedup_removed", LongType),
+    StructField("n_contaminated_exact", LongType),
+    StructField("n_quality_fail", LongType),
+    StructField("n_final", LongType)))
+
+  /** The streamed curation pipeline's survivor table and per-batch
+    * funnel deltas (the read side of [[curationIngestStream]]).
+    */
+  def curationStreamRead(spark: SparkSession, outDir: String): DataFrame =
+    batchDirsRead(spark, outDir, curationOutSchema)
+
+  def curationFunnelRead(spark: SparkSession, funnelDir: String): DataFrame =
+    batchDirsRead(spark, funnelDir, curationFunnelSchema)
+
+  /** One curation-ingestion micro-batch — the exact `foreachBatch` body
+    * of [[curationIngestStream]], opened to the registered
+    * `docs_curation_streamed` gate so both consumers run ONE fold
+    * spelling. Stages, in crawl order, all on the batch's own rows:
+    * benchmark-source drop → near-dup probe against the STORED MinHash
+    * band index ([[minhashProbeBatch]] — history and every earlier
+    * batch; the later/greater doc of a verified pair is removed, the
+    * batch `dedup_minhash_lsh` removal rule) → exact 13-gram
+    * decontamination against the static benchmark hash set
+    * ([[graft.operators.Curation.exactContamIdsOf]]) → per-doc Gopher
+    * repetition gate ([[graft.operators.Curation.repetitionKeepOf]]) →
+    * the shared HTML-clean + PII-redact output map
+    * ([[graft.operators.Curation.redactedSurvivorOutput]]). Emits the
+    * per-batch survivor subdir plus a one-row funnel DELTA, and folds
+    * the batch's shingles/bands into the index for the next batch.
+    *
+    * The corpus-statistic stages of the BATCH pipeline (rare-bigram
+    * gate, ratio/semantic decon) are deliberately absent: they read
+    * corpus-global state and belong to the nightly batch pass — this is
+    * the per-arrival subset a crawl ingests with, and the parity gate
+    * holds exactly for this stage set (streamed over any batch split ≡
+    * the same composition run once over the union).
+    *
+    * Commit shape: survivors first, funnel second, index tables last,
+    * ONE marker for all five writes — a crash anywhere leaves the batch
+    * unmarked and the replay's pre-clean removes every partial subdir.
+    *
+    * 100 TB shape: every stage is batch-scale (narrow maps + the
+    * band-key equi-join probe into the stored index) — the corpus is
+    * never re-shingled, re-scored, or re-cleaned; the funnel delta is
+    * the monitoring record each arrival appends.
+    */
+  def curationIngestFoldBatch(spark: SparkSession, outDir: String,
+      funnelDir: String, indexDir: String, benchHashes: DataFrame,
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.operators.{Curation, Dedup}
+    if (!plainMarkerApplied(spark, indexDir, batchId)) {
+      val shDir = s"$indexDir/shingles"
+      val bandsDir = s"$indexDir/bands"
+      val (outTree, funnelTree, shTree, bandsTree) =
+        (ensureLiveTree(spark, outDir), ensureLiveTree(spark, funnelDir),
+          ensureLiveTree(spark, shDir), ensureLiveTree(spark, bandsDir))
+      Seq(s"$outTree/b$batchId", s"$funnelTree/b$batchId",
+          s"$shTree/b$batchId", s"$bandsTree/b$batchId")
+        .foreach(d => StateFs.deleteRecursively(spark, d))
+      val b = batch.persist()
+      val batchSh = Dedup.shingleDocs(b).persist()
+      val batchBands = Dedup.bandIndex(batchSh).persist()
+      try {
+        val removals = minhashProbeBatch(spark, indexDir, batchSh, batchBands)
+          .select(col("doc_b").alias("doc_id")).distinct()
+        val contam = Curation.exactContamIdsOf(b, benchHashes)
+        val keep = Curation.repetitionKeepOf(b)
+          .filter(col("rep_keep")).select(col("doc_id"))
+        // flags once, consumed by the survivor filter AND the funnel
+        // delta — one probe pass per batch, not two
+        val flagged = b.select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"), col("text"),
+            (col("source") === Curation.BenchmarkSource).alias("is_bench"))
+          .join(removals.withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
+          .join(contam.withColumn("is_contam", lit(true)), Seq("doc_id"), "left")
+          .join(keep.withColumn("q_keep", lit(true)), Seq("doc_id"), "left")
+          .na.fill(false, Seq("is_dup", "is_contam", "q_keep"))
+          .withColumn("kept",
+            !col("is_bench") && !col("is_dup") && !col("is_contam") && col("q_keep"))
+          .persist()
+        try {
+          Curation.redactedSurvivorOutput(flagged.filter(col("kept")))
+            .write.mode("overwrite").parquet(s"$outTree/b$batchId")
+          def n(c: org.apache.spark.sql.Column, a: String) =
+            count(when(c, lit(1))).alias(a)
+          flagged.agg(
+              count(lit(1)).alias("n_docs"),
+              n(col("is_bench"), "n_benchmark"),
+              n(col("is_dup"), "n_dedup_removed"),
+              n(col("is_contam"), "n_contaminated_exact"),
+              n(!col("q_keep"), "n_quality_fail"),
+              n(col("kept"), "n_final"))
+            .select(lit(batchId).alias("batch_id"), col("n_docs"),
+              col("n_benchmark"), col("n_dedup_removed"),
+              col("n_contaminated_exact"), col("n_quality_fail"), col("n_final"))
+            .write.mode("overwrite").parquet(s"$funnelTree/b$batchId")
+          batchSh.write.mode("overwrite").parquet(s"$shTree/b$batchId")
+          batchBands.write.mode("overwrite").parquet(s"$bandsTree/b$batchId")
+          commitPlainMarker(spark, indexDir, batchId)
+        } finally {
+          flagged.unpersist()
+          ()
+        }
+      } finally {
+        b.unpersist()
+        batchSh.unpersist()
+        batchBands.unpersist()
+        ()
+      }
+    }
+  }
+
+  /** INGESTION-TIME CURATION via `foreachBatch` — the streaming form of
+    * `docs_curation_pipeline`'s per-arrival stage subset, the shape a
+    * crawl pipeline actually executes per micro-batch (the r16-verdict
+    * #2 ask): see [[curationIngestFoldBatch]] for the stages and commit
+    * shape. `benchDocs` is the fixed held-out benchmark (static side
+    * input, prepared once per stream); history documents seed the
+    * MinHash band index so arrivals dedup against the existing corpus.
+    * StreamingSpec pins streamed-over-two-batches ≡ the same composition
+    * over the union, redelivery no-op, restart resume, and the funnel
+    * deltas' additivity; the registered gate's oracle is the
+    * from-scratch SQL over the same stage set.
+    */
+  def curationIngestStream(docsStream: DataFrame, historyDocs: DataFrame,
+      benchDocs: DataFrame, outDir: String, funnelDir: String,
+      indexDir: String, checkpointDir: Option[String] = None,
+      autoCompactAfter: Option[Int] = None): StreamingQuery = {
+    import graft.operators.Curation
+    val spark = docsStream.sparkSession
+    minhashIndexSeed(spark, indexDir, historyDocs)
+    // static side input: computed once per stream, reused by every fold
+    val benchHashes = Curation.benchHashes13Of(benchDocs)
+      .transform(graft.CacheLifecycle.sessionPersist)
+    maintenanceWriter(docsStream, checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        curationIngestFoldBatch(spark, outDir, funnelDir, indexDir,
+          benchHashes, batch.toDF(), batchId)
+        autoCompactAfter.foreach { k =>
+          compactIfCrowded(spark, s"$indexDir/shingles", ingestShinglesSchema,
+            indexDir, k, requireSeed = true)
+          compactIfCrowded(spark, s"$indexDir/bands", ingestBandsSchema,
+            indexDir, k, requireSeed = true)
+          compactIfCrowded(spark, outDir, curationOutSchema, indexDir,
+            k, requireSeed = false)
+          compactIfCrowded(spark, funnelDir, curationFunnelSchema, indexDir,
+            k, requireSeed = false)
+          ()
+        }
       }
       .start()
   }

@@ -1392,6 +1392,60 @@ class StreamingSpec extends SparkSpec {
     (indexDir, s"$indexDir/tf")
   }
 
+  test("foreachBatch curation ingest equals the one-shot stage set across" +
+      " micro-batches; funnel deltas are additive; restarts resume") {
+    import graft.operators.Curation
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val mid = docs.agg((min(col("doc_id")) + max(col("doc_id"))) / 2)
+      .head().getDouble(0)
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-curstr")
+    stageFile(docs.filter(col("doc_id") <= mid), stageDir, "b1", 60)
+    stageFile(docs.filter(col("doc_id") > mid), stageDir, "b2", 30)
+    val outBase = java.nio.file.Files.createTempDirectory("graft-curstr-out")
+    val outDir = outBase.resolve("out").toString
+    val funnelDir = outBase.resolve("funnel").toString
+    val indexDir = outBase.resolve("index").toString
+    val ckpt = outBase.resolve("ckpt").toString
+    val bench = docs.filter(col("source") === Curation.BenchmarkSource)
+    def run(): Unit = {
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$stageDir/*")
+      val q1 = streaming.EventStream.curationIngestStream(
+        stream, docs.filter(lit(false)), bench, outDir, funnelDir, indexDir,
+        checkpointDir = Some(ckpt))
+      try q1.processAllAvailable() finally q1.stop()
+    }
+    run()
+    // streamed survivors over two micro-batches ≡ the registered
+    // one-shot gate (whose oracle is the from-scratch SQL)
+    val got = streaming.EventStream.curationStreamRead(spark, outDir)
+      .collect().map(_.toSeq).toSet
+    val want = q("docs_curation_streamed").collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty,
+      "streamed curation survivors diverged from the one-shot stage set")
+    // funnel deltas are additive to whole-corpus stage counts
+    val funnel = streaming.EventStream.curationFunnelRead(spark, funnelDir)
+      .collect()
+    assert(funnel.length == 2, s"expected 2 funnel deltas, got ${funnel.length}")
+    def total(c: String) = funnel.map(_.getAs[Long](c)).sum
+    assert(total("n_docs") == docs.count())
+    assert(total("n_benchmark") == bench.count())
+    assert(total("n_final") == want.size.toLong)
+    // dedup removals across deltas = the batch LSH removal set (each
+    // removed doc is counted in exactly the batch that carried it)
+    val lshRemovals = q("dedup_minhash_lsh")
+      .select(col("doc_b")).distinct().count()
+    assert(total("n_dedup_removed") == lshRemovals,
+      s"funnel dedup removals ${total("n_dedup_removed")} != batch LSH $lshRemovals")
+    // a restarted stream over the same checkpoint re-delivers nothing
+    run()
+    assert(streaming.EventStream.curationStreamRead(spark, outDir)
+      .collect().map(_.toSeq).toSet == got, "restart re-folded a batch")
+    assert(streaming.EventStream.curationFunnelRead(spark, funnelDir)
+      .count() == 2, "restart appended duplicate funnel deltas")
+  }
+
   test("foreachBatch chunk ingest-dedup equals the batch span dedup across" +
       " micro-batches, restarts resume, and erasure un-ghosts forgotten spans") {
     import graft.operators.Dedup
