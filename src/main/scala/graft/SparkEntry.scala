@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsOfJoin, Curation, DataQuality, Dedup, Events, Features, Layout, Multimodal, Relational, Retrieval, Similarity, Sketches, StarSchema, Stats, TextAnalysis, TimeSeries, WindowAnalytics}
+import graft.operators.{AsOfJoin, Curation, DataQuality, Dedup, Erasure, Events, Features, Layout, Multimodal, Relational, Retrieval, Similarity, Sketches, StarSchema, Stats, TextAnalysis, TimeSeries, WindowAnalytics}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,7 @@ object SparkEntry {
       Events.queries ++ Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       AsOfJoin.queries ++ WindowAnalytics.queries ++ Stats.queries ++ TimeSeries.queries ++
       Sketches.queries ++ Features.queries ++ DataQuality.queries ++ Curation.queries ++
-      Layout.queries ++ Retrieval.queries ++ graft.sources.TextSources.queries
+      Layout.queries ++ Retrieval.queries ++ Erasure.queries ++ graft.sources.TextSources.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -32,5 +32,5 @@ object SparkEntry {
       Events.oracles ++ Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
       AsOfJoin.oracles ++ WindowAnalytics.oracles ++ Stats.oracles ++ TimeSeries.oracles ++
       Sketches.oracles ++ Features.oracles ++ DataQuality.oracles ++ Curation.oracles ++
-      Layout.oracles ++ Retrieval.oracles ++ graft.sources.TextSources.oracles
+      Layout.oracles ++ Retrieval.oracles ++ Erasure.oracles ++ graft.sources.TextSources.oracles
 }

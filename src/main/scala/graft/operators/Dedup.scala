@@ -785,7 +785,7 @@ object Dedup {
     * split-leakage report, so a threshold or shingle change cannot leave
     * one consumer certifying a different pair set.
     */
-  private def vpairsCte =
+  private[operators] def vpairsCte =
     s"""inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |         CAST(count(*) AS BIGINT) AS n_common

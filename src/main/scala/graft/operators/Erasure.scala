@@ -1,0 +1,237 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** ERASURE CERTIFICATE — the audit that COMPOSES the per-tier
+  * right-to-be-forgotten gates (the r16-verdict #3 ask): given the
+  * fixture's delete lists (one rule per key space), seed EVERY
+  * maintained state class this library serves — row state, tf index,
+  * positions index, chunk index, MinHash shingles/bands/pairs, ANN
+  * cells/codes, phash bands/pairs — run every forget entry point, then
+  * probe each stored table and report per-tier residue and remaining
+  * row counts. A deletion request is only discharged when every tier
+  * reads zero residue; the per-tier gates prove each erasure is
+  * CORRECT (erasure ≡ filter-rebuild through serving), this certificate
+  * proves none was SKIPPED — the one-sided failure a deletion audit
+  * exists to catch, which no single-tier gate can see.
+  *
+  * The differential check is two-sided per tier: `n_residue` (rows
+  * still matching the delete rule in the ERASED store) must be zero,
+  * and `n_remaining` must equal the DuckDB oracle's replay of the
+  * surviving corpus through the same derivation (tokenization for
+  * tf/pos, chunk arithmetic, shingle sizes, verified-pair rules, the
+  * fixed band/subspace fan-outs). A skipped tier fails BOTH columns; an
+  * over-deleting erasure fails `n_remaining`. ErasureSpec additionally
+  * plants a deliberately-skipped tier and pins that the certificate
+  * goes non-zero — proving the audit can fail.
+  *
+  * 100 TB shape: each probe is one column-pruned aggregate over a
+  * stored table (the residue predicate pushes to the scan); the seeds
+  * and erasures are the per-tier machinery's own (each idempotent, so
+  * the certificate job re-runs until success like every erasure job).
+  * The eleven one-row aggregates are one audit job per tier — a
+  * compliance artifact, not a hot path.
+  */
+object Erasure {
+
+  /** One delete rule per key space — documents/media share the fixture
+    * key space (`media_id` ≡ `doc_id`); vectors keep the query set
+    * (vec_id < 10) intact so the per-tier serving gates' probes stay
+    * meaningful ([[Similarity.annForgottenRule]]'s reasoning).
+    */
+  private def docForgotten(c: Column): Column = c % 17 === 3
+  private val DocKeepSql = "doc_id % 17 != 3"
+  private val MediaKeepSql = "media_id % 17 != 3"
+
+  private def dirsOf(base: String): Map[String, String] = Map(
+    "rows" -> s"$base/rows",
+    "text" -> s"$base/text",
+    "chunks" -> s"$base/chunks",
+    "mh" -> s"$base/mh",
+    "mhPairs" -> s"$base/mhpairs",
+    "ann" -> s"$base/ann",
+    "phash" -> s"$base/phash",
+    "phashPairs" -> s"$base/phashpairs")
+
+  /** Seed every maintained store under `base` from the fixture corpus
+    * and run every forget entry point — each seed `_SUCCESS`-guarded and
+    * each erasure idempotent, so a re-run (second JVM, crash recovery)
+    * is a provable no-op. `skipTiers` exists for ErasureSpec's
+    * audit-can-fail scenario ONLY: a production erasure job never skips
+    * a tier — that is exactly what the certificate detects.
+    */
+  private[graft] def buildAndEraseStores(spark: SparkSession, sfDir: String,
+      base: String, skipForgets: Set[String] = Set.empty): Unit = {
+    import graft.streaming.EventStream
+    val d = dirsOf(base)
+    val docs = Tables.documents(spark, sfDir)
+    val docVictims = docs.filter(docForgotten(col("doc_id")))
+      .select(col("doc_id"))
+    val vecVictims = Tables.embeddings(spark, sfDir)
+      .filter(Similarity.annForgottenRule(col("vec_id"))).select(col("vec_id"))
+    val mediaVictims = docVictims.select(col("doc_id").alias("media_id"))
+
+    // row state: the documents table as a bucketed state table
+    val rowsSchema = EventStream.scd2BucketedSchema(docs.schema)
+    EventStream.seedBucketedState(docs, "doc_id", d("rows"))
+    // text tier: tf + positions under one index dir (per-table markers)
+    EventStream.tfIndexSeed(spark, d("text"), docs)
+    EventStream.posIndexSeed(spark, d("text"), docs)
+    EventStream.chunkIndexSeed(spark, d("chunks"), docs)
+    EventStream.minhashIndexSeed(spark, d("mh"), docs)
+    seedPairsTable(spark, d("mhPairs"), Dedup.minhashLsh(spark, sfDir))
+    seedAnnIndex(spark, sfDir, d("ann"))
+    seedPhashIndex(spark, sfDir, d("phash"), d("phashPairs"))
+
+    def unlessSkipped(tier: String)(body: => Unit): Unit =
+      if (!skipForgets.contains(tier)) body
+    unlessSkipped("rows")(EventStream.forgetKeys(spark, d("rows"), rowsSchema,
+      "doc_id", docVictims))
+    unlessSkipped("tf_index")(
+      EventStream.forgetDocsFromTfIndex(spark, d("text"), docVictims))
+    unlessSkipped("pos_index")(
+      EventStream.forgetDocsFromPosIndex(spark, d("text"), docVictims))
+    unlessSkipped("chunk_index")(
+      EventStream.forgetDocsFromChunkIndex(spark, d("chunks"), docVictims))
+    unlessSkipped("minhash")(EventStream.forgetDocsFromMinhashIndex(spark,
+      d("mh"), d("mhPairs"), docVictims))
+    unlessSkipped("ann")(
+      EventStream.forgetVectorsFromAnnIndex(spark, d("ann"), vecVictims))
+    unlessSkipped("phash")(EventStream.forgetMediaFromPhashIndex(spark,
+      d("phash"), d("phashPairs"), mediaVictims))
+  }
+
+  /** Commit a one-shot pairs OUTPUT table (live-tree seed) unless commit
+    * evidence exists — the certificate's stand-in for a stream's
+    * accumulated pair subdirs.
+    */
+  private def seedPairsTable(spark: SparkSession, dir: String,
+      pairs: DataFrame): Unit = {
+    import graft.streaming.EventStream
+    if (!EventStream.hasCommittedSeed(spark, dir)) {
+      pairs.write.mode("overwrite")
+        .parquet(s"${EventStream.ensureLiveTree(spark, dir)}/seed")
+    }
+  }
+
+  private def seedAnnIndex(spark: SparkSession, sfDir: String,
+      indexDir: String): Unit = {
+    import graft.streaming.EventStream
+    if (!EventStream.hasCommittedSeed(spark, s"$indexDir/cells")) {
+      // codes before cells — the maintenance stream's torn-state order
+      Similarity.maintainedCodes(spark, sfDir).write.mode("overwrite")
+        .parquet(s"${EventStream.ensureLiveTree(spark, s"$indexDir/codes")}/seed")
+      Similarity.maintainedCells(spark, sfDir).write.mode("overwrite")
+        .parquet(s"${EventStream.ensureLiveTree(spark, s"$indexDir/cells")}/seed")
+    }
+  }
+
+  private def seedPhashIndex(spark: SparkSession, sfDir: String,
+      indexDir: String, pairsDir: String): Unit = {
+    import graft.streaming.EventStream
+    seedPairsTable(spark, pairsDir, Multimodal.phashDupes(spark, sfDir))
+    val bandsDir = s"$indexDir/bands"
+    if (!EventStream.hasCommittedSeed(spark, bandsDir)) {
+      Multimodal.phashBandsOf(Multimodal.phashSigs(spark, sfDir))
+        .write.mode("overwrite")
+        .parquet(s"${EventStream.ensureLiveTree(spark, bandsDir)}/seed")
+    }
+  }
+
+  /** Probe every stored tier under `base` and report (tier, n_residue,
+    * n_remaining) — factored from the build so ErasureSpec can audit a
+    * deliberately-partial erasure.
+    */
+  private[graft] def probeStores(spark: SparkSession, sfDir: String,
+      base: String): DataFrame = {
+    import graft.streaming.EventStream
+    val d = dirsOf(base)
+    val rowsSchema = EventStream.scd2BucketedSchema(
+      Tables.documents(spark, sfDir).schema)
+    def row(tier: String, df: DataFrame, residue: Column): DataFrame =
+      df.agg(count(when(residue, lit(1))).alias("n_residue"),
+          count(lit(1)).alias("n_remaining"))
+        .select(lit(tier).alias("tier"), col("n_residue"), col("n_remaining"))
+    val doc = docForgotten(col("doc_id"))
+    Seq(
+      row("rows",
+        EventStream.bucketedStateRead(spark, d("rows"), rowsSchema), doc),
+      row("tf_index", EventStream.tfIndexRead(spark, d("text")), doc),
+      row("pos_index", EventStream.posIndexRead(spark, d("text")), doc),
+      row("chunk_index", EventStream.chunkIndexRead(spark, d("chunks")), doc),
+      row("minhash_shingles",
+        EventStream.ingestShinglesRead(spark, d("mh")), doc),
+      row("minhash_bands", EventStream.ingestBandsRead(spark, d("mh")), doc),
+      row("minhash_pairs", EventStream.ingestPairsRead(spark, d("mhPairs")),
+        docForgotten(col("doc_a")) || docForgotten(col("doc_b"))),
+      row("ann_cells", EventStream.annIndexCellsRead(spark, d("ann")),
+        Similarity.annForgottenRule(col("vec_id"))),
+      row("ann_codes", EventStream.annIndexCodesRead(spark, d("ann")),
+        Similarity.annForgottenRule(col("vec_id"))),
+      row("phash_bands", EventStream.phashBandsRead(spark, d("phash")),
+        docForgotten(col("media_id"))),
+      row("phash_pairs", EventStream.phashPairsRead(spark, d("phashPairs")),
+        docForgotten(col("media_a")) || docForgotten(col("media_b"))))
+      .reduce(_.unionByName(_))
+      .orderBy("tier")
+  }
+
+  def erasureCertificate(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoizedDurable(s"erasure.certificate:$sfDir") {
+      val base = Layout.tmpPath("graft-cert", sfDir)
+      buildAndEraseStores(spark, sfDir, base)
+      probeStores(spark, sfDir, base)
+    }
+
+  val oracles: Map[String, String] = Map(
+    // per tier: residue 0 by definition of a completed erasure, and the
+    // remaining count replayed from the raw tables through the same
+    // derivation each store was built with
+    "erasure_certificate" ->
+      s"""WITH ${Dedup.shingleCte},
+         |${Dedup.vpairsCte},
+         |${Multimodal.phashCteSql}
+         |SELECT tier, CAST(0 AS BIGINT) AS n_residue, n_remaining FROM (
+         |SELECT 'rows' AS tier,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE $DocKeepSql)
+         |    AS n_remaining
+         |UNION ALL SELECT 'tf_index',
+         |  (SELECT CAST(count(*) AS BIGINT) FROM (
+         |     SELECT DISTINCT doc_id, term FROM (
+         |       SELECT doc_id, unnest(t) AS term FROM toks WHERE $DocKeepSql)))
+         |UNION ALL SELECT 'pos_index',
+         |  (SELECT CAST(coalesce(sum(len(t)), 0) AS BIGINT)
+         |   FROM toks WHERE $DocKeepSql)
+         |UNION ALL SELECT 'chunk_index',
+         |  (SELECT CAST(coalesce(sum(greatest(
+         |     CAST(ceil(len(t) / ${Dedup.ChunkDedupTokens}.0) AS INT), 1)), 0)
+         |     AS BIGINT)
+         |   FROM toks WHERE $DocKeepSql)
+         |UNION ALL SELECT 'minhash_shingles',
+         |  (SELECT CAST(count(*) AS BIGINT) FROM sizes WHERE $DocKeepSql)
+         |UNION ALL SELECT 'minhash_bands',
+         |  (SELECT CAST(8 * count(*) AS BIGINT) FROM sizes WHERE $DocKeepSql)
+         |UNION ALL SELECT 'minhash_pairs',
+         |  (SELECT CAST(count(*) AS BIGINT) FROM vpairs
+         |   WHERE doc_a % 17 != 3 AND doc_b % 17 != 3)
+         |UNION ALL SELECT 'ann_cells',
+         |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+         |   WHERE ${Similarity.AnnForgetKeepSql})
+         |UNION ALL SELECT 'ann_codes',
+         |  (SELECT CAST(8 * count(*) AS BIGINT) FROM embeddings
+         |   WHERE ${Similarity.AnnForgetKeepSql})
+         |UNION ALL SELECT 'phash_bands',
+         |  (SELECT CAST(4 * count(*) AS BIGINT) FROM documents WHERE $DocKeepSql)
+         |UNION ALL SELECT 'phash_pairs',
+         |  (SELECT CAST(count(*) AS BIGINT)
+         |   FROM psig a JOIN psig b ON a.media_id < b.media_id
+         |   WHERE bit_count(xor(a.phash, b.phash)) <= ${Multimodal.PhashHammingMax}
+         |     AND a.$MediaKeepSql AND b.$MediaKeepSql))
+         |ORDER BY tier""".stripMargin)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "erasure_certificate" -> erasureCertificate _)
+}

@@ -377,7 +377,7 @@ object Multimodal {
     }
 
   /** DuckDB twin of [[phashSigs]] — keep in sync. */
-  private val phashCteSql =
+  private[operators] val phashCteSql =
     """bsums AS (
       |  SELECT doc_id AS media_id,
       |         list_transform(range(0, 61), k -> struct_pack(

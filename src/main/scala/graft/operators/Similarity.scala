@@ -1172,7 +1172,7 @@ object Similarity {
   private[graft] def annForgottenRule(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     c >= 10 && c % 17 === 3
 
-  private val AnnForgetKeepSql = "NOT (vec_id >= 10 AND vec_id % 17 = 3)"
+  private[operators] val AnnForgetKeepSql = "NOT (vec_id >= 10 AND vec_id % 17 = 3)"
 
   /** RIGHT-TO-BE-FORGOTTEN THROUGH THE SERVED ANN INDEX — the r15
     * verdict's top ask, completing the erasure story across every

@@ -321,6 +321,16 @@ object EventStream {
   def ingestPairsRead(spark: SparkSession, pairsOutDir: String): DataFrame =
     batchDirsRead(spark, pairsOutDir, ingestPairsSchema)
 
+  /** The stored MinHash index tables — the read side of
+    * [[minhashIngestDedup]]'s probe, public for the erasure
+    * certificate's per-tier residue audit.
+    */
+  def ingestShinglesRead(spark: SparkSession, indexDir: String): DataFrame =
+    batchDirsRead(spark, s"$indexDir/shingles", ingestShinglesSchema)
+
+  def ingestBandsRead(spark: SparkSession, indexDir: String): DataFrame =
+    batchDirsRead(spark, s"$indexDir/bands", ingestBandsSchema)
+
   /** COMPACT one per-batch-subdir table: fold the live tree (seed +
     * every MARKED `b*` subdir) into one consolidated `seed/` inside a
     * NEW tree and publish it — the OPTIMIZE half of the append-only
