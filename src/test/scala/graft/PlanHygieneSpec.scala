@@ -110,7 +110,12 @@ class PlanHygieneSpec extends SparkSpec {
       // the ANN erasure gate embeds the brute survivor baseline it is
       // measured against (|Q|·N by definition) — serving itself reads
       // the stored erased index through equi-joins
-      "ann_forget_vectors")
+      "ann_forget_vectors",
+      // the drift report IS the N·C frozen-centroid assignment pass run
+      // as a diagnostic (min-d2 per vector — ivf_ann_cosine's deliberate
+      // broadcast scoring shape, paid as a byproduct of assignment in a
+      // deployment)
+      "ann_drift_report")
     for ((name, plan) <- executedPlans if !allowed(name)) {
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name unexpectedly plans a BroadcastNestedLoopJoin:\n${plan.take(800)}")
