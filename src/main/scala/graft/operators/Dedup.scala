@@ -922,6 +922,38 @@ object Dedup {
       EventStream.chunkOutRead(spark, outDir).orderBy("doc_id")
     }
 
+  /** TIME-TRAVEL GATE over the stored chunk index: read the index AS OF
+    * batch 0 of [[chunkDedupStreamed]]'s two-batch ingestion
+    * ([[graft.streaming.EventStream.chunkIndexReadAsOf]] — seed plus
+    * committed subdirs `<= 0`) and fingerprint each document's span
+    * hashes. The oracle recomputes the chunk hashes from scratch over
+    * EXACTLY the batch-0 documents (`doc_id <= (min+max)/2` — the
+    * split's own spelling), so the gate pins the protocol's as-of
+    * semantics end to end: a subdir served beyond the as-of bound, a
+    * dropped batch-0 row, or a horizon misread all break the md5.
+    * StreamingSpec pins the failure direction (as-of below a
+    * compaction horizon errors loudly) and as-of-latest ≡ live.
+    *
+    * 100 TB shape: time travel is a LISTING filter on the snapshot
+    * log — no data copy, no extra shuffle beyond the consumer's own
+    * aggregate; the per-batch write units double as the snapshot
+    * history exactly as in a production table format.
+    */
+  def chunkIndexAsOf(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoized(s"dedup.chunkAsof:$sfDir") {
+      import graft.streaming.EventStream
+      // build (or find, marker-gated) the stored index + its batches
+      chunkDedupStreamed(spark, sfDir)
+      val indexDir = s"${Layout.tmpPath("graft-chunkstream", sfDir)}/index"
+      EventStream.chunkIndexReadAsOf(spark, indexDir, asOfBatch = 0L)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          md5(concat_ws(",", expr(
+            "transform(array_sort(collect_list(struct(chunk_id, h))), x -> x.h)")))
+            .as("chunks_md5"))
+        .orderBy("doc_id")
+    }
+
   private val chunkDedupOracleSql =
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          |chunks AS (
@@ -948,10 +980,38 @@ object Dedup {
          |                      ORDER BY chunk_id)) AS kept_md5
          |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Oracle for [[chunkIndexAsOf]]: chunk hashes recomputed from
+    * scratch over EXACTLY the ingestion's batch-0 documents — what an
+    * as-of-batch-0 read of the stored index must contain, to the md5.
+    */
+  private val chunkAsOfOracleSql =
+    s"""WITH pre AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id <= (SELECT (min(doc_id) + max(doc_id)) / 2
+         |                   FROM documents)),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM pre),
+         |chunks AS (
+         |  SELECT doc_id,
+         |         unnest(generate_series(0,
+         |           greatest(CAST(ceil(len(t) / $ChunkDedupTokens.0) AS INT) - 1, 0)))
+         |           AS chunk_id,
+         |         t
+         |  FROM toks),
+         |c2 AS (
+         |  SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+         |         md5(array_to_string(list_slice(t,
+         |           chunk_id * $ChunkDedupTokens + 1,
+         |           chunk_id * $ChunkDedupTokens + $ChunkDedupTokens), ' ')) AS h
+         |  FROM chunks)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |       md5(string_agg(h, ',' ORDER BY chunk_id)) AS chunks_md5
+         |FROM c2 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "docs_chunk_dedup" -> chunkDedupOracleSql,
     // streamed-over-batches == one-shot: the SAME oracle verbatim
     "docs_chunk_dedup_streamed" -> chunkDedupOracleSql,
+    "chunk_index_asof" -> chunkAsOfOracleSql,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies,
         |       md5(text) AS text_md5
@@ -1071,6 +1131,7 @@ object Dedup {
     "dedup_cluster_reps"  -> clusterReps _,
     "docs_chunk_dedup"    -> chunkDedup _,
     "docs_chunk_dedup_streamed" -> chunkDedupStreamed _,
+    "chunk_index_asof"    -> chunkIndexAsOf _,
     "dedup_minhash_incremental" -> minhashIncremental _,
     "dedup_jaccard_histogram" -> jaccardHistogram _,
   )

@@ -315,6 +315,62 @@ object EventStream {
         readSubdirs(spark, tree, committedSubdirs(spark, tree), schema)
     }
 
+  private val seedThroughName = "_seed_through_(\\d+)".r
+
+  /** The COMPACTION HORIZON of one tree: the highest batch id whose
+    * rows were folded into this tree's consolidated `seed/`, recorded
+    * by [[compactBatchDirs]] as a name-encoded `_seed_through_<B>`
+    * marker (the `_horizon_<v>` precedent — the value rides the NAME
+    * because content-bearing control files can tear between create and
+    * write). −1 for a tree whose seed is pure pre-stream history (no
+    * batch was ever compacted into it), which is every tree before its
+    * first compaction. Monotone: compaction carries the prior tree's
+    * horizon forward and maxes it with the batches it folds.
+    */
+  private[graft] def seedThroughOf(spark: SparkSession, treePath: String): Long =
+    StateFs.list(spark, treePath)
+      .collect { case seedThroughName(v) => v.toLong }
+      .reduceOption(_ max _).getOrElse(-1L)
+
+  /** TIME-TRAVEL read of one per-batch-subdir table: the state AS OF
+    * batch `asOfBatch` = the tree's `seed/` plus every committed
+    * `b{id}` subdir with `id <= asOfBatch` — exactly what a live read
+    * served the moment batch `asOfBatch` committed, because folds only
+    * ever APPEND batch subdirs within a tree. This is a table format's
+    * snapshot-as-of read spelled on the published-tree layout: the
+    * per-batch write units ARE the snapshot log, so time travel is a
+    * listing filter, not a data copy.
+    *
+    * The retention horizon is the compaction horizon: once
+    * [[compactBatchDirs]] folds batches through `B` into a new seed,
+    * the per-batch evidence below `B` is gone from the live tree and an
+    * as-of read older than `B` FAILS LOUDLY (`seedThroughOf` — never a
+    * silently-wrong partial view). The superseded grace snapshot, while
+    * retained, still serves the older as-ofs; after its vacuum the
+    * answer is a rebuild, exactly a table format's
+    * expired-snapshot semantics.
+    */
+  private def batchDirsReadAsOf(spark: SparkSession, dir: String,
+      schema: StructType, asOfBatch: Long): DataFrame =
+    liveTreeOpt(spark, dir) match {
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case Some(tree) =>
+        val through = seedThroughOf(spark, tree)
+        require(asOfBatch >= through,
+          s"as-of batch $asOfBatch predates $tree's compaction horizon " +
+            s"$through — batches <= $through were folded into the seed and " +
+            "their per-batch evidence vacuumed. Read a retained grace " +
+            "snapshot (the superseded t<n> tree, if compaction's " +
+            "expire-later window still holds it) or rebuild from the raw " +
+            "batch history; refusing to serve a silently-partial view")
+        val subs = committedSubdirs(spark, tree).filter {
+          case "seed" => true
+          case b => b.matches("b\\d+") && b.drop(1).toLong <= asOfBatch
+        }
+        readSubdirs(spark, tree, subs, schema)
+    }
+
   /** The verified near-dup pairs an ingest-dedup run has emitted so far
     * (union of the per-batch output subdirs under `pairsOutDir`).
     */
@@ -480,6 +536,18 @@ object EventStream {
       val nextPath = s"$dir/t$next"
       transform(readSubdirs(spark, livePath, foldable, schema))
         .write.mode("overwrite").parquet(s"$nextPath/seed")
+      // record the new tree's compaction horizon BEFORE publishing —
+      // the highest batch id folded into its seed, maxed with the
+      // prior tree's horizon (monotone across compactions). A
+      // published tree therefore always carries its horizon, so an
+      // as-of read ([[batchDirsReadAsOf]]) can never mistake a
+      // compacted-away batch for a never-arrived one. Name-encoded
+      // (the `_horizon_<v>` truncation-hazard reasoning); omitted
+      // entirely while nothing was ever compacted (horizon −1).
+      val foldedThrough = (foldable.filter(_.matches("b\\d+"))
+        .map(_.drop(1).toLong) :+ seedThroughOf(spark, livePath)).max
+      if (foldedThrough >= 0)
+        StateFs.touchExclusive(spark, s"$nextPath/_seed_through_$foldedThrough")
       // THE commit: one create-only marker makes the new tree live —
       // exclusive, so even a protocol bug that let two writers reach
       // here could never let both "succeed" silently
@@ -1847,6 +1915,11 @@ object EventStream {
   def tfIndexRead(spark: SparkSession, indexDir: String): DataFrame =
     batchDirsRead(spark, s"$indexDir/tf", tfIndexSchema)
 
+  /** Time-travel read of the tf index ([[batchDirsReadAsOf]]). */
+  def tfIndexReadAsOf(spark: SparkSession, indexDir: String,
+      asOfBatch: Long): DataFrame =
+    batchDirsReadAsOf(spark, s"$indexDir/tf", tfIndexSchema, asOfBatch)
+
   /** Compact the tf index's per-batch subdirs — same marker gating,
     * publish protocol, and quiesced-stream contract as
     * [[compactBatchDirs]].
@@ -2013,6 +2086,20 @@ object EventStream {
   def chunkOutRead(spark: SparkSession, outDir: String): DataFrame =
     batchDirsRead(spark, outDir, chunkOutSchema)
 
+  /** TIME-TRAVEL reads of the chunk tables — the state as of batch
+    * `asOfBatch` ([[batchDirsReadAsOf]]): what the index/output served
+    * the moment that batch committed, failing loudly past the
+    * compaction horizon. The registered `chunk_index_asof` gate pins
+    * as-of ≡ the prefix rebuild against the DuckDB oracle.
+    */
+  def chunkIndexReadAsOf(spark: SparkSession, indexDir: String,
+      asOfBatch: Long): DataFrame =
+    batchDirsReadAsOf(spark, s"$indexDir/chunks", chunkIndexSchema, asOfBatch)
+
+  def chunkOutReadAsOf(spark: SparkSession, outDir: String,
+      asOfBatch: Long): DataFrame =
+    batchDirsReadAsOf(spark, outDir, chunkOutSchema, asOfBatch)
+
   /** Compact the chunk index (markers live under the chunk table's own
     * dir — the [[posIndexFoldBatch]] namespacing discipline).
     */
@@ -2152,6 +2239,11 @@ object EventStream {
     */
   def posIndexRead(spark: SparkSession, indexDir: String): DataFrame =
     batchDirsRead(spark, s"$indexDir/pos", posIndexSchema)
+
+  /** Time-travel read of the positions index ([[batchDirsReadAsOf]]). */
+  def posIndexReadAsOf(spark: SparkSession, indexDir: String,
+      asOfBatch: Long): DataFrame =
+    batchDirsReadAsOf(spark, s"$indexDir/pos", posIndexSchema, asOfBatch)
 
   /** Seed the positions index from `historyDocs` unless commit evidence
     * exists — the [[tfIndexSeed]] shape on the positions grain.

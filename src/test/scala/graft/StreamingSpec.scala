@@ -1525,6 +1525,69 @@ class StreamingSpec extends SparkSpec {
         "the un-ghosting direction would be vacuous")
   }
 
+  test("as-of reads serve exactly the batch prefix, compaction records the" +
+      " horizon, and reads below it fail loudly") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val ids = docs.select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0))
+    val (q1, q2) = (ids(ids.length / 4), ids(ids.length / 2))
+    val base = java.nio.file.Files.createTempDirectory("graft-asof")
+    val outDir = base.resolve("out").toString
+    val indexDir = base.resolve("index").toString
+    // seed = history (ids <= q1); two batches append the rest
+    val history = docs.filter(col("doc_id") <= q1)
+    streaming.EventStream.chunkIndexSeed(spark, indexDir, history)
+    streaming.EventStream.chunkIngestFoldBatch(spark, outDir, indexDir,
+      docs.filter(col("doc_id") > q1 && col("doc_id") <= q2), 0L)
+    streaming.EventStream.chunkIngestFoldBatch(spark, outDir, indexDir,
+      docs.filter(col("doc_id") > q2), 1L)
+    def idxAsOf(b: Long) = streaming.EventStream
+      .chunkIndexReadAsOf(spark, indexDir, b).collect().map(_.toSeq).toSet
+    def rebuildThrough(pred: org.apache.spark.sql.Column) =
+      Dedup.chunkHashesOf(docs.filter(pred)).collect().map(_.toSeq).toSet
+    val live = streaming.EventStream.chunkIndexRead(spark, indexDir)
+      .collect().map(_.toSeq).toSet
+    // as-of batch 0 = seed + b0 only; as-of latest (and beyond) = live
+    assert(idxAsOf(0L) == rebuildThrough(col("doc_id") <= q2),
+      "as-of batch 0 must equal the prefix rebuild (seed + b0)")
+    assert(idxAsOf(0L) != live, "fixture degenerate: b1 added nothing")
+    assert(idxAsOf(1L) == live && idxAsOf(99L) == live,
+      "as-of at/after the newest batch must equal the live read")
+    // as-of BEFORE any batch = the seed alone (horizon -1 allows it)
+    assert(idxAsOf(-1L) == rebuildThrough(col("doc_id") <= q1),
+      "as-of -1 must serve the pure history seed")
+    // compaction folds b0+b1 into the new seed and records the horizon
+    streaming.EventStream.compactChunkIndex(spark, indexDir)
+    val tree = streaming.EventStream.ensureLiveTree(spark, s"$indexDir/chunks")
+    assert(streaming.EventStream.seedThroughOf(spark, tree) == 1L,
+      "compaction must record _seed_through_1 in the published tree")
+    assert(idxAsOf(1L) == live,
+      "as-of at the compaction horizon must survive compaction")
+    val err = intercept[IllegalArgumentException] { idxAsOf(0L) }
+    assert(err.getMessage.contains("compaction horizon"),
+      s"expected the loud horizon error, got: ${err.getMessage}")
+    // post-compaction fold: as-of the new batch = live, horizon intact
+    streaming.EventStream.chunkIngestFoldBatch(spark, outDir, indexDir,
+      docs.filter(col("doc_id") <= q1), 2L)
+    val live2 = streaming.EventStream.chunkIndexRead(spark, indexDir)
+      .collect().map(_.toSeq).toSet
+    assert(idxAsOf(2L) == live2 && idxAsOf(1L) == live,
+      "post-compaction fold must extend as-of without moving the horizon")
+    // redelivery of batch 2 is a no-op at every as-of point
+    streaming.EventStream.chunkIngestFoldBatch(spark, outDir, indexDir,
+      docs.filter(col("doc_id") <= q1), 2L)
+    assert(idxAsOf(2L) == live2, "redelivered batch changed an as-of read")
+    // a second compaction carries the horizon monotonically (max of
+    // prior horizon and the batches it folds — here b2, so 2)
+    streaming.EventStream.compactChunkIndex(spark, indexDir)
+    val tree2 = streaming.EventStream.ensureLiveTree(spark, s"$indexDir/chunks")
+    assert(streaming.EventStream.seedThroughOf(spark, tree2) == 2L,
+      "second compaction must advance the recorded horizon to 2")
+    assert(idxAsOf(2L) == live2,
+      "as-of at the new horizon must survive the second compaction")
+  }
+
   test("auto-compaction policy fires only past the subdir threshold and" +
       " keeps marker evidence intact") {
     import graft.operators.TextAnalysis
