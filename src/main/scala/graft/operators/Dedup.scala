@@ -954,6 +954,67 @@ object Dedup {
         .orderBy("doc_id")
     }
 
+  /** INCREMENTAL-READ GATE: the chunk-index CHANGES between snapshot 0
+    * and snapshot 1 of [[chunkDedupStreamed]]'s ingestion
+    * ([[graft.streaming.EventStream.chunkIndexChanges]]) — exactly what
+    * a downstream incremental consumer processes to catch up, without
+    * re-reading the table. The oracle rebuilds batch 1's chunk hashes
+    * from scratch (`doc_id > (min+max)/2`), so a change set that leaks
+    * a prior batch's rows, drops a batch-1 row, or misreads the window
+    * bounds breaks the md5. Zero data copy at any scale: the change set
+    * is a listing filter over the per-batch write units.
+    */
+  def chunkIndexChangesGate(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoized(s"dedup.chunkChanges:$sfDir") {
+      import graft.streaming.EventStream
+      chunkDedupStreamed(spark, sfDir)
+      val indexDir = s"${Layout.tmpPath("graft-chunkstream", sfDir)}/index"
+      EventStream.chunkIndexChanges(spark, indexDir,
+        fromExclusive = 0L, toInclusive = 1L)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          md5(concat_ws(",", expr(
+            "transform(array_sort(collect_list(struct(chunk_id, h))), x -> x.h)")))
+            .as("chunks_md5"))
+        .orderBy("doc_id")
+    }
+
+  /** BATCH NOVELTY REPORT — "how much genuinely new content does this
+    * dump bring, per source": the incremental change set (batch 1's
+    * chunk occurrences) anti-probed against the PRIOR snapshot's
+    * distinct span hashes (as-of batch 0), rolled up per source. The
+    * crawl-triage signal a curation pipeline reads before spending
+    * compute on a dump — a source whose novelty ratio collapses is
+    * re-crawled boilerplate. Composes the protocol's two snapshot
+    * readers: changes(0,1] for the probe side, as-of(0) for the prior
+    * art; the corpus is never re-chunked.
+    *
+    * 100 TB shape: the probe side is ONE batch (not the corpus); the
+    * prior side ships only distinct hashes into the equi-join; the
+    * rollup output is |sources|. No full-table scan anywhere.
+    */
+  def chunkBatchNovelty(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoized(s"dedup.chunkNovelty:$sfDir") {
+      import graft.streaming.EventStream
+      chunkDedupStreamed(spark, sfDir)
+      val indexDir = s"${Layout.tmpPath("graft-chunkstream", sfDir)}/index"
+      val changes = EventStream.chunkIndexChanges(spark, indexDir,
+        fromExclusive = 0L, toInclusive = 1L)
+      val prior = EventStream.chunkIndexReadAsOf(spark, indexDir, 0L)
+        .select(col("h")).distinct().withColumn("seen", lit(1))
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"))
+      changes.join(prior, Seq("h"), "left")
+        .join(docs, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty_ratio",
+          col("n_novel").cast("double") / col("n_chunks").cast("double"))
+        .orderBy("source")
+    }
+
   private val chunkDedupOracleSql =
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          |chunks AS (
@@ -1007,11 +1068,72 @@ object Dedup {
          |       md5(string_agg(h, ',' ORDER BY chunk_id)) AS chunks_md5
          |FROM c2 GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Oracle for [[chunkIndexChangesGate]]: batch 1's chunk hashes
+    * rebuilt from scratch — what changes(0, 1] must contain exactly.
+    */
+  private val chunkChangesOracleSql =
+    s"""WITH chg AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id > (SELECT (min(doc_id) + max(doc_id)) / 2
+         |                  FROM documents)),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM chg),
+         |chunks AS (
+         |  SELECT doc_id,
+         |         unnest(generate_series(0,
+         |           greatest(CAST(ceil(len(t) / $ChunkDedupTokens.0) AS INT) - 1, 0)))
+         |           AS chunk_id,
+         |         t
+         |  FROM toks),
+         |c2 AS (
+         |  SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+         |         md5(array_to_string(list_slice(t,
+         |           chunk_id * $ChunkDedupTokens + 1,
+         |           chunk_id * $ChunkDedupTokens + $ChunkDedupTokens), ' ')) AS h
+         |  FROM chunks)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |       md5(string_agg(h, ',' ORDER BY chunk_id)) AS chunks_md5
+         |FROM c2 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Oracle for [[chunkBatchNovelty]]: batch 1's occurrences left-anti
+    * the distinct prior-snapshot hashes, per source, from scratch.
+    */
+  private val chunkNoveltyOracleSql =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |chunks AS (
+         |  SELECT doc_id,
+         |         unnest(generate_series(0,
+         |           greatest(CAST(ceil(len(t) / $ChunkDedupTokens.0) AS INT) - 1, 0)))
+         |           AS chunk_id,
+         |         t
+         |  FROM toks),
+         |c2 AS (
+         |  SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+         |         md5(array_to_string(list_slice(t,
+         |           chunk_id * $ChunkDedupTokens + 1,
+         |           chunk_id * $ChunkDedupTokens + $ChunkDedupTokens), ' ')) AS h
+         |  FROM chunks),
+         |mid AS (SELECT (min(doc_id) + max(doc_id)) / 2 AS m FROM documents),
+         |prior AS (SELECT DISTINCT h FROM c2
+         |          WHERE doc_id <= (SELECT m FROM mid)),
+         |chg AS (SELECT * FROM c2 WHERE doc_id > (SELECT m FROM mid))
+         |SELECT d.source,
+         |       CAST(count(DISTINCT chg.doc_id) AS BIGINT) AS n_docs,
+         |       CAST(count(*) AS BIGINT) AS n_chunks,
+         |       CAST(sum(CASE WHEN prior.h IS NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_novel,
+         |       CAST(sum(CASE WHEN prior.h IS NULL THEN 1 ELSE 0 END)
+         |            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty_ratio
+         |FROM chg LEFT JOIN prior ON chg.h = prior.h
+         |JOIN documents d ON chg.doc_id = d.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "docs_chunk_dedup" -> chunkDedupOracleSql,
     // streamed-over-batches == one-shot: the SAME oracle verbatim
     "docs_chunk_dedup_streamed" -> chunkDedupOracleSql,
     "chunk_index_asof" -> chunkAsOfOracleSql,
+    "chunk_index_changes" -> chunkChangesOracleSql,
+    "chunk_batch_novelty" -> chunkNoveltyOracleSql,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies,
         |       md5(text) AS text_md5
@@ -1132,6 +1254,8 @@ object Dedup {
     "docs_chunk_dedup"    -> chunkDedup _,
     "docs_chunk_dedup_streamed" -> chunkDedupStreamed _,
     "chunk_index_asof"    -> chunkIndexAsOf _,
+    "chunk_index_changes" -> chunkIndexChangesGate _,
+    "chunk_batch_novelty" -> chunkBatchNovelty _,
     "dedup_minhash_incremental" -> minhashIncremental _,
     "dedup_jaccard_histogram" -> jaccardHistogram _,
   )

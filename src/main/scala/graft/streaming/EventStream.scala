@@ -1920,6 +1920,12 @@ object EventStream {
       asOfBatch: Long): DataFrame =
     batchDirsReadAsOf(spark, s"$indexDir/tf", tfIndexSchema, asOfBatch)
 
+  /** Incremental read of the tf index ([[batchDirsChanges]]). */
+  def tfIndexChanges(spark: SparkSession, indexDir: String,
+      fromExclusive: Long, toInclusive: Long): DataFrame =
+    batchDirsChanges(spark, s"$indexDir/tf", tfIndexSchema,
+      fromExclusive, toInclusive)
+
   /** Compact the tf index's per-batch subdirs — same marker gating,
     * publish protocol, and quiesced-stream contract as
     * [[compactBatchDirs]].
@@ -2086,6 +2092,40 @@ object EventStream {
   def chunkOutRead(spark: SparkSession, outDir: String): DataFrame =
     batchDirsRead(spark, outDir, chunkOutSchema)
 
+  /** INCREMENTAL (change-data) read of one per-batch-subdir table: the
+    * rows batches `fromExclusive+1 .. toInclusive` appended — what a
+    * downstream incremental consumer processes to catch up from
+    * snapshot `fromExclusive` to snapshot `toInclusive` without
+    * re-reading the table (a table format's incremental scan). Because
+    * these tables are append-only within a tree, the change set IS the
+    * batch subdirs in the window: a listing filter, zero data copy.
+    * `fromExclusive` must be at or above the compaction horizon — below
+    * it the per-batch evidence is folded away and the consumer must
+    * fall back to a full as-of read (the same loud-failure contract as
+    * [[batchDirsReadAsOf]], reusing its horizon check at the window's
+    * low edge).
+    */
+  private def batchDirsChanges(spark: SparkSession, dir: String,
+      schema: StructType, fromExclusive: Long, toInclusive: Long): DataFrame =
+    liveTreeOpt(spark, dir) match {
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case Some(tree) =>
+        val through = seedThroughOf(spark, tree)
+        require(fromExclusive >= through,
+          s"incremental read from batch $fromExclusive predates $tree's " +
+            s"compaction horizon $through — the per-batch change evidence " +
+            "below it was folded into the seed. Catch up with a full as-of " +
+            "read instead; refusing to serve a silently-partial change set")
+        val subs = committedSubdirs(spark, tree).filter { b =>
+          b.matches("b\\d+") && {
+            val id = b.drop(1).toLong
+            id > fromExclusive && id <= toInclusive
+          }
+        }
+        readSubdirs(spark, tree, subs, schema)
+    }
+
   /** TIME-TRAVEL reads of the chunk tables — the state as of batch
     * `asOfBatch` ([[batchDirsReadAsOf]]): what the index/output served
     * the moment that batch committed, failing loudly past the
@@ -2099,6 +2139,14 @@ object EventStream {
   def chunkOutReadAsOf(spark: SparkSession, outDir: String,
       asOfBatch: Long): DataFrame =
     batchDirsReadAsOf(spark, outDir, chunkOutSchema, asOfBatch)
+
+  /** Incremental read of the chunk index ([[batchDirsChanges]]): the
+    * occurrence rows batches `fromExclusive+1 .. toInclusive` appended.
+    */
+  def chunkIndexChanges(spark: SparkSession, indexDir: String,
+      fromExclusive: Long, toInclusive: Long): DataFrame =
+    batchDirsChanges(spark, s"$indexDir/chunks", chunkIndexSchema,
+      fromExclusive, toInclusive)
 
   /** Compact the chunk index (markers live under the chunk table's own
     * dir — the [[posIndexFoldBatch]] namespacing discipline).

@@ -1557,6 +1557,21 @@ class StreamingSpec extends SparkSpec {
     // as-of BEFORE any batch = the seed alone (horizon -1 allows it)
     assert(idxAsOf(-1L) == rebuildThrough(col("doc_id") <= q1),
       "as-of -1 must serve the pure history seed")
+    // incremental reads: changes(from, to] = exactly the window's
+    // batches, never the seed; catch-up invariant asOf(from) ∪
+    // changes(from, to] = asOf(to)
+    def idxChanges(from: Long, to: Long) = streaming.EventStream
+      .chunkIndexChanges(spark, indexDir, from, to)
+      .collect().map(_.toSeq).toSet
+    assert(idxChanges(-1L, 0L) ==
+      rebuildThrough(col("doc_id") > q1 && col("doc_id") <= q2),
+      "changes(-1,0] must be exactly batch 0's rows")
+    assert(idxChanges(0L, 1L) == rebuildThrough(col("doc_id") > q2),
+      "changes(0,1] must be exactly batch 1's rows")
+    assert(idxAsOf(0L) ++ idxChanges(0L, 1L) == idxAsOf(1L),
+      "asOf(from) ∪ changes(from,to] must equal asOf(to)")
+    assert(idxChanges(1L, 99L).isEmpty,
+      "an empty change window must read empty, not error")
     // compaction folds b0+b1 into the new seed and records the horizon
     streaming.EventStream.compactChunkIndex(spark, indexDir)
     val tree = streaming.EventStream.ensureLiveTree(spark, s"$indexDir/chunks")
@@ -1567,6 +1582,12 @@ class StreamingSpec extends SparkSpec {
     val err = intercept[IllegalArgumentException] { idxAsOf(0L) }
     assert(err.getMessage.contains("compaction horizon"),
       s"expected the loud horizon error, got: ${err.getMessage}")
+    // incremental reads share the horizon contract at the window's low
+    // edge: evidence below it is folded away, so the change set would
+    // be silently partial
+    val errC = intercept[IllegalArgumentException] { idxChanges(0L, 1L) }
+    assert(errC.getMessage.contains("compaction horizon"),
+      s"expected the loud horizon error, got: ${errC.getMessage}")
     // post-compaction fold: as-of the new batch = live, horizon intact
     streaming.EventStream.chunkIngestFoldBatch(spark, outDir, indexDir,
       docs.filter(col("doc_id") <= q1), 2L)
@@ -1574,6 +1595,8 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(idxAsOf(2L) == live2 && idxAsOf(1L) == live,
       "post-compaction fold must extend as-of without moving the horizon")
+    assert(idxChanges(1L, 2L) == rebuildThrough(col("doc_id") <= q1),
+      "changes(horizon, new-batch] must serve the post-compaction fold")
     // redelivery of batch 2 is a no-op at every as-of point
     streaming.EventStream.chunkIngestFoldBatch(spark, outDir, indexDir,
       docs.filter(col("doc_id") <= q1), 2L)
