@@ -859,4 +859,35 @@ class ScalePostureSpec extends SparkSpec {
     assert(got.getLong(1) == base.getLong(1) + 1L, "df delta wrong")
     assert(got.getLong(2) == base.getLong(2) + 3L, "tf_sum delta wrong")
   }
+
+  test("as-of and incremental reads scan ONLY the window's batch subdirs") {
+    // time travel / change capture must be a LISTING filter: at 100 TB
+    // an as-of read that still enumerates (or worse, scans) the
+    // out-of-window subdirs pays the full table's I/O for a snapshot
+    // question — pin the scanned file set, not just the row values
+    val docs = Tables.documents(spark, sf)
+    val ids = docs.select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0))
+    val (q1, q2) = (ids(ids.length / 4), ids(ids.length / 2))
+    val base = java.nio.file.Files.createTempDirectory("graft-asofscan")
+    val outDir = base.resolve("out").toString
+    val indexDir = base.resolve("index").toString
+    streaming.EventStream.chunkIndexSeed(spark, indexDir,
+      docs.filter(col("doc_id") <= q1))
+    streaming.EventStream.chunkIngestFoldBatch(spark, outDir, indexDir,
+      docs.filter(col("doc_id") > q1 && col("doc_id") <= q2), 0L)
+    streaming.EventStream.chunkIngestFoldBatch(spark, outDir, indexDir,
+      docs.filter(col("doc_id") > q2), 1L)
+    val asof0 = streaming.EventStream.chunkIndexReadAsOf(spark, indexDir, 0L)
+    assert(asof0.inputFiles.nonEmpty &&
+      asof0.inputFiles.forall(f => !f.contains("/b1/")),
+      "as-of batch 0 scanned batch 1's files")
+    assert(asof0.inputFiles.exists(_.contains("/seed/")) &&
+      asof0.inputFiles.exists(_.contains("/b0/")),
+      "as-of batch 0 must scan the seed and b0")
+    val chg = streaming.EventStream.chunkIndexChanges(spark, indexDir, 0L, 1L)
+    assert(chg.inputFiles.nonEmpty && chg.inputFiles.forall(_.contains("/b1/")),
+      "changes(0,1] must scan b1's files and nothing else — " +
+        s"got ${chg.inputFiles.mkString(", ")}")
+  }
 }
