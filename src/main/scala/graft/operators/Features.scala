@@ -286,7 +286,54 @@ object Features {
       .orderBy("purchase_id")
   }
 
+  /** DETERMINISTIC NEGATIVE SAMPLING for contrastive training: K=3
+    * cross-label negatives per anchor, reproducible run-over-run (a
+    * training job that resamples negatives on every retry silently
+    * changes the dataset). Sampling key = md5 over the (anchor,
+    * candidate) pair — uniform, engine-portable, and seedable by
+    * construction; candidates are restricted to the anchor's md5
+    * bucket (first hex nibble here, B=16) so the pair stream is
+    * N·(N/B) instead of N² — at 100 TB the bucket width is the
+    * tunable that keeps this a bounded equi-join per anchor, never an
+    * all-pairs cross. The top-K-per-anchor window plans as
+    * WindowGroupLimit (per-partition heap, no global sort).
+    */
+  def contrastiveNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label"),
+      substring(md5(col("vec_id").cast("string")), 1, 1).as("bkt"))
+    val cands = e.select(col("vec_id").as("neg_id"),
+      col("label").as("neg_label"), col("bkt"))
+    e.join(cands, Seq("bkt"))
+      .filter(col("label") =!= col("neg_label"))
+      .withColumn("score", md5(concat_ws(":",
+        col("vec_id").cast("string"), col("neg_id").cast("string"))))
+      .withColumn("neg_rank", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("score"), col("neg_id"))))
+      .filter(col("neg_rank") <= 3)
+      .select(col("vec_id"), col("neg_rank"), col("neg_id"), col("neg_label"))
+      .orderBy("vec_id", "neg_rank")
+  }
+
   val oracles: Map[String, String] = Map(
+    "contrastive_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |         substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) AS bkt
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id, c.vec_id AS neg_id, c.label AS neg_label,
+        |         md5(CAST(a.vec_id AS VARCHAR) || ':' ||
+        |             CAST(c.vec_id AS VARCHAR)) AS score
+        |  FROM e a JOIN e c ON a.bkt = c.bkt AND a.label != c.label)
+        |SELECT vec_id,
+        |       CAST(row_number() OVER (PARTITION BY vec_id
+        |                               ORDER BY score, neg_id) AS INT)
+        |         AS neg_rank,
+        |       neg_id, neg_label
+        |FROM pairs
+        |QUALIFY neg_rank <= 3
+        |ORDER BY vec_id, neg_rank""".stripMargin,
     "docs_pack_efficiency" ->
       s"""WITH sized AS (
          |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
@@ -405,6 +452,7 @@ object Features {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fuzzy_part_name_pairs" -> fuzzyPartNamePairs _,
+    "contrastive_negatives" -> contrastiveNegatives _,
     "events_value_zscore"   -> eventsValueZscore _,
     "events_value_mad"      -> eventsValueMad _,
     "docs_chunked_overlap"  -> docsChunkedOverlap _,
