@@ -922,6 +922,50 @@ object Dedup {
       EventStream.chunkOutRead(spark, outDir).orderBy("doc_id")
     }
 
+  /** INCREMENTALLY-MAINTAINED NEAR-DUP CLUSTERS as a registered gate:
+    * the corpus arrives as two doc-id-ordered batches; each batch runs
+    * the stored-index MinHash pair probe
+    * ([[graft.streaming.EventStream.minhashIngestFoldBatch]]) and folds
+    * the pairs it emitted into the maintained members/redirects state
+    * ([[graft.streaming.EventStream.clusterFoldBatch]], fed by the
+    * incremental pairs read of exactly that batch). Serving resolves
+    * the redirect closure — labels are the component MINIMUM, so the
+    * oracle is the batch `dedup_clusters` recursive SQL VERBATIM:
+    * incremental ≡ rebuild, the seventh maintenance gate. The
+    * `n_members > 1` filter matches the batch query's node set (every
+    * doc in the oracle's reachability appears in some verified pair).
+    *
+    * 100 TB shape: per batch the fold touches pair ENDPOINTS (point
+    * equi-joins into the stored members) plus connected components
+    * over the batch's REP graph — the corpus-wide CC never re-runs;
+    * merges are one appended redirect row each, collapsed offline by
+    * [[graft.streaming.EventStream.compactClusterState]].
+    */
+  def clustersIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoizedDurable(s"dedup.clustersIncr:$sfDir") {
+      import graft.streaming.EventStream
+      val base = Layout.tmpPath("graft-clusterstream", sfDir)
+      val (pairsDir, indexDir, clusterDir) =
+        (s"$base/pairs", s"$base/index", s"$base/cluster")
+      val docs = Tables.documents(spark, sfDir)
+      val mid = docs.agg((min(col("doc_id")) + max(col("doc_id"))) / 2)
+        .head().getDouble(0)
+      EventStream.minhashIndexSeed(spark, indexDir, docs.filter(lit(false)))
+      Seq(docs.filter(col("doc_id") <= mid), docs.filter(col("doc_id") > mid))
+        .zipWithIndex.foreach { case (b, i) =>
+          EventStream.minhashIngestFoldBatch(spark, pairsDir, indexDir, b, i.toLong)
+          EventStream.clusterFoldBatch(spark, clusterDir,
+            b.select(col("doc_id")),
+            EventStream.ingestPairsChanges(spark, pairsDir, i - 1L, i.toLong),
+            i.toLong)
+        }
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+      EventStream.clusterStateServe(spark, clusterDir)
+        .withColumn("n_members", count(lit(1)).over(w))
+        .filter(col("n_members") > 1)
+        .orderBy("doc_id")
+    }
+
   /** TIME-TRAVEL GATE over the stored chunk index: read the index AS OF
     * batch 0 of [[chunkDedupStreamed]]'s two-batch ingestion
     * ([[graft.streaming.EventStream.chunkIndexReadAsOf]] — seed plus
@@ -1040,6 +1084,17 @@ object Dedup {
          |       md5(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' '
          |                      ORDER BY chunk_id)) AS kept_md5
          |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** One spelling of the cluster oracle (exhaustive pairs → recursive
+    * reachability → min-id label), shared by the batch `dedup_clusters`
+    * and its incrementally-maintained twin.
+    */
+  private val clustersOracleSql =
+    s"""WITH RECURSIVE $shingleCte,
+       |$clusterCompCte
+       |SELECT doc_id, cluster_id,
+       |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+       |FROM comp ORDER BY doc_id""".stripMargin
 
   /** Oracle for [[chunkIndexAsOf]]: chunk hashes recomputed from
     * scratch over EXACTLY the ingestion's batch-0 documents — what an
@@ -1207,12 +1262,11 @@ object Dedup {
     "dedup_simhash" ->
       s"""WITH $simhashCteSql
          |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin,
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE $shingleCte,
-         |$clusterCompCte
-         |SELECT doc_id, cluster_id,
-         |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
-         |FROM comp ORDER BY doc_id""".stripMargin,
+    "dedup_clusters" -> clustersOracleSql,
+    // incrementally-maintained-over-batches == one-shot rebuild: the
+    // SAME oracle verbatim (the maintenance-gate discipline — stable
+    // min-id labels are exactly the rebuild's labels)
+    "dedup_clusters_incremental" -> clustersOracleSql,
     "dedup_cluster_reps" ->
       s"""WITH RECURSIVE $shingleCte,
          |$clusterCompCte,
@@ -1250,6 +1304,7 @@ object Dedup {
     "dedup_simhash"       -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,
     "dedup_clusters"      -> clusters _,
+    "dedup_clusters_incremental" -> clustersIncremental _,
     "dedup_cluster_reps"  -> clusterReps _,
     "docs_chunk_dedup"    -> chunkDedup _,
     "docs_chunk_dedup_streamed" -> chunkDedupStreamed _,

@@ -9,8 +9,8 @@ import graft.Tables
   * right-to-be-forgotten gates (the r16-verdict #3 ask): given the
   * fixture's delete lists (one rule per key space), seed EVERY
   * maintained state class this library serves — row state, tf index,
-  * positions index, chunk index, MinHash shingles/bands/pairs, ANN
-  * cells/codes, phash bands/pairs — run every forget entry point, then
+  * positions index, chunk index, MinHash shingles/bands/pairs, cluster
+  * members/redirects, ANN cells/codes, phash bands/pairs — run every forget entry point, then
   * probe each stored table and report per-tier residue and remaining
   * row counts. A deletion request is only discharged when every tier
   * reads zero residue; the per-tier gates prove each erasure is
@@ -32,7 +32,7 @@ import graft.Tables
   * stored table (the residue predicate pushes to the scan); the seeds
   * and erasures are the per-tier machinery's own (each idempotent, so
   * the certificate job re-runs until success like every erasure job).
-  * The eleven one-row aggregates are one audit job per tier — a
+  * The thirteen one-row aggregates are one audit job per tier — a
   * compliance artifact, not a hot path.
   */
 object Erasure {
@@ -52,6 +52,7 @@ object Erasure {
     "chunks" -> s"$base/chunks",
     "mh" -> s"$base/mh",
     "mhPairs" -> s"$base/mhpairs",
+    "clusters" -> s"$base/clusters",
     "ann" -> s"$base/ann",
     "phash" -> s"$base/phash",
     "phashPairs" -> s"$base/phashpairs")
@@ -83,6 +84,19 @@ object Erasure {
     EventStream.chunkIndexSeed(spark, d("chunks"), docs)
     EventStream.minhashIndexSeed(spark, d("mh"), docs)
     seedPairsTable(spark, d("mhPairs"), Dedup.minhashLsh(spark, sfDir))
+    // cluster state folded as TWO batches so lazy-relabel redirect rows
+    // can exist for the erasure to discharge (each fold marker-gated —
+    // a certificate re-run no-ops); a pair folds at its LATER
+    // endpoint's batch, the ingestion rule
+    val mid = docs.agg((min(col("doc_id")) + max(col("doc_id"))) / 2)
+      .head().getDouble(0)
+    val lshPairs = Dedup.minhashLsh(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    EventStream.clusterFoldBatch(spark, d("clusters"),
+      docs.filter(col("doc_id") <= mid).select(col("doc_id")),
+      lshPairs.filter(col("doc_b") <= mid), 0L)
+    EventStream.clusterFoldBatch(spark, d("clusters"),
+      docs.filter(col("doc_id") > mid).select(col("doc_id")),
+      lshPairs.filter(col("doc_b") > mid), 1L)
     seedAnnIndex(spark, sfDir, d("ann"))
     seedPhashIndex(spark, sfDir, d("phash"), d("phashPairs"))
 
@@ -98,6 +112,8 @@ object Erasure {
       EventStream.forgetDocsFromChunkIndex(spark, d("chunks"), docVictims))
     unlessSkipped("minhash")(EventStream.forgetDocsFromMinhashIndex(spark,
       d("mh"), d("mhPairs"), docVictims))
+    unlessSkipped("clusters")(EventStream.forgetDocsFromClusterState(spark,
+      d("clusters"), d("mhPairs"), docVictims))
     unlessSkipped("ann")(
       EventStream.forgetVectorsFromAnnIndex(spark, d("ann"), vecVictims))
     unlessSkipped("phash")(EventStream.forgetMediaFromPhashIndex(spark,
@@ -167,6 +183,13 @@ object Erasure {
       row("minhash_bands", EventStream.ingestBandsRead(spark, d("mh")), doc),
       row("minhash_pairs", EventStream.ingestPairsRead(spark, d("mhPairs")),
         docForgotten(col("doc_a")) || docForgotten(col("doc_b"))),
+      // a victim id surviving as someone's LABEL is residue too — a
+      // personal identifier retained in another row's data
+      row("cluster_members", EventStream.clusterMembersRead(spark, d("clusters")),
+        docForgotten(col("doc_id")) || docForgotten(col("cluster_id"))),
+      row("cluster_redirects",
+        EventStream.clusterRedirectsRead(spark, d("clusters")),
+        docForgotten(col("old_id")) || docForgotten(col("new_id"))),
       row("ann_cells", EventStream.annIndexCellsRead(spark, d("ann")),
         Similarity.annForgottenRule(col("vec_id"))),
       row("ann_codes", EventStream.annIndexCodesRead(spark, d("ann")),
@@ -210,6 +233,10 @@ object Erasure {
          |     CAST(ceil(len(t) / ${Dedup.ChunkDedupTokens}.0) AS INT), 1)), 0)
          |     AS BIGINT)
          |   FROM toks WHERE $DocKeepSql)
+         |UNION ALL SELECT 'cluster_members',
+         |  (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE $DocKeepSql)
+         |UNION ALL SELECT 'cluster_redirects',
+         |  (SELECT CAST(0 AS BIGINT))
          |UNION ALL SELECT 'minhash_shingles',
          |  (SELECT CAST(count(*) AS BIGINT) FROM sizes WHERE $DocKeepSql)
          |UNION ALL SELECT 'minhash_bands',

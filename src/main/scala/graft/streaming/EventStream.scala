@@ -858,38 +858,318 @@ object EventStream {
     minhashIndexSeed(spark, indexDir, historyDocs)
     maintenanceWriter(docsStream, checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!plainMarkerApplied(spark, indexDir, batchId)) {
-          // live trees resolved per batch (a between-runs compaction
-          // advances them)
-          val pairsTree = ensureLiveTree(spark, pairsOutDir)
-          val shTree = ensureLiveTree(spark, shDir)
-          val bandsTree = ensureLiveTree(spark, bandsDir)
-          // a crashed prior attempt may have left partial b$batchId
-          // subdirs; remove them BEFORE probing, or the stored-index
-          // reads would count this batch's own leftovers as history
-          // (duplicate shingle rows would emit duplicate verified pairs)
-          Seq(s"$pairsTree/b$batchId", s"$shTree/b$batchId",
-              s"$bandsTree/b$batchId")
-            .foreach(d => StateFs.deleteRecursively(spark, d))
-          val batchSh = Dedup.shingleDocs(batch.toDF()).persist()
-          val batchBands = Dedup.bandIndex(batchSh).persist()
-          try {
-            minhashProbeBatch(spark, indexDir, batchSh, batchBands)
-              .write.mode("overwrite").parquet(s"$pairsTree/b$batchId")
-            batchSh.write.mode("overwrite").parquet(s"$shTree/b$batchId")
-            batchBands.write.mode("overwrite").parquet(s"$bandsTree/b$batchId")
-            commitPlainMarker(spark, indexDir, batchId)
-          } finally {
-            batchSh.unpersist()
-            batchBands.unpersist()
-            ()
-          }
-        }
+        minhashIngestFoldBatch(spark, pairsOutDir, indexDir,
+          batch.toDF(), batchId)
         // policy AFTER the marker landed — quiesced by construction
         // (see [[compactTfIndexIfCrowded]]); outside the marker gate so
         // a replayed no-op batch still relieves file-count pressure
         autoCompactAfter.foreach(k =>
           compactIngestIndexIfCrowded(spark, indexDir, pairsOutDir, k))
+      }
+      .start()
+  }
+
+  /** One MinHash-ingestion micro-batch — the exact `foreachBatch` body
+    * of [[minhashIngestDedup]], opened (the [[chunkIngestFoldBatch]]
+    * precedent) so the registered incremental-clustering gate runs the
+    * SAME pair-detection fold the stream does.
+    */
+  def minhashIngestFoldBatch(spark: SparkSession, pairsOutDir: String,
+      indexDir: String, batch: DataFrame, batchId: Long): Unit = {
+    import graft.operators.Dedup
+    val shDir = s"$indexDir/shingles"
+    val bandsDir = s"$indexDir/bands"
+    if (!plainMarkerApplied(spark, indexDir, batchId)) {
+      // live trees resolved per batch (a between-runs compaction
+      // advances them)
+      val pairsTree = ensureLiveTree(spark, pairsOutDir)
+      val shTree = ensureLiveTree(spark, shDir)
+      val bandsTree = ensureLiveTree(spark, bandsDir)
+      // a crashed prior attempt may have left partial b$batchId
+      // subdirs; remove them BEFORE probing, or the stored-index
+      // reads would count this batch's own leftovers as history
+      // (duplicate shingle rows would emit duplicate verified pairs)
+      Seq(s"$pairsTree/b$batchId", s"$shTree/b$batchId",
+          s"$bandsTree/b$batchId")
+        .foreach(d => StateFs.deleteRecursively(spark, d))
+      val batchSh = Dedup.shingleDocs(batch).persist()
+      val batchBands = Dedup.bandIndex(batchSh).persist()
+      try {
+        minhashProbeBatch(spark, indexDir, batchSh, batchBands)
+          .write.mode("overwrite").parquet(s"$pairsTree/b$batchId")
+        batchSh.write.mode("overwrite").parquet(s"$shTree/b$batchId")
+        batchBands.write.mode("overwrite").parquet(s"$bandsTree/b$batchId")
+        commitPlainMarker(spark, indexDir, batchId)
+      } finally {
+        batchSh.unpersist()
+        batchBands.unpersist()
+        ()
+      }
+    }
+  }
+
+  /** Incremental read of the verified-pairs output
+    * ([[batchDirsChanges]]) — the feed the cluster maintainer consumes.
+    */
+  def ingestPairsChanges(spark: SparkSession, pairsOutDir: String,
+      fromExclusive: Long, toInclusive: Long): DataFrame =
+    batchDirsChanges(spark, pairsOutDir, ingestPairsSchema,
+      fromExclusive, toInclusive)
+
+  // ======================================================================
+  // INCREMENTAL CLUSTER MAINTENANCE — near-dup clusters with STABLE
+  // min-id labels, maintained per micro-batch as an incremental consumer
+  // of the verified-pairs table, WITHOUT re-running connected components
+  // over the corpus. Two append-only tables under the published-tree
+  // protocol:
+  //   members:   (doc_id, cluster_id) — one row per ingested doc, written
+  //              once at its arrival batch with the label resolved at
+  //              that moment;
+  //   redirects: (old_id, new_id)     — a LAZY RELABEL edge appended when
+  //              a later batch merges two existing clusters: the losing
+  //              representative points at the winner (always the smaller
+  //              id, so the fully-resolved label is the component MINIMUM
+  //              — exactly the batch `dedup_clusters` labeling, which is
+  //              what makes incremental ≡ rebuild checkable).
+  // Serving resolves members through the redirect closure (pointer
+  // jumping over the SMALL redirect map — one row per merge event, never
+  // per doc); compaction folds the closure into members and empties the
+  // redirect table, exactly a union-find's path compression run offline.
+  // At 100 TB: a batch's fold touches the pair ENDPOINTS' labels (point
+  // equi-joins) plus a connected-components run over the batch's
+  // REP-graph (edges = merges this batch proposes), never the corpus.
+  // ======================================================================
+
+  private val clusterMembersSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("cluster_id", LongType)))
+
+  private val clusterRedirectsSchema = StructType(Seq(
+    StructField("old_id", LongType),
+    StructField("new_id", LongType)))
+
+  def clusterMembersRead(spark: SparkSession, clusterDir: String): DataFrame =
+    batchDirsRead(spark, s"$clusterDir/members", clusterMembersSchema)
+
+  def clusterRedirectsRead(spark: SparkSession, clusterDir: String): DataFrame =
+    batchDirsRead(spark, s"$clusterDir/redirects", clusterRedirectsSchema)
+
+  /** The redirect map resolved to its FIXPOINT (old_id → final id) by
+    * pointer jumping: each round substitutes targets that are themselves
+    * redirected, roughly halving every chain, so rounds ~ log₂(longest
+    * chain) — and chains are bounded by batches-since-compaction (each
+    * merge event appends one hop; compaction collapses all of them).
+    * The map is one row per MERGE EVENT — at most #docs−1 ever, in
+    * practice tiny next to the corpus — so the self-join is small no
+    * matter the data scale. Convergence = no target is still a source
+    * (the fixpoint invariant serving relies on: re-applying a resolved
+    * map is a no-op because final labels never appear as old ids).
+    */
+  private[graft] def resolvedRedirects(spark: SparkSession,
+      clusterDir: String): DataFrame = {
+    var m = clusterRedirectsRead(spark, clusterDir)
+      .localCheckpoint(eager = true)
+    var unresolved = !m.alias("a").join(m.alias("b"),
+      col("a.new_id") === col("b.old_id"), "left_semi").isEmpty
+    while (unresolved) {
+      m = m.alias("a").join(m.alias("b"),
+          col("a.new_id") === col("b.old_id"), "left")
+        .select(col("a.old_id"),
+          coalesce(col("b.new_id"), col("a.new_id")).alias("new_id"))
+        .localCheckpoint(eager = true)
+      unresolved = !m.alias("a").join(m.alias("b"),
+        col("a.new_id") === col("b.old_id"), "left_semi").isEmpty
+    }
+    m
+  }
+
+  /** The SERVED cluster assignment: members resolved through the
+    * redirect closure — every doc's CURRENT component-minimum label.
+    */
+  def clusterStateServe(spark: SparkSession, clusterDir: String): DataFrame = {
+    val r = resolvedRedirects(spark, clusterDir)
+    clusterMembersRead(spark, clusterDir).alias("m")
+      .join(r.alias("r"), col("m.cluster_id") === col("r.old_id"), "left")
+      .select(col("m.doc_id"),
+        coalesce(col("r.new_id"), col("m.cluster_id")).alias("cluster_id"))
+  }
+
+  /** One cluster-maintenance micro-batch: `batchDocs` are the batch's
+    * doc ids, `batchPairs` the verified near-dup pairs the SAME batch's
+    * MinHash probe emitted ([[ingestPairsChanges]] of exactly this
+    * batch — the maintainer is an incremental consumer of the pairs
+    * table). The fold:
+    *   1. resolve the pair endpoints' CURRENT labels (point lookups
+    *      into members + the redirect closure; a batch doc defaults to
+    *      itself);
+    *   2. run connected components over the REP graph those pairs
+    *      induce (edges between current representatives — the merge
+    *      proposals, a graph sized by this batch's pair set);
+    *   3. append members rows for the batch's docs with their resolved
+    *      final label, and ONE redirect row for every existing
+    *      representative the merge dethroned.
+    * Idempotence: one marker (keyed under `clusterDir` — the fold is
+    * one unit over both tables, the curation one-marker-N-writes
+    * precedent) gates both appends; a replay pre-cleans its own
+    * subdirs and re-folds from the prior batches' state, which is
+    * deterministic, so the rewrite is byte-stable.
+    */
+  def clusterFoldBatch(spark: SparkSession, clusterDir: String,
+      batchDocs: DataFrame, batchPairs: DataFrame, batchId: Long): Unit = {
+    import graft.operators.Dedup
+    if (!plainMarkerApplied(spark, clusterDir, batchId)) {
+      val mTree = ensureLiveTree(spark, s"$clusterDir/members")
+      val rTree = ensureLiveTree(spark, s"$clusterDir/redirects")
+      Seq(s"$mTree/b$batchId", s"$rTree/b$batchId")
+        .foreach(d => StateFs.deleteRecursively(spark, d))
+      val ids = batchDocs.select(col("doc_id")).distinct()
+        .localCheckpoint(eager = true)
+      val pairs = batchPairs.select(col("doc_a"), col("doc_b")).distinct()
+        .localCheckpoint(eager = true)
+      val cur = clusterStateServe(spark, clusterDir)
+      val endpoints = pairs.select(col("doc_a").alias("doc_id"))
+        .union(pairs.select(col("doc_b").alias("doc_id"))).distinct()
+      // current representative per endpoint: stored label for history
+      // docs, self for this batch's docs (not yet members)
+      val reps = endpoints.alias("e")
+        .join(cur.alias("c"), col("e.doc_id") === col("c.doc_id"), "left")
+        .select(col("e.doc_id"),
+          coalesce(col("c.cluster_id"), col("e.doc_id")).alias("rep"))
+      // edges between CURRENT representatives only — a batch doc is its
+      // own rep, so it enters the graph through its own pairs, and a
+      // history doc's label updates through its rep's redirect, never
+      // through a doc-keyed edge (a doc-keyed redirect would let one
+      // old_id appear twice in the map and break the fixpoint
+      // invariant resolution relies on)
+      val repEdges = pairs
+        .join(reps.select(col("doc_id").alias("doc_a"), col("rep").alias("rep_a")),
+          Seq("doc_a"))
+        .join(reps.select(col("doc_id").alias("doc_b"), col("rep").alias("rep_b")),
+          Seq("doc_b"))
+        .select(col("rep_a"), col("rep_b"))
+        .filter(col("rep_a") =!= col("rep_b")).distinct()
+      val edges = Dedup.undirectedEdges(repEdges, "rep_a", "rep_b")
+      val (labels, _) = Dedup.connectedComponents(edges)
+      val finalLabels = labels
+        .select(col("node").alias("doc_id"), col("label"))
+        .localCheckpoint(eager = true)
+      // members: every batch doc, labeled by its component minimum (or
+      // itself when unpaired)
+      val newMembers = ids.alias("i")
+        .join(finalLabels.alias("l"), col("i.doc_id") === col("l.doc_id"), "left")
+        .select(col("i.doc_id"),
+          coalesce(col("label"), col("i.doc_id")).alias("cluster_id"))
+      // redirects: an EXISTING representative (a label some member row
+      // points at — i.e. not one of this batch's docs) that lost
+      val newRedirects = finalLabels
+        .join(ids, Seq("doc_id"), "left_anti")
+        .filter(col("doc_id") =!= col("label"))
+        .select(col("doc_id").alias("old_id"), col("label").alias("new_id"))
+      newMembers.write.mode("overwrite").parquet(s"$mTree/b$batchId")
+      newRedirects.write.mode("overwrite").parquet(s"$rTree/b$batchId")
+      commitPlainMarker(spark, clusterDir, batchId)
+    }
+  }
+
+  /** OFFLINE PATH COMPRESSION: fold the redirect closure into the
+    * members table (tree swap) and empty the redirect table — serving
+    * labels are byte-identical before and after (spec'd), redirect
+    * chains reset to zero length. Quiesced-writers contract as every
+    * compaction. Crash between the two swaps is safe: re-applying the
+    * already-folded redirects to resolved members matches nothing (the
+    * fixpoint invariant — final labels never appear as old ids).
+    */
+  def compactClusterState(spark: SparkSession, clusterDir: String): Unit = {
+    val r = resolvedRedirects(spark, clusterDir)
+    compactBatchDirs(spark, s"$clusterDir/members", clusterMembersSchema,
+      clusterDir, transform = m => m.alias("m")
+        .join(r.alias("r"), col("m.cluster_id") === col("r.old_id"), "left")
+        .select(col("m.doc_id"),
+          coalesce(col("r.new_id"), col("m.cluster_id")).alias("cluster_id")))
+    compactBatchDirs(spark, s"$clusterDir/redirects", clusterRedirectsSchema,
+      clusterDir, transform = _.filter(lit(false)))
+  }
+
+  /** RIGHT-TO-BE-FORGOTTEN through the cluster state. Removing a doc
+    * can change its component's minimum (the victim WAS the label) and
+    * can SPLIT the component (the victim was the only bridge) — neither
+    * is expressible as a redirect, so erasure recomputes exactly the
+    * AFFECTED components from the surviving pair evidence and swaps the
+    * result in (vacuumSuperseded — the superseded tree holds the
+    * forgotten rows). Self-contained against erasure ordering: the pair
+    * feed is filtered to both-endpoints-surviving here, so it is
+    * correct whether or not [[forgetDocsFromMinhashIndex]]'s pair-table
+    * erasure ran first. Unaffected clusters' rows are carried through
+    * untouched (resolved — the erasure doubles as compaction, the
+    * pointer-protocol erasure discipline).
+    */
+  def forgetDocsFromClusterState(spark: SparkSession, clusterDir: String,
+      pairsOutDir: String, forgetIds: DataFrame): Unit = {
+    import graft.operators.Dedup
+    val victims = forgetIds.select(col("doc_id")).distinct()
+      .localCheckpoint(eager = true)
+    val cur = clusterStateServe(spark, clusterDir)
+      .localCheckpoint(eager = true)
+    val affected = cur.join(victims, Seq("doc_id"))
+      .select(col("cluster_id")).distinct()
+      .localCheckpoint(eager = true)
+    val survivorsOfAffected = cur.join(affected, Seq("cluster_id"))
+      .join(victims, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+    // pair evidence counts only between LIVE members: this batch's
+    // victims are excluded, and so are pairs still naming docs a PRIOR
+    // erasure removed (the pairs table's own erasure is the MinHash
+    // tier's job and may run before or after this one — membership,
+    // not the pair table, is authoritative for who exists)
+    val liveDocs = cur.join(victims, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+    val pairs = ingestPairsRead(spark, pairsOutDir)
+      .select(col("doc_a"), col("doc_b"))
+      .join(liveDocs.select(col("doc_id").alias("doc_a")), Seq("doc_a"), "left_semi")
+      .join(liveDocs.select(col("doc_id").alias("doc_b")), Seq("doc_b"), "left_semi")
+      .join(survivorsOfAffected.select(col("doc_id").alias("doc_a")), Seq("doc_a"),
+        "left_semi")
+    val (labels, _) = Dedup.connectedComponents(
+      Dedup.undirectedEdges(pairs, "doc_a", "doc_b"))
+    val recomputed = survivorsOfAffected.alias("s")
+      .join(labels.alias("l"), col("s.doc_id") === col("l.node"), "left")
+      .select(col("s.doc_id"),
+        coalesce(col("label"), col("s.doc_id")).alias("cluster_id"))
+      .localCheckpoint(eager = true)
+    compactBatchDirs(spark, s"$clusterDir/members", clusterMembersSchema,
+      clusterDir, transform = m => {
+        val resolved = m.alias("m")
+          .join(resolvedRedirects(spark, clusterDir).alias("r"),
+            col("m.cluster_id") === col("r.old_id"), "left")
+          .select(col("m.doc_id"),
+            coalesce(col("r.new_id"), col("m.cluster_id")).alias("cluster_id"))
+        resolved.join(affected, Seq("cluster_id"), "left_anti")
+          .join(victims, Seq("doc_id"), "left_anti")
+          .unionByName(recomputed)
+      }, vacuumSuperseded = true)
+    compactBatchDirs(spark, s"$clusterDir/redirects", clusterRedirectsSchema,
+      clusterDir, transform = _.filter(lit(false)), vacuumSuperseded = true)
+  }
+
+  /** INGESTION-TIME NEAR-DUP CLUSTERING via `foreachBatch`: each
+    * micro-batch runs the stored-index MinHash pair probe
+    * ([[minhashIngestFoldBatch]]) and folds the emitted pairs into the
+    * maintained cluster state ([[clusterFoldBatch]] consuming
+    * [[ingestPairsChanges]] of exactly this batch). StreamingSpec pins
+    * streamed-over-batches ≡ the batch `dedup_clusters`, restart
+    * no-op, compaction transparency, and erasure.
+    */
+  def clusterIngestDedup(docsStream: DataFrame, historyDocs: DataFrame,
+      pairsOutDir: String, indexDir: String, clusterDir: String,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val spark = docsStream.sparkSession
+    minhashIndexSeed(spark, indexDir, historyDocs)
+    maintenanceWriter(docsStream, checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        minhashIngestFoldBatch(spark, pairsOutDir, indexDir,
+          batch.toDF(), batchId)
+        clusterFoldBatch(spark, clusterDir, batch.toDF().select(col("doc_id")),
+          ingestPairsChanges(spark, pairsOutDir, batchId - 1, batchId), batchId)
       }
       .start()
   }

@@ -1611,6 +1611,82 @@ class StreamingSpec extends SparkSpec {
       "as-of at the new horizon must survive the second compaction")
   }
 
+  test("incremental clusters: merges append redirects, chains resolve, " +
+      "compaction collapses them, and erasure handles rep loss and splits") {
+    import spark.implicits._
+    // planted token chain: J(A,B)=J(B,C)=8/9 >= 0.8 but J(A,C)=7/9 < 0.8
+    // (LSH may propose A-C; exact verify rejects it), and D extends A the
+    // same way — so clusters FORM separately, then merge, then a smaller
+    // id dethrones the rep, building a 2-hop redirect chain
+    val w = (1 to 11).map(i => s"tok$i")
+    val textA = w.slice(0, 10).mkString(" ")          // w1..w10
+    val textB = w.slice(0, 11).mkString(" ")          // w1..w11
+    val textC = w.slice(1, 11).mkString(" ")          // w2..w11
+    val textD = (w.slice(0, 10) :+ "tokX").mkString(" ") // A + one token
+    val batches = Seq(
+      Seq((100L, textA), (900L, "alpha beta gamma delta epsilon zeta")),
+      Seq((200L, textC), (901L, "one two three four five six seven")),
+      Seq((300L, textB)),   // pairs with BOTH 100 and 200 -> merge
+      Seq((50L, textD)))    // pairs with 100 -> dethrones rep 100
+    val docsDf = batches.flatten.toDF("doc_id", "text")
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-cluststr")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      stageFile(b.toDF("doc_id", "text"), stageDir, s"b$i", 80 - i * 10)
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft-cluststr-out")
+    val (pairsDir, indexDir, clusterDir, ckpt) =
+      (base.resolve("pairs").toString, base.resolve("index").toString,
+        base.resolve("cluster").toString, base.resolve("ckpt").toString)
+    def run(): Unit = {
+      val stream = spark.readStream.schema(docsDf.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$stageDir/*")
+      val q1 = streaming.EventStream.clusterIngestDedup(
+        stream, docsDf.filter(lit(false)), pairsDir, indexDir, clusterDir,
+        checkpointDir = Some(ckpt))
+      try q1.processAllAvailable() finally q1.stop()
+    }
+    run()
+    def served() = streaming.EventStream.clusterStateServe(spark, clusterDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = Map(100L -> 50L, 200L -> 50L, 300L -> 50L, 50L -> 50L,
+      900L -> 900L, 901L -> 901L)
+    assert(served() == want,
+      s"resolved labels ${served()} != expected $want — the 2-hop " +
+        "redirect chain (200→100→50) must resolve to the component min")
+    // the chain really is lazy: two redirect rows, not rewritten members
+    val redirects = streaming.EventStream.clusterRedirectsRead(spark, clusterDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(redirects == Set((200L, 100L), (100L, 50L)),
+      s"expected the merge chain as redirect rows, got $redirects")
+    // restart over the same checkpoint re-delivers nothing
+    run()
+    assert(served() == want, "restart re-folded a batch")
+    // offline path compression: serving identical, chains gone
+    streaming.EventStream.compactClusterState(spark, clusterDir)
+    assert(served() == want, "compaction changed served labels")
+    assert(streaming.EventStream.clusterRedirectsRead(spark, clusterDir)
+      .isEmpty, "compaction must empty the redirect table")
+    // ERASURE of a BRIDGE doc: 300 is the only link between {50,100}
+    // and {200} (the A-C pair was verify-rejected), so forgetting it
+    // must SPLIT the cluster — the case lazy redirects cannot express
+    // and the recompute-affected-components path exists for
+    streaming.EventStream.forgetDocsFromClusterState(spark, clusterDir,
+      pairsDir, Seq(300L).toDF("doc_id"))
+    val afterSplit = Map(100L -> 50L, 200L -> 200L, 50L -> 50L,
+      900L -> 900L, 901L -> 901L)
+    assert(served() == afterSplit,
+      s"post-erasure labels ${served()} != $afterSplit — forgetting the " +
+        "bridge must split the component and relabel the remainder")
+    // ERASURE of the REP itself: 50 is the minimum; survivors must
+    // relabel to the new minimum 100
+    streaming.EventStream.forgetDocsFromClusterState(spark, clusterDir,
+      pairsDir, Seq(50L).toDF("doc_id"))
+    val afterRep = Map(100L -> 100L, 200L -> 200L,
+      900L -> 900L, 901L -> 901L)
+    assert(served() == afterRep,
+      s"post-rep-erasure labels ${served()} != $afterRep")
+  }
+
   test("auto-compaction policy fires only past the subdir threshold and" +
       " keeps marker evidence intact") {
     import graft.operators.TextAnalysis
