@@ -966,9 +966,11 @@ object EventStream {
     * map is a no-op because final labels never appear as old ids).
     */
   private[graft] def resolvedRedirects(spark: SparkSession,
-      clusterDir: String): DataFrame = {
-    var m = clusterRedirectsRead(spark, clusterDir)
-      .localCheckpoint(eager = true)
+      clusterDir: String): DataFrame =
+    resolveClosure(clusterRedirectsRead(spark, clusterDir))
+
+  private def resolveClosure(redirects: DataFrame): DataFrame = {
+    var m = redirects.localCheckpoint(eager = true)
     var unresolved = !m.alias("a").join(m.alias("b"),
       col("a.new_id") === col("b.old_id"), "left_semi").isEmpty
     while (unresolved) {
@@ -989,6 +991,25 @@ object EventStream {
   def clusterStateServe(spark: SparkSession, clusterDir: String): DataFrame = {
     val r = resolvedRedirects(spark, clusterDir)
     clusterMembersRead(spark, clusterDir).alias("m")
+      .join(r.alias("r"), col("m.cluster_id") === col("r.old_id"), "left")
+      .select(col("m.doc_id"),
+        coalesce(col("r.new_id"), col("m.cluster_id")).alias("cluster_id"))
+  }
+
+  /** TIME-TRAVELED cluster serving: members AND redirects read as of
+    * the SAME batch ([[batchDirsReadAsOf]] on both tables — the fold
+    * writes them as one unit per batch, so equal horizons ARE the
+    * consistent cross-table snapshot), resolved through the closure the
+    * redirect rows up to that batch form. What the cluster assignment
+    * WAS when batch `asOfBatch` committed — the reproducibility read a
+    * training run pins its dedup decisions to.
+    */
+  def clusterStateServeAsOf(spark: SparkSession, clusterDir: String,
+      asOfBatch: Long): DataFrame = {
+    val r = resolveClosure(batchDirsReadAsOf(spark, s"$clusterDir/redirects",
+      clusterRedirectsSchema, asOfBatch))
+    batchDirsReadAsOf(spark, s"$clusterDir/members", clusterMembersSchema,
+      asOfBatch).alias("m")
       .join(r.alias("r"), col("m.cluster_id") === col("r.old_id"), "left")
       .select(col("m.doc_id"),
         coalesce(col("r.new_id"), col("m.cluster_id")).alias("cluster_id"))

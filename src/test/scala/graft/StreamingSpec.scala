@@ -1661,9 +1661,24 @@ class StreamingSpec extends SparkSpec {
     // restart over the same checkpoint re-delivers nothing
     run()
     assert(served() == want, "restart re-folded a batch")
+    // TIME-TRAVELED serving: members + redirects at the SAME horizon —
+    // what the assignment WAS when each batch committed
+    def servedAsOf(b: Long) = streaming.EventStream
+      .clusterStateServeAsOf(spark, clusterDir, b)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(servedAsOf(1L) == Map(100L -> 100L, 200L -> 200L,
+      900L -> 900L, 901L -> 901L),
+      "as-of batch 1 must show the pre-merge assignment")
+    assert(servedAsOf(2L) == Map(100L -> 100L, 200L -> 100L, 300L -> 100L,
+      900L -> 900L, 901L -> 901L),
+      "as-of batch 2 must show the merged-but-not-dethroned assignment")
+    assert(servedAsOf(3L) == want, "as-of the newest batch must equal live")
     // offline path compression: serving identical, chains gone
     streaming.EventStream.compactClusterState(spark, clusterDir)
     assert(served() == want, "compaction changed served labels")
+    val errAsOf = intercept[IllegalArgumentException] { servedAsOf(1L) }
+    assert(errAsOf.getMessage.contains("compaction horizon"),
+      "time travel below the compaction horizon must fail loudly")
     assert(streaming.EventStream.clusterRedirectsRead(spark, clusterDir)
       .isEmpty, "compaction must empty the redirect table")
     // ERASURE of a BRIDGE doc: 300 is the only link between {50,100}
