@@ -730,11 +730,18 @@ object Dedup {
       |            THEN 1 ELSE 0 END)) AS simhash
       |  FROM hashed)""".stripMargin
 
-  private[operators] val shingleCte =
-    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  /** The shingle CTE chain over an optionally-filtered corpus (`where`
+    * is empty or a leading-space " WHERE ..." fragment) — the
+    * time-traveled cluster oracle replays the SAME derivation over the
+    * batch-0 prefix.
+    */
+  private def shingleCteWhere(where: String) =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents$where),
        |sharr AS (SELECT doc_id, ${TextFunctions.shinglesSql("t", 3)} AS sh FROM toks),
        |sh AS (SELECT doc_id, unnest(sh) AS s FROM sharr),
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  private[operators] val shingleCte = shingleCteWhere("")
 
   /** Shared near-dup-removal CTEs (assumes [[shingleCte]] is in scope):
     * `removals` = the higher doc_id of every ≥-threshold Jaccard pair —
@@ -961,6 +968,29 @@ object Dedup {
         }
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
       EventStream.clusterStateServe(spark, clusterDir)
+        .withColumn("n_members", count(lit(1)).over(w))
+        .filter(col("n_members") > 1)
+        .orderBy("doc_id")
+    }
+
+  /** TIME-TRAVELED CLUSTER ASSIGNMENTS as a registered gate: the
+    * maintained state of [[clustersIncremental]] served AS OF batch 0
+    * ([[graft.streaming.EventStream.clusterStateServeAsOf]] — members
+    * and redirects at the SAME horizon), i.e. what the dedup decisions
+    * WERE when the first dump committed — the read a training run pins
+    * for reproducibility. Oracle = the cluster derivation replayed from
+    * scratch over EXACTLY the batch-0 prefix, so a subdir served beyond
+    * the horizon, a mis-resolved redirect, or a cross-table horizon
+    * mismatch all surface as label diffs.
+    */
+  def clustersAsOf(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoized(s"dedup.clustersAsof:$sfDir") {
+      import graft.streaming.EventStream
+      // build (or find, marker-gated) the maintained cluster state
+      clustersIncremental(spark, sfDir)
+      val clusterDir = s"${Layout.tmpPath("graft-clusterstream", sfDir)}/cluster"
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+      EventStream.clusterStateServeAsOf(spark, clusterDir, asOfBatch = 0L)
         .withColumn("n_members", count(lit(1)).over(w))
         .filter(col("n_members") > 1)
         .orderBy("doc_id")
@@ -1267,6 +1297,15 @@ object Dedup {
     // SAME oracle verbatim (the maintenance-gate discipline — stable
     // min-id labels are exactly the rebuild's labels)
     "dedup_clusters_incremental" -> clustersOracleSql,
+    // the as-of twin: the SAME derivation over the batch-0 prefix only
+    "dedup_clusters_asof" ->
+      s"""WITH RECURSIVE ${shingleCteWhere(
+             " WHERE doc_id <= (SELECT (min(doc_id) + max(doc_id)) / 2" +
+               " FROM documents)")},
+         |$clusterCompCte
+         |SELECT doc_id, cluster_id,
+         |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+         |FROM comp ORDER BY doc_id""".stripMargin,
     "dedup_cluster_reps" ->
       s"""WITH RECURSIVE $shingleCte,
          |$clusterCompCte,
@@ -1305,6 +1344,7 @@ object Dedup {
     "dedup_simhash_pairs" -> simhashPairs _,
     "dedup_clusters"      -> clusters _,
     "dedup_clusters_incremental" -> clustersIncremental _,
+    "dedup_clusters_asof" -> clustersAsOf _,
     "dedup_cluster_reps"  -> clusterReps _,
     "docs_chunk_dedup"    -> chunkDedup _,
     "docs_chunk_dedup_streamed" -> chunkDedupStreamed _,
