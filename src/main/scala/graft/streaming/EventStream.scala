@@ -1182,7 +1182,8 @@ object EventStream {
     */
   def clusterIngestDedup(docsStream: DataFrame, historyDocs: DataFrame,
       pairsOutDir: String, indexDir: String, clusterDir: String,
-      checkpointDir: Option[String] = None): StreamingQuery = {
+      checkpointDir: Option[String] = None,
+      autoCompactAfter: Option[Int] = None): StreamingQuery = {
     val spark = docsStream.sparkSession
     minhashIndexSeed(spark, indexDir, historyDocs)
     maintenanceWriter(docsStream, checkpointDir)
@@ -1191,6 +1192,17 @@ object EventStream {
           batch.toDF(), batchId)
         clusterFoldBatch(spark, clusterDir, batch.toDF().select(col("doc_id")),
           ingestPairsChanges(spark, pairsOutDir, batchId - 1, batchId), batchId)
+        // cluster auto-compaction moves BOTH tables as one unit (path
+        // compression is only valid against the closure it folded), so
+        // the file-count probe fires the combined entry — quiesced by
+        // construction inside the fold path, the policy discipline
+        autoCompactAfter.foreach { k =>
+          compactIngestIndexIfCrowded(spark, indexDir, pairsOutDir, k)
+          val crowded = liveTreeOpt(spark, s"$clusterDir/members").exists { t =>
+            committedSubdirs(spark, t).count(_.matches("b\\d+")) > k
+          }
+          if (crowded) compactClusterState(spark, clusterDir)
+        }
       }
       .start()
   }

@@ -1611,23 +1611,29 @@ class StreamingSpec extends SparkSpec {
       "as-of at the new horizon must survive the second compaction")
   }
 
-  test("incremental clusters: merges append redirects, chains resolve, " +
-      "compaction collapses them, and erasure handles rep loss and splits") {
-    import spark.implicits._
-    // planted token chain: J(A,B)=J(B,C)=8/9 >= 0.8 but J(A,C)=7/9 < 0.8
-    // (LSH may propose A-C; exact verify rejects it), and D extends A the
-    // same way — so clusters FORM separately, then merge, then a smaller
-    // id dethrones the rep, building a 2-hop redirect chain
+  /** Planted token chain for the cluster tests: J(A,B)=J(B,C)=8/9 >= 0.8
+    * but J(A,C)=7/9 < 0.8 (LSH may propose A-C; exact verify rejects
+    * it), and D extends A the same way — so clusters FORM separately,
+    * then merge, then a smaller id dethrones the rep, building a 2-hop
+    * redirect chain.
+    */
+  private def clusterChainBatches: Seq[Seq[(Long, String)]] = {
     val w = (1 to 11).map(i => s"tok$i")
     val textA = w.slice(0, 10).mkString(" ")          // w1..w10
     val textB = w.slice(0, 11).mkString(" ")          // w1..w11
     val textC = w.slice(1, 11).mkString(" ")          // w2..w11
     val textD = (w.slice(0, 10) :+ "tokX").mkString(" ") // A + one token
-    val batches = Seq(
+    Seq(
       Seq((100L, textA), (900L, "alpha beta gamma delta epsilon zeta")),
       Seq((200L, textC), (901L, "one two three four five six seven")),
       Seq((300L, textB)),   // pairs with BOTH 100 and 200 -> merge
       Seq((50L, textD)))    // pairs with 100 -> dethrones rep 100
+  }
+
+  test("incremental clusters: merges append redirects, chains resolve, " +
+      "compaction collapses them, and erasure handles rep loss and splits") {
+    import spark.implicits._
+    val batches = clusterChainBatches
     val docsDf = batches.flatten.toDF("doc_id", "text")
     val stageDir = java.nio.file.Files.createTempDirectory("graft-cluststr")
     batches.zipWithIndex.foreach { case (b, i) =>
@@ -1700,6 +1706,39 @@ class StreamingSpec extends SparkSpec {
       900L -> 900L, 901L -> 901L)
     assert(served() == afterRep,
       s"post-rep-erasure labels ${served()} != $afterRep")
+  }
+
+  test("cluster auto-compaction fires inside the stream and serving stays" +
+      " transparent across it") {
+    import spark.implicits._
+    val batches = clusterChainBatches
+    val docsDf = batches.flatten.toDF("doc_id", "text")
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-clustauto")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      stageFile(b.toDF("doc_id", "text"), stageDir, s"b$i", 80 - i * 10)
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft-clustauto-out")
+    val (pairsDir, indexDir, clusterDir, ckpt) =
+      (base.resolve("pairs").toString, base.resolve("index").toString,
+        base.resolve("cluster").toString, base.resolve("ckpt").toString)
+    val stream = spark.readStream.schema(docsDf.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$stageDir/*")
+    val q1 = streaming.EventStream.clusterIngestDedup(
+      stream, docsDf.filter(lit(false)), pairsDir, indexDir, clusterDir,
+      checkpointDir = Some(ckpt), autoCompactAfter = Some(2))
+    try q1.processAllAvailable() finally q1.stop()
+    // the policy fired mid-stream: the live members tree is a compacted
+    // snapshot (its horizon covers the threshold-crossing batch)...
+    val tree = streaming.EventStream.ensureLiveTree(spark, s"$clusterDir/members")
+    assert(streaming.EventStream.seedThroughOf(spark, tree) >= 2L,
+      "auto-compaction never fired on the cluster state")
+    // ...and serving is transparent: the post-compaction batch's merge
+    // (100 -> 50) still resolves on top of the compacted baseline
+    val served = streaming.EventStream.clusterStateServe(spark, clusterDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(served == Map(100L -> 50L, 200L -> 50L, 300L -> 50L, 50L -> 50L,
+      900L -> 900L, 901L -> 901L),
+      s"served labels after in-stream compaction: $served")
   }
 
   test("auto-compaction policy fires only past the subdir threshold and" +
