@@ -413,7 +413,186 @@ object Stats {
       .orderBy("return_flag")
   }
 
+  /** Per-flag normal-equation sums for the 2-feature OLS — every entry
+    * an EXACT integer (quantized inputs, DECIMAL(38,0) accumulators):
+    * order-independent, map-side combinable, and small enough that the
+    * 3×3 solve happens in the SELECT, not on the driver.
+    */
+  private def olsSums(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val x2 = Deterministic.quantize(col("l_quantity"), 0).cast(dec)
+    val x3 = Deterministic.quantize(col("l_discount"), 2).cast(dec)
+    val y = Deterministic.quantize(col("l_extendedprice"), 2).cast(dec)
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").alias("return_flag"),
+        x2.alias("x2"), x3.alias("x3"), y.alias("y"))
+      .groupBy(col("return_flag"))
+      .agg(count(lit(1)).cast(dec).alias("n"),
+        sum(col("x2")).alias("sx2"), sum(col("x3")).alias("sx3"),
+        sum(col("x2") * col("x2")).alias("sx22"),
+        sum(col("x2") * col("x3")).alias("sx23"),
+        sum(col("x3") * col("x3")).alias("sx33"),
+        sum(col("y")).alias("sy"),
+        sum(col("x2") * col("y")).alias("sx2y"),
+        sum(col("x3") * col("y")).alias("sx3y"))
+  }
+
+  /** MULTIVARIATE OLS in closed form — fit `extendedprice ~ quantity +
+    * discount` per return flag by Cramer's rule over the normal
+    * equations: ONE aggregation pass collects nine exact-integer sums,
+    * the 3×3 determinants expand in DECIMAL(38,0) (still exact — the
+    * largest term is ~1e37 at sf100, inside both Spark's decimal and
+    * DuckDB's HUGEINT), and the β = detᵢ/det quotients are QUANTIZED to
+    * micro-units as the model's canonical coefficients. The
+    * quantization is load-bearing for the differential gate: the
+    * determinants exceed 2^53, and Java's BigDecimal→double is
+    * correctly rounded where DuckDB's int128→double may round twice
+    * (hi·2⁶⁴ + lo), so the raw quotients can differ in the last ulp —
+    * measured here, the classic not-all-integer-to-double-conversions-
+    * agree trap. Integer micro-coefficients compare bit-exactly, and
+    * every downstream consumer derives its doubles FROM them (identical
+    * divisions), restoring bit-exact residuals too. This is the
+    * train-a-model-in-the-pipeline shape: no driver loop, no iterative
+    * solver, no collect — at 100 TB the cost is one map-side-combined
+    * pass.
+    */
+  def lineitemOlsMulti(spark: SparkSession, sfDir: String): DataFrame =
+    olsBetas(spark, sfDir)
+      .select(col("return_flag"), col("n"), col("intercept_micro"),
+        col("coef_qty_micro"), col("coef_disc_micro"))
+      .orderBy("return_flag")
+
+  private def olsBetas(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = olsSums(spark, sfDir)
+    // minor M = sx22*sx33 − sx23² appears in det and det0 — spelled once
+    val det = col("n") * (col("sx22") * col("sx33") - col("sx23") * col("sx23")) -
+      col("sx2") * (col("sx2") * col("sx33") - col("sx23") * col("sx3")) +
+      col("sx3") * (col("sx2") * col("sx23") - col("sx22") * col("sx3"))
+    val det0 = col("sy") * (col("sx22") * col("sx33") - col("sx23") * col("sx23")) -
+      col("sx2") * (col("sx2y") * col("sx33") - col("sx23") * col("sx3y")) +
+      col("sx3") * (col("sx2y") * col("sx23") - col("sx22") * col("sx3y"))
+    val det1 = col("n") * (col("sx2y") * col("sx33") - col("sx23") * col("sx3y")) -
+      col("sy") * (col("sx2") * col("sx33") - col("sx23") * col("sx3")) +
+      col("sx3") * (col("sx2") * col("sx3y") - col("sx2y") * col("sx3"))
+    val det2 = col("n") * (col("sx22") * col("sx3y") - col("sx2y") * col("sx23")) -
+      col("sx2") * (col("sx2") * col("sx3y") - col("sx2y") * col("sx3")) +
+      col("sy") * (col("sx2") * col("sx23") - col("sx22") * col("sx3"))
+    // quantized-space betas → raw units (y and discount are ×100, so the
+    // intercept and quantity coefficient divide back; the discount
+    // coefficient's scales cancel) → micro-unit integers (see
+    // [[lineitemOlsMulti]] for why the quantization is load-bearing)
+    s.select(col("return_flag"), col("n").cast(LongType).alias("n"),
+      Deterministic.quantize(
+        det0.cast("double") / det.cast("double") / lit(100.0), 6)
+        .alias("intercept_micro"),
+      Deterministic.quantize(
+        det1.cast("double") / det.cast("double") / lit(100.0), 6)
+        .alias("coef_qty_micro"),
+      Deterministic.quantize(det2.cast("double") / det.cast("double"), 6)
+        .alias("coef_disc_micro"))
+  }
+
+  /** APPLY the trained model: top-5 lineitems per flag by |residual| —
+    * the anomaly-by-model-residual read (a mispriced row, not merely an
+    * expensive one). The 3-row coefficient frame broadcast-joins on the
+    * flag key; scoring is a narrow codegen map; the per-flag top-5 is a
+    * rank window (WindowGroupLimit — per-partition heap). Residuals are
+    * bit-identical to the oracle because the betas are (see
+    * [[lineitemOlsMulti]]) and the scoring expression is written
+    * identically on both engines.
+    */
+  def lineitemResidualOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    // doubles derived FROM the canonical micro-integers — identical on
+    // both engines, so the residuals compare bit-exactly
+    val m = olsBetas(spark, sfDir).select(col("return_flag"),
+      (col("intercept_micro").cast("double") / lit(1e6)).alias("b0"),
+      (col("coef_qty_micro").cast("double") / lit(1e6)).alias("b1"),
+      (col("coef_disc_micro").cast("double") / lit(1e6)).alias("b2"))
+    val scored = Tables.lineitem(spark, sfDir)
+      .withColumn("return_flag", col("l_returnflag"))
+      .join(broadcast(m), Seq("return_flag"))
+      .withColumn("residual", col("l_extendedprice") -
+        (col("b0") + col("b1") * col("l_quantity") +
+          col("b2") * col("l_discount")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("return_flag"))
+          .orderBy(abs(col("residual")).desc, col("l_orderkey"),
+            col("l_linenumber"))))
+      .filter(col("rank") <= 5)
+      .select(col("return_flag"), col("rank"),
+        col("l_orderkey").alias("order_key"),
+        col("l_linenumber").alias("line_number"), col("residual"))
+      .orderBy("return_flag", "rank")
+  }
+
+  /** DuckDB twin of [[olsBetas]] — HUGEINT (int128) plays Spark's
+    * DECIMAL(38,0): the determinant arithmetic is exact on both, and the
+    * only doubles are the final divisions, written in the same order.
+    */
+  private val olsBetasCteSql =
+    """q AS (SELECT l_returnflag AS return_flag,
+      |             CAST(round(l_quantity * 1e0) AS BIGINT) AS x2,
+      |             CAST(round(l_discount * 1e2) AS BIGINT) AS x3,
+      |             CAST(round(l_extendedprice * 1e2) AS BIGINT) AS y
+      |      FROM lineitem),
+      |s AS (SELECT return_flag,
+      |             CAST(count(*) AS HUGEINT) AS n,
+      |             CAST(sum(x2) AS HUGEINT) AS sx2,
+      |             CAST(sum(x3) AS HUGEINT) AS sx3,
+      |             CAST(sum(x2*x2) AS HUGEINT) AS sx22,
+      |             CAST(sum(x2*x3) AS HUGEINT) AS sx23,
+      |             CAST(sum(x3*x3) AS HUGEINT) AS sx33,
+      |             CAST(sum(y) AS HUGEINT) AS sy,
+      |             CAST(sum(x2*y) AS HUGEINT) AS sx2y,
+      |             CAST(sum(x3*y) AS HUGEINT) AS sx3y
+      |      FROM q GROUP BY return_flag),
+      |betas AS (SELECT return_flag, CAST(n AS BIGINT) AS n,
+      |  CAST(round(CAST(sy*(sx22*sx33 - sx23*sx23) - sx2*(sx2y*sx33 - sx23*sx3y)
+      |         + sx3*(sx2y*sx23 - sx22*sx3y) AS DOUBLE)
+      |    / CAST(n*(sx22*sx33 - sx23*sx23) - sx2*(sx2*sx33 - sx23*sx3)
+      |         + sx3*(sx2*sx23 - sx22*sx3) AS DOUBLE) / 100.0 * 1e6) AS BIGINT)
+      |    AS intercept_micro,
+      |  CAST(round(CAST(n*(sx2y*sx33 - sx23*sx3y) - sy*(sx2*sx33 - sx23*sx3)
+      |         + sx3*(sx2*sx3y - sx2y*sx3) AS DOUBLE)
+      |    / CAST(n*(sx22*sx33 - sx23*sx23) - sx2*(sx2*sx33 - sx23*sx3)
+      |         + sx3*(sx2*sx23 - sx22*sx3) AS DOUBLE) / 100.0 * 1e6) AS BIGINT)
+      |    AS coef_qty_micro,
+      |  CAST(round(CAST(n*(sx22*sx3y - sx2y*sx23) - sx2*(sx2*sx3y - sx2y*sx3)
+      |         + sy*(sx2*sx23 - sx22*sx3) AS DOUBLE)
+      |    / CAST(n*(sx22*sx33 - sx23*sx23) - sx2*(sx2*sx33 - sx23*sx3)
+      |         + sx3*(sx2*sx23 - sx22*sx3) AS DOUBLE) * 1e6) AS BIGINT)
+      |    AS coef_disc_micro
+      |  FROM s)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "lineitem_ols_multi" ->
+      s"""WITH $olsBetasCteSql
+         |SELECT return_flag, n, intercept_micro, coef_qty_micro,
+         |       coef_disc_micro
+         |FROM betas ORDER BY return_flag""".stripMargin,
+    "lineitem_residual_outliers" ->
+      s"""WITH $olsBetasCteSql,
+         |raw AS (SELECT return_flag,
+         |               CAST(intercept_micro AS DOUBLE) / 1e6 AS b0,
+         |               CAST(coef_qty_micro AS DOUBLE) / 1e6 AS b1,
+         |               CAST(coef_disc_micro AS DOUBLE) / 1e6 AS b2
+         |        FROM betas),
+         |scored AS (
+         |  SELECT l.l_returnflag AS return_flag, l.l_orderkey, l.l_linenumber,
+         |         l.l_extendedprice - (b.b0
+         |           + b.b1 * l.l_quantity
+         |           + b.b2 * l.l_discount) AS residual
+         |  FROM lineitem l JOIN raw b ON l.l_returnflag = b.return_flag)
+         |SELECT return_flag,
+         |       CAST(row_number() OVER (PARTITION BY return_flag
+         |         ORDER BY abs(residual) DESC, l_orderkey, l_linenumber)
+         |         AS INT) AS rank,
+         |       l_orderkey AS order_key, l_linenumber AS line_number,
+         |       residual
+         |FROM scored
+         |QUALIFY rank <= 5
+         |ORDER BY return_flag, rank""".stripMargin,
     "docs_train_val_test_split" -> {
       s"""WITH s AS (
          |  SELECT lang,
@@ -653,5 +832,7 @@ object Stats {
     "bloom_pruned_order_items" -> bloomPrunedOrderItems _,
     "lineitem_moments"        -> lineitemMoments _,
     "lineitem_regression"     -> lineitemRegression _,
+    "lineitem_ols_multi"      -> lineitemOlsMulti _,
+    "lineitem_residual_outliers" -> lineitemResidualOutliers _,
   )
 }
