@@ -332,8 +332,30 @@ object EventStream {
       .collect { case seedThroughName(v) => v.toLong }
       .reduceOption(_ max _).getOrElse(-1L)
 
+  /** Every published tree under `dir` with its compaction horizon,
+    * ascending — the SNAPSHOT LIST time travel resolves against. The
+    * live tree is the last entry; entries before it are retained grace
+    * snapshots (plain compaction leaves the superseded tree intact;
+    * the next writer's entry vacuum — or an erasure's
+    * `vacuumSuperseded` — expires them). One listing for the legacy
+    * guard and the tree scan, the [[liveTreeOpt]] discipline.
+    */
+  private def publishedSnapshots(spark: SparkSession,
+      dir: String): Seq[(Int, Long)] = {
+    val names = StateFs.list(spark, dir)
+    val legacy = names.filter(d => d == "seed" || d.matches("b\\d+"))
+    require(legacy.isEmpty,
+      s"$dir holds pre-snapshot-pointer flat-layout entries " +
+        s"(${legacy.mkString(", ")}) — refusing to resolve them as an " +
+        "empty table. Migrate by moving seed/ and b*/ under a new tree: " +
+        s"mkdir $dir/t0, move the entries into it, create $dir/t0/_published")
+    names.filter(_.matches("t\\d+")).map(_.drop(1).toInt).sorted
+      .filter(n => StateFs.exists(spark, s"$dir/t$n/_published"))
+      .map(n => (n, seedThroughOf(spark, s"$dir/t$n")))
+  }
+
   /** TIME-TRAVEL read of one per-batch-subdir table: the state AS OF
-    * batch `asOfBatch` = the tree's `seed/` plus every committed
+    * batch `asOfBatch` = a tree's `seed/` plus every committed
     * `b{id}` subdir with `id <= asOfBatch` — exactly what a live read
     * served the moment batch `asOfBatch` committed, because folds only
     * ever APPEND batch subdirs within a tree. This is a table format's
@@ -341,35 +363,40 @@ object EventStream {
     * per-batch write units ARE the snapshot log, so time travel is a
     * listing filter, not a data copy.
     *
-    * The retention horizon is the compaction horizon: once
-    * [[compactBatchDirs]] folds batches through `B` into a new seed,
-    * the per-batch evidence below `B` is gone from the live tree and an
-    * as-of read older than `B` FAILS LOUDLY (`seedThroughOf` — never a
-    * silently-wrong partial view). The superseded grace snapshot, while
-    * retained, still serves the older as-ofs; after its vacuum the
-    * answer is a rebuild, exactly a table format's
-    * expired-snapshot semantics.
+    * Snapshot resolution: the HIGHEST published tree whose compaction
+    * horizon is <= `asOfBatch` — the live tree when its horizon
+    * permits, otherwise a retained GRACE snapshot (the superseded tree
+    * plain compaction leaves behind). The highest qualifying tree is
+    * always COMPLETE for the window: batch ids are monotone, so any
+    * marked batch <= asOfBatch folded after that tree was superseded
+    * would have made a higher tree qualify. Once every qualifying
+    * snapshot is expired (the next writer's entry vacuum, or an
+    * erasure's `vacuumSuperseded` — deliberately: erasure must destroy
+    * time travel into pre-erasure state, or the forgotten rows stay
+    * readable), the read FAILS LOUDLY — never a silently-partial view.
     */
   private def batchDirsReadAsOf(spark: SparkSession, dir: String,
-      schema: StructType, asOfBatch: Long): DataFrame =
-    liveTreeOpt(spark, dir) match {
-      case None =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      case Some(tree) =>
-        val through = seedThroughOf(spark, tree)
-        require(asOfBatch >= through,
-          s"as-of batch $asOfBatch predates $tree's compaction horizon " +
-            s"$through — batches <= $through were folded into the seed and " +
-            "their per-batch evidence vacuumed. Read a retained grace " +
-            "snapshot (the superseded t<n> tree, if compaction's " +
-            "expire-later window still holds it) or rebuild from the raw " +
-            "batch history; refusing to serve a silently-partial view")
-        val subs = committedSubdirs(spark, tree).filter {
-          case "seed" => true
-          case b => b.matches("b\\d+") && b.drop(1).toLong <= asOfBatch
-        }
-        readSubdirs(spark, tree, subs, schema)
+      schema: StructType, asOfBatch: Long): DataFrame = {
+    val snaps = publishedSnapshots(spark, dir)
+    if (snaps.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else {
+      val qualifying = snaps.filter { case (_, through) => through <= asOfBatch }
+      require(qualifying.nonEmpty,
+        s"as-of batch $asOfBatch predates every retained snapshot of $dir " +
+          s"(horizons: ${snaps.map { case (n, h) => s"t$n<=$h" }.mkString(", ")})" +
+          " — the per-batch evidence was compacted into seeds and the grace" +
+          " snapshots expired (entry vacuum, or erasure's vacuumSuperseded —" +
+          " erased history must not be time-travel readable). Rebuild from" +
+          " the raw batch history; refusing to serve a silently-partial view")
+      val tree = s"$dir/t${qualifying.map(_._1).max}"
+      val subs = committedSubdirs(spark, tree).filter {
+        case "seed" => true
+        case b => b.matches("b\\d+") && b.drop(1).toLong <= asOfBatch
+      }
+      readSubdirs(spark, tree, subs, schema)
     }
+  }
 
   /** The verified near-dup pairs an ingest-dedup run has emitted so far
     * (union of the per-batch output subdirs under `pairsOutDir`).
@@ -2419,25 +2446,41 @@ object EventStream {
     * low edge).
     */
   private def batchDirsChanges(spark: SparkSession, dir: String,
-      schema: StructType, fromExclusive: Long, toInclusive: Long): DataFrame =
-    liveTreeOpt(spark, dir) match {
-      case None =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      case Some(tree) =>
-        val through = seedThroughOf(spark, tree)
-        require(fromExclusive >= through,
-          s"incremental read from batch $fromExclusive predates $tree's " +
-            s"compaction horizon $through — the per-batch change evidence " +
-            "below it was folded into the seed. Catch up with a full as-of " +
-            "read instead; refusing to serve a silently-partial change set")
-        val subs = committedSubdirs(spark, tree).filter { b =>
-          b.matches("b\\d+") && {
-            val id = b.drop(1).toLong
-            id > fromExclusive && id <= toInclusive
-          }
+      schema: StructType, fromExclusive: Long, toInclusive: Long): DataFrame = {
+    val snaps = publishedSnapshots(spark, dir)
+    if (snaps.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else {
+      // the window's LOW edge must be covered by some retained snapshot
+      // (the as-of resolution rule); the high side may span NEWER trees
+      // — batches folded after that snapshot was superseded live only
+      // in its successors — so the change set stitches across every
+      // published tree, taking each batch id from the HIGHEST tree that
+      // holds it (a replay regenerates a crashed batch in the newer
+      // tree; the orphan left in the superseded one must not
+      // double-count)
+      require(snaps.exists { case (_, through) => through <= fromExclusive },
+        s"incremental read from batch $fromExclusive predates every " +
+          s"retained snapshot of $dir (horizons: " +
+          s"${snaps.map { case (n, h) => s"t$n<=$h" }.mkString(", ")}) — " +
+          "the change evidence was folded into seeds and the grace " +
+          "snapshots expired. Catch up with a full as-of read instead; " +
+          "refusing to serve a silently-partial change set")
+      val lowTree = snaps.filter(_._2 <= fromExclusive).map(_._1).max
+      val perId = snaps.map(_._1).filter(_ >= lowTree).flatMap { n =>
+        committedSubdirs(spark, s"$dir/t$n").collect {
+          case b if b.matches("b\\d+") &&
+              b.drop(1).toLong > fromExclusive &&
+              b.drop(1).toLong <= toInclusive =>
+            (b.drop(1).toLong, n)
         }
-        readSubdirs(spark, tree, subs, schema)
+      }.groupBy(_._1).map { case (id, trees) => (id, trees.map(_._2).max) }
+      if (perId.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(
+        perId.toSeq.sorted.map { case (id, n) => s"$dir/t$n/b$id" }: _*)
     }
+  }
 
   /** TIME-TRAVEL reads of the chunk tables — the state as of batch
     * `asOfBatch` ([[batchDirsReadAsOf]]): what the index/output served

@@ -1579,15 +1579,13 @@ class StreamingSpec extends SparkSpec {
       "compaction must record _seed_through_1 in the published tree")
     assert(idxAsOf(1L) == live,
       "as-of at the compaction horizon must survive compaction")
-    val err = intercept[IllegalArgumentException] { idxAsOf(0L) }
-    assert(err.getMessage.contains("compaction horizon"),
-      s"expected the loud horizon error, got: ${err.getMessage}")
-    // incremental reads share the horizon contract at the window's low
-    // edge: evidence below it is folded away, so the change set would
-    // be silently partial
-    val errC = intercept[IllegalArgumentException] { idxChanges(0L, 1L) }
-    assert(errC.getMessage.contains("compaction horizon"),
-      s"expected the loud horizon error, got: ${errC.getMessage}")
+    // below the live horizon the read resolves the RETAINED GRACE
+    // snapshot (plain compaction leaves the superseded tree published)
+    // — the expire-later window, during which older as-ofs still serve
+    assert(idxAsOf(0L) == rebuildThrough(col("doc_id") <= q2),
+      "as-of below the live horizon must serve from the grace snapshot")
+    assert(idxChanges(0L, 1L) == rebuildThrough(col("doc_id") > q2),
+      "changes below the live horizon must read from the grace snapshot")
     // post-compaction fold: as-of the new batch = live, horizon intact
     streaming.EventStream.chunkIngestFoldBatch(spark, outDir, indexDir,
       docs.filter(col("doc_id") <= q1), 2L)
@@ -1597,18 +1595,33 @@ class StreamingSpec extends SparkSpec {
       "post-compaction fold must extend as-of without moving the horizon")
     assert(idxChanges(1L, 2L) == rebuildThrough(col("doc_id") <= q1),
       "changes(horizon, new-batch] must serve the post-compaction fold")
+    // the cross-tree stitch: (0, 2] spans the grace tree's b1 AND the
+    // live tree's b2
+    assert(idxChanges(0L, 2L) ==
+      rebuildThrough(col("doc_id") > q2 || col("doc_id") <= q1),
+      "changes spanning the compaction must stitch across trees")
     // redelivery of batch 2 is a no-op at every as-of point
     streaming.EventStream.chunkIngestFoldBatch(spark, outDir, indexDir,
       docs.filter(col("doc_id") <= q1), 2L)
     assert(idxAsOf(2L) == live2, "redelivered batch changed an as-of read")
     // a second compaction carries the horizon monotonically (max of
-    // prior horizon and the batches it folds — here b2, so 2)
+    // prior horizon and the batches it folds — here b2, so 2) and its
+    // ENTRY VACUUM expires the oldest grace snapshot: as-of 0 is now
+    // past every retained horizon and fails loudly
     streaming.EventStream.compactChunkIndex(spark, indexDir)
     val tree2 = streaming.EventStream.ensureLiveTree(spark, s"$indexDir/chunks")
     assert(streaming.EventStream.seedThroughOf(spark, tree2) == 2L,
       "second compaction must advance the recorded horizon to 2")
     assert(idxAsOf(2L) == live2,
       "as-of at the new horizon must survive the second compaction")
+    assert(idxAsOf(1L) == live,
+      "as-of 1 must still serve from the remaining grace snapshot")
+    val err = intercept[IllegalArgumentException] { idxAsOf(0L) }
+    assert(err.getMessage.contains("retained snapshot"),
+      s"expected the loud expired-snapshot error, got: ${err.getMessage}")
+    val errC = intercept[IllegalArgumentException] { idxChanges(0L, 1L) }
+    assert(errC.getMessage.contains("retained snapshot"),
+      s"expected the loud expired-snapshot error, got: ${errC.getMessage}")
   }
 
   /** Planted token chain for the cluster tests: J(A,B)=J(B,C)=8/9 >= 0.8
@@ -1682,9 +1695,12 @@ class StreamingSpec extends SparkSpec {
     // offline path compression: serving identical, chains gone
     streaming.EventStream.compactClusterState(spark, clusterDir)
     assert(served() == want, "compaction changed served labels")
-    val errAsOf = intercept[IllegalArgumentException] { servedAsOf(1L) }
-    assert(errAsOf.getMessage.contains("compaction horizon"),
-      "time travel below the compaction horizon must fail loudly")
+    // below the live horizon, both tables resolve their retained grace
+    // snapshots at the same batch — time travel survives compaction
+    // for as long as the expire-later window holds
+    assert(servedAsOf(1L) == Map(100L -> 100L, 200L -> 200L,
+      900L -> 900L, 901L -> 901L),
+      "grace-served as-of must still show the pre-merge assignment")
     assert(streaming.EventStream.clusterRedirectsRead(spark, clusterDir)
       .isEmpty, "compaction must empty the redirect table")
     // ERASURE of a BRIDGE doc: 300 is the only link between {50,100}
@@ -1698,6 +1714,11 @@ class StreamingSpec extends SparkSpec {
     assert(served() == afterSplit,
       s"post-erasure labels ${served()} != $afterSplit — forgetting the " +
         "bridge must split the component and relabel the remainder")
+    // erasure EXPIRES time travel (vacuumSuperseded): a retained grace
+    // snapshot would keep the forgotten doc's assignment readable
+    val errErased = intercept[IllegalArgumentException] { servedAsOf(1L) }
+    assert(errErased.getMessage.contains("retained snapshot"),
+      "post-erasure time travel into pre-erasure state must fail loudly")
     // ERASURE of the REP itself: 50 is the minimum; survivors must
     // relabel to the new minimum 100
     streaming.EventStream.forgetDocsFromClusterState(spark, clusterDir,
