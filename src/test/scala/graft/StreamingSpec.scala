@@ -1624,6 +1624,39 @@ class StreamingSpec extends SparkSpec {
       s"expected the loud expired-snapshot error, got: ${errC.getMessage}")
   }
 
+  test("as-of and incremental reads generalize to the tf and positions" +
+      " indexes") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf)
+    val ids = docs.select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0))
+    val (q1, q2) = (ids(ids.length / 4), ids(ids.length / 2))
+    val base = java.nio.file.Files.createTempDirectory("graft-asofgen").toString
+    streaming.EventStream.tfIndexSeed(spark, s"$base/t",
+      docs.filter(col("doc_id") <= q1))
+    streaming.EventStream.tfIndexFoldBatch(spark, s"$base/t",
+      docs.filter(col("doc_id") > q1 && col("doc_id") <= q2), 0L)
+    streaming.EventStream.tfIndexFoldBatch(spark, s"$base/t",
+      docs.filter(col("doc_id") > q2), 1L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(streaming.EventStream.tfIndexReadAsOf(spark, s"$base/t", 0L)) ==
+      rows(TextAnalysis.termFreqsOf(docs.filter(col("doc_id") <= q2))),
+      "tf-index as-of 0 must equal the prefix rebuild")
+    assert(rows(streaming.EventStream.tfIndexChanges(spark, s"$base/t", 0L, 1L)) ==
+      rows(TextAnalysis.termFreqsOf(docs.filter(col("doc_id") > q2))),
+      "tf-index changes(0,1] must equal batch 1's rebuild")
+    streaming.EventStream.posIndexSeed(spark, s"$base/p",
+      docs.filter(col("doc_id") <= q1))
+    streaming.EventStream.posIndexFoldBatch(spark, s"$base/p",
+      docs.filter(col("doc_id") > q1 && col("doc_id") <= q2), 0L)
+    streaming.EventStream.posIndexFoldBatch(spark, s"$base/p",
+      docs.filter(col("doc_id") > q2), 1L)
+    assert(rows(streaming.EventStream.posIndexReadAsOf(spark, s"$base/p", 0L)) ==
+      rows(TextAnalysis.termPositionsOf(docs.filter(col("doc_id") <= q2))),
+      "positions-index as-of 0 must equal the prefix rebuild")
+  }
+
   /** Planted token chain for the cluster tests: J(A,B)=J(B,C)=8/9 >= 0.8
     * but J(A,C)=7/9 < 0.8 (LSH may propose A-C; exact verify rejects
     * it), and D extends A the same way — so clusters FORM separately,
