@@ -462,12 +462,33 @@ object Stats {
         col("coef_qty_micro"), col("coef_disc_micro"))
       .orderBy("return_flag")
 
-  private def olsBetas(spark: SparkSession, sfDir: String): DataFrame = {
+  private def olsBetas(spark: SparkSession, sfDir: String): DataFrame =
+    // memoized: both registered consumers (lineitem_ols_multi and
+    // lineitem_residual_outliers) train the same 3-row model — one
+    // lineitem aggregation pass serves both, the shared-stage
+    // discipline every other multi-consumer frame follows
+    graft.CacheLifecycle.memoized(s"stats.olsBetas:$sfDir")(
+      olsBetasBuild(spark, sfDir))
+
+  private def olsBetasBuild(spark: SparkSession, sfDir: String): DataFrame = {
     val s = olsSums(spark, sfDir)
     // minor M = sx22*sx33 − sx23² appears in det and det0 — spelled once
-    val det = col("n") * (col("sx22") * col("sx33") - col("sx23") * col("sx23")) -
+    val detRaw = col("n") * (col("sx22") * col("sx33") - col("sx23") * col("sx23")) -
       col("sx2") * (col("sx2") * col("sx33") - col("sx23") * col("sx3")) +
       col("sx3") * (col("sx2") * col("sx23") - col("sx22") * col("sx3"))
+    // OVERFLOW/SINGULARITY guard: the determinants grow ~n³ — ~1e37 at
+    // sf100 fits DECIMAL(38,0), but one more order of magnitude of data
+    // overflows the 38-digit cap and (ANSI off) Spark returns NULL on
+    // decimal-multiply overflow, which would silently null the betas
+    // and every downstream residual. A null or zero det fails LOUDLY
+    // here instead of serving null coefficients past the documented
+    // envelope.
+    val det = when(detRaw.isNotNull && detRaw =!= lit(0), detRaw)
+      .otherwise(raise_error(lit(
+        "olsBetas: normal-equation determinant is NULL or zero — decimal " +
+          "overflow past the documented ~sf100 envelope (or a singular " +
+          "design matrix); refusing to serve null coefficients. Rescale " +
+          "the quantization or shard the fit.")))
     val det0 = col("sy") * (col("sx22") * col("sx33") - col("sx23") * col("sx23")) -
       col("sx2") * (col("sx2y") * col("sx33") - col("sx23") * col("sx3y")) +
       col("sx3") * (col("sx2y") * col("sx23") - col("sx22") * col("sx3y"))

@@ -1089,21 +1089,32 @@ object TextAnalysis {
     * so the arm definition cannot drift between them. Keep the arithmetic
     * in sync with [[bm25Ranked]].
     */
-  private[operators] lazy val bm25RankedCte: String = {
+  private[operators] lazy val bm25RankedCte: String =
+    bm25RankedCteOver(
+      docsFrom = "documents",
+      ndSql = "SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents")
+
+  /** [[bm25RankedCte]] parameterized by the document window and the
+    * corpus-count source — the as-of gate serves the SAME arm over the
+    * snapshot's document window, with `n_docs` derived from the
+    * snapshot itself (the tf table), not the live corpus.
+    */
+  private[operators] def bm25RankedCteOver(docsFrom: String,
+      ndSql: String): String = {
     val values = Bm25Queries.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
     s"""queries(query_id, q_text) AS (VALUES $values),
        |qterms AS (
        |  SELECT DISTINCT query_id, unnest(string_split(q_text, ' ')) AS term
        |  FROM queries),
        |toks AS (
-       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM $docsFrom),
        |tf AS (
        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
        |  FROM toks GROUP BY 1, 2),
        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS t_tokens FROM tf),
-       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |nd AS ($ndSql),
        |term_scores AS (
        |  SELECT query_id, doc_id,
        |         CAST(floor(CAST(n_docs * 22 * tf * t_tokens AS DOUBLE)
@@ -1206,6 +1217,41 @@ object TextAnalysis {
       EventStream.tfIndexFoldBatch(spark, indexDir, docs.filter(isBatch), 0L)
       bm25FromTf(EventStream.tfIndexRead(spark, indexDir),
         docs.agg(count(lit(1)).alias("n_docs")),
+        Bm25Queries.toDF("query_id", "q_text"))
+    }
+
+  /** BM25 SERVED FROM THE STORED TF INDEX *AS OF* THE PRE-BATCH SNAPSHOT
+    * — the retrieval-tier time-travel gate (the `chunk_index_asof`
+    * pattern one tier up): what retrieval served BEFORE tonight's fold,
+    * the read a training run pins for reproducibility ("which documents
+    * did this query surface when the corpus snapshot was cut?"). The
+    * index is [[bm25StoredTopDocs]]'s stored table (seed = history docs,
+    * batch 0 = the `doc_id % 10 = 9` fold); serving reads it AS OF
+    * batch −1 ([[graft.streaming.EventStream.tfIndexReadAsOf]] — the
+    * seed snapshot, the batch-0 subdir EXCLUDED by the listing filter)
+    * through the identical [[bm25FromTf]] arm, with `n_docs` derived
+    * from the snapshot itself (distinct doc_ids in the as-of tf — the
+    * corpus count retrieval KNEW at that snapshot, not today's). The
+    * oracle rebuilds the arm from scratch over exactly the history
+    * window, so a batch row served past the as-of bound, a dropped seed
+    * row, or a stale corpus count all surface as rank/score diffs.
+    * StreamingSpec pins the tf-tier catch-up invariant
+    * (asOf(0) ∪ changes(0,1] = asOf(1)) and the loud-failure direction.
+    *
+    * 100 TB shape: time travel is a LISTING filter over the per-batch
+    * write units — zero data copy; the serving plan is byte-identical
+    * to the live stored read.
+    */
+  def bm25StoredAsOf(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoized(s"textanalysis.bm25StoredAsof:$sfDir") {
+      import spark.implicits._
+      import graft.streaming.EventStream
+      // build (or find, marker-gated) the stored index + its batch fold
+      bm25StoredTopDocs(spark, sfDir)
+      val indexDir = Layout.tmpPath("graft-tfstore", sfDir)
+      val tf = EventStream.tfIndexReadAsOf(spark, indexDir, asOfBatch = -1L)
+      bm25FromTf(tf,
+        tf.select(col("doc_id")).distinct().agg(count(lit(1)).alias("n_docs")),
         Bm25Queries.toDF("query_id", "q_text"))
     }
 
@@ -1618,6 +1664,17 @@ object TextAnalysis {
     // the stored-table gate's oracle IS the session-frame query's oracle:
     // passing both proves materialized-index serving ≡ tokenize-at-query
     "bm25_stored_top_docs" -> bm25Top5OracleSql,
+    // the stored arm rebuilt from scratch over EXACTLY the as-of
+    // snapshot's document window (seed = history docs), n_docs derived
+    // from the snapshot's own tf — see [[bm25StoredAsOf]]
+    "bm25_stored_asof" ->
+      s"""WITH ${bm25RankedCteOver(
+              "(SELECT doc_id, text FROM documents WHERE doc_id % 10 != 9) d",
+              "SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf")}
+         |SELECT query_id, doc_id, rank, n_hit_terms, score_m,
+         |       CAST(score_m AS DOUBLE) / 1000000.0 AS bm25
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
     // the anchored-covering-window spelling replayed verbatim: the match
     // probe, the (query, doc)-keyed window self-join, coverage =
     // count(DISTINCT term) per anchor, occurrences = qualifying anchors
@@ -1706,6 +1763,7 @@ object TextAnalysis {
     "text_tfidf_top_terms" -> tfidfTopTerms _,
     "bm25_top_docs" -> bm25TopDocs _,
     "bm25_stored_top_docs" -> bm25StoredTopDocs _,
+    "bm25_stored_asof"     -> bm25StoredAsOf _,
     "phrase_top_docs" -> phraseTopDocs _,
     "phrase_stored_top_docs" -> phraseStoredTopDocs _,
     "proximity_top_docs" -> proximityTopDocs _,

@@ -495,7 +495,18 @@ object EventStream {
     val pub = publishedTrees(spark, dir)
     require(pub.nonEmpty,
       s"tree claim: no published tree under $dir — the table was never written")
-    val live = pub.last
+    acquireTreeClaimAt(spark, dir, pub.last)
+  }
+
+  /** The claim body with the pre-claim live listing factored out — the
+    * seam the TOCTOU interleave spec drives with a deliberately STALE
+    * `believedLive` (as if a winner published and released between this
+    * writer's listing and its claim create). Production callers go
+    * through [[acquireTreeClaim]].
+    */
+  private[graft] def acquireTreeClaimAt(spark: SparkSession, dir: String,
+      believedLive: Int): Int = {
+    val live = believedLive
     claimNumbers(spark, dir).filter(_ <= live)
       .foreach(n => StateFs.deleteFile(spark, s"$dir/_claim_$n"))
     val next = live + 1
@@ -508,6 +519,24 @@ object EventStream {
             "live, wait for it and re-run; if it crashed (verify no job is " +
             "running against this table), break the claim with " +
             "EventStream.breakTreeClaims and re-run", e)
+    }
+    // TOCTOU guard: the publishedTrees listing above ran BEFORE the
+    // claim create. If the previous holder published t{next} and
+    // released _claim_{next} inside that window, the create just
+    // "won" a claim on a tree that is ALREADY live — proceeding would
+    // let this writer's entry vacuum delete the freshly-published
+    // t{next} (and, under vacuumSuperseded, t{live} is already gone,
+    // so the rebuild would republish an empty table). Re-validate the
+    // live tree AFTER holding the claim; on any advance, release and
+    // fail loudly — the caller re-runs against the advanced snapshot.
+    val liveNow = publishedTrees(spark, dir).last
+    if (liveNow != live) {
+      releaseTreeClaim(spark, dir, next)
+      throw new IllegalStateException(
+        s"tree claim under $dir raced a concurrent publish: live tree " +
+          s"advanced t$live -> t$liveNow between the listing and the claim " +
+          "create. The claim was released untouched; re-run to fold against " +
+          "the advanced snapshot")
     }
     next
   }
@@ -526,6 +555,47 @@ object EventStream {
   def breakTreeClaims(spark: SparkSession, dir: String): Unit =
     claimNumbers(spark, dir)
       .foreach(n => StateFs.deleteFile(spark, s"$dir/_claim_$n"))
+
+  /** EXPIRE SNAPSHOTS — the explicit retention half of the table-format
+    * story (a table format's `EXPIRE SNAPSHOTS`), completing the grace
+    * discipline: plain compaction deliberately leaves the superseded
+    * tree readable ([[compactBatchDirs]]'s grace snapshot), and until
+    * now it expired only as a SIDE EFFECT of the next writer's entry
+    * vacuum or an erasure's `vacuumSuperseded`. This is the policy
+    * entry an operator (or a maintenance stream's `expireKeepSnapshots`
+    * hook) runs deliberately: keep the `keepLast` HIGHEST published
+    * trees, expire everything older. The live tree is never expirable
+    * (`keepLast >= 1` is enforced, and the keep-window is anchored at
+    * the highest published tree, so even a publish racing this call
+    * only ever GROWS what is kept).
+    *
+    * Expiry order per tree: the `_published` marker is deleted FIRST —
+    * one atomic file delete that makes the tree invisible to every
+    * resolver ([[publishedSnapshots]]/[[liveTreeOpt]] require the
+    * marker) — then the tree recursively; a crash between the two
+    * leaves an unpublished husk the next writer's entry vacuum removes,
+    * never a published-but-torn tree a reader could resolve into a
+    * partial view. An as-of read whose only qualifying snapshot was
+    * expired fails LOUDLY with [[batchDirsReadAsOf]]'s existing
+    * message; as-of reads the retained window still serves are
+    * unaffected. Unpublished trees (a concurrent writer's in-flight
+    * build, a crashed build) are not touched — they belong to the
+    * claim protocol, not retention.
+    *
+    * Returns the number of snapshots expired.
+    */
+  def expireSnapshots(spark: SparkSession, dir: String,
+      keepLast: Int = 1): Int = {
+    require(keepLast >= 1,
+      s"expireSnapshots: keepLast must be >= 1 (the live tree is never " +
+        s"expirable), got $keepLast")
+    val expire = publishedTrees(spark, dir).dropRight(keepLast)
+    expire.foreach { n =>
+      StateFs.deleteFile(spark, s"$dir/t$n/_published")
+      StateFs.deleteRecursively(spark, s"$dir/t$n")
+    }
+    expire.size
+  }
 
   private def compactBatchDirs(spark: SparkSession, dir: String,
       schema: StructType, markersRoot: String,
@@ -1279,8 +1349,16 @@ object EventStream {
     * gate, ratio/semantic decon) are deliberately absent: they read
     * corpus-global state and belong to the nightly batch pass — this is
     * the per-arrival subset a crawl ingests with, and the parity gate
-    * holds exactly for this stage set (streamed over any batch split ≡
-    * the same composition run once over the union).
+    * holds exactly for this stage set when batches arrive in doc-id
+    * order (streamed ≡ the same composition run once over the union).
+    * The doc-id-monotone caveat is load-bearing, same as
+    * [[chunkIngestFoldBatch]]'s: the minhash removal rule drops the
+    * GREATER doc of a verified pair, and a greater doc that arrived in
+    * an earlier batch was already emitted and cannot be retracted — a
+    * deployment whose arrival order is not id-monotone keeps the
+    * near-dup guarantee only one-directionally (no batch re-admits a
+    * dup of anything already stored) and reconciles retroactive
+    * removals in the nightly batch pass.
     *
     * Commit shape: survivors first, funnel second, index tables last,
     * ONE marker for all five writes — a crash anywhere leaves the batch
@@ -2369,7 +2447,8 @@ object EventStream {
     */
   def tfIndexMaintenanceStream(docsStream: DataFrame, historyDocs: DataFrame,
       indexDir: String, checkpointDir: Option[String] = None,
-      autoCompactAfter: Option[Int] = None): StreamingQuery = {
+      autoCompactAfter: Option[Int] = None,
+      expireKeepSnapshots: Option[Int] = None): StreamingQuery = {
     val spark = docsStream.sparkSession
     tfIndexSeed(spark, indexDir, historyDocs)
     maintenanceWriter(docsStream, checkpointDir)
@@ -2379,6 +2458,11 @@ object EventStream {
         // stream (the only writer) is between folds — quiesced by
         // construction (see [[compactTfIndexIfCrowded]])
         autoCompactAfter.foreach(k => compactTfIndexIfCrowded(spark, indexDir, k))
+        // retention AFTER compaction: a compaction this batch triggered
+        // leaves its grace snapshot; the retention policy decides how
+        // many superseded snapshots stay time-travel readable
+        expireKeepSnapshots.foreach(k =>
+          expireSnapshots(spark, s"$indexDir/tf", keepLast = k))
       }
       .start()
   }

@@ -54,8 +54,18 @@ private[streaming] object StateFs {
     * writers that both compute the same next tree number must not BOTH
     * "successfully" publish (last-writer-wins would silently discard
     * one writer's fold — an erasure, possibly), so the publish and the
-    * claim that serializes builds are exclusive creates, atomic on
-    * local, HDFS, and S3-likes (conditional-put) alike.
+    * claim that serializes builds are exclusive creates.
+    *
+    * FILESYSTEM REQUIREMENT: exclusivity is only as strong as the
+    * store's create-no-overwrite. Local posix and HDFS give it
+    * natively. Object stores do NOT by default: Hadoop S3A's
+    * `create(path, overwrite = false)` is an exists-check-then-PUT —
+    * two racing writers can BOTH "succeed" — unless conditional create
+    * is enabled (`fs.s3a.create.conditional` / HTTP `If-None-Match: *`,
+    * S3A ≥ 3.4.1 against stores supporting conditional put). Deploying
+    * the snapshot-pointer protocol on an object store without that
+    * capability silently voids claim/publish exclusivity; enable
+    * conditional create or front the table with HDFS.
     */
   def touchExclusive(spark: SparkSession, path: String): Unit = {
     val p = new Path(path)

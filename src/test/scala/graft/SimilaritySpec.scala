@@ -692,4 +692,83 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getDouble(3) == wantHits / 5.0)
     }
   }
+
+  test("filtered ANN: served neighbors honor the predicate; over-fetch" +
+      " dominates naive post-filter at equal budget; deeper fetch helps") {
+    import operators.Similarity
+    // registered report well-formed: 10 queries (odd-label queries
+    // still ask), baseline is always the full filtered top-5
+    val rep = q("ann_filtered_recall_at_5").collect()
+    assert(rep.length == 10)
+    rep.foreach { r =>
+      assert(r.getLong(1) == 5L && r.getLong(2) <= 5L)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    val labels = Tables.embeddings(spark, sf)
+      .select(col("vec_id").alias("neighbor_id"), col("label"))
+    // every served neighbor satisfies the predicate — the contract a
+    // filtered query means; a single leak is a correctness bug
+    val leaked = Similarity.ivfpqFilteredTop5(spark, sf, Similarity.FilteredOverfetch)
+      .join(labels, Seq("neighbor_id"))
+      .filter(!Similarity.annFilterPred(col("label")))
+    assert(leaked.count() == 0, "filtered serving leaked a predicate-violating neighbor")
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = pairSet(Similarity.bruteTop5PairsFiltered(spark, sf))
+    def hitsPerQuery(served: Set[(Long, Long)]): Map[Long, Int] =
+      (0L until 10L).map(q => q -> (base intersect served).count(_._1 == q)).toMap
+    // DOMINANCE at equal candidate budget (20): filter-then-rerank vs
+    // rerank-then-filter. Theorem: a naive survivor (exact rank <= 5
+    // among ALL candidates, predicate-true) re-appears in the filtered
+    // rerank with rank no worse, so per-query hits can only improve.
+    val overSet20 = pairSet(Similarity.ivfpqFilteredTop5(spark, sf, 20))
+    val naiveSet20 = pairSet(Similarity.ivfpqNaiveFilteredTop5(spark, sf, 20))
+    // the dominance theorem, setwise: every naive survivor re-appears in
+    // the filtered re-rank with rank no worse, so naive ⊆ over-fetch
+    assert(naiveSet20.subsetOf(overSet20),
+      s"dominance broken: naive served ${naiveSet20 -- overSet20} that over-fetch dropped")
+    val over20 = hitsPerQuery(overSet20)
+    val naive20 = hitsPerQuery(naiveSet20)
+    (0L until 10L).foreach { qid =>
+      assert(over20(qid) >= naive20(qid),
+        s"query $qid: over-fetch ${over20(qid)} < naive ${naive20(qid)} — dominance theorem broken")
+    }
+    // the naive arm's REAL failure mode is result starvation: filtering
+    // AFTER the top-5 cut leaves some query with fewer than k results,
+    // while filter-then-rerank fills the slots from the same budget
+    def servedCounts(s: Set[(Long, Long)]): Map[Long, Int] =
+      (0L until 10L).map(q => q -> s.count(_._1 == q)).toMap
+    val starved = (0L until 10L).filter(q =>
+      servedCounts(naiveSet20)(q) < 5 && servedCounts(overSet20)(q) == 5)
+    assert(starved.nonEmpty,
+      s"fixture surprise: naive post-filter starved no query " +
+        s"(naive counts ${servedCounts(naiveSet20)})")
+    // deeper over-fetch is monotone: candidates(40) ⊇ candidates(20)
+    // and a baseline member inside the candidate set survives exact
+    // re-ranking, so hits can only grow with the budget
+    val over40 = hitsPerQuery(pairSet(
+      Similarity.ivfpqFilteredTop5(spark, sf, Similarity.FilteredOverfetch)))
+    (0L until 10L).foreach { qid =>
+      assert(over40(qid) >= over20(qid),
+        s"query $qid: deeper over-fetch lost hits (${over40(qid)} < ${over20(qid)})")
+    }
+  }
+
+  test("ann_retrain_recall: the registered report shows the recovery —" +
+      " frozen serving degrades on the planted mode, retraining recovers") {
+    import operators.Similarity
+    val rows = q("ann_retrain_recall").collect()
+    assert(rows.length == 2 * Similarity.RetrainQueryCount)
+    rows.foreach { r =>
+      assert(r.getLong(2) == 5L && r.getLong(3) <= 5L)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    val meanByMode = rows.groupBy(_.getString(0))
+      .map { case (m, rs) => m -> rs.map(_.getDouble(4)).sum / rs.length }
+    assert(meanByMode("frozen") < meanByMode("retrained"),
+      s"retraining did not improve recall: $meanByMode")
+    assert(meanByMode("retrained") >= 0.9,
+      s"retraining failed to recover the planted mode: $meanByMode")
+  }
 }

@@ -1646,6 +1646,12 @@ class StreamingSpec extends SparkSpec {
     assert(rows(streaming.EventStream.tfIndexChanges(spark, s"$base/t", 0L, 1L)) ==
       rows(TextAnalysis.termFreqsOf(docs.filter(col("doc_id") > q2))),
       "tf-index changes(0,1] must equal batch 1's rebuild")
+    // the catch-up invariant on the tf tier: a consumer at snapshot 0
+    // that applies changes(0,1] lands exactly on snapshot 1
+    assert((rows(streaming.EventStream.tfIndexReadAsOf(spark, s"$base/t", 0L)) ++
+        rows(streaming.EventStream.tfIndexChanges(spark, s"$base/t", 0L, 1L))) ==
+      rows(streaming.EventStream.tfIndexReadAsOf(spark, s"$base/t", 1L)),
+      "tf-tier catch-up invariant: asOf(0) ∪ changes(0,1] must equal asOf(1)")
     streaming.EventStream.posIndexSeed(spark, s"$base/p",
       docs.filter(col("doc_id") <= q1))
     streaming.EventStream.posIndexFoldBatch(spark, s"$base/p",
@@ -1927,6 +1933,111 @@ class StreamingSpec extends SparkSpec {
     assert(treeDirs(tfDir) == Seq("seed"), "recovery compaction did not fold")
     assert(served() == before,
       "recovery compaction changed served rows (crashed build leaked in?)")
+  }
+
+  test("claim TOCTOU guard: a publish landing between the live listing" +
+      " and the claim create fails loudly, releases, and vacuums nothing") {
+    val (indexDir, tfDir) = claimFixture("tfclaim4")
+    def served() = streaming.EventStream.tfIndexRead(spark, indexDir)
+      .collect().map(_.toSeq).toSet
+    val before = served()
+    // the loser listed live = t0 ... then the winner's whole compaction
+    // (build + publish t1 + claim release) lands inside the window
+    streaming.EventStream.compactTfIndex(spark, indexDir)
+    // ...so the loser's claim create SUCCEEDS on _claim_1, but t1 is
+    // already live: proceeding would let its entry vacuum delete the
+    // winner's just-published tree. The post-claim re-validation must
+    // fail loudly instead.
+    val e = intercept[IllegalStateException] {
+      streaming.EventStream.acquireTreeClaimAt(spark, tfDir, believedLive = 0)
+    }
+    assert(e.getMessage.contains("raced a concurrent publish"),
+      s"guard must name the race: ${e.getMessage}")
+    // the claim was released on the way out — no residue blocks retries
+    val claims = new java.io.File(tfDir).list().filter(_.startsWith("_claim"))
+    assert(claims.isEmpty, s"raced claim leaked: ${claims.mkString(",")}")
+    // the winner's published tree is untouched and still serves
+    assert(treeDirs(tfDir) == Seq("seed"),
+      "raced loser modified the winner's published tree")
+    assert(served() == before, "raced loser changed what serves")
+    // the loser's honest re-run (fresh listing) proceeds normally
+    val n = streaming.EventStream.acquireTreeClaim(spark, tfDir)
+    streaming.EventStream.releaseTreeClaim(spark, tfDir, n)
+  }
+
+  test("expireSnapshots: retained grace snapshots still time-travel," +
+      " expired as-of reads fail loudly, the live tree never expires") {
+    val (indexDir, tfDir) = claimFixture("tfexpire")
+    def served() = streaming.EventStream.tfIndexRead(spark, indexDir)
+      .collect().map(_.toSeq).toSet
+    val before = served()
+    val asOf0Rows = streaming.EventStream.tfIndexReadAsOf(spark, indexDir, 0L)
+      .collect().map(_.toSeq).toSet
+    // compaction publishes t1 and leaves t0 as the grace snapshot
+    streaming.EventStream.compactTfIndex(spark, indexDir)
+    // while retained, the grace snapshot still serves as-of reads
+    assert(streaming.EventStream.tfIndexReadAsOf(spark, indexDir, 0L)
+      .collect().map(_.toSeq).toSet == asOf0Rows,
+      "grace snapshot stopped serving as-of reads before expiry")
+    // keepLast covering every snapshot expires nothing
+    assert(streaming.EventStream.expireSnapshots(spark, tfDir, keepLast = 2) == 0)
+    // an unpublished tree (an in-flight/crashed build) is NOT retention's
+    // to touch — it belongs to the claim protocol
+    val husk = new java.io.File(s"$tfDir/t7/seed")
+    husk.mkdirs()
+    assert(streaming.EventStream.expireSnapshots(spark, tfDir, keepLast = 1) == 1,
+      "exactly the grace snapshot should expire")
+    assert(husk.exists(), "expiry deleted an unpublished in-flight build")
+    // (the unpublished husk is invisible to every resolver — leave it;
+    // a real writer's entry vacuum would remove it)
+    // the live tree survives and serves unchanged
+    assert(served() == before, "expiry changed what the live read serves")
+    // the expired snapshot's as-of window now fails LOUDLY (the existing
+    // batchDirsReadAsOf message), never a silently-partial view
+    val e = intercept[IllegalArgumentException] {
+      streaming.EventStream.tfIndexReadAsOf(spark, indexDir, 0L).collect()
+    }
+    assert(e.getMessage.contains("predates every retained snapshot"),
+      s"expired as-of must fail with the retention message: ${e.getMessage}")
+    // as-of at/after the live horizon still serves
+    assert(streaming.EventStream.tfIndexReadAsOf(spark, indexDir, 1L)
+      .collect().map(_.toSeq).toSet == before)
+    // keepLast = 0 (expiring the live tree) is refused loudly
+    intercept[IllegalArgumentException] {
+      streaming.EventStream.expireSnapshots(spark, tfDir, keepLast = 0)
+    }
+    // idempotent: nothing left to expire
+    assert(streaming.EventStream.expireSnapshots(spark, tfDir, keepLast = 1) == 0)
+  }
+
+  test("maintenance-stream retention hook: expireKeepSnapshots beside" +
+      " autoCompactAfter keeps the snapshot list bounded") {
+    val docs = Tables.documents(spark, sf)
+    val isBatch = col("doc_id") % 10 === 9
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-tfexpstream")
+    stageFile(docs.filter(isBatch && col("doc_id") % 20 === 9), stageDir, "b1", 60)
+    stageFile(docs.filter(isBatch && col("doc_id") % 20 =!= 9), stageDir, "b2", 30)
+    val outBase = java.nio.file.Files.createTempDirectory("graft-tfexpstream-out")
+    val indexDir = outBase.resolve("index").toString
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$stageDir/*")
+    val q1 = streaming.EventStream.tfIndexMaintenanceStream(
+      stream, docs.filter(!isBatch), indexDir,
+      checkpointDir = Some(outBase.resolve("ckpt").toString),
+      autoCompactAfter = Some(1), expireKeepSnapshots = Some(1))
+    try q1.processAllAvailable() finally q1.stop()
+    // every auto-compaction's grace snapshot was expired by the hook:
+    // exactly one published tree remains
+    val published = new java.io.File(s"$indexDir/tf").list()
+      .filter(_.matches("t\\d+"))
+      .filter(n => new java.io.File(s"$indexDir/tf/$n/_published").exists())
+    assert(published.length == 1,
+      s"retention hook left ${published.mkString(",")} published")
+    // and the table still serves the full tokenize-once truth
+    assert(streaming.EventStream.tfIndexRead(spark, indexDir)
+      .collect().map(_.toSeq).toSet ==
+      graft.operators.TextAnalysis.termFreqsOf(docs).collect().map(_.toSeq).toSet,
+      "retention/compaction changed served rows")
   }
 
   test("a torn ANN batch (codes committed, cells missing) serves unchanged until replay") {
