@@ -61,6 +61,160 @@ object Multimodal {
     }
   }
 
+  /** A REAL (if tiny) image codec — uncompressed 24-bit BMP
+    * (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up rows, 4-byte row
+    * stride), replacing one acknowledged [[MediaCodecStub]] seam with
+    * an actual format parse: magic, pixel-data offset, dimensions,
+    * planes/bpp/compression validation, and stride-correct pixel
+    * extraction. The format is self-contained (no codec library), so
+    * the decode is oracle-checkable byte arithmetic end to end.
+    *
+    * The encoder is the FIXTURE half (it builds a well-formed BMP whose
+    * pixel stream is the caller's bytes zero-padded to whole rows) and
+    * deliberately fills the per-row stride padding with [[PadByte]]
+    * poison: a "decoder" that merely byte-stats the payload — the stub
+    * behavior this gate exists to distinguish — reads headers and pad
+    * bytes into its stats and fails the oracle; only a real
+    * header-offset + stride walk reproduces the pixel truth.
+    */
+  object BmpCodec {
+    /** 15 px · 3 bytes = 45 row bytes → stride 48: the padding is
+      * genuinely exercised (a 16-px width would hide stride bugs).
+      */
+    private[operators] val Width = 15
+    private[operators] val RowBytes = Width * 3
+    private val Stride = (RowBytes + 3) / 4 * 4
+    private val HeaderBytes = 54
+    private[graft] val PadByte: Byte = 0xAA.toByte
+
+    private def putIntLE(a: Array[Byte], off: Int, v: Int): Unit = {
+      a(off) = (v & 0xff).toByte
+      a(off + 1) = ((v >>> 8) & 0xff).toByte
+      a(off + 2) = ((v >>> 16) & 0xff).toByte
+      a(off + 3) = ((v >>> 24) & 0xff).toByte
+    }
+
+    private def getIntLE(a: Array[Byte], off: Int): Int =
+      (a(off) & 0xff) | ((a(off + 1) & 0xff) << 8) |
+        ((a(off + 2) & 0xff) << 16) | ((a(off + 3) & 0xff) << 24)
+
+    private def getShortLE(a: Array[Byte], off: Int): Int =
+      (a(off) & 0xff) | ((a(off + 1) & 0xff) << 8)
+
+    /** Build a 24bpp BMP whose pixel-byte stream (file order: bottom-up
+      * rows, BGR) is `pixelBytes` zero-padded to `h` whole rows, with
+      * poisoned stride padding.
+      */
+    def encode(pixelBytes: Array[Byte]): Array[Byte] = {
+      val h = math.max(1, (pixelBytes.length + RowBytes - 1) / RowBytes)
+      val out = new Array[Byte](HeaderBytes + h * Stride)
+      out(0) = 'B'; out(1) = 'M'
+      putIntLE(out, 2, out.length)
+      putIntLE(out, 10, HeaderBytes)       // pixel-data offset
+      putIntLE(out, 14, 40)                // BITMAPINFOHEADER size
+      putIntLE(out, 18, Width)
+      putIntLE(out, 22, h)                 // positive: bottom-up
+      out(26) = 1                          // planes (u16 LE)
+      out(28) = 24                         // bpp (u16 LE)
+      putIntLE(out, 30, 0)                 // BI_RGB (uncompressed)
+      putIntLE(out, 34, h * Stride)        // image size
+      putIntLE(out, 38, 2835)              // 72 dpi
+      putIntLE(out, 42, 2835)
+      var r = 0
+      while (r < h) {
+        val rowOff = HeaderBytes + r * Stride
+        var i = 0
+        while (i < RowBytes) {
+          val k = r * RowBytes + i
+          out(rowOff + i) = if (k < pixelBytes.length) pixelBytes(k) else 0
+          i += 1
+        }
+        while (i < Stride) { out(rowOff + i) = PadByte; i += 1 }
+        r += 1
+      }
+      out
+    }
+
+    /** Decoded per-image features — fixed-shape, shuffle-friendly:
+      * dimensions, per-channel sums (BGR), max channel value, and a
+      * position-weighted checksum over the pixel stream (file order) —
+      * order-sensitive, so a decoder that permutes or drops bytes fails.
+      */
+    final case class BmpFeatures(
+        media_id: Long, img_w: Int, img_h: Int, n_px: Long,
+        sum_b: Long, sum_g: Long, sum_r: Long, max_px: Int,
+        checksum_w: Long)
+
+    /** The REAL decode: validate headers, honor the recorded pixel-data
+      * offset and the computed stride, walk pixels only.
+      */
+    def decodeFeatures(mediaId: Long, bmp: Array[Byte]): BmpFeatures = {
+      require(bmp.length >= HeaderBytes && bmp(0) == 'B' && bmp(1) == 'M',
+        "not a BMP: bad magic")
+      val off = getIntLE(bmp, 10)
+      val biSize = getIntLE(bmp, 14)
+      require(biSize >= 40, s"unsupported DIB header size $biSize")
+      val w = getIntLE(bmp, 18)
+      val h = getIntLE(bmp, 22)
+      require(w > 0, s"invalid width $w")
+      require(h > 0, "top-down BMP (negative height) unsupported")
+      require(getShortLE(bmp, 26) == 1, "planes must be 1")
+      require(getShortLE(bmp, 28) == 24,
+        s"only 24bpp supported, got ${getShortLE(bmp, 28)}")
+      require(getIntLE(bmp, 30) == 0, "compressed BMP unsupported")
+      val stride = (w * 3 + 3) / 4 * 4
+      require(bmp.length >= off + h.toLong * stride, "truncated pixel data")
+      var (sb, sg, sr, ck) = (0L, 0L, 0L, 0L)
+      var maxPx = 0
+      var r = 0
+      var k = 0L
+      while (r < h) {
+        val rowOff = off + r * stride
+        var i = 0
+        while (i < w * 3) {
+          val v = bmp(rowOff + i) & 0xff
+          (i % 3: @annotation.switch) match {
+            case 0 => sb += v
+            case 1 => sg += v
+            case _ => sr += v
+          }
+          if (v > maxPx) maxPx = v
+          ck += (k + 1L) * v
+          i += 1; k += 1
+        }
+        r += 1
+      }
+      BmpFeatures(mediaId, w, h, w.toLong * h, sb, sg, sr, maxPx, ck)
+    }
+  }
+
+  /** DECODED pixel features as a registered gate: each document's text
+    * bytes become a real 24bpp BMP ([[BmpCodec.encode]] — the fixture
+    * encoder, stride padding poisoned), and the features come from an
+    * actual format DECODE ([[BmpCodec.decodeFeatures]]): header parse,
+    * offset/stride walk, per-channel integer stats. The oracle computes
+    * the same stats directly from the text bytes via the encode→decode
+    * algebra (pixel stream ≡ text bytes zero-padded to whole rows), so
+    * a decoder that reads headers or pad bytes into its stats — or
+    * drops/permutes a pixel — fails the hash. Runs as the
+    * [[decodeAndFeaturize]] batch shape: `Dataset` + `mapPartitions`,
+    * narrow, bytes never shuffle — only the fixed-shape features do.
+    */
+  def decodedFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").alias("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition init would go here for a stateful codec
+        rows.map { case (id, payload) =>
+          BmpCodec.decodeFeatures(id, BmpCodec.encode(payload))
+        }
+      }
+      .toDF()
+      .orderBy("media_id")
+  }
+
   /** Deterministic stand-in for a resize/downsample codec pass: keeps
     * every `factor`-th byte (a real build decodes, resizes with an image
     * library, re-encodes — same signature, same batch shape). Metadata
@@ -453,6 +607,36 @@ object Multimodal {
          |            ${MediaCodecStub.FrameBytes})) AS frame_md5
          |FROM sampled
          |ORDER BY media_id, frame_idx""".stripMargin,
+    // the encode→decode algebra: the BMP pixel stream (bottom-up BGR,
+    // file order) IS the text bytes zero-padded to whole rows, so the
+    // decoded stats are byte arithmetic over the text — channel = byte
+    // index mod 3, zero pads contribute nothing, the position-weighted
+    // checksum pins order (see [[decodedFeatures]])
+    "multimodal_decoded_features" ->
+      s"""WITH b AS (
+         |  SELECT doc_id AS media_id, text,
+         |         greatest(CAST(ceil(length(text) / ${BmpCodec.RowBytes}.0)
+         |                   AS BIGINT), 1) AS h
+         |  FROM documents),
+         |bytes0 AS (
+         |  SELECT media_id, text,
+         |         unnest(generate_series(0, length(text) - 1)) AS k
+         |  FROM b),
+         |bytes AS (
+         |  SELECT media_id, CAST(k AS BIGINT) AS k,
+         |         ascii(substr(text, CAST(k AS INT) + 1, 1)) AS v
+         |  FROM bytes0)
+         |SELECT b.media_id AS media_id,
+         |       CAST(${BmpCodec.Width} AS INT) AS img_w,
+         |       CAST(h AS INT) AS img_h,
+         |       CAST(${BmpCodec.Width} * h AS BIGINT) AS n_px,
+         |       CAST(sum(CASE WHEN k % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+         |       CAST(sum(CASE WHEN k % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+         |       CAST(sum(CASE WHEN k % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+         |       CAST(greatest(max(v), 0) AS INT) AS max_px,
+         |       CAST(sum((k + 1) * v) AS BIGINT) AS checksum_w
+         |FROM b JOIN bytes USING (media_id)
+         |GROUP BY 1, h ORDER BY media_id""".stripMargin,
     "multimodal_features" ->
       s"""SELECT doc_id AS media_id,
          |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -463,6 +647,7 @@ object Multimodal {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_decoded_features" -> decodedFeatures _,
     "multimodal_features" -> features _,
     "multimodal_frame_sample" -> frameSample _,
     "multimodal_phash_dupes" -> phashDupes _,

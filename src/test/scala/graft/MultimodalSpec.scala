@@ -160,4 +160,49 @@ class MultimodalSpec extends SparkSpec {
       .filter(rule(col("media_a")) || rule(col("media_b"))).count() == 0,
       "a fresh probe paired with a forgotten asset's ghost")
   }
+
+  test("BmpCodec: real header/stride decode — handcrafted roundtrip," +
+      " poisoned padding skipped, corrupt headers rejected") {
+    import operators.Multimodal.BmpCodec
+    // two full rows (90 pixel bytes) of known values
+    val px = Array.tabulate[Byte](90)(i => ((i * 7 + 3) % 251).toByte)
+    val bmp = BmpCodec.encode(px)
+    val f = BmpCodec.decodeFeatures(42L, bmp)
+    assert(f.img_w == 15 && f.img_h == 2 && f.n_px == 30)
+    val vals = px.map(_ & 0xff)
+    def chSum(ch: Int) = vals.zipWithIndex
+      .collect { case (v, k) if k % 3 == ch => v.toLong }.sum
+    assert(f.sum_b == chSum(0) && f.sum_g == chSum(1) && f.sum_r == chSum(2))
+    assert(f.max_px == vals.max)
+    assert(f.checksum_w ==
+      vals.zipWithIndex.map { case (v, k) => (k + 1L) * v }.sum)
+    // stride padding is opaque to a REAL decoder: re-poison the pad
+    // bytes with a different value — features must not move (a byte-stat
+    // stub would shift)
+    val repad = bmp.clone()
+    for (r <- 0 until 2; i <- 45 until 48) repad(54 + r * 48 + i) = 0x55
+    assert(BmpCodec.decodeFeatures(42L, repad) == f,
+      "decoder read stride padding into its stats")
+    // header bytes past the parsed fields are likewise not pixel data
+    val hdr = bmp.clone(); hdr(38) = 0x11 // x-resolution, unused by decode
+    assert(BmpCodec.decodeFeatures(42L, hdr) == f,
+      "decoder read header bytes into its stats")
+    // corrupt inputs fail loudly, never serve garbage stats
+    val badMagic = bmp.clone(); badMagic(0) = 'X'
+    intercept[IllegalArgumentException](BmpCodec.decodeFeatures(1L, badMagic))
+    val badBpp = bmp.clone(); badBpp(28) = 8
+    intercept[IllegalArgumentException](BmpCodec.decodeFeatures(1L, badBpp))
+    val badComp = bmp.clone(); badComp(30) = 1
+    intercept[IllegalArgumentException](BmpCodec.decodeFeatures(1L, badComp))
+    intercept[IllegalArgumentException](
+      BmpCodec.decodeFeatures(1L, bmp.take(60)))
+    // empty payload still encodes one zero row
+    val f0 = BmpCodec.decodeFeatures(7L, BmpCodec.encode(Array.empty))
+    assert(f0.img_h == 1 && f0.n_px == 15 && f0.sum_b == 0 &&
+      f0.max_px == 0 && f0.checksum_w == 0)
+    // partial last row: zero-padded pixels, stats unchanged by the pad
+    val f1 = BmpCodec.decodeFeatures(9L, BmpCodec.encode(px.take(50)))
+    assert(f1.img_h == 2 && f1.checksum_w ==
+      vals.take(50).zipWithIndex.map { case (v, k) => (k + 1L) * v }.sum)
+  }
 }

@@ -1935,6 +1935,59 @@ class StreamingSpec extends SparkSpec {
       "recovery compaction changed served rows (crashed build leaked in?)")
   }
 
+  test("withWatermark hourly aggregate: append mode finalizes windows the" +
+      " watermark passed, drops late rows, and matches the batch spelling") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.functions.Deterministic
+    // the genuinely STATEFUL Structured Streaming shape (vs the
+    // library's foreachBatch folds): event-time window state held by
+    // the engine, finalized and emitted only once the watermark passes
+    // the window end, with late data dropped by the engine — the
+    // streaming twin of the batch `events_hourly` spelling
+    def hourly(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = df
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).alias("n_events"),
+        Deterministic.exactSum(col("value"), 2).alias("sum_value"))
+      .select(col("window.start").alias("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
+    val q = hourly(mem.toDF().toDF("ts", "event_type", "value")
+        .withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName("wm_hourly")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val onTime = Seq(
+      (ts("2024-01-01 00:10:00"), "click", 1.25),
+      (ts("2024-01-01 00:40:00"), "click", 2.50),
+      (ts("2024-01-01 01:20:00"), "view", 3.75))
+    try {
+      // batch 1: the early hours plus a 03:05 event that advances the
+      // watermark to 02:05 at batch end
+      mem.addData(onTime :+ ((ts("2024-01-01 03:05:00"), "click", 4.00)): _*)
+      q.processAllAvailable()
+      // batch 2: one LATE row behind the watermark (engine must DROP it
+      // — its window is already finalized) and one on-time hour-3 row
+      // (its window stays open, so it must NOT be emitted yet)
+      mem.addData((ts("2024-01-01 00:30:00"), "click", 999.0),
+        (ts("2024-01-01 03:30:00"), "view", 5.00))
+      q.processAllAvailable()
+    } finally q.stop()
+    def rowSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getTimestamp(0), r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    val served = rowSet(spark.table("wm_hourly"))
+    // exactly the watermark-passed windows were emitted, and the late
+    // 999.0 never entered them: 3 on-time early events, nothing else
+    assert(served.toSeq.map(_._3).sum == 3,
+      s"append output should hold exactly the 3 finalized early events: $served")
+    assert(served.forall(_._4 < 100.0),
+      s"a late row leaked into a finalized window: $served")
+    // parity with the batch spelling over the in-watermark rows
+    assert(served == rowSet(hourly(onTime.toDF("ts", "event_type", "value"))),
+      "streamed finalized windows diverge from the batch spelling")
+  }
+
   test("claim TOCTOU guard: a publish landing between the live listing" +
       " and the claim create fails loudly, releases, and vacuums nothing") {
     val (indexDir, tfDir) = claimFixture("tfclaim4")
