@@ -915,6 +915,28 @@ object TextAnalysis {
         PhraseQueries.toDF("query_id", "p_text"))
     }
 
+  /** POSITIONS-TIER TIME TRAVEL, the [[bm25StoredAsOf]] pattern on the
+    * phrase grain: the stored positional index read AS OF the pre-batch
+    * snapshot (seed only — the batch-0 subdir excluded by the listing
+    * filter, zero data copy) serving the identical phrase arm. With the
+    * tf tier's gate this makes BOTH retrieval index grains
+    * snapshot-addressable — the reproducibility read a training run
+    * pins ("which documents matched this phrase when the corpus
+    * snapshot was cut?"). Oracle = the phrase arm rebuilt from scratch
+    * over exactly the history window.
+    */
+  def phraseStoredAsOf(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoized(s"textanalysis.phraseStoredAsof:$sfDir") {
+      import spark.implicits._
+      import graft.streaming.EventStream
+      // build (or find, marker-gated) the stored index + its batch fold
+      phraseStoredTopDocs(spark, sfDir)
+      val indexDir = Layout.tmpPath("graft-posstore", sfDir)
+      phraseTopDocsFromPositions(
+        EventStream.posIndexReadAsOf(spark, indexDir, asOfBatch = -1L),
+        PhraseQueries.toDF("query_id", "p_text"))
+    }
+
   /** [[phraseTopDocs]] over any (doc_id, text) + (query_id, p_text)
     * frames — the planted adjacent-vs-scattered spec drives this
     * factored core directly.
@@ -1036,7 +1058,14 @@ object TextAnalysis {
     * `generate_subscripts` is itself an unnest macro and would nest),
     * the start-vote count(DISTINCT k) = len rule is the same arithmetic.
     */
-  private lazy val phraseTop5OracleSql: String = {
+  private lazy val phraseTop5OracleSql: String =
+    phraseTop5OracleSqlOver("documents")
+
+  /** [[phraseTop5OracleSql]] parameterized by the document window — the
+    * positions-tier as-of gate replays the arm over the snapshot's
+    * window (the [[bm25RankedCteOver]] discipline).
+    */
+  private def phraseTop5OracleSqlOver(docsFrom: String): String = {
     val values = PhraseQueries.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
     s"""WITH phrases(query_id, p_text) AS (VALUES $values),
        |pw0 AS (SELECT query_id, string_split(p_text, ' ') AS t FROM phrases),
@@ -1046,7 +1075,7 @@ object TextAnalysis {
        |         unnest(t) AS term,
        |         len(t) AS len
        |  FROM pw0),
-       |tp0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |tp0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM $docsFrom),
        |tp AS (
        |  SELECT doc_id,
        |         unnest(range(len(t))) AS pos,
@@ -1720,6 +1749,10 @@ object TextAnalysis {
     // the stored-index gate's oracle IS the session query's oracle:
     // passing both proves stored-positions serving ≡ tokenize-at-query
     "phrase_stored_top_docs" -> phraseTop5OracleSql,
+    // the phrase arm rebuilt over EXACTLY the as-of snapshot's window
+    // (seed = history docs) — see [[phraseStoredAsOf]]
+    "phrase_stored_asof" -> phraseTop5OracleSqlOver(
+      "(SELECT doc_id, text FROM documents WHERE doc_id % 10 != 9) d"),
     "text_tfidf_top_terms" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -1766,6 +1799,7 @@ object TextAnalysis {
     "bm25_stored_asof"     -> bm25StoredAsOf _,
     "phrase_top_docs" -> phraseTopDocs _,
     "phrase_stored_top_docs" -> phraseStoredTopDocs _,
+    "phrase_stored_asof"     -> phraseStoredAsOf _,
     "proximity_top_docs" -> proximityTopDocs _,
     "text_surprisal_quality" -> surprisalQuality _,
   )

@@ -115,7 +115,19 @@ class PlanHygieneSpec extends SparkSpec {
       // as a diagnostic (min-d2 per vector — ivf_ann_cosine's deliberate
       // broadcast scoring shape, paid as a byproduct of assignment in a
       // deployment)
-      "ann_drift_report")
+      "ann_drift_report",
+      // the filtered-ANN gate embeds the brute top-5 over predicate
+      // survivors it is measured against (|Q|·N by definition) and the
+      // IVF-PQ index's deliberate broadcasts; the served path itself is
+      // equi-joins + a broadcast candidate list
+      "ann_filtered_recall_at_5",
+      // the retrain gate trains (N·C Lloyd assignment per round, twice:
+      // frozen + retrained), serves via the same assignment, and embeds
+      // the brute baseline over the planted corpus — all deliberate
+      "ann_retrain_recall",
+      // the as-of stored BM25 serves the identical probe plan as
+      // bm25_stored_top_docs (two single-row aggregate broadcasts)
+      "bm25_stored_asof")
     for ((name, plan) <- executedPlans if !allowed(name)) {
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name unexpectedly plans a BroadcastNestedLoopJoin:\n${plan.take(800)}")

@@ -890,4 +890,18 @@ class ScalePostureSpec extends SparkSpec {
       "changes(0,1] must scan b1's files and nothing else — " +
         s"got ${chg.inputFiles.mkString(", ")}")
   }
+
+  test("bm25_stored_asof scans ONLY the seed snapshot's files") {
+    // the retrieval-tier zero-copy claim as a gate fact: the registered
+    // as-of serving must read the seed subdir alone — a plan that also
+    // enumerates the batch fold's files would pay tonight's I/O for a
+    // yesterday question
+    import graft.operators.{Layout, TextAnalysis}
+    TextAnalysis.bm25StoredAsOf(spark, sf).collect()
+    val indexDir = Layout.tmpPath("graft-tfstore", sf)
+    val tf = streaming.EventStream.tfIndexReadAsOf(spark, indexDir, -1L)
+    assert(tf.inputFiles.nonEmpty &&
+      tf.inputFiles.forall(_.contains("/seed/")),
+      s"as-of −1 must scan the seed only — got ${tf.inputFiles.take(5).mkString(", ")}")
+  }
 }

@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """Run one sbt-launched Bench at sf0.1 and append the result as a run
-entry to BENCH_ANCHOR_r17.json, recording load brackets (the r13
+entry to BENCH_ANCHOR_r18.json, recording load brackets (the r13
 quiet-window anchor discipline: separate JVMs, best-measured-loop
 semantics, load before/after so a contended window is inspectable).
 
@@ -11,7 +11,7 @@ import os
 import subprocess
 import sys
 
-ANCHOR = "BENCH_ANCHOR_r17.json"
+ANCHOR = "BENCH_ANCHOR_r18.json"
 TOP_N = 40
 
 
