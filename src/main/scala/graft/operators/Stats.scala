@@ -463,12 +463,14 @@ object Stats {
       .orderBy("return_flag")
 
   private def olsBetas(spark: SparkSession, sfDir: String): DataFrame =
-    // memoized: both registered consumers (lineitem_ols_multi and
-    // lineitem_residual_outliers) train the same 3-row model — one
-    // lineitem aggregation pass serves both, the shared-stage
-    // discipline every other multi-consumer frame follows
+    // memoized + session-persisted: both registered consumers
+    // (lineitem_ols_multi and lineitem_residual_outliers) train the
+    // same 3-row model — the persist makes the lineitem aggregation
+    // pass run ONCE and the 3-row result serve both, the shared-stage
+    // discipline every other multi-consumer frame follows (memoized
+    // alone would only dedup the plan object, not the computation)
     graft.CacheLifecycle.memoized(s"stats.olsBetas:$sfDir")(
-      olsBetasBuild(spark, sfDir))
+      graft.CacheLifecycle.sessionPersist(olsBetasBuild(spark, sfDir)))
 
   private def olsBetasBuild(spark: SparkSession, sfDir: String): DataFrame = {
     val s = olsSums(spark, sfDir)
