@@ -1059,6 +1059,55 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
   }
 
+  /** THE PRE-FILTER STRATEGY as its own registered rung — the other
+    * arm of the filtered-ANN crossover: restrict the candidate set to
+    * predicate survivors BEFORE any scoring (an id-keyed semi-join of
+    * the cells table against the survivor list — at the limit this is
+    * a per-tenant partition of the index), then exact-score every
+    * surviving same-cell candidate. Per query this examines
+    * sel·(N/C) candidates — it GROWS with the corpus, so it is the
+    * right shape exactly when the predicate is sharp (a rare tenant:
+    * tiny survivor set, over-fetch would need k/sel candidates) or
+    * baked into the index layout; the post-filter over-fetch rung
+    * ([[annFilteredRecallAt5]]) caps work at k·f regardless of corpus
+    * size and wins for mild predicates at scale. Registered side by
+    * side, the two rungs make the crossover a measured pair, and the
+    * spec pins the containment theorem: over-fetch candidates ⊆ the
+    * pre-filter candidate set (both draw from the query's cell), so
+    * pre-filter recall dominates per query — it is the recall CEILING
+    * of nprobe=1 filtered serving, at ~sel·(N/C)/(k·f) times the
+    * exact-scoring cost.
+    */
+  def annPrefilteredRecallAt5(spark: SparkSession, sfDir: String): DataFrame =
+    recallTailAgainst(
+      bruteTop5PairsFiltered(spark, sfDir),
+      ivfPrefilteredTop5(spark, sfDir),
+      countName = "n_exact")
+
+  private[graft] def ivfPrefilteredTop5(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val cells = assignedCells(spark, sfDir)
+    val probes = cells.filter(col("vec_id") < 10)
+      .select(col("vec_id").alias("query_id"), col("cell").alias("qcell"),
+        col("v").alias("qv"), col("n2").alias("qn2"))
+    // the PRE-filter: survivors only, before any candidate scoring —
+    // an id-keyed equi-join, never a scan of non-survivor vectors
+    val survivorCells = cells.join(
+      quantized(spark, sfDir).filter(annFilterPred(col("label")))
+        .select(col("vec_id")),
+      Seq("vec_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    survivorCells.join(broadcast(probes),
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").alias("neighbor_id"),
+        V.qcosineFrom(V.qdot(col("qv"), col("v")), col("qn2"), col("n2"))
+          .alias("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
   /** The NAIVE post-filter arm (spec-only): serve the unfiltered
     * production top-5 at the same candidate budget, THEN filter — the
     * strategy over-fetch dominates (often < 5 survivors per query).
@@ -2487,6 +2536,42 @@ object Similarity {
          |    ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
          |  GROUP BY 2)
          |ORDER BY mode, query_id""".stripMargin,
+    // the pre-filter arm: survivors-only candidate set (id-keyed join
+    // BEFORE scoring), exact rank within the query's cell — against the
+    // same filtered-brute baseline (see [[annPrefilteredRecallAt5]])
+    "ann_prefiltered_recall_at_5" ->
+      s"""WITH $quantizedSql,
+         |$cellsSql,
+         |pserved AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY p.vec_id
+         |             ORDER BY ${V.qdotSql("p.v", "c.v", Dim)}
+         |                        / (sqrt(p.n2) * sqrt(c.n2)) DESC,
+         |                      c.vec_id ASC) AS rank
+         |    FROM cells p
+         |    JOIN cells c ON c.cell = p.cell AND c.vec_id != p.vec_id
+         |    JOIN qn n ON n.vec_id = c.vec_id
+         |    WHERE p.vec_id < 10
+         |      AND ${AnnFilterKeepSql.replace("label", "n.label")})
+         |  WHERE rank <= 5),
+         |fbrute AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY a.vec_id
+         |             ORDER BY $qdotAB / (sqrt(a.n2) * sqrt(b.n2)) DESC,
+         |                      b.vec_id ASC) AS rank
+         |    FROM qn a JOIN qn b
+         |      ON a.vec_id < 10 AND b.vec_id != a.vec_id
+         |     AND ${AnnFilterKeepSql.replace("label", "b.label")})
+         |  WHERE rank <= 5)
+         |SELECT b.query_id AS query_id,
+         |       CAST(count(*) AS BIGINT) AS n_exact,
+         |       CAST(count(p.neighbor_id) AS BIGINT) AS n_hits,
+         |       CAST(count(p.neighbor_id) AS DOUBLE) / count(*) AS recall_at_5
+         |FROM fbrute b LEFT JOIN pserved p
+         |  ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+         |GROUP BY 1 ORDER BY query_id""".stripMargin,
     // the filtered serving path replayed end-to-end: ADC top-overfetch,
     // predicate decimation, exact re-rank of survivors, top-5 — against
     // brute top-5 over predicate survivors (see [[annFilteredRecallAt5]])
@@ -2733,6 +2818,7 @@ object Similarity {
     "mrl_truncation_recall_at_5" -> mrlRecallAt5 _,
     "mrl_rerank_recall_at_5"  -> mrlRerankRecallAt5 _,
     "ann_filtered_recall_at_5" -> annFilteredRecallAt5 _,
+    "ann_prefiltered_recall_at_5" -> annPrefilteredRecallAt5 _,
     "ann_retrain_recall"      -> annRetrainRecall _,
   )
 }

@@ -418,23 +418,55 @@ object Stats {
     * order-independent, map-side combinable, and small enough that the
     * 3×3 solve happens in the SELECT, not on the driver.
     */
-  private def olsSums(spark: SparkSession, sfDir: String): DataFrame = {
+  private val OlsSumCols =
+    Seq("n", "sx2", "sx3", "sx22", "sx23", "sx33", "sy", "sx2y", "sx3y")
+
+  /** The quantized regression rows — one spelling of the exact-integer
+    * inputs for every OLS consumer (full-corpus sums, the split-grouped
+    * incremental gate).
+    */
+  private def olsQuantized(spark: SparkSession, sfDir: String): DataFrame = {
     val dec = DecimalType(38, 0)
-    val x2 = Deterministic.quantize(col("l_quantity"), 0).cast(dec)
-    val x3 = Deterministic.quantize(col("l_discount"), 2).cast(dec)
-    val y = Deterministic.quantize(col("l_extendedprice"), 2).cast(dec)
     Tables.lineitem(spark, sfDir)
       .select(col("l_returnflag").alias("return_flag"),
-        x2.alias("x2"), x3.alias("x3"), y.alias("y"))
-      .groupBy(col("return_flag"))
-      .agg(count(lit(1)).cast(dec).alias("n"),
-        sum(col("x2")).alias("sx2"), sum(col("x3")).alias("sx3"),
-        sum(col("x2") * col("x2")).alias("sx22"),
-        sum(col("x2") * col("x3")).alias("sx23"),
-        sum(col("x3") * col("x3")).alias("sx33"),
-        sum(col("y")).alias("sy"),
-        sum(col("x2") * col("y")).alias("sx2y"),
-        sum(col("x3") * col("y")).alias("sx3y"))
+        col("l_orderkey"),
+        Deterministic.quantize(col("l_quantity"), 0).cast(dec).alias("x2"),
+        Deterministic.quantize(col("l_discount"), 2).cast(dec).alias("x3"),
+        Deterministic.quantize(col("l_extendedprice"), 2).cast(dec).alias("y"))
+  }
+
+  /** The nine normal-equation aggregates over an arbitrary grouping —
+    * shared by the full-corpus pass and the per-arrival-split pass.
+    */
+  private def olsAgg(
+      g: org.apache.spark.sql.RelationalGroupedDataset): DataFrame = {
+    val dec = DecimalType(38, 0)
+    g.agg(count(lit(1)).cast(dec).alias("n"),
+      sum(col("x2")).alias("sx2"), sum(col("x3")).alias("sx3"),
+      sum(col("x2") * col("x2")).alias("sx22"),
+      sum(col("x2") * col("x3")).alias("sx23"),
+      sum(col("x3") * col("x3")).alias("sx33"),
+      sum(col("y")).alias("sy"),
+      sum(col("x2") * col("y")).alias("sx2y"),
+      sum(col("x3") * col("y")).alias("sx3y"))
+  }
+
+  private def olsSums(spark: SparkSession, sfDir: String): DataFrame =
+    olsAgg(olsQuantized(spark, sfDir).groupBy(col("return_flag")))
+
+  /** Merge an OLS sufficient-statistics delta into the maintained sums
+    * table: every statistic is an exact-integer SUM over rows, so the
+    * merge over disjoint row sets is a keyed full-outer join + decimal
+    * addition — the [[graft.operators.TextAnalysis]] `mergeTermStats` /
+    * totals-merge algebra on the model-training tier. Negating a delta
+    * erases it (the aggregate-space right-to-be-forgotten direction).
+    */
+  private[graft] def mergeOlsSums(state: DataFrame, delta: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    state.alias("s").join(delta.alias("d"), Seq("return_flag"), "full_outer")
+      .select(col("return_flag") +: OlsSumCols.map(c =>
+        (coalesce(col(s"s.$c"), lit(0)) + coalesce(col(s"d.$c"), lit(0)))
+          .cast(dec).alias(c)): _*)
   }
 
   /** MULTIVARIATE OLS in closed form — fit `extendedprice ~ quantity +
@@ -472,8 +504,46 @@ object Stats {
     graft.CacheLifecycle.memoized(s"stats.olsBetas:$sfDir")(
       graft.CacheLifecycle.sessionPersist(olsBetasBuild(spark, sfDir)))
 
-  private def olsBetasBuild(spark: SparkSession, sfDir: String): DataFrame = {
-    val s = olsSums(spark, sfDir)
+  private def olsBetasBuild(spark: SparkSession, sfDir: String): DataFrame =
+    olsBetasFromSums(olsSums(spark, sfDir))
+
+  /** INCREMENTAL MODEL MAINTENANCE — the EIGHTH "incremental ≡ rebuild"
+    * gate, on the training tier: the OLS model retrains from MAINTAINED
+    * sufficient statistics without rescanning history. The nine
+    * normal-equation sums are exact-integer aggregates, additive over
+    * disjoint row sets, so a nightly batch folds its nine-sum delta
+    * into the maintained (flag → sums) table by keyed addition
+    * ([[mergeOlsSums]]) and the closed-form solve
+    * ([[olsBetasFromSums]]) re-derives the betas from the table alone
+    * — O(|flags|) retraining. History (l_orderkey % 10 ≠ 9) plays the
+    * maintained table, the batch folds in, and the oracle is
+    * `lineitem_ols_multi`'s full-corpus SQL VERBATIM: additivity over
+    * the split is the theorem under test, and it holds EXACTLY
+    * (integer sums — no floating-point reassociation caveat).
+    *
+    * 100 TB shape: the fixture computes both partials in ONE grouped
+    * pass (the split keys the aggregation); a deployment reads the
+    * maintained sums table and aggregates only the batch. Erasure in
+    * aggregate space follows for free: fold the forgotten rows' delta
+    * NEGATED through the same merge (the `text_df_forget` direction).
+    */
+  def lineitemOlsIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = olsAgg(olsQuantized(spark, sfDir)
+      .withColumn("is_batch", col("l_orderkey") % 10 === 9)
+      .groupBy(col("return_flag"), col("is_batch")))
+    def side(batch: Boolean) =
+      parts.filter(col("is_batch") === batch).drop("is_batch")
+    olsBetasFromSums(mergeOlsSums(side(batch = false), side(batch = true)))
+      .select(col("return_flag"), col("n"), col("intercept_micro"),
+        col("coef_qty_micro"), col("coef_disc_micro"))
+      .orderBy("return_flag")
+  }
+
+  /** The closed-form Cramer solve over any (flag → nine sums) frame —
+    * ONE spelling behind the full-corpus model and the
+    * maintained-statistics retrain.
+    */
+  private def olsBetasFromSums(s: DataFrame): DataFrame = {
     // minor M = sx22*sx33 − sx23² appears in det and det0 — spelled once
     val detRaw = col("n") * (col("sx22") * col("sx33") - col("sx23") * col("sx23")) -
       col("sx2") * (col("sx2") * col("sx33") - col("sx23") * col("sx3")) +
@@ -590,6 +660,14 @@ object Stats {
 
   val oracles: Map[String, String] = Map(
     "lineitem_ols_multi" ->
+      s"""WITH $olsBetasCteSql
+         |SELECT return_flag, n, intercept_micro, coef_qty_micro,
+         |       coef_disc_micro
+         |FROM betas ORDER BY return_flag""".stripMargin,
+    // the full-corpus solve VERBATIM — additivity of the nine integer
+    // sums over the history/batch split is the theorem under test
+    // (see [[lineitemOlsIncremental]])
+    "lineitem_ols_incremental" ->
       s"""WITH $olsBetasCteSql
          |SELECT return_flag, n, intercept_micro, coef_qty_micro,
          |       coef_disc_micro
@@ -856,6 +934,7 @@ object Stats {
     "lineitem_moments"        -> lineitemMoments _,
     "lineitem_regression"     -> lineitemRegression _,
     "lineitem_ols_multi"      -> lineitemOlsMulti _,
+    "lineitem_ols_incremental" -> lineitemOlsIncremental _,
     "lineitem_residual_outliers" -> lineitemResidualOutliers _,
   )
 }

@@ -121,6 +121,9 @@ class PlanHygieneSpec extends SparkSpec {
       // IVF-PQ index's deliberate broadcasts; the served path itself is
       // equi-joins + a broadcast candidate list
       "ann_filtered_recall_at_5",
+      // the pre-filter rung reads the same deliberate N·C cell
+      // assignment and embeds the same filtered brute baseline
+      "ann_prefiltered_recall_at_5",
       // the retrain gate trains (N·C Lloyd assignment per round, twice:
       // frozen + retrained), serves via the same assignment, and embeds
       // the brute baseline over the planted corpus — all deliberate

@@ -753,6 +753,16 @@ class SimilaritySpec extends SparkSpec {
       assert(over40(qid) >= over20(qid),
         s"query $qid: deeper over-fetch lost hits (${over40(qid)} < ${over20(qid)})")
     }
+    // the pre-filter rung is the nprobe=1 recall CEILING: over-fetch
+    // candidates ⊆ the query's cell ⊇-filtered survivors (the
+    // pre-filter candidate set), and exact scoring of a superset can
+    // only gain baseline hits
+    val pre = hitsPerQuery(pairSet(Similarity.ivfPrefilteredTop5(spark, sf)))
+    (0L until 10L).foreach { qid =>
+      assert(pre(qid) >= over40(qid),
+        s"query $qid: pre-filter ${pre(qid)} < over-fetch ${over40(qid)} — " +
+          "containment theorem broken")
+    }
   }
 
   test("ann_retrain_recall: the registered report shows the recovery —" +
