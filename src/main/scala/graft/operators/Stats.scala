@@ -528,9 +528,13 @@ object Stats {
     * NEGATED through the same merge (the `text_df_forget` direction).
     */
   def lineitemOlsIncremental(spark: SparkSession, sfDir: String): DataFrame = {
-    val parts = olsAgg(olsQuantized(spark, sfDir)
-      .withColumn("is_batch", col("l_orderkey") % 10 === 9)
-      .groupBy(col("return_flag"), col("is_batch")))
+    // persisted: the state and delta sides both read this |flags|·2-row
+    // partials frame — without the pin each side would re-run the
+    // lineitem aggregation (the plan is a DAG only through the cache)
+    val parts = graft.CacheLifecycle.sessionPersist(
+      olsAgg(olsQuantized(spark, sfDir)
+        .withColumn("is_batch", col("l_orderkey") % 10 === 9)
+        .groupBy(col("return_flag"), col("is_batch"))))
     def side(batch: Boolean) =
       parts.filter(col("is_batch") === batch).drop("is_batch")
     olsBetasFromSums(mergeOlsSums(side(batch = false), side(batch = true)))
