@@ -452,7 +452,12 @@ object Stats {
   }
 
   private def olsSums(spark: SparkSession, sfDir: String): DataFrame =
-    olsAgg(olsQuantized(spark, sfDir).groupBy(col("return_flag")))
+    // memoized + persisted: this IS the maintained sufficient-statistics
+    // table — the full-corpus betas read it, and the erasure gate folds
+    // its negated delta against it, so the corpus aggregation runs once
+    graft.CacheLifecycle.memoized(s"stats.olsSums:$sfDir")(
+      graft.CacheLifecycle.sessionPersist(
+        olsAgg(olsQuantized(spark, sfDir).groupBy(col("return_flag")))))
 
   /** Merge an OLS sufficient-statistics delta into the maintained sums
     * table: every statistic is an exact-integer SUM over rows, so the
@@ -543,6 +548,44 @@ object Stats {
       .orderBy("return_flag")
   }
 
+  /** The erasure rule of the OLS forget gate — a deterministic order
+    * cohort playing the GDPR request queue; ONE spelling for the Spark
+    * side and (interpolated) the oracle.
+    */
+  private[graft] def olsForgottenRule(orderKey: Column): Column =
+    orderKey % 13 === 5
+
+  private val OlsForgetKeepSql = "NOT (l_orderkey % 13 = 5)"
+
+  /** ERASURE IN AGGREGATE SPACE ON THE TRAINING TIER — the gate form of
+    * [[lineitemOlsIncremental]]'s closing claim: forgetting rows from a
+    * maintained model is not a row deletion — the sufficient statistics
+    * are SUMS, so erasure aggregates ONLY the forgotten rows and folds
+    * their nine-sum delta in NEGATED through the exact same merge the
+    * maintenance fold applies (additivity works in both directions over
+    * disjoint row sets), then re-derives the betas from the table —
+    * the model provably forgets the cohort without a history rescan.
+    * The maintained table is the session [[olsSums]] frame (shared with
+    * the full-corpus model — built independently of the forgotten-side
+    * aggregation, so the gate exercises real subtraction, not algebraic
+    * cancellation); the oracle retrains from scratch over SURVIVORS, so
+    * subtract-fold ≡ filter-rebuild is the theorem — exact, because the
+    * sums are integers (the `text_df_forget` direction, on the tier
+    * where the erased artifact is a trained model's coefficients).
+    */
+  def lineitemOlsForget(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val forgotten = olsAgg(
+      olsQuantized(spark, sfDir).filter(olsForgottenRule(col("l_orderkey")))
+        .groupBy(col("return_flag")))
+    val negated = forgotten.select(col("return_flag") +: OlsSumCols.map(c =>
+      (-col(c)).cast(dec).alias(c)): _*)
+    olsBetasFromSums(mergeOlsSums(olsSums(spark, sfDir), negated))
+      .select(col("return_flag"), col("n"), col("intercept_micro"),
+        col("coef_qty_micro"), col("coef_disc_micro"))
+      .orderBy("return_flag")
+  }
+
   /** The closed-form Cramer solve over any (flag → nine sums) frame —
     * ONE spelling behind the full-corpus model and the
     * maintained-statistics retrain.
@@ -627,12 +670,17 @@ object Stats {
     * DECIMAL(38,0): the determinant arithmetic is exact on both, and the
     * only doubles are the final divisions, written in the same order.
     */
-  private val olsBetasCteSql =
-    """q AS (SELECT l_returnflag AS return_flag,
+  private val olsBetasCteSql = olsBetasCteSqlOver("lineitem")
+
+  /** [[olsBetasCteSql]] parameterized by the row window — the erasure
+    * gate replays the solve over SURVIVORS only.
+    */
+  private def olsBetasCteSqlOver(from: String): String =
+    s"""q AS (SELECT l_returnflag AS return_flag,
       |             CAST(round(l_quantity * 1e0) AS BIGINT) AS x2,
       |             CAST(round(l_discount * 1e2) AS BIGINT) AS x3,
       |             CAST(round(l_extendedprice * 1e2) AS BIGINT) AS y
-      |      FROM lineitem),
+      |      FROM $from),
       |s AS (SELECT return_flag,
       |             CAST(count(*) AS HUGEINT) AS n,
       |             CAST(sum(x2) AS HUGEINT) AS sx2,
@@ -673,6 +721,14 @@ object Stats {
     // (see [[lineitemOlsIncremental]])
     "lineitem_ols_incremental" ->
       s"""WITH $olsBetasCteSql
+         |SELECT return_flag, n, intercept_micro, coef_qty_micro,
+         |       coef_disc_micro
+         |FROM betas ORDER BY return_flag""".stripMargin,
+    // retrain-from-scratch over SURVIVORS — subtract-fold ≡
+    // filter-rebuild is the theorem (see [[lineitemOlsForget]])
+    "lineitem_ols_forget" ->
+      s"""WITH ${olsBetasCteSqlOver(
+             s"(SELECT * FROM lineitem WHERE $OlsForgetKeepSql) l")}
          |SELECT return_flag, n, intercept_micro, coef_qty_micro,
          |       coef_disc_micro
          |FROM betas ORDER BY return_flag""".stripMargin,
@@ -939,6 +995,7 @@ object Stats {
     "lineitem_regression"     -> lineitemRegression _,
     "lineitem_ols_multi"      -> lineitemOlsMulti _,
     "lineitem_ols_incremental" -> lineitemOlsIncremental _,
+    "lineitem_ols_forget"     -> lineitemOlsForget _,
     "lineitem_residual_outliers" -> lineitemResidualOutliers _,
   )
 }

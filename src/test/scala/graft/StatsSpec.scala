@@ -439,4 +439,30 @@ class StatsSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), plan.take(500))
     assert(!plan.contains("Window"), "window sort crept into the sample plan")
   }
+
+  test("OLS maintenance gates: incremental equals the full model exactly;" +
+      " the erasure fold materially changes it") {
+    import operators.Stats
+    def byFlag(name: String) = q(name).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val full = byFlag("lineitem_ols_multi")
+    // additivity of the integer sums is EXACT — no tolerance
+    assert(byFlag("lineitem_ols_incremental") == full,
+      "maintained-statistics retrain diverged from the full-corpus model")
+    val erased = byFlag("lineitem_ols_forget")
+    assert(erased.keySet == full.keySet)
+    // the cohort is non-empty at this fixture and the model really moved:
+    // row counts drop for every flag, and at least one coefficient changes
+    // (a forget gate that provably changes nothing would be vacuous)
+    val nForgotten = Tables.lineitem(spark, sf)
+      .filter(Stats.olsForgottenRule(col("l_orderkey"))).count()
+    assert(nForgotten > 0, "erasure rule matches no rows — fixture drift?")
+    full.keySet.foreach { f =>
+      assert(erased(f)._1 < full(f)._1, s"flag $f row count did not drop")
+    }
+    assert(full.exists { case (f, v) =>
+      (v._2, v._3, v._4) != (erased(f)._2, erased(f)._3, erased(f)._4) },
+      "forgetting the cohort left every coefficient bit-identical")
+  }
 }
