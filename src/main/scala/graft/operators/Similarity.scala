@@ -1084,6 +1084,64 @@ object Similarity {
       ivfPrefilteredTop5(spark, sfDir),
       countName = "n_exact")
 
+  /** Per-query top-`nprobe` probe cells — the [[ivf]] probe block
+    * factored for the filtered rungs (identical scoring and tie-break,
+    * so nprobe=1 reproduces the cells table's own argmax).
+    */
+  private def probeCells(spark: SparkSession, sfDir: String,
+      nprobe: Int): DataFrame = {
+    val base = quantized(spark, sfDir)
+    val cents = base.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").alias("c_id"), col("v").alias("cv"), col("n2").alias("cn2"))
+    val wp = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_score").desc, col("c_id").asc)
+    base.filter(col("vec_id") < 10).join(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("n2"), col("c_id"),
+        V.qcosineFrom(V.qdot(col("v"), col("cv")), col("n2"), col("cn2"))
+          .alias("c_score"))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").alias("query_id"), col("v").alias("qv"),
+        col("n2").alias("qn2"), col("c_id").alias("qcell"))
+  }
+
+  /** THE FILTERED-RECALL RECOVERY KNOB — pre-filter serving at
+    * nprobe=2: the filtered rungs' recall ceiling is candidate-bound
+    * (at nprobe=1 a filtered query can only ever see its own cell's
+    * survivors, and the predicate halves them), and the standard IVF
+    * answer is to probe more cells. Each query's TWO nearest centroid
+    * cells contribute survivors to the exact ranking; candidates remain
+    * ~2·sel·(N/C) — the corpus is never scanned. Registered beside the
+    * nprobe=1 rung so the knob's recall effect on FILTERED serving is a
+    * measured pair (the `ivf_ann_nprobe2` discipline, on the filtered
+    * tier); the spec pins per-query monotonicity (candidates grow ⊇,
+    * exact scoring ⇒ hits can only grow).
+    */
+  def annPrefilteredNprobe2RecallAt5(spark: SparkSession,
+      sfDir: String): DataFrame =
+    recallTailAgainst(
+      bruteTop5PairsFiltered(spark, sfDir),
+      ivfPrefilteredTop5Nprobe(spark, sfDir, nprobe = 2),
+      countName = "n_exact")
+
+  private[graft] def ivfPrefilteredTop5Nprobe(spark: SparkSession,
+      sfDir: String, nprobe: Int): DataFrame = {
+    val survivorCells = assignedCells(spark, sfDir).join(
+      quantized(spark, sfDir).filter(annFilterPred(col("label")))
+        .select(col("vec_id")),
+      Seq("vec_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    survivorCells.join(broadcast(probeCells(spark, sfDir, nprobe)),
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").alias("neighbor_id"),
+        V.qcosineFrom(V.qdot(col("qv"), col("v")), col("qn2"), col("n2"))
+          .alias("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
   private[graft] def ivfPrefilteredTop5(spark: SparkSession,
       sfDir: String): DataFrame = {
     val cells = assignedCells(spark, sfDir)
@@ -2536,6 +2594,42 @@ object Similarity {
          |    ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
          |  GROUP BY 2)
          |ORDER BY mode, query_id""".stripMargin,
+    // pre-filter at nprobe=2: probes = each query's top-2 centroid
+    // cells (the cells CTE's own assign chain, rn <= 2), survivors from
+    // BOTH cells exact-ranked (see [[annPrefilteredNprobe2RecallAt5]])
+    "ann_prefiltered_nprobe2_recall_at_5" ->
+      s"""WITH $quantizedSql,
+         |$cellsSql,
+         |p2served AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY p.vec_id
+         |             ORDER BY ${V.qdotSql("p.v", "c.v", Dim)}
+         |                        / (sqrt(p.n2) * sqrt(c.n2)) DESC,
+         |                      c.vec_id ASC) AS rank
+         |    FROM (SELECT vec_id, v, n2, c_id FROM assign
+         |          WHERE vec_id < 10 AND rn <= 2) p
+         |    JOIN cells c ON c.cell = p.c_id AND c.vec_id != p.vec_id
+         |    JOIN qn n ON n.vec_id = c.vec_id
+         |    WHERE ${AnnFilterKeepSql.replace("label", "n.label")})
+         |  WHERE rank <= 5),
+         |fbrute AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY a.vec_id
+         |             ORDER BY $qdotAB / (sqrt(a.n2) * sqrt(b.n2)) DESC,
+         |                      b.vec_id ASC) AS rank
+         |    FROM qn a JOIN qn b
+         |      ON a.vec_id < 10 AND b.vec_id != a.vec_id
+         |     AND ${AnnFilterKeepSql.replace("label", "b.label")})
+         |  WHERE rank <= 5)
+         |SELECT b.query_id AS query_id,
+         |       CAST(count(*) AS BIGINT) AS n_exact,
+         |       CAST(count(p.neighbor_id) AS BIGINT) AS n_hits,
+         |       CAST(count(p.neighbor_id) AS DOUBLE) / count(*) AS recall_at_5
+         |FROM fbrute b LEFT JOIN p2served p
+         |  ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+         |GROUP BY 1 ORDER BY query_id""".stripMargin,
     // the pre-filter arm: survivors-only candidate set (id-keyed join
     // BEFORE scoring), exact rank within the query's cell — against the
     // same filtered-brute baseline (see [[annPrefilteredRecallAt5]])
@@ -2819,6 +2913,7 @@ object Similarity {
     "mrl_rerank_recall_at_5"  -> mrlRerankRecallAt5 _,
     "ann_filtered_recall_at_5" -> annFilteredRecallAt5 _,
     "ann_prefiltered_recall_at_5" -> annPrefilteredRecallAt5 _,
+    "ann_prefiltered_nprobe2_recall_at_5" -> annPrefilteredNprobe2RecallAt5 _,
     "ann_retrain_recall"      -> annRetrainRecall _,
   )
 }

@@ -121,9 +121,11 @@ class PlanHygieneSpec extends SparkSpec {
       // IVF-PQ index's deliberate broadcasts; the served path itself is
       // equi-joins + a broadcast candidate list
       "ann_filtered_recall_at_5",
-      // the pre-filter rung reads the same deliberate N·C cell
-      // assignment and embeds the same filtered brute baseline
-      "ann_prefiltered_recall_at_5",
+      // the pre-filter rungs read the same deliberate N·C cell
+      // assignment (nprobe=2 also scores the 10-query probe block
+      // against the centroid table) and embed the same filtered brute
+      // baseline
+      "ann_prefiltered_recall_at_5", "ann_prefiltered_nprobe2_recall_at_5",
       // the retrain gate trains (N·C Lloyd assignment per round, twice:
       // frozen + retrained), serves via the same assignment, and embeds
       // the brute baseline over the planted corpus — all deliberate

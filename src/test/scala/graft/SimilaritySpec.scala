@@ -763,6 +763,17 @@ class SimilaritySpec extends SparkSpec {
         s"query $qid: pre-filter ${pre(qid)} < over-fetch ${over40(qid)} — " +
           "containment theorem broken")
     }
+    // nprobe is the filtered-recall recovery knob: probing the second
+    // cell grows the survivor candidate set ⊇, so hits are monotone
+    val pre2 = hitsPerQuery(pairSet(
+      Similarity.ivfPrefilteredTop5Nprobe(spark, sf, nprobe = 2)))
+    (0L until 10L).foreach { qid =>
+      assert(pre2(qid) >= pre(qid),
+        s"query $qid: nprobe=2 lost hits (${pre2(qid)} < ${pre(qid)})")
+    }
+    assert(pre2.values.sum > pre.values.sum,
+      s"nprobe=2 ${pre2.values.sum} !> nprobe=1 ${pre.values.sum} — " +
+        "the second probe cell contributed nothing at this fixture")
   }
 
   test("ann_retrain_recall: the registered report shows the recovery —" +
