@@ -947,7 +947,8 @@ object EventStream {
   def minhashIngestDedup(docsStream: DataFrame, historyDocs: DataFrame,
       pairsOutDir: String, indexDir: String,
       checkpointDir: Option[String] = None,
-      autoCompactAfter: Option[Int] = None): StreamingQuery = {
+      autoCompactAfter: Option[Int] = None,
+      expireKeepSnapshots: Option[Int] = None): StreamingQuery = {
     import graft.operators.Dedup
     val spark = docsStream.sparkSession
     val shDir = s"$indexDir/shingles"
@@ -962,6 +963,11 @@ object EventStream {
         // a replayed no-op batch still relieves file-count pressure
         autoCompactAfter.foreach(k =>
           compactIngestIndexIfCrowded(spark, indexDir, pairsOutDir, k))
+        // retention after compaction — the tf stream's hook discipline
+        expireKeepSnapshots.foreach { k =>
+          Seq(s"$indexDir/shingles", s"$indexDir/bands", pairsOutDir)
+            .foreach(d => expireSnapshots(spark, d, keepLast = k))
+        }
       }
       .start()
   }
@@ -1280,7 +1286,8 @@ object EventStream {
   def clusterIngestDedup(docsStream: DataFrame, historyDocs: DataFrame,
       pairsOutDir: String, indexDir: String, clusterDir: String,
       checkpointDir: Option[String] = None,
-      autoCompactAfter: Option[Int] = None): StreamingQuery = {
+      autoCompactAfter: Option[Int] = None,
+      expireKeepSnapshots: Option[Int] = None): StreamingQuery = {
     val spark = docsStream.sparkSession
     minhashIndexSeed(spark, indexDir, historyDocs)
     maintenanceWriter(docsStream, checkpointDir)
@@ -1299,6 +1306,11 @@ object EventStream {
             committedSubdirs(spark, t).count(_.matches("b\\d+")) > k
           }
           if (crowded) compactClusterState(spark, clusterDir)
+        }
+        expireKeepSnapshots.foreach { k =>
+          Seq(s"$indexDir/shingles", s"$indexDir/bands", pairsOutDir,
+            s"$clusterDir/members", s"$clusterDir/redirects")
+            .foreach(d => expireSnapshots(spark, d, keepLast = k))
         }
       }
       .start()
@@ -1450,7 +1462,8 @@ object EventStream {
   def curationIngestStream(docsStream: DataFrame, historyDocs: DataFrame,
       benchDocs: DataFrame, outDir: String, funnelDir: String,
       indexDir: String, checkpointDir: Option[String] = None,
-      autoCompactAfter: Option[Int] = None): StreamingQuery = {
+      autoCompactAfter: Option[Int] = None,
+      expireKeepSnapshots: Option[Int] = None): StreamingQuery = {
     import graft.operators.Curation
     val spark = docsStream.sparkSession
     minhashIndexSeed(spark, indexDir, historyDocs)
@@ -1471,6 +1484,10 @@ object EventStream {
           compactIfCrowded(spark, funnelDir, curationFunnelSchema, indexDir,
             k, requireSeed = false)
           ()
+        }
+        expireKeepSnapshots.foreach { k =>
+          Seq(s"$indexDir/shingles", s"$indexDir/bands", outDir, funnelDir)
+            .foreach(d => expireSnapshots(spark, d, keepLast = k))
         }
       }
       .start()
@@ -2695,7 +2712,8 @@ object EventStream {
   def chunkIngestDedup(docsStream: DataFrame, historyDocs: DataFrame,
       outDir: String, indexDir: String,
       checkpointDir: Option[String] = None,
-      autoCompactAfter: Option[Int] = None): StreamingQuery = {
+      autoCompactAfter: Option[Int] = None,
+      expireKeepSnapshots: Option[Int] = None): StreamingQuery = {
     val spark = docsStream.sparkSession
     chunkIndexSeed(spark, indexDir, historyDocs)
     maintenanceWriter(docsStream, checkpointDir)
@@ -2707,6 +2725,10 @@ object EventStream {
           compactIfCrowded(spark, outDir, chunkOutSchema,
             s"$indexDir/chunks", k, requireSeed = false)
           ()
+        }
+        expireKeepSnapshots.foreach { k =>
+          Seq(s"$indexDir/chunks", outDir)
+            .foreach(d => expireSnapshots(spark, d, keepLast = k))
         }
       }
       .start()
