@@ -993,6 +993,24 @@ object Similarity {
 
   private[operators] val AnnFilterKeepSql = "label % 2 = 0"
 
+  /** The SHARP predicate of the filtered-ANN crossover's other half
+    * (r18 verdict #3): one label value out of the fixture's ten —
+    * selectivity ≈ 0.1, the rare-tenant/rare-language regime the
+    * pre-filter strategy exists for. At this selectivity the post-filter
+    * rung's expected survivors are overfetch·sel ≈ 4 < k = 5: over-fetch
+    * STARVES (some queries cannot even fill their served list), which
+    * the spec pins, while the pre-filter arm's candidate set is every
+    * survivor in the probed cell and its recall holds. Label 7 chosen by
+    * the fixture sweep (embeddings differ per sf dir): starvation and
+    * the pre-filter dominance hold at sf0.001, sf0.01 AND sf0.1.
+    */
+  private[graft] val AnnSharpLabel = 7
+
+  private[graft] def annSharpFilterPred(label: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    label === AnnSharpLabel
+
+  private[operators] val AnnSharpKeepSql = s"label = $AnnSharpLabel"
+
   /** Over-fetch depth of the filtered serving path: k·f with f ≈
     * 1/selectivity·4 headroom — the candidate list the predicate
     * decimates must still hold ≥ k survivors per query.
@@ -1043,7 +1061,9 @@ object Similarity {
     * compares budgets.
     */
   private[graft] def ivfpqFilteredTop5(spark: SparkSession, sfDir: String,
-      overfetch: Int): DataFrame = {
+      overfetch: Int,
+      pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        annFilterPred): DataFrame = {
     val cands = ivfpqAdcRanked(spark, sfDir)
       .filter(col("rank") <= overfetch)
       .select(col("query_id"), col("neighbor_id"))
@@ -1053,7 +1073,7 @@ object Similarity {
     val survivors = quantized(spark, sfDir)
       .select(col("vec_id").alias("neighbor_id"), col("label"))
       .join(broadcast(cands), Seq("neighbor_id"))
-      .filter(annFilterPred(col("label")))
+      .filter(pred(col("label")))
       .select(col("query_id"), col("neighbor_id"))
     exactRerankTop(spark, sfDir, survivors, depth = 5)
       .select(col("query_id"), col("neighbor_id"))
@@ -1084,25 +1104,49 @@ object Similarity {
       ivfPrefilteredTop5(spark, sfDir),
       countName = "n_exact")
 
-  /** Per-query top-`nprobe` probe cells — the [[ivf]] probe block
-    * factored for the filtered rungs (identical scoring and tie-break,
-    * so nprobe=1 reproduces the cells table's own argmax).
+  /** Deepest probe depth any pre-filter rung reads — the shared probe
+    * frame ([[probeCellsRanked]]) is built once to this depth and every
+    * rung slices it.
+    */
+  private val MaxProbeDepth = 2
+
+  /** THE shared per-query probe block of the pre-filter rungs: each
+    * query's top-[[MaxProbeDepth]] centroid cells with their probe rank,
+    * scored and tie-broken exactly like the cells table's own
+    * assignment (so the nprobe=1 slice reproduces each query's stored
+    * cell argmax). Memoized + session-persisted — the [[ivfpqAdcRanked]]
+    * discipline: all four pre-filter rungs (nprobe=1/2 × mild/sharp
+    * predicate) slice THIS one frame, so adding a rung costs its
+    * candidate join, never another queries × centroids re-score (the
+    * r18 hygiene note: `probeCells` used to rebuild the block per rung).
+    */
+  private def probeCellsRanked(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoized(s"similarity.probeCells:$sfDir") {
+      val base = quantized(spark, sfDir)
+      val cents = base.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").alias("c_id"), col("v").alias("cv"), col("n2").alias("cn2"))
+      val wp = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c_score").desc, col("c_id").asc)
+      graft.CacheLifecycle.sessionPersist(
+        base.filter(col("vec_id") < 10).join(broadcast(cents))
+          .select(col("vec_id"), col("v"), col("n2"), col("c_id"),
+            V.qcosineFrom(V.qdot(col("v"), col("cv")), col("n2"), col("cn2"))
+              .alias("c_score"))
+          .withColumn("rn", row_number().over(wp))
+          .filter(col("rn") <= MaxProbeDepth)
+          .select(col("vec_id").alias("query_id"), col("v").alias("qv"),
+            col("n2").alias("qn2"), col("c_id").alias("qcell"), col("rn")))
+    }
+
+  /** Per-query top-`nprobe` probe cells — a slice of the shared
+    * [[probeCellsRanked]] frame.
     */
   private def probeCells(spark: SparkSession, sfDir: String,
       nprobe: Int): DataFrame = {
-    val base = quantized(spark, sfDir)
-    val cents = base.filter(col("vec_id") % 97 === 0)
-      .select(col("vec_id").alias("c_id"), col("v").alias("cv"), col("n2").alias("cn2"))
-    val wp = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_score").desc, col("c_id").asc)
-    base.filter(col("vec_id") < 10).join(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("n2"), col("c_id"),
-        V.qcosineFrom(V.qdot(col("v"), col("cv")), col("n2"), col("cn2"))
-          .alias("c_score"))
-      .withColumn("rn", row_number().over(wp))
-      .filter(col("rn") <= nprobe)
-      .select(col("vec_id").alias("query_id"), col("v").alias("qv"),
-        col("n2").alias("qn2"), col("c_id").alias("qcell"))
+    require(nprobe >= 1 && nprobe <= MaxProbeDepth,
+      s"nprobe must be in [1, $MaxProbeDepth] (the shared probe frame's " +
+        s"depth — raise MaxProbeDepth to probe deeper), got $nprobe")
+    probeCellsRanked(spark, sfDir).filter(col("rn") <= nprobe).drop("rn")
   }
 
   /** THE FILTERED-RECALL RECOVERY KNOB — pre-filter serving at
@@ -1124,10 +1168,46 @@ object Similarity {
       ivfPrefilteredTop5Nprobe(spark, sfDir, nprobe = 2),
       countName = "n_exact")
 
+  /** THE SHARP-PREDICATE HALF OF THE FILTERED-ANN CROSSOVER (r18
+    * verdict #3): the over-fetch rung at its registered budget
+    * ([[FilteredOverfetch]]) under the selectivity-0.1 predicate
+    * ([[annSharpFilterPred]]). Expected survivors per query are
+    * overfetch·sel ≈ 4 < k — the rung provably STARVES (the spec pins
+    * queries whose candidate list cannot even fill the served top-5),
+    * so its recall collapses exactly where the pre-filter twin
+    * ([[annPrefilteredSharpRecallAt5]]) holds. With both rungs measured
+    * at BOTH selectivities, the crossover argued in [[ivfpqFilteredTop5]]'s
+    * scaladoc is four gate facts, not prose: over-fetch wins mild
+    * (bounded cost, recall intact), pre-filter wins sharp (survivors-only
+    * candidates, starvation-free). Baseline: brute top-5 over SHARP
+    * survivors — what a rare-tenant query actually means.
+    */
+  def annFilteredSharpRecallAt5(spark: SparkSession, sfDir: String): DataFrame =
+    recallTailAgainst(
+      bruteTop5PairsFiltered(spark, sfDir, annSharpFilterPred),
+      ivfpqFilteredTop5(spark, sfDir, FilteredOverfetch, annSharpFilterPred),
+      countName = "n_exact")
+
+  /** The pre-filter arm under the SHARP predicate — the rung the
+    * pre-filter strategy exists for: the candidate set is every
+    * survivor in the probed cell (never the over-fetch cap), so a
+    * selectivity-0.1 tenant still exact-scores its full same-cell
+    * survivor set and recall holds where [[annFilteredSharpRecallAt5]]
+    * starves. nprobe=1, the same shared probe frame as the mild rungs.
+    */
+  def annPrefilteredSharpRecallAt5(spark: SparkSession,
+      sfDir: String): DataFrame =
+    recallTailAgainst(
+      bruteTop5PairsFiltered(spark, sfDir, annSharpFilterPred),
+      ivfPrefilteredTop5(spark, sfDir, annSharpFilterPred),
+      countName = "n_exact")
+
   private[graft] def ivfPrefilteredTop5Nprobe(spark: SparkSession,
-      sfDir: String, nprobe: Int): DataFrame = {
+      sfDir: String, nprobe: Int,
+      pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        annFilterPred): DataFrame = {
     val survivorCells = assignedCells(spark, sfDir).join(
-      quantized(spark, sfDir).filter(annFilterPred(col("label")))
+      quantized(spark, sfDir).filter(pred(col("label")))
         .select(col("vec_id")),
       Seq("vec_id"))
     val w = Window.partitionBy(col("query_id"))
@@ -1142,29 +1222,14 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
   }
 
-  private[graft] def ivfPrefilteredTop5(spark: SparkSession,
-      sfDir: String): DataFrame = {
-    val cells = assignedCells(spark, sfDir)
-    val probes = cells.filter(col("vec_id") < 10)
-      .select(col("vec_id").alias("query_id"), col("cell").alias("qcell"),
-        col("v").alias("qv"), col("n2").alias("qn2"))
-    // the PRE-filter: survivors only, before any candidate scoring —
-    // an id-keyed equi-join, never a scan of non-survivor vectors
-    val survivorCells = cells.join(
-      quantized(spark, sfDir).filter(annFilterPred(col("label")))
-        .select(col("vec_id")),
-      Seq("vec_id"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    survivorCells.join(broadcast(probes),
-        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").alias("neighbor_id"),
-        V.qcosineFrom(V.qdot(col("qv"), col("v")), col("qn2"), col("n2"))
-          .alias("cos_sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("neighbor_id"))
-  }
+  private[graft] def ivfPrefilteredTop5(spark: SparkSession, sfDir: String,
+      pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        annFilterPred): DataFrame =
+    // the nprobe=1 slice of the shared probe frame reproduces each
+    // query's stored cell argmax (identical scoring and tie-break), so
+    // this IS the old assignedCells-probe spelling — now reading the
+    // same memoized probe block as every other pre-filter rung
+    ivfPrefilteredTop5Nprobe(spark, sfDir, nprobe = 1, pred)
 
   /** The NAIVE post-filter arm (spec-only): serve the unfiltered
     * production top-5 at the same candidate budget, THEN filter — the
@@ -1189,14 +1254,16 @@ object Similarity {
     * predicate, self-pairs excluded.
     */
   private[graft] def bruteTop5PairsFiltered(spark: SparkSession,
-      sfDir: String): DataFrame = {
+      sfDir: String,
+      pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        annFilterPred): DataFrame = {
     val base = quantized(spark, sfDir)
     val queriesF = base.filter(col("vec_id") < 10)
       .select(col("vec_id").alias("query_id"),
         col("v").alias("qv"), col("n2").alias("qn2"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    base.filter(annFilterPred(col("label")))
+    base.filter(pred(col("label")))
       .select(col("vec_id").alias("neighbor_id"), col("v"), col("n2"))
       .join(broadcast(queriesF), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -2250,7 +2317,99 @@ object Similarity {
        |cells AS (
        |  SELECT vec_id, v, n2, c_id AS cell, c_score FROM assign WHERE rn = 1)""".stripMargin
 
+  /** The filtered-brute baseline CTE (`fbrute`), parameterized by the
+    * predicate's keep-SQL — ONE spelling behind every filtered recall
+    * oracle (mild and sharp), so the baseline definition cannot drift
+    * between the crossover's rungs.
+    */
+  private def fbruteCte(keepSql: String): String =
+    s"""fbrute AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |             ORDER BY $qdotAB / (sqrt(a.n2) * sqrt(b.n2)) DESC,
+       |                      b.vec_id ASC) AS rank
+       |    FROM qn a JOIN qn b
+       |      ON a.vec_id < 10 AND b.vec_id != a.vec_id
+       |     AND ${keepSql.replace("label", "b.label")})
+       |  WHERE rank <= 5)""".stripMargin
+
+  /** The shared recall tail: served pairs vs the `fbrute` baseline. */
+  private def filteredRecallTailSql(servedCte: String): String =
+    s"""SELECT b.query_id AS query_id,
+       |       CAST(count(*) AS BIGINT) AS n_exact,
+       |       CAST(count(p.neighbor_id) AS BIGINT) AS n_hits,
+       |       CAST(count(p.neighbor_id) AS DOUBLE) / count(*) AS recall_at_5
+       |FROM fbrute b LEFT JOIN $servedCte p
+       |  ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+       |GROUP BY 1 ORDER BY query_id""".stripMargin
+
+  /** The post-filter over-fetch oracle, parameterized by keep-SQL —
+    * ADC top-overfetch, predicate decimation, exact re-rank of
+    * survivors, top-5, against brute over survivors (see
+    * [[annFilteredRecallAt5]] / [[annFilteredSharpRecallAt5]]).
+    */
+  private def filteredOverfetchOracleSql(keepSql: String): String =
+    s"""WITH $quantizedSql,
+       |$cellsSql,
+       |$ivfpqAdcCte,
+       |adcranked AS (
+       |  SELECT a.query_id, a.vec_id,
+       |         row_number() OVER (PARTITION BY a.query_id
+       |           ORDER BY CAST(a.adc_dot AS DOUBLE)
+       |                      / (sqrt(q.n2) * sqrt(a.recon_n2)) DESC,
+       |                    a.vec_id ASC) AS rank
+       |  FROM adc a JOIN qn q ON q.vec_id = a.query_id),
+       |fcand AS (
+       |  SELECT r.query_id, r.vec_id AS neighbor_id
+       |  FROM adcranked r JOIN qn n ON n.vec_id = r.vec_id
+       |  WHERE r.rank <= $FilteredOverfetch AND $keepSql),
+       |served AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT c.query_id, c.neighbor_id,
+       |           row_number() OVER (PARTITION BY c.query_id
+       |             ORDER BY ${V.qdotSql("q.v", "n.v", Dim)}
+       |                        / (sqrt(q.n2) * sqrt(n.n2)) DESC,
+       |                      c.neighbor_id ASC) AS rank
+       |    FROM fcand c
+       |    JOIN qn q ON q.vec_id = c.query_id
+       |    JOIN qn n ON n.vec_id = c.neighbor_id)
+       |  WHERE rank <= 5),
+       |${fbruteCte(keepSql)}
+       |${filteredRecallTailSql("served")}""".stripMargin
+
+  /** The pre-filter (nprobe=1) oracle, parameterized by keep-SQL —
+    * survivors-only candidate set joined BEFORE scoring, exact rank
+    * within the query's cell (see [[annPrefilteredRecallAt5]] /
+    * [[annPrefilteredSharpRecallAt5]]).
+    */
+  private def prefilteredOracleSql(keepSql: String): String =
+    s"""WITH $quantizedSql,
+       |$cellsSql,
+       |pserved AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY p.vec_id
+       |             ORDER BY ${V.qdotSql("p.v", "c.v", Dim)}
+       |                        / (sqrt(p.n2) * sqrt(c.n2)) DESC,
+       |                      c.vec_id ASC) AS rank
+       |    FROM cells p
+       |    JOIN cells c ON c.cell = p.cell AND c.vec_id != p.vec_id
+       |    JOIN qn n ON n.vec_id = c.vec_id
+       |    WHERE p.vec_id < 10
+       |      AND ${keepSql.replace("label", "n.label")})
+       |  WHERE rank <= 5),
+       |${fbruteCte(keepSql)}
+       |${filteredRecallTailSql("pserved")}""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // the sharp-predicate crossover pair: the same two serving plans,
+    // keep-SQL swapped to the selectivity-0.1 tenant (see
+    // [[annFilteredSharpRecallAt5]] / [[annPrefilteredSharpRecallAt5]])
+    "ann_filtered_sharp_recall_at_5" ->
+      filteredOverfetchOracleSql(AnnSharpKeepSql),
+    "ann_prefiltered_sharp_recall_at_5" ->
+      prefilteredOracleSql(AnnSharpKeepSql),
     "label_centroid_matrix" ->
       s"""WITH $quantizedSql,
          |cf AS (
@@ -2633,85 +2792,11 @@ object Similarity {
     // the pre-filter arm: survivors-only candidate set (id-keyed join
     // BEFORE scoring), exact rank within the query's cell — against the
     // same filtered-brute baseline (see [[annPrefilteredRecallAt5]])
-    "ann_prefiltered_recall_at_5" ->
-      s"""WITH $quantizedSql,
-         |$cellsSql,
-         |pserved AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |           row_number() OVER (PARTITION BY p.vec_id
-         |             ORDER BY ${V.qdotSql("p.v", "c.v", Dim)}
-         |                        / (sqrt(p.n2) * sqrt(c.n2)) DESC,
-         |                      c.vec_id ASC) AS rank
-         |    FROM cells p
-         |    JOIN cells c ON c.cell = p.cell AND c.vec_id != p.vec_id
-         |    JOIN qn n ON n.vec_id = c.vec_id
-         |    WHERE p.vec_id < 10
-         |      AND ${AnnFilterKeepSql.replace("label", "n.label")})
-         |  WHERE rank <= 5),
-         |fbrute AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |           row_number() OVER (PARTITION BY a.vec_id
-         |             ORDER BY $qdotAB / (sqrt(a.n2) * sqrt(b.n2)) DESC,
-         |                      b.vec_id ASC) AS rank
-         |    FROM qn a JOIN qn b
-         |      ON a.vec_id < 10 AND b.vec_id != a.vec_id
-         |     AND ${AnnFilterKeepSql.replace("label", "b.label")})
-         |  WHERE rank <= 5)
-         |SELECT b.query_id AS query_id,
-         |       CAST(count(*) AS BIGINT) AS n_exact,
-         |       CAST(count(p.neighbor_id) AS BIGINT) AS n_hits,
-         |       CAST(count(p.neighbor_id) AS DOUBLE) / count(*) AS recall_at_5
-         |FROM fbrute b LEFT JOIN pserved p
-         |  ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
-         |GROUP BY 1 ORDER BY query_id""".stripMargin,
+    "ann_prefiltered_recall_at_5" -> prefilteredOracleSql(AnnFilterKeepSql),
     // the filtered serving path replayed end-to-end: ADC top-overfetch,
     // predicate decimation, exact re-rank of survivors, top-5 — against
     // brute top-5 over predicate survivors (see [[annFilteredRecallAt5]])
-    "ann_filtered_recall_at_5" ->
-      s"""WITH $quantizedSql,
-         |$cellsSql,
-         |$ivfpqAdcCte,
-         |adcranked AS (
-         |  SELECT a.query_id, a.vec_id,
-         |         row_number() OVER (PARTITION BY a.query_id
-         |           ORDER BY CAST(a.adc_dot AS DOUBLE)
-         |                      / (sqrt(q.n2) * sqrt(a.recon_n2)) DESC,
-         |                    a.vec_id ASC) AS rank
-         |  FROM adc a JOIN qn q ON q.vec_id = a.query_id),
-         |fcand AS (
-         |  SELECT r.query_id, r.vec_id AS neighbor_id
-         |  FROM adcranked r JOIN qn n ON n.vec_id = r.vec_id
-         |  WHERE r.rank <= $FilteredOverfetch AND $AnnFilterKeepSql),
-         |served AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT c.query_id, c.neighbor_id,
-         |           row_number() OVER (PARTITION BY c.query_id
-         |             ORDER BY ${V.qdotSql("q.v", "n.v", Dim)}
-         |                        / (sqrt(q.n2) * sqrt(n.n2)) DESC,
-         |                      c.neighbor_id ASC) AS rank
-         |    FROM fcand c
-         |    JOIN qn q ON q.vec_id = c.query_id
-         |    JOIN qn n ON n.vec_id = c.neighbor_id)
-         |  WHERE rank <= 5),
-         |fbrute AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |           row_number() OVER (PARTITION BY a.vec_id
-         |             ORDER BY $qdotAB / (sqrt(a.n2) * sqrt(b.n2)) DESC,
-         |                      b.vec_id ASC) AS rank
-         |    FROM qn a JOIN qn b
-         |      ON a.vec_id < 10 AND b.vec_id != a.vec_id
-         |     AND ${AnnFilterKeepSql.replace("label", "b.label")})
-         |  WHERE rank <= 5)
-         |SELECT b.query_id AS query_id,
-         |       CAST(count(*) AS BIGINT) AS n_exact,
-         |       CAST(count(p.neighbor_id) AS BIGINT) AS n_hits,
-         |       CAST(count(p.neighbor_id) AS DOUBLE) / count(*) AS recall_at_5
-         |FROM fbrute b LEFT JOIN served p
-         |  ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
-         |GROUP BY 1 ORDER BY query_id""".stripMargin,
+    "ann_filtered_recall_at_5" -> filteredOverfetchOracleSql(AnnFilterKeepSql),
     "ivfpq_recall_at_5" ->
       s"""WITH $quantizedSql,
          |$cellsSql,
@@ -2914,6 +2999,8 @@ object Similarity {
     "ann_filtered_recall_at_5" -> annFilteredRecallAt5 _,
     "ann_prefiltered_recall_at_5" -> annPrefilteredRecallAt5 _,
     "ann_prefiltered_nprobe2_recall_at_5" -> annPrefilteredNprobe2RecallAt5 _,
+    "ann_filtered_sharp_recall_at_5" -> annFilteredSharpRecallAt5 _,
+    "ann_prefiltered_sharp_recall_at_5" -> annPrefilteredSharpRecallAt5 _,
     "ann_retrain_recall"      -> annRetrainRecall _,
   )
 }

@@ -126,6 +126,10 @@ class PlanHygieneSpec extends SparkSpec {
       // against the centroid table) and embed the same filtered brute
       // baseline
       "ann_prefiltered_recall_at_5", "ann_prefiltered_nprobe2_recall_at_5",
+      // the sharp-predicate crossover pair: same two serving plans with
+      // the selectivity-0.1 keep rule — same deliberate index broadcasts,
+      // same embedded filtered-brute baseline
+      "ann_filtered_sharp_recall_at_5", "ann_prefiltered_sharp_recall_at_5",
       // the retrain gate trains (N·C Lloyd assignment per round, twice:
       // frozen + retrained), serves via the same assignment, and embeds
       // the brute baseline over the planted corpus — all deliberate

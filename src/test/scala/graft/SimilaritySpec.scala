@@ -776,6 +776,81 @@ class SimilaritySpec extends SparkSpec {
         "the second probe cell contributed nothing at this fixture")
   }
 
+  test("sharp-predicate filtered ANN: over-fetch starves at equal budget" +
+      " where the mild predicate fills every list; pre-filter dominates" +
+      " per query and strictly improves total recall") {
+    import operators.Similarity
+    // registered pair well-formed: 10 queries each, recall in [0,1]
+    Seq("ann_filtered_sharp_recall_at_5",
+        "ann_prefiltered_sharp_recall_at_5").foreach { name =>
+      val rep = q(name).collect()
+      assert(rep.length == 10, name)
+      rep.foreach { r =>
+        assert(r.getLong(1) >= 1L && r.getLong(1) <= 5L && r.getLong(2) <= r.getLong(1))
+        assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      }
+    }
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def servedCounts(s: Set[(Long, Long)]): Map[Long, Int] =
+      (0L until 10L).map(q => q -> s.count(_._1 == q)).toMap
+    val overSharp = pairSet(Similarity.ivfpqFilteredTop5(spark, sf,
+      Similarity.FilteredOverfetch, Similarity.annSharpFilterPred))
+    val preSharp = pairSet(
+      Similarity.ivfPrefilteredTop5(spark, sf, Similarity.annSharpFilterPred))
+    // every served neighbor honors the sharp predicate — a single leak
+    // is a correctness bug, same contract as the mild rung
+    val labelOf = Tables.embeddings(spark, sf).select("vec_id", "label")
+      .collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue)
+      .toMap
+    Seq("over-fetch" -> overSharp, "pre-filter" -> preSharp).foreach {
+      case (arm, served) =>
+        val leaked = served.filterNot {
+          case (_, n) => labelOf(n) == Similarity.AnnSharpLabel.toLong
+        }
+        assert(leaked.isEmpty,
+          s"$arm sharp serving leaked non-survivor neighbors: $leaked")
+    }
+    // STARVATION at equal budget — the crossover's mechanism: the SAME
+    // k·f = 40 budget that fills every mild query's top-5 leaves sharp
+    // queries with overfetch·sel ≈ 4 expected survivors, so some lists
+    // cannot even fill k slots. The mild contrast proves the budget is
+    // sufficient absent the sharp predicate — the starvation is the
+    // predicate's, not the index's.
+    val overMild = pairSet(Similarity.ivfpqFilteredTop5(spark, sf,
+      Similarity.FilteredOverfetch))
+    assert((0L until 10L).forall(qid => servedCounts(overMild)(qid) == 5),
+      s"mild over-fetch failed to fill a list (${servedCounts(overMild)}) — " +
+        "the starvation contrast needs a full mild baseline")
+    val starved = (0L until 10L).filter(qid => servedCounts(overSharp)(qid) < 5)
+    assert(starved.nonEmpty,
+      s"fixture surprise: sharp over-fetch starved no query " +
+        s"(served ${servedCounts(overSharp)}) — the crossover's sharp half " +
+        "lost its mechanism; re-sweep AnnSharpLabel")
+    // containment under the sharp predicate too: over-fetch candidates
+    // ⊆ the query's cell's sharp survivors (the pre-filter candidate
+    // set), exact scoring of a superset only gains baseline hits
+    val base = pairSet(Similarity.bruteTop5PairsFiltered(spark, sf,
+      Similarity.annSharpFilterPred))
+    def hitsPerQuery(served: Set[(Long, Long)]): Map[Long, Int] =
+      (0L until 10L).map(q => q -> (base intersect served).count(_._1 == q)).toMap
+    val overHits = hitsPerQuery(overSharp)
+    val preHits = hitsPerQuery(preSharp)
+    (0L until 10L).foreach { qid =>
+      assert(preHits(qid) >= overHits(qid),
+        s"query $qid: sharp pre-filter ${preHits(qid)} < over-fetch " +
+          s"${overHits(qid)} — containment theorem broken")
+    }
+    // and the crossover DIRECTION is strict on this fixture: where
+    // over-fetch starves, survivors-only candidates recover real recall
+    assert(preHits.values.sum > overHits.values.sum,
+      s"sharp pre-filter ${preHits.values.sum} !> over-fetch " +
+        s"${overHits.values.sum} — the sharp half of the crossover " +
+        "shows no measured advantage")
+  }
+
   test("ann_retrain_recall: the registered report shows the recovery —" +
       " frozen serving degrades on the planted mode, retraining recovers") {
     import operators.Similarity
