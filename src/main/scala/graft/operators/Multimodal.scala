@@ -10,13 +10,18 @@ import graft.Tables
   * decode / feature-extract / frame-sample stages run as per-partition
   * batch transforms (north-star spec).
   *
-  * The actual codec work is STUBBED — this container has no image/audio
-  * libraries — with a deterministic fake ([[MediaCodecStub]]); what is
-  * real and tested is everything Spark-side: the schema contract, the
+  * The IMAGE codec path is REAL: [[BmpCodec]] is a self-contained
+  * 24bpp BMP encoder/decoder (header parse, offset/stride walk) and
+  * [[BmpCodec.resize]] an exact integer box-filter downsample — no
+  * external library, so every step is oracle-checkable byte
+  * arithmetic. Only the generic decode seam ([[MediaCodecStub]],
+  * behind [[decodeAndFeaturize]]) remains a deterministic stand-in for
+  * the audio/video formats this container has no libraries for; the
+  * Spark-side contract is identical either way: the schema, the
   * `Dataset[T]` + `mapPartitions` batch shape (the Scala analog of
-  * `mapInPandas`: one iterator per partition, so a real decoder would
-  * amortize model/codec init per partition, not per row), and the
-  * partitioning behavior.
+  * `mapInPandas`: one iterator per partition, so a stateful codec
+  * amortizes init per partition, not per row), and the partitioning
+  * behavior.
   *
   * 100 TB posture: binary payloads dominate row size, so operators keep
   * them opaque until the last moment (metadata-only predicates prune
@@ -101,54 +106,62 @@ object Multimodal {
     private def getShortLE(a: Array[Byte], off: Int): Int =
       (a(off) & 0xff) | ((a(off + 1) & 0xff) << 8)
 
-    /** Build a 24bpp BMP whose pixel-byte stream (file order: bottom-up
-      * rows, BGR) is `pixelBytes` zero-padded to `h` whole rows, with
-      * poisoned stride padding.
+    /** Build a 24bpp BMP of arbitrary dimensions from a dense file-order
+      * pixel stream (`pixels.length == w·h·3`, bottom-up rows, BGR),
+      * with poisoned stride padding — the raster encoder behind both the
+      * fixture [[encode]] and the [[resize]] re-encode.
       */
-    def encode(pixelBytes: Array[Byte]): Array[Byte] = {
-      val h = math.max(1, (pixelBytes.length + RowBytes - 1) / RowBytes)
-      val out = new Array[Byte](HeaderBytes + h * Stride)
+    def encodeRaster(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
+      require(w >= 1 && h >= 1 && pixels.length == w * h * 3,
+        s"encodeRaster: need w,h >= 1 and w*h*3 pixel bytes, got " +
+          s"w=$w h=$h bytes=${pixels.length}")
+      val rowBytes = w * 3
+      val stride = (rowBytes + 3) / 4 * 4
+      val out = new Array[Byte](HeaderBytes + h * stride)
       out(0) = 'B'; out(1) = 'M'
       putIntLE(out, 2, out.length)
       putIntLE(out, 10, HeaderBytes)       // pixel-data offset
       putIntLE(out, 14, 40)                // BITMAPINFOHEADER size
-      putIntLE(out, 18, Width)
+      putIntLE(out, 18, w)
       putIntLE(out, 22, h)                 // positive: bottom-up
       out(26) = 1                          // planes (u16 LE)
       out(28) = 24                         // bpp (u16 LE)
       putIntLE(out, 30, 0)                 // BI_RGB (uncompressed)
-      putIntLE(out, 34, h * Stride)        // image size
+      putIntLE(out, 34, h * stride)        // image size
       putIntLE(out, 38, 2835)              // 72 dpi
       putIntLE(out, 42, 2835)
       var r = 0
       while (r < h) {
-        val rowOff = HeaderBytes + r * Stride
+        val rowOff = HeaderBytes + r * stride
         var i = 0
-        while (i < RowBytes) {
-          val k = r * RowBytes + i
-          out(rowOff + i) = if (k < pixelBytes.length) pixelBytes(k) else 0
+        while (i < rowBytes) {
+          out(rowOff + i) = pixels(r * rowBytes + i)
           i += 1
         }
-        while (i < Stride) { out(rowOff + i) = PadByte; i += 1 }
+        while (i < stride) { out(rowOff + i) = PadByte; i += 1 }
         r += 1
       }
       out
     }
 
-    /** Decoded per-image features — fixed-shape, shuffle-friendly:
-      * dimensions, per-channel sums (BGR), max channel value, and a
-      * position-weighted checksum over the pixel stream (file order) —
-      * order-sensitive, so a decoder that permutes or drops bytes fails.
+    /** Build a 24bpp BMP whose pixel-byte stream (file order: bottom-up
+      * rows, BGR) is `pixelBytes` zero-padded to `h` whole rows of the
+      * fixture [[Width]], with poisoned stride padding.
       */
-    final case class BmpFeatures(
-        media_id: Long, img_w: Int, img_h: Int, n_px: Long,
-        sum_b: Long, sum_g: Long, sum_r: Long, max_px: Int,
-        checksum_w: Long)
+    def encode(pixelBytes: Array[Byte]): Array[Byte] = {
+      val h = math.max(1, (pixelBytes.length + RowBytes - 1) / RowBytes)
+      encodeRaster(Width, h, java.util.Arrays.copyOf(pixelBytes, h * RowBytes))
+    }
 
-    /** The REAL decode: validate headers, honor the recorded pixel-data
-      * offset and the computed stride, walk pixels only.
+    /** A validated BMP header: pixel-data offset, dimensions, row stride. */
+    private[operators] final case class BmpHeader(
+        off: Int, w: Int, h: Int, stride: Int)
+
+    /** Header validation shared by every decode path: magic, DIB size,
+      * positive bottom-up dimensions, planes/bpp/compression, and a
+      * truncation check against the recorded offset + computed stride.
       */
-    def decodeFeatures(mediaId: Long, bmp: Array[Byte]): BmpFeatures = {
+    private[operators] def parseHeader(bmp: Array[Byte]): BmpHeader = {
       require(bmp.length >= HeaderBytes && bmp(0) == 'B' && bmp(1) == 'M',
         "not a BMP: bad magic")
       val off = getIntLE(bmp, 10)
@@ -164,14 +177,81 @@ object Multimodal {
       require(getIntLE(bmp, 30) == 0, "compressed BMP unsupported")
       val stride = (w * 3 + 3) / 4 * 4
       require(bmp.length >= off + h.toLong * stride, "truncated pixel data")
+      BmpHeader(off, w, h, stride)
+    }
+
+    /** REAL integer box-filter downsample (r18 verdict #4 — the second
+      * codec stub replaced): decode the BMP (the same header/offset/
+      * stride walk as [[decodeFeatures]]), reduce each k×k block of the
+      * file-order pixel grid to its per-channel FLOOR MEAN (integer sum
+      * + one integer division — exact, no floats, so the oracle replays
+      * the block arithmetic from the raw bytes bit-exactly; edge blocks
+      * divide by their true coverage), and re-encode the
+      * ⌈w/k⌉ × ⌈h/k⌉ result through [[encodeRaster]] (fresh headers,
+      * fresh poisoned stride padding). Output dimensions follow the
+      * pixel truth; a stub that decimated bytes — the seam's previous
+      * occupant — produces neither the dims nor the means.
+      */
+    def resize(bmp: Array[Byte], k: Int): Array[Byte] = {
+      require(k >= 1, s"resize factor must be >= 1, got $k")
+      val hd = parseHeader(bmp)
+      val outW = (hd.w + k - 1) / k
+      val outH = (hd.h + k - 1) / k
+      val out = new Array[Byte](outW * outH * 3)
+      var bR = 0
+      while (bR < outH) {
+        val rHi = math.min((bR + 1) * k, hd.h)
+        var bC = 0
+        while (bC < outW) {
+          val cHi = math.min((bC + 1) * k, hd.w)
+          var ch = 0
+          while (ch < 3) {
+            var sum = 0L
+            var n = 0
+            var r = bR * k
+            while (r < rHi) {
+              var c = bC * k
+              while (c < cHi) {
+                sum += bmp(hd.off + r * hd.stride + c * 3 + ch) & 0xff
+                n += 1
+                c += 1
+              }
+              r += 1
+            }
+            out((bR * outW + bC) * 3 + ch) = (sum / n).toByte
+            ch += 1
+          }
+          bC += 1
+        }
+        bR += 1
+      }
+      encodeRaster(outW, outH, out)
+    }
+
+    /** Decoded per-image features — fixed-shape, shuffle-friendly:
+      * dimensions, per-channel sums (BGR), max channel value, and a
+      * position-weighted checksum over the pixel stream (file order) —
+      * order-sensitive, so a decoder that permutes or drops bytes fails.
+      */
+    final case class BmpFeatures(
+        media_id: Long, img_w: Int, img_h: Int, n_px: Long,
+        sum_b: Long, sum_g: Long, sum_r: Long, max_px: Int,
+        checksum_w: Long)
+
+    /** The REAL decode: validate headers ([[parseHeader]]), honor the
+      * recorded pixel-data offset and the computed stride, walk pixels
+      * only.
+      */
+    def decodeFeatures(mediaId: Long, bmp: Array[Byte]): BmpFeatures = {
+      val hd = parseHeader(bmp)
       var (sb, sg, sr, ck) = (0L, 0L, 0L, 0L)
       var maxPx = 0
       var r = 0
       var k = 0L
-      while (r < h) {
-        val rowOff = off + r * stride
+      while (r < hd.h) {
+        val rowOff = hd.off + r * hd.stride
         var i = 0
-        while (i < w * 3) {
+        while (i < hd.w * 3) {
           val v = bmp(rowOff + i) & 0xff
           (i % 3: @annotation.switch) match {
             case 0 => sb += v
@@ -184,7 +264,7 @@ object Multimodal {
         }
         r += 1
       }
-      BmpFeatures(mediaId, w, h, w.toLong * h, sb, sg, sr, maxPx, ck)
+      BmpFeatures(mediaId, hd.w, hd.h, hd.w.toLong * hd.h, sb, sg, sr, maxPx, ck)
     }
   }
 
@@ -215,33 +295,63 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  /** Deterministic stand-in for a resize/downsample codec pass: keeps
-    * every `factor`-th byte (a real build decodes, resizes with an image
-    * library, re-encodes — same signature, same batch shape). Metadata
-    * dims scale with the payload so downstream predicates stay honest.
+  /** The registered resize factor — 2 halves both dimensions of the
+    * 15-px fixture raster, so edge blocks (the 15th column, an odd last
+    * row) genuinely exercise the partial-coverage divisor.
     */
-  def resizeStub(r: MediaRow, factor: Int): MediaRow = {
-    require(factor >= 1, s"resize factor must be >= 1, got $factor")
-    // long ceil-div: payload.length + factor - 1 overflows Int for huge factors
-    val outLen = ((r.payload.length.toLong + factor - 1) / factor).toInt
-    val out = Array.ofDim[Byte](outLen)
-    var i = 0
-    while (i < out.length) { out(i) = r.payload((i.toLong * factor).toInt); i += 1 }
-    // a 1-in-factor byte decimation is ONE dimension scaled — width/factor
-    // keeps bytes ≈ width·height honest; scaling both dims would claim a
-    // factor² reduction the payload didn't get
-    r.copy(payload = out, width = r.width / factor)
+  private[graft] val ResizeFactor = 2
+
+  /** RESIZED pixel features as a registered gate (r18 verdict #4): each
+    * document's text bytes become a real BMP ([[BmpCodec.encode]]),
+    * pass through the REAL resize pipeline ([[BmpCodec.resize]] —
+    * decode, k×k integer box-filter with k = [[ResizeFactor]],
+    * re-encode), and the features come from decoding the RESIZED image
+    * ([[BmpCodec.decodeFeatures]]). The oracle replays the whole
+    * encode→resize→decode algebra from the raw text bytes: output pixel
+    * (R,C,ch) = ⌊Σ block bytes / coverage⌋ over the k×k file-order
+    * block (zero-padded tail rows included, stride padding excluded by
+    * construction), features = the per-channel sums / max /
+    * position-weighted checksum over the RESIZED stream. A resize that
+    * reads pad bytes, mis-anchors blocks, floats the mean, or decimates
+    * bytes (the stub this gate retires) fails the hash. Same batch
+    * shape as [[decodedFeatures]]: `Dataset` + `mapPartitions`, narrow,
+    * bytes never shuffle.
+    */
+  def resizedFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").alias("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition init would go here for a stateful codec
+        rows.map { case (id, payload) =>
+          BmpCodec.decodeFeatures(id,
+            BmpCodec.resize(BmpCodec.encode(payload), ResizeFactor))
+        }
+      }
+      .toDF()
+      .orderBy("media_id")
   }
 
-  /** Per-partition batched resize — narrow (no shuffle, bytes stay in
-    * their partition), codec state amortized per partition like
-    * [[decodeAndFeaturize]].
+  /** Per-partition batched resize — a REAL codec pass since r19 (the
+    * former byte-decimation stub is gone): each payload is decoded as a
+    * 24bpp BMP, box-filter-downsampled by `factor` per channel
+    * ([[BmpCodec.resize]] — exact integer block means), and re-encoded;
+    * metadata dims follow the decoded output raster, not an arithmetic
+    * guess. Narrow (no shuffle, bytes stay in their partition), codec
+    * state amortized per partition like [[decodeAndFeaturize]]. A
+    * non-BMP payload fails loudly with the codec's named header error —
+    * the corrupt-input contract [[BmpCodec.parseHeader]] carries.
     */
   def resize(ds: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
       // per-partition init would go here (resize kernel, codec handles)
-      rows.map(resizeStub(_, factor))
+      rows.map { r =>
+        val out = BmpCodec.resize(r.payload, factor)
+        val hd = BmpCodec.parseHeader(out)
+        r.copy(payload = out, width = hd.w, height = hd.h)
+      }
     }
   }
 
@@ -644,10 +754,56 @@ object Multimodal {
          |       CAST((octet_length(encode(text)) + ${MediaCodecStub.FrameBytes - 1})
          |            // ${MediaCodecStub.FrameBytes} AS INT) AS n_frames
          |FROM documents ORDER BY media_id""".stripMargin,
+    // the encode→resize→decode algebra: the source pixel stream is the
+    // text bytes zero-padded to whole rows (stride padding never enters
+    // — it lives outside the w·3 row walk on both decode sides); output
+    // pixel (br, bc, ch) = floor-mean over its k×k block's true
+    // coverage; features then replay [[BmpCodec.decodeFeatures]] over
+    // the resized file-order stream (see [[resizedFeatures]])
+    "multimodal_resized_features" -> {
+      val rb = BmpCodec.RowBytes
+      val rf = ResizeFactor
+      val outW = (BmpCodec.Width + rf - 1) / rf
+      s"""WITH b AS (
+         |  SELECT doc_id AS media_id, text,
+         |         greatest(CAST(ceil(length(text) / $rb.0) AS BIGINT), 1) AS h
+         |  FROM documents),
+         |k0 AS (
+         |  SELECT media_id, text, h,
+         |         unnest(generate_series(0, h * $rb - 1)) AS k
+         |  FROM b),
+         |px AS (
+         |  SELECT media_id, h, CAST(k AS BIGINT) AS k,
+         |         CASE WHEN k < length(text)
+         |              THEN ascii(substr(text, CAST(k AS INT) + 1, 1))
+         |              ELSE 0 END AS v
+         |  FROM k0),
+         |blocks AS (
+         |  SELECT media_id, h,
+         |         (k // $rb) // $rf AS br,
+         |         ((k % $rb) // 3) // $rf AS bc,
+         |         k % 3 AS ch,
+         |         CAST(sum(v) // count(*) AS BIGINT) AS ov
+         |  FROM px GROUP BY 1, 2, 3, 4, 5),
+         |opx AS (
+         |  SELECT media_id, h, (br * $outW + bc) * 3 + ch AS kp, ch, ov
+         |  FROM blocks)
+         |SELECT media_id,
+         |       CAST($outW AS INT) AS img_w,
+         |       CAST((h + ${rf - 1}) // $rf AS INT) AS img_h,
+         |       CAST($outW * ((h + ${rf - 1}) // $rf) AS BIGINT) AS n_px,
+         |       CAST(sum(CASE WHEN ch = 0 THEN ov ELSE 0 END) AS BIGINT) AS sum_b,
+         |       CAST(sum(CASE WHEN ch = 1 THEN ov ELSE 0 END) AS BIGINT) AS sum_g,
+         |       CAST(sum(CASE WHEN ch = 2 THEN ov ELSE 0 END) AS BIGINT) AS sum_r,
+         |       CAST(max(ov) AS INT) AS max_px,
+         |       CAST(sum((kp + 1) * ov) AS BIGINT) AS checksum_w
+         |FROM opx GROUP BY media_id, h ORDER BY media_id""".stripMargin
+    },
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_decoded_features" -> decodedFeatures _,
+    "multimodal_resized_features" -> resizedFeatures _,
     "multimodal_features" -> features _,
     "multimodal_frame_sample" -> frameSample _,
     "multimodal_phash_dupes" -> phashDupes _,

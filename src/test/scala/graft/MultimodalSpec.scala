@@ -32,16 +32,65 @@ class MultimodalSpec extends SparkSpec {
     assert(one.map(_.checksum).sameElements(two.map(_.checksum)))
   }
 
-  test("resize: downsamples payload and dims, empty payload survives") {
-    val out = Multimodal.resize(mediaDs, 4).collect().map(r => r.media_id -> r).toMap
-    // 1-in-4 byte decimation = one dim scaled: width 100→25, height kept
-    assert(out(1L).payload.length == 250 && out(1L).width == 25 && out(1L).height == 10)
-    assert(out(1L).payload.forall(_ == 7))
-    assert(out(2L).payload.length == 75)
-    assert(out(3L).payload.isEmpty)
-    // factor 1 is the identity on the payload
-    val id = Multimodal.resize(mediaDs, 1).collect().map(r => r.media_id -> r).toMap
-    assert(id(1L).payload.toSeq == Array.fill[Byte](1000)(7).toSeq)
+  private def bmpDs = {
+    import spark.implicits._
+    Seq(
+      // 4 full rows of constant 7s — every 2×2 block means back to 7
+      MediaRow(1L, "image", Multimodal.BmpCodec.encode(Array.fill[Byte](180)(7)),
+        15, 4, 0),
+      // 2 full rows of a byte gradient — block means exercised for real
+      MediaRow(2L, "image",
+        Multimodal.BmpCodec.encode(Array.tabulate[Byte](90)(_.toByte)), 15, 2, 0),
+      // empty payload → the encoder's 1-row all-zero raster
+      MediaRow(3L, "image", Multimodal.BmpCodec.encode(Array.empty[Byte]), 15, 1, 0))
+      .toDS().repartition(2)
+  }
+
+  test("resize: real BMP box-filter — halved dims, exact block means," +
+      " factor-1 identity, corrupt input fails loudly") {
+    val out = Multimodal.resize(bmpDs, 2).collect().map(r => r.media_id -> r).toMap
+    // metadata follows the decoded output raster: 15×4 → 8×2, 15×2 → 8×1
+    assert(out(1L).width == 8 && out(1L).height == 2)
+    assert(out(2L).width == 8 && out(2L).height == 1)
+    assert(out(3L).width == 8 && out(3L).height == 1)
+    // constant raster: every block's floor-mean is the constant, so the
+    // resized features are pure arithmetic — 16 px, sums 7·16 per channel
+    val f1 = Multimodal.BmpCodec.decodeFeatures(1L, out(1L).payload)
+    assert(f1.img_w == 8 && f1.img_h == 2 && f1.n_px == 16)
+    assert(f1.sum_b == 112 && f1.sum_g == 112 && f1.sum_r == 112 && f1.max_px == 7)
+    // gradient raster: independent replay of the block arithmetic from
+    // the source bytes (the oracle's algebra, in-test) must reproduce
+    // the codec's resized pixel stream exactly
+    val src = Array.tabulate(90)(identity)
+    def srcPx(r: Int, c: Int, ch: Int): Int = {
+      val k = r * 45 + c * 3 + ch
+      if (k < src.length) src(k) else 0
+    }
+    val expected = for {
+      br <- 0 until 1; bc <- 0 until 8; ch <- 0 until 3
+    } yield {
+      val cells = for {
+        r <- (br * 2) until math.min(br * 2 + 2, 2)
+        c <- (bc * 2) until math.min(bc * 2 + 2, 15)
+      } yield srcPx(r, c, ch)
+      cells.sum / cells.size
+    }
+    val f2 = Multimodal.BmpCodec.decodeFeatures(2L, out(2L).payload)
+    assert(f2.sum_b == expected.zipWithIndex.collect { case (v, i) if i % 3 == 0 => v }.sum)
+    assert(f2.sum_g == expected.zipWithIndex.collect { case (v, i) if i % 3 == 1 => v }.sum)
+    assert(f2.sum_r == expected.zipWithIndex.collect { case (v, i) if i % 3 == 2 => v }.sum)
+    assert(f2.checksum_w == expected.zipWithIndex.map { case (v, i) => (i + 1L) * v }.sum)
+    assert(f2.max_px == expected.max)
+    // factor 1 is the byte identity: same dims, same block means, same
+    // poisoned stride padding — the re-encode reproduces the input file
+    val id = Multimodal.resize(bmpDs, 1).collect().map(r => r.media_id -> r).toMap
+    assert(id(2L).payload.sameElements(
+      Multimodal.BmpCodec.encode(Array.tabulate[Byte](90)(_.toByte))))
+    // a payload that is not a BMP fails with the codec's named error,
+    // never a silent byte-stat
+    val bad = intercept[IllegalArgumentException](
+      Multimodal.BmpCodec.resize(Array[Byte](1, 2, 3), 2))
+    assert(bad.getMessage.contains("bad magic"))
   }
 
   test("sampleFrames: every-2nd 256-byte chunk with correct sizes") {
