@@ -10,7 +10,8 @@ import graft.Tables
   * fixture's delete lists (one rule per key space), seed EVERY
   * maintained state class this library serves — row state, tf index,
   * positions index, chunk index, MinHash shingles/bands/pairs, cluster
-  * members/redirects, ANN cells/codes, phash bands/pairs — run every forget entry point, then
+  * members/redirects, ANN cells/codes, phash bands/pairs, and (r19)
+  * the stored OLS model sums — run every forget entry point, then
   * probe each stored table and report per-tier residue and remaining
   * row counts. A deletion request is only discharged when every tier
   * reads zero residue; the per-tier gates prove each erasure is
@@ -32,8 +33,12 @@ import graft.Tables
   * stored table (the residue predicate pushes to the scan); the seeds
   * and erasures are the per-tier machinery's own (each idempotent, so
   * the certificate job re-runs until success like every erasure job).
-  * The thirteen one-row aggregates are one audit job per tier — a
-  * compliance artifact, not a hot path.
+  * The fourteen one-row aggregates are one audit job per tier — a
+  * compliance artifact, not a hot path. The model tier (`ols_sums`)
+  * audits DIFFERENTIALLY: aggregate-space erasure leaves no victim
+  * rows to count, so its residue is the number of flags whose stored
+  * nine sums differ from the from-scratch survivor recompute — a
+  * skipped (or double-applied) negated fold fails it just the same.
   */
 object Erasure {
 
@@ -55,7 +60,8 @@ object Erasure {
     "clusters" -> s"$base/clusters",
     "ann" -> s"$base/ann",
     "phash" -> s"$base/phash",
-    "phashPairs" -> s"$base/phashpairs")
+    "phashPairs" -> s"$base/phashpairs",
+    "ols" -> s"$base/ols")
 
   /** Seed every maintained store under `base` from the fixture corpus
     * and run every forget entry point — each seed `_SUCCESS`-guarded and
@@ -99,6 +105,11 @@ object Erasure {
       lshPairs.filter(col("doc_b") > mid), 1L)
     seedAnnIndex(spark, sfDir, d("ann"))
     seedPhashIndex(spark, sfDir, d("phash"), d("phashPairs"))
+    // trained-model tier: the stored nine-sum state seeded from the full
+    // corpus (commit-guarded; the aggregation is lazy behind the guard)
+    val lq = Stats.olsQuantized(spark, sfDir)
+    EventStream.olsSumsSeed(spark, d("ols"),
+      Stats.olsAgg(lq.groupBy(col("return_flag"))))
 
     def unlessSkipped(tier: String)(body: => Unit): Unit =
       if (!skipForgets.contains(tier)) body
@@ -118,6 +129,12 @@ object Erasure {
       EventStream.forgetVectorsFromAnnIndex(spark, d("ann"), vecVictims))
     unlessSkipped("phash")(EventStream.forgetMediaFromPhashIndex(spark,
       d("phash"), d("phashPairs"), mediaVictims))
+    // aggregate-space erasure on the model tier: the cohort's nine-sum
+    // delta folds in NEGATED (marker-gated + watermark-idempotent — a
+    // certificate re-run provably cannot subtract twice)
+    unlessSkipped("ols_sums")(EventStream.forgetFromOlsSums(spark, d("ols"),
+      Stats.olsAgg(lq.filter(Stats.olsForgottenRule(col("l_orderkey")))
+        .groupBy(col("return_flag"))), batchId = 0L))
   }
 
   /** Commit a one-shot pairs OUTPUT table (live-tree seed) unless commit
@@ -197,7 +214,23 @@ object Erasure {
       row("phash_bands", EventStream.phashBandsRead(spark, d("phash")),
         docForgotten(col("media_id"))),
       row("phash_pairs", EventStream.phashPairsRead(spark, d("phashPairs")),
-        docForgotten(col("media_a")) || docForgotten(col("media_b"))))
+        docForgotten(col("media_a")) || docForgotten(col("media_b"))),
+      {
+        // the model tier's DIFFERENTIAL probe: stored (erased) sums vs
+        // the survivor recompute, full-outer by flag — residue counts
+        // flags whose stored statistics are not exactly the
+        // filter-rebuild's (a skipped negated fold, an over-forget, a
+        // flag lost entirely); n_remaining = flags the model still serves
+        val stored = EventStream.olsSumsRead(spark, d("ols")).alias("s")
+        val expected = Stats.olsAgg(
+          Stats.olsQuantized(spark, sfDir)
+            .filter(!Stats.olsForgottenRule(col("l_orderkey")))
+            .groupBy(col("return_flag"))).alias("e")
+        val mismatch = Stats.OlsSumCols
+          .map(c => !(col(s"s.$c") <=> col(s"e.$c"))).reduce(_ || _)
+        row("ols_sums",
+          stored.join(expected, Seq("return_flag"), "full_outer"), mismatch)
+      })
       .reduce(_.unionByName(_))
       .orderBy("tier")
   }
@@ -252,6 +285,9 @@ object Erasure {
          |   WHERE ${Similarity.AnnForgetKeepSql})
          |UNION ALL SELECT 'phash_bands',
          |  (SELECT CAST(4 * count(*) AS BIGINT) FROM documents WHERE $DocKeepSql)
+         |UNION ALL SELECT 'ols_sums',
+         |  (SELECT CAST(count(DISTINCT l_returnflag) AS BIGINT) FROM lineitem
+         |   WHERE NOT (l_orderkey % 13 = 5))
          |UNION ALL SELECT 'phash_pairs',
          |  (SELECT CAST(count(*) AS BIGINT)
          |   FROM psig a JOIN psig b ON a.media_id < b.media_id

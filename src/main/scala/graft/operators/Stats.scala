@@ -418,14 +418,14 @@ object Stats {
     * order-independent, map-side combinable, and small enough that the
     * 3×3 solve happens in the SELECT, not on the driver.
     */
-  private val OlsSumCols =
+  private[graft] val OlsSumCols =
     Seq("n", "sx2", "sx3", "sx22", "sx23", "sx33", "sy", "sx2y", "sx3y")
 
   /** The quantized regression rows — one spelling of the exact-integer
     * inputs for every OLS consumer (full-corpus sums, the split-grouped
     * incremental gate).
     */
-  private def olsQuantized(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def olsQuantized(spark: SparkSession, sfDir: String): DataFrame = {
     val dec = DecimalType(38, 0)
     Tables.lineitem(spark, sfDir)
       .select(col("l_returnflag").alias("return_flag"),
@@ -438,7 +438,7 @@ object Stats {
   /** The nine normal-equation aggregates over an arbitrary grouping —
     * shared by the full-corpus pass and the per-arrival-split pass.
     */
-  private def olsAgg(
+  private[graft] def olsAgg(
       g: org.apache.spark.sql.RelationalGroupedDataset): DataFrame = {
     val dec = DecimalType(38, 0)
     g.agg(count(lit(1)).cast(dec).alias("n"),
@@ -472,6 +472,17 @@ object Stats {
       .select(col("return_flag") +: OlsSumCols.map(c =>
         (coalesce(col(s"s.$c"), lit(0)) + coalesce(col(s"d.$c"), lit(0)))
           .cast(dec).alias(c)): _*)
+  }
+
+  /** Negate a nine-sum frame — the erasure direction of the additive
+    * algebra: folding a NEGATED delta through [[mergeOlsSums]] is exact
+    * subtraction over disjoint row sets (the stored forget path,
+    * [[graft.streaming.EventStream.forgetFromOlsSums]]).
+    */
+  private[graft] def negateOlsSums(sums: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    sums.select(col("return_flag") +: OlsSumCols.map(c =>
+      (-col(c)).cast(dec).alias(c)): _*)
   }
 
   /** MULTIVARIATE OLS in closed form — fit `extendedprice ~ quantity +
@@ -574,17 +585,56 @@ object Stats {
     * where the erased artifact is a trained model's coefficients).
     */
   def lineitemOlsForget(spark: SparkSession, sfDir: String): DataFrame = {
-    val dec = DecimalType(38, 0)
     val forgotten = olsAgg(
       olsQuantized(spark, sfDir).filter(olsForgottenRule(col("l_orderkey")))
         .groupBy(col("return_flag")))
-    val negated = forgotten.select(col("return_flag") +: OlsSumCols.map(c =>
-      (-col(c)).cast(dec).alias(c)): _*)
-    olsBetasFromSums(mergeOlsSums(olsSums(spark, sfDir), negated))
+    olsBetasFromSums(mergeOlsSums(olsSums(spark, sfDir), negateOlsSums(forgotten)))
       .select(col("return_flag"), col("n"), col("intercept_micro"),
         col("coef_qty_micro"), col("coef_disc_micro"))
       .orderBy("return_flag")
   }
+
+  /** THE STORED MODEL STATE TABLE (r18 verdict #1): the nine-sum
+    * sufficient statistics live ON DISK as a bucketed partial-rewrite
+    * table ([[graft.streaming.EventStream.olsSumsFoldBatch]] — the same
+    * machinery as the totals/SCD2/term-stats tiers: `_SUCCESS`-guarded
+    * seed, marker-gated watermark-idempotent folds, dynamic-partition
+    * bucket rewrites), and the betas are SERVED FROM THE STORED TABLE —
+    * no session aggregate anywhere in the returned lineage. History
+    * (`l_orderkey % 10 != 9`) seeds the state; tonight's batch
+    * (`% 10 == 9`) aggregates only its own rows and folds its nine-sum
+    * delta in by keyed decimal addition; the closed-form solve then
+    * reads |flags| rows from disk. The oracle is the full-corpus solve
+    * VERBATIM — stored-fold-then-solve ≡ rebuild is the gate fact,
+    * exact because the sums are integers.
+    *
+    * 100 TB shape: this IS the nightly-model deployment — the state
+    * table holds one row per segment, the batch pays one map-side
+    * combined aggregation over its own rows, retraining is O(|flags|)
+    * from the table alone. Erasure folds a negated delta through the
+    * same stored machinery
+    * ([[graft.streaming.EventStream.forgetFromOlsSums]] — audited as
+    * erasure-certificate tier `ols_sums`).
+    *
+    * Memoized durably behind the state's own commit evidence: a second
+    * JVM finds the committed seed + batch marker, skips both writes,
+    * and pays only the stored-table read.
+    */
+  def lineitemOlsStored(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoizedDurable(s"stats.olsStored:$sfDir") {
+      import graft.streaming.EventStream
+      val stateDir = Layout.tmpPath("graft-olsstore", sfDir)
+      val q = olsQuantized(spark, sfDir)
+      val isBatch = col("l_orderkey") % 10 === 9
+      EventStream.olsSumsSeed(spark, stateDir,
+        olsAgg(q.filter(!isBatch).groupBy(col("return_flag"))))
+      EventStream.olsSumsFoldBatch(spark, stateDir,
+        olsAgg(q.filter(isBatch).groupBy(col("return_flag"))), batchId = 0L)
+      olsBetasFromSums(EventStream.olsSumsRead(spark, stateDir))
+        .select(col("return_flag"), col("n"), col("intercept_micro"),
+          col("coef_qty_micro"), col("coef_disc_micro"))
+        .orderBy("return_flag")
+    }
 
   /** The closed-form Cramer solve over any (flag → nine sums) frame —
     * ONE spelling behind the full-corpus model and the
@@ -720,6 +770,13 @@ object Stats {
     // sums over the history/batch split is the theorem under test
     // (see [[lineitemOlsIncremental]])
     "lineitem_ols_incremental" ->
+      s"""WITH $olsBetasCteSql
+         |SELECT return_flag, n, intercept_micro, coef_qty_micro,
+         |       coef_disc_micro
+         |FROM betas ORDER BY return_flag""".stripMargin,
+    // the full-corpus solve VERBATIM again — stored-fold-then-solve ≡
+    // rebuild is the theorem (see [[lineitemOlsStored]])
+    "lineitem_ols_stored" ->
       s"""WITH $olsBetasCteSql
          |SELECT return_flag, n, intercept_micro, coef_qty_micro,
          |       coef_disc_micro
@@ -995,6 +1052,7 @@ object Stats {
     "lineitem_regression"     -> lineitemRegression _,
     "lineitem_ols_multi"      -> lineitemOlsMulti _,
     "lineitem_ols_incremental" -> lineitemOlsIncremental _,
+    "lineitem_ols_stored"     -> lineitemOlsStored _,
     "lineitem_ols_forget"     -> lineitemOlsForget _,
     "lineitem_residual_outliers" -> lineitemResidualOutliers _,
   )

@@ -2041,6 +2041,275 @@ object EventStream {
     }
   }
 
+  /** VERSIONED (copy-on-write) BUCKETED STATE — time travel for the
+    * partial-rewrite tier (r18 verdict #2): the dynamic-overwrite
+    * layout ([[totalsMaintenanceStreamBucketed]]) rewrites bucket
+    * partitions IN PLACE, so history is destroyed at fold time — "what
+    * did the state look like before tonight's batch" is unanswerable on
+    * exactly the tables a lakehouse MERGE would version. This layout
+    * answers it with BUCKET GENERATIONS: a fold never overwrites — it
+    * writes the new version of its touched buckets into a fresh
+    * generation directory
+    *
+    *   `state/seed/bucket=k/…`   (the seeded baseline)
+    *   `state/g{batchId}/bucket=k/…`  (only the buckets batch touched)
+    *
+    * and a read resolves, PER BUCKET, the newest committed generation —
+    * the live read takes the newest overall, an as-of read the newest
+    * with `batchId <= asOf`. Untouched buckets are never copied (their
+    * generation keeps serving — byte-identical across any number of
+    * folds, spec'd), so the storage cost of time travel is one
+    * generation per TOUCHED bucket per batch, the same write volume the
+    * in-place layout already paid — versioning is free except for
+    * retention.
+    *
+    * Exactly-once SIMPLIFIES here: the generation dir doubles as the
+    * batch's idempotence marker (its root `_SUCCESS` is the commit — a
+    * replayed batch skips on it; a crashed fold leaves an uncommitted
+    * dir every reader ignores and the replay overwrites wholesale), so
+    * the in-place layout's two-layer marker+watermark dance collapses
+    * to one job commit. This is precisely a table format's
+    * snapshot-per-commit contract spelled at the bucket grain.
+    *
+    * Resolution cost: one listing per generation (bounded by retention,
+    * [[expireVersionedGenerations]]) — driver-side, metadata-sized,
+    * exactly the file-listing class the manifest tier
+    * ([[writeTreeManifest]]-style) exists to bound at object-store
+    * scale. The dynamic-overwrite tables (totals/SCD2/term-stats
+    * streams) keep their layout for now; this is the documented
+    * migration path — the fold/read/retention contract is
+    * key-column-generic, the totals tier adopts it first
+    * ([[totalsMaintenanceStreamVersioned]], the `fact_totals_asof`
+    * gate).
+    */
+  private def versionedStatePath(stateDir: String): String = s"$stateDir/state"
+
+  private val versionedGenName = "g(\\d+)".r
+
+  /** Committed generations of a versioned state table, ascending; the
+    * seed is generation −1 (it precedes every batch).
+    */
+  private def versionedCommittedGens(spark: SparkSession,
+      stateDir: String): Seq[Long] = {
+    val base = versionedStatePath(stateDir)
+    val names = StateFs.list(spark, base)
+    val seed =
+      if (StateFs.exists(spark, s"$base/seed/_SUCCESS")) Seq(-1L) else Seq.empty
+    (seed ++ names.collect { case versionedGenName(id) => id.toLong }
+      .filter(id => StateFs.exists(spark, s"$base/g$id/_SUCCESS"))).sorted
+  }
+
+  private def versionedGenPath(stateDir: String, gen: Long): String =
+    if (gen == -1L) s"${versionedStatePath(stateDir)}/seed"
+    else s"${versionedStatePath(stateDir)}/g$gen"
+
+  private val expiredThroughName = "_expired_through_(-?\\d+)".r
+
+  /** The retention horizon recorded by [[expireVersionedGenerations]]
+    * (name-encoded — the `_horizon_<v>` torn-write reasoning). As-of
+    * reads strictly below it fail loudly: the bucket versions that
+    * window needed were expired. Long.MinValue = nothing expired.
+    */
+  private[graft] def versionedExpiredThrough(spark: SparkSession,
+      stateDir: String): Long =
+    StateFs.list(spark, versionedStatePath(stateDir))
+      .collect { case expiredThroughName(v) => v.toLong }
+      .reduceOption(_ max _).getOrElse(Long.MinValue)
+
+  /** Per-bucket serving map as of `asOf` (None = live): bucket →
+    * newest committed generation ≤ the bound that holds the bucket.
+    * Driver-side listings bounded by generations × buckets — the
+    * retention-bounded metadata cost the layout doc prices in.
+    */
+  private def versionedServingGens(spark: SparkSession, stateDir: String,
+      asOf: Option[Long]): Map[Long, Seq[Int]] = {
+    asOf.foreach { bound =>
+      val horizon = versionedExpiredThrough(spark, stateDir)
+      require(bound >= horizon,
+        s"as-of batch $bound predates the retention horizon $horizon of " +
+          s"$stateDir — the bucket generations that window needed were " +
+          "expired (expireVersionedGenerations). Rebuild from raw history; " +
+          "refusing to serve a silently-partial view")
+    }
+    val gens = versionedCommittedGens(spark, stateDir)
+      .filter(g => asOf.forall(g <= _))
+    val bucketGen = scala.collection.mutable.Map.empty[Int, Long]
+    gens.foreach { g => // ascending: later generations win per bucket
+      StateFs.list(spark, versionedGenPath(stateDir, g))
+        .collect { case s if s.startsWith("bucket=") => s.drop(7).toInt }
+        .foreach(b => bucketGen(b) = g)
+    }
+    bucketGen.toSeq.groupBy(_._2).map { case (g, bs) => g -> bs.map(_._1).sorted }
+  }
+
+  /** Read a versioned state table as of `asOf` (None = live): one
+    * partition-pruned read per serving generation, unioned — each
+    * bucket's rows come from exactly its serving generation.
+    */
+  private def versionedStateRead(spark: SparkSession, stateDir: String,
+      schema: StructType, asOf: Option[Long]): DataFrame = {
+    val serving = versionedServingGens(spark, stateDir, asOf)
+    if (serving.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      serving.toSeq.sortBy(_._1).map { case (g, buckets) =>
+        spark.read.schema(schema).parquet(versionedGenPath(stateDir, g))
+          .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+      }.reduce(_.unionByName(_))
+  }
+
+  /** Versioned-state read schema for the totals tier — the bucketed
+    * totals partials WITHOUT `last_batch`: the generation commit is the
+    * idempotence evidence, so no in-band watermark is stored.
+    */
+  private val totalsVersionedSchema = StructType(Seq(
+    StructField("product_key", LongType),
+    StructField("q2", LongType),
+    StructField("r4", LongType),
+    StructField("n", LongType),
+    StructField("bucket", IntegerType)))
+
+  /** Seed the versioned state's baseline generation (`state/seed`) —
+    * `_SUCCESS`-guarded like every seed.
+    */
+  private[graft] def seedVersionedState(initial: DataFrame, keyCol: String,
+      stateDir: String): Unit = {
+    val seedPath = versionedGenPath(stateDir, -1L)
+    if (!StateFs.exists(initial.sparkSession, s"$seedPath/_SUCCESS")) {
+      initial.withColumn("bucket", stateBucketOf(col(keyCol)))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(seedPath)
+    }
+  }
+
+  /** One totals micro-batch against the VERSIONED state: aggregate the
+    * batch to partials, read ONLY the touched buckets' serving
+    * generations (partition-pruned), merge, write the result into the
+    * batch's own fresh generation dir. Copy-on-write kills both
+    * in-place hazards at once: the plan never reads its write target
+    * (no localCheckpoint materialization needed) and a torn commit is
+    * impossible to observe (readers require the generation's
+    * `_SUCCESS`; the replay overwrites the torn dir wholesale).
+    */
+  private[graft] def totalsFoldBatchVersioned(spark: SparkSession,
+      stateDir: String, batch: DataFrame, batchId: Long): Unit = {
+    require(batchId >= 0, s"versioned fold batchId must be >= 0, got $batchId")
+    val genPath = versionedGenPath(stateDir, batchId)
+    if (!StateFs.exists(spark, s"$genPath/_SUCCESS")) {
+      val partials = withStateBucket(
+          graft.operators.StarSchema.totalsPartialsOfDetail(batch))
+        .persist()
+      try {
+        val touched = partials.select(col("bucket")).distinct()
+          .collect().map(_.getInt(0)).toSeq.sorted
+        if (touched.nonEmpty) {
+          // serving view as of the PREVIOUS batch — a replay must not
+          // resolve its own uncommitted (or half-replayed) generation
+          val current = versionedStateRead(spark, stateDir,
+              totalsVersionedSchema, Some(batchId - 1))
+            .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+          graft.operators.StarSchema.mergeTotalsPartials(
+              current.drop("bucket"),
+              partials.filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+                .drop("bucket"))
+            .withColumn("bucket", stateBucketOf(col("product_key")))
+            .repartition(col("bucket"))
+            .write.mode("overwrite").partitionBy("bucket").parquet(genPath)
+        }
+      } finally {
+        partials.unpersist()
+        ()
+      }
+    }
+  }
+
+  /** The versioned totals state, live. */
+  def totalsVersionedRead(spark: SparkSession, stateDir: String): DataFrame =
+    versionedStateRead(spark, stateDir, totalsVersionedSchema, None)
+      .drop("bucket")
+
+  /** TIME TRAVEL on the versioned totals state: the table exactly as a
+    * live read served it the moment batch `asOfBatch` committed
+    * (−1 = the seeded baseline). A listing filter over bucket
+    * generations — zero data copy, the [[batchDirsReadAsOf]] claim on
+    * the partial-rewrite tier.
+    */
+  def totalsVersionedReadAsOf(spark: SparkSession, stateDir: String,
+      asOfBatch: Long): DataFrame =
+    versionedStateRead(spark, stateDir, totalsVersionedSchema, Some(asOfBatch))
+      .drop("bucket")
+
+  /** [[totalsMaintenanceStreamBucketed]] on the versioned layout — the
+    * same per-batch fold body under Structured Streaming, with time
+    * travel as a side effect of how commits are laid out.
+    */
+  def totalsMaintenanceStreamVersioned(detailStream: DataFrame,
+      initialState: DataFrame, stateDir: String,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val spark = detailStream.sparkSession
+    seedVersionedState(initialState, "product_key", stateDir)
+    maintenanceWriter(detailStream, checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        totalsFoldBatchVersioned(spark, stateDir, batch.toDF(), batchId)
+      }
+      .start()
+  }
+
+  /** RETENTION for the versioned layout — the explicit expiry half
+    * (the [[expireSnapshots]] discipline at the bucket-generation
+    * grain): keep every generation a read at or after `keepAsOfFrom`
+    * can resolve — for each bucket, all generations above the horizon
+    * plus its newest generation at-or-below it — and delete the rest
+    * (the superseded bucket versions only time travel below the horizon
+    * needed). The horizon is recorded FIRST (name-encoded marker, the
+    * `_horizon_<v>` torn-write reasoning, monotone), so an as-of read
+    * below it fails loudly ([[versionedServingGens]]) instead of
+    * resolving a silently-partial view; reads at or above the horizon
+    * are untouched by construction. Returns the deleted
+    * (generation, bucket) partition dirs.
+    */
+  def expireVersionedGenerations(spark: SparkSession, stateDir: String,
+      keepAsOfFrom: Long): Seq[String] = {
+    val base = versionedStatePath(stateDir)
+    val prior = versionedExpiredThrough(spark, stateDir)
+    val horizon = math.max(keepAsOfFrom, prior)
+    if (horizon > prior)
+      StateFs.touch(spark, s"$base/_expired_through_$horizon")
+    StateFs.list(spark, base).foreach {
+      case expiredThroughName(v) if v.toLong < horizon =>
+        StateFs.deleteFile(spark, s"$base/_expired_through_$v")
+      case _ => ()
+    }
+    val gens = versionedCommittedGens(spark, stateDir)
+    val byBucket = scala.collection.mutable.Map.empty[Int, List[Long]]
+    gens.foreach { g =>
+      StateFs.list(spark, versionedGenPath(stateDir, g))
+        .collect { case s if s.startsWith("bucket=") => s.drop(7).toInt }
+        .foreach(b => byBucket(b) = g :: byBucket.getOrElse(b, Nil))
+    }
+    val dropped = byBucket.toSeq.sortBy(_._1).flatMap { case (b, gensDesc) =>
+      // gensDesc is newest-first; keep everything above the horizon and
+      // the newest at-or-below it — the serving gen of every retained
+      // as-of window
+      val atOrBelow = gensDesc.filter(_ <= horizon)
+      atOrBelow.drop(1).map { g =>
+        val dir = s"${versionedGenPath(stateDir, g)}/bucket=$b"
+        StateFs.deleteRecursively(spark, dir)
+        dir
+      }
+    }
+    // a generation stripped of its every bucket is pure metadata — drop
+    // the husk so listings stay bounded (its _SUCCESS alone must not
+    // keep resolving it)
+    gens.foreach { g =>
+      val p = versionedGenPath(stateDir, g)
+      if (!StateFs.list(spark, p).exists(_.startsWith("bucket=")))
+        StateFs.deleteRecursively(spark, p)
+    }
+    dropped
+  }
+
   /** STREAMING SCD2 MAINTENANCE WITH PARTIAL STATE REWRITE — the
     * [[totalsMaintenanceStreamBucketed]] composition applied to the
     * second stateful gate: the versioned dimension lives as ONE parquet
@@ -2338,6 +2607,88 @@ object EventStream {
       }
     }
   }
+
+  /** Bucketed OLS sufficient-statistics state layout — the maintained
+    * (return_flag → nine exact-integer normal-equation sums) table of
+    * the TRAINED-MODEL tier (r18 verdict #1: the one incremental ≡
+    * rebuild gate still living in session state, now durable like
+    * every other). DECIMAL(38,0) sums — the
+    * [[graft.operators.Stats]] exactness envelope, on disk.
+    */
+  private val olsSumsStateSchema = StructType(
+    StructField("return_flag", StringType) +:
+      graft.operators.Stats.OlsSumCols.map(c =>
+        StructField(c, DecimalType(38, 0))) :+
+      StructField("last_batch", LongType) :+
+      StructField("bucket", IntegerType))
+
+  /** The maintained OLS sums table, reader-shaped — what the
+    * closed-form solve ([[graft.operators.Stats.olsBetasFromSums]])
+    * reads to retrain in O(|flags|).
+    */
+  def olsSumsRead(spark: SparkSession, stateDir: String): DataFrame =
+    bucketedStateRead(spark, stateDir, olsSumsStateSchema)
+      .drop("bucket", "last_batch")
+
+  /** Seed the stored OLS sums from a (return_flag → nine sums) frame —
+    * commit-guarded like every bucketed seed ([[seedBucketedState]]).
+    */
+  def olsSumsSeed(spark: SparkSession, stateDir: String,
+      initialSums: DataFrame): Unit =
+    seedBucketedState(initialSums, "return_flag", stateDir)
+
+  /** Fold one nine-sum DELTA into the stored OLS state — the nightly
+    * model-maintenance fold: marker-gated, watermark-idempotent
+    * ([[foldBucketedState]] — the commit/marker crash window replays as
+    * a per-bucket no-op), partial-rewrite (a delta touching one flag's
+    * bucket rewrites that bucket only). The merge is
+    * [[graft.operators.Stats.mergeOlsSums]] — keyed full-outer decimal
+    * addition, additive over disjoint row sets, so fold-then-solve ≡
+    * rebuild exactly (integer sums, no reassociation caveat).
+    */
+  def olsSumsFoldBatch(spark: SparkSession, stateDir: String,
+      deltaSums: DataFrame, batchId: Long,
+      commitMarker: Boolean = true): Unit = {
+    if (!plainMarkerApplied(spark, stateDir, batchId)) {
+      val delta = deltaSums
+        .withColumn("bucket", stateBucketOf(col("return_flag")))
+        .persist()
+      try {
+        val touched = delta.select(col("bucket")).distinct()
+          .collect().map(_.getInt(0)).toSeq.sorted
+        if (touched.nonEmpty) {
+          foldBucketedState(spark, stateDir, olsSumsStateSchema, touched,
+              "return_flag", batchId) { (cur, todo) =>
+            graft.operators.Stats.mergeOlsSums(cur,
+              delta.filter(col("bucket").isin(todo.map(Integer.valueOf): _*))
+                .drop("bucket"))
+          }
+        }
+        if (commitMarker) commitPlainMarker(spark, stateDir, batchId)
+      } finally {
+        delta.unpersist()
+        ()
+      }
+    }
+  }
+
+  /** ERASURE IN AGGREGATE SPACE ON THE STORED MODEL TIER — the durable
+    * form of `lineitem_ols_forget`: the forgotten cohort's nine-sum
+    * delta folds in NEGATED through the exact same
+    * [[olsSumsFoldBatch]] machinery (additivity works in both
+    * directions over disjoint row sets), so the STORED model provably
+    * forgets without a history rescan. Runs as a marker-gated fold at
+    * its own `batchId` — a negated fold is NOT naturally idempotent
+    * (subtracting twice would over-forget), so the idempotence contract
+    * is the fold's, not a probe's: the batch marker plus the per-bucket
+    * `last_batch` watermark make a certificate re-run (second JVM,
+    * crash recovery) a provable no-op, the same guarantee every
+    * maintenance fold carries.
+    */
+  def forgetFromOlsSums(spark: SparkSession, stateDir: String,
+      forgottenSums: DataFrame, batchId: Long): Unit =
+    olsSumsFoldBatch(spark, stateDir,
+      graft.operators.Stats.negateOlsSums(forgottenSums), batchId)
 
   private val tfIndexSchema = StructType(Seq(
     StructField("doc_id", LongType),

@@ -465,4 +465,67 @@ class StatsSpec extends SparkSpec {
       (v._2, v._3, v._4) != (erased(f)._2, erased(f)._3, erased(f)._4) },
       "forgetting the cohort left every coefficient bit-identical")
   }
+
+  /** md5 snapshot of every data file under a bucketed state table — the
+    * byte-identity witness (the StreamingSpec crash-replay discipline).
+    */
+  private def bucketSnapshot(stateDir: String): Map[String, (Long, String)] = {
+    def md5(p: java.nio.file.Path): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      new java.math.BigInteger(1, d.digest(java.nio.file.Files.readAllBytes(p)))
+        .toString(16)
+    }
+    val base = java.nio.file.Paths.get(s"$stateDir/state")
+    val out = scala.collection.mutable.Map.empty[String, (Long, String)]
+    java.nio.file.Files.walk(base).forEach { p =>
+      val rel = base.relativize(p).toString
+      if (rel.contains("bucket=") && p.toFile.isFile && !rel.endsWith("_SUCCESS"))
+        out(rel) = (java.nio.file.Files.size(p), md5(p))
+    }
+    out.toMap
+  }
+
+  test("stored OLS sums: betas served from disk equal the session model;" +
+      " the fold and the negated forget fold are watermark-idempotent") {
+    import operators.Stats
+    import graft.streaming.EventStream
+    // the registered gate ≡ the session full-corpus model, exactly
+    assert(q("lineitem_ols_stored").collect().toSeq ==
+      q("lineitem_ols_multi").collect().toSeq,
+      "stored-table serving diverged from the session model")
+    // fresh state table: seed history, crash the batch fold between its
+    // overwrite commit and the marker, replay — the per-bucket watermark
+    // must make the replay a byte-exact no-op (the totals discipline on
+    // the model tier)
+    val q0 = Stats.olsQuantized(spark, sf)
+    val isBatch = col("l_orderkey") % 10 === 9
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      Stats.olsAgg(df.groupBy(col("return_flag")))
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-olswm").toString
+    EventStream.olsSumsSeed(spark, stateDir, agg(q0.filter(!isBatch)))
+    EventStream.olsSumsFoldBatch(spark, stateDir, agg(q0.filter(isBatch)), 0L,
+      commitMarker = false)
+    val afterCrash = bucketSnapshot(stateDir)
+    EventStream.olsSumsFoldBatch(spark, stateDir, agg(q0.filter(isBatch)), 0L)
+    assert(bucketSnapshot(stateDir) == afterCrash,
+      "replay rewrote state a crashed-but-committed fold already applied")
+    // stored sums == the full-corpus aggregation, exactly (fold ≡ rebuild)
+    def sumsOf(df: org.apache.spark.sql.DataFrame): Set[Seq[String]] =
+      df.collect().map(_.toSeq.map(String.valueOf)).toSet
+    assert(sumsOf(EventStream.olsSumsRead(spark, stateDir)) == sumsOf(agg(q0)),
+      "stored sums diverged from the from-scratch aggregation")
+    // the negated forget fold: applies once, then a re-run (second JVM /
+    // crash recovery) provably cannot subtract twice — marker plus
+    // watermark, the same two layers as every maintenance fold
+    val cohort = agg(q0.filter(Stats.olsForgottenRule(col("l_orderkey"))))
+    EventStream.forgetFromOlsSums(spark, stateDir, cohort, 1L)
+    val afterForget = bucketSnapshot(stateDir)
+    EventStream.forgetFromOlsSums(spark, stateDir, cohort, 1L)
+    assert(bucketSnapshot(stateDir) == afterForget,
+      "re-run of the negated fold double-subtracted the cohort")
+    // and the erased stored state == the survivor rebuild, exactly
+    assert(sumsOf(EventStream.olsSumsRead(spark, stateDir)) ==
+      sumsOf(agg(q0.filter(!Stats.olsForgottenRule(col("l_orderkey"))))),
+      "stored forget diverged from the filter-rebuild")
+  }
 }
