@@ -293,12 +293,112 @@ object EventStream {
       .exists(t => StateFs.exists(spark, s"$t/seed/_SUCCESS"))
 
   /** Committed (job-commit `_SUCCESS` present) subdirs of one tree —
-    * the `_published` marker is a file, never matches.
+    * the `_published` marker is a file, never matches. The AUTHORITATIVE
+    * resolution (one listing + one exists per subdir): writers —
+    * compaction's foldable set, the manifest writer itself — always use
+    * THIS; a stale manifest must never decide what compaction keeps.
     */
   private def committedSubdirs(spark: SparkSession, treePath: String): Seq[String] =
     StateFs.list(spark, treePath)
       .filter(d => StateFs.exists(spark, s"$treePath/$d/_SUCCESS"))
       .sorted
+
+  /** MANIFEST-BACKED TREE READS (r18 verdict #5): every probe of a
+    * per-batch-subdir table used to pay one `listStatus` plus one
+    * `exists(_SUCCESS)` round-trip PER SUBDIR — at object-store scale
+    * with thousands of batches, exactly the metadata cost
+    * Iceberg/Delta manifests exist to kill. A tree's `_manifest_<seq>`
+    * file enumerates its committed subdirs (name + data-file count),
+    * terminated by `#end`; readers serve the highest well-formed
+    * manifest and fall back to the listing when none exists, the
+    * newest is torn (content-bearing control files can tear — the
+    * `_horizon_<v>` reasoning; hence the terminator and the
+    * seq-numbered supersede-don't-overwrite discipline), or a listed
+    * subdir has vanished mid-replay (the read throws and retries
+    * against the listing — never serves wrong rows).
+    *
+    * Maintenance is per-table OPT-IN: a fold that maintains manifests
+    * writes one after its subdir commit and BEFORE its batch marker —
+    * a crash between subdir and manifest leaves an unmarked batch the
+    * stream replays (rewriting both), so a marker-applied batch is
+    * always manifest-visible; stale-forever is structurally impossible.
+    * Compaction propagates a manifest onto the new tree ONLY when the
+    * superseded tree had one: a table whose folds don't maintain
+    * manifests must never acquire a manifest that those folds would
+    * silently let go stale. The tf + positions indexes (the tables
+    * behind the registered as-of gates) maintain manifests today;
+    * the other tables keep listing-served reads until their folds are
+    * wired the same way.
+    */
+  private val manifestName = "_manifest_(\\d+)".r
+
+  private[graft] def writeTreeManifest(spark: SparkSession,
+      treePath: String): Unit = {
+    val names = StateFs.list(spark, treePath)
+    val subs = names
+      .filter(d => d == "seed" || d.matches("b\\d+"))
+      .filter(d => StateFs.exists(spark, s"$treePath/$d/_SUCCESS")).sorted
+    val entries = subs.map { d =>
+      val files = StateFs.list(spark, s"$treePath/$d").count(!_.startsWith("_"))
+      s"$d $files"
+    }
+    val seq = names.collect { case manifestName(n) => n.toLong }
+      .reduceOption(_ max _).getOrElse(0L) + 1
+    StateFs.writeFile(spark, s"$treePath/_manifest_$seq",
+      (entries :+ "#end").mkString("\n"))
+    // superseded manifests pruned AFTER the new one lands — a crash
+    // between the two leaves extras, and the highest well-formed wins
+    names.collect { case m @ manifestName(n) if n.toLong < seq => m }
+      .foreach(m => StateFs.deleteFile(spark, s"$treePath/$m"))
+  }
+
+  private def parseManifest(body: String): Option[Seq[String]] = {
+    val lines = body.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    if (!lines.lastOption.contains("#end")) None // torn write
+    else {
+      val entries = lines.dropRight(1).map(_.split(" ").head)
+      if (entries.forall(d => d == "seed" || d.matches("b\\d+")))
+        Some(entries)
+      else None // outside interference — fall back, never guess
+    }
+  }
+
+  private def hasManifest(spark: SparkSession, treePath: String): Boolean =
+    StateFs.list(spark, treePath).exists {
+      case manifestName(_) => true
+      case _ => false
+    }
+
+  /** The subdirs a READ serves: the newest well-formed manifest when
+    * one exists (one listing + one file read — no per-subdir exists
+    * round-trips), else the authoritative listing.
+    */
+  private def servedSubdirs(spark: SparkSession, treePath: String): Seq[String] = {
+    val names = StateFs.list(spark, treePath)
+    val fromManifest = names.collect { case manifestName(n) => n.toLong }
+      .sorted.reverseIterator
+      .flatMap(n => StateFs.readFileOpt(spark, s"$treePath/_manifest_$n")
+        .flatMap(parseManifest))
+      .nextOption()
+    fromManifest.getOrElse(
+      names.filter(d => StateFs.exists(spark, s"$treePath/$d/_SUCCESS")).sorted)
+  }
+
+  /** Build the served frame from a manifest-resolved subdir list,
+    * falling back to the authoritative listing when a listed subdir
+    * vanished (a crashed batch mid-replay): the manifest path throws at
+    * file-index construction, never serves wrong rows.
+    */
+  private def readServed(spark: SparkSession, treePath: String,
+      filter: String => Boolean, schema: StructType): DataFrame = {
+    def build(subs: Seq[String]) =
+      readSubdirs(spark, treePath, subs.filter(filter), schema)
+    try build(servedSubdirs(spark, treePath))
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        build(committedSubdirs(spark, treePath))
+    }
+  }
 
   private def readSubdirs(spark: SparkSession, treePath: String,
       subdirs: Seq[String], schema: StructType): DataFrame =
@@ -312,7 +412,7 @@ object EventStream {
       case None =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       case Some(tree) =>
-        readSubdirs(spark, tree, committedSubdirs(spark, tree), schema)
+        readServed(spark, tree, _ => true, schema)
     }
 
   private val seedThroughName = "_seed_through_(\\d+)".r
@@ -390,11 +490,10 @@ object EventStream {
           " erased history must not be time-travel readable). Rebuild from" +
           " the raw batch history; refusing to serve a silently-partial view")
       val tree = s"$dir/t${qualifying.map(_._1).max}"
-      val subs = committedSubdirs(spark, tree).filter {
+      readServed(spark, tree, {
         case "seed" => true
         case b => b.matches("b\\d+") && b.drop(1).toLong <= asOfBatch
-      }
-      readSubdirs(spark, tree, subs, schema)
+      }, schema)
     }
   }
 
@@ -645,6 +744,11 @@ object EventStream {
         .map(_.drop(1).toLong) :+ seedThroughOf(spark, livePath)).max
       if (foldedThrough >= 0)
         StateFs.touchExclusive(spark, s"$nextPath/_seed_through_$foldedThrough")
+      // manifest-maintaining tables get the new tree's manifest BEFORE
+      // it publishes (a published tree is born manifest-complete);
+      // tables without one must not acquire a manifest their folds
+      // would let go stale
+      if (hasManifest(spark, livePath)) writeTreeManifest(spark, nextPath)
       // THE commit: one create-only marker makes the new tree live —
       // exclusive, so even a protocol bug that let two writers reach
       // here could never let both "succeed" silently
@@ -2845,6 +2949,7 @@ object EventStream {
     if (!StateFs.exists(spark, s"${ensureLiveTree(spark, tfDir)}/seed/_SUCCESS")) {
       graft.operators.TextAnalysis.termFreqsOf(historyDocs)
         .write.mode("overwrite").parquet(s"${ensureLiveTree(spark, tfDir)}/seed")
+      writeTreeManifest(spark, ensureLiveTree(spark, tfDir))
     }
   }
 
@@ -2859,6 +2964,9 @@ object EventStream {
       graft.operators.TextAnalysis.termFreqsOf(batch)
         .write.mode("overwrite")
         .parquet(s"${ensureLiveTree(spark, s"$indexDir/tf")}/b$batchId")
+      // manifest BEFORE marker: a marker-applied batch is always
+      // manifest-visible (see the manifest contract above)
+      writeTreeManifest(spark, ensureLiveTree(spark, s"$indexDir/tf"))
       commitPlainMarker(spark, indexDir, batchId)
     }
 
@@ -3115,6 +3223,7 @@ object EventStream {
     if (!StateFs.exists(spark, s"${ensureLiveTree(spark, posDir)}/seed/_SUCCESS")) {
       graft.operators.TextAnalysis.termPositionsOf(historyDocs)
         .write.mode("overwrite").parquet(s"${ensureLiveTree(spark, posDir)}/seed")
+      writeTreeManifest(spark, ensureLiveTree(spark, posDir))
     }
   }
 
@@ -3134,6 +3243,7 @@ object EventStream {
       graft.operators.TextAnalysis.termPositionsOf(batch)
         .write.mode("overwrite")
         .parquet(s"${ensureLiveTree(spark, posDir)}/b$batchId")
+      writeTreeManifest(spark, ensureLiveTree(spark, posDir))
       commitPlainMarker(spark, posDir, batchId)
     }
   }

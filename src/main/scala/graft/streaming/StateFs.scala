@@ -20,7 +20,18 @@ import org.apache.spark.sql.SparkSession
   * (`EventStream.compactBatchDirs`), the table-format snapshot-pointer
   * discipline.
   */
-private[streaming] object StateFs {
+private[graft] object StateFs {
+
+  /** FS round-trip counters — the manifest tier's measured claim
+    * (fewer metadata probes per read) is assertable instead of argued:
+    * every `list`/`exists`/`readFileOpt` bumps its counter, and the
+    * spec brackets a read in both serving modes. Monotone and global;
+    * specs compare DELTAS, so concurrent bumps only ever make the
+    * assertion harder, never false-positive.
+    */
+  private[graft] val listCalls = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val existsCalls = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val readCalls = new java.util.concurrent.atomic.AtomicLong
 
   // the SHARED driver Hadoop conf, read-only here — `newHadoopConf()`
   // would CLONE the full SparkConf+Hadoop conf on every marker probe,
@@ -31,6 +42,7 @@ private[streaming] object StateFs {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   def exists(spark: SparkSession, path: String): Boolean = {
+    existsCalls.incrementAndGet()
     val p = new Path(path)
     fsOf(spark, p).exists(p)
   }
@@ -94,10 +106,43 @@ private[streaming] object StateFs {
     * `list() == null` case every caller used to special-case).
     */
   def list(spark: SparkSession, dir: String): Seq[String] = {
+    listCalls.incrementAndGet()
     val p = new Path(dir)
     val fs = fsOf(spark, p)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq.map(_.getPath.getName)
+  }
+
+  /** Write a small CONTROL file (manifest) — create parents, overwrite.
+    * Content-bearing, so torn writes are possible by construction; every
+    * reader of such files must validate a terminator and fall back (the
+    * manifest contract) — commit evidence stays name-encoded markers.
+    */
+  def writeFile(spark: SparkSession, path: String, content: String): Unit = {
+    val p = new Path(path)
+    val fs = fsOf(spark, p)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read a small control file; None when missing. */
+  def readFileOpt(spark: SparkSession, path: String): Option[String] = {
+    readCalls.incrementAndGet()
+    val p = new Path(path)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    }
   }
 
   /** Recursive delete; a missing path is a no-op. */

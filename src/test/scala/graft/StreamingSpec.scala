@@ -701,6 +701,80 @@ class StreamingSpec extends SparkSpec {
     assert(got == want && want.nonEmpty)
   }
 
+  test("manifest-backed tf-index reads: manifest-served frames equal" +
+      " listing-served with strictly fewer FS probes; torn or stale" +
+      " manifests fall back, never serve wrong rows") {
+    import graft.streaming.{EventStream, StateFs}
+    val docs = Tables.documents(spark, sf)
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-manifest").toString
+    EventStream.tfIndexSeed(spark, indexDir, docs.filter(col("doc_id") % 10 < 7))
+    Seq(7L, 8L, 9L).zipWithIndex.foreach { case (res, id) =>
+      EventStream.tfIndexFoldBatch(spark, indexDir,
+        docs.filter(col("doc_id") % 10 === res), id.toLong)
+    }
+    val tree = liveTree(s"$indexDir/tf")
+    def manifestFiles() = new java.io.File(tree).list()
+      .filter(_.startsWith("_manifest_")).sorted.toSeq
+    // exactly one manifest (folds supersede + prune), well-formed,
+    // covering every committed subdir
+    assert(manifestFiles().size == 1, s"manifests: ${manifestFiles()}")
+    val body = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$tree/${manifestFiles().head}"))
+    assert(body.linesIterator.toSeq.last == "#end")
+    Seq("seed", "b0", "b1", "b2").foreach(d =>
+      assert(body.linesIterator.exists(_.startsWith(s"$d ")), s"manifest misses $d"))
+    def probes[A](f: => A): (A, Long) = {
+      def total = StateFs.listCalls.get + StateFs.existsCalls.get +
+        StateFs.readCalls.get
+      val before = total
+      val a = f
+      (a, total - before)
+    }
+    def rows(): Set[Seq[Any]] =
+      EventStream.tfIndexRead(spark, indexDir).collect().map(_.toSeq).toSet
+    def asofRows(): Set[Seq[Any]] =
+      EventStream.tfIndexReadAsOf(spark, indexDir, asOfBatch = 1L)
+        .collect().map(_.toSeq).toSet
+    val (mRows, mProbes) = probes(rows())
+    val (mAsof, mAsofProbes) = probes(asofRows())
+    // strip the manifest → the authoritative listing serves: identical
+    // frames, strictly more metadata round-trips (one exists per subdir
+    // and control entry vs one manifest read)
+    manifestFiles().foreach(m => java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$tree/$m")))
+    val (lRows, lProbes) = probes(rows())
+    val (lAsof, lAsofProbes) = probes(asofRows())
+    assert(mRows == lRows && mRows.nonEmpty, "manifest-served live read diverged")
+    assert(mAsof == lAsof && mAsof.nonEmpty, "manifest-served as-of read diverged")
+    assert(mProbes < lProbes,
+      s"live read: manifest $mProbes probes !< listing $lProbes")
+    assert(mAsofProbes < lAsofProbes,
+      s"as-of read: manifest $mAsofProbes probes !< listing $lAsofProbes")
+    // a TORN manifest (no terminator — the crash-mid-write shape) is
+    // skipped; with no older manifest the listing serves, same rows
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tree/_manifest_99"), "seed 1\nb0 1")
+    assert(rows() == lRows, "torn manifest changed the served frame")
+    // a manifest listing a VANISHED subdir (crashed replay window) makes
+    // the manifest path throw at construction — the read falls back to
+    // the listing, never serving against the phantom
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tree/_manifest_100"),
+      "seed 1\nb0 1\nb1 1\nb2 1\nb7 1\n#end")
+    assert(rows() == lRows, "phantom-subdir manifest changed the served frame")
+    // compaction propagates the manifest (the table maintains one):
+    // clean up the planted manifests first, restore a real one
+    Seq("_manifest_99", "_manifest_100").foreach(m =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(s"$tree/$m")))
+    EventStream.writeTreeManifest(spark, tree)
+    assert(EventStream.compactTfIndexIfCrowded(spark, indexDir, 2))
+    val newTree = liveTree(s"$indexDir/tf")
+    assert(newTree != tree, "compaction did not advance the tree")
+    assert(new java.io.File(newTree).list().exists(_.startsWith("_manifest_")),
+      "compaction dropped the manifest of a manifest-maintaining table")
+    assert(rows() == lRows, "post-compaction manifest read diverged")
+  }
+
   test("versioned totals: catch-up invariant, copy-on-write byte identity," +
       " torn-commit replay, loud failure past the retention horizon") {
     import graft.operators.StarSchema
