@@ -177,6 +177,58 @@ object Retrieval {
     rrfFuse(lex, sem)
   }
 
+  /** HYBRID RETRIEVAL WITH A METADATA FILTER (r18 verdict #6) — the r18
+    * filtered-ANN machinery composed into the fusion tier: both arms
+    * honor the SAME predicate over the shared id space (the fixture's
+    * `vec_id ≡ doc_id` convention puts the label metadata in one place
+    * — [[Similarity.annFilterPred]], the mild selectivity-0.5 tenant).
+    * The lexical arm treats the survivors as its corpus — the tf frame
+    * is id-semi-joined to the survivor set BEFORE any statistic, so
+    * df/dl/token totals and `n_docs` are all survivor-corpus values
+    * (what a filtered query means, the filtered-brute-baseline
+    * philosophy); the semantic arm is the REGISTERED filtered serving
+    * path ([[Similarity.ivfpqFilteredRanked]] — ADC over-fetch,
+    * key-side predicate decimation, exact re-rank) at the fusion
+    * depth; the fusion rule is [[rrfFuse]] unchanged. The oracle
+    * replays filtered BM25 (the parameterized CTE over the survivor
+    * window) + the filtered index chain (shared CTEs) through the
+    * shared fusion tail; RetrievalSpec pins the semantic arm's top-5
+    * agreement with the registered `ann_filtered_recall_at_5` rung and
+    * that no served document violates the predicate.
+    *
+    * Scale shape: the survivor semi-join is an id-keyed equi-join
+    * (never a corpus scan), the index stays metadata-free, and the
+    * fusion still joins two ≤ |Q|·depth lists.
+    */
+  def hybridRrfFilteredTopDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    require(TextAnalysis.Bm25Queries.forall(_._1 < 10),
+      "hybrid_rrf_filtered_top_docs: every query id must lie in the IVF " +
+        s"stack's query domain (vec_id < 10); got ${TextAnalysis.Bm25Queries.map(_._1)}")
+    val survivors = Similarity.quantized(spark, sfDir)
+      .filter(Similarity.annFilterPred(col("label")))
+      .select(col("vec_id"))
+    val lex = TextAnalysis.bm25Ranked(
+      TextAnalysis.termFreqs(spark, sfDir)
+        .join(survivors.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id")),
+      // the survivor CORPUS count — documents ∩ survivors, not the raw
+      // survivor-vector count, so a vector without a document can never
+      // skew the lexical statistics
+      Tables.documents(spark, sfDir).select(col("doc_id"))
+        .join(survivors.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+        .agg(count(lit(1)).alias("n_docs")),
+      {
+        import spark.implicits._
+        TextAnalysis.Bm25Queries.toDF("query_id", "q_text")
+      },
+      ArmDepth)
+    val sem = Similarity.ivfpqFilteredRanked(spark, sfDir,
+        Similarity.FilteredOverfetch, Similarity.annFilterPred, ArmDepth)
+      .filter(col("query_id").isin(TextAnalysis.Bm25Queries.map(_._1.toLong): _*))
+      .select(col("query_id").cast("int").alias("query_id"),
+        col("neighbor_id").alias("doc_id"), col("rank"))
+    rrfFuse(lex, sem)
+  }
+
   val oracles: Map[String, String] = Map(
     "hybrid_rrf_top_docs" ->
       s"""WITH ${TextAnalysis.bm25RankedCte},
@@ -199,6 +251,30 @@ object Retrieval {
     // the index-backed twin: the semantic arm is the full IVF-PQ serving
     // chain (shared CTEs — the index definition cannot drift from the
     // recall reports), re-ranked full-precision to the arm depth
+    // both arms filtered: survivor-corpus BM25 (the parameterized CTE
+    // over the doc ∩ survivor window) + the registered filtered index
+    // chain at the arm depth, fused by the shared tail
+    "hybrid_rrf_filtered_top_docs" -> {
+      val survivorWindow =
+        "documents d JOIN embeddings e ON e.vec_id = d.doc_id " +
+          "WHERE e.label % 2 = 0"
+      s"""WITH ${TextAnalysis.bm25RankedCteOver(
+             docsFrom = s"(SELECT d.doc_id, d.text FROM $survivorWindow) fd",
+             ndSql = "SELECT CAST(count(*) AS BIGINT) AS n_docs " +
+               s"FROM $survivorWindow")},
+         |lex AS (SELECT query_id, doc_id, rank AS lex_rank
+         |        FROM ranked WHERE rank <= $ArmDepth),
+         |${Similarity.quantizedSql},
+         |${Similarity.cellsSql},
+         |${Similarity.ivfpqAdcCte},
+         |${Similarity.filteredServedCtes(Similarity.AnnFilterKeepSql,
+             depth = ArmDepth, name = "fserved")},
+         |sem AS (
+         |  SELECT CAST(query_id AS INT) AS query_id, neighbor_id AS doc_id,
+         |         rank AS sem_rank
+         |  FROM fserved WHERE query_id IN ($queryIdListSql)),
+         |$fusionTailSql""".stripMargin
+    },
     "hybrid_rrf_ivf_top_docs" ->
       s"""WITH ${TextAnalysis.bm25RankedCte},
          |lex AS (SELECT query_id, doc_id, rank AS lex_rank
@@ -217,5 +293,6 @@ object Retrieval {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hybrid_rrf_top_docs" -> hybridRrfTopDocs _,
     "hybrid_rrf_ivf_top_docs" -> hybridRrfIvfTopDocs _,
+    "hybrid_rrf_filtered_top_docs" -> hybridRrfFilteredTopDocs _,
   )
 }

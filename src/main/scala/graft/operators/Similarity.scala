@@ -1063,7 +1063,19 @@ object Similarity {
   private[graft] def ivfpqFilteredTop5(spark: SparkSession, sfDir: String,
       overfetch: Int,
       pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        annFilterPred): DataFrame = {
+        annFilterPred): DataFrame =
+    ivfpqFilteredRanked(spark, sfDir, overfetch, pred, depth = 5)
+      .select(col("query_id"), col("neighbor_id"))
+
+  /** The filtered over-fetch serving path at an arbitrary served depth
+    * — (query_id, neighbor_id, rank); the recall gates take depth 5,
+    * the filtered hybrid's semantic arm
+    * ([[Retrieval.hybridRrfFilteredTopDocs]]) the fusion depth.
+    */
+  private[operators] def ivfpqFilteredRanked(spark: SparkSession,
+      sfDir: String, overfetch: Int,
+      pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      depth: Int): DataFrame = {
     val cands = ivfpqAdcRanked(spark, sfDir)
       .filter(col("rank") <= overfetch)
       .select(col("query_id"), col("neighbor_id"))
@@ -1075,8 +1087,8 @@ object Similarity {
       .join(broadcast(cands), Seq("neighbor_id"))
       .filter(pred(col("label")))
       .select(col("query_id"), col("neighbor_id"))
-    exactRerankTop(spark, sfDir, survivors, depth = 5)
-      .select(col("query_id"), col("neighbor_id"))
+    exactRerankTop(spark, sfDir, survivors, depth)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
   /** THE PRE-FILTER STRATEGY as its own registered rung — the other
@@ -2344,16 +2356,16 @@ object Similarity {
        |  ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
        |GROUP BY 1 ORDER BY query_id""".stripMargin
 
-  /** The post-filter over-fetch oracle, parameterized by keep-SQL —
-    * ADC top-overfetch, predicate decimation, exact re-rank of
-    * survivors, top-5, against brute over survivors (see
-    * [[annFilteredRecallAt5]] / [[annFilteredSharpRecallAt5]]).
+  /** The filtered over-fetch serving CTEs (`adcranked` → `fcand` →
+    * `<name>` exact-reranked to `depth`, rank carried), parameterized
+    * by keep-SQL — ONE spelling behind the filtered recall oracles
+    * (mild and sharp) and the filtered hybrid's semantic arm
+    * ([[Retrieval]]); assumes the `qn`/`cells`/`adc` CTEs in scope.
+    * Twin of [[ivfpqFilteredRanked]].
     */
-  private def filteredOverfetchOracleSql(keepSql: String): String =
-    s"""WITH $quantizedSql,
-       |$cellsSql,
-       |$ivfpqAdcCte,
-       |adcranked AS (
+  private[operators] def filteredServedCtes(keepSql: String, depth: Int,
+      name: String): String =
+    s"""adcranked AS (
        |  SELECT a.query_id, a.vec_id,
        |         row_number() OVER (PARTITION BY a.query_id
        |           ORDER BY CAST(a.adc_dot AS DOUBLE)
@@ -2364,8 +2376,8 @@ object Similarity {
        |  SELECT r.query_id, r.vec_id AS neighbor_id
        |  FROM adcranked r JOIN qn n ON n.vec_id = r.vec_id
        |  WHERE r.rank <= $FilteredOverfetch AND $keepSql),
-       |served AS (
-       |  SELECT query_id, neighbor_id FROM (
+       |$name AS (
+       |  SELECT query_id, neighbor_id, rank FROM (
        |    SELECT c.query_id, c.neighbor_id,
        |           row_number() OVER (PARTITION BY c.query_id
        |             ORDER BY ${V.qdotSql("q.v", "n.v", Dim)}
@@ -2374,7 +2386,18 @@ object Similarity {
        |    FROM fcand c
        |    JOIN qn q ON q.vec_id = c.query_id
        |    JOIN qn n ON n.vec_id = c.neighbor_id)
-       |  WHERE rank <= 5),
+       |  WHERE rank <= $depth)""".stripMargin
+
+  /** The post-filter over-fetch oracle, parameterized by keep-SQL —
+    * ADC top-overfetch, predicate decimation, exact re-rank of
+    * survivors, top-5, against brute over survivors (see
+    * [[annFilteredRecallAt5]] / [[annFilteredSharpRecallAt5]]).
+    */
+  private def filteredOverfetchOracleSql(keepSql: String): String =
+    s"""WITH $quantizedSql,
+       |$cellsSql,
+       |$ivfpqAdcCte,
+       |${filteredServedCtes(keepSql, depth = 5, name = "served")},
        |${fbruteCte(keepSql)}
        |${filteredRecallTailSql("served")}""".stripMargin
 

@@ -107,6 +107,9 @@ class PlanHygieneSpec extends SparkSpec {
       // ...and the index-backed twin embeds the IVF-PQ index itself
       // (deliberate N·C assignment broadcasts, as ivfpq_recall_at_5)
       "hybrid_rrf_ivf_top_docs",
+      // the filtered hybrid rides the same index broadcasts; its sem
+      // arm is the registered filtered serving plan at fusion depth
+      "hybrid_rrf_filtered_top_docs",
       // the ANN erasure gate embeds the brute survivor baseline it is
       // measured against (|Q|·N by definition) — serving itself reads
       // the stored erased index through equi-joins

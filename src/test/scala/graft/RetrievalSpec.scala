@@ -166,6 +166,40 @@ class RetrievalSpec extends SparkSpec {
       reg.map(_.getInt(0)).toSet, "a registered proximity query matched nothing")
   }
 
+  test("filtered hybrid: no served doc violates the predicate; the sem" +
+      " arm's top-5 IS the registered filtered serving rung") {
+    import graft.operators.Similarity
+    val fused = q("hybrid_rrf_filtered_top_docs").collect()
+    assert(fused.length == TextAnalysis.Bm25Queries.size * 5)
+    // the predicate contract: every served document is a survivor —
+    // whichever arm surfaced it
+    val labelOf = Tables.embeddings(spark, sf).select("vec_id", "label")
+      .collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue)
+      .toMap
+    fused.foreach { r =>
+      val doc = r.getLong(1)
+      assert(labelOf.get(doc).exists(_ % 2 == 0),
+        s"filtered hybrid served non-survivor doc $doc (label ${labelOf.get(doc)})")
+    }
+    // arm agreement: the sem arm's rank ≤ 5 slice equals the registered
+    // ann_filtered_recall_at_5 serving plan's pair set (same over-fetch,
+    // same predicate, same re-rank — only the depth differs, and a
+    // depth-20 list's top-5 prefix is the depth-5 list)
+    val semTop5 = fused
+      .filter(r => !r.isNullAt(3) && r.getInt(3) <= 5)
+      .map(r => (r.getInt(0).toLong, r.getLong(1))).toSet
+    val rung = Similarity.ivfpqFilteredTop5(spark, sf, Similarity.FilteredOverfetch)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the fused report only carries sem ranks for docs that survive to
+    // the fused top-5, so agreement is containment of the visible slice
+    assert(semTop5.nonEmpty, "fixture surfaced no sem-arm top-5 docs in the fusion")
+    semTop5.foreach { pair =>
+      assert(rung.contains(pair),
+        s"fused sem arm served $pair outside the registered filtered rung")
+    }
+  }
+
   test("hybrid lexical arm agrees with the registered bm25_top_docs ranking") {
     val hybrid = q("hybrid_rrf_top_docs").collect()
       .filter(r => !r.isNullAt(2) && r.getInt(2) <= 5)
