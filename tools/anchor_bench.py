@@ -73,16 +73,34 @@ def counter_deltas(before, after):
     return {k: after[k] - before.get(k, 0) for k in after}
 
 
+def cpu_mhz():
+    """Mean and min advertised core clock — run-bracket samples catch a
+    host whose frequency governor (invisible to jiffy accounting) is
+    parked low, the one slow-band mechanism the r19 counters ruled
+    everything else out of."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            mhz = [float(line.split(":")[1]) for line in f
+                   if line.startswith("cpu MHz")]
+        if not mhz:
+            return None
+        return {"mean": round(sum(mhz) / len(mhz), 0), "min": round(min(mhz), 0)}
+    except (OSError, ValueError):
+        return None
+
+
 def main():
     note = sys.argv[1] if len(sys.argv) > 1 else ""
     before = loadavg()
-    stat0, cg0, psi0 = proc_stat_cpu(), cgroup_cpu_stat(), psi_totals()
+    stat0, cg0, psi0, mhz0 = (proc_stat_cpu(), cgroup_cpu_stat(),
+                              psi_totals(), cpu_mhz())
     env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1")
     subprocess.run(
         ["sbt", "-batch", "runMain graft.Bench"],
         env=env, check=True, capture_output=True, text=True, timeout=1800)
     after = loadavg()
-    stat1, cg1, psi1 = proc_stat_cpu(), cgroup_cpu_stat(), psi_totals()
+    stat1, cg1, psi1, mhz1 = (proc_stat_cpu(), cgroup_cpu_stat(),
+                              psi_totals(), cpu_mhz())
     with open("bench_full.json") as f:
         full = json.load(f)
     top = dict(sorted(full["queries"].items(),
@@ -101,6 +119,7 @@ def main():
         "load_before": before,
         "load_after": after,
         "proc_stat_delta": stat_d,
+        "cpu_mhz": {"before": mhz0, "after": mhz1},
         "cgroup_cpu_delta": counter_deltas(cg0, cg1),
         "psi_total_delta_usec": counter_deltas(psi0, psi1),
         "headline_best_loop_sec": full["value"],
@@ -126,7 +145,8 @@ def main():
                       ("run", "headline_best_loop_sec", "loop_totals",
                        "min_total", "n_queries", "load_before",
                        "load_after", "proc_stat_delta",
-                       "cgroup_cpu_delta", "psi_total_delta_usec")}))
+                       "cgroup_cpu_delta", "psi_total_delta_usec",
+                       "cpu_mhz")}))
 
 
 if __name__ == "__main__":
