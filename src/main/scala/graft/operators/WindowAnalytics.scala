@@ -387,6 +387,47 @@ object WindowAnalytics {
   def customerPriorityIntervals(spark: SparkSession, sfDir: String): DataFrame =
     priorityIntervalHistory(spark, sfDir).orderBy("customer_key", "island")
 
+  /** TIME TRAVEL ON THE VERSIONED DIMENSION (the second adopter of the
+    * copy-on-write bucket-generation layout, after `fact_totals_asof`):
+    * the SCD2 interval history lives as a VERSIONED bucketed table —
+    * history (orders before the cutover) seeds the baseline, tonight's
+    * CDC batch folds through the same
+    * [[scd2ApplyChanges]] into its own generation
+    * ([[graft.streaming.EventStream.scd2FoldBatchVersioned]]) — and
+    * this gate serves the dimension AS OF batch −1: every interval
+    * chain exactly as it stood BEFORE the batch, including the
+    * `valid_until`/`is_current` frontier the apply-changes fold
+    * REWRITES when a key's chain extends (the state the in-place
+    * layout destroys — and the reason SCD2 is the harder time-travel
+    * case than additive totals: the batch doesn't just add rows, it
+    * mutates the open versions of every affected key). Oracle = the
+    * from-scratch SCD2 dimension over EXACTLY the history window
+    * (the parameterized gaps-and-islands CTE chain), so a
+    * batch-extended chain served past the bound, a lost frontier
+    * rewrite, or a stale generation resolved all fail the hash.
+    *
+    * 100 TB shape: the as-of read is a listing filter over bucket
+    * generations — zero data copy; the batch paid one generation write
+    * of its touched buckets, which is the same write volume the
+    * in-place fold already paid.
+    */
+  def dimCustomerScd2Asof(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoizedDurable(s"windowanalytics.scd2Asof:$sfDir") {
+      import graft.streaming.EventStream
+      val stateDir = Layout.tmpPath("graft-scd2asof", sfDir)
+      val orders = Tables.orders(spark, sfDir)
+      val cutoff = lit("1997-01-01").cast("timestamp")
+      val hist = priorityIntervalHistoryOf(
+        orders.filter(col("o_orderdate") < cutoff))
+      EventStream.seedVersionedState(hist, "customer_key", stateDir)
+      EventStream.scd2FoldBatchVersioned(spark, stateDir,
+        EventStream.scd2VersionedSchema(hist.schema),
+        orders.filter(col("o_orderdate") >= cutoff), batchId = 0L)
+      scd2Dimension(spark, sfDir,
+        EventStream.scd2VersionedReadAsOf(spark, stateDir, hist.schema,
+          asOfBatch = -1L))
+    }
+
   /** RIGHT-TO-BE-FORGOTTEN over the versioned dimension — the registered
     * face of [[graft.streaming.EventStream.forgetKeys]]: the SCD2
     * dimension is seeded as a bucketed state table (the streaming
@@ -645,6 +686,12 @@ object WindowAnalytics {
     // the incremental build's oracle is the FROM-SCRATCH dimension SQL:
     // passing the gate means applying the 1997+ batch onto the pre-1997
     // dimension reproduced the full-history rebuild row-for-row
+    // the as-of gate: the from-scratch dimension over EXACTLY the
+    // pre-batch history window — what the versioned read must serve
+    "dim_customer_scd2_asof" ->
+      s"""WITH ${priorityIntervalCtesOver(
+             "(SELECT * FROM orders WHERE o_orderdate < '1997-01-01') o")}
+         |${scd2DimensionSelectSql()}""".stripMargin,
     "dim_customer_scd2_incremental" ->
       s"""WITH $priorityIntervalCtes
          |SELECT customer_key * 1048576 + island AS customer_sk,
@@ -780,6 +827,7 @@ object WindowAnalytics {
     "customer_priority_intervals"  -> customerPriorityIntervals _,
     "dim_customer_scd2"            -> dimCustomerScd2 _,
     "dim_customer_scd2_incremental" -> dimCustomerScd2Incremental _,
+    "dim_customer_scd2_asof"       -> dimCustomerScd2Asof _,
     "dim_customer_snapshot"        -> dimCustomerSnapshot _,
     "scd2_snapshot_pruned_scan"    -> scd2SnapshotPrunedScan _,
     "dim_customer_forget_keys"     -> dimCustomerForgetKeys _,

@@ -325,10 +325,13 @@ object EventStream {
     * Compaction propagates a manifest onto the new tree ONLY when the
     * superseded tree had one: a table whose folds don't maintain
     * manifests must never acquire a manifest that those folds would
-    * silently let go stale. The tf + positions indexes (the tables
-    * behind the registered as-of gates) maintain manifests today;
-    * the other tables keep listing-served reads until their folds are
-    * wired the same way.
+    * silently let go stale. EVERY EventStream-maintained tree table
+    * maintains manifests as of r19 — tf, positions, chunk (index +
+    * output), MinHash (shingles/bands/pairs), cluster
+    * (members/redirects), curation (out/funnel + its band index), ANN
+    * (cells/codes), and phash (bands/pairs) — at both seed and fold;
+    * the one-shot pair-table stand-ins the erasure certificate seeds
+    * stay listing-served (no fold ever touches them).
     */
   private val manifestName = "_manifest_(\\d+)".r
 
@@ -942,6 +945,7 @@ object EventStream {
     if (!StateFs.exists(spark, s"${ensureLiveTree(spark, bandsDir)}/seed/_SUCCESS")) {
       Multimodal.phashBandsOf(Multimodal.phashSigsOf(historyMedia))
         .write.mode("overwrite").parquet(s"${ensureLiveTree(spark, bandsDir)}/seed")
+      writeTreeManifest(spark, ensureLiveTree(spark, bandsDir))
     }
     maintenanceWriter(mediaStream, checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -962,6 +966,7 @@ object EventStream {
             Multimodal.phashVerifiedPairs(batchBands, stored.unionAll(batchBands))
               .write.mode("overwrite").parquet(s"$pairsTree/b$batchId")
             batchBands.write.mode("overwrite").parquet(s"$bandsTree/b$batchId")
+            Seq(pairsTree, bandsTree).foreach(t => writeTreeManifest(spark, t))
             commitPlainMarker(spark, indexDir, batchId)
           } finally {
             batchBands.unpersist()
@@ -1021,6 +1026,8 @@ object EventStream {
           .parquet(s"${ensureLiveTree(spark, shDir)}/seed")
         Dedup.bandIndex(histSh).write.mode("overwrite")
           .parquet(s"${ensureLiveTree(spark, bandsDir)}/seed")
+        Seq(shDir, bandsDir).foreach(d =>
+          writeTreeManifest(spark, ensureLiveTree(spark, d)))
       } finally {
         histSh.unpersist()
         ()
@@ -1106,6 +1113,9 @@ object EventStream {
           .write.mode("overwrite").parquet(s"$pairsTree/b$batchId")
         batchSh.write.mode("overwrite").parquet(s"$shTree/b$batchId")
         batchBands.write.mode("overwrite").parquet(s"$bandsTree/b$batchId")
+        // manifests BEFORE the marker — the manifest contract
+        Seq(pairsTree, shTree, bandsTree)
+          .foreach(t => writeTreeManifest(spark, t))
         commitPlainMarker(spark, indexDir, batchId)
       } finally {
         batchSh.unpersist()
@@ -1295,6 +1305,7 @@ object EventStream {
         .select(col("doc_id").alias("old_id"), col("label").alias("new_id"))
       newMembers.write.mode("overwrite").parquet(s"$mTree/b$batchId")
       newRedirects.write.mode("overwrite").parquet(s"$rTree/b$batchId")
+      Seq(mTree, rTree).foreach(t => writeTreeManifest(spark, t))
       commitPlainMarker(spark, clusterDir, batchId)
     }
   }
@@ -1537,6 +1548,8 @@ object EventStream {
             .write.mode("overwrite").parquet(s"$funnelTree/b$batchId")
           batchSh.write.mode("overwrite").parquet(s"$shTree/b$batchId")
           batchBands.write.mode("overwrite").parquet(s"$bandsTree/b$batchId")
+          Seq(outTree, funnelTree, shTree, bandsTree)
+            .foreach(t => writeTreeManifest(spark, t))
           commitPlainMarker(spark, indexDir, batchId)
         } finally {
           flagged.unpersist()
@@ -2360,6 +2373,61 @@ object EventStream {
       .start()
   }
 
+  /** The versioned SCD2 state schema: the interval history's own
+    * columns plus the `bucket` partition column (no `last_batch` — the
+    * generation commit is the idempotence evidence).
+    */
+  private[graft] def scd2VersionedSchema(historySchema: StructType): StructType =
+    StructType(historySchema.fields :+ StructField("bucket", IntegerType))
+
+  /** [[scd2FoldBatchBucketed]] on the VERSIONED layout — the second
+    * adopter of the copy-on-write migration path: each CDC micro-batch
+    * reads ONLY the touched buckets' serving generations as of the
+    * previous batch, folds through the same
+    * [[graft.operators.WindowAnalytics.scd2ApplyChanges]], and writes
+    * the result into its own fresh generation. "The dimension as of
+    * batch B" — the question a lakehouse MERGE destroys — becomes a
+    * listing filter.
+    */
+  private[graft] def scd2FoldBatchVersioned(spark: SparkSession,
+      stateDir: String, schema: StructType, batch: DataFrame,
+      batchId: Long): Unit = {
+    require(batchId >= 0, s"versioned fold batchId must be >= 0, got $batchId")
+    val genPath = versionedGenPath(stateDir, batchId)
+    if (!StateFs.exists(spark, s"$genPath/_SUCCESS")) {
+      val touched = batch
+        .select(stateBucketOf(col("o_custkey")).alias("bucket"))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      if (touched.nonEmpty) {
+        val current = versionedStateRead(spark, stateDir, schema,
+            Some(batchId - 1))
+          .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+        graft.operators.WindowAnalytics.scd2ApplyChanges(
+            current.drop("bucket"),
+            batch.filter(stateBucketOf(col("o_custkey"))
+              .isin(touched.map(Integer.valueOf): _*)))
+          .withColumn("bucket", stateBucketOf(col("customer_key")))
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(genPath)
+      }
+    }
+  }
+
+  /** The versioned SCD2 interval history as of `asOfBatch` (−1 = the
+    * seeded baseline), reader-shaped.
+    */
+  def scd2VersionedReadAsOf(spark: SparkSession, stateDir: String,
+      historySchema: StructType, asOfBatch: Long): DataFrame =
+    versionedStateRead(spark, stateDir, scd2VersionedSchema(historySchema),
+        Some(asOfBatch))
+      .drop("bucket")
+
+  /** The versioned SCD2 interval history, live. */
+  def scd2VersionedRead(spark: SparkSession, stateDir: String,
+      historySchema: StructType): DataFrame =
+    versionedStateRead(spark, stateDir, scd2VersionedSchema(historySchema), None)
+      .drop("bucket")
+
   /** RETENTION for the versioned layout — the explicit expiry half
     * (the [[expireSnapshots]] discipline at the bucket-generation
     * grain): keep every generation a read at or after `keepAsOfFrom`
@@ -3100,6 +3168,7 @@ object EventStream {
     if (!StateFs.exists(spark, s"${ensureLiveTree(spark, chunksDir)}/seed/_SUCCESS")) {
       graft.operators.Dedup.chunkHashesOf(historyDocs)
         .write.mode("overwrite").parquet(s"${ensureLiveTree(spark, chunksDir)}/seed")
+      writeTreeManifest(spark, ensureLiveTree(spark, chunksDir))
     }
   }
 
@@ -3150,6 +3219,7 @@ object EventStream {
           .write.mode("overwrite").parquet(s"$outTree/b$batchId")
         batchChunks.select(col("h"), col("doc_id"), col("chunk_id"))
           .write.mode("overwrite").parquet(s"$idxTree/b$batchId")
+        Seq(outTree, idxTree).foreach(t => writeTreeManifest(spark, t))
         commitPlainMarker(spark, chunksDir, batchId)
       } finally {
         batchChunks.unpersist()
@@ -3390,6 +3460,8 @@ object EventStream {
         .parquet(s"${ensureLiveTree(spark, codesDir)}/seed")
       historyCells.write.mode("overwrite")
         .parquet(s"${ensureLiveTree(spark, cellsDir)}/seed")
+      Seq(codesDir, cellsDir).foreach(d =>
+        writeTreeManifest(spark, ensureLiveTree(spark, d)))
     }
     maintenanceWriter(vectorsStream, checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -3403,6 +3475,8 @@ object EventStream {
             Similarity.assignCellsTo(b, cents)
               .write.mode("overwrite")
               .parquet(s"${ensureLiveTree(spark, cellsDir)}/b$batchId")
+            Seq(codesDir, cellsDir).foreach(d =>
+              writeTreeManifest(spark, ensureLiveTree(spark, d)))
             commitPlainMarker(spark, indexDir, batchId)
           } finally {
             b.unpersist()

@@ -572,6 +572,91 @@ class ScalePostureSpec extends SparkSpec {
     }
   }
 
+  test("versioned state reads: as-of scans only the serving generations;" +
+      " superseded bucket versions never enter the plan") {
+    import graft.operators.StarSchema
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val detail = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("o_orderdate"))
+    val cut = "1996-07-01"
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-vposture").toString
+    streaming.EventStream.seedVersionedState(
+      StarSchema.totalsPartialsOfDetail(detail.filter(col("o_orderdate") < cut)),
+      "product_key", stateDir)
+    // batch 0: the full post-cut window (touches every occupied bucket);
+    // batch 1: rows of ONE key-derived bucket only — so the live read
+    // must stitch g1 (one bucket) with g0 (the rest) and read NOTHING
+    // from the seed or from g0's superseded target-bucket files
+    val buckets = streaming.EventStream.StateBuckets
+    val bucketOf = pmod(hash(col("l_partkey")), lit(buckets))
+    val TargetBucket = 3
+    streaming.EventStream.totalsFoldBatchVersioned(spark, stateDir,
+      detail.filter(col("o_orderdate") >= cut), 0L)
+    streaming.EventStream.totalsFoldBatchVersioned(spark, stateDir,
+      detail.filter(col("o_orderdate") >= cut)
+        .filter(bucketOf === TargetBucket), 1L)
+    // the SEED window resolves to seed files only — no generation dir in
+    // the plan's file set (inputFiles is partition-filter-blind, which
+    // is fine here: the claim is about WHICH DIRS are scanned at all)
+    val seedFiles = streaming.EventStream
+      .totalsVersionedReadAsOf(spark, stateDir, -1L).inputFiles
+    assert(seedFiles.nonEmpty && seedFiles.forall(_.contains("/state/seed/")),
+      s"as-of(-1) escaped the seed: ${seedFiles.filterNot(_.contains("/state/seed/")).take(3).mkString(",")}")
+    // asOf(0) resolves to g0 only (every bucket superseded the seed)
+    val g0Files = streaming.EventStream
+      .totalsVersionedReadAsOf(spark, stateDir, 0L).inputFiles
+    assert(g0Files.nonEmpty && g0Files.forall(_.contains("/state/g0/")),
+      "as-of(0) read outside g0 — a superseded or future generation leaked")
+    // the LIVE read stitches g1's target bucket with g0's others, and
+    // its g0 scan carries a bucket partition filter that skips the
+    // superseded target-bucket files (metrics, not inputFiles — the
+    // FileSourceScanExec numFiles proof, AQE off so metrics land on the
+    // executed scans)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val live = streaming.EventStream.totalsVersionedRead(spark, stateDir)
+      assert(live.inputFiles.exists(_.contains("/state/g1/")) &&
+        live.inputFiles.exists(_.contains("/state/g0/")) &&
+        !live.inputFiles.exists(_.contains("/state/seed/")),
+        "live read should stitch g0 + g1 and never touch the seed")
+      assert(live.collect().nonEmpty)
+      val scans = live.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty)
+      assert(scans.exists(_.metadata("PartitionFilters").contains("bucket")),
+        "per-generation scans lost their bucket partition filter")
+      val readFiles = scans.map(_.metrics("numFiles").value).sum
+      def filesUnder(dir: String): Long = {
+        val p = java.nio.file.Paths.get(dir)
+        if (!java.nio.file.Files.exists(p)) 0L
+        else java.nio.file.Files.walk(p).filter(f =>
+          f.toString.endsWith(".parquet")).count()
+      }
+      val g0Total = filesUnder(s"$stateDir/state/g0")
+      val g1Total = filesUnder(s"$stateDir/state/g1")
+      assert(readFiles < g0Total + g1Total,
+        s"live read scanned $readFiles of ${g0Total + g1Total} generation " +
+          "files — the superseded target-bucket version was not pruned")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    // and the stitched live read equals the from-scratch rebuild over
+    // history + both batch windows (the batches overlap deliberately:
+    // the target bucket's g1 version REPLACES its g0 version — serving
+    // both would double-count, which this equality would catch)
+    val got = StarSchema.finalizeTotals(
+        streaming.EventStream.totalsVersionedRead(spark, stateDir))
+      .orderBy("product_key").collect().toSeq
+    val want = StarSchema.finalizeTotals(StarSchema.totalsPartialsOfDetail(
+        detail.filter(col("o_orderdate") < cut)
+          .unionAll(detail.filter(col("o_orderdate") >= cut))
+          .unionAll(detail.filter(col("o_orderdate") >= cut)
+            .filter(bucketOf === TargetBucket))))
+      .orderBy("product_key").collect().toSeq
+    assert(got == want && want.nonEmpty)
+  }
+
   test("bucketed streaming state: a fold rewrites ONLY the buckets the batch touches") {
     import graft.operators.StarSchema
     val detail = Tables.lineitem(spark, sf)

@@ -839,6 +839,50 @@ class StreamingSpec extends SparkSpec {
       .getMessage.contains("retention horizon"))
   }
 
+  test("versioned SCD2: catch-up invariant per batch — frontier rewrites" +
+      " are versioned, not destroyed; copy-on-write byte identity; replay no-op") {
+    import graft.operators.WindowAnalytics
+    val orders = Tables.orders(spark, sf)
+    val (cut1, cut2) = ("1996-07-01", "1998-07-01")
+    def histOf(pred: org.apache.spark.sql.Column) =
+      WindowAnalytics.priorityIntervalHistoryOf(orders.filter(pred))
+    val h0 = histOf(col("o_orderdate") < cut1)
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-vscd2").toString
+    streaming.EventStream.seedVersionedState(h0, "customer_key", stateDir)
+    val schema = streaming.EventStream.scd2VersionedSchema(h0.schema)
+    val b0 = orders.filter(col("o_orderdate") >= cut1 && col("o_orderdate") < cut2)
+    val b1 = orders.filter(col("o_orderdate") >= cut2)
+    streaming.EventStream.scd2FoldBatchVersioned(spark, stateDir, schema, b0, 0L)
+    val before = bucketSnapshot(stateDir)
+    streaming.EventStream.scd2FoldBatchVersioned(spark, stateDir, schema, b1, 1L)
+    val after = bucketSnapshot(stateDir)
+    before.foreach { case (rel, sig) =>
+      assert(after.get(rel).contains(sig), s"versioned SCD2 fold mutated $rel")
+    }
+    // catch-up invariant: the interval history as of every batch equals
+    // the from-scratch gaps-and-islands build over that prefix — in
+    // particular the OPEN FRONTIER (valid_until IS NULL rows) of asOf(B)
+    // is the pre-extension state the in-place apply-changes rewrites
+    def got(asOf: Long): Set[Seq[Any]] =
+      streaming.EventStream.scd2VersionedReadAsOf(spark, stateDir, h0.schema, asOf)
+        .collect().map(_.toSeq).toSet
+    def want(pred: org.apache.spark.sql.Column): Set[Seq[Any]] =
+      histOf(pred).collect().map(_.toSeq).toSet
+    assert(got(-1L) == want(col("o_orderdate") < cut1) && got(-1L).nonEmpty)
+    assert(got(0L) == want(col("o_orderdate") < cut2))
+    assert(got(1L) == want(lit(true)))
+    // the frontier genuinely moved between snapshots at this fixture —
+    // otherwise the "rewrites are versioned" claim is vacuous
+    def frontier(s: Set[Seq[Any]]): Set[Seq[Any]] =
+      s.filter(r => r(h0.schema.fieldIndex("valid_until")) == null)
+    assert(frontier(got(-1L)) != frontier(got(1L)),
+      "no open-version chain extended across the batches — fixture drift?")
+    // replay of a committed batch: byte-exact no-op
+    streaming.EventStream.scd2FoldBatchVersioned(spark, stateDir, schema, b1, 1L)
+    assert(bucketSnapshot(stateDir) == after,
+      "replay of a committed SCD2 batch rewrote state")
+  }
+
   test("versioned totals maintenance stream: parity with the one-shot" +
       " aggregate; a restarted stream re-delivers nothing") {
     import graft.operators.StarSchema
