@@ -1212,7 +1212,160 @@ object Dedup {
          |JOIN documents d ON chg.doc_id = d.doc_id
          |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  // ====================================================================
+  // WINNOWING (local document fingerprinting) — the k-gram window-min
+  // selection scheme of Schleimer/Wilkerson/Aiken, "Winnowing: Local
+  // Algorithms for Document Fingerprinting" (SIGMOD 2003, public): hash
+  // every k-gram of the text, slide a window of w consecutive hashes,
+  // select each window's MINIMUM (rightmost on ties), and keep the
+  // distinct (position, hash) selections as the document's fingerprints.
+  // The paper's guarantee: any substring match of length ≥ w + k − 1
+  // between two documents yields at least one SHARED fingerprint hash —
+  // so fingerprint overlap detects LOCAL reuse (a copied paragraph, a
+  // shared boilerplate block) that whole-document hashes (the
+  // `text_fingerprint` grain) and coarse chunk hashes miss, at an
+  // expected density of only 2/(w+1) of positions. This is the missing
+  // granularity between exact/chunk dedup and MinHash similarity.
+  //
+  // 100 TB shape: k-gram hashing is a narrow codegen pass (posexplode +
+  // md5 over a k-char substring — no lambda, no UDF); window membership
+  // is a constant w× explode; selection is a partial-aggregated groupBy
+  // on (doc, window) whose shuffle carries w·positions small longs; the
+  // overlap join runs on the 40-bit fingerprint-hash key with a
+  // document-frequency cap (WinnowDfCap) as the skew guard — boilerplate
+  // hashes shared by hundreds of documents are dropped BEFORE the join
+  // (the banding/ppjoin discipline), so the join never quadratically
+  // explodes on a hot key.
+  // ====================================================================
+
+  private[graft] val WinnowK = 8       // k-gram length (chars)
+  private[graft] val WinnowW = 4       // window size (hashes)
+  private[graft] val WinnowDfCap = 20  // overlap join's hash-df skew cap
+  private[graft] val WinnowShareMin = 10 // served pair threshold
+  // 40-bit hashes so hash·2²⁰ + pos stays inside a BIGINT on both engines
+  private val WinnowHashMod = 1L << 40
+  private val WinnowPosEnc = 1L << 20
+
+  /** The distinct (doc_id, p, h) winnowing fingerprints of a (doc_id,
+    * text) frame — rightmost-min-per-window selection, encoded exactly
+    * once for both engines as min(h·2²⁰ + (2²⁰−1−p)) per window.
+    *
+    * Window minima run as ONE doc-keyed sliding window frame (rows
+    * [−(w−1), 0], window end ↔ window start bijectively), not a w×
+    * position explode + re-group: positions are dense per doc, so the
+    * frame min over each END position ≥ w−1 IS the per-window min, at
+    * one shuffle on the doc key with a short partition-local sort
+    * (positions per doc ≤ text length — bounded) instead of a w×-bigger
+    * exchange. The k-gram substrings materialize as a per-row array (a
+    * few KB) so the exploded rows never carry the document text itself.
+    */
+  private[graft] def winnowFingerprintsOf(docs: DataFrame): DataFrame = {
+    val kg = docs
+      .filter(length(col("text")) >= WinnowK + WinnowW - 1)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, length(text) - $WinnowK), " +
+            s"i -> substring(text, i + 1, $WinnowK))")))
+      .select(col("doc_id"), col("pos").cast(LongType).alias("p"),
+        (TextFunctions.md5Hash60(col("col")) % WinnowHashMod).alias("h"))
+    val wEnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(-(WinnowW - 1), 0)
+    kg.withColumn("c",
+        min(col("h") * WinnowPosEnc + (lit(WinnowPosEnc - 1) - col("p")))
+          .over(wEnd))
+      .filter(col("p") >= WinnowW - 1) // full windows only
+      .select(col("doc_id"),
+        expr(s"c div $WinnowPosEnc").alias("h"),
+        (lit(WinnowPosEnc - 1) - pmod(col("c"), lit(WinnowPosEnc))).alias("p"))
+      .distinct()
+  }
+
+  /** The session fingerprint frame over the corpus — shared by both
+    * registered winnowing gates (one selection pass per session).
+    */
+  private def winnowFingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoized(s"dedup.winnowFp:$sfDir")(
+      graft.CacheLifecycle.sessionPersist(
+        winnowFingerprintsOf(Tables.documents(spark, sfDir))))
+
+  /** Per-document fingerprint report: selection count, distinct hash
+    * count, and a position-weighted checksum over the selected
+    * (position, hash) set — order- and selection-sensitive, so a wrong
+    * tie-break, a missed window, or an off-by-one grid fails the hash.
+    */
+  def docsWinnowingFingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    winnowFingerprints(spark, sfDir)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).alias("n_fp"),
+        countDistinct(col("h")).alias("n_hash"),
+        sum((col("p") + 1) * col("h")).alias("fp_checksum"))
+      .orderBy("doc_id")
+
+  /** LOCAL-OVERLAP PAIRS: documents sharing ≥ [[WinnowShareMin]]
+    * distinct fingerprint hashes after the df cap — the copied-block
+    * detector. Equi-join on the hash key only; the df cap is applied to
+    * BOTH sides before the join (never a hot-key blowup).
+    */
+  def winnowingOverlapPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val hd = winnowFingerprints(spark, sfDir)
+      .select(col("doc_id"), col("h")).distinct()
+    val rare = hd.join(
+      hd.groupBy(col("h")).agg(count(lit(1)).alias("df"))
+        .filter(col("df") <= WinnowDfCap),
+      Seq("h"))
+    rare.alias("a").join(rare.alias("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").alias("doc_a"), col("b.doc_id").alias("doc_b"))
+      .agg(count(lit(1)).alias("n_shared"))
+      .filter(col("n_shared") >= WinnowShareMin)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** DuckDB twin of [[winnowFingerprintsOf]] — keep in sync (the same
+    * end-anchored sliding-frame min over full windows).
+    */
+  private[operators] val winnowFpCte: String =
+    s"""wpos AS (
+       |  SELECT doc_id, text,
+       |         unnest(generate_series(0, length(text) - $WinnowK)) AS p
+       |  FROM documents WHERE length(text) >= ${WinnowK + WinnowW - 1}),
+       |wkg AS (
+       |  SELECT doc_id, CAST(p AS BIGINT) AS p,
+       |         ${TextFunctions.md5Hash60Sql(
+               s"substr(text, CAST(p AS INT) + 1, $WinnowK)")}
+       |           % $WinnowHashMod AS h
+       |  FROM wpos),
+       |wsel AS (
+       |  SELECT doc_id, p,
+       |         min(h * $WinnowPosEnc + (${WinnowPosEnc - 1} - p))
+       |           OVER (PARTITION BY doc_id ORDER BY p
+       |                 ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW)
+       |           AS c
+       |  FROM wkg),
+       |wfp AS (
+       |  SELECT DISTINCT doc_id, c // $WinnowPosEnc AS h,
+       |         ${WinnowPosEnc - 1} - (c % $WinnowPosEnc) AS p
+       |  FROM wsel WHERE p >= ${WinnowW - 1})""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "docs_winnowing_fingerprints" ->
+      s"""WITH $winnowFpCte
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+         |       CAST(count(DISTINCT h) AS BIGINT) AS n_hash,
+         |       CAST(sum((p + 1) * h) AS BIGINT) AS fp_checksum
+         |FROM wfp GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "winnowing_overlap_pairs" ->
+      s"""WITH $winnowFpCte,
+         |whd AS (SELECT DISTINCT doc_id, h FROM wfp),
+         |wdf AS (SELECT h, count(*) AS df FROM whd GROUP BY 1),
+         |wrare AS (SELECT doc_id, h FROM whd JOIN wdf USING (h)
+         |          WHERE df <= $WinnowDfCap)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(count(*) AS BIGINT) AS n_shared
+         |FROM wrare a JOIN wrare b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= $WinnowShareMin
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "docs_chunk_dedup" -> chunkDedupOracleSql,
     // streamed-over-batches == one-shot: the SAME oracle verbatim
     "docs_chunk_dedup_streamed" -> chunkDedupOracleSql,
@@ -1332,6 +1485,8 @@ object Dedup {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "docs_winnowing_fingerprints" -> docsWinnowingFingerprints _,
+    "winnowing_overlap_pairs"     -> winnowingOverlapPairs _,
     "dedup_exact"         -> exact _,
     "dedup_ngram_jaccard" -> ngramJaccard _,
     "dedup_containment"   -> containment _,

@@ -212,4 +212,57 @@ class DedupSpec extends SparkSpec {
     val pairSet = pairs.toSet
     got.foreach { case (a, b, _, _) => assert(pairSet((a, b))) }
   }
+
+  test("winnowing: the SIGMOD'03 match guarantee, the gap bound, and" +
+      " rightmost-min tie selection — plus the registered gates' contracts") {
+    import spark.implicits._
+    // two docs sharing a block well past w + k - 1 chars inside otherwise
+    // disjoint text MUST share a fingerprint hash (the guarantee the
+    // scheme exists for); a third doc with a disjoint alphabet shares none
+    val block = "THE-SHARED-BLOCK-OF-TEXT!"
+    val docs = Seq(
+      (1L, "aaaaaaaaaaaaaaa" + block + "bbbbbbbbbbbbbbb"),
+      (2L, "cccccccccccccccccccc" + block + "ddddddddd"),
+      (3L, "eeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeeee")).toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprintsOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val hashesOf = fp.groupBy(_._1).map { case (d, rs) => d -> rs.map(_._2).toSet }
+    assert((hashesOf(1L) intersect hashesOf(2L)).nonEmpty,
+      "shared block produced no shared fingerprint — the guarantee broke")
+    assert((hashesOf(1L) intersect hashesOf(3L)).isEmpty &&
+      (hashesOf(2L) intersect hashesOf(3L)).isEmpty,
+      "disjoint-alphabet docs share a fingerprint — hash grid misaligned")
+    // the winnowing GAP BOUND: within a doc, the first selection sits in
+    // the first window, consecutive selections differ by at most w, and
+    // the last selection covers the last window — so every window is
+    // covered by some selection
+    val (k, w) = (Dedup.WinnowK, Dedup.WinnowW)
+    docs.collect().foreach { row =>
+      val (d, len) = (row.getLong(0), row.getString(1).length)
+      val maxp = len - k
+      val ps = fp.filter(_._1 == d).map(_._3).distinct.sorted
+      assert(ps.nonEmpty && ps.head <= (w - 1).toLong, s"doc $d first selection ${ps.head}")
+      assert(ps.last >= (maxp - (w - 1)).toLong, s"doc $d last selection ${ps.last} of $maxp")
+      ps.sliding(2).filter(_.length == 2).foreach { pair =>
+        assert(pair(1) - pair(0) <= w.toLong,
+          s"doc $d gap ${pair(0)}->${pair(1)} exceeds w")
+      }
+      // density: at most one selection per window
+      assert(ps.length <= maxp - w + 2, s"doc $d over-selected")
+    }
+    // RIGHTMOST-min tie rule, pinned by the degenerate all-equal-hash doc:
+    // every window of identical hashes selects its rightmost position, so
+    // the selected set is exactly [w-1, maxp]
+    val eMax = 35 - k
+    assert(fp.filter(_._1 == 3L).map(_._3).sorted.toSeq ==
+      ((w - 1).toLong to eMax.toLong),
+      "all-equal-hash doc did not select rightmost-per-window")
+    // registered gates: the report is non-degenerate and every served
+    // overlap pair genuinely shares >= the threshold of df-capped hashes
+    val rep = q("docs_winnowing_fingerprints").collect()
+    assert(rep.length > 0 && rep.forall(r => r.getLong(1) >= r.getLong(2)))
+    val pairs = q("winnowing_overlap_pairs").collect()
+    assert(pairs.nonEmpty, "fixture surfaced no local-overlap pairs")
+    assert(pairs.forall(_.getLong(2) >= Dedup.WinnowShareMin.toLong))
+  }
 }
