@@ -2233,47 +2233,140 @@ object EventStream {
       .collect { case expiredThroughName(v) => v.toLong }
       .reduceOption(_ max _).getOrElse(Long.MinValue)
 
-  /** Per-bucket serving map as of `asOf` (None = live): bucket →
-    * newest committed generation ≤ the bound that holds the bucket.
-    * Driver-side listings bounded by generations × buckets — the
-    * retention-bounded metadata cost the layout doc prices in.
+  /** Later-generations-win-per-bucket serving map over an ascending
+    * (generation → buckets) inventory — ONE resolution rule for the
+    * listing-derived and manifest-derived paths.
     */
-  private def versionedServingGens(spark: SparkSession, stateDir: String,
+  private def servingOf(gens: Seq[(Long, Seq[Int])],
       asOf: Option[Long]): Map[Long, Seq[Int]] = {
+    val bucketGen = scala.collection.mutable.Map.empty[Int, Long]
+    gens.filter { case (g, _) => asOf.forall(g <= _) }
+      .sortBy(_._1)
+      .foreach { case (g, bs) => bs.foreach(b => bucketGen(b) = g) }
+    bucketGen.toSeq.groupBy(_._2).map { case (g, bs) => g -> bs.map(_._1).sorted }
+  }
+
+  private def requireAboveHorizon(asOf: Option[Long], horizon: Long,
+      stateDir: String): Unit =
     asOf.foreach { bound =>
-      val horizon = versionedExpiredThrough(spark, stateDir)
       require(bound >= horizon,
         s"as-of batch $bound predates the retention horizon $horizon of " +
           s"$stateDir — the bucket generations that window needed were " +
           "expired (expireVersionedGenerations). Rebuild from raw history; " +
           "refusing to serve a silently-partial view")
     }
-    val gens = versionedCommittedGens(spark, stateDir)
-      .filter(g => asOf.forall(g <= _))
-    val bucketGen = scala.collection.mutable.Map.empty[Int, Long]
-    gens.foreach { g => // ascending: later generations win per bucket
-      StateFs.list(spark, versionedGenPath(stateDir, g))
+
+  /** Per-bucket serving map as of `asOf` (None = live), from the
+    * AUTHORITATIVE listings: one list per generation — the metadata
+    * cost the versioned manifest exists to bound.
+    */
+  private def versionedServingGens(spark: SparkSession, stateDir: String,
+      asOf: Option[Long]): Map[Long, Seq[Int]] = {
+    requireAboveHorizon(asOf, versionedExpiredThrough(spark, stateDir), stateDir)
+    servingOf(versionedCommittedGens(spark, stateDir).map { g =>
+      g -> StateFs.list(spark, versionedGenPath(stateDir, g))
         .collect { case s if s.startsWith("bucket=") => s.drop(7).toInt }
-        .foreach(b => bucketGen(b) = g)
+    }, asOf)
+  }
+
+  /** MANIFEST FOR THE VERSIONED LAYOUT — the tree-manifest discipline
+    * applied to generation resolution: `state/_vmanifest_<seq>` records
+    * the retention horizon plus every committed generation with its
+    * bucket list (`#end`-terminated, seq-numbered supersede-don't-
+    * overwrite), so a read resolves its serving map from ONE listing +
+    * ONE file read instead of one listing PER generation.
+    *
+    * CACHE semantics with a structural heal: the manifest is written
+    * from the authoritative listings after every seed, fold, and
+    * expiry. The one crash window — a generation's `_SUCCESS` landed,
+    * the manifest write didn't — cannot go stale-forever even though
+    * the generation dir doubles as the batch's idempotence marker: the
+    * replayed fold SKIPS on the commit but first checks the manifest
+    * covers its batch and rewrites it when it doesn't (and any LATER
+    * fold rewrites it wholesale). Until healed, manifest readers serve
+    * the consistent PRE-batch snapshot — the generation behaves as
+    * committed-but-unpublished, exactly a snapshot-pointer's
+    * unpublished tree. Readers fall back to the listings when the
+    * manifest is absent, torn, or points at an expired generation (the
+    * read throws at file-index construction and retries — never a
+    * partial view); a too-low recorded horizon converges the same way
+    * (phantom paths → listing path → its own loud horizon check).
+    */
+  private val vManifestName = "_vmanifest_(\\d+)".r
+
+  private[graft] def writeVersionedManifest(spark: SparkSession,
+      stateDir: String): Unit = {
+    val base = versionedStatePath(stateDir)
+    val entries = versionedCommittedGens(spark, stateDir).map { g =>
+      val bs = StateFs.list(spark, versionedGenPath(stateDir, g))
+        .collect { case s if s.startsWith("bucket=") => s.drop(7).toInt }.sorted
+      s"$g ${bs.mkString(",")}"
     }
-    bucketGen.toSeq.groupBy(_._2).map { case (g, bs) => g -> bs.map(_._1).sorted }
+    val names = StateFs.list(spark, base)
+    val seq = names.collect { case vManifestName(n) => n.toLong }
+      .reduceOption(_ max _).getOrElse(0L) + 1
+    StateFs.writeFile(spark, s"$base/_vmanifest_$seq",
+      (s"horizon ${versionedExpiredThrough(spark, stateDir)}" +:
+        entries :+ "#end").mkString("\n"))
+    names.collect { case m @ vManifestName(n) if n.toLong < seq => m }
+      .foreach(m => StateFs.deleteFile(spark, s"$base/$m"))
+  }
+
+  /** (horizon, ascending generation inventory) from the newest
+    * well-formed manifest; None → fall back to listings.
+    */
+  private def versionedManifestOpt(spark: SparkSession,
+      stateDir: String): Option[(Long, Seq[(Long, Seq[Int])])] = {
+    val base = versionedStatePath(stateDir)
+    StateFs.list(spark, base).collect { case vManifestName(n) => n.toLong }
+      .sorted.reverseIterator
+      .flatMap { n =>
+        StateFs.readFileOpt(spark, s"$base/_vmanifest_$n").flatMap { body =>
+          val lines = body.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+          if (!lines.lastOption.contains("#end") || lines.size < 1 ||
+              !lines.head.startsWith("horizon ")) None
+          else try {
+            val horizon = lines.head.drop(8).toLong
+            val gens = lines.drop(1).dropRight(1).map { e =>
+              val parts = e.split(" ", 2)
+              parts(0).toLong -> (if (parts.length < 2 || parts(1).isEmpty) Seq.empty[Int]
+                else parts(1).split(",").toSeq.map(_.toInt))
+            }
+            Some((horizon, gens))
+          } catch { case _: NumberFormatException => None }
+        }
+      }.nextOption()
   }
 
   /** Read a versioned state table as of `asOf` (None = live): one
     * partition-pruned read per serving generation, unioned — each
-    * bucket's rows come from exactly its serving generation.
+    * bucket's rows come from exactly its serving generation. Serving
+    * resolution is manifest-first with listing fallback (see
+    * [[writeVersionedManifest]]); the loud below-horizon failure
+    * propagates from EITHER path.
     */
   private def versionedStateRead(spark: SparkSession, stateDir: String,
       schema: StructType, asOf: Option[Long]): DataFrame = {
-    val serving = versionedServingGens(spark, stateDir, asOf)
-    if (serving.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else
-      serving.toSeq.sortBy(_._1).map { case (g, buckets) =>
-        spark.read.schema(schema).parquet(versionedGenPath(stateDir, g))
-          .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
-      }.reduce(_.unionByName(_))
+    def build(serving: Map[Long, Seq[Int]]): DataFrame =
+      if (serving.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else
+        serving.toSeq.sortBy(_._1).map { case (g, buckets) =>
+          spark.read.schema(schema).parquet(versionedGenPath(stateDir, g))
+            .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+        }.reduce(_.unionByName(_))
+    versionedManifestOpt(spark, stateDir) match {
+      case Some((horizon, gens)) =>
+        requireAboveHorizon(asOf, horizon, stateDir)
+        try build(servingOf(gens, asOf))
+        catch {
+          case _: org.apache.spark.sql.AnalysisException =>
+            build(versionedServingGens(spark, stateDir, asOf))
+        }
+      case None =>
+        build(versionedServingGens(spark, stateDir, asOf))
+    }
   }
 
   /** Versioned-state read schema for the totals tier — the bucketed
@@ -2297,8 +2390,22 @@ object EventStream {
       initial.withColumn("bucket", stateBucketOf(col(keyCol)))
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(seedPath)
+      writeVersionedManifest(initial.sparkSession, stateDir)
     }
   }
+
+  /** Heal the manifest when a replayed fold skips on its committed
+    * generation — the commit/manifest crash window's structural fix
+    * (see [[writeVersionedManifest]]). A table with no manifest at all
+    * is listing-served and needs no heal.
+    */
+  private def healVersionedManifest(spark: SparkSession, stateDir: String,
+      batchId: Long): Unit =
+    versionedManifestOpt(spark, stateDir) match {
+      case Some((_, gens)) if !gens.exists(_._1 == batchId) =>
+        writeVersionedManifest(spark, stateDir)
+      case _ => ()
+    }
 
   /** One totals micro-batch against the VERSIONED state: aggregate the
     * batch to partials, read ONLY the touched buckets' serving
@@ -2313,7 +2420,9 @@ object EventStream {
       stateDir: String, batch: DataFrame, batchId: Long): Unit = {
     require(batchId >= 0, s"versioned fold batchId must be >= 0, got $batchId")
     val genPath = versionedGenPath(stateDir, batchId)
-    if (!StateFs.exists(spark, s"$genPath/_SUCCESS")) {
+    if (StateFs.exists(spark, s"$genPath/_SUCCESS")) {
+      healVersionedManifest(spark, stateDir, batchId)
+    } else {
       val partials = withStateBucket(
           graft.operators.StarSchema.totalsPartialsOfDetail(batch))
         .persist()
@@ -2333,6 +2442,7 @@ object EventStream {
             .withColumn("bucket", stateBucketOf(col("product_key")))
             .repartition(col("bucket"))
             .write.mode("overwrite").partitionBy("bucket").parquet(genPath)
+          writeVersionedManifest(spark, stateDir)
         }
       } finally {
         partials.unpersist()
@@ -2394,7 +2504,9 @@ object EventStream {
       batchId: Long): Unit = {
     require(batchId >= 0, s"versioned fold batchId must be >= 0, got $batchId")
     val genPath = versionedGenPath(stateDir, batchId)
-    if (!StateFs.exists(spark, s"$genPath/_SUCCESS")) {
+    if (StateFs.exists(spark, s"$genPath/_SUCCESS")) {
+      healVersionedManifest(spark, stateDir, batchId)
+    } else {
       val touched = batch
         .select(stateBucketOf(col("o_custkey")).alias("bucket"))
         .distinct().collect().map(_.getInt(0)).toSeq.sorted
@@ -2409,6 +2521,7 @@ object EventStream {
           .withColumn("bucket", stateBucketOf(col("customer_key")))
           .repartition(col("bucket"))
           .write.mode("overwrite").partitionBy("bucket").parquet(genPath)
+        writeVersionedManifest(spark, stateDir)
       }
     }
   }
@@ -2479,6 +2592,12 @@ object EventStream {
       if (!StateFs.list(spark, p).exists(_.startsWith("bucket=")))
         StateFs.deleteRecursively(spark, p)
     }
+    // the manifest reflects the post-expiry inventory + horizon (crash
+    // before this line: the stale manifest lists expired paths — reads
+    // throw, fall back to the listing, and its loud horizon check rules)
+    if (dropped.nonEmpty || StateFs.list(spark, versionedStatePath(stateDir))
+        .exists { case vManifestName(_) => true; case _ => false })
+      writeVersionedManifest(spark, stateDir)
     dropped
   }
 

@@ -819,9 +819,13 @@ class StreamingSpec extends SparkSpec {
       "replay of a committed batch rewrote state")
     // TORN COMMIT: strip the generation's _SUCCESS (a fold that died
     // mid-commit) — readers must fall back to the pre-batch view, and
-    // the replay rebuilds the generation wholesale
+    // the replay rebuilds the generation wholesale. The protocol writes
+    // _SUCCESS BEFORE the manifest, so a torn commit can never be
+    // manifest-listed: regenerate the manifest from the now-uncommitted
+    // listing to simulate the crash state faithfully.
     java.nio.file.Files.delete(
       java.nio.file.Paths.get(s"$stateDir/state/g1/_SUCCESS"))
+    streaming.EventStream.writeVersionedManifest(spark, stateDir)
     assert(got(1L) == want(col("o_orderdate") < cut2),
       "an uncommitted generation leaked into the as-of read")
     streaming.EventStream.totalsFoldBatchVersioned(spark, stateDir, b1, 1L)
@@ -837,6 +841,88 @@ class StreamingSpec extends SparkSpec {
     assert(streaming.EventStream.expireVersionedGenerations(spark, stateDir, 0L).isEmpty)
     assert(intercept[IllegalArgumentException](got(0L))
       .getMessage.contains("retention horizon"))
+  }
+
+  test("versioned-layout manifest: manifest-served equals listing-served" +
+      " with fewer probes; the commit/manifest crash window serves the" +
+      " pre-batch snapshot and HEALS on replay; torn/phantom fall back") {
+    import graft.operators.StarSchema
+    import graft.streaming.StateFs
+    val detail = detailFrame
+    val (cut1, cut2) = ("1996-07-01", "1998-07-01")
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-vman").toString
+    val statePath = java.nio.file.Paths.get(s"$stateDir/state")
+    streaming.EventStream.seedVersionedState(
+      StarSchema.totalsPartialsOfDetail(detail.filter(col("o_orderdate") < cut1)),
+      "product_key", stateDir)
+    val b0 = detail.filter(col("o_orderdate") >= cut1 && col("o_orderdate") < cut2)
+    val b1 = detail.filter(col("o_orderdate") >= cut2)
+    streaming.EventStream.totalsFoldBatchVersioned(spark, stateDir, b0, 0L)
+    def manifests() = statePath.toFile.list()
+      .filter(_.startsWith("_vmanifest_")).sorted.toSeq
+    assert(manifests().size == 1, s"manifests: ${manifests()}")
+    // capture the PRE-batch-1 manifest body — the crash-window plant below
+    val preB1Body = java.nio.file.Files.readString(
+      statePath.resolve(manifests().head))
+    streaming.EventStream.totalsFoldBatchVersioned(spark, stateDir, b1, 1L)
+    assert(manifests().size == 1, "folds must supersede-and-prune manifests")
+    def live(): Seq[org.apache.spark.sql.Row] =
+      StarSchema.finalizeTotals(
+          streaming.EventStream.totalsVersionedRead(spark, stateDir))
+        .orderBy("product_key").collect().toSeq
+    def want(pred: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Row] =
+      StarSchema.finalizeTotals(
+          StarSchema.totalsPartialsOfDetail(detail.filter(pred)))
+        .orderBy("product_key").collect().toSeq
+    def probes[A](f: => A): (A, Long) = {
+      def total = StateFs.listCalls.get + StateFs.existsCalls.get +
+        StateFs.readCalls.get
+      val before = total
+      val a = f
+      (a, total - before)
+    }
+    val (mRows, mProbes) = probes(live())
+    assert(mRows == want(lit(true)) && mRows.nonEmpty)
+    // strip the manifest → listing-served: identical frame, strictly
+    // more resolution round-trips (one list per generation)
+    manifests().foreach(m => java.nio.file.Files.delete(statePath.resolve(m)))
+    val (lRows, lProbes) = probes(live())
+    assert(mRows == lRows)
+    assert(mProbes < lProbes,
+      s"manifest $mProbes probes !< listing $lProbes")
+    // CRASH WINDOW: replant the pre-batch-1 manifest (as if fold 1's
+    // commit landed but its manifest write died) — g1 is committed but
+    // UNPUBLISHED to manifest readers, who serve the consistent
+    // pre-batch snapshot, never a torn view
+    java.nio.file.Files.writeString(
+      statePath.resolve("_vmanifest_50"), preB1Body)
+    assert(live() == want(col("o_orderdate") < cut2),
+      "crash-window manifest did not serve the pre-batch snapshot")
+    // HEAL: the replayed batch skips on its commit but rewrites the
+    // manifest it is missing from — serving converges to the full state
+    streaming.EventStream.totalsFoldBatchVersioned(spark, stateDir, b1, 1L)
+    assert(live() == want(lit(true)), "replay did not heal the manifest")
+    assert(java.nio.file.Files.readString(
+        statePath.resolve(manifests().last)).contains("\n1 "),
+      "healed manifest does not list the replayed generation")
+    // a TORN newest manifest falls back to the next older well-formed one
+    java.nio.file.Files.writeString(
+      statePath.resolve("_vmanifest_900"), "horizon x\n-1 0\n#end")
+    assert(live() == want(lit(true)), "torn manifest changed the served frame")
+    java.nio.file.Files.delete(statePath.resolve("_vmanifest_900"))
+    // EXPIRY rewrites the manifest (inventory + horizon): the retained
+    // window serves, the expired one fails loudly FROM THE MANIFEST PATH
+    assert(streaming.EventStream.expireVersionedGenerations(spark, stateDir, 1L).nonEmpty)
+    assert(live() == want(lit(true)))
+    val err = intercept[IllegalArgumentException](
+      streaming.EventStream.totalsVersionedReadAsOf(spark, stateDir, 0L).collect())
+    assert(err.getMessage.contains("retention horizon"))
+    // a PHANTOM manifest (listing the expired seed) throws at file-index
+    // construction and falls back to the listing — same served frame
+    java.nio.file.Files.writeString(
+      statePath.resolve("_vmanifest_901"),
+      "horizon " + Long.MinValue + "\n-1 0,1,2,3,4,5,6,7\n1 0,1,2,3,4,5,6,7\n#end")
+    assert(live() == want(lit(true)), "phantom manifest changed the served frame")
   }
 
   test("versioned SCD2: catch-up invariant per batch — frontier rewrites" +
