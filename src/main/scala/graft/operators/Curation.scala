@@ -1160,9 +1160,22 @@ object Curation {
       src.selectExpr("doc_id", s"stack(${PiiRules.size}, $piiPairs) as (sig, v)")
         .coalesce(LegParts)
     }
+    // winnowing local-overlap endpoints — the copied-block signal the
+    // funnel didn't count (r19 verdict #6): a document appearing in any
+    // served overlap pair carries boilerplate-block reuse. Shares the
+    // memoized fingerprint frame with the registered gates (ONE
+    // selection pass per session); the ingestion-time form probes the
+    // STORED index (EventStream.winnowProbeStored over the
+    // winnowing_stored_overlap machinery) — same pair semantics by the
+    // shared winnowOverlapOf body.
+    val winnowPairs = Dedup.winnowingOverlapPairs(spark, sfDir)
+    val winnowDocs = winnowPairs.select(col("doc_a").alias("doc_id"))
+      .unionByName(winnowPairs.select(col("doc_b").alias("doc_id")))
+      .distinct()
     val signals = Seq(
       tag(Dedup.minhashLsh(spark, sfDir)
         .select(col("doc_b").alias("doc_id")).distinct(), "is_dup", lit(1L)),
+      tag(winnowDocs, "winnow_overlap", lit(1L)),
       tag(decontaminate(spark, sfDir), "contam_ratio", lit(1L)),
       tag(decontaminateExact(spark, sfDir), "contam_exact", lit(1L)),
       tag(decontaminateSemantic(spark, sfDir), "contam_sem", lit(1L)),
@@ -1171,7 +1184,8 @@ object Curation {
       tag(htmlCleaned(spark, sfDir), "html_changed", col("changed").cast("long")),
       piiLeg)
     val aggs =
-      Seq("is_dup", "contam_ratio", "contam_exact", "contam_sem").map(s =>
+      Seq("is_dup", "winnow_overlap", "contam_ratio", "contam_exact",
+        "contam_sem").map(s =>
         max(when(col("sig") === s, col("v"))).isNotNull.alias(s)) ++
       Seq("qual_keep", "gate_keep", "html_changed").map(s =>
         coalesce(max(when(col("sig") === s, col("v"))) === 1L, lit(false)).alias(s)) ++
@@ -1187,8 +1201,8 @@ object Curation {
       .select(col("doc_id"), col("source"),
         (col("source") === BenchmarkSource).alias("is_bench"))
       .join(agged, Seq("doc_id"), "left")
-      .na.fill(false, Seq("is_dup", "contam_ratio", "contam_exact", "contam_sem",
-        "qual_keep", "gate_keep", "html_changed"))
+      .na.fill(false, Seq("is_dup", "winnow_overlap", "contam_ratio",
+        "contam_exact", "contam_sem", "qual_keep", "gate_keep", "html_changed"))
       .withColumn("kept",
         !col("is_bench") && !col("is_dup") &&
           !col("contam_ratio") && !col("contam_exact") && !col("contam_sem") &&
@@ -1222,6 +1236,7 @@ object Curation {
       n(!coalesce(col("qual_keep"), lit(false)), "n_quality_fail"),
       n(!coalesce(col("gate_keep"), lit(false)), "n_gate_fail"),
       n(col("html_changed"), "n_html_changed_docs"),
+      n(col("winnow_overlap"), "n_winnow_overlap_docs"),
       n(col("kept"), "n_final")) ++
       PiiRules.map { case (name, _, _) =>
         n(col(s"n_$name") > 0, s"n_pii_${name}_docs") }
@@ -1336,7 +1351,11 @@ object Curation {
          |  AND doc_id IN (SELECT doc_id FROM quality_keep)
          |ORDER BY doc_id""".stripMargin,
     "curation_funnel_report" ->
-      s"""WITH $pipelineCtes
+      s"""WITH $pipelineCtes,
+         |${Dedup.winnowFpCte},
+         |${Dedup.winnowPairsCte},
+         |wdocs AS (SELECT doc_a AS doc_id FROM wpairs
+         |          UNION SELECT doc_b FROM wpairs)
          |SELECT (SELECT count(*) FROM documents) AS n_documents,
          |       (SELECT count(*) FROM bench) AS n_benchmark,
          |       (SELECT count(*) FROM removals) AS n_dedup_removed,
@@ -1349,6 +1368,7 @@ object Curation {
          |        WHERE quality_score < $GateKeepMin) AS n_gate_fail,
          |       (SELECT count(*) FROM hclean
          |        WHERE clean_text != haug_text) AS n_html_changed_docs,
+         |       (SELECT count(*) FROM wdocs) AS n_winnow_overlap_docs,
          |       (SELECT count(*) FROM documents
          |        WHERE $pipelineKeepWhere) AS n_final,
          |${PiiRules.map { case (name, pat, _) =>

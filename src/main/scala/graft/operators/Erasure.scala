@@ -11,7 +11,8 @@ import graft.Tables
   * maintained state class this library serves — row state, tf index,
   * positions index, chunk index, MinHash shingles/bands/pairs, cluster
   * members/redirects, ANN cells/codes, phash bands/pairs, and (r19)
-  * the stored OLS model sums — run every forget entry point, then
+  * the stored OLS model sums, and (r20) the winnowing fingerprint
+  * index — run every forget entry point, then
   * probe each stored table and report per-tier residue and remaining
   * row counts. A deletion request is only discharged when every tier
   * reads zero residue; the per-tier gates prove each erasure is
@@ -33,7 +34,7 @@ import graft.Tables
   * stored table (the residue predicate pushes to the scan); the seeds
   * and erasures are the per-tier machinery's own (each idempotent, so
   * the certificate job re-runs until success like every erasure job).
-  * The fourteen one-row aggregates are one audit job per tier — a
+  * The fifteen one-row aggregates are one audit job per tier — a
   * compliance artifact, not a hot path. The model tier (`ols_sums`)
   * audits DIFFERENTIALLY: aggregate-space erasure leaves no victim
   * rows to count, so its residue is the number of flags whose stored
@@ -61,6 +62,7 @@ object Erasure {
     "ann" -> s"$base/ann",
     "phash" -> s"$base/phash",
     "phashPairs" -> s"$base/phashpairs",
+    "winnow" -> s"$base/winnow",
     "ols" -> s"$base/ols")
 
   /** Seed every maintained store under `base` from the fixture corpus
@@ -88,6 +90,7 @@ object Erasure {
     EventStream.tfIndexSeed(spark, d("text"), docs)
     EventStream.posIndexSeed(spark, d("text"), docs)
     EventStream.chunkIndexSeed(spark, d("chunks"), docs)
+    EventStream.winnowIndexSeed(spark, d("winnow"), docs)
     EventStream.minhashIndexSeed(spark, d("mh"), docs)
     seedPairsTable(spark, d("mhPairs"), Dedup.minhashLsh(spark, sfDir))
     // cluster state folded as TWO batches so lazy-relabel redirect rows
@@ -121,6 +124,8 @@ object Erasure {
       EventStream.forgetDocsFromPosIndex(spark, d("text"), docVictims))
     unlessSkipped("chunk_index")(
       EventStream.forgetDocsFromChunkIndex(spark, d("chunks"), docVictims))
+    unlessSkipped("winnow_index")(
+      EventStream.forgetDocsFromWinnowIndex(spark, d("winnow"), docVictims))
     unlessSkipped("minhash")(EventStream.forgetDocsFromMinhashIndex(spark,
       d("mh"), d("mhPairs"), docVictims))
     unlessSkipped("clusters")(EventStream.forgetDocsFromClusterState(spark,
@@ -195,6 +200,7 @@ object Erasure {
       row("tf_index", EventStream.tfIndexRead(spark, d("text")), doc),
       row("pos_index", EventStream.posIndexRead(spark, d("text")), doc),
       row("chunk_index", EventStream.chunkIndexRead(spark, d("chunks")), doc),
+      row("winnow_index", EventStream.winnowIndexRead(spark, d("winnow")), doc),
       row("minhash_shingles",
         EventStream.ingestShinglesRead(spark, d("mh")), doc),
       row("minhash_bands", EventStream.ingestBandsRead(spark, d("mh")), doc),
@@ -249,6 +255,7 @@ object Erasure {
     "erasure_certificate" ->
       s"""WITH ${Dedup.shingleCte},
          |${Dedup.vpairsCte},
+         |${Dedup.winnowFpCte},
          |${Multimodal.phashCteSql}
          |SELECT tier, CAST(0 AS BIGINT) AS n_residue, n_remaining FROM (
          |SELECT 'rows' AS tier,
@@ -266,6 +273,8 @@ object Erasure {
          |     CAST(ceil(len(t) / ${Dedup.ChunkDedupTokens}.0) AS INT), 1)), 0)
          |     AS BIGINT)
          |   FROM toks WHERE $DocKeepSql)
+         |UNION ALL SELECT 'winnow_index',
+         |  (SELECT CAST(count(*) AS BIGINT) FROM wfp WHERE $DocKeepSql)
          |UNION ALL SELECT 'cluster_members',
          |  (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE $DocKeepSql)
          |UNION ALL SELECT 'cluster_redirects',

@@ -355,17 +355,97 @@ object Multimodal {
     }
   }
 
+  /** The generic feature fold ([[MediaCodecStub.features]]'s byte walk)
+    * applied to a REAL decoded pixel stream (r19 verdict #5): parse the
+    * BMP headers, walk pixels only — file order, headers and stride
+    * padding excluded — and emit the stub-shaped [[MediaFeatures]]
+    * record over the PIXEL bytes. A byte-stat of the raw payload (the
+    * seam's former behavior for every kind) reads 54 header bytes and
+    * the poisoned pad bytes into its stats; this reads the pixel truth.
+    */
+  private[operators] def bmpPixelFeatures(r: MediaRow): MediaFeatures = {
+    val hd = BmpCodec.parseHeader(r.payload)
+    var sum = 0L
+    var checksum = 17L
+    var n = 0L
+    var row = 0
+    while (row < hd.h) {
+      val rowOff = hd.off + row * hd.stride
+      var i = 0
+      while (i < hd.w * 3) {
+        val v = r.payload(rowOff + i) & 0xff
+        sum += v
+        checksum = checksum * 31 + v
+        n += 1
+        i += 1
+      }
+      row += 1
+    }
+    MediaFeatures(
+      media_id = r.media_id, kind = r.kind, n_bytes = n,
+      n_frames = ((n + MediaCodecStub.FrameBytes - 1) /
+        MediaCodecStub.FrameBytes).toInt,
+      checksum = checksum,
+      mean_byte = if (n == 0) 0.0 else sum.toDouble / n)
+  }
+
   /** Per-partition batched decode+featurize — the `mapInPandas` analog:
     * the function receives one iterator per partition and may hold
     * per-partition state (codec handles, model weights). Narrow: no
     * shuffle, binary never leaves the partition.
+    *
+    * KIND DISPATCH (r19 verdict #5): `kind == "bmp"` payloads run the
+    * REAL decoder ([[bmpPixelFeatures]] — header parse, offset/stride
+    * walk, stats over pixels only); every other kind falls through to
+    * [[MediaCodecStub]], the LOUDLY-LABELED deterministic stand-in for
+    * the audio/video formats this container has no libraries for. The
+    * registered `multimodal_kind_features` gate drives BOTH arms
+    * through this seam against one oracle.
     */
   def decodeAndFeaturize(ds: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
       // per-partition init would go here (codec/model handles)
-      rows.map(MediaCodecStub.features)
+      rows.map { r =>
+        if (r.kind == "bmp") bmpPixelFeatures(r)
+        else MediaCodecStub.features(r)
+      }
     }
+  }
+
+  /** KIND-DISPATCHED FEATURES as a registered gate: a mixed-kind media
+    * frame (even ids arrive as real encoded BMPs, odd ids as opaque
+    * unknown-kind payloads) pushed through the ONE [[decodeAndFeaturize]]
+    * seam — the bmp arm's stats are pixel truth (decode algebra: pixel
+    * stream ≡ text bytes zero-padded to whole rows; headers/pads never
+    * enter), the opaque arm's are the stub's raw-payload byte stats.
+    * The oracle replays both arms' arithmetic from the raw text, so a
+    * dispatch that byte-stats a BMP (header+pad poison shifts n_bytes
+    * and the mean) or decodes an opaque payload fails the hash. The
+    * stub's rolling 31-multiplier checksum wraps Long and is therefore
+    * not oracle-expressible (DuckDB BIGINT overflow throws, it never
+    * wraps) — the gate serves the oracle-replayable columns and
+    * MultimodalSpec pins the checksum against the stub directly.
+    */
+  def kindFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").alias("raw"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, raw) =>
+          if (id % 2 == 0) {
+            val bmp = BmpCodec.encode(raw)
+            val hd = BmpCodec.parseHeader(bmp)
+            MediaRow(id, "bmp", bmp, hd.w, hd.h, 0)
+          } else MediaRow(id, "opaque", raw, 0, 0, 0)
+        }
+      }
+    decodeAndFeaturize(media)
+      .toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("n_frames"),
+        col("mean_byte"))
+      .orderBy("media_id")
   }
 
   /** Frame sampling: every k-th fixed-size chunk of the payload, exploded
@@ -747,6 +827,30 @@ object Multimodal {
          |       CAST(sum((k + 1) * v) AS BIGINT) AS checksum_w
          |FROM b JOIN bytes USING (media_id)
          |GROUP BY 1, h ORDER BY media_id""".stripMargin,
+    // both dispatch arms replayed from the raw text: the bmp arm's
+    // pixel stream is the text zero-padded to whole 45-byte rows (pads
+    // contribute 0 to the sum but count in the length); the opaque
+    // arm's stats are the raw byte walk (see [[kindFeatures]])
+    "multimodal_kind_features" ->
+      s"""WITH b AS (
+         |  SELECT doc_id AS media_id, text,
+         |         CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'opaque' END AS kind,
+         |         greatest(CAST(ceil(length(text) / ${BmpCodec.RowBytes}.0)
+         |                   AS BIGINT), 1) AS h,
+         |         coalesce(list_sum(list_transform(
+         |           string_split(text, ''), c -> ascii(c))), 0) AS s
+         |  FROM documents),
+         |f AS (
+         |  SELECT media_id, kind, s,
+         |         CASE WHEN kind = 'bmp' THEN h * ${BmpCodec.RowBytes}
+         |              ELSE length(text) END AS n_bytes
+         |  FROM b)
+         |SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes,
+         |       CAST((n_bytes + ${MediaCodecStub.FrameBytes - 1})
+         |            // ${MediaCodecStub.FrameBytes} AS INT) AS n_frames,
+         |       CASE WHEN n_bytes = 0 THEN 0.0
+         |            ELSE CAST(s AS DOUBLE) / n_bytes END AS mean_byte
+         |FROM f ORDER BY media_id""".stripMargin,
     "multimodal_features" ->
       s"""SELECT doc_id AS media_id,
          |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -805,6 +909,7 @@ object Multimodal {
     "multimodal_decoded_features" -> decodedFeatures _,
     "multimodal_resized_features" -> resizedFeatures _,
     "multimodal_features" -> features _,
+    "multimodal_kind_features" -> kindFeatures _,
     "multimodal_frame_sample" -> frameSample _,
     "multimodal_phash_dupes" -> phashDupes _,
     "multimodal_phash_clusters" -> phashClusters _,

@@ -1214,6 +1214,25 @@ object Similarity {
       ivfPrefilteredTop5(spark, sfDir, annSharpFilterPred),
       countName = "n_exact")
 
+  /** THE CROSSOVER MATRIX'S LAST CELL (r19 verdict #3): pre-filter
+    * serving at nprobe=2 under the SHARP predicate — the regime where
+    * the recovery knob matters most, because sharp recall is
+    * candidate-starved twice over (the predicate keeps ~0.1 of each
+    * cell and nprobe=1 sees one cell). Probing each query's two nearest
+    * centroid cells roughly doubles the survivor candidate set at
+    * ~2·sel·(N/C) exact scores per query — the corpus is never scanned.
+    * With this rung the filtered-ANN story is a MEASURED 2×2×2 matrix
+    * (mild/sharp × over-fetch/pre-filter, plus nprobe=1/2 on the
+    * pre-filter arm at both selectivities); the monotonicity spec pins
+    * candidates ⊇ and per-query hits ≥ the nprobe=1 sharp rung.
+    */
+  def annPrefilteredSharpNprobe2RecallAt5(spark: SparkSession,
+      sfDir: String): DataFrame =
+    recallTailAgainst(
+      bruteTop5PairsFiltered(spark, sfDir, annSharpFilterPred),
+      ivfPrefilteredTop5Nprobe(spark, sfDir, nprobe = 2, annSharpFilterPred),
+      countName = "n_exact")
+
   private[graft] def ivfPrefilteredTop5Nprobe(spark: SparkSession,
       sfDir: String, nprobe: Int,
       pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
@@ -2425,6 +2444,31 @@ object Similarity {
        |${fbruteCte(keepSql)}
        |${filteredRecallTailSql("pserved")}""".stripMargin
 
+  /** The pre-filter nprobe=2 oracle, parameterized by keep-SQL: probes =
+    * each query's top-2 centroid cells (the cells CTE's own assign
+    * chain, rn <= 2), survivors from BOTH cells exact-ranked (see
+    * [[annPrefilteredNprobe2RecallAt5]] /
+    * [[annPrefilteredSharpNprobe2RecallAt5]]).
+    */
+  private def prefilteredNprobe2OracleSql(keepSql: String): String =
+    s"""WITH $quantizedSql,
+       |$cellsSql,
+       |p2served AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY p.vec_id
+       |             ORDER BY ${V.qdotSql("p.v", "c.v", Dim)}
+       |                        / (sqrt(p.n2) * sqrt(c.n2)) DESC,
+       |                      c.vec_id ASC) AS rank
+       |    FROM (SELECT vec_id, v, n2, c_id FROM assign
+       |          WHERE vec_id < 10 AND rn <= 2) p
+       |    JOIN cells c ON c.cell = p.c_id AND c.vec_id != p.vec_id
+       |    JOIN qn n ON n.vec_id = c.vec_id
+       |    WHERE ${keepSql.replace("label", "n.label")})
+       |  WHERE rank <= 5),
+       |${fbruteCte(keepSql)}
+       |${filteredRecallTailSql("p2served")}""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // the sharp-predicate crossover pair: the same two serving plans,
     // keep-SQL swapped to the selectivity-0.1 tenant (see
@@ -2776,42 +2820,12 @@ object Similarity {
          |    ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
          |  GROUP BY 2)
          |ORDER BY mode, query_id""".stripMargin,
-    // pre-filter at nprobe=2: probes = each query's top-2 centroid
-    // cells (the cells CTE's own assign chain, rn <= 2), survivors from
-    // BOTH cells exact-ranked (see [[annPrefilteredNprobe2RecallAt5]])
+    // pre-filter at nprobe=2 — both selectivities through ONE
+    // parameterized spelling (see prefilteredNprobe2OracleSql)
     "ann_prefiltered_nprobe2_recall_at_5" ->
-      s"""WITH $quantizedSql,
-         |$cellsSql,
-         |p2served AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |           row_number() OVER (PARTITION BY p.vec_id
-         |             ORDER BY ${V.qdotSql("p.v", "c.v", Dim)}
-         |                        / (sqrt(p.n2) * sqrt(c.n2)) DESC,
-         |                      c.vec_id ASC) AS rank
-         |    FROM (SELECT vec_id, v, n2, c_id FROM assign
-         |          WHERE vec_id < 10 AND rn <= 2) p
-         |    JOIN cells c ON c.cell = p.c_id AND c.vec_id != p.vec_id
-         |    JOIN qn n ON n.vec_id = c.vec_id
-         |    WHERE ${AnnFilterKeepSql.replace("label", "n.label")})
-         |  WHERE rank <= 5),
-         |fbrute AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |           row_number() OVER (PARTITION BY a.vec_id
-         |             ORDER BY $qdotAB / (sqrt(a.n2) * sqrt(b.n2)) DESC,
-         |                      b.vec_id ASC) AS rank
-         |    FROM qn a JOIN qn b
-         |      ON a.vec_id < 10 AND b.vec_id != a.vec_id
-         |     AND ${AnnFilterKeepSql.replace("label", "b.label")})
-         |  WHERE rank <= 5)
-         |SELECT b.query_id AS query_id,
-         |       CAST(count(*) AS BIGINT) AS n_exact,
-         |       CAST(count(p.neighbor_id) AS BIGINT) AS n_hits,
-         |       CAST(count(p.neighbor_id) AS DOUBLE) / count(*) AS recall_at_5
-         |FROM fbrute b LEFT JOIN p2served p
-         |  ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
-         |GROUP BY 1 ORDER BY query_id""".stripMargin,
+      prefilteredNprobe2OracleSql(AnnFilterKeepSql),
+    "ann_prefiltered_sharp_nprobe2_recall_at_5" ->
+      prefilteredNprobe2OracleSql(AnnSharpKeepSql),
     // the pre-filter arm: survivors-only candidate set (id-keyed join
     // BEFORE scoring), exact rank within the query's cell — against the
     // same filtered-brute baseline (see [[annPrefilteredRecallAt5]])
@@ -3024,6 +3038,8 @@ object Similarity {
     "ann_prefiltered_nprobe2_recall_at_5" -> annPrefilteredNprobe2RecallAt5 _,
     "ann_filtered_sharp_recall_at_5" -> annFilteredSharpRecallAt5 _,
     "ann_prefiltered_sharp_recall_at_5" -> annPrefilteredSharpRecallAt5 _,
+    "ann_prefiltered_sharp_nprobe2_recall_at_5" ->
+      annPrefilteredSharpNprobe2RecallAt5 _,
     "ann_retrain_recall"      -> annRetrainRecall _,
   )
 }

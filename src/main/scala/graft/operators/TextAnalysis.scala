@@ -758,6 +758,43 @@ object TextAnalysis {
       .orderBy("term")
   }
 
+  /** TIME TRAVEL ON THE VERSIONED TERM-STATS TIER (r19 verdict #4): the
+    * corpus arrives as two doc-id-ordered batches against an
+    * empty-seeded COPY-ON-WRITE generation state
+    * ([[graft.streaming.EventStream.termStatsFoldBatchVersioned]] — the
+    * exact foreachBatch body of the versioned maintenance stream; each
+    * batch tokenizes only its own documents and merges through the same
+    * [[mergeTermStats]] the incremental gate certifies), and this gate
+    * reads the table AS OF batch 0 — the df statistics BM25 served the
+    * moment the first dump committed, the question the
+    * dynamic-overwrite layout destroyed at fold time. Oracle = the
+    * from-scratch statistics over EXACTLY the batch-0 prefix, so a
+    * generation served beyond the as-of bound, a missed bucket, or a
+    * horizon misread all surface as row diffs. StreamingSpec pins the
+    * catch-up invariant (live ≡ full rebuild), copy-on-write byte
+    * identity (batch 1 never touches batch 0's generation), and the
+    * loud below-horizon failure after expiry.
+    *
+    * Memoized durably: seed + folds are commit-gated, so a second JVM
+    * replays both batches as no-ops and re-reads the stored state.
+    */
+  def dfAsOf(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoizedDurable(s"text.dfAsof:$sfDir") {
+      import graft.streaming.EventStream
+      val stateDir = Layout.tmpPath("graft-termver", sfDir)
+      val docs = Tables.documents(spark, sfDir)
+      val mid = docs.agg((min(col("doc_id")) + max(col("doc_id"))) / 2)
+        .head().getDouble(0)
+      EventStream.seedVersionedState(
+        termStatsOf(termFreqsOf(docs.filter(lit(false)))), "term", stateDir)
+      EventStream.termStatsFoldBatchVersioned(spark, stateDir,
+        docs.filter(col("doc_id") <= mid), 0L)
+      EventStream.termStatsFoldBatchVersioned(spark, stateDir,
+        docs.filter(col("doc_id") > mid), 1L)
+      EventStream.termStatsVersionedReadAsOf(spark, stateDir, asOfBatch = 0L)
+        .orderBy("term")
+    }
+
   /** ERASURE IN AGGREGATE SPACE — the term-statistics half of the
     * right-to-be-forgotten story ([[graft.streaming.EventStream.forgetKeys]]
     * is the ROW half): forgetting documents from a maintained df/tf_sum
@@ -1608,6 +1645,18 @@ object TextAnalysis {
          |         / sum(count(*)) OVER (PARTITION BY actual_lang) AS share_pct
          |FROM pred GROUP BY actual_lang, predicted_lang
          |ORDER BY actual_lang, predicted_lang""".stripMargin,
+    // as-of ≡ the prefix rebuild: the same statistics over exactly the
+    // batch-0 documents (the split's own (min+max)/2 spelling)
+    "text_df_asof" ->
+      s"""WITH mid AS (
+         |  SELECT (min(doc_id) + max(doc_id)) / 2 AS m FROM documents)
+         |SELECT w AS term, CAST(count(*) AS BIGINT) AS df,
+         |       CAST(sum(c) AS BIGINT) AS tf_sum
+         |FROM (SELECT doc_id, w, count(*) AS c
+         |      FROM (SELECT doc_id, unnest($toksSql) AS w FROM documents
+         |            WHERE doc_id <= (SELECT m FROM mid))
+         |      GROUP BY doc_id, w)
+         |GROUP BY w ORDER BY term""".stripMargin,
     "text_df_incremental" ->
       s"""SELECT w AS term, CAST(count(*) AS BIGINT) AS df,
          |       CAST(sum(c) AS BIGINT) AS tf_sum
@@ -1789,6 +1838,7 @@ object TextAnalysis {
     "text_rare_bigram_ratio" -> rareBigramRatio _,
     "text_vocab_approx" -> vocabApprox _,
     "text_df_incremental" -> dfIncremental _,
+    "text_df_asof"          -> dfAsOf _,
     "text_df_forget_docs" -> dfForgetDocs _,
     "text_quality"      -> quality _,
     "text_langid"       -> langId _,

@@ -112,6 +112,14 @@ object GraftFunctions {
     GraftSqlBridge.column(MinHash16(
       GraftSqlBridge.expression(shingles), packedParams))
 
+  /** `winnow_fp(text, k, w, hashMod, posEnc)` as a Column — one-pass
+    * winnowing fingerprint selection, encoded (see [[WinnowFingerprints]]).
+    */
+  def winnowFp(text: Column, k: Int, w: Int, hashMod: Long,
+      posEnc: Long): Column =
+    GraftSqlBridge.column(WinnowFingerprints(
+      GraftSqlBridge.expression(text), k, w, hashMod, posEnc))
+
   /** Register `graft_long_dot` + `graft_simhash60` for SQL-text callers. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -391,15 +391,27 @@ object EventStream {
     * falling back to the authoritative listing when a listed subdir
     * vanished (a crashed batch mid-replay): the manifest path throws at
     * file-index construction, never serves wrong rows.
+    *
+    * The fallback itself is guarded: when the manifest CLAIMED subdirs
+    * but the re-listing finds none committed, the tree did not merely
+    * lose a crashed batch — it was vacuumed/expired out from under this
+    * read between snapshot resolution and the parquet read (erasure's
+    * `vacuumSuperseded`, [[expireSnapshots]]). Building an empty frame
+    * there would silently serve zero rows where the pre-manifest code
+    * surfaced a loud read failure; rethrow instead — the caller retries
+    * against the live snapshot pointer, which has moved on.
     */
   private def readServed(spark: SparkSession, treePath: String,
       filter: String => Boolean, schema: StructType): DataFrame = {
     def build(subs: Seq[String]) =
       readSubdirs(spark, treePath, subs.filter(filter), schema)
-    try build(servedSubdirs(spark, treePath))
+    val claimed = servedSubdirs(spark, treePath)
+    try build(claimed)
     catch {
-      case _: org.apache.spark.sql.AnalysisException =>
-        build(committedSubdirs(spark, treePath))
+      case e: org.apache.spark.sql.AnalysisException =>
+        val live = committedSubdirs(spark, treePath)
+        if (claimed.nonEmpty && live.isEmpty) throw e
+        build(live)
     }
   }
 
@@ -2314,11 +2326,31 @@ object EventStream {
 
   /** (horizon, ascending generation inventory) from the newest
     * well-formed manifest; None → fall back to listings.
+    *
+    * The served horizon is max(manifest-recorded horizon, the
+    * `_expired_through_` marker) — the marker is written BEFORE any
+    * deletion ([[expireVersionedGenerations]]) and its name rides the
+    * SAME listing this read already performs, so the max costs nothing
+    * and closes the one crash window a recorded horizon alone leaves
+    * open: expiry writes the marker, deletes per-bucket generation
+    * dirs, and crashes (or races a reader) before the manifest rewrite.
+    * A stale manifest then still records the OLD lower horizon, and an
+    * as-of read in [oldHorizon, newHorizon) would pass the horizon
+    * check yet resolve a bucket to a generation whose bucket partition
+    * was deleted while the generation dir survives (retained for other
+    * buckets) — the parquet read succeeds, the bucket filter returns
+    * zero rows, and the read serves a silently-partial view with no
+    * exception to trigger the listing fallback. With the marker maxed
+    * in, that window fails loudly at [[requireAboveHorizon]] instead.
     */
   private def versionedManifestOpt(spark: SparkSession,
       stateDir: String): Option[(Long, Seq[(Long, Seq[Int])])] = {
     val base = versionedStatePath(stateDir)
-    StateFs.list(spark, base).collect { case vManifestName(n) => n.toLong }
+    val names = StateFs.list(spark, base)
+    val markerHorizon = names
+      .collect { case expiredThroughName(v) => v.toLong }
+      .reduceOption(_ max _).getOrElse(Long.MinValue)
+    names.collect { case vManifestName(n) => n.toLong }
       .sorted.reverseIterator
       .flatMap { n =>
         StateFs.readFileOpt(spark, s"$base/_vmanifest_$n").flatMap { body =>
@@ -2332,7 +2364,7 @@ object EventStream {
               parts(0).toLong -> (if (parts.length < 2 || parts(1).isEmpty) Seq.empty[Int]
                 else parts(1).split(",").toSeq.map(_.toInt))
             }
-            Some((horizon, gens))
+            Some((math.max(horizon, markerHorizon), gens))
           } catch { case _: NumberFormatException => None }
         }
       }.nextOption()
@@ -2899,12 +2931,121 @@ object EventStream {
     }
   }
 
+  /** Versioned-state read schema for the term-stats tier — (term, df,
+    * tf_sum) WITHOUT `last_batch` (the generation commit is the
+    * idempotence evidence), plus the `bucket` partition column.
+    */
+  private val termStatsVersionedSchema = StructType(Seq(
+    StructField("term", StringType),
+    StructField("df", LongType),
+    StructField("tf_sum", LongType),
+    StructField("bucket", IntegerType)))
+
+  /** [[termStatsFoldBatchBucketed]] on the VERSIONED copy-on-write
+    * layout (r19 verdict #4) — the third adopter of the migration path,
+    * and the one that matters most: term-stats is the tier BM25/TF-IDF
+    * scoring SERVES from, so "what did the df table look like before
+    * tonight's crawl folded in" is exactly the question a ranking
+    * regression investigation asks — and the dynamic-overwrite layout
+    * destroyed the answer at fold time. Each micro-batch tokenizes only
+    * its own documents, reads ONLY the touched buckets' serving
+    * generations as of the previous batch, merges through the same
+    * [[graft.operators.TextAnalysis.mergeTermStats]] the batch gates
+    * certify, and writes its own fresh generation (copy-on-write: the
+    * plan never reads its write target, torn commits are unobservable,
+    * exactly-once is the generation's `_SUCCESS`). Time travel becomes
+    * a listing filter; the registered `text_df_asof` gate pins as-of ≡
+    * the prefix rebuild against the DuckDB oracle.
+    */
+  private[graft] def termStatsFoldBatchVersioned(spark: SparkSession,
+      stateDir: String, batch: DataFrame, batchId: Long): Unit = {
+    require(batchId >= 0, s"versioned fold batchId must be >= 0, got $batchId")
+    val genPath = versionedGenPath(stateDir, batchId)
+    if (StateFs.exists(spark, s"$genPath/_SUCCESS")) {
+      healVersionedManifest(spark, stateDir, batchId)
+    } else {
+      val delta = graft.operators.TextAnalysis
+        .termStatsOf(graft.operators.TextAnalysis.termFreqsOf(batch))
+        .withColumn("bucket", stateBucketOf(col("term")))
+        .persist()
+      try {
+        val touched = delta.select(col("bucket")).distinct()
+          .collect().map(_.getInt(0)).toSeq.sorted
+        if (touched.nonEmpty) {
+          val current = versionedStateRead(spark, stateDir,
+              termStatsVersionedSchema, Some(batchId - 1))
+            .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+          graft.operators.TextAnalysis.mergeTermStats(
+              current.drop("bucket"),
+              delta.filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+                .drop("bucket"))
+            .withColumn("bucket", stateBucketOf(col("term")))
+            .repartition(col("bucket"))
+            .write.mode("overwrite").partitionBy("bucket").parquet(genPath)
+          writeVersionedManifest(spark, stateDir)
+        }
+      } finally {
+        delta.unpersist()
+        ()
+      }
+    }
+  }
+
+  /** The versioned term-stats table, live (reader-shaped). */
+  def termStatsVersionedRead(spark: SparkSession, stateDir: String): DataFrame =
+    versionedStateRead(spark, stateDir, termStatsVersionedSchema, None)
+      .drop("bucket")
+
+  /** TIME TRAVEL on the versioned term-stats state: the df/tf_sum table
+    * exactly as a live read served it the moment batch `asOfBatch`
+    * committed (−1 = the seeded baseline) — a listing filter over
+    * bucket generations, zero data copy.
+    */
+  def termStatsVersionedReadAsOf(spark: SparkSession, stateDir: String,
+      asOfBatch: Long): DataFrame =
+    versionedStateRead(spark, stateDir, termStatsVersionedSchema,
+        Some(asOfBatch))
+      .drop("bucket")
+
+  /** [[termStatsMaintenanceStreamBucketed]] on the versioned layout —
+    * the same per-batch fold body under Structured Streaming, with time
+    * travel as a side effect of how commits are laid out.
+    */
+  def termStatsMaintenanceStreamVersioned(docsStream: DataFrame,
+      initialStats: DataFrame, stateDir: String,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val spark = docsStream.sparkSession
+    seedVersionedState(initialStats, "term", stateDir)
+    maintenanceWriter(docsStream, checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        termStatsFoldBatchVersioned(spark, stateDir, batch.toDF(), batchId)
+      }
+      .start()
+  }
+
   /** Bucketed OLS sufficient-statistics state layout — the maintained
     * (return_flag → nine exact-integer normal-equation sums) table of
     * the TRAINED-MODEL tier (r18 verdict #1: the one incremental ≡
     * rebuild gate still living in session state, now durable like
     * every other). DECIMAL(38,0) sums — the
     * [[graft.operators.Stats]] exactness envelope, on disk.
+    *
+    * VERSIONING EXEMPTION (r19 verdict #4, documented at the stream as
+    * asked): this tier deliberately keeps the dynamic-overwrite layout
+    * while totals/SCD2/term-stats adopted copy-on-write generations.
+    * The table is O(|return_flag|) rows (3 on the fixture; bounded by
+    * flag cardinality in production) and EVERY nightly delta touches
+    * essentially every flag bucket, so a generation per batch would be
+    * a full-table snapshot per night — the copy-on-write layout buys no
+    * partial-rewrite saving here, only the time-travel listing. And the
+    * time-travel question on this tier ("what did the model serve
+    * before tonight's fold") is already answerable in O(batch): the
+    * sums are exactly additive, so the pre-batch state is the stored
+    * state minus the batch's delta (the same negated-fold algebra the
+    * erasure tier runs, certified by `lineitem_ols_forget` /
+    * erasure-certificate tier `ols_sums`). If flag cardinality ever
+    * grows to where per-bucket rewrites matter, the migration path is
+    * proven three times over.
     */
   private val olsSumsStateSchema = StructType(
     StructField("return_flag", StringType) +:
@@ -3378,6 +3519,125 @@ object EventStream {
           Seq(s"$indexDir/chunks", outDir)
             .foreach(d => expireSnapshots(spark, d, keepLast = k))
         }
+      }
+      .start()
+  }
+
+  private val winnowIndexSchema = StructType(Seq(
+    StructField("h", LongType),
+    StructField("doc_id", LongType),
+    StructField("p", LongType)))
+
+  /** The STORED WINNOWING FINGERPRINT INDEX (r19 verdict #1 — the one
+    * dedup grain that was still session-only): every selected
+    * fingerprint OCCURRENCE (`h`, `doc_id`, `p`) as a per-batch-subdir
+    * tree table, the [[chunkIndexRead]] protocol at the fingerprint
+    * grain. Per-occurrence grain is the erasure-sound one, exactly the
+    * chunk index's argument: a fingerprint hash still carried by a
+    * surviving document keeps that document's rows (and keeps matching
+    * future ingests) while a hash only the forgotten document carried
+    * vanishes — and fingerprints are derived TEXT state (a position
+    * plus a 40-bit content hash, dictionary-attackable for short
+    * blocks), so the right-to-be-forgotten story must reach this tier
+    * the moment it is stored (erasure-certificate tier 15).
+    */
+  def winnowIndexRead(spark: SparkSession, indexDir: String): DataFrame =
+    batchDirsRead(spark, s"$indexDir/winnow", winnowIndexSchema)
+
+  /** Seed the winnowing fingerprint index from `historyDocs` unless
+    * commit evidence exists — the [[chunkIndexSeed]] shape. An EMPTY
+    * history is legitimate (a crawl starting cold).
+    */
+  def winnowIndexSeed(spark: SparkSession, indexDir: String,
+      historyDocs: DataFrame): Unit = {
+    val winnowDir = s"$indexDir/winnow"
+    if (!StateFs.exists(spark, s"${ensureLiveTree(spark, winnowDir)}/seed/_SUCCESS")) {
+      graft.operators.Dedup.winnowFingerprintsOf(historyDocs)
+        .select(col("h"), col("doc_id"), col("p"))
+        .write.mode("overwrite").parquet(s"${ensureLiveTree(spark, winnowDir)}/seed")
+      writeTreeManifest(spark, ensureLiveTree(spark, winnowDir))
+    }
+  }
+
+  /** One winnowing-ingestion micro-batch — fingerprint ONLY the batch's
+    * own documents (the same codegen [[graft.plans.WinnowFingerprints]]
+    * pass the batch lineage runs — the fold must select exactly like
+    * the batch query or the maintained index drifts from the rebuild)
+    * and fold them in as a committed subdir: crashed-attempt pre-clean,
+    * manifest BEFORE marker (a marker-applied batch is always
+    * manifest-visible), marker last. 100 TB shape: a nightly crawl pays
+    * one batch-scale narrow selection pass; the corpus is never
+    * re-fingerprinted.
+    */
+  def winnowIngestFoldBatch(spark: SparkSession, indexDir: String,
+      batch: DataFrame, batchId: Long): Unit = {
+    val winnowDir = s"$indexDir/winnow"
+    if (!plainMarkerApplied(spark, winnowDir, batchId)) {
+      val tree = ensureLiveTree(spark, winnowDir)
+      StateFs.deleteRecursively(spark, s"$tree/b$batchId")
+      graft.operators.Dedup.winnowFingerprintsOf(batch)
+        .select(col("h"), col("doc_id"), col("p"))
+        .write.mode("overwrite").parquet(s"$tree/b$batchId")
+      writeTreeManifest(spark, tree)
+      commitPlainMarker(spark, winnowDir, batchId)
+    }
+  }
+
+  /** INGESTION-TIME OVERLAP PROBE of the stored fingerprint index: the
+    * (small) batch's fingerprints equi-join the stored occurrences on
+    * the hash key, under the SAME stored-side df cap as the serving
+    * join ([[graft.operators.Dedup]]'s `WinnowDfCap` skew guard — a
+    * boilerplate hash carried by hundreds of stored documents is
+    * dropped before it can fan the probe out), and pairs sharing ≥
+    * `shareMin` distinct hashes surface as (new doc, prior doc) local
+    * overlaps — the copied-block signal AT ARRIVAL, before the batch is
+    * folded in. StreamingSpec pins both erasure directions through this
+    * probe (a forgotten document must stop matching future ingests).
+    */
+  def winnowProbeStored(spark: SparkSession, indexDir: String,
+      batch: DataFrame): DataFrame = {
+    import graft.operators.Dedup
+    val bfp = Dedup.winnowFingerprintsOf(batch)
+      .select(col("doc_id").alias("doc_new"), col("h")).distinct()
+    val stored = winnowIndexRead(spark, indexDir)
+      .select(col("doc_id").alias("doc_prior"), col("h")).distinct()
+    val rare = stored.join(
+      stored.groupBy(col("h")).agg(count(lit(1)).alias("df"))
+        .filter(col("df") <= Dedup.WinnowDfCap),
+      Seq("h"))
+    bfp.join(rare, Seq("h"))
+      .groupBy(col("doc_new"), col("doc_prior"))
+      .agg(count(lit(1)).alias("n_shared"))
+      .filter(col("n_shared") >= Dedup.WinnowShareMin)
+  }
+
+  /** RIGHT-TO-BE-FORGOTTEN over the winnowing fingerprint index —
+    * erasure-as-compaction, the [[forgetDocsFromChunkIndex]] shape at
+    * the fingerprint grain (per-occurrence rows make the anti-join
+    * exactly the filter-rebuild).
+    */
+  def forgetDocsFromWinnowIndex(spark: SparkSession, indexDir: String,
+      docs: DataFrame): Unit =
+    withForgetList(docs, "doc_id") { ids =>
+      eraseKeysFromTable(spark, s"$indexDir/winnow", winnowIndexSchema,
+        s"$indexDir/winnow", ids, "doc_id")
+    }
+
+  /** STREAMING WINNOWING-INDEX MAINTENANCE via `foreachBatch` — the
+    * stored-index form of the batch `winnowing_overlap_pairs` gate:
+    * each micro-batch fingerprints only its own documents and folds
+    * them in ([[winnowIngestFoldBatch]] — the exact foreachBatch body,
+    * opened to the registered `winnowing_stored_overlap` gate so both
+    * consumers run ONE fold spelling). Same commit/restart/redelivery
+    * contract as [[chunkIngestDedup]].
+    */
+  def winnowIngestDedup(docsStream: DataFrame, historyDocs: DataFrame,
+      indexDir: String, checkpointDir: Option[String] = None): StreamingQuery = {
+    val spark = docsStream.sparkSession
+    winnowIndexSeed(spark, indexDir, historyDocs)
+    maintenanceWriter(docsStream, checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        winnowIngestFoldBatch(spark, indexDir, batch.toDF(), batchId)
       }
       .start()
   }

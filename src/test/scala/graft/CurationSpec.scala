@@ -207,6 +207,19 @@ class CurationSpec extends SparkSpec {
     assert(n("n_final") == q("docs_curation_pipeline").count())
     // the funnel narrows: final <= total - benchmark
     assert(n("n_final") <= n("n_documents") - n("n_benchmark"))
+    // the winnowing column (r19 verdict #6) counts exactly the distinct
+    // endpoints of the registered overlap-pair gate — the funnel signal
+    // and the dedup gate are the same fact, never two derivations
+    val endpoints = q("winnowing_overlap_pairs").collect()
+      .flatMap(p => Seq(p.getLong(0), p.getLong(1))).toSet
+    assert(endpoints.nonEmpty, "fixture surfaced no winnow overlap docs")
+    assert(n("n_winnow_overlap_docs") == endpoints.size.toLong)
+    // and the flag frame flags exactly those documents
+    val flagged = graft.operators.Curation.curationFlags(spark, sf)
+      .filter(col("winnow_overlap")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == endpoints,
+      s"missing=${endpoints -- flagged} extra=${flagged -- endpoints}")
   }
 
   test("docs_quality_gate: signals match source queries, score arithmetic exact") {

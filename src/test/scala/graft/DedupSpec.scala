@@ -265,4 +265,91 @@ class DedupSpec extends SparkSpec {
     assert(pairs.nonEmpty, "fixture surfaced no local-overlap pairs")
     assert(pairs.forall(_.getLong(2) >= Dedup.WinnowShareMin.toLong))
   }
+
+  test("winnowing codegen expression ≡ the retired HOF + window-frame" +
+      " spelling, on the fixture corpus and on crafted tie/repeat inputs;" +
+      " the position-overflow guard throws loudly") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the fixture corpus — the differential the registered gates ride
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    assert(rows(Dedup.winnowFingerprintsOf(docs)) ==
+      rows(Dedup.winnowFingerprintsOfHof(docs)),
+      "expression diverged from the HOF spelling on the fixture corpus")
+    // crafted adversarial inputs: all-equal hashes (every window ties),
+    // a repeating period shorter than the window, a doc of exactly the
+    // minimum length, one just below it, and non-ASCII text (both sides
+    // hash the UTF-8 bytes of CHARACTER substrings)
+    val crafted = Seq(
+      (1L, "zzzzzzzzzzzzzzzzzzzzzzzz"),
+      (2L, "abcabcabcabcabcabcabcabcabc"),
+      (3L, "exactly11ch"),
+      (4L, "tenchars--"),
+      (5L, "héllo wörld — ünïcode téxt high enough to fingerprint"),
+      (6L, "the quick brown fox jumps over the lazy dog repeatedly, " +
+        "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    assert(rows(Dedup.winnowFingerprintsOf(crafted)) ==
+      rows(Dedup.winnowFingerprintsOfHof(crafted)),
+      "expression diverged from the HOF spelling on crafted inputs")
+    // the guard (r19 ADVICE): a document whose positions would overflow
+    // the 20-bit field fails LOUDLY — never silently-wrong fingerprints
+    val big = Seq((7L, "x" * ((1 << 20) + Dedup.WinnowK)))
+      .toDF("doc_id", "text")
+    val e = intercept[Throwable] {
+      Dedup.winnowFingerprintsOf(big).collect()
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(chain.contains("winnowing position overflow"),
+      s"expected the overflow guard, got: $chain")
+  }
+
+  test("winnowing stored index: stored-over-batches ≡ the batch gate," +
+      " fold replay is a no-op, the ingestion probe finds copied blocks," +
+      " and erasure reaches fingerprints (ghost direction included)") {
+    import spark.implicits._
+    import graft.streaming.EventStream
+    def pairRows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // stored-over-batches ≡ one-shot (the registered gate's contract,
+    // pinned here against the session spelling, not just the oracle)
+    val stored = pairRows(q("winnowing_stored_overlap"))
+    val batch = pairRows(q("winnowing_overlap_pairs"))
+    assert(stored == batch, s"stored $stored != batch $batch")
+    // replay no-op: re-folding a committed batch id must not duplicate
+    // index rows (marker-gated — the second JVM / crash-recovery path)
+    val indexDir =
+      s"${operators.Layout.tmpPath("graft-winnowstream", sf)}/index"
+    val before = EventStream.winnowIndexRead(spark, indexDir).count()
+    EventStream.winnowIngestFoldBatch(spark, indexDir,
+      Tables.documents(spark, sf).limit(10), 0L)
+    assert(EventStream.winnowIndexRead(spark, indexDir).count() == before,
+      "replayed fold changed the stored index")
+    // ingestion-time probe + erasure, on a fresh crafted index: history
+    // doc 1 carries a block; a new batch doc copying it is flagged AT
+    // ARRIVAL; after forgetting doc 1 the same probe finds nothing (the
+    // ghost direction — a forgotten doc must not dedup future ingests)
+    val block = "THE-SHARED-BLOCK-OF-TEXT-LONG-ENOUGH-TO-WINNOW-" * 3
+    val history = Seq((1L, "aaaaaaaaaaaaaaa" + block),
+      (2L, "qqqqqqqqqqqqqqqqqqqqqqqqqqqqqq")).toDF("doc_id", "text")
+    val arrival = Seq((9L, "zzzzzzzzzz" + block + "yyyyyyyyyy"))
+      .toDF("doc_id", "text")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-winnowprobe").toString
+    EventStream.winnowIndexSeed(spark, base, history)
+    val hits = EventStream.winnowProbeStored(spark, base, arrival).collect()
+    assert(hits.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((9L, 1L)),
+      s"probe missed the copied block: ${hits.toSeq}")
+    EventStream.forgetDocsFromWinnowIndex(spark, base,
+      Seq(1L).toDF("doc_id"))
+    val erased = EventStream.winnowIndexRead(spark, base)
+    assert(erased.filter(org.apache.spark.sql.functions.col("doc_id") === 1L)
+      .count() == 0, "victim rows survived erasure")
+    assert(erased.count() > 0, "erasure emptied the index — over-deletion")
+    assert(EventStream.winnowProbeStored(spark, base, arrival).isEmpty,
+      "ghost fingerprints still match future ingests after erasure")
+  }
 }

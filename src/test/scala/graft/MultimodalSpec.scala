@@ -254,4 +254,39 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.img_h == 2 && f1.checksum_w ==
       vals.take(50).zipWithIndex.map { case (v, k) => (k + 1L) * v }.sum)
   }
+  test("decodeAndFeaturize dispatches by kind: bmp payloads get pixel-truth" +
+      " stats through the real decoder, unknown kinds keep the loudly-" +
+      "labeled stub's raw byte walk (r19 verdict #5)") {
+    import spark.implicits._
+    import operators.Multimodal
+    import operators.Multimodal.{BmpCodec, MediaCodecStub, MediaRow}
+    val raw = "pixel payload exercising a partial last row!!".getBytes("UTF-8")
+    val bmp = BmpCodec.encode(raw)
+    val rows = Seq(
+      MediaRow(2L, "bmp", bmp, 15, 0, 0),
+      MediaRow(3L, "opaque", raw, 0, 0, 0))
+    val got = Multimodal.decodeAndFeaturize(spark.createDataset(rows))
+      .collect().map(f => f.media_id -> f).toMap
+    // bmp arm: stats over the PIXEL stream — raw bytes + zero pads to
+    // whole rows; headers and the 0xAA stride poison never enter
+    val h = (raw.length + 44) / 45
+    val b = got(2L)
+    assert(b.n_bytes == h * 45L,
+      s"bmp n_bytes ${b.n_bytes} != pixel count ${h * 45} — header/pad leak")
+    assert(b.n_bytes != bmp.length.toLong,
+      "bmp arm byte-stat'd the raw payload (stub behavior)")
+    assert(b.mean_byte == raw.map(_ & 0xff).sum.toDouble / (h * 45),
+      "bmp mean is not the pixel-stream mean")
+    // the checksum is the stub's own rolling fold, over pixels: replay it
+    val pixels = java.util.Arrays.copyOf(raw, h * 45)
+    var ck = 17L
+    pixels.foreach(v => ck = ck * 31 + (v & 0xff))
+    assert(b.checksum == ck, "bmp checksum is not the pixel-stream fold")
+    // opaque arm: exactly the stub over the raw payload
+    assert(got(3L) == MediaCodecStub.features(rows(1)),
+      "unknown kind did not fall through to the stub")
+    // registered-gate shape: both arms present, one row per document
+    val gate = q("multimodal_kind_features").collect()
+    assert(gate.nonEmpty && gate.map(_.getString(1)).toSet == Set("bmp", "opaque"))
+  }
 }

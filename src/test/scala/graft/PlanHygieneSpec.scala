@@ -133,6 +133,9 @@ class PlanHygieneSpec extends SparkSpec {
       // the selectivity-0.1 keep rule — same deliberate index broadcasts,
       // same embedded filtered-brute baseline
       "ann_filtered_sharp_recall_at_5", "ann_prefiltered_sharp_recall_at_5",
+      // ...and the sharp nprobe=2 recovery rung (same probe-block and
+      // filtered-brute shapes as its mild twin)
+      "ann_prefiltered_sharp_nprobe2_recall_at_5",
       // the retrain gate trains (N·C Lloyd assignment per round, twice:
       // frozen + retrained), serves via the same assignment, and embeds
       // the brute baseline over the planted corpus — all deliberate

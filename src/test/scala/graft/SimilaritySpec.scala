@@ -849,6 +849,31 @@ class SimilaritySpec extends SparkSpec {
       s"sharp pre-filter ${preHits.values.sum} !> over-fetch " +
         s"${overHits.values.sum} — the sharp half of the crossover " +
         "shows no measured advantage")
+    // the recovery knob on the SHARP arm (the matrix's last cell, r19
+    // verdict #3): nprobe=2 candidates ⊇ nprobe=1's (the second probe
+    // cell only adds survivors), exact scoring ⇒ per-query hits are
+    // monotone — the regime where recall is lowest is exactly where the
+    // knob must provably not hurt
+    val preSharp2 = pairSet(Similarity.ivfPrefilteredTop5Nprobe(
+      spark, sf, nprobe = 2, Similarity.annSharpFilterPred))
+    val leaked2 = preSharp2.filterNot {
+      case (_, n) => labelOf(n) == Similarity.AnnSharpLabel.toLong
+    }
+    assert(leaked2.isEmpty,
+      s"sharp nprobe=2 serving leaked non-survivor neighbors: $leaked2")
+    val pre2Hits = hitsPerQuery(preSharp2)
+    (0L until 10L).foreach { qid =>
+      assert(pre2Hits(qid) >= preHits(qid),
+        s"query $qid: sharp nprobe=2 lost hits " +
+          s"(${pre2Hits(qid)} < ${preHits(qid)})")
+    }
+    // registered-gate shape for the new rung
+    val rep2 = q("ann_prefiltered_sharp_nprobe2_recall_at_5").collect()
+    assert(rep2.length == 10)
+    rep2.foreach { r =>
+      assert(r.getLong(1) >= 1L && r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
   }
 
   test("ann_retrain_recall: the registered report shows the recovery —" +

@@ -925,6 +925,122 @@ class StreamingSpec extends SparkSpec {
     assert(live() == want(lit(true)), "phantom manifest changed the served frame")
   }
 
+  test("versioned term-stats: catch-up invariant, as-of ≡ prefix rebuild," +
+      " copy-on-write byte identity, replay no-op, loud failure past the" +
+      " retention horizon (r19 verdict #4 — the tier BM25 serves from)") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf)
+    val mid = docs.agg((min(col("doc_id")) + max(col("doc_id"))) / 2)
+      .head().getDouble(0)
+    val (b0, b1) =
+      (docs.filter(col("doc_id") <= mid), docs.filter(col("doc_id") > mid))
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-vterm").toString
+    streaming.EventStream.seedVersionedState(
+      TextAnalysis.termStatsOf(TextAnalysis.termFreqsOf(docs.filter(lit(false)))),
+      "term", stateDir)
+    streaming.EventStream.termStatsFoldBatchVersioned(spark, stateDir, b0, 0L)
+    val before = bucketSnapshot(stateDir)
+    streaming.EventStream.termStatsFoldBatchVersioned(spark, stateDir, b1, 1L)
+    val after = bucketSnapshot(stateDir)
+    // copy-on-write: batch 1 never touches batch 0's generation
+    before.foreach { case (rel, sig) =>
+      assert(after.get(rel).contains(sig), s"versioned fold mutated $rel")
+    }
+    def got(asOf: Long): Seq[(String, Long, Long)] =
+      streaming.EventStream.termStatsVersionedReadAsOf(spark, stateDir, asOf)
+        .orderBy("term").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    def want(pred: org.apache.spark.sql.Column): Seq[(String, Long, Long)] =
+      TextAnalysis.termStatsOf(TextAnalysis.termFreqsOf(docs.filter(pred)))
+        .orderBy("term").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got(0L) == want(col("doc_id") <= mid) && got(0L).nonEmpty,
+      "as-of(0) != the prefix rebuild")
+    assert(got(1L) == want(lit(true)), "as-of(latest) != the full rebuild")
+    assert(streaming.EventStream.termStatsVersionedRead(spark, stateDir)
+      .orderBy("term").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq == got(1L),
+      "live read != as-of(latest)")
+    // replay no-op on the generation commit
+    streaming.EventStream.termStatsFoldBatchVersioned(spark, stateDir, b1, 1L)
+    assert(bucketSnapshot(stateDir) == after,
+      "replay of a committed batch rewrote state")
+    // retention: below-horizon reads fail loudly
+    assert(streaming.EventStream
+      .expireVersionedGenerations(spark, stateDir, 1L).nonEmpty)
+    assert(got(1L) == want(lit(true)))
+    assert(intercept[IllegalArgumentException](got(0L))
+      .getMessage.contains("retention horizon"))
+  }
+
+  test("versioned-layout expiry crash window (ADVICE r19): a stale manifest" +
+      " recorded BEFORE the expiry's deletions must not pass the horizon" +
+      " check — the _expired_through_ marker rules, and the read in the" +
+      " expired window fails loudly instead of serving a partial view") {
+    import graft.operators.StarSchema
+    val detail = detailFrame
+    val (cut1, cut2) = ("1996-07-01", "1998-07-01")
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-vstale").toString
+    val statePath = java.nio.file.Paths.get(s"$stateDir/state")
+    streaming.EventStream.seedVersionedState(
+      StarSchema.totalsPartialsOfDetail(detail.filter(col("o_orderdate") < cut1)),
+      "product_key", stateDir)
+    streaming.EventStream.totalsFoldBatchVersioned(spark, stateDir,
+      detail.filter(col("o_orderdate") >= cut1 && col("o_orderdate") < cut2), 0L)
+    streaming.EventStream.totalsFoldBatchVersioned(spark, stateDir,
+      detail.filter(col("o_orderdate") >= cut2), 1L)
+    val preExpiryBody = java.nio.file.Files.readString(
+      statePath.resolve(statePath.toFile.list()
+        .filter(_.startsWith("_vmanifest_")).max))
+    assert(streaming.EventStream
+      .expireVersionedGenerations(spark, stateDir, 1L).nonEmpty)
+    // simulate the crash between the per-bucket deletions and the
+    // manifest rewrite: replant the PRE-expiry manifest (old horizon,
+    // old inventory) at a higher seq so it wins resolution
+    java.nio.file.Files.writeString(
+      statePath.resolve("_vmanifest_500"), preExpiryBody)
+    // pre-fix behavior: horizon MinValue passes, bucket resolution finds
+    // the surviving generation dirs whose victim bucket partitions were
+    // deleted, the parquet read succeeds, and asOf(0) silently serves a
+    // PARTIAL table. The marker max makes it fail loudly instead.
+    val err = intercept[IllegalArgumentException](
+      streaming.EventStream.totalsVersionedReadAsOf(spark, stateDir, 0L)
+        .collect())
+    assert(err.getMessage.contains("retention horizon"),
+      s"stale-manifest read did not fail on the marker horizon: $err")
+    // the retained window still serves correctly through the stale manifest
+    assert(StarSchema.finalizeTotals(
+        streaming.EventStream.totalsVersionedReadAsOf(spark, stateDir, 1L))
+      .orderBy("product_key").collect().toSeq ==
+      StarSchema.finalizeTotals(StarSchema.totalsPartialsOfDetail(detail))
+        .orderBy("product_key").collect().toSeq)
+  }
+
+  test("manifest-backed tree read of a concurrently vacuumed tree (ADVICE" +
+      " r19): when the manifest claims subdirs but the live listing has" +
+      " none, the read rethrows — never a silently-empty frame") {
+    val docs = Tables.documents(spark, sf).limit(5)
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-vacuumed").toString
+    EventStream.tfIndexSeed(spark, indexDir, docs)
+    val tree = liveTree(s"$indexDir/tf")
+    assert(EventStream.tfIndexRead(spark, indexDir).count() > 0)
+    assert(new java.io.File(tree).list().exists(_.startsWith("_manifest_")),
+      "fixture tree carries no manifest — the scenario needs one")
+    // vacuum the data subdirs out from under the manifest (keep the
+    // manifest + the _published pointer — the concurrent-expiry state)
+    new java.io.File(tree).listFiles()
+      .filter(f => f.isDirectory)
+      .foreach { d =>
+        java.nio.file.Files.walk(d.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      EventStream.tfIndexRead(spark, indexDir).count()
+    }
+  }
+
   test("versioned SCD2: catch-up invariant per batch — frontier rewrites" +
       " are versioned, not destroyed; copy-on-write byte identity; replay no-op") {
     import graft.operators.WindowAnalytics

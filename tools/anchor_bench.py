@@ -10,15 +10,27 @@ invisible to loadavg (run 7: slow at the round's quietest loadavg);
 these counters let a slow reading name its mechanism (hypervisor steal,
 IO stall, cgroup quota) instead of bracketing it.
 
-Usage: python3 tools/anchor_bench.py [note]
+New in r20 (r19 verdict #8): a PRE-LAUNCH steal sample. The r19
+counters' one usable slow-band predictor is hypervisor steal% — tiny
+(< 2.2%) but co-varying with the band in both directions — so the
+anchor now samples /proc/stat steal over a short window BEFORE paying
+a ~10-minute bench, records the skip/proceed decision in the entry,
+and by default SKIPS (exit 0, nothing recorded to the runs list) when
+the sample reads above the threshold. --force overrides; round
+headlines are thereby taken in low-steal windows by construction.
+
+Usage: python3 tools/anchor_bench.py [note] [--force]
 """
 import json
 import os
 import subprocess
 import sys
+import time
 
-ANCHOR = "BENCH_ANCHOR_r19.json"
+ANCHOR = "BENCH_ANCHOR_r20.json"
 TOP_N = 40
+PRE_SAMPLE_SEC = 15
+STEAL_SKIP_PCT = 1.0
 
 
 def loadavg():
@@ -89,8 +101,37 @@ def cpu_mhz():
         return None
 
 
+def pre_launch_sample():
+    """Short steal/busy sample before committing to a full bench run."""
+    s0 = proc_stat_cpu()
+    time.sleep(PRE_SAMPLE_SEC)
+    s1 = proc_stat_cpu()
+    d = counter_deltas(s0, s1)
+    if not d or d["total"] <= 0:
+        return {"window_sec": PRE_SAMPLE_SEC, "steal_pct": None}
+    return {
+        "window_sec": PRE_SAMPLE_SEC,
+        "steal_pct": round(100.0 * d["steal"] / d["total"], 2),
+        "busy_pct": round(100.0 * (d["total"] - d["idle"]) / d["total"], 1),
+        "iowait_pct": round(100.0 * d["iowait"] / d["total"], 2),
+    }
+
+
 def main():
-    note = sys.argv[1] if len(sys.argv) > 1 else ""
+    force = "--force" in sys.argv
+    args = [a for a in sys.argv[1:] if a != "--force"]
+    note = args[0] if args else ""
+    pre = pre_launch_sample()
+    steal = pre.get("steal_pct")
+    if steal is not None and steal >= STEAL_SKIP_PCT and not force:
+        pre["decision"] = "skip"
+        print(json.dumps({"decision": "skip", "pre_launch": pre,
+                          "reason": f"pre-launch steal {steal}% >= "
+                                    f"{STEAL_SKIP_PCT}% (slow-band proxy); "
+                                    "re-run later or pass --force"}))
+        return
+    pre["decision"] = "forced" if (
+        steal is not None and steal >= STEAL_SKIP_PCT) else "proceed"
     before = loadavg()
     stat0, cg0, psi0, mhz0 = (proc_stat_cpu(), cgroup_cpu_stat(),
                               psi_totals(), cpu_mhz())
@@ -116,6 +157,7 @@ def main():
         stat_d["iowait_pct"] = round(
             100.0 * stat_d["iowait"] / stat_d["total"], 2)
     entry = {
+        "pre_launch": pre,
         "load_before": before,
         "load_after": after,
         "proc_stat_delta": stat_d,
@@ -135,14 +177,15 @@ def main():
         with open(ANCHOR) as f:
             doc = json.load(f)
     else:
-        doc = {"round": 19, "sf": "/root/testdata/sf0.1",
+        doc = {"round": 20, "sf": "/root/testdata/sf0.1",
                "bench_schema": 4, "host_note": "", "schema4_runs": []}
     entry["run"] = len(doc["schema4_runs"]) + 1
     doc["schema4_runs"].append(entry)
     with open(ANCHOR, "w") as f:
         json.dump(doc, f, indent=1)
     print(json.dumps({k: entry[k] for k in
-                      ("run", "headline_best_loop_sec", "loop_totals",
+                      ("run", "pre_launch", "headline_best_loop_sec",
+                       "loop_totals",
                        "min_total", "n_queries", "load_before",
                        "load_after", "proc_stat_delta",
                        "cgroup_cpu_delta", "psi_total_delta_usec",
