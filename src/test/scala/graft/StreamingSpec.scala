@@ -1685,6 +1685,79 @@ class StreamingSpec extends SparkSpec {
       "replayed term-stats fold double-counted")
   }
 
+  test("versioned term-stats STREAM equals the batch rebuild; restart over" +
+      " the checkpoint is byte-identical; the seed window stays readable") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf)
+    val isBatch = col("doc_id") % 10 === 9
+    val state0 = TextAnalysis.termStatsOf(
+      TextAnalysis.termFreqsOf(docs.filter(!isBatch)))
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-vtermstream")
+    stageFile(docs.filter(isBatch && col("doc_id") % 20 === 9), stageDir, "b1", 60)
+    stageFile(docs.filter(isBatch && col("doc_id") % 20 =!= 9), stageDir, "b2", 30)
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("graft-vtermstate").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-vtermckpt").toString
+    def run(): Unit = {
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$stageDir/*")
+      val query = streaming.EventStream.termStatsMaintenanceStreamVersioned(
+        stream, state0, stateDir, checkpointDir = Some(ckpt))
+      try query.processAllAvailable() finally query.stop()
+    }
+    run()
+    val snap = bucketSnapshot(stateDir)
+    def stats(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = stats(TextAnalysis.termStatsOf(TextAnalysis.termFreqsOf(docs)))
+    assert(stats(streaming.EventStream.termStatsVersionedRead(spark, stateDir))
+      == want && want.nonEmpty,
+      "versioned-stream term statistics diverged from the full rebuild")
+    // restart over the same checkpoint: redeliveries skip on generation
+    // commits — byte-identical state
+    run()
+    assert(bucketSnapshot(stateDir) == snap,
+      "restarted versioned term-stats stream mutated state")
+    // the pre-stream seed window is still time-travel readable
+    assert(stats(streaming.EventStream
+        .termStatsVersionedReadAsOf(spark, stateDir, -1L)) == stats(state0))
+  }
+
+  test("winnowing ingest STREAM folds each batch's own fingerprints; the" +
+      " stored index equals the batch selection over the union; restart" +
+      " over the checkpoint is a no-op") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val isBatch = col("doc_id") % 10 === 9
+    val history = docs.filter(!isBatch)
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-winstream")
+    stageFile(docs.filter(isBatch && col("doc_id") % 20 === 9), stageDir, "b1", 60)
+    stageFile(docs.filter(isBatch && col("doc_id") % 20 =!= 9), stageDir, "b2", 30)
+    val indexDir =
+      java.nio.file.Files.createTempDirectory("graft-winstate").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-winckpt").toString
+    def run(): Unit = {
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$stageDir/*")
+      val query = streaming.EventStream.winnowIngestDedup(
+        stream, history, indexDir, checkpointDir = Some(ckpt))
+      try query.processAllAvailable() finally query.stop()
+    }
+    run()
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "h", "p").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = fp(streaming.EventStream.winnowIndexRead(spark, indexDir))
+    val want = fp(Dedup.winnowFingerprintsOf(docs))
+    assert(got == want && want.nonEmpty,
+      "streamed fingerprint index diverged from the batch selection")
+    val count = streaming.EventStream.winnowIndexRead(spark, indexDir).count()
+    // restart: both batches replay as marker-gated no-ops
+    run()
+    assert(streaming.EventStream.winnowIndexRead(spark, indexDir).count()
+      == count, "restarted winnow ingest stream grew the index")
+  }
+
   test("BM25 served from the maintained tf index equals the batch retrieval query") {
     import graft.operators.TextAnalysis
     import spark.implicits._
