@@ -12,7 +12,8 @@ import graft.Tables
   * positions index, chunk index, MinHash shingles/bands/pairs, cluster
   * members/redirects, ANN cells/codes, phash bands/pairs, and (r19)
   * the stored OLS model sums, and (r20) the winnowing fingerprint
-  * index — run every forget entry point, then
+  * index and the versioned (copy-on-write) term-stats generations —
+  * run every forget entry point, then
   * probe each stored table and report per-tier residue and remaining
   * row counts. A deletion request is only discharged when every tier
   * reads zero residue; the per-tier gates prove each erasure is
@@ -34,7 +35,7 @@ import graft.Tables
   * stored table (the residue predicate pushes to the scan); the seeds
   * and erasures are the per-tier machinery's own (each idempotent, so
   * the certificate job re-runs until success like every erasure job).
-  * The fifteen one-row aggregates are one audit job per tier — a
+  * The sixteen one-row aggregates are one audit job per tier — a
   * compliance artifact, not a hot path. The model tier (`ols_sums`)
   * audits DIFFERENTIALLY: aggregate-space erasure leaves no victim
   * rows to count, so its residue is the number of flags whose stored
@@ -63,6 +64,7 @@ object Erasure {
     "phash" -> s"$base/phash",
     "phashPairs" -> s"$base/phashpairs",
     "winnow" -> s"$base/winnow",
+    "termver" -> s"$base/termver",
     "ols" -> s"$base/ols")
 
   /** Seed every maintained store under `base` from the fixture corpus
@@ -108,6 +110,11 @@ object Erasure {
       lshPairs.filter(col("doc_b") > mid), 1L)
     seedAnnIndex(spark, sfDir, d("ann"))
     seedPhashIndex(spark, sfDir, d("phash"), d("phashPairs"))
+    // versioned term-stats tier: the copy-on-write generation state
+    // seeded from the full corpus (commit-guarded)
+    EventStream.seedVersionedState(
+      TextAnalysis.termStatsOf(TextAnalysis.termFreqsOf(docs)),
+      "term", d("termver"))
     // trained-model tier: the stored nine-sum state seeded from the full
     // corpus (commit-guarded; the aggregation is lazy behind the guard)
     val lq = Stats.olsQuantized(spark, sfDir)
@@ -126,6 +133,12 @@ object Erasure {
       EventStream.forgetDocsFromChunkIndex(spark, d("chunks"), docVictims))
     unlessSkipped("winnow_index")(
       EventStream.forgetDocsFromWinnowIndex(spark, d("winnow"), docVictims))
+    // erasure on the copy-on-write tier: negated fold + history horizon
+    // + emptied-bucket sweep (idempotent end-to-end — see
+    // [[graft.streaming.EventStream.termStatsForgetVersioned]])
+    unlessSkipped("term_stats_versioned")(
+      EventStream.termStatsForgetVersioned(spark, d("termver"),
+        docs.filter(docForgotten(col("doc_id"))), batchId = 0L))
     unlessSkipped("minhash")(EventStream.forgetDocsFromMinhashIndex(spark,
       d("mh"), d("mhPairs"), docVictims))
     unlessSkipped("clusters")(EventStream.forgetDocsFromClusterState(spark,
@@ -201,6 +214,22 @@ object Erasure {
       row("pos_index", EventStream.posIndexRead(spark, d("text")), doc),
       row("chunk_index", EventStream.chunkIndexRead(spark, d("chunks")), doc),
       row("winnow_index", EventStream.winnowIndexRead(spark, d("winnow")), doc),
+      {
+        // the versioned term-stats tier audits DIFFERENTIALLY like the
+        // model tier: aggregate-space erasure leaves no victim rows, so
+        // residue = terms whose stored statistics are not exactly the
+        // survivor recompute's (a skipped fold, an over-forget, a
+        // lingering tombstone, or a stale emptied-bucket version)
+        val stored = EventStream.termStatsVersionedRead(spark, d("termver"))
+          .alias("s")
+        val expected = TextAnalysis.termStatsOf(TextAnalysis.termFreqsOf(
+            Tables.documents(spark, sfDir).filter(!docForgotten(col("doc_id")))))
+          .alias("e")
+        val mismatch = !(col("s.df") <=> col("e.df")) ||
+          !(col("s.tf_sum") <=> col("e.tf_sum"))
+        row("term_stats_versioned",
+          stored.join(expected, Seq("term"), "full_outer"), mismatch)
+      },
       row("minhash_shingles",
         EventStream.ingestShinglesRead(spark, d("mh")), doc),
       row("minhash_bands", EventStream.ingestBandsRead(spark, d("mh")), doc),
@@ -275,6 +304,10 @@ object Erasure {
          |   FROM toks WHERE $DocKeepSql)
          |UNION ALL SELECT 'winnow_index',
          |  (SELECT CAST(count(*) AS BIGINT) FROM wfp WHERE $DocKeepSql)
+         |UNION ALL SELECT 'term_stats_versioned',
+         |  (SELECT CAST(count(DISTINCT w) AS BIGINT) FROM (
+         |     SELECT unnest(string_split(text, ' ')) AS w
+         |     FROM documents WHERE $DocKeepSql))
          |UNION ALL SELECT 'cluster_members',
          |  (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE $DocKeepSql)
          |UNION ALL SELECT 'cluster_redirects',

@@ -795,6 +795,57 @@ object TextAnalysis {
         .orderBy("term")
     }
 
+  /** ERASURE ON THE VERSIONED (copy-on-write) TERM-STATS TIER — the
+    * right-to-be-forgotten story for the layout that RETAINS history by
+    * design: the generation log that makes `text_df_asof` answerable is
+    * exactly what a deletion request must also reach, so erasure here
+    * is the negated-delta fold PLUS a history horizon PLUS the
+    * emptied-bucket sweep
+    * ([[graft.streaming.EventStream.termStatsForgetVersioned]]): the
+    * corrected generation discharges serving (df ≤ 0 rows vanish — a
+    * zero-count tombstone still discloses the term), the horizon
+    * discharges time travel (as-of reads into the pre-forget window
+    * fail LOUDLY; the superseded bucket versions holding the forgotten
+    * statistics are deleted), and the sweep closes the one silent gap
+    * (a bucket emptied by the forget would otherwise resolve to its
+    * stale pre-forget version). Gate: build the versioned state over
+    * two batches, forget the `doc_id % 10 = 7` cohort, serve LIVE;
+    * oracle = the from-scratch statistics over the SURVIVING documents
+    * (subtract-fold ≡ filter-rebuild, exact in integers — the
+    * `text_df_forget_docs` theorem, on the stored versioned tier).
+    * StreamingSpec pins the file-level residue direction (no surviving
+    * parquet under the state dir still contains a vanished term), the
+    * loud pre-forget as-of failure, the emptied-bucket sweep on a
+    * planted all-forgotten corpus, and re-run idempotence.
+    */
+  def dfForgetStored(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoizedDurable(s"text.dfForgetStored:$sfDir") {
+      import graft.streaming.EventStream
+      val stateDir = Layout.tmpPath("graft-termverforget", sfDir)
+      val docs = Tables.documents(spark, sfDir)
+      val mid = docs.agg((min(col("doc_id")) + max(col("doc_id"))) / 2)
+        .head().getDouble(0)
+      // the horizon marker is the forget's commit evidence: once it
+      // reads >= the forget batch, the two history folds ALREADY ran
+      // and their generations were legitimately expired — a second JVM
+      // must not replay them (the replay's as-of read would fail the
+      // loud horizon check, which is the protocol doing its job; the
+      // dim_customer_forget_keys seed-guard discipline, horizon-keyed)
+      if (EventStream.versionedExpiredThrough(spark, stateDir) < 2L) {
+        EventStream.seedVersionedState(
+          termStatsOf(termFreqsOf(docs.filter(lit(false)))), "term", stateDir)
+        EventStream.termStatsFoldBatchVersioned(spark, stateDir,
+          docs.filter(col("doc_id") <= mid), 0L)
+        EventStream.termStatsFoldBatchVersioned(spark, stateDir,
+          docs.filter(col("doc_id") > mid), 1L)
+      }
+      // idempotent either way: fold skips on its generation commit,
+      // expiry is monotone, the sweep probes empty
+      EventStream.termStatsForgetVersioned(spark, stateDir,
+        docs.filter(col("doc_id") % 10 === 7), 2L)
+      EventStream.termStatsVersionedRead(spark, stateDir).orderBy("term")
+    }
+
   /** ERASURE IN AGGREGATE SPACE — the term-statistics half of the
     * right-to-be-forgotten story ([[graft.streaming.EventStream.forgetKeys]]
     * is the ROW half): forgetting documents from a maintained df/tf_sum
@@ -1666,6 +1717,17 @@ object TextAnalysis {
          |GROUP BY w ORDER BY term""".stripMargin,
     // the erasure gate: subtract-fold ≡ rebuild over the SURVIVING docs —
     // a term living only in forgotten documents must be absent entirely
+    // erasure on the stored VERSIONED tier == the same filter-rebuild
+    // over survivors (subtract-fold + horizon + sweep leave exactly the
+    // surviving-corpus statistics, served live)
+    "text_df_forget_stored" ->
+      s"""SELECT w AS term, CAST(count(*) AS BIGINT) AS df,
+         |       CAST(sum(c) AS BIGINT) AS tf_sum
+         |FROM (SELECT doc_id, w, count(*) AS c
+         |      FROM (SELECT doc_id, unnest($toksSql) AS w FROM documents
+         |            WHERE doc_id % 10 != 7)
+         |      GROUP BY doc_id, w)
+         |GROUP BY w ORDER BY term""".stripMargin,
     "text_df_forget_docs" ->
       s"""SELECT w AS term, CAST(count(*) AS BIGINT) AS df,
          |       CAST(sum(c) AS BIGINT) AS tf_sum
@@ -1840,6 +1902,7 @@ object TextAnalysis {
     "text_df_incremental" -> dfIncremental _,
     "text_df_asof"          -> dfAsOf _,
     "text_df_forget_docs" -> dfForgetDocs _,
+    "text_df_forget_stored" -> dfForgetStored _,
     "text_quality"      -> quality _,
     "text_langid"       -> langId _,
     "text_fingerprint"  -> fingerprint _,

@@ -2996,6 +2996,110 @@ object EventStream {
     versionedStateRead(spark, stateDir, termStatsVersionedSchema, None)
       .drop("bucket")
 
+  /** RIGHT-TO-BE-FORGOTTEN ON THE COPY-ON-WRITE TIER — the erasure
+    * story the versioned layout was missing: a generation log RETAINS
+    * the pre-forget statistics by design, so "forget these documents"
+    * is necessarily TWO disciplines composed plus one sweep:
+    *
+    *  1. a NEGATED delta fold at its own `batchId` (tokenize ONLY the
+    *     forgotten docs, fold the negated term stats through the same
+    *     [[graft.operators.TextAnalysis.mergeTermStats]] — additivity
+    *     works in both directions; the merged result drops `df <= 0`
+    *     rows because a term living only in forgotten documents must
+    *     VANISH, not linger as a zero-count tombstone that still
+    *     discloses it) — this discharges SERVING;
+    *  2. [[expireVersionedGenerations]] at that batch as the horizon —
+    *     this discharges HISTORY: every superseded bucket version at or
+    *     below the forget batch is deleted, and as-of reads into the
+    *     pre-forget window fail LOUDLY instead of resurrecting the
+    *     forgotten rows (time travel and the right to be forgotten are
+    *     in direct tension; the horizon is the resolution);
+    *  3. an EMPTIED-BUCKET SWEEP: a bucket whose every term vanished
+    *     produces no partition in the forget generation, and per-bucket
+    *     newest-generation resolution would silently fall back to the
+    *     STALE version expiry kept as that bucket's serving gen — the
+    *     one-sided failure the [[forgetKeys]] emptied-bucket discipline
+    *     exists for, here applied across every surviving generation.
+    *
+    * Idempotent end-to-end: the fold skips on its generation commit, the
+    * expiry is monotone, and the sweep probes the post-forget serving
+    * view (an already-swept bucket reads empty and deletes nothing).
+    */
+  def termStatsForgetVersioned(spark: SparkSession, stateDir: String,
+      forgottenDocs: DataFrame, batchId: Long): Unit = {
+    require(batchId >= 0, s"versioned forget batchId must be >= 0, got $batchId")
+    val genPath = versionedGenPath(stateDir, batchId)
+    val delta = graft.operators.TextAnalysis
+      .termStatsOf(graft.operators.TextAnalysis.termFreqsOf(forgottenDocs))
+      .withColumn("bucket", stateBucketOf(col("term")))
+      .persist()
+    try {
+      val touched = delta.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      // an empty forget list touches nothing — and must not raise the
+      // retention horizon as a side effect
+      if (touched.nonEmpty) {
+        // commit evidence is the generation's _SUCCESS OR the horizon
+        // already at/above this batch: an all-emptied forget generation
+        // is legitimately husk-dropped by the expiry below (no bucket
+        // dirs), so on a replay the horizon — written before any
+        // deletion — is what proves the fold already ran; without it
+        // the replay would re-fold against expired history and trip the
+        // loud horizon check
+        val done = versionedExpiredThrough(spark, stateDir) >= batchId ||
+          StateFs.exists(spark, s"$genPath/_SUCCESS")
+        if (!done) {
+          val current = versionedStateRead(spark, stateDir,
+              termStatsVersionedSchema, Some(batchId - 1))
+            .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+          graft.operators.TextAnalysis.mergeTermStats(
+              current.drop("bucket"),
+              delta.filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+                .select(col("term"), (-col("df")).alias("df"),
+                  (-col("tf_sum")).alias("tf_sum")))
+            .filter(col("df") > 0) // vanish, never tombstone
+            .withColumn("bucket", stateBucketOf(col("term")))
+            .repartition(col("bucket"))
+            .write.mode("overwrite").partitionBy("bucket").parquet(genPath)
+          writeVersionedManifest(spark, stateDir)
+        }
+        // capture the forget generation's OWN partition inventory BEFORE
+        // expiry (an all-emptied generation is a husk expiry drops): a
+        // touched bucket ABSENT here is empty post-forget by definition
+        // — the serving view cannot be probed for this, because the
+        // stale pre-forget fallback is exactly the bug being swept
+        val present = StateFs.list(spark, genPath)
+          .collect { case s if s.startsWith("bucket=") => s.drop(7).toInt }
+          .toSet
+        // history below the forget batch must not survive OR serve
+        expireVersionedGenerations(spark, stateDir, batchId)
+        // emptied-bucket sweep: stale surviving versions of buckets the
+        // forget emptied must go — per-bucket newest-generation
+        // resolution would otherwise silently serve them
+        val emptied = touched.filterNot(present)
+        if (emptied.nonEmpty) {
+          versionedCommittedGens(spark, stateDir).foreach { g =>
+            emptied.foreach { b =>
+              StateFs.deleteRecursively(spark,
+                s"${versionedGenPath(stateDir, g)}/bucket=$b")
+            }
+          }
+          // drop generation husks stripped of every bucket, then
+          // republish the manifest over the swept inventory
+          versionedCommittedGens(spark, stateDir).foreach { g =>
+            val p = versionedGenPath(stateDir, g)
+            if (!StateFs.list(spark, p).exists(_.startsWith("bucket=")))
+              StateFs.deleteRecursively(spark, p)
+          }
+          writeVersionedManifest(spark, stateDir)
+        }
+      }
+    } finally {
+      delta.unpersist()
+      ()
+    }
+  }
+
   /** TIME TRAVEL on the versioned term-stats state: the df/tf_sum table
     * exactly as a live read served it the moment batch `asOfBatch`
     * committed (−1 = the seeded baseline) — a listing filter over

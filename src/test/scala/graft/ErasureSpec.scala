@@ -11,7 +11,7 @@ class ErasureSpec extends SparkSpec {
   test("complete erasure reads zero residue on every tier; remaining" +
       " counts are positive (the stores are not vacuously empty)") {
     val rows = q("erasure_certificate").collect()
-    assert(rows.length == 15, s"expected 15 tiers, got ${rows.length}")
+    assert(rows.length == 16, s"expected 16 tiers, got ${rows.length}")
     rows.foreach { r =>
       assert(r.getLong(1) == 0, s"tier ${r.getString(0)} has residue")
       // cluster_redirects is EMPTIED by its erasure (path compression is

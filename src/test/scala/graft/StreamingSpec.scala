@@ -1723,6 +1723,90 @@ class StreamingSpec extends SparkSpec {
         .termStatsVersionedReadAsOf(spark, stateDir, -1L)) == stats(state0))
   }
 
+  test("versioned term-stats erasure: no surviving file still holds a" +
+      " vanished term, pre-forget as-of fails loudly, re-run is" +
+      " byte-identical, and a fully-emptied state sweeps its buckets") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    // the registered gate builds (or finds, commit-gated) the erased
+    // versioned state — drive it first, then audit the FILES
+    q("text_df_forget_stored").collect()
+    val docs = Tables.documents(spark, sf)
+    val forgotten = col("doc_id") % 10 === 7
+    def terms(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select("term").collect().map(_.getString(0)).toSet
+    val surviving = terms(TextAnalysis.termStatsOf(
+      TextAnalysis.termFreqsOf(docs.filter(!forgotten))))
+    val stateDir = operators.Layout.tmpPath("graft-termverforget", sf)
+    // the served table is exactly the survivor rebuild (the oracle's
+    // claim, pinned here against the spark-side rebuild too)
+    assert(terms(streaming.EventStream.termStatsVersionedRead(spark, stateDir))
+      == surviving && surviving.nonEmpty)
+    // time travel into the pre-forget window fails LOUDLY — the horizon
+    // resolves the time-travel/right-to-be-forgotten tension
+    val err = intercept[IllegalArgumentException](
+      streaming.EventStream.termStatsVersionedReadAsOf(spark, stateDir, 1L)
+        .collect())
+    assert(err.getMessage.contains("retention horizon"))
+    // re-running the whole erasure is byte-identical (fold skips on its
+    // generation commit, expiry is monotone, sweep probes empty)
+    val snap = bucketSnapshot(stateDir)
+    streaming.EventStream.termStatsForgetVersioned(spark, stateDir,
+      docs.filter(forgotten), 2L)
+    assert(bucketSnapshot(stateDir) == snap,
+      "re-run erasure mutated the versioned state")
+    // FILE-LEVEL vanish, planted (the fixture's vocabulary is fully
+    // shared, so the vanish direction needs a unique term): a forgotten
+    // doc carries "qqqunique" — after the erasure NO surviving parquet
+    // under the state dir may contain it, even in a generation a
+    // stale-version bug would never serve
+    val planted = Seq((1L, "alpha beta alpha"), (2L, "alpha gamma"),
+      (3L, "alpha qqqunique beta")).toDF("doc_id", "text")
+    val plantDir = java.nio.file.Files
+      .createTempDirectory("graft-termverplant").toString
+    streaming.EventStream.seedVersionedState(
+      TextAnalysis.termStatsOf(TextAnalysis.termFreqsOf(planted)),
+      "term", plantDir)
+    streaming.EventStream.termStatsForgetVersioned(spark, plantDir,
+      planted.filter(col("doc_id") === 3L), 0L)
+    val got = streaming.EventStream.termStatsVersionedRead(spark, plantDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("alpha", 2L, 3L), ("beta", 1L, 1L), ("gamma", 1L, 1L)),
+      s"post-forget stats wrong: $got")
+    val genDirs = new java.io.File(s"$plantDir/state").listFiles()
+      .filter(f => f.isDirectory &&
+        (f.getName == "seed" || f.getName.startsWith("g")))
+    assert(genDirs.nonEmpty)
+    val onDisk = genDirs.flatMap { d =>
+      spark.read.parquet(d.getPath).select("term")
+        .collect().map(_.getString(0))
+    }.toSet
+    assert(!onDisk.contains("qqqunique"),
+      "the vanished term survives in a generation file — history residue")
+    // EMPTIED-BUCKET sweep: forget EVERYTHING from a tiny synthetic
+    // state — per-bucket newest-generation resolution must not fall
+    // back to stale pre-forget versions, and no bucket dir survives
+    val tiny = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val tinyDir = java.nio.file.Files
+      .createTempDirectory("graft-termverempty").toString
+    streaming.EventStream.seedVersionedState(
+      TextAnalysis.termStatsOf(TextAnalysis.termFreqsOf(tiny)), "term", tinyDir)
+    streaming.EventStream.termStatsForgetVersioned(spark, tinyDir, tiny, 0L)
+    assert(streaming.EventStream.termStatsVersionedRead(spark, tinyDir)
+      .count() == 0, "fully-forgotten state still serves rows")
+    val leftover = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$tinyDir/state"))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    var residue = List.empty[String]
+    while (leftover.hasNext) {
+      val p = leftover.next().toString
+      if (p.contains("bucket=")) residue ::= p
+    }
+    assert(residue.isEmpty,
+      s"emptied buckets left stale versions on disk: ${residue.take(3)}")
+  }
+
   test("winnowing ingest STREAM folds each batch's own fingerprints; the" +
       " stored index equals the batch selection over the union; restart" +
       " over the checkpoint is a no-op") {
