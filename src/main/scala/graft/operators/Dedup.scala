@@ -1397,6 +1397,37 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     }
 
+  /** RIGHT-TO-BE-FORGOTTEN THROUGH THE WINNOW INDEX as a registered
+    * gate — the [[Multimodal.phashForgetMedia]] discipline at the
+    * fingerprint grain: the stored index is seeded from the full
+    * corpus, the deletion cohort (`doc_id % 10 = 7` — the text tier's
+    * forget rule, one doc-forget story across the text grains) is
+    * propagated through
+    * [[graft.streaming.EventStream.forgetDocsFromWinnowIndex]]
+    * (erasure-as-compaction: anti-join republished through the
+    * snapshot-pointer protocol), and the SERVED overlap pairs are what
+    * this query returns. Oracle = the pair derivation over SURVIVING
+    * documents only — erasure ≡ filter-rebuild through the serving
+    * plan, including the df-cap subtlety that makes this non-trivial:
+    * document frequencies are computed over the SURVIVOR fingerprint
+    * set, so forgetting documents can LOWER a boilerplate hash under
+    * the cap and surface pairs the pre-erasure index suppressed — the
+    * gate would catch a lazy implementation that merely filtered the
+    * old pair list. Memoized durably behind the seed guard (the
+    * second-JVM re-run replays the erasure as a content no-op).
+    */
+  def winnowingForgetDocs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoizedDurable(s"dedup.winnowForget:$sfDir") {
+      import graft.streaming.EventStream
+      val indexDir = s"${Layout.tmpPath("graft-winnowforget", sfDir)}/index"
+      val docs = Tables.loadSpread(spark, sfDir, "documents")
+      EventStream.winnowIndexSeed(spark, indexDir, docs)
+      EventStream.forgetDocsFromWinnowIndex(spark, indexDir,
+        docs.filter(col("doc_id") % 10 === 7).select(col("doc_id")))
+      winnowOverlapOf(EventStream.winnowIndexRead(spark, indexDir))
+        .orderBy("doc_a", "doc_b")
+    }
+
   /** DuckDB twin of [[winnowFingerprintsOf]] — keep in sync (the same
     * end-anchored sliding-frame min over full windows).
     */
@@ -1455,6 +1486,23 @@ object Dedup {
          |       CAST(sum((p + 1) * h) AS BIGINT) AS fp_checksum
          |FROM wfp GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "winnowing_overlap_pairs" -> winnowPairsOracleSql,
+    // erasure ≡ filter-rebuild through the serving plan: the SAME pair
+    // derivation restricted to surviving documents — the df cap runs
+    // over the SURVIVOR fingerprint set (see [[winnowingForgetDocs]])
+    "winnowing_forget_docs" ->
+      s"""WITH $winnowFpCte,
+         |whd AS (SELECT DISTINCT doc_id, h FROM wfp
+         |        WHERE doc_id % 10 != 7),
+         |wdf AS (SELECT h, count(*) AS df FROM whd GROUP BY 1),
+         |wrare AS (SELECT doc_id, h FROM whd JOIN wdf USING (h)
+         |          WHERE df <= $WinnowDfCap),
+         |wpairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM wrare a JOIN wrare b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= $WinnowShareMin)
+         |SELECT doc_a, doc_b, n_shared FROM wpairs
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // stored-over-batches ≡ one-shot: the SAME oracle verbatim (the
     // ingestion-dedup parity discipline at the fingerprint grain)
     "winnowing_stored_overlap" -> winnowPairsOracleSql,
@@ -1580,6 +1628,7 @@ object Dedup {
     "docs_winnowing_fingerprints" -> docsWinnowingFingerprints _,
     "winnowing_overlap_pairs"     -> winnowingOverlapPairs _,
     "winnowing_stored_overlap"    -> winnowingStoredOverlap _,
+    "winnowing_forget_docs"       -> winnowingForgetDocs _,
     "dedup_exact"         -> exact _,
     "dedup_ngram_jaccard" -> ngramJaccard _,
     "dedup_containment"   -> containment _,

@@ -351,5 +351,17 @@ class DedupSpec extends SparkSpec {
     assert(erased.count() > 0, "erasure emptied the index — over-deletion")
     assert(EventStream.winnowProbeStored(spark, base, arrival).isEmpty,
       "ghost fingerprints still match future ingests after erasure")
+    // the registered serving-level erasure gate: served pairs ≡ the
+    // filter-rebuild over surviving docs (df cap re-derived over the
+    // SURVIVOR set), and no forgotten endpoint survives
+    val served = pairRows(q("winnowing_forget_docs"))
+    assert(served.nonEmpty)
+    assert(served.forall { case (a, b, _) => a % 10 != 7 && b % 10 != 7 },
+      "a forgotten endpoint survives in the served pairs")
+    val rebuilt = Dedup.winnowOverlapOf(Dedup.winnowFingerprintsOf(
+        Tables.documents(spark, sf).filter(col("doc_id") % 10 =!= 7)))
+      .orderBy("doc_a", "doc_b")
+    assert(served == pairRows(rebuilt),
+      "served erased pairs != the survivor filter-rebuild")
   }
 }
