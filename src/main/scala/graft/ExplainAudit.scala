@@ -10,8 +10,12 @@ object ExplainAudit {
     val sf = "/root/testdata/sf0.001"
     for (name <- args) {
       println(s"########## $name ##########")
+      // full plan, not a prefix: the optimization-round plan artifacts
+      // (plans/rNN/<query>_{before,after}.txt) need every operator's
+      // detail section, and a 4000-char cut dropped exactly the
+      // PushedFilters/ReadSchema lines claims are checked against
       println(SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode).take(4000))
+        org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()
   }

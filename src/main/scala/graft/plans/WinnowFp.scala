@@ -71,11 +71,40 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int,
     }
     val m = n - k + 1 // k-gram count
     if (m < w) return new GenericArrayData(Array.emptyLongArray)
+    // Hash k-grams from the document's UTF-8 bytes directly. The former
+    // spelling (`s.substringSQL(i+1, k).getBytes` per k-gram) scanned the
+    // string from its start on every char-indexed call — O(n²) per
+    // document plus two allocations per position, severe exactly on the
+    // long documents the overflow guard admits. One `getBytes` plus a
+    // char→byte offset table (identity when the text is pure ASCII —
+    // bytes.length == n — so the common case allocates nothing) makes the
+    // pass O(n): each k-gram is md5'd in place via update(buf, off, len)
+    // over the IDENTICAL byte slice the substring produced, so the
+    // fingerprints are bit-for-bit unchanged (DedupSpec's codegen-vs-HOF
+    // differential and the DuckDB oracle both pin it).
+    val bytes = s.getBytes
+    val off: Array[Int] =
+      if (bytes.length == n) null // ASCII fast path: offset i IS byte i
+      else {
+        val o = new Array[Int](n + 1)
+        var ci = 0
+        var bi = 0
+        while (ci < n) {
+          o(ci) = bi
+          bi += UTF8String.numBytesForFirstByte(bytes(bi))
+          ci += 1
+        }
+        o(n) = bytes.length
+        o
+      }
     val md = java.security.MessageDigest.getInstance("MD5")
     val enc = new Array[Long](m)
     var i = 0
     while (i < m) {
-      val d = md.digest(s.substringSQL(i + 1, k).getBytes)
+      val from = if (off == null) i else off(i)
+      val until = if (off == null) i + k else off(i + k)
+      md.update(bytes, from, until - from)
+      val d = md.digest()
       var h = 0L
       var b = 8
       while (b < 16) { h = (h << 8) | (d(b) & 0xffL); b += 1 }

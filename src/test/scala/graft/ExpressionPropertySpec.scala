@@ -296,6 +296,36 @@ class ExpressionPropertySpec extends SparkSpec {
     assert(nulls.select(GraftFunctions.pHash60(col("payload"))).head().isNullAt(0))
   }
 
+  test("WinnowFingerprints ≡ HOF winnowing on random text including multi-byte UTF-8") {
+    import spark.implicits._
+    // text domain: lengths straddling the short-doc filter (k + w - 1)
+    // and block boundaries, drawn from an alphabet that MIXES ASCII with
+    // 2-, 3- and 4-byte UTF-8 code points — the multi-byte strings drive
+    // the expression's char→byte offset table while the ASCII-only ones
+    // take its identity fast path; the HOF + window spelling works in
+    // character space throughout, so any drift between byte slicing and
+    // character substring surfaces as a fingerprint diff. Small alphabet
+    // (8 symbols) makes repeated k-grams — and thus hash ties and
+    // change-dedup suppressions — common rather than incidental.
+    val sym = Gen.oneOf("a", "b", " ", "é", "ß", "日", "語", "😀")
+    val textGen = Gen.frequency(
+      1 -> Gen.chooseNum(0, 10),   // below the k+w-1 filter
+      4 -> Gen.chooseNum(11, 40),
+      2 -> Gen.chooseNum(100, 160))
+      .flatMap(len => Gen.listOfN(len, sym)).map(_.mkString)
+    val docs = Gen.listOfN(150, textGen)
+      .apply(Gen.Parameters.default, Seed(53L)).get
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val fast = operators.Dedup.winnowFingerprintsOf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hof = operators.Dedup.winnowFingerprintsOfHof(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fast == hof,
+      s"only-fast=${(fast -- hof).take(3)} only-hof=${(hof -- fast).take(3)}")
+    assert(fast.nonEmpty, "degenerate domain: no fingerprints selected at all")
+  }
+
   test("SimHash60 null-array contract intentionally diverges from the HOF spelling") {
     import spark.implicits._
     // the HOF CASE swallows the inner null and folds to 0; the
