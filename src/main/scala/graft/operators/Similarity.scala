@@ -211,16 +211,20 @@ object Similarity {
     val base = quantized(spark, sfDir)
     val cents = base.filter(col("vec_id") % 97 === 0)
       .select(col("vec_id").alias("c_id"), col("v").alias("cv"), col("n2").alias("cn2"))
-    val w0 = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_score").desc, col("c_id").asc)
+    // struct-min argmax, not a rank window — see [[lloydRefinedCentroidsOf]];
+    // the winning score is recovered by re-negating the struct's first
+    // field (exact double negation), so consumers still read c_score
     base.join(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("n2"), col("c_id"),
-        V.qcosineFrom(V.qdot(col("v"), col("cv")), col("n2"), col("cn2"))
-          .alias("c_score"))
-      .withColumn("rn", row_number().over(w0))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("n2"), col("c_id").alias("cell"),
-        col("c_score"))
+      .select(col("vec_id"), col("v"), col("n2"),
+        struct(
+          (-V.qcosineFrom(V.qdot(col("v"), col("cv")), col("n2"), col("cn2")))
+            .alias("ns"),
+          col("c_id")).alias("sc"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("sc")).alias("m"),
+        first(col("v")).alias("v"), first(col("n2")).alias("n2"))
+      .select(col("vec_id"), col("v"), col("n2"), col("m.c_id").alias("cell"),
+        (-col("m.ns")).alias("c_score"))
       // the N·C assignment feeds five registered queries (both IVF probes,
       // the Lloyd step, the IVF recall report, semantic dedup) —
       // session-persist it like
@@ -397,16 +401,26 @@ object Similarity {
   private[graft] def lloydRefinedCentroidsOf(base: DataFrame): DataFrame = {
     var cents = base.filter(col("vec_id") % 97 === 0)
       .select(col("vec_id").alias("c_id"), col("v").alias("cv"), col("n2").alias("cn2"))
-    val w0 = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_score").desc, col("c_id").asc)
     for (_ <- 1 to 2) {
+      // nearest centroid WITHOUT a rank window (the [[kmeansIterate]]
+      // spelling): the former row_number window shuffled all N·C scored
+      // rows — each carrying the 64-long vector array — per round; the
+      // lexicographic struct min partial-aggregates map-side, so the
+      // exchange carries ~N rows. min(struct(−score, c_id)) IS the
+      // (score desc, c_id asc) argmax (uniform negation preserves
+      // order; every 0.0 negates to −0.0, so no mixed-zero ties), and
+      // first(v) is sound because v is functionally dependent on the
+      // group key. Same assigned (v, cell) rows — the oracle unrolls
+      // the identical argmax.
       val assigned = base.join(broadcast(cents))
-        .select(col("vec_id"), col("v"), col("c_id"),
-          V.qcosineFrom(V.qdot(col("v"), col("cv")), col("n2"), col("cn2"))
-            .alias("c_score"))
-        .withColumn("rn", row_number().over(w0))
-        .filter(col("rn") === 1)
-        .select(col("v"), col("c_id").alias("cell"))
+        .select(col("vec_id"), col("v"),
+          struct(
+            (-V.qcosineFrom(V.qdot(col("v"), col("cv")), col("n2"), col("cn2")))
+              .alias("ns"),
+            col("c_id")).alias("sc"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("sc")).alias("m"), first(col("v")).alias("v"))
+        .select(col("v"), col("m.c_id").alias("cell"))
       cents = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim"))
@@ -434,17 +448,20 @@ object Similarity {
     * runs; factored so the maintenance gate can assign history and batch
     * SEPARATELY against the same frozen centroids.
     */
-  private[graft] def assignCellsTo(base: DataFrame, cents: DataFrame): DataFrame = {
-    val w0 = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_score").desc, col("c_id").asc)
+  private[graft] def assignCellsTo(base: DataFrame, cents: DataFrame): DataFrame =
+    // struct-min argmax, not a rank window — see [[lloydRefinedCentroidsOf]]:
+    // the window shuffled N·C rows carrying the vector arrays; this
+    // partial-aggregates to ~N rows before the exchange. Same rows out.
     base.join(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("n2"), col("c_id"),
-        V.qcosineFrom(V.qdot(col("v"), col("cv")), col("n2"), col("cn2"))
-          .alias("c_score"))
-      .withColumn("rn", row_number().over(w0))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("n2"), col("c_id").alias("cell"))
-  }
+      .select(col("vec_id"), col("v"), col("n2"),
+        struct(
+          (-V.qcosineFrom(V.qdot(col("v"), col("cv")), col("n2"), col("cn2")))
+            .alias("ns"),
+          col("c_id")).alias("sc"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("sc")).alias("m"),
+        first(col("v")).alias("v"), first(col("n2")).alias("n2"))
+      .select(col("vec_id"), col("v"), col("n2"), col("m.c_id").alias("cell"))
 
   def ivfRecallRefined(spark: SparkSession, sfDir: String): DataFrame = {
     val cents = lloydRefinedCentroids(spark, sfDir)
@@ -717,15 +734,22 @@ object Similarity {
   private[graft] def pqRefinedCodebooksOf(subs: DataFrame): DataFrame = {
     var cb = subs.filter(col("vec_id") % 499 === 0)
       .select(col("j"), col("vec_id").alias("c_id"), col("sv").alias("cv"))
-    val w0 = Window.partitionBy(col("vec_id"), col("j"))
-      .orderBy(col("d").asc, col("c_id").asc)
     for (_ <- 1 to 2) {
+      // struct-min argmin, not a rank window — see
+      // [[lloydRefinedCentroidsOf]]: the window shuffled all N·m·k
+      // scored rows (subvectors riding) per round; the struct min
+      // partial-aggregates to ~N·m rows before the exchange. The metric
+      // d is an exact long, so min(struct(d, c_id)) IS the
+      // (d asc, c_id asc) argmin verbatim.
       val assigned = subs.join(broadcast(cb), Seq("j"))
-        .select(col("vec_id"), col("j"), col("sv"), col("c_id"),
-          (V.qnorm2(col("cv")) - lit(2) * V.qdot(col("sv"), col("cv"))).alias("d"))
-        .withColumn("rn", row_number().over(w0))
-        .filter(col("rn") === 1)
-        .select(col("j"), col("c_id").alias("cell"), col("sv"))
+        .select(col("vec_id"), col("j"), col("sv"),
+          struct(
+            (V.qnorm2(col("cv")) - lit(2) * V.qdot(col("sv"), col("cv")))
+              .alias("d"),
+            col("c_id")).alias("sc"))
+        .groupBy(col("vec_id"), col("j"))
+        .agg(min(col("sc")).alias("m"), first(col("sv")).alias("sv"))
+        .select(col("j"), col("m.c_id").alias("cell"), col("sv"))
       cb = assigned
         .select(col("j"), col("cell"), posexplode(col("sv")).as(Seq("dim", "x")))
         .groupBy(col("j"), col("cell"), col("dim"))

@@ -113,6 +113,13 @@ object StarSchema {
     * broadcast hint on purpose.
     */
   def factSalesDetail(spark: SparkSession, sfDir: String): DataFrame = {
+    // NOT loadSpread, deliberately: (order_key, line_number) is not
+    // unique in the fixture, so the declared ORDER BY is not a total
+    // order and the cross-engine gate additionally pins the scan-order
+    // tie-break — a round-robin spread reorders ties and fails the
+    // oracle (measured: 12k+ row diffs at sf0.01). The map side stays
+    // at scan width; at 100 TB that IS cluster width (multi-split scan),
+    // so only the single-file fixture pays the narrow pass.
     val l = Tables.lineitem(spark, sfDir).alias("l")
     val o = Tables.orders(spark, sfDir).alias("o")
     l.join(o, col("l.l_orderkey") === col("o.o_orderkey"), "inner")

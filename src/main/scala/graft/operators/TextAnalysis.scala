@@ -168,7 +168,13 @@ object TextAnalysis {
     val hit = bpeTrainedCache.get(sfDir)
     if (hit != null && !hit._2.sparkSession.sparkContext.isStopped) hit
     else {
-      val trained = bpeTrainOn(bpeWords(spark, sfDir), BpeMergeRounds)
+      val (merges, symRaw) = bpeTrainOn(bpeWords(spark, sfDir), BpeMergeRounds)
+      // persist the FINAL segmented symbol frame: its three consumers
+      // (vocabulary artifact, id-table collect, tokenization dictionary
+      // broadcast) each re-executed the whole merge-fold chain over the
+      // histogram otherwise — the per-round re-derivation is bounded by
+      // design (3 rounds), but paying it once per consumer is not
+      val trained = (merges, graft.CacheLifecycle.sessionPersist(symRaw))
       bpeTrainedCache.put(sfDir, trained)
       // evict with the session caches: a cache surviving unpersistAll
       // would let bench loops skip re-training after their reset,

@@ -208,7 +208,14 @@ object WindowAnalytics {
   }
 
   private def priorityIntervalHistory(spark: SparkSession, sfDir: String): DataFrame =
-    priorityIntervalHistoryOf(Tables.orders(spark, sfDir))
+    // memoized + persisted: four consumers (the interval gate, the SCD2
+    // dimension, the correction seed, the incremental gate's oracle
+    // twin) each re-ran the two gaps-and-islands window passes over the
+    // order table otherwise — the run grain is orders-of-magnitude
+    // smaller than its input, exactly what a session pin is for
+    graft.CacheLifecycle.memoized(s"windowanalytics.intervalHistory:$sfDir")(
+      graft.CacheLifecycle.sessionPersist(
+        priorityIntervalHistoryOf(Tables.orders(spark, sfDir))))
 
   /** SCD2 APPLY-CHANGES (incremental merge): fold a CDC batch into an
     * existing interval history WITHOUT rebuilding unaffected keys. The
@@ -545,7 +552,11 @@ object WindowAnalytics {
     * plus a broadcast of the 25-row nation dim.
     */
   def dimCustomerScd2(spark: SparkSession, sfDir: String): DataFrame =
-    scd2Dimension(spark, sfDir, priorityIntervalHistory(spark, sfDir))
+    // memoized + persisted: the snapshot gate, the forget-keys seed and
+    // the pruned-layout write all re-derive the full dimension otherwise
+    graft.CacheLifecycle.memoized(s"windowanalytics.scd2Dim:$sfDir")(
+      graft.CacheLifecycle.sessionPersist(
+        scd2Dimension(spark, sfDir, priorityIntervalHistory(spark, sfDir))))
 
   /** The attribute join + surrogate projection shared by the from-scratch
     * and incremental SCD2 builds; `hist` is an interval history frame.
