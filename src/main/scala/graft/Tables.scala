@@ -156,6 +156,18 @@ object Tables {
 
   def events(spark: SparkSession, sfDir: String): DataFrame =
     eventsFrom(spark, path(sfDir, "events"))
+
+  /** [[loadSpread]]'s contract on the schema-sniffed events reader — for
+    * the per-row JSON/variant parse queries whose map work would
+    * otherwise run at the single-file fixture scan's width. Same
+    * conditional: a multi-split scan (the 100 TB case) spreads nothing.
+    */
+  def eventsSpread(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = events(spark, sfDir)
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 }

@@ -1011,7 +1011,14 @@ object Curation {
       .filter(col("keep")).select(col("doc_id"))
     val gateKeep = qualityGate(spark, sfDir)
       .filter(col("keep")).select(col("doc_id"))
-    Tables.documents(spark, sfDir)
+    // loadSpread, not a plain scan: the small side frames broadcast, so
+    // the whole anti/semi chain AND the html-clean + pii-redact + md5
+    // output map below stay at SCAN width — one core over the
+    // single-file fixture table for the pipeline's heaviest per-row
+    // regex work. Spread, the map runs at cluster width; at 100 TB the
+    // multi-split scan makes the spread a no-op (the loadSpread
+    // contract). Output rows and their doc_id total order are unchanged.
+    Tables.loadSpread(spark, sfDir, "documents")
       // the held-out benchmark source itself never enters training data —
       // decontamination protects against LEAKS of it; this drops the
       // source proper

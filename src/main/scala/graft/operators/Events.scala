@@ -38,7 +38,9 @@ object Events {
     * unread fields) versus the ad-hoc `get_json_object` below.
     */
   def fromJsonProps(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
+    // spread: the per-row from_json parse is the map cost — see
+    // Tables.eventsSpread
+    Tables.eventsSpread(spark, sfDir)
       .select(col("event_id"),
         from_json(col("props"), propsSchema).alias("p"))
       .select(col("event_id"), col("p.k").alias("k"))
@@ -49,7 +51,9 @@ object Events {
     * `from_json` available via [[propsSchema]].
     */
   def jsonExtract(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
+    // spread: per-row get_json_object parse; sums are exact — see
+    // Tables.eventsSpread
+    Tables.eventsSpread(spark, sfDir)
       .select(col("event_type"),
         get_json_object(col("props"), "$.k").cast("long").alias("k"),
         col("value"))
@@ -70,7 +74,9 @@ object Events {
     * plain typed columns, so the oracle is engine-neutral.
     */
   def variantExtract(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
+    // spread: per-row parse_json into variant; aggregates exact — see
+    // Tables.eventsSpread
+    Tables.eventsSpread(spark, sfDir)
       .select(col("event_type"),
         expr("variant_get(parse_json(props), '$.k', 'long')").alias("k"))
       .groupBy(col("event_type"))

@@ -41,7 +41,10 @@ object TextAnalysis {
     * scale path for 100 TB.
     */
   def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    // spread: the tokenize + explode map is CPU-heavy narrow work over
+    // the single-file fixture scan (the winnowFingerprints rationale);
+    // the aggregates are exact/HLL — partitioning-independent
+    Tables.loadSpread(spark, sfDir, "documents")
       .select(col("lang"), col("doc_id"),
         explode(TextFunctions.tokens(col("text"))).alias("token"))
       .groupBy(col("lang"))
@@ -69,7 +72,8 @@ object TextAnalysis {
     * `order_price_quantiles_approx` pins.
     */
   def lengthProfile(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    // spread: tokenize-per-row map at cluster width (see tokenStats)
+    Tables.loadSpread(spark, sfDir, "documents")
       .select(col("source"),
         size(TextFunctions.tokens(col("text"))).alias("n_tokens"))
       .groupBy(col("source"))
@@ -88,7 +92,8 @@ object TextAnalysis {
     * token-counting 100 TB of text.
     */
   def bpeTokens(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    // spread: regex segmentation per row at cluster width (see tokenStats)
+    Tables.loadSpread(spark, sfDir, "documents")
       .select(col("doc_id"),
         regexp_extract_all(col("text"), lit("[aeiou]+|[^aeiou ]+"), lit(0))
           .alias("sub"))
@@ -396,7 +401,8 @@ object TextAnalysis {
     */
   def topBigramsPerLang(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(spark, sfDir)
+    val toks = Tables.loadSpread(spark, sfDir, "documents")
+      // spread: the bigram index-walk explode is the heavy map (see tokenStats)
       .select(col("lang"), col("doc_id"), TextFunctions.tokens(col("text")).alias("toks"))
     val bigrams = toks.select(col("lang"),
       explode(when(size(col("toks")) >= 2,
@@ -513,7 +519,8 @@ object TextAnalysis {
     * spelling exists to keep the sketch under the correctness gate.
     */
   def vocabApprox(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    // spread: HLL registers merge by max — partitioning-independent
+    Tables.loadSpread(spark, sfDir, "documents")
       .select(col("lang"), explode(TextFunctions.tokens(col("text"))).alias("token"))
       .groupBy(col("lang"))
       .agg(countDistinct(col("token")).alias("vocab_exact"),
@@ -529,7 +536,8 @@ object TextAnalysis {
     */
   def quality(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = TextFunctions.tokens(col("text"))
-    Tables.documents(spark, sfDir)
+    // spread: tokenize + stopword counting per row (see tokenStats)
+    Tables.loadSpread(spark, sfDir, "documents")
       .select(
         col("doc_id"),
         length(col("text")).alias("n_chars"),
@@ -551,7 +559,7 @@ object TextAnalysis {
     */
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = TextFunctions.tokens(col("text"))
-    val scored = Tables.documents(spark, sfDir).select(
+    val scored = Tables.loadSpread(spark, sfDir, "documents").select(
       col("doc_id"), col("lang").alias("actual_lang"),
       countIn(toks, stopEn).alias("s_en"),
       countIn(toks, stopEs).alias("s_es"),
@@ -1440,7 +1448,8 @@ object TextAnalysis {
     * of raw text.
     */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    // spread: md5 + rolling-hash per row (see tokenStats)
+    Tables.loadSpread(spark, sfDir, "documents")
       .select(
         col("doc_id"),
         md5(col("text")).alias("text_md5"),
@@ -1455,7 +1464,8 @@ object TextAnalysis {
     * engine-specific syntax).
     */
   def normalizedFingerprint(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    // spread: two regex passes + md5 per row (see tokenStats)
+    Tables.loadSpread(spark, sfDir, "documents")
       .select(col("doc_id"),
         trim(regexp_replace(regexp_replace(lower(col("text")), "[0-9]+", "#"),
           " +", " ")).alias("canonical"))

@@ -80,13 +80,25 @@ object WindowAnalytics {
     * the verifiable one).
     */
   def orderPriceQuantiles(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.orders(spark, sfDir)
-      .groupBy(col("o_orderstatus").alias("order_status"))
-      .agg(
-        percentile(col("o_totalprice"), lit(0.25)).alias("p25"),
-        percentile(col("o_totalprice"), lit(0.5)).alias("p50"),
-        percentile(col("o_totalprice"), lit(0.75)).alias("p75"))
-      .orderBy("order_status")
+    exactPriceQuantiles(spark, sfDir).orderBy("order_status")
+
+  /** The exact per-status quantile trio — memoized + persisted because
+    * TWO registered queries aggregate it (the exact gate and the approx
+    * gate's exact twin), and spelled as ONE array-argument `percentile`
+    * so each group buffers its values once instead of three times
+    * (identical interpolated values, one aggregate buffer per group).
+    */
+  private def exactPriceQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoized(s"windowanalytics.priceQuantiles:$sfDir")(
+      graft.CacheLifecycle.sessionPersist(
+        Tables.orders(spark, sfDir)
+          .groupBy(col("o_orderstatus").alias("order_status"))
+          .agg(percentile(col("o_totalprice"),
+            array(lit(0.25), lit(0.5), lit(0.75))).alias("ps"))
+          .select(col("order_status"),
+            col("ps").getItem(0).alias("p25"),
+            col("ps").getItem(1).alias("p50"),
+            col("ps").getItem(2).alias("p75"))))
 
   /** RANGE-frame window: for each order, the same customer's order count
     * and exact revenue over the TRAILING 30 DAYS (value-based frame, not
@@ -147,18 +159,20 @@ object WindowAnalytics {
     def ok(approx: org.apache.spark.sql.Column,
         exact: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       abs(approx - exact) <= abs(exact) * lit(0.02)
+    // the exact trio rides the shared memoized frame (one buffering
+    // aggregate per session, not one per gate); the sketch side is one
+    // array-argument approx_percentile — a single QuantileSummaries
+    // buffer per group instead of three. The 3-row × 3-row equi-join
+    // replaces nothing but in-plan duplication; values are identical.
     Tables.orders(spark, sfDir)
       .groupBy(col("o_orderstatus").alias("order_status"))
-      .agg(
-        percentile(col("o_totalprice"), lit(0.25)).alias("p25"),
-        percentile(col("o_totalprice"), lit(0.5)).alias("p50"),
-        percentile(col("o_totalprice"), lit(0.75)).alias("p75"),
-        percentile_approx(col("o_totalprice"), lit(0.25), lit(1000)).alias("a25"),
-        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).alias("a50"),
-        percentile_approx(col("o_totalprice"), lit(0.75), lit(1000)).alias("a75"))
+      .agg(percentile_approx(col("o_totalprice"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(1000)).alias("as_"))
+      .join(exactPriceQuantiles(spark, sfDir), Seq("order_status"))
       .select(col("order_status"), col("p25"), col("p50"), col("p75"),
-        (ok(col("a25"), col("p25")) && ok(col("a50"), col("p50")) &&
-          ok(col("a75"), col("p75"))).alias("approx_within_2pct"))
+        (ok(col("as_").getItem(0), col("p25")) &&
+          ok(col("as_").getItem(1), col("p50")) &&
+          ok(col("as_").getItem(2), col("p75"))).alias("approx_within_2pct"))
       .orderBy("order_status")
   }
 
