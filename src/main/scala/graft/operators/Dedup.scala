@@ -350,9 +350,17 @@ object Dedup {
     */
   def prefixFilterJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingled(spark, sfDir).filter(size(col("sh")) > 0)
+    // ONE shingle-keyed exchange serves df-count AND df-attach (the
+    // winnowOverlapOf lesson): the former spelling aggregated df in its
+    // own exchange and re-shuffled the exploded frame to join it back —
+    // two exchanges of the corpus-sized (doc_id, s) frame plus the
+    // join; the window count over the same s-clustering yields the
+    // IDENTICAL df values (count of exploded rows per shingle) in place.
     val exploded = sh.select(col("doc_id"), explode(col("sh")).alias("s"))
-    val dfreq = exploded.groupBy(col("s")).agg(count(lit(1)).alias("df"))
-    val ordered = exploded.join(dfreq, Seq("s"))
+      .repartition(col("s"))
+    val ordered = exploded
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
       .groupBy(col("doc_id"))
       // array_sort over (df, s) structs = lexicographic (df asc, s asc):
       // a total order identical on every engine and every partitioning
