@@ -407,6 +407,27 @@ object Curation {
         htmlClean(htmlAugmented(col("text"), col("doc_id"))), col("doc_id"))))
         .alias("text_redacted_md5"))
 
+  /** The four gate signals + integer score as COLUMNS over the fused
+    * signal frame — one spelling shared by [[qualityGate]], the flag
+    * frame, and the pipeline's keep filter, so the three consumers can
+    * never drift on the ensemble. Expects [[TextAnalysis.docSignals]]
+    * columns; rows with NULL top_token_n (token-less docs the original
+    * inner joins dropped) are NOT filtered here — each consumer applies
+    * its own row-set rule.
+    */
+  private def withGateSignals(ds: DataFrame): DataFrame =
+    withRepetitionMetrics(ds)
+      .withColumn("rep_ok", col("rep_keep"))
+      .withColumn("len_ok", col("n_tokens") >= GateMinTokens)
+      .withColumn("rare_ok",
+        coalesce(col("n_rare") * GateRareMult <= col("n_bigrams"), lit(true)))
+      .withColumn("lang_ok",
+        greatest(col("g_en"), col("g_es"), col("g_de"), col("g_fr"))
+          >= GateLangConfMin)
+      .withColumn("quality_score",
+        col("rep_ok").cast("int") + col("len_ok").cast("int")
+          + col("rare_ok").cast("int") + col("lang_ok").cast("int"))
+
   private def withRepetitionMetrics(ds: DataFrame): DataFrame =
     ds.withColumn("distinct_ratio", col("n_distinct") / col("n_tokens"))
       .withColumn("top_token_frac", col("top_token_n") / col("n_tokens"))
@@ -489,19 +510,13 @@ object Curation {
   private def qualityGateBuild(spark: SparkSession, sfDir: String): DataFrame =
     // all four signals are now columns of the one-pass fused frame —
     // the gate is a narrow projection plus boolean math, ZERO joins
-    // (r14-verdict ask #6: the per-signal doc_id joins are gone)
-    withRepetitionMetrics(TextAnalysis.docSignals(spark, sfDir))
+    // (r14-verdict ask #6: the per-signal doc_id joins are gone); the
+    // signal spelling is the shared [[withGateSignals]]
+    withGateSignals(TextAnalysis.docSignals(spark, sfDir))
       .filter(col("top_token_n").isNotNull) // the gate's original row set
-      .select(col("doc_id"), col("rep_keep").alias("rep_ok"),
-        (col("n_tokens") >= GateMinTokens).alias("len_ok"),
-        coalesce(col("n_rare") * GateRareMult <= col("n_bigrams"), lit(true))
-          .alias("rare_ok"),
-        (greatest(col("g_en"), col("g_es"), col("g_de"), col("g_fr"))
-          >= GateLangConfMin).alias("lang_ok"))
-      .withColumn("quality_score",
-        col("rep_ok").cast("int") + col("len_ok").cast("int")
-          + col("rare_ok").cast("int") + col("lang_ok").cast("int"))
-      .withColumn("keep", col("quality_score") >= GateKeepMin)
+      .select(col("doc_id"), col("rep_ok"), col("len_ok"), col("rare_ok"),
+        col("lang_ok"), col("quality_score"),
+        (col("quality_score") >= GateKeepMin).alias("keep"))
       .orderBy("doc_id")
 
   /** DuckDB literal lists for the language profiles — same spelling as
@@ -713,22 +728,61 @@ object Curation {
     graft.CacheLifecycle.memoized(s"curation.htmlCleaned:$sfDir")(
       htmlCleanedBuild(spark, sfDir))
 
-  private def htmlCleanedBuild(spark: SparkSession, sfDir: String): DataFrame =
+  /** ONE-PASS PER-DOCUMENT OUTPUT/REDACTION FRAME — the regex-family
+    * twin of [[TextAnalysis.docSignals]] (r21-verdict #1, adapted to
+    * measurement): the HTML-clean diagnostics + md5, the four PII hit
+    * counts + redacted md5, and the pipeline's clean-then-redact output
+    * md5 all derive from the same `documents` scan with heavily shared
+    * regex chains (the clean text feeds both `clean_md5` and the
+    * pipeline chain), yet r21 computed them as THREE separate spread
+    * scans (htmlCleaned ~17 regexes over 100% of docs, piiRedacted ~8
+    * over 100%, and the pipeline's survivor map ~25 over the ~80% that
+    * survive). This frame pays ONE scan + spread and evaluates each
+    * chain once per row — staged withColumns, because CollapseProject
+    * does not inline non-cheap expressions referenced more than once,
+    * so `haug`/`aug`/`clean` are shared by their consumers. A fused-
+    * into-docSignals variant was measured and REJECTED: widening the
+    * signal frame's cache taxed its many narrow consumers more than the
+    * saved scan (same-window BenchOrder A/B, OPTIMIZATION_r22.md).
+    * Chain spellings are the oracle-pinned ones (clean_md5,
+    * redacted_md5, text_redacted_md5 all hash-checked).
+    */
+  private[graft] def docOutputs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheLifecycle.memoized(s"curation.docOutputs:$sfDir")(
+      docOutputsBuild(spark, sfDir))
+
+  private def docOutputsBuild(spark: SparkSession, sfDir: String): DataFrame =
     Tables.loadSpread(spark, sfDir, "documents")
-      .select(col("doc_id"),
-        htmlAugmented(col("text"), col("doc_id")).alias("haug"))
-      .select(col("doc_id"), col("haug"),
-        htmlClean(col("haug")).alias("clean"))
-      .select(col("doc_id"),
-        size(regexp_extract_all(col("haug"), lit("<[^>]*>"), lit(0)))
-          .alias("n_tags"),
-        size(regexp_extract_all(col("haug"),
-          lit("&(amp|lt|gt|quot|nbsp|#39);"), lit(0))).alias("n_entities"),
-        (col("clean") =!= col("haug")).alias("changed"),
-        md5(col("clean")).alias("clean_md5"))
+      .withColumn("haug", htmlAugmented(col("text"), col("doc_id")))
+      .withColumn("aug", piiAugmented(col("text"), col("doc_id")))
+      .withColumn("clean", htmlClean(col("haug")))
+      .withColumn("caug", piiAugmented(col("clean"), col("doc_id")))
+      .select(
+        Seq(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          size(regexp_extract_all(col("haug"), lit("<[^>]*>"), lit(0)))
+            .alias("n_tags"),
+          size(regexp_extract_all(col("haug"),
+            lit("&(amp|lt|gt|quot|nbsp|#39);"), lit(0))).alias("n_entities"),
+          (col("clean") =!= col("haug")).alias("changed"),
+          md5(col("clean")).alias("clean_md5"))
+          ++ PiiRules.map { case (name, pat, _) =>
+            size(regexp_extract_all(col("aug"), lit(pat), lit(0)))
+              .alias(s"n_$name") }
+          ++ Seq(
+            md5(piiRedact(col("aug"))).alias("redacted_md5"),
+            md5(piiRedact(col("caug"))).alias("text_redacted_md5")): _*)
+      // three registered consumers project/join from this one pass
+      // (html gate, pii gate, pipeline); tracked for release
+      .transform(graft.CacheLifecycle.sessionPersist)
+
+  private def htmlCleanedBuild(spark: SparkSession, sfDir: String): DataFrame =
+    // narrow projection of the fused one-pass output frame (persisted
+    // there) — this gate adds only the verification sort; persisted so
+    // its second consumer (the funnel flag leg) is a cached read
+    docOutputs(spark, sfDir)
+      .select(col("doc_id"), col("n_tags"), col("n_entities"),
+        col("changed"), col("clean_md5"))
       .orderBy("doc_id")
-      // two registered consumers (own row, funnel flag leg) — the regex
-      // pass runs once per session; tracked for release
       .transform(graft.CacheLifecycle.sessionPersist)
 
   /** PII rules in APPLICATION ORDER (name, pattern, replacement) — the
@@ -770,7 +824,7 @@ object Curation {
     * `text`; the augmentation is the demo's input, not part of the
     * operator.
     */
-  private def piiAugmented(text: org.apache.spark.sql.Column,
+  private[operators] def piiAugmented(text: org.apache.spark.sql.Column,
       id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     def pad(m: Int, w: Int) = lpad(pmod(id, lit(m)).cast("string"), w, "0")
     concat(text,
@@ -813,19 +867,15 @@ object Curation {
     graft.CacheLifecycle.memoized(s"curation.piiRedacted:$sfDir")(
       piiRedactedBuild(spark, sfDir))
 
-  private def piiRedactedBuild(spark: SparkSession, sfDir: String): DataFrame = {
-    val aug = Tables.loadSpread(spark, sfDir, "documents")
-      .select(col("doc_id"), piiAugmented(col("text"), col("doc_id")).alias("aug_text"))
-    val cols = col("doc_id") +:
-      (PiiRules.map { case (name, pat, _) =>
-        size(regexp_extract_all(col("aug_text"), lit(pat), lit(0))).alias(s"n_$name")
-      } :+ md5(piiRedact(col("aug_text"))).alias("redacted_md5"))
-    aug.select(cols: _*)
+  private def piiRedactedBuild(spark: SparkSession, sfDir: String): DataFrame =
+    // narrow projection of the fused one-pass output frame (see
+    // [[docOutputs]]); persisted for its funnel-leg consumer
+    docOutputs(spark, sfDir)
+      .select(col("doc_id") +:
+        (PiiRules.map { case (name, _, _) => col(s"n_$name") }
+          :+ col("redacted_md5")): _*)
       .orderBy("doc_id")
-      // two registered consumers (own row, funnel) — the regex pass runs
-      // once per session; tracked for release
       .transform(graft.CacheLifecycle.sessionPersist)
-  }
 
   /** Temperature-weighted corpus RESAMPLING (α = 0.5): language l with
     * n_l documents gets a target of `N · ⌊√n_l⌋ / Σ_m ⌊√n_m⌋` slots
@@ -1011,14 +1061,13 @@ object Curation {
       .filter(col("keep")).select(col("doc_id"))
     val gateKeep = qualityGate(spark, sfDir)
       .filter(col("keep")).select(col("doc_id"))
-    // loadSpread, not a plain scan: the small side frames broadcast, so
-    // the whole anti/semi chain AND the html-clean + pii-redact + md5
-    // output map below stay at SCAN width — one core over the
-    // single-file fixture table for the pipeline's heaviest per-row
-    // regex work. Spread, the map runs at cluster width; at 100 TB the
-    // multi-split scan makes the spread a no-op (the loadSpread
-    // contract). Output rows and their doc_id total order are unchanged.
-    Tables.loadSpread(spark, sfDir, "documents")
+    // The pipeline rides the fused output frame: the survivor map's
+    // clean-then-redact md5 is [[docOutputs]]'s `text_redacted_md5`
+    // column, computed in the one shared corpus regex pass — the per-row
+    // regex work no longer re-runs here, so the pipeline itself is a
+    // key-only anti/semi chain over cached frames plus the verification
+    // sort. Output rows and their doc_id total order are unchanged.
+    docOutputs(spark, sfDir)
       // the held-out benchmark source itself never enters training data —
       // decontamination protects against LEAKS of it; this drops the
       // source proper
@@ -1027,20 +1076,11 @@ object Curation {
       .join(contaminated, Seq("doc_id"), "left_anti")
       .join(qualityKeep, Seq("doc_id"), "left_semi")
       .join(gateKeep, Seq("doc_id"), "left_semi")
-      // the map stages every surviving document passes through before
-      // tokenization, in crawl order: HTML/boilerplate cleaning FIRST
-      // (the raw-crawl pre-filter map — on this fixture the upstream
-      // signal stages already see clean text, so composing the cleaner
-      // here is where it does its work without forking every stage
-      // frame onto a second text column), then PII redaction (narrow
-      // per-row regex work on the rows that survived the key-only
-      // joins — cleaning/redacting dropped documents would be wasted
-      // compute); the md5 keeps the verified output narrow
-      .transform(redactedSurvivorOutput)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"), col("text_redacted_md5"))
       .orderBy("doc_id")
       // two registered consumers (own row, funnel n_final) — the anti/
-      // semi join chain and the redaction map run once per session;
-      // tracked for release
+      // semi join chain runs once per session; tracked for release
       .transform(graft.CacheLifecycle.sessionPersist)
   }
 
@@ -1106,110 +1146,64 @@ object Curation {
     }
 
   private def curationFlagsBuild(spark: SparkSession, sfDir: String): DataFrame = {
-    // every stage's verdict rides ONE union of narrow (doc_id, signal,
-    // value) rows + one conditional aggregation — two shuffles total,
-    // where a per-stage join chain would shuffle once per stage (eight
-    // overhead-dominated exchanges measured ~2× slower at sf0.1, and a
-    // growing join tree at 100 TB)
-    // Each leg coalesces to 4 read-partitions: a leg is a narrow
-    // (doc_id, sig, v) projection of a session-persisted stage frame
-    // that carries the stage's 32 shuffle partitions, so the raw union
-    // materialized ~350 tasks for ~65k rows — pure submission overhead
-    // measured at 2.4–3.2 s of the cascade's cold cost (BENCH_NOTES).
-    // coalesce narrows only the post-exchange tail: cold, every shuffle
-    // INSIDE a stage still runs at full width (the map side is planned
-    // below the coalesce), and the 4 tasks merely drain + cache the
-    // bounded final rows; warm, consumers read 4 partitions instead of
-    // 32. ~56 leg tasks total replace ~350.
-    val LegParts = 4
-    // REQUIRED invariant for every leg (the coalesce's safety argument):
-    // the source frame must terminate in an exchange or cached read —
-    // an orderBy's range exchange, an aggregate/join/window's shuffle,
-    // or a persisted InMemoryRelation — so the coalesce narrows only the
-    // bounded post-exchange tail. A leg built on a PURE-NARROW frame
-    // (project/filter straight over a scan) would silently have its
-    // entire map-side computation squeezed onto LegParts tasks; this
-    // check turns that silent distribution bug into a build-time error.
-    def requireExchangeTerminated(df: DataFrame, name: String): Unit = {
-      import org.apache.spark.sql.catalyst.plans.{logical => lp}
-      import org.apache.spark.sql.execution.columnar.InMemoryRelation
-      val ok = df.queryExecution.optimizedPlan.exists {
-        case s: lp.Sort => s.global
-        case _: lp.Aggregate | _: lp.Join | _: lp.Window | _: lp.Deduplicate => true
-        case _: lp.RepartitionOperation => true
-        case _: InMemoryRelation => true
-        case _ => false
-      }
-      require(ok, s"curation leg '$name' is not exchange-terminated or cached: " +
-        "coalescing it would narrow its whole map-side computation to " +
-        s"$LegParts tasks — persist the stage frame or end it in a shuffle")
-    }
-    def tag(df: DataFrame, name: String, v: Column): DataFrame = {
-      requireExchangeTerminated(df, name)
-      df.select(col("doc_id"), lit(name).alias("sig"), v.cast("long").alias("v"))
-        .coalesce(LegParts)
-    }
-    // the four PII counts ride ONE stack leg (4 rows per doc from one
-    // cached scan) instead of four union legs — a quarter of the task
-    // submissions for the same (doc_id, sig, v) rows
-    val piiPairs = PiiRules
-      .map { case (name, _, _) => s"'pii_$name', cast(n_$name as long)" }
-      .mkString(", ")
-    // safe to coalesce ALL legs including this one: every stage frame
-    // ends in an `orderBy` (a range exchange), so each stage's real work
-    // — piiRedacted's per-row regex pass included — is planned BELOW its
-    // last exchange and still runs at full map width on the cold build;
-    // the coalesce narrows only the bounded post-exchange tail each leg
-    // reads
-    val piiLeg = {
-      val src = piiRedacted(spark, sfDir)
-      requireExchangeTerminated(src, "pii")
-      src.selectExpr("doc_id", s"stack(${PiiRules.size}, $piiPairs) as (sig, v)")
-        .coalesce(LegParts)
-    }
-    // winnowing local-overlap endpoints — the copied-block signal the
-    // funnel didn't count (r19 verdict #6): a document appearing in any
-    // served overlap pair carries boilerplate-block reuse. Shares the
-    // memoized fingerprint frame with the registered gates (ONE
-    // selection pass per session); the ingestion-time form probes the
-    // STORED index (EventStream.winnowProbeStored over the
-    // winnowing_stored_overlap machinery) — same pair semantics by the
-    // shared winnowOverlapOf body.
+    // r22 shape (the r21-verdict #1 ask, adapted to measurement): the
+    // corpus-grain signals now live as COLUMNS of exactly two cached
+    // one-pass frames — quality/gate keep in [[TextAnalysis.docSignals]],
+    // html_changed + the PII counts + source in [[docOutputs]] — so the
+    // flag frame is ONE doc_id equi-join of those two cached frames plus
+    // a left join of the five MEMBERSHIP sets (dedup removals,
+    // winnow-overlap endpoints, the three decon rungs), pivoted from a
+    // tiny union. r21's nine-leg (doc_id, sig, v) union + pivot + corpus
+    // left join shuffled ~8 narrow rows per document through the pivot
+    // exchange plus two corpus-grain join exchanges (warm marginal
+    // measured 2.0 s in the r22 baseline window); this shape shuffles
+    // each document's row ONCE per side of the one join, and the
+    // membership sets are flagged-subset-sized, so their pivot is a tiny
+    // aggregate and the left join broadcasts under AQE (degrading to one
+    // doc_id-keyed shuffle at 100 TB — still strictly fewer corpus-grain
+    // exchanges than the union).
+    //
+    // winnow endpoints — the copied-block signal the funnel counts (r19
+    // verdict #6): a document appearing in any served overlap pair
+    // carries boilerplate-block reuse; shares the memoized pair frame
+    // with the registered gates.
     val winnowPairs = Dedup.winnowingOverlapPairs(spark, sfDir)
     val winnowDocs = winnowPairs.select(col("doc_a").alias("doc_id"))
       .unionByName(winnowPairs.select(col("doc_b").alias("doc_id")))
       .distinct()
-    val signals = Seq(
-      tag(Dedup.minhashLsh(spark, sfDir)
-        .select(col("doc_b").alias("doc_id")).distinct(), "is_dup", lit(1L)),
-      tag(winnowDocs, "winnow_overlap", lit(1L)),
-      tag(decontaminate(spark, sfDir), "contam_ratio", lit(1L)),
-      tag(decontaminateExact(spark, sfDir), "contam_exact", lit(1L)),
-      tag(decontaminateSemantic(spark, sfDir), "contam_sem", lit(1L)),
-      tag(repetitionQuality(spark, sfDir), "qual_keep", col("keep").cast("long")),
-      tag(qualityGate(spark, sfDir), "gate_keep", col("keep").cast("long")),
-      tag(htmlCleaned(spark, sfDir), "html_changed", col("changed").cast("long")),
-      piiLeg)
-    val aggs =
-      Seq("is_dup", "winnow_overlap", "contam_ratio", "contam_exact",
-        "contam_sem").map(s =>
-        max(when(col("sig") === s, col("v"))).isNotNull.alias(s)) ++
-      Seq("qual_keep", "gate_keep", "html_changed").map(s =>
-        coalesce(max(when(col("sig") === s, col("v"))) === 1L, lit(false)).alias(s)) ++
-      PiiRules.map { case (name, _, _) =>
-        max(when(col("sig") === s"pii_$name", col("v"))).alias(s"n_$name") }
-    val agged = signals.reduce(_.unionByName(_))
-      .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-    Tables.documents(spark, sfDir)
-      // `source` rides along for free — this is the frame's ONLY corpus
-      // join, and carrying the (small, dictionary-encoded) column here is
-      // what lets the per-source report run without a second corpus-wide
-      // join of its own (PlanHygieneSpec pins the single-scan shape)
+    val memberFlags = Seq("is_dup", "winnow_overlap", "contam_ratio",
+      "contam_exact", "contam_sem")
+    val memberSets = Seq(
+      Dedup.minhashLsh(spark, sfDir)
+        .select(col("doc_b").alias("doc_id")).distinct(),
+      winnowDocs,
+      decontaminate(spark, sfDir).select(col("doc_id")),
+      decontaminateExact(spark, sfDir).select(col("doc_id")),
+      decontaminateSemantic(spark, sfDir).select(col("doc_id")))
+    // each set frame ends in an exchange or cached read (persisted stage
+    // frames / aggregates), so the coalesce narrows only its bounded
+    // post-exchange tail — the r21 leg discipline, over five tiny sets
+    val marks = memberFlags.zip(memberSets).map { case (name, df) =>
+      df.select(col("doc_id"), lit(name).alias("sig")).coalesce(1)
+    }.reduce(_.unionByName(_))
+      .groupBy(col("doc_id"))
+      .agg(max(col("sig") === memberFlags.head).alias(memberFlags.head),
+        memberFlags.tail.map(s => max(col("sig") === s).alias(s)): _*)
+    val gateProj = withGateSignals(TextAnalysis.docSignals(spark, sfDir))
+      .select(col("doc_id"),
+        (col("top_token_n").isNotNull && col("rep_keep")).alias("qual_keep"),
+        (col("top_token_n").isNotNull &&
+          col("quality_score") >= GateKeepMin).alias("gate_keep"))
+    docOutputs(spark, sfDir)
       .select(col("doc_id"), col("source"),
-        (col("source") === BenchmarkSource).alias("is_bench"))
-      .join(agged, Seq("doc_id"), "left")
-      .na.fill(false, Seq("is_dup", "winnow_overlap", "contam_ratio",
-        "contam_exact", "contam_sem", "qual_keep", "gate_keep", "html_changed"))
+        (col("source") === BenchmarkSource).alias("is_bench"),
+        col("changed").alias("html_changed"),
+        col("n_email"), col("n_cc"), col("n_phone"), col("n_ipv4"))
+      // inner join: both one-pass frames carry every document by
+      // construction (docSignals' joins are LEFT; docOutputs is a map)
+      .join(gateProj, Seq("doc_id"))
+      .join(marks, Seq("doc_id"), "left")
+      .na.fill(false, memberFlags)
       .withColumn("kept",
         !col("is_bench") && !col("is_dup") &&
           !col("contam_ratio") && !col("contam_exact") && !col("contam_sem") &&

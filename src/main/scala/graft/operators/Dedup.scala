@@ -350,26 +350,41 @@ object Dedup {
     */
   def prefixFilterJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingled(spark, sfDir).filter(size(col("sh")) > 0)
-    // ONE shingle-keyed exchange serves df-count AND df-attach (the
-    // winnowOverlapOf lesson): the former spelling aggregated df in its
-    // own exchange and re-shuffled the exploded frame to join it back —
-    // two exchanges of the corpus-sized (doc_id, s) frame plus the
-    // join; the window count over the same s-clustering yields the
-    // IDENTICAL df values (count of exploded rows per shingle) in place.
+    // df attach, r22 shape: a TWO-PHASE groupBy(s) count (map-side
+    // partial aggregation → one VOCABULARY-sized exchange of (s, count)
+    // rows) joined back onto the exploded frame. r21 attached df with
+    // `count(1) over (partition by s)` over an explicit s-repartition —
+    // one corpus-sized exchange PLUS a window that buffered every row of
+    // a shingle inside one window partition (a stopword-grade shingle at
+    // 100 TB = one spilling straggler task). Here nothing buffers per
+    // key: the df aggregate's state is one (s, count) entry per distinct
+    // shingle, and the join-back streams. No explicit repartition —
+    // ENSURE_REQUIREMENTS inserts the corpus-side s-exchange exactly
+    // when the join needs it (sort-merge at scale); at fixture size AQE
+    // broadcasts the df side and the corpus side is never exchanged on s
+    // at all (one corpus-grain exchange — the doc_id prefix rebuild —
+    // instead of r21's two). df values are identical by definition:
+    // count of exploded rows per shingle either way.
     val exploded = sh.select(col("doc_id"), explode(col("sh")).alias("s"))
-      .repartition(col("s"))
-    val ordered = exploded
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
-      .groupBy(col("doc_id"))
-      // array_sort over (df, s) structs = lexicographic (df asc, s asc):
-      // a total order identical on every engine and every partitioning
-      .agg(array_sort(collect_list(struct(col("df"), col("s")))).alias("oss"))
-      .select(col("doc_id"),
-        expr("transform(oss, x -> x.s)").alias("os"))
-      .withColumn("n", size(col("os")))
-      .withColumn("p",
-        (col("n") - ceil(col("n") * lit(JaccardThreshold)) + 1).cast("int"))
+    val dfreq = exploded.groupBy(col("s"))
+      .agg(count(lit(1)).alias("df"))
+    // memoized + persisted: BOTH candidate self-join branches read this
+    // frame — unpersisted, each branch re-derived the whole explode +
+    // df-attach + collect chain (the captured plan showed no reuse
+    // across the broadcast boundary). Doc-grain, same size class as the
+    // session shingle cache it derives from.
+    val ordered = graft.CacheLifecycle.memoized(s"dedup.prefixOrdered:$sfDir")(
+      graft.CacheLifecycle.sessionPersist(
+        exploded.join(dfreq, Seq("s"))
+          .groupBy(col("doc_id"))
+          // array_sort over (df, s) structs = lexicographic (df asc, s asc):
+          // a total order identical on every engine and every partitioning
+          .agg(array_sort(collect_list(struct(col("df"), col("s")))).alias("oss"))
+          .select(col("doc_id"),
+            expr("transform(oss, x -> x.s)").alias("os"))
+          .withColumn("n", size(col("os")))
+          .withColumn("p",
+            (col("n") - ceil(col("n") * lit(JaccardThreshold)) + 1).cast("int"))))
     val prefixes = ordered.select(col("doc_id"), col("n"),
       explode(slice(col("os"), lit(1), col("p"))).alias("s"))
     val candidates = prefixes.alias("a")
@@ -1360,30 +1375,45 @@ object Dedup {
     * drift between the batch and serving forms.
     */
   private[graft] def winnowOverlapOf(fp: DataFrame): DataFrame = {
-    // ONE hash-keyed exchange serves the whole derivation (guide-§2.4
-    // shuffle removal; measured 1.8–2.0 s/call → ~1.1 s at sf0.1): the
-    // former spelling paid five — a (doc_id, h) distinct exchange, a
-    // groupBy(h) df exchange, a join-back reshuffle, the self-join, and
-    // the pair aggregate. Repartitioning by `h` FIRST lets every
-    // downstream operator reuse that clustering: the (doc_id, h) dedup
-    // is a complete aggregate in place (h-partitioning satisfies the
-    // {doc_id, h} clustering), the per-hash df is a window count over
-    // the same partitioning (no join-back — same df values by
-    // definition: count of distinct docs per h), and BOTH self-join
-    // sides read the one exchange (ReusedExchange). Only the final
-    // (doc_a, doc_b) aggregate shuffles again. Row semantics are
-    // untouched — dedup keys, df cap, pair count and threshold are the
-    // ones the three registered gates' oracles pin.
-    val rare = fp.select(col("doc_id"), col("h"))
-      .repartition(col("h"))
-      .dropDuplicates("doc_id", "h")
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
-      .filter(col("df") <= WinnowDfCap)
-      .select(col("doc_id"), col("h"))
-    rare.alias("a").join(rare.alias("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").alias("doc_a"), col("b.doc_id").alias("doc_b"))
+    // r22 shape: ONE bounded aggregate replaces r21's repartition +
+    // in-place dedup + `count(1) over (partition by h)` window + rare
+    // self-join (guide §2.3 aggregate-before-shuffle, §5 bounded state):
+    //
+    //   groupBy(h) agg distinct_min_k(doc_id, cap+1) → size filter →
+    //   in-group pair explode → pair aggregate.
+    //
+    // distinct_min_k (plans/DistinctMinK.scala) keeps the cap+1 smallest
+    // DISTINCT doc ids per hash in a ≤(cap+1)-long buffer that
+    // partial-aggregates MAP-SIDE, so (a) the one h-exchange carries at
+    // most (cap+1)·|distinct h per mapper| longs instead of every
+    // (doc_id, h) occurrence row, (b) no operator ever buffers an
+    // unbounded hash's rows — the r21 window buffered every row of a
+    // hash inside one window partition, a stopword-grade hash at 100 TB
+    // being one spilling straggler task — and (c) hot hashes are
+    // equivalent to a df-cap filter by construction: a hash with
+    // df ≤ cap never evicts, so its array IS the complete sorted
+    // distinct doc set (size = df); a hash with df > cap saturates at
+    // cap+1 and the size filter discards it — exactly the rows the old
+    // dedup + window-df ≤ cap pipeline kept.
+    //
+    // Pairs then come from IN-GROUP generation over the (complete,
+    // ascending) per-hash doc array — ≤ cap·(cap−1)/2 pairs per hash,
+    // the same (a < b) orientation the r21 self-join produced, whose
+    // second branch the captured no-broadcast plan showed paying its own
+    // exchange and re-running the dedup + window (no ReusedExchange).
+    // Row semantics are untouched — dedup keys (distinct insertion), df
+    // cap, pair count and threshold are the ones the three registered
+    // gates' oracles pin.
+    fp.select(col("doc_id"), col("h"))
+      .groupBy(col("h"))
+      .agg(graft.plans.DistinctMinK.distinctMinK(col("doc_id"), WinnowDfCap + 1)
+        .alias("docs"))
+      .filter(size(col("docs")).between(2, WinnowDfCap))
+      .select(explode(expr(
+        "flatten(transform(docs, (a, i) -> " +
+          "transform(slice(docs, i + 2, size(docs) - i - 1), " +
+          "b -> struct(a AS doc_a, b AS doc_b))))")).alias("pr"))
+      .groupBy(col("pr.doc_a").alias("doc_a"), col("pr.doc_b").alias("doc_b"))
       .agg(count(lit(1)).alias("n_shared"))
       .filter(col("n_shared") >= WinnowShareMin)
   }

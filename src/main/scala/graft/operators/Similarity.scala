@@ -48,7 +48,21 @@ object Similarity {
       quantizedBuild(spark, sfDir))
 
   private def quantizedBuild(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.loadSpread(spark, sfDir, "embeddings").select(
+    // repartition by vec_id, not loadSpread's round-robin (r21-verdict
+    // #4): the persisted frame then carries HashPartitioning(vec_id),
+    // which every training/assignment argmax over it — groupBy(vec_id)
+    // in the two Lloyd rounds and every assignCellsTo call,
+    // groupBy(vec_id, j) in the two PQ rounds and every pqCodesFor
+    // encode (vec_id-hash satisfies both clusterings) — completes IN
+    // PLACE, removing the per-round corpus exchange of vector-carrying
+    // rows. One clustering exchange at the build, amortized over ≥8
+    // vec_id-keyed aggregations per session; it also spreads the
+    // single-file fixture scan exactly as loadSpread did (vec_id is
+    // unique, so the hash is uniform). Argmaxes are exact struct-mins
+    // (order-independent), so the clustering cannot move any result.
+    Tables.load(spark, sfDir, "embeddings")
+      .repartition(col("vec_id"))
+      .select(
       col("vec_id"), col("label"),
       V.quantize1000(col("embedding")).alias("v"))
       .withColumn("n2", V.qnorm2(col("v")))
@@ -1571,7 +1585,12 @@ object Similarity {
       }
       graft.CacheLifecycle.sessionPersist(
         hist.unionByName(planted.toDF("vec_id", "v")
-          .withColumn("n2", V.qnorm2(col("v")))))
+          .withColumn("n2", V.qnorm2(col("v"))))
+          // union discards the quantized frame's vec_id clustering; the
+          // retrain gate runs two Lloyd rounds + an assignment over this
+          // persisted corpus, so re-establish it once here (the
+          // quantizedBuild rationale — the planted side is 40 rows)
+          .repartition(col("vec_id")))
     }
 
   /** nprobe=1 serving over an arbitrary (corpus, centroids) pair for

@@ -376,6 +376,72 @@ class ExpressionPropertySpec extends SparkSpec {
     }
   }
 
+  test("DistinctMinK ≡ slice(array_sort(collect_set), 1, k) on random grouped longs") {
+    import spark.implicits._
+    // group sizes and duplication rates straddle k, so the buffer's
+    // three regimes all occur: never-full (distinct < k), exactly-full,
+    // and saturated-with-eviction (distinct > k, arrivals out of order);
+    // nulls exercise the skip discipline
+    val rowGen = Gen.zip(
+      Gen.chooseNum(0L, 30L),                       // group key
+      Gen.frequency(
+        9 -> Gen.chooseNum(-50L, 50L).map(Some(_)), // heavy duplication
+        1 -> Gen.const(Option.empty[Long])))
+    val rows = Gen.listOfN(4000, rowGen)
+      .apply(Gen.Parameters.default, Seed(61L)).get
+    val df = rows.toDF("g", "v")
+    for (k <- Seq(1, 3, 21)) {
+      val got = df.groupBy(col("g"))
+        .agg(graft.plans.DistinctMinK.distinctMinK(col("v"), k).alias("docs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+      val ref = df.groupBy(col("g"))
+        .agg(slice(array_sort(collect_set(col("v"))), 1, k).alias("docs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+      assert(got == ref, s"k=$k: ${got.toSeq.diff(ref.toSeq).take(3)}")
+    }
+    // all-null group evaluates to an empty array, like collect_set
+    val empty = Seq((1L, Option.empty[Long])).toDF("g", "v")
+      .groupBy(col("g"))
+      .agg(graft.plans.DistinctMinK.distinctMinK(col("v"), 5).alias("d"))
+      .head().getSeq[Long](1)
+    assert(empty.isEmpty)
+  }
+
+  test("winnowOverlapOf ≡ the r21 window+self-join spelling on random fingerprints") {
+    import spark.implicits._
+    // random (doc_id, h) occurrence frames with DUPLICATE occurrences
+    // (in the real frame the p column makes (doc_id, h) repeat) and hash
+    // df straddling the cap (20): the weighted head hashes go HOT (df >
+    // cap over the 41-doc domain — their pairs must all vanish), the
+    // tail hashes stay rare, and docs share enough rare hashes for the
+    // ≥10-shared threshold to pass on some pairs and fail on others.
+    val hGen = Gen.frequency(
+      1 -> Gen.chooseNum(0L, 2L),     // hot head: df ≈ all 41 docs
+      4 -> Gen.chooseNum(3L, 150L))   // rare tail: df well under the cap
+    val rowGen = Gen.zip(Gen.chooseNum(0L, 40L), hGen)
+    val rows = Gen.listOfN(2600, rowGen)
+      .apply(Gen.Parameters.default, Seed(67L)).get
+    val fp = rows.toDF("doc_id", "h")
+    val got = operators.Dedup.winnowOverlapOf(fp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // reference: the r21 spelling — dedup, window df, cap filter,
+    // self-join, pair count
+    val rare = fp.dropDuplicates("doc_id", "h")
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .filter(col("df") <= 20)
+      .select(col("doc_id"), col("h"))
+    val ref = rare.alias("a").join(rare.alias("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").alias("doc_a"), col("b.doc_id").alias("doc_b"))
+      .agg(count(lit(1)).alias("n_shared"))
+      .filter(col("n_shared") >= 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == ref,
+      s"only-new=${(got -- ref).take(3)} only-ref=${(ref -- got).take(3)}")
+    assert(got.nonEmpty, "degenerate domain: no overlap pairs at all")
+  }
+
   test("MinKByHash survives serialize/deserialize round trips (sort-based fallback shape)") {
     import spark.implicits._
     val e = graft.plans.MinKByHash(

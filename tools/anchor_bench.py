@@ -27,7 +27,7 @@ import subprocess
 import sys
 import time
 
-ANCHOR = "BENCH_ANCHOR_r21.json"
+ANCHOR = "BENCH_ANCHOR_r22.json"
 TOP_N = 40
 PRE_SAMPLE_SEC = 15
 STEAL_SKIP_PCT = 1.0
@@ -177,7 +177,7 @@ def main():
         with open(ANCHOR) as f:
             doc = json.load(f)
     else:
-        doc = {"round": 21, "sf": "/root/testdata/sf0.1",
+        doc = {"round": 22, "sf": "/root/testdata/sf0.1",
                "bench_schema": 4, "host_note": "", "schema4_runs": []}
     entry["run"] = len(doc["schema4_runs"]) + 1
     doc["schema4_runs"].append(entry)
